@@ -1,13 +1,378 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract: the full operator inventory of SURVEY.md §2, one
+  * query per operator, each with a DuckDB oracle where SQL can express
+  * the semantics. Column names and arithmetic are aligned with the
+  * oracle per SURVEY §5 (exact DECIMAL money math cast to DOUBLE at the
+  * end; 4-dp rounded cosines; BIGINT counts/ranks; total-order sorts).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") Tables.events(s, dir) else Tables.load(s, dir, name)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows > 0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Views.itemRankByPeriod(t(spark, dir, "events"), t(spark, dir, "part"))
+      .orderBy(col("period_day"), col("item_view_rank"), col("item_name"))
+  }
+
+  // ---------------------------------------------------------------- ETL
+
+  private def qRawIngest(s: SparkSession, dir: String): DataFrame =
+    StarSchema.rawIngest(t(s, dir, "events")).orderBy(col("event_id"))
+
+  private def qDEvent(s: SparkSession, dir: String): DataFrame =
+    StarSchema.dEvent(t(s, dir, "events")).orderBy(col("event_id"))
+
+  private def qDUser(s: SparkSession, dir: String): DataFrame =
+    StarSchema.dUser(t(s, dir, "events")).orderBy(col("user_id"))
+
+  private def qDParameter(s: SparkSession, dir: String): DataFrame =
+    StarSchema.dParameter(t(s, dir, "events")).orderBy(col("parameter_name"))
+
+  private def qDItem(s: SparkSession, dir: String): DataFrame =
+    StarSchema.dItem(t(s, dir, "part")).orderBy(col("item_id"))
+
+  private def qFEvents(s: SparkSession, dir: String): DataFrame =
+    StarSchema.fEvents(t(s, dir, "events")).orderBy(col("event_id"))
+
+  private def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate").cast("date").as("o_orderdate"))
+    val target = o.filter(col("o_orderkey") % 2 === 0)
+    val delta = o.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+    MergeInto.upsert(target, delta, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"), broadcastDelta = true)
+      .orderBy(col("o_orderkey"))
+  }
+
+  private def qMergeIgnore(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val target = c.filter(col("c_custkey") % 2 === 0)
+    val delta = c.filter(col("c_custkey") % 3 === 0)
+      .withColumn("c_name", concat(lit("NEW_"), col("c_custkey")))
+    MergeInto.insertIfAbsent(target, delta, Seq("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private def qViewYearly(s: SparkSession, dir: String): DataFrame =
+    Views.yearlyCounts(t(s, dir, "events"), t(s, dir, "part"))
+      .orderBy(col("period_day"))
+
+  private def qViewItemRank(s: SparkSession, dir: String): DataFrame =
+    Views.itemRankByPeriod(t(s, dir, "events"), t(s, dir, "part"))
+      .orderBy(col("period_day"), col("item_view_rank"), col("item_name"))
+
+  private def qViewTopItem(s: SparkSession, dir: String): DataFrame =
+    Views.topItemRecentPeriod(t(s, dir, "events"), t(s, dir, "part"))
+
+  private def qViewTopPlatform(s: SparkSession, dir: String): DataFrame =
+    Views.topPlatformByPeriod(t(s, dir, "events"), t(s, dir, "part"))
+      .orderBy(col("period_day"), col("platform"))
+
+  // --------------------------------------------------------- relational
+
+  private def qPricing(s: SparkSession, dir: String): DataFrame =
+    Relational.pricingSummary(t(s, dir, "lineitem"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private def qShipping(s: SparkSession, dir: String): DataFrame =
+    Relational.shippingPriority(t(s, dir, "customer"), t(s, dir, "orders"),
+      t(s, dir, "lineitem"))
+
+  private def qRunning(s: SparkSession, dir: String): DataFrame =
+    Relational.runningTotals(t(s, dir, "orders"))
+      .orderBy(col("o_custkey"), col("order_seq"))
+
+  private def qHourly(s: SparkSession, dir: String): DataFrame =
+    Relational.hourlyEventAgg(t(s, dir, "events"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  private def qSessionize(s: SparkSession, dir: String): DataFrame =
+    Relational.sessionize(t(s, dir, "events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  // ------------------------------------------------------------ LLM ops
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(s, dir, "documents")).orderBy(col("keep_id"))
+
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(t(s, dir, "documents")).orderBy(col("doc_id"))
+
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(t(s, dir, "documents")).orderBy(col("doc_id"))
+
+  private def qDedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramNearDups(t(s, dir, "documents")).orderBy(col("doc_id"))
+
+  private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(t(s, dir, "embeddings"))
+      .orderBy(col("probe_id"), col("cand_id"))
+
+  private def qKnnBrute(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(t(s, dir, "embeddings"), col("vec_id") < 8)
+      .withColumn("rnk", col("rnk").cast("bigint"))
+      .orderBy(col("probe_id"), col("rnk"))
+
+  private def qKnnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(t(s, dir, "embeddings"), col("vec_id") < 8)
+      .withColumn("rnk", col("rnk").cast("bigint"))
+      .orderBy(col("probe_id"), col("rnk"))
+
+  private def qTextTokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TF.wsTokenCount(col("text")).as("ws_tokens"),
+      TF.subTokenCount(col("text")).as("sub_tokens"))
+      .orderBy(col("doc_id"))
+
+  private def qTextQuality(s: SparkSession, dir: String): DataFrame = {
+    val c = col("text")
+    val nChars = length(c).cast("bigint")
+    val punct = regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("bigint")
+    val wsTok = TF.wsTokenCount(c)
+    val punctRatio = round(punct.cast("double") / nChars.cast("double"), 4)
+    val stopRatio = TF.stopRatio(c, TF.stopwordProfiles("en"))
+    val lenScore = least(lit(1.0), wsTok.cast("double") / lit(100.0))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      nChars.as("n_chars_actual"),
+      wsTok.as("ws_tokens"),
+      punctRatio.as("punct_ratio"),
+      stopRatio.as("stop_ratio"),
+      round(lit(0.4) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio)
+        + lit(0.3) * lenScore, 4).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def qTextLangid(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TF.langId(col("text")).getField("lang").as("pred_lang"),
+      TF.langId(col("text")).getField("hits").as("stop_hits"),
+      col("lang").as("labeled_lang"))
+      .orderBy(col("doc_id"))
+
+  private def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TF.fingerprint(col("text")).as("fingerprint"),
+      TF.simhash64(TF.words(col("text"))).as("simhash"))
+      .orderBy(col("doc_id"))
+
+  private def qMmFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.featurize(Multimodal.asMedia(t(s, dir, "documents")))
+      .toDF().orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------- map
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "raw_ingest" -> (qRawIngest _),
+    "d_event" -> (qDEvent _),
+    "d_user" -> (qDUser _),
+    "d_parameter" -> (qDParameter _),
+    "d_item" -> (qDItem _),
+    "f_events" -> (qFEvents _),
+    "merge_upsert" -> (qMergeUpsert _),
+    "merge_ignore" -> (qMergeIgnore _),
+    "view_yearly_counts" -> (qViewYearly _),
+    "view_item_rank_by_year" -> (qViewItemRank _),
+    "view_top_item_recent_year" -> (qViewTopItem _),
+    "view_top_platform_by_year" -> (qViewTopPlatform _),
+    "q1_pricing_summary" -> (qPricing _),
+    "q3_shipping_priority" -> (qShipping _),
+    "q_window_running" -> (qRunning _),
+    "q_event_hourly" -> (qHourly _),
+    "q_event_sessionize" -> (qSessionize _),
+    "dedup_exact" -> (qDedupExact _),
+    "dedup_minhash" -> (qDedupMinhash _),
+    "dedup_simhash" -> (qDedupSimhash _),
+    "dedup_ngram" -> (qDedupNgram _),
+    "dedup_embedding" -> (qDedupEmbedding _),
+    "knn_bruteforce" -> (qKnnBrute _),
+    "knn_lsh" -> (qKnnLsh _),
+    "text_tokens" -> (qTextTokens _),
+    "text_quality" -> (qTextQuality _),
+    "text_langid" -> (qTextLangid _),
+    "text_fingerprint" -> (qTextFingerprint _),
+    "mm_features" -> (qMmFeatures _)
+  )
+
+  // ------------------------------------------------------------- oracle
+
+  def oracleSql: Map[String, String] = Map(
+    "raw_ingest" ->
+      """SELECT event_id, date_trunc('second', ts) AS event_time, user_id, event_type, value,
+        | json_extract_string(props, '$.k')::BIGINT AS param_k,
+        | row_number() OVER (ORDER BY event_id) AS guid_event_raw
+        |FROM events ORDER BY event_id""".stripMargin,
+    "d_event" ->
+      """SELECT event_id, row_number() OVER (ORDER BY event_id) AS guid_event
+        |FROM (SELECT DISTINCT event_id FROM events) ORDER BY event_id""".stripMargin,
+    "d_user" ->
+      """SELECT user_id, row_number() OVER (ORDER BY user_id) AS guid_user
+        |FROM (SELECT DISTINCT user_id FROM events) ORDER BY user_id""".stripMargin,
+    "d_parameter" ->
+      """SELECT parameter_name, row_number() OVER (ORDER BY parameter_name) AS guid_parameter
+        |FROM (SELECT DISTINCT unnest(json_keys(props)) AS parameter_name FROM events)
+        |ORDER BY parameter_name""".stripMargin,
+    "d_item" ->
+      """SELECT p_partkey AS item_id, p_name AS item_name, p_brand AS item_brand,
+        | p_type AS item_type, p_size AS item_size,
+        | CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS item_price
+        |FROM part ORDER BY item_id""".stripMargin,
+    "f_events" ->
+      """SELECT event_id, date_trunc('second', ts) AS event_time, user_id AS event_user_id,
+        | event_type AS event_name, json_keys(props)[1] AS event_parameter_name,
+        | json_extract_string(props, '$.k')::BIGINT AS event_parameter_value,
+        | value AS event_value,
+        | row_number() OVER (ORDER BY event_id) AS guid_event
+        |FROM events ORDER BY event_id""".stripMargin,
+    "merge_upsert" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |   CAST(o_orderdate AS DATE) AS o_orderdate FROM orders WHERE o_orderkey % 2 = 0),
+        | s AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+        |   CAST(o_orderdate AS DATE) AS o_orderdate FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+        | COALESCE(t.o_custkey, s.o_custkey) AS o_custkey,
+        | COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+        | COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+        | COALESCE(t.o_orderdate, s.o_orderdate) AS o_orderdate
+        |FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "merge_ignore" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey % 2 = 0
+        |UNION ALL
+        |SELECT c_custkey, 'NEW_' || c_custkey AS c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 2 <> 0
+        |ORDER BY c_custkey""".stripMargin,
+    "view_yearly_counts" ->
+      """WITH fe AS (SELECT CAST(ts AS DATE) AS period_day,
+        |   json_extract_string(props, '$.k')::BIGINT AS item_key
+        | FROM events WHERE event_type = 'view')
+        |SELECT period_day, count(*) AS item_views
+        |FROM fe JOIN part d ON fe.item_key = d.p_partkey
+        |GROUP BY period_day ORDER BY period_day""".stripMargin,
+    "view_item_rank_by_year" ->
+      """WITH fe AS (SELECT CAST(ts AS DATE) AS period_day,
+        |   json_extract_string(props, '$.k')::BIGINT AS item_key
+        | FROM events WHERE event_type = 'view'),
+        | c AS (SELECT period_day, d.p_name AS item_name, count(*) AS item_views
+        |   FROM fe JOIN part d ON fe.item_key = d.p_partkey
+        |   GROUP BY period_day, d.p_name)
+        |SELECT period_day, item_name, item_views,
+        | CAST(dense_rank() OVER (PARTITION BY period_day ORDER BY item_views DESC) AS BIGINT) AS item_view_rank
+        |FROM c ORDER BY period_day, item_view_rank, item_name""".stripMargin,
+    "view_top_item_recent_year" ->
+      """WITH fe AS (SELECT CAST(ts AS DATE) AS period_day,
+        |   json_extract_string(props, '$.k')::BIGINT AS item_key
+        | FROM events WHERE event_type = 'view'),
+        | c AS (SELECT period_day, d.p_name AS item_name, count(*) AS item_views
+        |   FROM fe JOIN part d ON fe.item_key = d.p_partkey
+        |   GROUP BY period_day, d.p_name)
+        |SELECT period_day, item_name, item_views FROM c
+        |WHERE period_day = (SELECT max(period_day) FROM c)
+        |ORDER BY item_views DESC, item_name LIMIT 1""".stripMargin,
+    "view_top_platform_by_year" ->
+      """WITH fact AS (SELECT CAST(ts AS DATE) AS period_day, event_type AS platform,
+        |   json_extract_string(props, '$.k')::BIGINT AS item_key FROM events),
+        | c AS (SELECT period_day, platform, count(*) AS platform_views
+        |   FROM fact JOIN part d ON fact.item_key = d.p_partkey
+        |   GROUP BY period_day, platform),
+        | r AS (SELECT *, CAST(dense_rank() OVER (PARTITION BY period_day ORDER BY platform_views DESC) AS BIGINT) AS platform_rank FROM c)
+        |SELECT period_day, platform, platform_views, platform_rank
+        |FROM r WHERE platform_rank = 1 ORDER BY period_day, platform""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+        | CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        | AND CAST(o_orderdate AS DATE) < DATE '1998-01-01' AND CAST(l_shipdate AS DATE) > DATE '1998-01-01'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        | CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS DOUBLE) AS running_total,
+        | CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS INT) AS order_seq
+        |FROM orders ORDER BY o_custkey, order_seq""".stripMargin,
+    "q_event_hourly" ->
+      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start, event_type,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY hour_start, event_type
+        |ORDER BY hour_start, event_type""".stripMargin,
+    "q_event_sessionize" ->
+      """WITH g AS (SELECT user_id, ts, value,
+        |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |   THEN 1 ELSE 0 END AS brk FROM events),
+        | s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM g)
+        |SELECT user_id, date_trunc('second', min(ts)) AS session_start,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dedup_embedding" ->
+      """WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0)
+        |SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        | round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cosine
+        |FROM p, embeddings c
+        |WHERE c.vec_id <> p.vec_id
+        | AND round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) >= 0.35
+        |ORDER BY probe_id, cand_id""".stripMargin,
+    "knn_bruteforce" ->
+      """WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+        | d AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |   round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cosine
+        |  FROM p, embeddings c WHERE c.vec_id <> p.vec_id),
+        | sc AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk FROM d)
+        |SELECT probe_id, cand_id, cosine, rnk FROM sc WHERE rnk <= 5
+        |ORDER BY probe_id, rnk""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        | len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS sub_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        | length(text) AS n_chars_actual,
+        | len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+        | round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE / length(text)::DOUBLE, 4) AS punct_ratio,
+        | round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x IN ('the','a','and','of','to','in','is','on','for','with')))::DOUBLE / len(string_split_regex(trim(text), '\s+'))::DOUBLE, 4) AS stop_ratio,
+        | round(0.4::DOUBLE * round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x IN ('the','a','and','of','to','in','is','on','for','with')))::DOUBLE / len(string_split_regex(trim(text), '\s+'))::DOUBLE, 4)
+        |   + 0.3::DOUBLE * (1.0::DOUBLE - round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE / length(text)::DOUBLE, 4))
+        |   + 0.3::DOUBLE * least(1.0::DOUBLE, len(string_split_regex(trim(text), '\s+'))::DOUBLE / 100.0::DOUBLE), 4) AS quality_score
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

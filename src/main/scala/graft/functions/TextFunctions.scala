@@ -1,0 +1,131 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale corpus processing. All are
+  * per-row Column expressions built from codegen'd builtins (split /
+  * regexp_count / higher-order array functions) — embarrassingly
+  * parallel, no shuffle, no UDF except where a builtin genuinely cannot
+  * express the op (simhash — see [[simhash64]]).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens. */
+  def words(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Whitespace token count (BIGINT for cross-engine schema parity). */
+  def wsTokenCount(c: Column): Column = size(words(c)).cast("bigint")
+
+  /** BPE-ish subword-boundary token count: runs of alphanumerics plus
+    * each standalone symbol, the usual pre-tokenizer regex shape.
+    */
+  def subTokenCount(c: Column): Column =
+    regexp_count(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).cast("bigint")
+
+  /** Word n-gram shingles ("a b c" word windows), for MinHash/Jaccard. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val w = words(c)
+    transform(
+      sequence(lit(0), greatest(size(w) - n, lit(0))),
+      i => concat_ws(" ", slice(w, i + 1, lit(n))))
+  }
+
+  /** Character n-gram array. */
+  def charNgrams(c: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
+      i => c.substr(i, lit(n)))
+
+  /** MinHash signature: k independent min-hashes over a shingle array.
+    * Per-row `array_min(transform(...xxhash64(seed, shingle)))` — the
+    * whole signature is computed with zero shuffle (contrast with the
+    * explode→groupBy formulation, which shuffles every shingle).
+    */
+  def minhashSig(shingles: Column, k: Int): Column =
+    array((0 until k).map(j =>
+      array_min(transform(shingles, s => xxhash64(lit(j), s)))): _*)
+
+  /** LSH band keys for a minhash signature: b bands of r rows each,
+    * band key = hash(band, sig[b*r+1..b*r+r]).
+    */
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map(b =>
+      xxhash64(lit(b) +: (0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*)): _*)
+
+  /** Exact Jaccard similarity of two string-array columns (as sets). */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val inter = size(array_intersect(da, db)).cast("double")
+    val uni = size(array_union(da, db)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(round(inter / uni, 4))
+  }
+
+  /** 64-bit SimHash over a token array. A builtin can't express the
+    * 64-lane signed bit-count accumulation without a 64× explode (a real
+    * shuffle cost at corpus scale), so this is the one deliberate UDF:
+    * per-row, allocation-light, still embarrassingly parallel.
+    */
+  val simhash64: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (tokens: Seq[String]) =>
+      val acc = new Array[Int](64)
+      if (tokens != null) tokens.foreach { t =>
+        val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
+        val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b)
+        val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (acc(b) >= 0) sig |= (1L << b)
+        b += 1
+      }
+      sig
+    }
+
+  /** 16-bit chunks of a 64-bit simhash (pigeonhole blocking: two docs
+    * within Hamming distance 3 share at least one of 4 chunks).
+    */
+  def simhashChunks(sim: Column): Column =
+    array((0 until 4).map(i =>
+      shiftrightunsigned(sim, i * 16).bitwiseAND(lit(0xffffL))): _*)
+
+  /** Winnowing-style document fingerprint: min rolling hash over 8-token
+    * windows — robust to local edits, per-row, shuffle-free.
+    */
+  def fingerprint(c: Column): Column =
+    array_min(transform(wordShingles(c, 8), s => xxhash64(s)))
+
+  /** Stopword profiles for the heuristic language identifier. */
+  val stopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "auf", "zu", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "un", "une", "dans", "pour", "que"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he", "you", "wo", "ta", "men", "bu"))
+
+  private def stopHits(c: Column, stops: Seq[String]): Column =
+    size(filter(words(lower(c)), x => x.isInCollection(stops))).cast("bigint")
+
+  /** Stopword-hit ratio against a given stopword list. */
+  def stopRatio(c: Column, stops: Seq[String]): Column =
+    round(stopHits(c, stops).cast("double") / wsTokenCount(c).cast("double"), 4)
+
+  /** Heuristic language ID: argmax of per-language stopword hit counts
+    * (ties broken by language code, deterministic). Returns a struct
+    * (lang, hits).
+    */
+  def langId(c: Column): Column = {
+    val scored = array(stopwordProfiles.toSeq.sortBy(_._1).map { case (l, stops) =>
+      struct((-stopHits(c, stops)).as("neg"), lit(l).as("lang"))
+    }: _*)
+    val best = array_min(scored) // lexicographic: most hits, then lang code
+    struct(best.getField("lang").as("lang"), (-best.getField("neg")).as("hits"))
+  }
+}

@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus deduplication operators (training-data pipeline surface).
+  *
+  * Scale shape shared by the near-dup family: per-row signatures
+  * (shuffle-free, codegen'd — see [[graft.functions.TextFunctions]]) →
+  * explode only the constant-width band keys (×bands blowup, not
+  * ×shingles) → self-join on the band key (shuffle is candidate-sized,
+  * never all-pairs) → exact verify on the candidate pairs only.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical texts, keep the minimum doc_id.
+    * At 100 TB group on a hash of the text (cheap shuffle key, no long
+    * string comparison in the exchange) — here the text itself is also
+    * carried through the hash to keep collision-safety exact.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(xxhash64(col("text")).as("text_hash"), col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Candidate near-dup pairs via MinHash + LSH banding over word
+    * 3-gram shingles, verified with exact Jaccard. Returns one row per
+    * doc: its candidate count and best match (robust output shape even
+    * on corpora with no near-dups).
+    */
+  def minhashNearDups(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = docs.select(
+      col("doc_id"),
+      TF.wordShingles(col("text"), 3).as("shingles"),
+      TF.minhashSig(TF.wordShingles(col("text"), 3), numHashes).as("sig"))
+    val banded = sigs.select(
+      col("doc_id"),
+      posexplode(TF.bandKeys(col("sig"), bands, rows)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+    val pairs = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val verified = pairs
+      .join(sigs.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"), TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    val perDocA = verified.select(col("id_a").as("doc_id"), col("id_b").as("other"), col("jaccard"))
+    val perDocB = verified.select(col("id_b").as("doc_id"), col("id_a").as("other"), col("jaccard"))
+    val perDoc = perDocA.unionByName(perDocB)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        max(col("jaccard")).as("best_jaccard"),
+        max(col("jaccard") >= jaccardThreshold).as("is_near_dup"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+        coalesce(col("is_near_dup"), lit(false)).as("is_near_dup"))
+  }
+
+  /** SimHash near-dup: 64-bit signature, pigeonhole 16-bit chunk
+    * blocking, Hamming verify via `bit_count(a^b)`. One row per doc.
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(
+      col("doc_id"),
+      TF.simhash64(TF.words(col("text"))).as("simhash"))
+    val chunked = sigs.select(
+      col("doc_id"), col("simhash"),
+      posexplode(TF.simhashChunks(col("simhash"))))
+      .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk"))
+    val pairs = chunked.alias("a")
+      .join(chunked.alias("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    val perDoc = pairs.select(col("id_a").as("doc_id"), col("hamming"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"), col("hamming")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_near"), min(col("hamming")).as("min_hamming"))
+    sigs
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("simhash"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        coalesce(col("min_hamming"), lit(64)).as("min_hamming"))
+  }
+
+  /** Character n-gram Jaccard near-dup: MinHash-banded candidates (cheap
+    * recall stage) verified with exact char-3-gram Jaccard. One row per
+    * doc with its best char-gram match.
+    */
+  def ngramNearDups(docs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = docs.select(
+      col("doc_id"),
+      TF.charNgrams(col("text"), n).as("grams"),
+      TF.minhashSig(TF.charNgrams(col("text"), n), 16).as("sig"))
+    val banded = grams.select(col("doc_id"), posexplode(TF.bandKeys(col("sig"), 4, 4)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+    val pairs = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val verified = pairs
+      .join(grams.select(col("doc_id").as("id_a"), col("grams").as("g_a")), "id_a")
+      .join(grams.select(col("doc_id").as("id_b"), col("grams").as("g_b")), "id_b")
+      .select(col("id_a"), col("id_b"), TF.jaccard(col("g_a"), col("g_b")).as("gram_jaccard"))
+    val perDoc = verified.select(col("id_a").as("doc_id"), col("gram_jaccard"))
+      .unionByName(verified.select(col("id_b").as("doc_id"), col("gram_jaccard")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"), max(col("gram_jaccard")).as("best_gram_jaccard"))
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("best_gram_jaccard"), lit(0.0)).as("best_gram_jaccard"))
+  }
+
+  /** Embedding-cosine near-dup pairs: a probe subset against the full
+    * corpus, cosine ≥ threshold (rounded to 4dp for cross-engine
+    * stability). The probe side is broadcast — the corpus never
+    * shuffles; at 100 TB swap the probe filter for the LSH buckets of
+    * [[Similarity.lshTopK]].
+    */
+  def embeddingNearDups(emb: DataFrame, probeMod: Int = 20,
+      threshold: Double = 0.35): DataFrame = {
+    val probes = emb
+      .filter(col("vec_id") % probeMod === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
+    emb.select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
+      .join(broadcast(probes), col("probe_id") =!= col("cand_id"))
+      .select(
+        col("probe_id"), col("cand_id"),
+        VF.cosineR(col("probe_emb"), col("cand_emb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

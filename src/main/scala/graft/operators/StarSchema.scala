@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's star-schema builders, Spark-first.
+  *
+  * Raw events carry a JSON payload column; the reference explodes it with
+  * pandas `json_normalize` and builds four dims + one fact (reference:
+  * astro-sdk-tutorial/dags/etl_s3_snowflake_raw_event_ingest.py:28,
+  * etl_s3_snowflake_f_events.py:23-44, etl_s3_snowflake_d_event.py:24-31,
+  * etl_s3_snowflake_d_user.py:28-35, etl_s3_snowflake_d_parameter.py:24-37).
+  * Here the payload parse is `get_json_object` / `json_object_keys`
+  * (codegen'd, no UDF), dedup is `distinct()` (map-side partial agg), and
+  * surrogate keys are [[SurrogateKey.withDenseId]] (distributed — see its
+  * scaladoc for why not a global row_number window).
+  *
+  * Driver-testdata mapping: `events.parquet.props` is the JSON payload
+  * (parameter key `k` ≈ the reference's `item_id` parameter, joining the
+  * item dim on `part.p_partkey`); `part.parquet` plays `item.csv`.
+  *
+  * Timestamps are truncated to seconds on output (`date_trunc`) so results
+  * are stable across engines/precisions (source data is ns; Spark is µs).
+  */
+object StarSchema {
+
+  /** event_raw: parse payload, type columns, surrogate index.
+    * Reference: etl_s3_snowflake_raw_event_ingest.py:26-34. */
+  def rawIngest(events: DataFrame): DataFrame = {
+    val parsed = events.select(
+      col("event_id"),
+      date_trunc("second", col("ts")).as("event_time"),
+      col("user_id"),
+      col("event_type"),
+      col("value"),
+      get_json_object(col("props"), "$.k").cast("bigint").as("param_k"))
+    SurrogateKey.withDenseId(parsed, Seq("event_id"), "guid_event_raw")
+  }
+
+  /** d_event: dedup on event_id + dense surrogate.
+    * Reference: etl_s3_snowflake_d_event.py:24-31. */
+  def dEvent(events: DataFrame): DataFrame =
+    SurrogateKey.withDenseId(
+      events.select(col("event_id")).distinct(),
+      Seq("event_id"), "guid_event")
+
+  /** d_user: dedup on user_id + dense surrogate.
+    * Reference: etl_s3_snowflake_d_user.py:28-35. */
+  def dUser(events: DataFrame): DataFrame =
+    SurrogateKey.withDenseId(
+      events.select(col("user_id")).distinct(),
+      Seq("user_id"), "guid_user")
+
+  /** d_parameter: distinct JSON payload keys + dense surrogate.
+    * Reference: etl_s3_snowflake_d_parameter.py:24-37. */
+  def dParameter(events: DataFrame): DataFrame =
+    SurrogateKey.withDenseId(
+      events
+        .select(explode(expr("json_object_keys(props)")).as("parameter_name"))
+        .distinct(),
+      Seq("parameter_name"), "guid_parameter")
+
+  /** d_item: item dim — projection + rename + typed price.
+    * Reference: etl_s3_snowflake_d_item.py:25-30 (rename to item_*),
+    * :41-49 (typed target table, price DECIMAL). */
+  def dItem(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey").as("item_id"),
+      col("p_name").as("item_name"),
+      col("p_brand").as("item_brand"),
+      col("p_type").as("item_type"),
+      col("p_size").as("item_size"),
+      col("p_retailprice").cast("decimal(12,2)").cast("double").as("item_price"))
+
+  /** f_events: fact — flatten payload into typed columns, surrogate key.
+    * Reference: etl_s3_snowflake_f_events.py:23-44 (json_normalize +
+    * merge + rename), :50-62 (typed fact table). */
+  def fEvents(events: DataFrame): DataFrame = {
+    val flat = events.select(
+      col("event_id"),
+      date_trunc("second", col("ts")).as("event_time"),
+      col("user_id").as("event_user_id"),
+      col("event_type").as("event_name"),
+      element_at(expr("json_object_keys(props)"), 1).as("event_parameter_name"),
+      get_json_object(col("props"), "$.k").cast("bigint").as("event_parameter_value"),
+      col("value").as("event_value"))
+    SurrogateKey.withDenseId(flat, Seq("event_id"), "guid_event")
+  }
+}
