@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("token counts: whitespace and subword-boundary") {
+    val df = Seq("hello world, it's 42 tokens!").toDF("text")
+    val (ws, sub) = df.select(
+      TextFunctions.wsTokenCount(col("text")),
+      TextFunctions.subTokenCount(col("text"))).as[(Long, Long)].head()
+    assert(ws == 5L)
+    // hello | world | , | it | ' | s | 42 | tokens | !
+    assert(sub == 9L)
+  }
+
+  test("word shingles and jaccard") {
+    val df = Seq(("a b c d", "a b c e")).toDF("t1", "t2")
+    val j = df.select(TextFunctions.jaccard(
+      TextFunctions.wordShingles(col("t1"), 2),
+      TextFunctions.wordShingles(col("t2"), 2))).as[Double].head()
+    // shingles: {a b, b c, c d} vs {a b, b c, c e} → 2/4
+    assert(j == 0.5)
+  }
+
+  test("simhash is deterministic and identical for identical token streams") {
+    val df = Seq("spark catalyst codegen", "spark catalyst codegen",
+      "entirely different words here").toDF("text")
+    val sigs = df.select(TextFunctions.simhash64(
+      TextFunctions.words(col("text")))).as[Long].collect()
+    assert(sigs(0) == sigs(1))
+    assert(sigs(0) != sigs(2))
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      "the cat is on the mat with a hat for the win",
+      "el gato es un animal que vive en la casa con el perro").toDF("text")
+    val langs = df.select(TextFunctions.langId(col("text")).getField("lang"))
+      .as[String].collect()
+    assert(langs(0) == "en")
+    assert(langs(1) == "es")
+  }
+
+  test("vector dot/cosine on known values") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b")
+    val (d, c) = df.select(
+      VectorFunctions.dot(col("a"), col("b")),
+      VectorFunctions.cosineR(col("a"), col("b"))).as[(Double, Double)].head()
+    assert(d == 32.0)
+    // 32 / (sqrt(14)*sqrt(77)) = 0.9746
+    assert(c == 0.9746)
+  }
+
+  test("fingerprint is stable under prefix edits far from the min window") {
+    val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
+    val df = Seq(base, base).toDF("text")
+    val fps = df.select(TextFunctions.fingerprint(col("text"))).as[Long].collect()
+    assert(fps(0) == fps(1))
+  }
+}

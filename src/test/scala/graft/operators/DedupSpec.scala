@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 1
+    (4L, "completely different content about spark distributed query engines and parquet"),
+    (5L, "another unrelated sentence mentioning embeddings vectors and cosine scores")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts copies") {
+    val out = Dedup.exact(docs).orderBy("keep_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("minhash LSH flags exact and near duplicates, not unrelated docs") {
+    val out = Dedup.minhashNearDups(docs)
+      .orderBy("doc_id")
+      .select("doc_id", "is_near_dup")
+      .as[(Long, Boolean)].collect().toMap
+    assert(out(1L) && out(2L) && out(3L))
+    assert(!out(4L) && !out(5L))
+  }
+
+  test("simhash: identical docs at hamming 0, near dups within 3") {
+    val out = Dedup.simhashNearDups(docs)
+      .orderBy("doc_id")
+      .select("doc_id", "n_near", "min_hamming")
+      .as[(Long, Long, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._2 == 0) // identical pair
+    assert(out(4L)._1 == 0 && out(5L)._1 == 0)
+  }
+
+  test("char n-gram jaccard ranks the near dup highest") {
+    val out = Dedup.ngramNearDups(docs)
+      .orderBy("doc_id")
+      .select("doc_id", "best_gram_jaccard")
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) >= 0.9) // exact dup present
+    assert(out(4L) == 0.0 && out(5L) == 0.0)
+  }
+
+  test("embedding near-dup finds planted high-cosine pair") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)), // ~0.995 cosine vs 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDups(emb, probeMod = 1, threshold = 0.9)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 1L), (1L, 0L)))
+  }
+}

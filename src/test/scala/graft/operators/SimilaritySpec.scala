@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("brute-force top-k is ordered, self-free, and k-bounded") {
+    val out = Similarity.bruteForceTopK(
+      Tables.embeddings(spark, sfDir), col("vec_id") < 4, k = 5)
+    val rows = out.select("probe_id", "cand_id", "cosine", "rnk")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(rows.length == 4 * 5)
+    assert(rows.forall { case (p, c, _, _) => p != c })
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to 5))
+      // cosine non-increasing with rank
+      assert(sorted.map(_._3).sliding(2).forall(w => w(0) >= w(1)))
+    }
+  }
+
+  test("LSH candidates are a subset-quality result: every hit ≤ brute-force best") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 4, k = 1)
+      .select("probe_id", "cosine").as[(Long, Double)].collect().toMap
+    val lsh = Similarity.lshTopK(emb, col("vec_id") < 4, k = 1)
+      .select("probe_id", "cosine").as[(Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (p, c) => assert(c <= brute(p) + 1e-9) }
+  }
+}

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+case class StreamEvent(ts: Timestamp, event_type: String, user_id: Long)
+
+class EventStreamSpec extends SparkSpecBase {
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming hourly counts aggregate within the hour bucket") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val q = EventStream.hourlyCounts(input.toDF())
+      .writeStream.format("memory").queryName("hourly_test")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        StreamEvent(t("2024-01-01 10:05:00"), "view", 1L),
+        StreamEvent(t("2024-01-01 10:55:00"), "view", 2L),
+        StreamEvent(t("2024-01-01 11:05:00"), "view", 3L),
+        StreamEvent(t("2024-01-01 10:30:00"), "click", 4L))
+      q.processAllAvailable()
+      val out = spark.table("hourly_test")
+        .orderBy("hour_start", "event_type")
+        .select(col("hour_start").cast("string"), col("event_type"), col("n_events"))
+        .as[(String, String, Long)].collect().toSeq
+      assert(out == Seq(
+        ("2024-01-01 10:00:00", "click", 1L),
+        ("2024-01-01 10:00:00", "view", 2L),
+        ("2024-01-01 11:00:00", "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming sessionization merges events within the gap") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val q = EventStream.sessionize(input.toDF(), gap = "30 minutes")
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        StreamEvent(t("2024-01-01 10:00:00"), "view", 1L),
+        StreamEvent(t("2024-01-01 10:10:00"), "view", 1L), // same session
+        StreamEvent(t("2024-01-01 11:00:00"), "view", 1L), // new session
+        StreamEvent(t("2024-01-01 10:00:00"), "view", 2L))
+      q.processAllAvailable()
+      val out = spark.table("session_test")
+        .orderBy("user_id", "session_start")
+        .select(col("user_id"), col("n_events"))
+        .as[(Long, Long)].collect().toSeq
+      assert(out == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+    } finally q.stop()
+  }
+}
