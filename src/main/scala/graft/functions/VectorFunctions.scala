@@ -33,21 +33,33 @@ object VectorFunctions {
     */
   def cosineR(a: Column, b: Column): Column = round(cosine(a, b), 4)
 
-  /** Random-hyperplane LSH bit signature (nBits planes). Plane weights
-    * are pseudo-random ±1 derived from `xxhash64(plane, dim)` — fully
-    * deterministic, computed inline per row, no shuffle, no stored model.
-    * Returns an int in [0, 2^nBits).
+  /** Native (codegen'd) dot product — requires
+    * [[graft.plans.GraftFunctions.ensureRegistered]] on the session.
+    * Bit-identical to [[dot]] (same left-to-right double accumulation),
+    * ~orders faster: the higher-order version interprets its lambdas,
+    * the expression compiles to a primitive loop.
     */
-  def hyperplaneSig(a: Column, nBits: Int): Column = {
-    val ad = asDouble(a)
-    val bits = (0 until nBits).map { p =>
-      // sum_i emb[i] * w(p, i), w = ±1 from the hash parity
-      val proj = aggregate(
-        zip_with(ad, sequence(lit(0), size(a) - 1), (x, i) =>
-          x * when(pmod(xxhash64(lit(p), i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
-        lit(0.0),
-        (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+  def dotNative(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** L2 norm via the native dot. */
+  def normNative(a: Column): Column = sqrt(dotNative(a, a))
+
+  /** Deterministic ±1 hyperplane weight matrix (numPlanes × dim), seeded
+    * by MurmurHash3 of (plane, dim index) — no stored model, identical
+    * on every executor and run.
+    */
+  def planeWeights(numPlanes: Int, dim: Int): Array[Array[Float]] =
+    Array.tabulate(numPlanes, dim) { (p, i) =>
+      if ((scala.util.hashing.MurmurHash3.productHash((p, i)) & 1) == 0) 1.0f else -1.0f
+    }
+
+  /** Random-hyperplane LSH bit signature: project onto `weights` rows
+    * (embedded as literals, so each projection is one codegen'd native
+    * dot), sign bit per plane. Returns an int in [0, 2^numPlanes).
+    */
+  def hyperplaneSig(a: Column, weights: Array[Array[Float]]): Column = {
+    val bits = weights.zipWithIndex.map { case (w, p) =>
+      when(dotNative(a, typedlit(w.toSeq)) >= 0, lit(1 << p)).otherwise(lit(0))
     }
     bits.reduce(_ + _)
   }

@@ -144,14 +144,21 @@ object Dedup {
     */
   def embeddingNearDups(emb: DataFrame, probeMod: Int = 20,
       threshold: Double = 0.35): DataFrame = {
-    val probes = emb
-      .filter(col("vec_id") % probeMod === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
-    emb.select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
+    graft.plans.GraftFunctions.ensureRegistered(emb.sparkSession)
+    // norms once per row (not per pair); pairwise work = ONE codegen'd dot
+    val scored = emb.select(col("vec_id"), col("embedding"),
+      VF.normNative(col("embedding")).as("nrm"))
+    val probes = scored.filter(col("vec_id") % probeMod === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        col("nrm").as("probe_nrm"))
+    scored
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"),
+        col("nrm").as("cand_nrm"))
       .join(broadcast(probes), col("probe_id") =!= col("cand_id"))
       .select(
         col("probe_id"), col("cand_id"),
-        VF.cosineR(col("probe_emb"), col("cand_emb")).as("cosine"))
+        round(VF.dotNative(col("probe_emb"), col("cand_emb"))
+          / (col("probe_nrm") * col("cand_nrm")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

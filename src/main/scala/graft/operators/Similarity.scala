@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.{VectorFunctions => VF}
+import graft.plans.GraftFunctions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -8,26 +9,32 @@ import org.apache.spark.sql.functions._
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * Baseline: brute-force cosine top-k with a broadcast probe set (the
-  * corpus side never shuffles; ranking happens after a partial top-k
-  * per partition via the window over the probe key — probe cardinality
-  * bounds the window width). Scale path: random-hyperplane LSH tables
-  * bound the candidate set per probe.
+  * corpus side never shuffles; the per-probe window ranks only
+  * candidate rows). Scale path: random-hyperplane LSH tables bound the
+  * candidate set per probe. All pairwise math runs through the codegen'd
+  * [[graft.plans.DotProductFloat]] with norms precomputed per row, so
+  * a pair costs exactly one primitive-loop dot product.
   */
 object Similarity {
+
+  private def withNorm(emb: DataFrame, idAs: String, embAs: String,
+      nrmAs: String): DataFrame =
+    emb.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+      VF.normNative(col("embedding")).as(nrmAs))
 
   /** Brute-force cosine top-k: `probes` (small, broadcast) × corpus →
     * per-probe top-k by (cosine desc, cand_id) — fully deterministic.
     */
   def bruteForceTopK(emb: DataFrame, probeFilter: org.apache.spark.sql.Column,
       k: Int = 5): DataFrame = {
-    val probes = emb.filter(probeFilter)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"))
-    val scored = emb
-      .select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"))
+    GraftFunctions.ensureRegistered(emb.sparkSession)
+    val probes = withNorm(emb.filter(probeFilter), "probe_id", "probe_emb", "probe_nrm")
+    val scored = withNorm(emb, "cand_id", "cand_emb", "cand_nrm")
       .join(broadcast(probes), col("probe_id") =!= col("cand_id"))
       .select(
         col("probe_id"), col("cand_id"),
-        VF.cosineR(col("probe_emb"), col("cand_emb")).as("cosine"))
+        round(VF.dotNative(col("probe_emb"), col("cand_emb"))
+          / (col("probe_nrm") * col("cand_nrm")), 4).as("cosine"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     scored
@@ -42,38 +49,36 @@ object Similarity {
     */
   def lshTopK(emb: DataFrame, probeFilter: org.apache.spark.sql.Column,
       k: Int = 5, numTables: Int = 4, bitsPerTable: Int = 4): DataFrame = {
-    def sigs(df: DataFrame, idAs: String, embAs: String): DataFrame = {
-      // each table uses distinct planes: offset the plane index by table
-      val perTable = (0 until numTables).map { t =>
-        val bits = (0 until bitsPerTable).map { p =>
-          val plane = t * bitsPerTable + p
-          val ad = VF.asDouble(col("embedding"))
-          val proj = aggregate(
-            zip_with(ad, sequence(lit(0), size(col("embedding")) - 1), (x, i) =>
-              x * when(pmod(xxhash64(lit(plane), i), lit(2)) === 0, lit(1.0))
-                .otherwise(lit(-1.0))),
-            lit(0.0), (acc, x) => acc + x)
-          when(proj >= 0, lit(1 << p)).otherwise(lit(0))
-        }
-        struct(lit(t).as("table_id"), bits.reduce(_ + _).as("sig"))
+    GraftFunctions.ensureRegistered(emb.sparkSession)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val weights = VF.planeWeights(numTables * bitsPerTable, dim)
+
+    def sigs(df: DataFrame, idAs: String, embAs: String, nrmAs: String): DataFrame = {
+      val perTable = (0 until numTables).map { tbl =>
+        val w = weights.slice(tbl * bitsPerTable, (tbl + 1) * bitsPerTable)
+        struct(lit(tbl).as("table_id"), VF.hyperplaneSig(col("embedding"), w).as("sig"))
       }
       df.select(col("vec_id").as(idAs), col("embedding").as(embAs),
+          VF.normNative(col("embedding")).as(nrmAs),
           explode(array(perTable: _*)).as("bucket"))
-        .select(col(idAs), col(embAs),
+        .select(col(idAs), col(embAs), col(nrmAs),
           col("bucket.table_id").as("table_id"), col("bucket.sig").as("sig"))
     }
-    val probes = sigs(emb.filter(probeFilter), "probe_id", "probe_emb")
-    val cands = sigs(emb, "cand_id", "cand_emb")
+
+    val probes = sigs(emb.filter(probeFilter), "probe_id", "probe_emb", "probe_nrm")
+    val cands = sigs(emb, "cand_id", "cand_emb", "cand_nrm")
     val candidates = cands
       .join(broadcast(probes), Seq("table_id", "sig"))
       .filter(col("probe_id") =!= col("cand_id"))
-      .select(col("probe_id"), col("cand_id"), col("probe_emb"), col("cand_emb"))
-      .distinct()
+      .select(col("probe_id"), col("cand_id"), col("probe_emb"), col("cand_emb"),
+        col("probe_nrm"), col("cand_nrm"))
+      .dropDuplicates("probe_id", "cand_id")
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
     candidates
       .select(col("probe_id"), col("cand_id"),
-        VF.cosineR(col("probe_emb"), col("cand_emb")).as("cosine"))
+        round(VF.dotNative(col("probe_emb"), col("cand_emb"))
+          / (col("probe_nrm") * col("cand_nrm")), 4).as("cosine"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }

@@ -51,12 +51,19 @@ object StarSchema {
       events.select(col("user_id")).distinct(),
       Seq("user_id"), "guid_user")
 
+  /** Payload keys as an array column: one `from_json` into a map (a
+    * single parse, faster than `json_object_keys`' per-call parser).
+    */
+  private def payloadKeys: org.apache.spark.sql.Column =
+    map_keys(from_json(col("props"),
+      org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
+
   /** d_parameter: distinct JSON payload keys + dense surrogate.
     * Reference: etl_s3_snowflake_d_parameter.py:24-37. */
   def dParameter(events: DataFrame): DataFrame =
     SurrogateKey.withDenseId(
       events
-        .select(explode(expr("json_object_keys(props)")).as("parameter_name"))
+        .select(explode(payloadKeys).as("parameter_name"))
         .distinct(),
       Seq("parameter_name"), "guid_parameter")
 
@@ -81,7 +88,7 @@ object StarSchema {
       date_trunc("second", col("ts")).as("event_time"),
       col("user_id").as("event_user_id"),
       col("event_type").as("event_name"),
-      element_at(expr("json_object_keys(props)"), 1).as("event_parameter_name"),
+      element_at(payloadKeys, 1).as("event_parameter_name"),
       get_json_object(col("props"), "$.k").cast("bigint").as("event_parameter_value"),
       col("value").as("event_value"))
     SurrogateKey.withDenseId(flat, Seq("event_id"), "guid_event")

@@ -1,0 +1,81 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.SparkSession
+
+/** Native dot product over two `array<float>` columns.
+  *
+  * The builtin higher-order formulation
+  * (`aggregate(zip_with(a,b,*),0d,+)`) cannot participate in whole-stage
+  * codegen (HigherOrderFunction lambdas are interpreted), which makes it
+  * the bottleneck of every cosine-similarity operator. This expression
+  * generates a tight primitive loop instead — double accumulation,
+  * left-to-right, bit-identical to the fold it replaces — and stays
+  * inside the codegen'd stage.
+  */
+case class DotProductFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs must be array<float>; enforced by usage (internal function)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double s = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  s += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |}
+         |${ev.value} = s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductFloat =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registration of graft's native expressions.
+  *
+  * Preferred path: `spark.sql.extensions=graft.plans.GraftExtensions`.
+  * For caller-provided sessions, [[GraftFunctions.ensureRegistered]]
+  * registers idempotently at first use.
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftFunctions.dotDescriptor)
+  }
+}
+
+object GraftFunctions {
+  val dotDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
+    (children: Seq[Expression]) => DotProductFloat(children(0), children(1)))
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("graft_dot"))) {
+      reg.registerFunction(dotDescriptor._1, dotDescriptor._2, dotDescriptor._3)
+    }
+  }
+}
