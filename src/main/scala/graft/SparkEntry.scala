@@ -103,6 +103,27 @@ object SparkEntry {
     Relational.sessionize(t(s, dir, "events"))
       .orderBy(col("user_id"), col("session_start"))
 
+  private def qRegionRevenue(s: SparkSession, dir: String): DataFrame =
+    Relational.regionRevenue(t(s, dir, "region"), t(s, dir, "nation"),
+      t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))
+      .orderBy(col("n_name"))
+
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    Relational.rollupSummary(t(s, dir, "lineitem"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  private def qPivotPlatform(s: SparkSession, dir: String): DataFrame =
+    Relational.platformPivotDaily(t(s, dir, "events"))
+      .orderBy(col("period_day"))
+
+  private def qAggDistinct(s: SparkSession, dir: String): DataFrame =
+    Relational.dailyDistincts(t(s, dir, "events"))
+      .orderBy(col("period_day"))
+
+  private def qSemiAnti(s: SparkSession, dir: String): DataFrame =
+    Relational.customerOrderFlags(t(s, dir, "customer"), t(s, dir, "orders"))
+      .orderBy(col("c_custkey"))
+
   // ------------------------------------------------------------ LLM ops
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -196,6 +217,11 @@ object SparkEntry {
     "q_window_running" -> (qRunning _),
     "q_event_hourly" -> (qHourly _),
     "q_event_sessionize" -> (qSessionize _),
+    "q5_region_revenue" -> (qRegionRevenue _),
+    "q_rollup" -> (qRollup _),
+    "q_pivot_platform" -> (qPivotPlatform _),
+    "q_agg_distinct" -> (qAggDistinct _),
+    "q_semi_anti" -> (qSemiAnti _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -340,6 +366,44 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sess
         |ORDER BY user_id, session_start""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM region r JOIN nation n ON n_regionkey = r_regionkey
+        | JOIN customer c ON c_nationkey = n_nationkey
+        | JOIN orders o ON o_custkey = c_custkey
+        | JOIN lineitem l ON l_orderkey = o_orderkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_pivot_platform" ->
+      """SELECT CAST(ts AS DATE) AS period_day,
+        | count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        | count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        | count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY period_day ORDER BY period_day""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT CAST(ts AS DATE) AS period_day,
+        | count(DISTINCT user_id) AS n_users,
+        | count(DISTINCT event_type) AS n_types,
+        | count(*) AS n_events
+        |FROM events GROUP BY period_day ORDER BY period_day""".stripMargin,
+    "q_semi_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment, TRUE AS has_orders
+        |FROM customer c WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_mktsegment, FALSE AS has_orders
+        |FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

@@ -19,12 +19,13 @@ object Relational {
     c.cast(s"decimal($p,$s)")
 
   /** TPC-H Q1-shaped pricing summary: single scan, 8 aggregates,
-    * map-side partial agg, 6-group output. Filter reaches the parquet
-    * scan (PushedFilters on l_shipdate).
+    * map-side partial agg, 6-group output. The filter compares the raw
+    * timestamp (NOT a cast-to-date, which would block parquet pushdown)
+    * — `ts < day+1` ≡ `CAST(ts AS DATE) <= day`.
     */
   def pricingSummary(lineitem: DataFrame): DataFrame =
     lineitem
-      .filter(col("l_shipdate").cast("date") <= lit("1998-09-02"))
+      .filter(col("l_shipdate") < lit("1998-09-03"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
@@ -44,14 +45,14 @@ object Relational {
     */
   def shippingPriority(customer: DataFrame, orders: DataFrame,
       lineitem: DataFrame): DataFrame = {
-    val cutoff = lit("1998-01-01")
+    // raw-timestamp comparisons so both filters reach the parquet scan
     val c = customer.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
     val o = orders
-      .filter(col("o_orderdate").cast("date") < cutoff)
+      .filter(col("o_orderdate") < lit("1998-01-01"))
       .select(col("o_orderkey"), col("o_custkey"),
         col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
     val l = lineitem
-      .filter(col("l_shipdate").cast("date") > cutoff)
+      .filter(col("l_shipdate") >= lit("1998-01-02"))
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
@@ -92,6 +93,79 @@ object Relational {
         sum(dec(col("value"))).cast("double").as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
+
+  /** Region-scoped revenue by nation — TPC-H Q5-shaped 5-way join.
+    * region/nation broadcast (tiny dims), customer broadcast at these
+    * SFs; the orders⋈lineitem spine shuffles once on the order key.
+    */
+  def regionRevenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
+      orders: DataFrame, lineitem: DataFrame, regionName: String = "ASIA"): DataFrame = {
+    val dims = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"))
+    lineitem
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice"), 10, 2) * dec(lit(1) - col("l_discount"), 4, 2))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** ROLLUP aggregation: per (flag, status), per flag, and grand total.
+    * Same partial-agg shape as a flat groupBy — grouping sets expand
+    * map-side.
+    */
+  def rollupSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+
+  /** Pivot-style daily platform matrix: one row per day, one count
+    * column per event_type (conditional aggregation — a single scan,
+    * no per-value shuffles, the scalable form of PIVOT).
+    */
+  def platformPivotDaily(events: DataFrame): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val aggs = types.map(t =>
+      count(when(col("event_type") === t, 1)).as(s"n_$t")) :+
+      sum(dec(col("value"))).cast("double").as("sum_value")
+    events
+      .groupBy(col("ts").cast("date").as("period_day"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Distinct-heavy daily profile: exact distinct users / event types
+    * per day (two-phase distinct aggregation under AQE).
+    */
+  def dailyDistincts(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("ts").cast("date").as("period_day"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"),
+        count(lit(1)).as("n_events"))
+
+  /** Semi/anti-join surface: every customer flagged by order existence.
+    * LeftSemi + LeftAnti against the same build side — both shuffle-free
+    * when the distinct key side broadcasts.
+    */
+  def customerOrderFlags(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val keys = orders.select(col("o_custkey"))
+    val c = customer.select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val has = c.join(keys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .withColumn("has_orders", lit(true))
+    val hasNot = c.join(keys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .withColumn("has_orders", lit(false))
+    has.unionByName(hasNot)
+  }
 
   /** Session windows per user (30-minute inactivity gap) — native
     * `session_window`, which runs distributed by user and is the same

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.{Relational, Views}
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan audits — the scale contract, asserted:
+  * filters reach the parquet scan, scans are column-pruned, dim joins
+  * broadcast (no fact shuffle for joins).
+  */
+class PlanAuditSpec extends SparkSpecBase {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("pricing summary pushes the shipdate filter into the scan") {
+    val p = plan(Relational.pricingSummary(Tables.lineitem(spark, sfDir)))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.split("\n").exists(l =>
+      l.contains("PushedFilters") && l.contains("l_shipdate")), p)
+  }
+
+  test("pricing summary scan is column-pruned (no join keys read)") {
+    val p = plan(Relational.pricingSummary(Tables.lineitem(spark, sfDir)))
+    val readSchema = p.split("\n").filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_partkey"), readSchema)
+    assert(!readSchema.contains("l_suppkey"), readSchema)
+  }
+
+  test("analytic views broadcast the item dim — fact side never shuffles for the join") {
+    val p = plan(Views.yearlyCounts(
+      Tables.events(spark, sfDir), Tables.part(spark, sfDir)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q3 broadcasts the filtered customer dim") {
+    val p = plan(Relational.shippingPriority(
+      Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.split("\n").exists(l =>
+      l.contains("PushedFilters") && l.contains("c_mktsegment")), p)
+  }
+
+  test("whole-stage codegen covers the pricing aggregation") {
+    // under AQE the final plan (with codegen stages) exists only after
+    // execution — run it, then inspect the adaptive executed plan
+    val df = Relational.pricingSummary(Tables.lineitem(spark, sfDir))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), p) // "*(n)" = whole-stage-codegen stage n
+  }
+}
