@@ -1,0 +1,30 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for heavy-hitter join keys.
+  *
+  * AQE's skew-join handles most cases at runtime; explicit salting is
+  * the deterministic fallback for pathological keys (one key = a large
+  * fraction of the fact). The skewed side gets a random-but-deterministic
+  * salt in [0, factor); the build side is replicated `factor`× with
+  * every salt value; the join key becomes (key, salt) — splitting each
+  * hot key across `factor` reducers.
+  */
+object Skew {
+
+  /** Inner join `big ⋈ small` on `key`, salted `factor` ways.
+    * Result is row-identical to the unsalted join.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      factor: Int): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(factor)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(array((0 until factor).map(lit): _*)))
+    salted
+      .join(replicated, Seq(key, "__salt"))
+      .drop("__salt")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.sources
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SinksSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("appendPartitioned lands date partitions that prune on read") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/fact"
+    val df = Tables.events(spark, sfDir)
+      .withColumn("day", col("ts").cast("date").cast("string"))
+    Sinks.appendPartitioned(df, dir, "day")
+    val re = spark.read.parquet(dir)
+    assert(re.count() == df.count())
+    val oneDay = re.filter(col("day") === "2024-01-01")
+    val plan = oneDay.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(oneDay.count() > 0)
+  }
+
+  test("mergeDim update vs ignore semantics across loads") {
+    val path = Files.createTempDirectory("graft_dim").toString + "/dim"
+    val v1 = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "name", "price")
+    Sinks.mergeDim(spark, path, v1, Seq("k"), Seq("name", "price"))
+    val delta = Seq((2L, "B", 9.0), (3L, "c", 3.0)).toDF("k", "name", "price")
+    // SCD-1: 2 updates, 3 inserts
+    val updated = Sinks.mergeDim(spark, path, delta, Seq("k"), Seq("name", "price"),
+      Sinks.Update).orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(updated == Seq((1L, "a", 1.0), (2L, "B", 9.0), (3L, "c", 3.0)))
+    // ignore: existing keys keep their values
+    val delta2 = Seq((3L, "CLASH", 0.0), (4L, "d", 4.0)).toDF("k", "name", "price")
+    val ignored = Sinks.mergeDim(spark, path, delta2, Seq("k"), Nil, Sinks.Ignore)
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(ignored == Seq((1L, "a", 1.0), (2L, "B", 9.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+  }
+
+  test("bucketed tables join with zero exchange") {
+    Sinks.writeBucketed(
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
+      "orders_b", "o_orderkey", 8)
+    Sinks.writeBucketed(
+      Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity"),
+      "lineitem_b", "l_orderkey", 8)
+    // at test scale the planner prefers broadcast; force the shuffle
+    // path to show bucketing removes the hash Exchange
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("lineitem_b").join(
+        spark.table("orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(joined.count() == Tables.lineitem(spark, sfDir).count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
