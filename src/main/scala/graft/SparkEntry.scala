@@ -193,6 +193,24 @@ object SparkEntry {
       TF.simhash64(TF.words(col("text"))).as("simhash"))
       .orderBy(col("doc_id"))
 
+  private def qTextChunk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), posexplode(TF.chunks(col("text"), 50, 25)))
+      .select(col("doc_id"), col("pos").cast("bigint").as("chunk_id"),
+        col("col").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  private def qTextRedact(s: SparkSession, dir: String): DataFrame = {
+    // augment every row with synthetic PII so the redaction paths are
+    // exercised on the whole corpus (the raw docs carry none)
+    val augmented = concat(col("text"),
+      lit(" contact user@example.com or 415-555-1212 ssn 123-45-6789"))
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TF.redactPii(augmented).as("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
   private def qMmFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.featurize(Multimodal.asMedia(t(s, dir, "documents")))
       .toDF().orderBy(col("doc_id"))
@@ -232,6 +250,8 @@ object SparkEntry {
     "text_tokens" -> (qTextTokens _),
     "text_quality" -> (qTextQuality _),
     "text_langid" -> (qTextLangid _),
+    "text_chunk" -> (qTextChunk _),
+    "text_redact" -> (qTextRedact _),
     "text_fingerprint" -> (qTextFingerprint _),
     "mm_features" -> (qMmFeatures _)
   )
@@ -427,6 +447,41 @@ object SparkEntry {
       """SELECT doc_id,
         | len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
         | len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS sub_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH s AS (SELECT doc_id, lang AS labeled_lang,
+        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x IN ('der','die','das','und','ist','von','mit','auf','zu','ein'))) AS s_de,
+        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x IN ('the','a','and','of','to','in','is','on','for','with'))) AS s_en,
+        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x IN ('el','la','de','que','y','en','un','es','por','con'))) AS s_es,
+        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x IN ('le','la','de','et','est','un','une','dans','pour','que'))) AS s_fr,
+        |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x IN ('de','shi','le','zai','he','you','wo','ta','men','bu'))) AS s_zh
+        | FROM documents)
+        |SELECT doc_id,
+        | CASE
+        |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |  WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |  WHEN s_fr >= s_zh THEN 'fr'
+        |  ELSE 'zh' END AS pred_lang,
+        | greatest(s_de, s_en, s_es, s_fr, s_zh) AS stop_hits,
+        | labeled_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_chunk" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+        |SELECT doc_id, r.i AS chunk_id,
+        | array_to_string(w[r.i * 25 + 1 : r.i * 25 + 50], ' ') AS chunk_text
+        |FROM t, range(0, 1000) r(i)
+        |WHERE r.i <= (len(w) - 1) // 25
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "text_redact" ->
+      """SELECT doc_id,
+        | regexp_replace(
+        |   regexp_replace(
+        |     regexp_replace(
+        |       text || ' contact user@example.com or 415-555-1212 ssn 123-45-6789',
+        |       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |     '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |   '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,

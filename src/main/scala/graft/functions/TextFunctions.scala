@@ -102,6 +102,29 @@ object TextFunctions {
   def fingerprint(c: Column): Column =
     array_min(transform(wordShingles(c, 8), s => xxhash64(s)))
 
+  /** Overlapping token-window chunks for training-data preparation:
+    * chunk i = words [i·stride, i·stride+window). Array of chunk
+    * strings; pair with `posexplode` for (chunk_id, chunk_text) rows.
+    * Per-row, shuffle-free.
+    */
+  def chunks(c: Column, window: Int, stride: Int): Column = {
+    val w = words(c)
+    transform(
+      sequence(lit(0), ((size(w) - 1) / stride).cast("int")),
+      i => concat_ws(" ", slice(w, i * stride + 1, lit(window))))
+  }
+
+  /** PII redaction: emails, then US-phone-shaped, then SSN-shaped
+    * numbers replaced by typed tags. Single pass of codegen'd
+    * regexp_replace chains.
+    */
+  def redactPii(c: Column): Column = {
+    val email = regexp_replace(c,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val phone = regexp_replace(email, "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>")
+    regexp_replace(phone, "[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>")
+  }
+
   /** Stopword profiles for the heuristic language identifier. */
   val stopwordProfiles: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "on", "for", "with"),

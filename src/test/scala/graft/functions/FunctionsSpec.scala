@@ -44,6 +44,24 @@ class FunctionsSpec extends SparkSpecBase {
     assert(langs(1) == "es")
   }
 
+  test("chunks: overlapping token windows with stride") {
+    val text = (1 to 60).map(i => s"w$i").mkString(" ")
+    val df = Seq(text).toDF("text")
+    val out = df.select(TextFunctions.chunks(col("text"), 50, 25))
+      .as[Seq[String]].head()
+    assert(out.length == 3) // starts at 0, 25, 50
+    assert(out(0).startsWith("w1 ") && out(0).endsWith(" w50"))
+    assert(out(1).startsWith("w26 ") && out(1).endsWith(" w60"))
+    assert(out(2) == (51 to 60).map(i => s"w$i").mkString(" "))
+  }
+
+  test("redactPii replaces email, phone, and ssn with tags") {
+    val df = Seq("mail a.b@x.co now, call 415-555-1212 or ssn 123-45-6789 ok")
+      .toDF("text")
+    val out = df.select(TextFunctions.redactPii(col("text"))).as[String].head()
+    assert(out == "mail <EMAIL> now, call <PHONE> or ssn <SSN> ok")
+  }
+
   test("vector dot/cosine on known values") {
     val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
       .toDF("a", "b")
