@@ -26,9 +26,22 @@ object SurrogateKey {
       .repartitionByRange(orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
     val outSchema = StructType(sorted.schema.fields :+ StructField(name, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i + 1L))
-    }
-    spark.createDataFrame(rdd, outSchema)
+    // zipWithIndex over InternalRow (no external-Row encode/decode);
+    // its internal start-offset job shares the shuffle lineage, so the
+    // sort's exchange runs exactly once
+    val zipped = org.apache.spark.sql.GraftInternal.toInternalRdd(sorted)
+      .zipWithIndex()
+      .mapPartitions { it =>
+        val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+        val idRow = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(outSchema)
+        it.map { case (r, i) =>
+          idRow.update(0, i + 1L)
+          // projection output buffer is reused — copy, downstream buffers
+          proj(joined(r, idRow)).copy(): org.apache.spark.sql.catalyst.InternalRow
+        }
+      }
+    org.apache.spark.sql.GraftInternal.internalCreateDataFrame(spark, zipped, outSchema)
   }
 }

@@ -1,0 +1,21 @@
+package org.apache.spark.sql
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.StructType
+
+/** Bridge to `private[sql]` internals used by
+  * [[graft.operators.SurrogateKey]]: building a DataFrame from an
+  * InternalRow RDD without the external-Row encode/decode round trip
+  * (which dominates the cost of RDD-based operators on wide rows).
+  */
+object GraftInternal {
+
+  def internalCreateDataFrame(spark: SparkSession, rdd: RDD[InternalRow],
+      schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
+  def toInternalRdd(df: DataFrame): RDD[InternalRow] =
+    df.queryExecution.toRdd
+}
