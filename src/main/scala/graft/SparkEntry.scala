@@ -120,6 +120,12 @@ object SparkEntry {
     Relational.dailyDistincts(t(s, dir, "events"))
       .orderBy(col("period_day"))
 
+  private def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    Relational.percentiles(t(s, dir, "events")).orderBy(col("event_type"))
+
+  private def qSketchStats(s: SparkSession, dir: String): DataFrame =
+    Relational.sketchStats(t(s, dir, "events")).orderBy(col("event_type"))
+
   private def qSemiAnti(s: SparkSession, dir: String): DataFrame =
     Relational.customerOrderFlags(t(s, dir, "customer"), t(s, dir, "orders"))
       .orderBy(col("c_custkey"))
@@ -239,6 +245,8 @@ object SparkEntry {
     "q_rollup" -> (qRollup _),
     "q_pivot_platform" -> (qPivotPlatform _),
     "q_agg_distinct" -> (qAggDistinct _),
+    "q_percentiles" -> (qPercentiles _),
+    "q_sketch_stats" -> (qSketchStats _),
     "q_semi_anti" -> (qSemiAnti _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash" -> (qDedupMinhash _),
@@ -417,6 +425,12 @@ object SparkEntry {
         | count(DISTINCT event_type) AS n_types,
         | count(*) AS n_events
         |FROM events GROUP BY period_day ORDER BY period_day""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 6) AS p50_value,
+        | round(quantile_cont(value, 0.95), 6) AS p95_value,
+        | count(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_semi_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment, TRUE AS has_orders
         |FROM customer c WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

@@ -153,6 +153,31 @@ object Relational {
         countDistinct(col("event_type")).as("n_types"),
         count(lit(1)).as("n_events"))
 
+  /** Exact interpolated percentiles per event type (`percentile` is a
+    * sort-based exact aggregate; for 100 TB prefer [[sketchStats]]).
+    */
+  def percentiles(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50_value"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95_value"),
+        count(lit(1)).as("n_events"))
+
+  /** Sketch-based profile: HLL distinct counts and KLL-style quantile
+    * estimates — constant memory per group, the 100 TB substitute for
+    * exact distincts/percentiles. (Approximate ⇒ engine-specific values;
+    * verified structurally, not against the SQL oracle.)
+    */
+  def sketchStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        expr("approx_percentile(value, 0.5)").as("approx_p50"),
+        expr("approx_percentile(value, 0.95)").as("approx_p95"),
+        count(lit(1)).as("n_events"))
+
   /** Semi/anti-join surface: every customer flagged by order existence.
     * LeftSemi + LeftAnti against the same build side — both shuffle-free
     * when the distinct key side broadcasts.

@@ -35,11 +35,9 @@ object Similarity {
         col("probe_id"), col("cand_id"),
         round(VF.dotNative(col("probe_emb"), col("cand_emb"))
           / (col("probe_nrm") * col("cand_nrm")), 4).as("cosine"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    // bounded-heap top-k: O(n log k) per partition, shuffles only
+    // survivors — same rows/ranks as the window row_number formulation
+    TopK.perGroup(scored, "probe_id", "cosine", "cand_id", k)
   }
 
   /** LSH-bucketed ANN top-k: `numTables` independent hyperplane tables

@@ -63,7 +63,7 @@ def main(sfdir, outdir):
             print(f"ok   {name} ({len(got)} rows){flag}")
             n_ok += 1
     rows_only = {"dedup_minhash", "dedup_simhash", "dedup_ngram", "knn_lsh",
-                 "text_fingerprint", "mm_features"}
+                 "text_fingerprint", "mm_features", "q_sketch_stats"}
     for name in sorted(rows_only):
         try:
             n = con.execute(
