@@ -130,6 +130,12 @@ object SparkEntry {
     Relational.customerOrderFlags(t(s, dir, "customer"), t(s, dir, "orders"))
       .orderBy(col("c_custkey"))
 
+  private def qAttribution(s: SparkSession, dir: String): DataFrame =
+    AsOfJoin.attribution(t(s, dir, "events")).orderBy(col("purchase_id"))
+
+  private def qIntervalCounts(s: SparkSession, dir: String): DataFrame =
+    RangeJoin.nearbyCounts(t(s, dir, "events")).orderBy(col("probe_id"))
+
   // ------------------------------------------------------------ LLM ops
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -248,6 +254,8 @@ object SparkEntry {
     "q_percentiles" -> (qPercentiles _),
     "q_sketch_stats" -> (qSketchStats _),
     "q_semi_anti" -> (qSemiAnti _),
+    "q_asof_attribution" -> (qAttribution _),
+    "q_range_interval" -> (qIntervalCounts _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -431,6 +439,18 @@ object SparkEntry {
         | round(quantile_cont(value, 0.95), 6) AS p95_value,
         | count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_asof_attribution" ->
+      """WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+        | p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+        | date_diff('second', v.ts, p.ts) AS gap_seconds
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts < p.ts
+        |ORDER BY purchase_id""".stripMargin,
+    "q_range_interval" ->
+      """SELECT e.event_id AS probe_id, count(*) AS n_nearby
+        |FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+        |JOIN events x ON x.ts BETWEEN e.ts - INTERVAL 60 SECOND AND e.ts + INTERVAL 60 SECOND
+        |GROUP BY probe_id ORDER BY probe_id""".stripMargin,
     "q_semi_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment, TRUE AS has_orders
         |FROM customer c WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class AsOfRangeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("attribution picks the latest strictly-earlier view per user") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, "view"),
+      (1L, ts("2024-01-01 10:05:00"), 101L, "view"),
+      (1L, ts("2024-01-01 10:10:00"), 102L, "purchase"), // → view 101
+      (1L, ts("2024-01-01 10:10:00"), 103L, "view"),     // same-ts: excluded
+      (1L, ts("2024-01-01 10:20:00"), 104L, "purchase"), // → view 103
+      (2L, ts("2024-01-01 09:00:00"), 200L, "purchase"), // no prior view
+      (2L, ts("2024-01-01 09:30:00"), 201L, "click")     // ignored type
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = AsOfJoin.attribution(events).orderBy("purchase_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(out == Seq((102L, 101L, 300L), (104L, 103L, 600L), (200L, -1L, -1L)))
+  }
+
+  test("interval counts match a brute-force filter join") {
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val viaBuckets = RangeJoin.nearbyCounts(events, "error", 60L)
+      .orderBy("probe_id").as[(Long, Long)].collect().toSeq
+    val e = events.filter($"event_type" === "error")
+      .select($"event_id".as("probe_id"), unix_micros($"ts").as("pus"))
+    val brute = events.select($"event_id", unix_micros($"ts").as("us"))
+      .crossJoin(e)
+      .filter(abs($"us" - $"pus") <= 60000000L)
+      .groupBy($"probe_id").agg(count(lit(1)).as("n"))
+      .orderBy("probe_id").as[(Long, Long)].collect().toSeq
+    assert(viaBuckets == brute)
+    assert(viaBuckets.nonEmpty)
+  }
+}
