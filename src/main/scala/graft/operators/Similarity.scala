@@ -35,9 +35,10 @@ object Similarity {
         col("probe_id"), col("cand_id"),
         round(VF.dotNative(col("probe_emb"), col("cand_emb"))
           / (col("probe_nrm") * col("cand_nrm")), 4).as("cosine"))
-    // bounded-heap top-k: O(n log k) per partition, shuffles only
-    // survivors — same rows/ranks as the window row_number formulation
-    TopK.perGroup(scored, "probe_id", "cosine", "cand_id", k)
+    // bounded-heap top-k as a planned operator (TopKPartial →
+    // auto-inserted exchange → TopKFinal): O(n log k), survivors-only
+    // shuffle — same rows/ranks as the window row_number formulation
+    graft.plans.TopKPlanner.perGroup(scored, "probe_id", "cosine", "cand_id", k)
   }
 
   /** LSH-bucketed ANN top-k: `numTables` independent hyperplane tables

@@ -1,0 +1,151 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+/** Top-k-per-group as a first-class Catalyst operator.
+  *
+  * [[graft.operators.TopK.perGroup]] builds the same result by hand
+  * with RDD transitions; this is the full plan-integration tier: a
+  * logical node, a planner [[Strategy]] producing a two-phase physical
+  * plan (partial per-partition heaps → cluster-by-group exchange
+  * inserted automatically by `requiredChildDistribution` → final heaps
+  * emitting ranks), registered per session via
+  * `spark.experimental.extraStrategies`. Catalyst keeps optimizing
+  * around it (column pruning below, the exchange sizing by AQE).
+  */
+case class TopKPerGroupPlan(
+    group: Attribute, order: Attribute, tie: Attribute, k: Int,
+    child: LogicalPlan,
+    // a constructor field (not a body val) so plan copies during
+    // optimization keep the SAME exprId the analyzer handed out
+    rnkAttr: AttributeReference =
+      AttributeReference("rnk", IntegerType, nullable = false)()) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rnkAttr
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(rnkAttr)
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupPlan =
+    copy(child = newChild)
+}
+
+/** Shared bounded-heap pass: keeps the k best (order desc, tie asc)
+  * rows per group within one partition's iterator.
+  */
+private[plans] object HeapPass {
+  type Entry = (Double, Long, InternalRow)
+
+  def topK(it: Iterator[InternalRow], gi: Int, oi: Int, ti: Int, k: Int)
+      : Iterator[(Long, List[Entry])] = {
+    implicit val badnessFirst: Ordering[Entry] =
+      Ordering.by[Entry, (Double, Long)](e => (-e._1, e._2))
+    val heaps = new java.util.HashMap[Long, scala.collection.mutable.PriorityQueue[Entry]]()
+    it.foreach { r =>
+      val g = r.getLong(gi)
+      val o = r.getDouble(oi)
+      val t = r.getLong(ti)
+      var h = heaps.get(g)
+      if (h == null) {
+        h = scala.collection.mutable.PriorityQueue.empty[Entry]
+        heaps.put(g, h)
+      }
+      if (h.size < k) h.enqueue((o, t, r.copy()))
+      else {
+        val worst = h.head
+        if (o > worst._1 || (o == worst._1 && t < worst._2)) {
+          h.dequeue(); h.enqueue((o, t, r.copy()))
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    heaps.entrySet().asScala.iterator.map { e =>
+      // dequeue order is worst→best; reverse to best-first (rank order)
+      e.getKey -> e.getValue.dequeueAll.reverse.toList
+    }
+  }
+}
+
+/** Phase 1: per-partition top-k, no distribution requirement. */
+case class TopKPartialExec(gi: Int, oi: Int, ti: Int, k: Int, child: SparkPlan)
+    extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override protected def doExecute(): RDD[InternalRow] =
+    child.execute().mapPartitions { it =>
+      HeapPass.topK(it, gi, oi, ti, k).flatMap(_._2.iterator.map(_._3))
+    }
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPartialExec =
+    copy(child = newChild)
+}
+
+/** Phase 2: requires clustering on the group column (Catalyst inserts
+  * the exchange), final heaps, appends the rank column.
+  */
+case class TopKFinalExec(group: Attribute, gi: Int, oi: Int, ti: Int, k: Int,
+    rnkAttr: Attribute, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output :+ rnkAttr
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(group)) :: Nil
+  override def outputPartitioning: Partitioning = UnknownPartitioning(0)
+  override protected def doExecute(): RDD[InternalRow] = {
+    val schema = StructType(output.map(a =>
+      StructField(a.name, a.dataType, a.nullable)).toIndexedSeq)
+    child.execute().mapPartitions { it =>
+      val proj = UnsafeProjection.create(schema)
+      val joined = new JoinedRow
+      val rnkRow = new GenericInternalRow(1)
+      HeapPass.topK(it, gi, oi, ti, k).flatMap { case (_, best) =>
+        best.iterator.zipWithIndex.map { case (e, i) =>
+          rnkRow.update(0, i + 1)
+          proj(joined(e._3, rnkRow)).copy(): InternalRow
+        }
+      }
+    }
+  }
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKFinalExec =
+    copy(child = newChild)
+}
+
+/** Plans the logical node into partial → (exchange) → final. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case t @ TopKPerGroupPlan(g, o, ti, k, child, _) =>
+      val out = child.output
+      val gi = out.indexWhere(_.exprId == g.exprId)
+      val oi = out.indexWhere(_.exprId == o.exprId)
+      val tiI = out.indexWhere(_.exprId == ti.exprId)
+      require(gi >= 0 && oi >= 0 && tiI >= 0, "top-k columns not in child output")
+      val partial = TopKPartialExec(gi, oi, tiI, k, planLater(child))
+      TopKFinalExec(g, gi, oi, tiI, k, t.rnkAttr, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPlanner {
+
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val strategies = spark.experimental.extraStrategies
+    if (!strategies.exists(_.isInstanceOf[TopKStrategy.type]))
+      spark.experimental.extraStrategies = strategies :+ TopKStrategy
+  }
+
+  /** Top-k best `orderCol` (desc, ties by `tieCol` asc) rows per
+    * `groupCol`, with a 1..k `rnk` column — planned natively.
+    */
+  def perGroup(df: DataFrame, groupCol: String, orderCol: String,
+      tieCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    ensureRegistered(spark)
+    val analyzed = df.queryExecution.analyzed
+    def attr(name: String): Attribute =
+      analyzed.output.find(_.name == name)
+        .getOrElse(throw new IllegalArgumentException(s"no column $name"))
+    val plan = TopKPerGroupPlan(attr(groupCol), attr(orderCol), attr(tieCol), k, analyzed)
+    org.apache.spark.sql.GraftInternal.ofRows(spark, plan)
+  }
+}

@@ -1,0 +1,39 @@
+package graft.plans
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class TopKPlanSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("planned top-k equals the window formulation, with exchange inserted") {
+    val df = (1 to 4000).map { i =>
+      (i.toLong % 11, (i * 31 % 97).toDouble, i.toLong)
+    }.toDF("g", "score", "id").repartition(6)
+    val planned = TopKPlanner.perGroup(df, "g", "score", "id", k = 3)
+    val got = planned.select("g", "score", "id", "rnk")
+      .orderBy("g", "rnk").collect().toSeq
+    val w = Window.partitionBy($"g").orderBy($"score".desc, $"id")
+    val want = df.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 3).select("g", "score", "id", "rnk")
+      .orderBy("g", "rnk").collect().toSeq
+    assert(got == want)
+    // the strategy's physical nodes are in the executed plan, and the
+    // required distribution forced an exchange between the phases
+    val plan = planned.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKFinal"), plan)
+    assert(plan.contains("TopKPartial"), plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("partial phase bounds shuffled rows to groups*k per partition") {
+    val df = (1 to 10000).map(i => (1L, i.toDouble, i.toLong))
+      .toDF("g", "score", "id").repartition(4)
+    val out = TopKPlanner.perGroup(df, "g", "score", "id", k = 2)
+    // one group: exactly 2 rows survive, ranks 1..2, best scores
+    val rows = out.select("score", "rnk").as[(Double, Int)]
+      .collect().toSeq.sortBy(_._2)
+    assert(rows == Seq((10000.0, 1), (9999.0, 2)))
+  }
+}
