@@ -136,6 +136,21 @@ object SparkEntry {
   private def qIntervalCounts(s: SparkSession, dir: String): DataFrame =
     RangeJoin.nearbyCounts(t(s, dir, "events")).orderBy(col("probe_id"))
 
+  private def qQualityChecks(s: SparkSession, dir: String): DataFrame = {
+    val events = t(s, dir, "events")
+    val lineitem = t(s, dir, "lineitem")
+    val orders = t(s, dir, "orders")
+    val part = t(s, dir, "part")
+    Quality.report(Seq(
+      Quality.notNull(events, "event_id", "events_event_id_not_null"),
+      Quality.unique(events, "event_id", "events_event_id_unique"),
+      Quality.inRange(events, "value", 0.0, 1000000.0, "events_value_range"),
+      Quality.refIntegrity(lineitem, "l_orderkey", orders, "o_orderkey",
+        "lineitem_orderkey_ref"),
+      Quality.inRange(part, "p_retailprice", 0.01, 1000000.0, "part_price_range")))
+      .orderBy(col("rule"))
+  }
+
   // ------------------------------------------------------------ LLM ops
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -256,6 +271,7 @@ object SparkEntry {
     "q_semi_anti" -> (qSemiAnti _),
     "q_asof_attribution" -> (qAttribution _),
     "q_range_interval" -> (qIntervalCounts _),
+    "q_quality_checks" -> (qQualityChecks _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -439,6 +455,19 @@ object SparkEntry {
         | round(quantile_cont(value, 0.95), 6) AS p95_value,
         | count(*) AS n_events
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_quality_checks" ->
+      """SELECT 'events_event_id_not_null' AS rule, count(*) FILTER (WHERE event_id IS NULL) AS n_violations FROM events
+        |UNION ALL
+        |SELECT 'events_event_id_unique', coalesce(sum(cnt - 1), 0)::BIGINT FROM (
+        |  SELECT count(*) AS cnt FROM events GROUP BY event_id) WHERE cnt > 1
+        |UNION ALL
+        |SELECT 'events_value_range', count(*) FILTER (WHERE value < 0.0 OR value > 1000000.0) FROM events
+        |UNION ALL
+        |SELECT 'lineitem_orderkey_ref', count(*) FROM lineitem l
+        | WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'part_price_range', count(*) FILTER (WHERE p_retailprice < 0.01 OR p_retailprice > 1000000.0) FROM part
+        |ORDER BY rule""".stripMargin,
     "q_asof_attribution" ->
       """WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
         | p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')

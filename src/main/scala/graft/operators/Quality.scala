@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Data-quality validation — the contract the reference declares in its
+  * CREATE TABLEs (NOT NULL columns, key columns; reference:
+  * astro-sdk-tutorial/dags/etl_s3_snowflake_f_events.py:50-62) made an
+  * executable, distributed check. Every rule is a single aggregate or
+  * anti-join over the table — no collects; a full-table audit is one
+  * pass per rule and rules on the same table share the scan under AQE.
+  */
+object Quality {
+
+  private def one(rule: String, n: org.apache.spark.sql.Column,
+      df: DataFrame): DataFrame =
+    df.agg(n.cast("bigint").as("n_violations")).withColumn("rule", lit(rule))
+      .select(col("rule"), col("n_violations"))
+
+  /** Rows where `c` is NULL. */
+  def notNull(df: DataFrame, c: String, rule: String): DataFrame =
+    one(rule, count(when(col(c).isNull, 1)), df)
+
+  /** Surplus rows in duplicate key groups (0 ⇔ key is unique). */
+  def unique(df: DataFrame, c: String, rule: String): DataFrame =
+    df.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .agg(coalesce(sum(col("cnt") - 1), lit(0L)).cast("bigint").as("n_violations"))
+      .withColumn("rule", lit(rule))
+      .select(col("rule"), col("n_violations"))
+
+  /** Rows outside [lo, hi]. */
+  def inRange(df: DataFrame, c: String, lo: Double, hi: Double,
+      rule: String): DataFrame =
+    one(rule, count(when(col(c) < lo || col(c) > hi, 1)), df)
+
+  /** Child rows whose key has no parent (referential integrity). */
+  def refIntegrity(child: DataFrame, childKey: String, parent: DataFrame,
+      parentKey: String, rule: String): DataFrame =
+    child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .agg(count(lit(1)).cast("bigint").as("n_violations"))
+      .withColumn("rule", lit(rule))
+      .select(col("rule"), col("n_violations"))
+
+  /** Union a set of rule results into one (rule, n_violations) report. */
+  def report(rules: Seq[DataFrame]): DataFrame =
+    rules.reduce(_ unionByName _)
+}

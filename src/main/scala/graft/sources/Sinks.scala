@@ -56,6 +56,23 @@ object Sinks {
     spark.read.parquet(path)
   }
 
+  /** Small-file compaction: rewrite a table directory into
+    * ceil(rows / rowsPerFile) files via stage-then-swap. Daily MERGE
+    * loads fragment tables; compaction keeps scan task counts sane.
+    */
+  def compact(spark: SparkSession, path: String, rowsPerFile: Long): Long = {
+    val df = spark.read.parquet(path)
+    val rows = df.count()
+    val files = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
+    val staging = new org.apache.hadoop.fs.Path(path + ".compacting")
+    val target = new org.apache.hadoop.fs.Path(path)
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(target, true)
+    fs.rename(staging, target)
+    rows
+  }
+
   /** Bucketed table write: pre-hash both join sides on the hot key so
     * later joins need no Exchange at all.
     */

@@ -37,6 +37,18 @@ class SinksSpec extends SparkSpecBase {
     assert(ignored == Seq((1L, "a", 1.0), (2L, "B", 9.0), (3L, "c", 3.0), (4L, "d", 4.0)))
   }
 
+  test("compaction shrinks file count and preserves rows") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = Tables.lineitem(spark, sfDir)
+    df.repartition(40).write.parquet(dir)
+    def nFiles = new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles == 40)
+    val rows = Sinks.compact(spark, dir, rowsPerFile = 2000L)
+    assert(rows == df.count())
+    assert(nFiles == ((rows + 1999) / 2000).toInt)
+    assert(spark.read.parquet(dir).count() == rows)
+  }
+
   test("bucketed tables join with zero exchange") {
     Sinks.writeBucketed(
       Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey"),
