@@ -45,6 +45,25 @@ class PlanAuditSpec extends SparkSpecBase {
       l.contains("PushedFilters") && l.contains("c_mktsegment")), p)
   }
 
+  test("embedding dedup plans the native dot and broadcasts probes") {
+    val df = graft.operators.Dedup.embeddingNearDups(
+      Tables.embeddings(spark, sfDir))
+    val p = plan(df)
+    assert(p.contains("graft_dot"), p)       // codegen expression in use
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q5 joins dims by broadcast only — the lineitem spine is never broadcast") {
+    val p = plan(Relational.regionRevenue(
+      Tables.region(spark, sfDir), Tables.nation(spark, sfDir),
+      Tables.customer(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.lineitem(spark, sfDir)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    val readLine = p.split("\n").find(l =>
+      l.contains("BroadcastExchange")).getOrElse("")
+    assert(!readLine.contains("l_extendedprice"), p)
+  }
+
   test("whole-stage codegen covers the pricing aggregation") {
     // under AQE the final plan (with codegen stages) exists only after
     // execution — run it, then inspect the adaptive executed plan
