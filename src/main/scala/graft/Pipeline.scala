@@ -43,13 +43,15 @@ object Pipeline {
       // raw layer: full overwrite, latest drop wins (reference:
       // etl_s3_snowflake_raw_event_ingest.py "overwrite mode")
       timed("event_raw")(overwrite(StarSchema.rawIngest(events), s"$w/event_raw")),
-      // dims keyed on their natural key, insert-if-absent
-      timed("d_event")(Sinks.mergeDim(spark, s"$w/d_event",
-        StarSchema.dEvent(events), Seq("event_id"), Nil, Sinks.Ignore).count()),
-      timed("d_user")(Sinks.mergeDim(spark, s"$w/d_user",
-        StarSchema.dUser(events), Seq("user_id"), Nil, Sinks.Ignore).count()),
-      timed("d_parameter")(Sinks.mergeDim(spark, s"$w/d_parameter",
-        StarSchema.dParameter(events), Seq("parameter_name"), Nil, Sinks.Ignore).count()),
+      // dims keyed on their natural key, insert-if-absent with
+      // surrogate ids that stay stable across incremental drops (new
+      // keys continue after the stored max — never renumbered)
+      timed("d_event")(Sinks.mergeDimSurrogate(spark, s"$w/d_event",
+        events.select("event_id"), "event_id", "guid_event").count()),
+      timed("d_user")(Sinks.mergeDimSurrogate(spark, s"$w/d_user",
+        events.select("user_id"), "user_id", "guid_user").count()),
+      timed("d_parameter")(Sinks.mergeDimSurrogate(spark, s"$w/d_parameter",
+        StarSchema.parameterNames(events), "parameter_name", "guid_parameter").count()),
       // item dim: SCD-1 update on item_id
       timed("d_item")(Sinks.mergeDim(spark, s"$w/d_item",
         StarSchema.dItem(part), Seq("item_id"),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{broadcast, coalesce, col}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, when}
 
 /** Batch MERGE INTO, the reference's central load operator.
   *
@@ -32,15 +32,23 @@ object MergeInto {
       keys: Seq[String],
       updateCols: Seq[String],
       broadcastDelta: Boolean = false): DataFrame = {
-    val d = if (broadcastDelta) broadcast(delta) else delta
-    val t = target.alias("t")
+    // presence markers, not COALESCE on data columns: MERGE WHEN MATCHED
+    // must take the delta's value even when that value is NULL
+    val d0 = delta.withColumn("__s_present", org.apache.spark.sql.functions.lit(true))
+    val d = if (broadcastDelta) broadcast(d0) else d0
+    val t = target.withColumn("__t_present", org.apache.spark.sql.functions.lit(true))
+      .alias("t")
     val s = d.alias("s")
     val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val sHit = col("s.__s_present").isNotNull
+    val tHit = col("t.__t_present").isNotNull
     val out = target.columns.map { c =>
-      if (keys.contains(c) || updateCols.contains(c))
+      if (keys.contains(c))
         coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
+      else if (updateCols.contains(c))
+        when(sHit, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
       else
-        coalesce(col(s"t.$c"), col(s"s.$c")).as(c)
+        when(tHit, col(s"t.$c")).otherwise(col(s"s.$c")).as(c)
     }
     t.join(s, cond, "full_outer").select(out.toIndexedSeq: _*)
   }

@@ -19,8 +19,12 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       factor: Int): DataFrame = {
+    // the salt must be a pure function of the ROW, not of execution
+    // order: monotonically_increasing_id changes under task retry
+    // (SPARK-23207-style row loss/duplication); hashing the row's
+    // columns is retry-stable and still spreads a hot key's rows
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(factor)).cast("int"))
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(factor)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(array((0 until factor).map(lit): _*)))
     salted

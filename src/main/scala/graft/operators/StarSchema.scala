@@ -58,6 +58,12 @@ object StarSchema {
     map_keys(from_json(col("props"),
       org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))
 
+  /** Distinct payload key names (no surrogate) — input to the
+    * surrogate-stable dim merge in [[graft.sources.Sinks.mergeDimSurrogate]].
+    */
+  def parameterNames(events: DataFrame): DataFrame =
+    events.select(explode(payloadKeys).as("parameter_name")).distinct()
+
   /** d_parameter: distinct JSON payload keys + dense surrogate.
     * Reference: etl_s3_snowflake_d_parameter.py:24-37. */
   def dParameter(events: DataFrame): DataFrame =

@@ -37,7 +37,7 @@ case class TopKPerGroupPlan(
 /** Shared bounded-heap pass: keeps the k best (order desc, tie asc)
   * rows per group within one partition's iterator.
   */
-private[plans] object HeapPass {
+private[graft] object HeapPass {
   type Entry = (Double, Long, InternalRow)
 
   def topK(it: Iterator[InternalRow], gi: Int, oi: Int, ti: Int, k: Int)
@@ -142,10 +142,19 @@ object TopKPlanner {
     val spark = df.sparkSession
     ensureRegistered(spark)
     val analyzed = df.queryExecution.analyzed
-    def attr(name: String): Attribute =
-      analyzed.output.find(_.name == name)
+    def attr(name: String, expected: org.apache.spark.sql.types.DataType): Attribute = {
+      val a = analyzed.output.find(_.name == name)
         .getOrElse(throw new IllegalArgumentException(s"no column $name"))
-    val plan = TopKPerGroupPlan(attr(groupCol), attr(orderCol), attr(tieCol), k, analyzed)
+      // the heap reads getLong/getDouble positionally — a mismatched
+      // type would silently reinterpret bits, so fail fast instead
+      require(a.dataType == expected,
+        s"top-k column $name must be $expected, found ${a.dataType}")
+      a
+    }
+    val plan = TopKPerGroupPlan(
+      attr(groupCol, org.apache.spark.sql.types.LongType),
+      attr(orderCol, org.apache.spark.sql.types.DoubleType),
+      attr(tieCol, org.apache.spark.sql.types.LongType), k, analyzed)
     org.apache.spark.sql.GraftInternal.ofRows(spark, plan)
   }
 }

@@ -30,29 +30,70 @@ object Sinks {
   /** Insert-if-absent: matched rows keep the stored values. */
   case object Ignore extends MergeMode
 
+  /** Stage-then-swap with a backup window: the previous table version
+    * survives as `.backup` until the new one is in place, so a crash
+    * mid-swap never leaves the path empty; rename failures raise
+    * instead of being silently ignored.
+    */
+  private def swapInto(spark: SparkSession, stagingPath: String, path: String): Unit = {
+    val staging = new org.apache.hadoop.fs.Path(stagingPath)
+    val target = new org.apache.hadoop.fs.Path(path)
+    val backup = new org.apache.hadoop.fs.Path(path + ".backup")
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(backup)) fs.delete(backup, true)
+    val hadTarget = fs.exists(target)
+    if (hadTarget)
+      require(fs.rename(target, backup), s"could not back up $path")
+    if (!fs.rename(staging, target)) {
+      if (hadTarget) fs.rename(backup, target)
+      throw new java.io.IOException(s"could not swap $stagingPath into $path")
+    }
+    if (hadTarget) fs.delete(backup, true)
+  }
+
+  private def tableExists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Table refresh: merge the delta into the stored table and swap.
-    * Returns the merged frame that was persisted.
+    * Returns the merged frame that was persisted. Existence is a
+    * filesystem check, NOT a read attempt — a transient read failure
+    * must surface, never silently replace the table with the delta.
     */
   def mergeDim(spark: SparkSession, path: String, delta: DataFrame,
       keys: Seq[String], updateCols: Seq[String],
       mode: MergeMode = Update): DataFrame = {
-    val exists = try {
-      spark.read.parquet(path).take(1).nonEmpty || true
-    } catch { case _: Throwable => false }
-    val merged = if (exists) mode match {
+    val merged = if (tableExists(spark, path)) mode match {
       case Update => MergeInto.upsert(spark.read.parquet(path), delta, keys,
         updateCols, broadcastDelta = true)
       case Ignore => MergeInto.insertIfAbsent(spark.read.parquet(path), delta, keys)
     } else delta
-    // stage-then-swap: never collect to the driver, never overwrite the
-    // input while reading it — distributed write to a staging dir, then
-    // a filesystem rename (atomic on HDFS; fine for object stores too)
-    val staging = new org.apache.hadoop.fs.Path(path + ".staging")
-    val target = new org.apache.hadoop.fs.Path(path)
-    merged.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(target)) fs.delete(target, true)
-    fs.rename(staging, target)
+    merged.write.mode(SaveMode.Overwrite).parquet(path + ".staging")
+    swapInto(spark, path + ".staging", path)
+    spark.read.parquet(path)
+  }
+
+  /** Key-dim refresh with STABLE dense surrogate keys across loads:
+    * only genuinely new natural keys get ids, continuing after the
+    * stored maximum — re-delivered keys keep their original surrogate.
+    * (The reference renumbers each drop locally, which collides across
+    * incremental loads; this is the append-stable correction.)
+    */
+  def mergeDimSurrogate(spark: SparkSession, path: String, deltaKeys: DataFrame,
+      keyCol: String, guidCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, max}
+    val fresh = deltaKeys.select(col(keyCol)).distinct()
+    val merged = if (tableExists(spark, path)) {
+      val stored = spark.read.parquet(path)
+      val newKeys = fresh.join(stored.select(col(keyCol)), Seq(keyCol), "left_anti")
+      val offset = stored.agg(max(col(guidCol))).head().getLong(0)
+      stored.unionByName(
+        graft.operators.SurrogateKey.withDenseId(newKeys, Seq(keyCol), guidCol)
+          .withColumn(guidCol, col(guidCol) + lit(offset)))
+    } else graft.operators.SurrogateKey.withDenseId(fresh, Seq(keyCol), guidCol)
+    merged.write.mode(SaveMode.Overwrite).parquet(path + ".staging")
+    swapInto(spark, path + ".staging", path)
     spark.read.parquet(path)
   }
 
@@ -64,12 +105,8 @@ object Sinks {
     val df = spark.read.parquet(path)
     val rows = df.count()
     val files = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
-    val staging = new org.apache.hadoop.fs.Path(path + ".compacting")
-    val target = new org.apache.hadoop.fs.Path(path)
-    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(target, true)
-    fs.rename(staging, target)
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(path + ".compacting")
+    swapInto(spark, path + ".compacting", path)
     rows
   }
 

@@ -19,4 +19,20 @@ class PipelineSpec extends SparkSpecBase {
     assert(dUser.count() ==
       graft.sources.Tables.events(spark, sfDir).select("user_id").distinct().count())
   }
+
+  test("surrogate keys stay stable and unique across incremental drops") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_sur").toString + "/d"
+    // drop 1: keys B, C
+    graft.sources.Sinks.mergeDimSurrogate(spark,
+      path, Seq(20L, 30L).toDF("k"), "k", "guid")
+    val first = spark.read.parquet(path).as[(Long, Long)].collect().toMap
+    // drop 2: new key A sorts BEFORE the stored ones, plus re-sent B
+    graft.sources.Sinks.mergeDimSurrogate(spark,
+      path, Seq(10L, 20L).toDF("k"), "k", "guid")
+    val second = spark.read.parquet(path).as[(Long, Long)].collect().toMap
+    assert(second(20L) == first(20L) && second(30L) == first(30L)) // stable
+    assert(second(10L) == first.values.max + 1)                    // appended
+    assert(second.values.toSeq.sorted == Seq(1L, 2L, 3L))          // dense+unique
+  }
 }

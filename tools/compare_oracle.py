@@ -53,10 +53,15 @@ def main(sfdir, outdir):
         eq = g.equals(w)
         if not eq:
             diff_cols = [c for c in g.columns if not g[c].equals(w[c])]
-            print(f"FAIL {name}: value mismatch in {diff_cols}")
-            for c in diff_cols[:3]:
-                neq = g[c] != w[c]
-                print(f"  {c}: {int(neq.sum())} cells, e.g. got={g[c][neq].head(3).tolist()} want={w[c][neq].head(3).tolist()}")
+            value_diffs = {c: int((g[c] != w[c]).sum()) for c in diff_cols}
+            if all(n == 0 for n in value_diffs.values()):
+                # values identical, dtypes differ — distinct failure class
+                print(f"FAIL {name}: dtype-only mismatch {[(c, str(g[c].dtype), str(w[c].dtype)) for c in diff_cols]}")
+            else:
+                print(f"FAIL {name}: value mismatch in {diff_cols}")
+                for c in diff_cols[:3]:
+                    neq = g[c] != w[c]
+                    print(f"  {c}: {int(neq.sum())} cells, e.g. got={g[c][neq].head(3).tolist()} want={w[c][neq].head(3).tolist()}")
             n_bad += 1
         else:
             flag = f" DTYPE{dt}" if dt else ""
