@@ -179,6 +179,28 @@ object SparkEntry {
       .withColumn("rnk", col("rnk").cast("bigint"))
       .orderBy(col("probe_id"), col("rnk"))
 
+  private def qCentroids(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val centroid = udaf(new graft.functions.CentroidAggregator(dim))
+    emb.groupBy(col("label"))
+      .agg(centroid(col("embedding")).as("centroid"))
+      .select(col("label"), posexplode(col("centroid")))
+      .select(col("label"), col("pos").cast("bigint").as("dim_idx"),
+        round(col("col"), 6).as("centroid"))
+      .orderBy(col("label"), col("dim_idx"))
+  }
+
+  private def qCorrStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_covar"),
+        round(stddev_samp(col("l_quantity")), 6).as("qty_stddev"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
   private def qTextTokens(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       col("doc_id"),
@@ -279,6 +301,8 @@ object SparkEntry {
     "dedup_embedding" -> (qDedupEmbedding _),
     "knn_bruteforce" -> (qKnnBrute _),
     "knn_lsh" -> (qKnnLsh _),
+    "knn_centroids" -> (qCentroids _),
+    "q_corr_stats" -> (qCorrStats _),
     "text_tokens" -> (qTextTokens _),
     "text_quality" -> (qTextQuality _),
     "text_langid" -> (qTextLangid _),
@@ -506,6 +530,19 @@ object SparkEntry {
         | sc AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk FROM d)
         |SELECT probe_id, cand_id, cosine, rnk FROM sc WHERE rnk <= 5
         |ORDER BY probe_id, rnk""".stripMargin,
+    "knn_centroids" ->
+      """WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS i,
+        |  unnest(embedding) AS v FROM embeddings)
+        |SELECT label, i - 1 AS dim_idx,
+        | round(sum(v::DOUBLE) / count(*), 6) AS centroid
+        |FROM e GROUP BY label, i ORDER BY label, dim_idx""".stripMargin,
+    "q_corr_stats" ->
+      """SELECT l_returnflag,
+        | round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        | round(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_covar,
+        | round(stddev_samp(l_quantity), 6) AS qty_stddev,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | len(string_split_regex(trim(text), '\s+')) AS ws_tokens,

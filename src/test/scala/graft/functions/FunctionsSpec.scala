@@ -73,6 +73,17 @@ class FunctionsSpec extends SparkSpecBase {
     assert(c == 0.9746)
   }
 
+  test("centroid aggregator computes per-dim means across partitions") {
+    val df = Seq(
+      (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 4.0f)),
+      (1, Seq(10.0f, 20.0f))
+    ).toDF("label", "embedding").repartition(3)
+    val centroid = udaf(new CentroidAggregator(2))
+    val out = df.groupBy($"label").agg(centroid($"embedding").as("c"))
+      .orderBy("label").as[(Int, Seq[Double])].collect().toSeq
+    assert(out == Seq((0, Seq(2.0, 3.0)), (1, Seq(10.0, 20.0))))
+  }
+
   test("fingerprint is stable under prefix edits far from the min window") {
     val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
     val df = Seq(base, base).toDF("text")
