@@ -120,6 +120,27 @@ object SparkEntry {
     Relational.dailyDistincts(t(s, dir, "events"))
       .orderBy(col("period_day"))
 
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    def custs(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).distinct()
+    val both = custs(1995).intersect(custs(1996))
+      .withColumn("tag", lit("both_95_96"))
+    val only95 = custs(1995).except(custs(1996))
+      .withColumn("tag", lit("only_95"))
+    both.unionByName(only95)
+      .select(col("tag"), col("o_custkey"))
+      .orderBy(col("tag"), col("o_custkey"))
+  }
+
   private def qPercentiles(s: SparkSession, dir: String): DataFrame =
     Relational.percentiles(t(s, dir, "events")).orderBy(col("event_type"))
 
@@ -286,6 +307,8 @@ object SparkEntry {
     "q_event_sessionize" -> (qSessionize _),
     "q5_region_revenue" -> (qRegionRevenue _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_set_ops" -> (qSetOps _),
     "q_pivot_platform" -> (qPivotPlatform _),
     "q_agg_distinct" -> (qAggDistinct _),
     "q_percentiles" -> (qPercentiles _),
@@ -458,6 +481,23 @@ object SparkEntry {
         | count(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_set_ops" ->
+      """SELECT 'both_95_96' AS tag, o_custkey FROM (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  INTERSECT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |UNION ALL
+        |SELECT 'only_95' AS tag, o_custkey FROM (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  EXCEPT
+        |  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |ORDER BY tag, o_custkey""".stripMargin,
     "q_pivot_platform" ->
       """SELECT CAST(ts AS DATE) AS period_day,
         | count(*) FILTER (WHERE event_type = 'click') AS n_click,
