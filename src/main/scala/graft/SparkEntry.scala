@@ -190,6 +190,11 @@ object SparkEntry {
     Dedup.embeddingNearDups(t(s, dir, "embeddings"))
       .orderBy(col("probe_id"), col("cand_id"))
 
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.embeddingNearDups(t(s, dir, "embeddings")), "probe_id", "cand_id")
+      .orderBy(col("node"))
+
   private def qKnnBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(t(s, dir, "embeddings"), col("vec_id") < 8)
       .withColumn("rnk", col("rnk").cast("bigint"))
@@ -322,6 +327,7 @@ object SparkEntry {
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_ngram" -> (qDedupNgram _),
     "dedup_embedding" -> (qDedupEmbedding _),
+    "dedup_clusters" -> (qDedupClusters _),
     "knn_bruteforce" -> (qKnnBrute _),
     "knn_lsh" -> (qKnnLsh _),
     "knn_centroids" -> (qCentroids _),
@@ -562,6 +568,23 @@ object SparkEntry {
         |WHERE c.vec_id <> p.vec_id
         | AND round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) >= 0.35
         |ORDER BY probe_id, cand_id""".stripMargin,
+    "dedup_clusters" ->
+      """WITH RECURSIVE probe_pairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id
+        |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0) p, embeddings c
+        |  WHERE c.vec_id <> p.vec_id
+        |   AND round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) >= 0.35),
+        | pairs AS (
+        |  SELECT probe_id AS src, cand_id AS dst FROM probe_pairs
+        |  UNION
+        |  SELECT cand_id, probe_id FROM probe_pairs),
+        | nodes AS (SELECT DISTINCT src AS node FROM pairs),
+        | walk(start, node) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT w.start, p.dst FROM walk w JOIN pairs p ON p.src = w.node)
+        |SELECT start AS node, min(node) AS component
+        |FROM walk GROUP BY start ORDER BY node""".stripMargin,
     "knn_bruteforce" ->
       """WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
         | d AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,

@@ -136,6 +136,49 @@ object Dedup {
         coalesce(col("best_gram_jaccard"), lit(0.0)).as("best_gram_jaccard"))
   }
 
+  /** Connected components over a near-dup pair graph: each node labeled
+    * with the minimum doc/vec id reachable from it — the canonical
+    * representative of its duplicate cluster (keep the canonical, drop
+    * the rest: the final step of corpus dedup).
+    *
+    * Iterative min-label propagation: each round joins the edge list
+    * with current labels and keeps the per-node minimum. Rounds needed
+    * = graph diameter (near-dup clusters are shallow); each round is
+    * one shuffle-join + partial-agg groupBy, all DataFrame ops — no
+    * driver-side graph. Converges deterministically.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+    // localCheckpoint each round: iterative joins otherwise stack an
+    // exponentially deep lineage that every convergence check replays
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint()
+    var checksum = labels.agg(sum(col("component"))).head().getLong(0)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val propagated = sym
+        .join(labels, sym("src") === labels("node"))
+        .select(col("dst").as("node"), col("component"))
+        .unionByName(labels)
+        .groupBy(col("node"))
+        .agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      // fixpoint when the min-label checksum stops shrinking (one
+      // action per round; labels are materialized by the checkpoint)
+      val after = propagated.agg(sum(col("component"))).head().getLong(0)
+      converged = after == checksum
+      checksum = after
+      labels = propagated
+      iter += 1
+    }
+    labels
+  }
+
   /** Embedding-cosine near-dup pairs: a probe subset against the full
     * corpus, cosine ≥ threshold (rounded to 4dp for cross-engine
     * stability). The probe side is broadcast — the corpus never

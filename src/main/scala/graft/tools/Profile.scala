@@ -25,6 +25,22 @@ object Profile {
 
     val events = Tables.events(spark, dir)
     time("warmup: events count")(events)
+    time("json get_json_object parse") {
+      events.select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .filter(col("k").isNotNull)
+    }
+    time("json from_json struct parse") {
+      events.select(from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("struct<k:long>")).getField("k").as("k"))
+        .filter(col("k").isNotNull)
+    }
+    time("regexp extract parse") {
+      events.select(regexp_extract(col("props"), "\"k\"\\s*:\\s*\"?(-?\\d+)", 1)
+        .cast("bigint").as("k")).filter(col("k").isNotNull)
+    }
+    time("view_yearly_counts full") {
+      graft.operators.Views.yearlyCounts(events, Tables.part(spark, dir))
+    }
     time("flat only (no surrogate)") {
       events.select(
         col("event_id"), date_trunc("second", col("ts")).as("event_time"),
