@@ -286,6 +286,20 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def qSampleQuota(s: SparkSession, dir: String): DataFrame = {
+    // deterministic pseudo-shuffle: Knuth multiplicative hash of the id
+    // gives a reproducible "random" order any engine can replay exactly
+    val shuffleKey = pmod(col("doc_id") * lit(2654435761L), lit(2147483648L))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(shuffleKey, col("doc_id"))
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), shuffleKey.as("shuffle_key"))
+      .withColumn("sample_rank", row_number().over(w).cast("bigint"))
+      .filter(col("sample_rank") <= 3)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .orderBy(col("lang"), col("sample_rank"))
+  }
+
   private def qMmFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.featurize(Multimodal.asMedia(t(s, dir, "documents")))
       .toDF().orderBy(col("doc_id"))
@@ -338,6 +352,7 @@ object SparkEntry {
     "text_chunk" -> (qTextChunk _),
     "text_redact" -> (qTextRedact _),
     "text_fingerprint" -> (qTextFingerprint _),
+    "text_sample_quota" -> (qSampleQuota _),
     "mm_features" -> (qMmFeatures _)
   )
 
@@ -636,6 +651,14 @@ object SparkEntry {
         |FROM t, range(0, 1000) r(i)
         |WHERE r.i <= (len(w) - 1) // 25
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "text_sample_quota" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |  (doc_id * 2654435761) % 2147483648 AS shuffle_key FROM documents),
+        | r AS (SELECT doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY shuffle_key, doc_id) AS BIGINT) AS sample_rank
+        | FROM s)
+        |SELECT doc_id, lang, sample_rank FROM r WHERE sample_rank <= 3
+        |ORDER BY lang, sample_rank""".stripMargin,
     "text_redact" ->
       """SELECT doc_id,
         | regexp_replace(
