@@ -261,12 +261,14 @@ object SparkEntry {
       col("lang").as("labeled_lang"))
       .orderBy(col("doc_id"))
 
-  private def qTextFingerprint(s: SparkSession, dir: String): DataFrame =
+  private def qTextFingerprint(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(s)
     t(s, dir, "documents").select(
       col("doc_id"),
       TF.fingerprint(col("text")).as("fingerprint"),
-      TF.simhash64(TF.words(col("text"))).as("simhash"))
+      call_function("graft_simhash64", TF.words(col("text"))).as("simhash"))
       .orderBy(col("doc_id"))
+  }
 
   private def qTextChunk(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")

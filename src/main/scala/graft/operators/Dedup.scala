@@ -73,9 +73,10 @@ object Dedup {
     * blocking, Hamming verify via `bit_count(a^b)`. One row per doc.
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
     val sigs = docs.select(
       col("doc_id"),
-      TF.simhash64(TF.words(col("text"))).as("simhash"))
+      call_function("graft_simhash64", TF.words(col("text"))).as("simhash"))
     val chunked = sigs.select(
       col("doc_id"), col("simhash"),
       posexplode(TF.simhashChunks(col("simhash"))))

@@ -72,13 +72,10 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"), col("probe_emb"), col("cand_emb"),
         col("probe_nrm"), col("cand_nrm"))
       .dropDuplicates("probe_id", "cand_id")
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    candidates
+    val scored = candidates
       .select(col("probe_id"), col("cand_id"),
         round(VF.dotNative(col("probe_emb"), col("cand_emb"))
           / (col("probe_nrm") * col("cand_nrm")), 4).as("cosine"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    graft.plans.TopKPlanner.perGroup(scored, "probe_id", "cosine", "cand_id", k)
   }
 }

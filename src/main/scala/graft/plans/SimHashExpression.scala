@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Shared simhash kernel — called from both the interpreted path and the
+  * generated code (codegen emits a static call, so the expression stays
+  * inside the whole-stage-codegen pipeline with zero closure capture).
+  * Algorithm identical to the original UDF in
+  * [[graft.functions.TextFunctions.simhash64]]: two 32-bit MurmurHash3
+  * string hashes composed to 64 bits, signed per-bit vote.
+  */
+object SimHash64Util {
+  def hash(tokens: ArrayData): Long = {
+    val acc = new Array[Int](64)
+    val n = tokens.numElements()
+    var j = 0
+    while (j < n) {
+      if (!tokens.isNullAt(j)) {
+        val t = tokens.getUTF8String(j).toString
+        val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
+        val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b)
+        val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+          b += 1
+        }
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** 64-bit SimHash over an `array<string>` token column as a native
+  * expression — replaces the Scala UDF on the hot dedup path (no
+  * encoder/serialization boundary, participates in codegen).
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash64Util.hash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.SimHash64Util.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+object SimHashFunctions {
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_simhash64"),
+    new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash64"),
+    (children: Seq[Expression]) => SimHash64Expr(children.head))
+}

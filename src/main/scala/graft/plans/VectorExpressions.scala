@@ -69,6 +69,7 @@ case class DotProductFloat(left: Expression, right: Expression)
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.dotDescriptor)
+    e.injectFunction(SimHashFunctions.descriptor)
   }
 }
 
@@ -82,6 +83,10 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(FunctionIdentifier("graft_dot"))) {
       reg.registerFunction(dotDescriptor._1, dotDescriptor._2, dotDescriptor._3)
+    }
+    if (!reg.functionExists(FunctionIdentifier("graft_simhash64"))) {
+      val d = SimHashFunctions.descriptor
+      reg.registerFunction(d._1, d._2, d._3)
     }
   }
 }

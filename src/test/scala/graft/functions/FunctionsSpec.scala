@@ -34,6 +34,17 @@ class FunctionsSpec extends SparkSpecBase {
     assert(sigs(0) != sigs(2))
   }
 
+  test("native graft_simhash64 expression matches the UDF bit-for-bit") {
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val df = Seq("spark catalyst codegen", "entirely different words here",
+      "the quick brown fox").toDF("text")
+    val both = df.select(
+      TextFunctions.simhash64(TextFunctions.words(col("text"))).as("viaUdf"),
+      call_function("graft_simhash64", TextFunctions.words(col("text"))).as("viaExpr"))
+      .as[(Long, Long)].collect()
+    both.foreach { case (u, e) => assert(u == e) }
+  }
+
   test("langId picks the language with most stopword hits") {
     val df = Seq(
       "the cat is on the mat with a hat for the win",
