@@ -20,6 +20,33 @@ class PipelineSpec extends SparkSpecBase {
       graft.sources.Tables.events(spark, sfDir).select("user_id").distinct().count())
   }
 
+  test("two different daily drops merge into one consistent star schema") {
+    import org.apache.spark.sql.functions._
+    val stage = Files.createTempDirectory("graft_drops").toString
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val part = graft.sources.Tables.part(spark, sfDir)
+    val cutoff = "2024-01-05"
+    def writeDrop(name: String, df: org.apache.spark.sql.DataFrame): String = {
+      val dir = s"$stage/$name"
+      df.write.parquet(s"$dir/events.parquet")
+      part.write.parquet(s"$dir/part.parquet")
+      dir
+    }
+    val drop1 = writeDrop("day1", events.filter(col("ts") < cutoff))
+    val drop2 = writeDrop("day2", events.filter(col("ts") >= cutoff))
+    val w = s"$stage/wh"
+    Pipeline.runDaily(spark, drop1, w)
+    Pipeline.runDaily(spark, drop2, w)
+    // the merged fact covers both drops exactly once
+    val fact = spark.read.parquet(s"$w/f_events")
+    assert(fact.count() == events.count())
+    assert(fact.select("event_id").distinct().count() == events.count())
+    // user dim accumulated across drops with unique stable surrogates
+    val dUser = spark.read.parquet(s"$w/d_user")
+    assert(dUser.count() == events.select("user_id").distinct().count())
+    assert(dUser.select("guid_user").distinct().count() == dUser.count())
+  }
+
   test("surrogate keys stay stable and unique across incremental drops") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_sur").toString + "/d"
