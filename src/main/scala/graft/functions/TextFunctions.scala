@@ -96,8 +96,10 @@ object TextFunctions {
     array((0 until 4).map(i =>
       shiftrightunsigned(sim, i * 16).bitwiseAND(lit(0xffffL))): _*)
 
-  /** Winnowing-style document fingerprint: min rolling hash over 8-token
-    * windows — robust to local edits, per-row, shuffle-free.
+  /** Winnowing-style document fingerprint (Schleimer, Wilkerson &
+    * Aiken, "Winnowing: local algorithms for document fingerprinting",
+    * SIGMOD 2003): min rolling hash over 8-token windows — robust to
+    * local edits, per-row, shuffle-free.
     */
   def fingerprint(c: Column): Column =
     array_min(transform(wordShingles(c, 8), s => xxhash64(s)))

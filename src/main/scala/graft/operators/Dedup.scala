@@ -6,6 +6,13 @@ import org.apache.spark.sql.functions._
 
 /** Corpus deduplication operators (training-data pipeline surface).
   *
+  * Algorithms (public literature): MinHash resemblance sketches
+  * (Broder, "On the resemblance and containment of documents", 1997)
+  * with LSH banding (Indyk & Motwani 1998; banding analysis as in
+  * Mining of Massive Datasets ch. 3); SimHash (Charikar, "Similarity
+  * estimation techniques from rounding algorithms", STOC 2002) with
+  * the pigeonhole chunk blocking of Manku et al., WWW 2007.
+  *
   * Scale shape shared by the near-dup family: per-row signatures
   * (shuffle-free, codegen'd — see [[graft.functions.TextFunctions]]) →
   * explode only the constant-width band keys (×bands blowup, not

@@ -8,6 +8,11 @@ import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
+  * The LSH path uses random-hyperplane signatures (Charikar STOC 2002;
+  * multi-table construction per Indyk & Motwani 1998) — sign patterns
+  * of projections onto ±1 planes, identical across executors because
+  * the planes derive from a seeded hash.
+  *
   * Baseline: brute-force cosine top-k with a broadcast probe set (the
   * corpus side never shuffles; the per-probe window ranks only
   * candidate rows). Scale path: random-hyperplane LSH tables bound the
