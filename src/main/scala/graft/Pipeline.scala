@@ -57,12 +57,20 @@ object Pipeline {
         StarSchema.dItem(part), Seq("item_id"),
         Seq("item_name", "item_brand", "item_type", "item_size", "item_price"),
         Sinks.Update).count()),
-      // fact: SCD-1 update on the composite event/parameter key
-      timed("f_events")(Sinks.mergeDim(spark, s"$w/f_events",
-        StarSchema.fEvents(events),
-        Seq("event_id", "event_parameter_name", "event_parameter_value"),
-        Seq("event_time", "event_user_id", "event_name", "event_value", "guid_event"),
-        Sinks.Update).count()),
+      // fact: SCD-1 update on the composite event/parameter key; the
+      // surrogate comes from the STABLE d_event dim (merged above), so
+      // fact guids are unique and never renumbered across drops
+      timed("f_events")({
+        // d_event is one row per event — fact-sized, so this is a
+        // shuffle join on the key, NOT a broadcast
+        val dEvent = spark.read.parquet(s"$w/d_event")
+        val withGuid = StarSchema.fEventsFlat(events)
+          .join(dEvent, Seq("event_id"))
+        Sinks.mergeDim(spark, s"$w/f_events", withGuid,
+          Seq("event_id", "event_parameter_name", "event_parameter_value"),
+          Seq("event_time", "event_user_id", "event_name", "event_value", "guid_event"),
+          Sinks.Update).count()
+      }),
       // the four analytic views, rebuilt per load
       timed("view_yearly_counts")(
         overwrite(Views.yearlyCounts(events, part), s"$w/view_yearly_counts")),

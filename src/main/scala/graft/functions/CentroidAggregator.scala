@@ -22,6 +22,7 @@ class CentroidAggregator(dim: Int)
   override def zero: CentroidBuffer = CentroidBuffer(new Array[Double](dim), 0L)
 
   override def reduce(b: CentroidBuffer, a: Seq[Float]): CentroidBuffer = {
+    if (a == null) return b // NULL embeddings don't contribute
     var i = 0
     val n = math.min(dim, a.length)
     while (i < n) { b.sums(i) += a(i).toDouble; i += 1 }

@@ -165,8 +165,10 @@ object Dedup {
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint()
-    var checksum = labels.agg(sum(col("component"))).head().getLong(0)
-    var converged = false
+    def checksumOf(df: DataFrame): Long = df
+      .agg(coalesce(sum(col("component")), lit(0L))).head().getLong(0)
+    var checksum = checksumOf(labels)
+    var converged = labels.isEmpty // empty graph: already done
     var iter = 0
     while (!converged && iter < maxIter) {
       val propagated = sym
@@ -178,12 +180,17 @@ object Dedup {
         .localCheckpoint()
       // fixpoint when the min-label checksum stops shrinking (one
       // action per round; labels are materialized by the checkpoint)
-      val after = propagated.agg(sum(col("component"))).head().getLong(0)
+      val after = checksumOf(propagated)
       converged = after == checksum
       checksum = after
       labels = propagated
       iter += 1
     }
+    // an unconverged result is WRONG (clusters split), never return it
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "graph diameter exceeds the budget; raise maxIter")
     labels
   }
 

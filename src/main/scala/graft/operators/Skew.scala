@@ -19,12 +19,20 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       factor: Int): DataFrame = {
-    // the salt must be a pure function of the ROW, not of execution
-    // order: monotonically_increasing_id changes under task retry
-    // (SPARK-23207-style row loss/duplication); hashing the row's
-    // columns is retry-stable and still spreads a hot key's rows
+    // the salt must be a pure function of the ROW (plus its stable
+    // partition id), not of execution order: monotonically_increasing_id
+    // changes under task retry (SPARK-23207-style row loss/duplication).
+    // Hashing the row's hashable columns + spark_partition_id is
+    // retry-stable; the partition id term keeps fully-identical rows in
+    // different partitions from collapsing into one salt bucket.
+    // (Identical rows within one partition do share a bucket — the
+    // residual limit of any deterministic salt.)
+    val hashable = big.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name)).toIndexedSeq
     val salted = big.withColumn("__salt",
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(factor)).cast("int"))
+      pmod(xxhash64((hashable :+ spark_partition_id().cast("long")): _*),
+        lit(factor)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(array((0 until factor).map(lit): _*)))
     salted

@@ -85,6 +85,20 @@ object StarSchema {
       col("p_size").as("item_size"),
       col("p_retailprice").cast("decimal(12,2)").cast("double").as("item_price"))
 
+  /** The fact's flat projection, no surrogate — for incremental loads
+    * the surrogate must come from the stable event dim
+    * ([[graft.Pipeline]] joins `d_event`), not a per-drop numbering.
+    */
+  def fEventsFlat(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      date_trunc("second", col("ts")).as("event_time"),
+      col("user_id").as("event_user_id"),
+      col("event_type").as("event_name"),
+      element_at(payloadKeys, 1).as("event_parameter_name"),
+      get_json_object(col("props"), "$.k").cast("bigint").as("event_parameter_value"),
+      col("value").as("event_value"))
+
   /** f_events: fact — flatten payload into typed columns, surrogate key.
     * Reference: etl_s3_snowflake_f_events.py:23-44 (json_normalize +
     * merge + rename), :50-62 (typed fact table). */

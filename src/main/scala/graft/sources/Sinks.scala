@@ -35,11 +35,23 @@ object Sinks {
     * mid-swap never leaves the path empty; rename failures raise
     * instead of being silently ignored.
     */
+  /** If a previous swap crashed between its two renames, the table is
+    * missing and the backup holds the only copy — restore it before
+    * anything reads, writes, or deletes.
+    */
+  private def recoverIfNeeded(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path): Unit = {
+    val backup = new org.apache.hadoop.fs.Path(target.toString + ".backup")
+    if (!fs.exists(target) && fs.exists(backup))
+      require(fs.rename(backup, target), s"could not recover $target from backup")
+  }
+
   private def swapInto(spark: SparkSession, stagingPath: String, path: String): Unit = {
     val staging = new org.apache.hadoop.fs.Path(stagingPath)
     val target = new org.apache.hadoop.fs.Path(path)
     val backup = new org.apache.hadoop.fs.Path(path + ".backup")
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverIfNeeded(fs, target)
     if (fs.exists(backup)) fs.delete(backup, true)
     val hadTarget = fs.exists(target)
     if (hadTarget)
@@ -53,7 +65,9 @@ object Sinks {
 
   private def tableExists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverIfNeeded(fs, p)
+    fs.exists(p)
   }
 
   /** Table refresh: merge the delta into the stored table and swap.
@@ -87,7 +101,10 @@ object Sinks {
     val merged = if (tableExists(spark, path)) {
       val stored = spark.read.parquet(path)
       val newKeys = fresh.join(stored.select(col(keyCol)), Seq(keyCol), "left_anti")
-      val offset = stored.agg(max(col(guidCol))).head().getLong(0)
+      // coalesce: an existing-but-empty dim has max(guid) = NULL
+      val offset = stored
+        .agg(org.apache.spark.sql.functions.coalesce(max(col(guidCol)), lit(0L)))
+        .head().getLong(0)
       stored.unionByName(
         graft.operators.SurrogateKey.withDenseId(newKeys, Seq(keyCol), guidCol)
           .withColumn(guidCol, col(guidCol) + lit(offset)))

@@ -53,7 +53,10 @@ def main(sfdir, outdir):
         eq = g.equals(w)
         if not eq:
             diff_cols = [c for c in g.columns if not g[c].equals(w[c])]
-            value_diffs = {c: int((g[c] != w[c]).sum()) for c in diff_cols}
+            # NaN != NaN in pandas — matching NaNs are not value diffs
+            value_diffs = {
+                c: int(((g[c] != w[c]) & ~(g[c].isna() & w[c].isna())).sum())
+                for c in diff_cols}
             if all(n == 0 for n in value_diffs.values()):
                 # values identical, dtypes differ — distinct failure class
                 print(f"FAIL {name}: dtype-only mismatch {[(c, str(g[c].dtype), str(w[c].dtype)) for c in diff_cols]}")
