@@ -156,10 +156,25 @@ object Dedup {
     * driver-side graph. Converges deterministically.
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIter: Int = 20): DataFrame = {
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      maxIter: Int = 20, localThreshold: Long = 1000000L): DataFrame = {
+    // materialize the edge list ONCE — without this every iteration
+    // recomputes the (possibly expensive) upstream pair generation
+    val symRaw = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionByName(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
+      .localCheckpoint()
+    // size-adaptive parallelism: near-dup graphs are usually tiny next
+    // to the corpus — iterate single-task when small, distributed when not
+    val nEdges = symRaw.count()
+    // adaptive: a bounded-size graph (≤1M directed edges, the usual
+    // case — near-dup graphs are tiny next to the corpus) solves in
+    // one driver-side union-find pass instead of paying per-iteration
+    // job overhead; larger graphs take the distributed loop below
+    if (nEdges <= localThreshold) return unionFindLocal(symRaw)
+    val parts = math.max(1L, math.min(
+      symRaw.sparkSession.sessionState.conf.numShufflePartitions.toLong,
+      nEdges / 500000L + 1L)).toInt
+    val sym = symRaw.repartition(parts, col("src")).localCheckpoint()
     // localCheckpoint each round: iterative joins otherwise stack an
     // exponentially deep lineage that every convergence check replays
     var labels = sym.select(col("src").as("node")).distinct()
@@ -175,6 +190,7 @@ object Dedup {
         .join(labels, sym("src") === labels("node"))
         .select(col("dst").as("node"), col("component"))
         .unionByName(labels)
+        .repartition(parts, col("node"))
         .groupBy(col("node"))
         .agg(min(col("component")).as("component"))
         .localCheckpoint()
@@ -192,6 +208,35 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter rounds — " +
           "graph diameter exceeds the budget; raise maxIter")
     labels
+  }
+
+  /** Driver union-find over a materialized (bounded) edge list:
+    * O(E α(E)), path compression + union by min — component = minimum
+    * node id, matching the distributed loop's labeling exactly.
+    */
+  private def unionFindLocal(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+      var c = x
+      while (parent.getOrDefault(c, c) != c) {
+        val next = parent.getOrDefault(c, c); parent.put(c, r); c = next
+      }
+      r
+    }
+    val edges = sym.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { // union by smaller root so component = min id
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toSet
+    nodes.toSeq.sorted.map(n => (n, find(n))).toDF("node", "component")
   }
 
   /** Embedding-cosine near-dup pairs: a probe subset against the full

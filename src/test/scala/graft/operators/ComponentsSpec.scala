@@ -25,4 +25,15 @@ class ComponentsSpec extends SparkSpecBase {
     assert(out.values.toSet == Set(1L))
     assert(out.size == 15)
   }
+
+  test("distributed loop (threshold 0) labels identically to union-find") {
+    val edges = Seq((2L, 1L), (3L, 2L), (11L, 10L), (20L, 21L), (21L, 22L))
+      .toDF("a", "b")
+    val local = Dedup.connectedComponents(edges, "a", "b")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val dist = Dedup.connectedComponents(edges, "a", "b", localThreshold = 0L)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(local == dist)
+    assert(local.map(_._2).toSet == Set(1L, 10L, 20L))
+  }
 }
