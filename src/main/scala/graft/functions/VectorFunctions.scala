@@ -53,14 +53,14 @@ object VectorFunctions {
       if ((scala.util.hashing.MurmurHash3.productHash((p, i)) & 1) == 0) 1.0f else -1.0f
     }
 
-  /** Random-hyperplane LSH bit signature: project onto `weights` rows
-    * (embedded as literals, so each projection is one codegen'd native
-    * dot), sign bit per plane. Returns an int in [0, 2^numPlanes).
+  /** Random-hyperplane LSH bit signature: sign bit per plane of the
+    * projection onto each `weights` row, all planes in one compiled
+    * kernel ([[graft.plans.HyperplaneSigExpr]] — inlining per-plane
+    * codegen'd dots blew HotSpot's HugeMethodLimit and ran
+    * interpreted). Returns an int in [0, 2^numPlanes).
     */
-  def hyperplaneSig(a: Column, weights: Array[Array[Float]]): Column = {
-    val bits = weights.zipWithIndex.map { case (w, p) =>
-      when(dotNative(a, typedlit(w.toSeq)) >= 0, lit(1 << p)).otherwise(lit(0))
-    }
-    bits.reduce(_ + _)
-  }
+  def hyperplaneSig(a: Column, weights: Array[Array[Float]]): Column =
+    org.apache.spark.sql.GraftInternal.columnOf(
+      graft.plans.HyperplaneSigExpr(
+        org.apache.spark.sql.GraftInternal.expressionOf(a), weights))
 }
