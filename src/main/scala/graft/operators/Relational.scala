@@ -95,8 +95,10 @@ object Relational {
         col("n_events"), col("sum_value"))
 
   /** Region-scoped revenue by nation — TPC-H Q5-shaped 5-way join.
-    * region/nation broadcast (tiny dims), customer broadcast at these
-    * SFs; the orders⋈lineitem spine shuffles once on the order key.
+    * region/nation broadcast (truly tiny); the customer-side join is
+    * deliberately NOT hinted — customer is a fraction of the fact but
+    * still scales with it, so AQE should pick broadcast vs shuffle from
+    * runtime sizes. The orders⋈lineitem spine shuffles once on the key.
     */
   def regionRevenue(region: DataFrame, nation: DataFrame, customer: DataFrame,
       orders: DataFrame, lineitem: DataFrame, regionName: String = "ASIA"): DataFrame = {
@@ -109,7 +111,7 @@ object Relational {
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       .join(orders.select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
       .groupBy(col("n_name"))
       .agg(
         sum(dec(col("l_extendedprice"), 10, 2) * dec(lit(1) - col("l_discount"), 4, 2))
