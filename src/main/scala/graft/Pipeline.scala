@@ -35,7 +35,11 @@ object Pipeline {
     * views). Returns per-stage row counts and timings.
     */
   def runDaily(spark: SparkSession, srcDir: String, warehouseDir: String): Seq[StageResult] = {
+    // NULL natural keys can't join the star schema (null-unsafe merge
+    // and fact↔dim joins would silently drop them) — exclude up front;
+    // Quality.notNull is the check that surfaces them to operators
     val events = Tables.events(spark, srcDir)
+      .filter(org.apache.spark.sql.functions.col("event_id").isNotNull)
     val part = Tables.part(spark, srcDir)
     val w = warehouseDir.stripSuffix("/")
 
@@ -69,7 +73,8 @@ object Pipeline {
         Sinks.mergeDim(spark, s"$w/f_events", withGuid,
           Seq("event_id", "event_parameter_name", "event_parameter_value"),
           Seq("event_time", "event_user_id", "event_name", "event_value", "guid_event"),
-          Sinks.Update).count()
+          Sinks.Update,
+          broadcastDelta = false).count() // fact-sized delta: shuffle merge
       }),
       // the four analytic views, rebuilt per load
       timed("view_yearly_counts")(

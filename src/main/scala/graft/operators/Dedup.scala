@@ -170,7 +170,11 @@ object Dedup {
     // case — near-dup graphs are tiny next to the corpus) solves in
     // one driver-side union-find pass instead of paying per-iteration
     // job overhead; larger graphs take the distributed loop below
-    if (nEdges <= localThreshold) return unionFindLocal(symRaw)
+    // local fast path requires long node ids (union-find keys); other
+    // comparable types fall through to the generic distributed loop
+    val longIds = symRaw.schema("src").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (longIds && nEdges <= localThreshold) return unionFindLocal(symRaw)
     val parts = math.max(1L, math.min(
       symRaw.sparkSession.sessionState.conf.numShufflePartitions.toLong,
       nEdges / 500000L + 1L)).toInt

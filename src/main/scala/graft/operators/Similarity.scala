@@ -40,6 +40,9 @@ object Similarity {
         col("probe_id"), col("cand_id"),
         round(VF.dotNative(col("probe_emb"), col("cand_emb"))
           / (col("probe_nrm") * col("cand_nrm")), 4).as("cosine"))
+      // zero-norm vectors yield NULL cosine — not a neighbor (the heap
+      // would read the null slot as 0.0 and steal a top-k place)
+      .filter(col("cosine").isNotNull)
     // bounded-heap top-k as a planned operator (TopKPartial →
     // auto-inserted exchange → TopKFinal): O(n log k), survivors-only
     // shuffle — same rows/ranks as the window row_number formulation
@@ -54,7 +57,9 @@ object Similarity {
   def lshTopK(emb: DataFrame, probeFilter: org.apache.spark.sql.Column,
       k: Int = 5, numTables: Int = 4, bitsPerTable: Int = 4): DataFrame = {
     GraftFunctions.ensureRegistered(emb.sparkSession)
-    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val dim = emb.select(size(col("embedding")).as("d"))
+      .filter(col("d").isNotNull).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(64)
     val weights = VF.planeWeights(numTables * bitsPerTable, dim)
 
     def sigs(df: DataFrame, idAs: String, embAs: String, nrmAs: String): DataFrame = {
@@ -81,6 +86,7 @@ object Similarity {
       .select(col("probe_id"), col("cand_id"),
         round(VF.dotNative(col("probe_emb"), col("cand_emb"))
           / (col("probe_nrm") * col("cand_nrm")), 4).as("cosine"))
+      .filter(col("cosine").isNotNull) // zero-norm → NULL → not a neighbor
     graft.plans.TopKPlanner.perGroup(scored, "probe_id", "cosine", "cand_id", k)
   }
 }

@@ -19,20 +19,19 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       factor: Int): DataFrame = {
-    // the salt must be a pure function of the ROW (plus its stable
-    // partition id), not of execution order: monotonically_increasing_id
-    // changes under task retry (SPARK-23207-style row loss/duplication).
-    // Hashing the row's hashable columns + spark_partition_id is
-    // retry-stable; the partition id term keeps fully-identical rows in
-    // different partitions from collapsing into one salt bucket.
-    // (Identical rows within one partition do share a bucket — the
-    // residual limit of any deterministic salt.)
+    // the salt must be a pure function of ROW CONTENT: anything tied to
+    // execution placement (monotonically_increasing_id, partition ids)
+    // changes when a fetch failure recomputes map tasks and rows land
+    // elsewhere — reducers that already fetched old output are not
+    // re-run, silently losing/duplicating join rows (SPARK-23207).
+    // Residual limit: rows identical in every hashable column share a
+    // salt bucket; if a hot key's rows are full duplicates, pre-aggregate
+    // them (key, count) before joining instead of salting.
     val hashable = big.schema.fields
       .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
       .map(f => col(f.name)).toIndexedSeq
     val salted = big.withColumn("__salt",
-      pmod(xxhash64((hashable :+ spark_partition_id().cast("long")): _*),
-        lit(factor)).cast("int"))
+      pmod(xxhash64(hashable: _*), lit(factor)).cast("int"))
     val replicated = small.withColumn("__salt",
       explode(array((0 until factor).map(lit): _*)))
     salted

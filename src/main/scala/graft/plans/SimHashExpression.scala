@@ -45,6 +45,9 @@ object SimHash64Util {
 /** 64-bit SimHash over an `array<string>` token column as a native
   * expression — replaces the Scala UDF on the hot dedup path (no
   * encoder/serialization boundary, participates in codegen).
+  * NULL handling deliberately differs from the legacy UDF: a NULL token
+  * array yields NULL (null-intolerant expression), not the UDF's -1L —
+  * null-text docs no longer cluster together as fake hamming-0 dups.
   */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

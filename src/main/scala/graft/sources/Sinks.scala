@@ -77,10 +77,11 @@ object Sinks {
     */
   def mergeDim(spark: SparkSession, path: String, delta: DataFrame,
       keys: Seq[String], updateCols: Seq[String],
-      mode: MergeMode = Update): DataFrame = {
+      mode: MergeMode = Update,
+      broadcastDelta: Boolean = true): DataFrame = {
     val merged = if (tableExists(spark, path)) mode match {
       case Update => MergeInto.upsert(spark.read.parquet(path), delta, keys,
-        updateCols, broadcastDelta = true)
+        updateCols, broadcastDelta = broadcastDelta)
       case Ignore => MergeInto.insertIfAbsent(spark.read.parquet(path), delta, keys)
     } else delta
     merged.write.mode(SaveMode.Overwrite).parquet(path + ".staging")
@@ -119,6 +120,7 @@ object Sinks {
     * loads fragment tables; compaction keeps scan task counts sane.
     */
   def compact(spark: SparkSession, path: String, rowsPerFile: Long): Long = {
+    require(tableExists(spark, path), s"no table at $path") // also recovers backups
     val df = spark.read.parquet(path)
     val rows = df.count()
     val files = math.max(1L, (rows + rowsPerFile - 1) / rowsPerFile).toInt
