@@ -177,6 +177,11 @@ object SparkEntry {
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(t(s, dir, "documents")).orderBy(col("keep_id"))
 
+  private def qDedupKeep(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactKeep(t(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(t(s, dir, "documents")).orderBy(col("doc_id"))
 
@@ -341,6 +346,7 @@ object SparkEntry {
     "q_range_interval" -> (qIntervalCounts _),
     "q_quality_checks" -> (qQualityChecks _),
     "dedup_exact" -> (qDedupExact _),
+    "dedup_keep" -> (qDedupKeep _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_ngram" -> (qDedupNgram _),
@@ -579,6 +585,10 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dedup_keep" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       """WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0)
         |SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,

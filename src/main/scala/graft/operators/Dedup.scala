@@ -32,6 +32,19 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
+  /** The deduplicated corpus itself: keep exactly the canonical
+    * (minimum doc_id) row of every identical-text group. One
+    * hash-groupBy to elect canonicals, one key join to materialize —
+    * the corpus body never shuffles by its text.
+    */
+  def exactKeep(docs: DataFrame): DataFrame = {
+    val keep = docs
+      .groupBy(xxhash64(col("text")).as("text_hash"), col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    docs.join(keep, Seq("doc_id"), "left_semi")
+  }
+
   /** Candidate near-dup pairs via MinHash + LSH banding over word
     * 3-gram shingles, verified with exact Jaccard. Returns one row per
     * doc: its candidate count and best match (robust output shape even

@@ -20,6 +20,12 @@ class DedupSpec extends SparkSpecBase {
     assert(out == Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
   }
 
+  test("exactKeep materializes the canonical-only corpus") {
+    val kept = Dedup.exactKeep(docs).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 5L)) // doc 2 is the dropped duplicate
+  }
+
   test("minhash LSH flags exact and near duplicates, not unrelated docs") {
     val out = Dedup.minhashNearDups(docs)
       .orderBy("doc_id")
