@@ -141,6 +141,14 @@ object SparkEntry {
       .orderBy(col("tag"), col("o_custkey"))
   }
 
+  private def qHistogram(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(floor(col("value") / 50.0).cast("bigint").as("bin"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .orderBy(col("bin"))
+
   private def qPercentiles(s: SparkSession, dir: String): DataFrame =
     Relational.percentiles(t(s, dir, "events")).orderBy(col("event_type"))
 
@@ -339,6 +347,7 @@ object SparkEntry {
     "q_set_ops" -> (qSetOps _),
     "q_pivot_platform" -> (qPivotPlatform _),
     "q_agg_distinct" -> (qAggDistinct _),
+    "q_histogram" -> (qHistogram _),
     "q_percentiles" -> (qPercentiles _),
     "q_sketch_stats" -> (qSketchStats _),
     "q_semi_anti" -> (qSemiAnti _),
@@ -544,6 +553,11 @@ object SparkEntry {
         | count(DISTINCT event_type) AS n_types,
         | count(*) AS n_events
         |FROM events GROUP BY period_day ORDER BY period_day""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+        | count(*) AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY bin ORDER BY bin""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type,
         | round(quantile_cont(value, 0.5), 6) AS p50_value,
