@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through untouched: the bench/verify
+// drivers parse a bare one-line JSON from stdout, and sbt's default
+// LoggedOutput prefixes every line with [info]/[error], which broke the
+// round-1 BENCH parse.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
