@@ -101,7 +101,13 @@ object Sinks {
     val fresh = deltaKeys.select(col(keyCol)).distinct()
     val merged = if (tableExists(spark, path)) {
       val stored = spark.read.parquet(path)
-      val newKeys = fresh.join(stored.select(col(keyCol)), Seq(keyCol), "left_anti")
+      // null-safe anti join: a plain equi-anti never matches NULL, so a
+      // NULL natural key would be re-inserted with a fresh surrogate on
+      // every incremental load
+      val newKeys = fresh.alias("f")
+        .join(stored.select(col(keyCol)).alias("st"),
+          col(s"f.$keyCol") <=> col(s"st.$keyCol"), "left_anti")
+        .select(col(s"f.$keyCol"))
       // coalesce: an existing-but-empty dim has max(guid) = NULL
       val offset = stored
         .agg(org.apache.spark.sql.functions.coalesce(max(col(guidCol)), lit(0L)))

@@ -64,6 +64,16 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!readLine.contains("l_extendedprice"), p)
   }
 
+  test("broadcast upsert plans BroadcastHashJoins only — the target never shuffles") {
+    val orders = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderstatus")
+    val delta = orders.filter(org.apache.spark.sql.functions.col("o_orderkey") % 97 === 0)
+    val p = plan(graft.operators.MergeInto.upsert(
+      orders, delta, Seq("o_orderkey"), Seq("o_orderstatus"), broadcastDelta = true))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+  }
+
   test("whole-stage codegen covers the pricing aggregation") {
     // under AQE the final plan (with codegen stages) exists only after
     // execution — run it, then inspect the adaptive executed plan

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
 
 class MergeIntoSpec extends SparkSpecBase {
   import spark.implicits._
@@ -42,5 +43,53 @@ class MergeIntoSpec extends SparkSpecBase {
     val once = MergeInto.upsert(target, delta, Seq("k"), Seq("price"))
     val twice = MergeInto.upsert(once, delta, Seq("k"), Seq("price"))
     assert(twice.orderBy("k").collect().toSeq == once.orderBy("k").collect().toSeq)
+  }
+
+  private def targetWithNull = Seq(
+    (Option(1L), "a", 10.0), (Option(2L), "b", 20.0), (Option.empty[Long], "n", 30.0)
+  ).toDF("k", "name", "price")
+
+  test("broadcast upsert is equivalent to the full-outer form (incl. NULL keys)") {
+    val delta = Seq(
+      (Option(2L), "B2", 99.0),              // update
+      (Option(4L), "d", 40.0),               // insert
+      (Option.empty[Long], "N2", 77.0)       // NULL key: updates stored NULL row
+    ).toDF("k", "name", "price")
+    val full = MergeInto.upsert(targetWithNull, delta, Seq("k"),
+      Seq("name", "price"), broadcastDelta = false)
+    val bcast = MergeInto.upsert(targetWithNull, delta, Seq("k"),
+      Seq("name", "price"), broadcastDelta = true)
+    val f = full.orderBy(asc_nulls_first("k")).collect().toSeq
+    val b = bcast.orderBy(asc_nulls_first("k")).collect().toSeq
+    assert(f == b, s"full=$f bcast=$b")
+    assert(f.size == 4) // NULL matched NULL — no duplicate row
+  }
+
+  test("NULL-key delta row is NOT re-inserted across two incremental upserts") {
+    val delta = Seq((Option.empty[Long], "NEW", 1.0)).toDF("k", "name", "price")
+    val once = MergeInto.upsert(targetWithNull, delta, Seq("k"), Seq("name", "price"))
+    val twice = MergeInto.upsert(once, delta, Seq("k"), Seq("name", "price"))
+    assert(once.filter($"k".isNull).count() == 1)
+    assert(twice.filter($"k".isNull).count() == 1)
+    assert(twice.count() == 3)
+  }
+
+  test("NULL-key delta row is NOT re-inserted across two insertIfAbsent loads") {
+    val delta = Seq((Option.empty[Long], "NEW", 1.0)).toDF("k", "name", "price")
+    val once = MergeInto.insertIfAbsent(target, delta, Seq("k"))
+    assert(once.filter($"k".isNull).count() == 1) // first load inserts it
+    val twice = MergeInto.insertIfAbsent(once, delta, Seq("k"))
+    assert(twice.filter($"k".isNull).count() == 1) // second load matches it
+    assert(twice.count() == 4)
+  }
+
+  test("upsert raises on duplicate delta keys instead of fanning out") {
+    val dup = Seq((2L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "name", "price")
+    val ex = intercept[Exception] {
+      MergeInto.upsert(target, dup, Seq("k"), Seq("price")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("duplicate keys")), ex)
   }
 }

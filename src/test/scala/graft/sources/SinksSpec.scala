@@ -37,6 +37,25 @@ class SinksSpec extends SparkSpecBase {
     assert(ignored == Seq((1L, "a", 1.0), (2L, "B", 9.0), (3L, "c", 3.0), (4L, "d", 4.0)))
   }
 
+  test("mergeDimSurrogate: NULL natural key gets ONE surrogate across loads") {
+    val path = Files.createTempDirectory("graft_dim_null").toString + "/dim"
+    val load1 = Seq(Option("a"), Option("b"), Option.empty[String]).toDF("nk")
+    val v1 = Sinks.mergeDimSurrogate(spark, path, load1, "nk", "guid")
+    assert(v1.count() == 3)
+    assert(v1.filter(col("nk").isNull).count() == 1)
+    // re-deliver the same keys (incl. NULL) plus one new: only the new
+    // key gets a surrogate; the NULL row is matched, not re-inserted
+    val load2 = Seq(Option("a"), Option.empty[String], Option("c")).toDF("nk")
+    val v2 = Sinks.mergeDimSurrogate(spark, path, load2, "nk", "guid")
+    assert(v2.count() == 4, v2.collect().toSeq.toString)
+    assert(v2.filter(col("nk").isNull).count() == 1)
+    // surrogates stay unique and stable
+    assert(v2.select("guid").distinct().count() == 4)
+    val g1 = v1.filter(col("nk").isNull).select("guid").head().getLong(0)
+    val g2 = v2.filter(col("nk").isNull).select("guid").head().getLong(0)
+    assert(g1 == g2)
+  }
+
   test("compaction shrinks file count and preserves rows") {
     val dir = Files.createTempDirectory("graft_compact").toString + "/t"
     val df = Tables.lineitem(spark, sfDir)
