@@ -74,6 +74,12 @@ object Sinks {
     * Returns the merged frame that was persisted. Existence is a
     * filesystem check, NOT a read attempt — a transient read failure
     * must surface, never silently replace the table with the delta.
+    *
+    * The returned frame is `localCheckpoint`ed, NOT a lazy re-read of
+    * the path: a lazy handle snapshots the file listing at creation,
+    * so the next merge/compact swap would silently invalidate it
+    * (FILE_NOT_EXIST on first action). Dims are small by design, so
+    * pinning the merged result in the block manager is cheap.
     */
   def mergeDim(spark: SparkSession, path: String, delta: DataFrame,
       keys: Seq[String], updateCols: Seq[String],
@@ -84,9 +90,10 @@ object Sinks {
         updateCols, broadcastDelta = broadcastDelta)
       case Ignore => MergeInto.insertIfAbsent(spark.read.parquet(path), delta, keys)
     } else delta
-    merged.write.mode(SaveMode.Overwrite).parquet(path + ".staging")
+    val pinned = merged.localCheckpoint()
+    pinned.write.mode(SaveMode.Overwrite).parquet(path + ".staging")
     swapInto(spark, path + ".staging", path)
-    spark.read.parquet(path)
+    pinned
   }
 
   /** Key-dim refresh with STABLE dense surrogate keys across loads:
@@ -116,9 +123,12 @@ object Sinks {
         graft.operators.SurrogateKey.withDenseId(newKeys, Seq(keyCol), guidCol)
           .withColumn(guidCol, col(guidCol) + lit(offset)))
     } else graft.operators.SurrogateKey.withDenseId(fresh, Seq(keyCol), guidCol)
-    merged.write.mode(SaveMode.Overwrite).parquet(path + ".staging")
+    // pin before swap — see mergeDim: a lazy read of `path` would be
+    // invalidated by the next load's rename
+    val pinned = merged.localCheckpoint()
+    pinned.write.mode(SaveMode.Overwrite).parquet(path + ".staging")
     swapInto(spark, path + ".staging", path)
-    spark.read.parquet(path)
+    pinned
   }
 
   /** Small-file compaction: rewrite a table directory into

@@ -45,15 +45,36 @@ class SinksSpec extends SparkSpecBase {
     assert(v1.filter(col("nk").isNull).count() == 1)
     // re-deliver the same keys (incl. NULL) plus one new: only the new
     // key gets a surrogate; the NULL row is matched, not re-inserted
+    val g1 = v1.filter(col("nk").isNull).select("guid").head().getLong(0)
     val load2 = Seq(Option("a"), Option.empty[String], Option("c")).toDF("nk")
     val v2 = Sinks.mergeDimSurrogate(spark, path, load2, "nk", "guid")
     assert(v2.count() == 4, v2.collect().toSeq.toString)
     assert(v2.filter(col("nk").isNull).count() == 1)
     // surrogates stay unique and stable
     assert(v2.select("guid").distinct().count() == 4)
-    val g1 = v1.filter(col("nk").isNull).select("guid").head().getLong(0)
     val g2 = v2.filter(col("nk").isNull).select("guid").head().getLong(0)
     assert(g1 == g2)
+  }
+
+  test("held merge result survives subsequent loads and compaction") {
+    // regression: mergeDim/mergeDimSurrogate used to return a lazy
+    // spark.read.parquet(path) whose file listing the NEXT swap renamed
+    // away — any held handle then failed with FILE_NOT_EXIST
+    val path = Files.createTempDirectory("graft_dim_held").toString + "/dim"
+    val v1 = Sinks.mergeDim(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "name"), Seq("k"), Seq("name"))
+    val s1 = Sinks.mergeDimSurrogate(spark, path + "_s",
+      Seq("x", "y").toDF("nk"), "nk", "guid")
+    // second loads swap both table directories out from under any lazy reader
+    Sinks.mergeDim(spark, path,
+      Seq((2L, "B"), (3L, "c")).toDF("k", "name"), Seq("k"), Seq("name"))
+    Sinks.mergeDimSurrogate(spark, path + "_s", Seq("z").toDF("nk"), "nk", "guid")
+    Sinks.compact(spark, path, rowsPerFile = 1000L)
+    // the held v1/s1 handles must still answer from their own snapshot
+    assert(v1.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    assert(s1.count() == 2)
+    assert(s1.select("guid").distinct().count() == 2)
   }
 
   test("compaction shrinks file count and preserves rows") {
