@@ -403,7 +403,7 @@ object SparkEntry {
         | event_type AS event_name, json_keys(props)[1] AS event_parameter_name,
         | json_extract_string(props, '$.k')::BIGINT AS event_parameter_value,
         | value AS event_value,
-        | row_number() OVER (ORDER BY event_id) AS guid_event
+        | row_number() OVER (ORDER BY date_trunc('second', ts) DESC, event_id) AS guid_event
         |FROM events ORDER BY event_id""".stripMargin,
     "merge_upsert" ->
       """WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
@@ -453,7 +453,8 @@ object SparkEntry {
         |ORDER BY item_views DESC, item_name LIMIT 1""".stripMargin,
     "view_top_platform_by_year" ->
       """WITH fact AS (SELECT CAST(ts AS DATE) AS period_day, event_type AS platform,
-        |   json_extract_string(props, '$.k')::BIGINT AS item_key FROM events),
+        |   json_extract_string(props, '$.k')::BIGINT AS item_key FROM events
+        |   WHERE event_type = 'view'),
         | c AS (SELECT period_day, platform, count(*) AS platform_views
         |   FROM fact JOIN part d ON fact.item_key = d.p_partkey
         |   GROUP BY period_day, platform),

@@ -101,7 +101,11 @@ object StarSchema {
 
   /** f_events: fact — flatten payload into typed columns, surrogate key.
     * Reference: etl_s3_snowflake_f_events.py:23-44 (json_normalize +
-    * merge + rename), :50-62 (typed fact table). */
+    * merge + rename), :50-62 (typed fact table). The reference sorts
+    * latest-first before numbering (f_events.py:36 `sort_values(
+    * 'event_time', ascending=False)` then guid = 1..N), so guid 1 is
+    * the newest event; event_id breaks second-precision ties to keep
+    * the numbering a total order across engines. */
   def fEvents(events: DataFrame): DataFrame = {
     val flat = events.select(
       col("event_id"),
@@ -111,6 +115,7 @@ object StarSchema {
       element_at(payloadKeys, 1).as("event_parameter_name"),
       get_json_object(col("props"), "$.k").cast("bigint").as("event_parameter_value"),
       col("value").as("event_value"))
-    SurrogateKey.withDenseId(flat, Seq("event_id"), "guid_event")
+    SurrogateKey.withDenseIdOrdered(flat,
+      Seq(col("event_time").desc, col("event_id")), "guid_event")
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
@@ -20,11 +20,18 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object SurrogateKey {
 
-  def withDenseId(df: DataFrame, orderCols: Seq[String], name: String): DataFrame = {
+  def withDenseId(df: DataFrame, orderCols: Seq[String], name: String): DataFrame =
+    withDenseIdOrdered(df, orderCols.map(col), name)
+
+  /** As [[withDenseId]] but over arbitrary sort expressions (e.g.
+    * `col("event_time").desc` for the reference's latest-first fact
+    * numbering). The combined key must still be a total order.
+    */
+  def withDenseIdOrdered(df: DataFrame, orderCols: Seq[Column], name: String): DataFrame = {
     val spark = df.sparkSession
     val sorted = df
-      .repartitionByRange(orderCols.map(col): _*)
-      .sortWithinPartitions(orderCols.map(col): _*)
+      .repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
     val outSchema = StructType(sorted.schema.fields :+ StructField(name, LongType, nullable = false))
     // zipWithIndex over InternalRow (no external-Row encode/decode);
     // its internal start-offset job shares the shuffle lineage, so the

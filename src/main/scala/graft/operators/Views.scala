@@ -66,12 +66,23 @@ object Views {
       .limit(1)
   }
 
-  /** View 4 — dominant platform (event_type) per period: rank = 1 rows. */
+  /** View 4 — dominant platform per period among VIEW events: rank = 1
+    * rows. The reference scopes this view (like the other three) to
+    * `event_name = 'view_item'` before ranking platforms
+    * (aggregated_views.py:81-87). The driver testdata has no separate
+    * platform column, so `event_type` plays both `event_name` (the
+    * view filter) and `EVENT_PLATFORM` (the ranked dimension) — the
+    * filtered result is degenerate (one platform) but the operator
+    * shape (filter → join dim → count → dense_rank → rank=1) mirrors
+    * the reference exactly.
+    */
   def topPlatformByPeriod(events: DataFrame, items: DataFrame): DataFrame = {
-    val fact = events.select(
-      col("ts").cast("date").as("period_day"),
-      col("event_type").as("platform"),
-      get_json_object(col("props"), "$.k").cast("bigint").as("item_key"))
+    val fact = events
+      .filter(col("event_type") === "view")
+      .select(
+        col("ts").cast("date").as("period_day"),
+        col("event_type").as("platform"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("item_key"))
     val counts = fact
       .join(broadcast(items.select(col("p_partkey"))), col("item_key") === col("p_partkey"))
       .groupBy(col("period_day"), col("platform"))

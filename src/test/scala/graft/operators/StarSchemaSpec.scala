@@ -31,4 +31,19 @@ class StarSchemaSpec extends SparkSpecBase {
       "event_value", "guid_event"))
     assert(f.filter(col("event_parameter_name") =!= "k").count() == 0)
   }
+
+  test("fEvents numbers latest-first like the reference") {
+    // f_events.py:36 sorts event_time descending before assigning
+    // guid = 1..N, so guid 1 is the newest event
+    val f = StarSchema.fEvents(events)
+    val first = f.filter(col("guid_event") === 1L)
+      .select("event_time").head().getTimestamp(0)
+    val maxTs = f.agg(max("event_time")).head().getTimestamp(0)
+    assert(first == maxTs)
+    // dense 1..N with no gaps
+    val n = f.count()
+    val stats = f.agg(min("guid_event"), max("guid_event"),
+      countDistinct("guid_event")).head()
+    assert(stats.getLong(0) == 1L && stats.getLong(1) == n && stats.getLong(2) == n)
+  }
 }

@@ -34,6 +34,15 @@ class ViewsSpec extends SparkSpecBase {
     val p = Views.topPlatformByPeriod(events, part)
     assert(p.filter(col("platform_rank") =!= 1).count() == 0)
     assert(p.count() >= p.select("period_day").distinct().count())
+    // reference scopes the view to view events (aggregated_views.py:81-87);
+    // with event_type doubling as platform, every surviving row is 'view'
+    assert(p.filter(col("platform") =!= "view").count() == 0)
+    // counts agree with view 1 (same filter + dim join + day bucket)
+    val yc = Views.yearlyCounts(events, part)
+      .withColumnRenamed("item_views", "yc_views")
+    val mismatch = p.join(yc, "period_day")
+      .filter(col("platform_views") =!= col("yc_views"))
+    assert(mismatch.count() == 0)
   }
 
   test("top item of recent period is a single row from the latest day") {
