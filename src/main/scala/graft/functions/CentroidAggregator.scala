@@ -35,8 +35,11 @@ class CentroidAggregator(dim: Int)
     CentroidBuffer(x.sums, x.n + y.n)
   }
 
+  // A group with no (non-NULL) embeddings has no centroid: return NULL
+  // rather than fabricating the zero vector — a zero "centroid" would
+  // silently attract nothing-alike vectors in downstream assignment.
   override def finish(r: CentroidBuffer): Seq[Double] =
-    if (r.n == 0) r.sums.toSeq else r.sums.map(_ / r.n).toSeq
+    if (r.n == 0) null else r.sums.map(_ / r.n).toSeq
 
   override def bufferEncoder: Encoder[CentroidBuffer] = Encoders.product[CentroidBuffer]
   override def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder[Seq[Double]]()

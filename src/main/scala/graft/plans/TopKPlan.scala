@@ -36,6 +36,12 @@ case class TopKPerGroupPlan(
 
 /** Shared bounded-heap pass: keeps the k best (order desc, tie asc)
   * rows per group within one partition's iterator.
+  *
+  * Rows with a NULL group, order, or tie value are skipped, not
+  * ranked: a positional `getLong`/`getDouble` on a NULL slot would
+  * silently read 0 and corrupt the ranking, and a NULL score cannot
+  * meaningfully compete for a top-k place (same shape as NULL join
+  * keys matching nothing).
   */
 private[graft] object HeapPass {
   type Entry = (Double, Long, InternalRow)
@@ -45,7 +51,7 @@ private[graft] object HeapPass {
     implicit val badnessFirst: Ordering[Entry] =
       Ordering.by[Entry, (Double, Long)](e => (-e._1, e._2))
     val heaps = new java.util.HashMap[Long, scala.collection.mutable.PriorityQueue[Entry]]()
-    it.foreach { r =>
+    it.filterNot(r => r.isNullAt(gi) || r.isNullAt(oi) || r.isNullAt(ti)).foreach { r =>
       val g = r.getLong(gi)
       val o = r.getDouble(oi)
       val t = r.getLong(ti)
@@ -136,6 +142,8 @@ object TopKPlanner {
 
   /** Top-k best `orderCol` (desc, ties by `tieCol` asc) rows per
     * `groupCol`, with a 1..k `rnk` column — planned natively.
+    * Rows with a NULL group/order/tie value are excluded from the
+    * ranking (see [[HeapPass]]).
     */
   def perGroup(df: DataFrame, groupCol: String, orderCol: String,
       tieCol: String, k: Int): DataFrame = {

@@ -95,6 +95,22 @@ class FunctionsSpec extends SparkSpecBase {
     assert(out == Seq((0, Seq(2.0, 3.0)), (1, Seq(10.0, 20.0))))
   }
 
+  test("centroid of an all-NULL-embedding group is NULL, not the zero vector") {
+    val df = Seq(
+      (0, Some(Seq(1.0f, 2.0f))), (0, None),
+      (1, None), (1, None)
+    ).toDF("label", "embedding").repartition(2)
+    val centroid = udaf(new CentroidAggregator(2))
+    val out = df.groupBy($"label").agg(centroid($"embedding").as("c"))
+      .orderBy("label").as[(Int, Option[Seq[Double]])].collect().toSeq
+    assert(out == Seq((0, Some(Seq(1.0, 2.0))), (1, None)))
+    // posexplode then drops the NULL-centroid label — same as DuckDB's
+    // unnest over no rows, keeping the knn_centroids oracle aligned
+    val exploded = df.groupBy($"label").agg(centroid($"embedding").as("c"))
+      .select($"label", posexplode($"c"))
+    assert(exploded.filter($"label" === 1).count() == 0)
+  }
+
   test("fingerprint is stable under prefix edits far from the min window") {
     val base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16"
     val df = Seq(base, base).toDF("text")

@@ -27,6 +27,23 @@ class TopKPlanSpec extends SparkSpecBase {
     assert(plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("NULL group/order/tie rows are excluded, not ranked as zero") {
+    // pre-fix the heap read NULL slots positionally as 0: a NULL score
+    // would beat negative scores and corrupt ranks
+    val df = Seq[(Option[Long], Option[Double], Option[Long])](
+      (Some(1L), Some(-5.0), Some(10L)),
+      (Some(1L), None, Some(11L)),        // NULL score must not outrank -5
+      (Some(1L), Some(-7.0), Some(12L)),
+      (None, Some(99.0), Some(13L)),      // NULL group competes nowhere
+      (Some(2L), Some(3.0), None),        // NULL tie is excluded too
+      (Some(2L), Some(1.0), Some(14L))
+    ).toDF("g", "score", "id")
+    val got = TopKPlanner.perGroup(df, "g", "score", "id", k = 2)
+      .select("g", "score", "id", "rnk")
+      .as[(Long, Double, Long, Int)].collect().toSeq.sorted
+    assert(got == Seq((1L, -7.0, 12L, 2), (1L, -5.0, 10L, 1), (2L, 1.0, 14L, 1)).sorted)
+  }
+
   test("partial phase bounds shuffled rows to groups*k per partition") {
     val df = (1 to 10000).map(i => (1L, i.toDouble, i.toLong))
       .toDF("g", "score", "id").repartition(4)
