@@ -22,26 +22,61 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact dedup: group identical texts, keep the minimum doc_id.
-    * At 100 TB group on a hash of the text (cheap shuffle key, no long
-    * string comparison in the exchange) — here the text itself is also
-    * carried through the hash to keep collision-safety exact.
+    *
+    * 100 TB shape: the shuffle key is `(xxhash64(text), length(text))`
+    * — 16 bytes per row — so the document body never enters an
+    * exchange. Collision safety comes from a SECOND independent
+    * 64-bit hash carried as a value: a group whose members disagree on
+    * it contains a primary-hash collision and is re-resolved exactly,
+    * grouping those few rows by their full text. A false merge now
+    * needs two distinct texts of equal length colliding on BOTH
+    * independent hashes (~2^-128 — far below hardware error rates).
     */
   def exact(docs: DataFrame): DataFrame =
-    docs
-      .groupBy(xxhash64(col("text")).as("text_hash"), col("text"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    exactHashed(docs, xxhash64(col("text")), xxhash64(lit(1), col("text")))
       .select(col("keep_id"), col("n_copies"))
 
+  /** [[exact]] with injectable hash expressions so the collision
+    * fallback is testable (real 64-bit collisions are not findable).
+    * Returns one row per distinct text: (keep_id, n_copies).
+    */
+  private[operators] def exactHashed(docs: DataFrame,
+      primaryHash: org.apache.spark.sql.Column,
+      secondaryHash: org.apache.spark.sql.Column): DataFrame = {
+    val hashed = docs.select(
+      col("doc_id"),
+      primaryHash.as("h"),
+      secondaryHash.as("h2"),
+      length(col("text")).as("len"))
+    val agg = hashed
+      .groupBy(col("h"), col("len"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+        countDistinct(col("h2")).as("n_h2"))
+    val clean = agg.filter(col("n_h2") === 1)
+      .select(col("keep_id"), col("n_copies"))
+    // collision fallback: groups where the independent hash disagrees
+    // hold ≥2 distinct texts — regroup exactly by text. Suspects are
+    // ~zero rows, so the text-keyed shuffle here is negligible and the
+    // key set broadcasts.
+    val suspectKeys = agg.filter(col("n_h2") > 1).select(col("h"), col("len"))
+    val resolved = docs
+      .select(col("doc_id"), col("text"), primaryHash.as("h"),
+        length(col("text")).as("len"))
+      .join(broadcast(suspectKeys), Seq("h", "len"), "left_semi")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+    clean.unionByName(resolved)
+  }
+
   /** The deduplicated corpus itself: keep exactly the canonical
-    * (minimum doc_id) row of every identical-text group. One
-    * hash-groupBy to elect canonicals, one key join to materialize —
-    * the corpus body never shuffles by its text.
+    * (minimum doc_id) row of every identical-text group. Canonical
+    * election is the hash-keyed [[exact]] pass; one semi join on
+    * doc_id materializes the survivors — the corpus body never
+    * shuffles by its text.
     */
   def exactKeep(docs: DataFrame): DataFrame = {
-    val keep = docs
-      .groupBy(xxhash64(col("text")).as("text_hash"), col("text"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
+    val keep = exact(docs).select(col("keep_id").as("doc_id"))
     docs.join(keep, Seq("doc_id"), "left_semi")
   }
 

@@ -26,6 +26,33 @@ class DedupSpec extends SparkSpecBase {
     assert(kept == Set(1L, 3L, 4L, 5L)) // doc 2 is the dropped duplicate
   }
 
+  test("exact dedup shuffle key is the hash, not the document body") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val plan = Dedup.exact(docs).queryExecution.optimizedPlan
+    val aggs = plan.collect { case a: Aggregate => a }
+    val (textKeyed, hashKeyed) = aggs.partition(
+      _.groupingExpressions.exists(_.references.exists(_.name == "text")))
+    // the corpus-wide aggregate keys on (h, len) only…
+    assert(hashKeyed.nonEmpty, plan)
+    // …and any text-keyed aggregate sits on the collision-fallback
+    // branch (above the suspect-keys semi join), never over the corpus
+    textKeyed.foreach { a =>
+      assert(a.collectFirst { case j: Join => j }.isDefined, a)
+    }
+  }
+
+  test("primary-hash collisions are detected and resolved exactly") {
+    // equal-length DISTINCT texts + a constant primary hash = a forced
+    // (h, len) collision; the secondary-hash disagreement must route
+    // the group through the exact-text fallback, not merge it
+    val clash = Seq(
+      (10L, "aaaa"), (11L, "bbbb"), (12L, "aaaa"), (13L, "cc")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactHashed(clash, lit(0L), xxhash64(lit(1), col("text")))
+      .orderBy("keep_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((10L, 2L), (11L, 1L), (13L, 1L)))
+  }
+
   test("minhash LSH flags exact and near duplicates, not unrelated docs") {
     val out = Dedup.minhashNearDups(docs)
       .orderBy("doc_id")
