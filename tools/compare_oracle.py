@@ -70,16 +70,220 @@ def main(sfdir, outdir):
             flag = f" DTYPE{dt}" if dt else ""
             print(f"ok   {name} ({len(got)} rows){flag}")
             n_ok += 1
-    rows_only = {"dedup_minhash", "dedup_simhash", "dedup_ngram", "knn_lsh",
-                 "text_fingerprint", "mm_features", "q_sketch_stats"}
-    for name in sorted(rows_only):
+    # ------------------------------------------------------------------
+    # Property oracles for the hash/sketch queries DuckDB cannot replay
+    # value-for-value (their outputs depend on xxhash64/murmur seeds).
+    # Each SQL runs against the EMITTED parquet (view `o`) plus the raw
+    # tables and returns one row of violation counters — every counter
+    # must be 0. These are independent recomputations: DuckDB re-derives
+    # exact Jaccard/cosine/Hamming from the raw data, so a wrong emitted
+    # value (not just a wrong row count) fails the gate.
+    n_prop_ok = n_prop_bad = 0
+    for name, checks in sorted(PROPERTY_CHECKS.items()):
         try:
             n = con.execute(
                 f"SELECT count(*) FROM read_parquet('{outdir}/{name}/*.parquet')").fetchone()[0]
             print(f"rows {name}: {n}" + (" (EMPTY!)" if n == 0 else ""))
+            con.execute(
+                f"CREATE OR REPLACE VIEW o AS SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
         except Exception as e:
             print(f"rows {name}: ERROR {e}")
+            n_prop_bad += len(checks)
+            continue
+        for desc, sql in checks:
+            try:
+                row = con.execute(sql).df()
+                bad = {c: int(row[c][0]) for c in row.columns if int(row[c][0]) != 0}
+                if bad:
+                    print(f"PROP FAIL {name}: {desc} — {bad}")
+                    n_prop_bad += 1
+                else:
+                    n_prop_ok += 1
+            except Exception as e:
+                print(f"PROP FAIL {name}: {desc} — {e}")
+                n_prop_bad += 1
+    print(f"props: {n_prop_ok} ok, {n_prop_bad} fail")
     print(f"\n{n_ok} ok, {n_bad} fail")
+    if n_prop_bad:
+        sys.exit(1)
+
+
+# Word-3-gram shingle sets exactly as TextFunctions.wordShingles:
+# split on whitespace, windows of 3 starting at every position 0..len-3
+# (minimum one window), joined with single spaces, de-duplicated.
+_WORD_SHINGLES = r"""
+  SELECT doc_id, list_distinct(list_transform(
+    range(0, greatest(len(w)-3, 0)+1),
+    i -> array_to_string(w[i+1:i+3], ' '))) AS s
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+"""
+
+# Char-3-gram sets exactly as TextFunctions.charNgrams (1-based substr
+# windows, clipped at the end, minimum one window).
+_CHAR_GRAMS = """
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(length(text)-2, 1)+1),
+    i -> text[i:i+2])) AS s
+  FROM documents
+"""
+
+# Exact pairwise Jaccard + per-doc summary over a shingle-set CTE `sh`.
+_JACCARD_PERDOC = """
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    round(len(list_intersect(a.s, b.s))::DOUBLE /
+          greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 4) AS j
+  FROM sh a, sh b WHERE a.doc_id < b.doc_id
+),
+perdoc AS (
+  SELECT doc_id, list(j) AS js, max(j) AS maxj
+  FROM (SELECT id_a AS doc_id, j FROM pairs UNION ALL SELECT id_b AS doc_id, j FROM pairs)
+  GROUP BY doc_id
+)
+"""
+
+_TWINS = """
+twins AS (
+  SELECT doc_id FROM documents WHERE text IN (
+    SELECT text FROM documents GROUP BY text HAVING count(*) > 1))
+"""
+
+PROPERTY_CHECKS = {
+    "dedup_minhash": [
+        ("emitted best_jaccard is the exact Jaccard of a real pair, "
+         "never above the true max, zero-candidate rows are clean, "
+         "near-dup flag consistent with threshold 0.5",
+         f"WITH sh AS ({_WORD_SHINGLES}), {_JACCARD_PERDOC}"
+         """
+         SELECT
+          count(*) FILTER (WHERE o.n_candidates > 0 AND
+            len(list_filter(p.js, x -> abs(x - o.best_jaccard) < 1e-9)) = 0) AS no_matching_pair,
+          count(*) FILTER (WHERE o.best_jaccard > p.maxj + 1e-9) AS invented_score,
+          count(*) FILTER (WHERE o.n_candidates = 0 AND (o.best_jaccard != 0 OR o.is_near_dup)) AS bad_zero,
+          count(*) FILTER (WHERE o.n_candidates > 0 AND o.is_near_dup != (o.best_jaccard >= 0.5)) AS bad_flag
+         FROM o LEFT JOIN perdoc p USING (doc_id)
+         """),
+        ("recall floor: identical-text twins must be caught at jaccard 1.0",
+         f"WITH {_TWINS}"
+         """
+         SELECT count(*) AS missed_twin FROM o JOIN twins USING (doc_id)
+         WHERE o.n_candidates = 0 OR abs(o.best_jaccard - 1.0) > 1e-9
+         """),
+    ],
+    "dedup_ngram": [
+        ("emitted best_gram_jaccard matches a real pair's exact "
+         "char-3-gram Jaccard and never exceeds the true max",
+         f"WITH sh AS ({_CHAR_GRAMS}), {_JACCARD_PERDOC}"
+         """
+         SELECT
+          count(*) FILTER (WHERE o.n_candidates > 0 AND
+            len(list_filter(p.js, x -> abs(x - o.best_gram_jaccard) < 1e-9)) = 0) AS no_matching_pair,
+          count(*) FILTER (WHERE o.best_gram_jaccard > p.maxj + 1e-9) AS invented_score,
+          count(*) FILTER (WHERE o.n_candidates = 0 AND o.best_gram_jaccard != 0) AS bad_zero
+         FROM o LEFT JOIN perdoc p USING (doc_id)
+         """),
+        ("recall floor: identical-text twins caught at gram jaccard 1.0",
+         f"WITH {_TWINS}"
+         """
+         SELECT count(*) AS missed_twin FROM o JOIN twins USING (doc_id)
+         WHERE o.n_candidates = 0 OR abs(o.best_gram_jaccard - 1.0) > 1e-9
+         """),
+    ],
+    "dedup_simhash": [
+        # given the emitted signatures, the pigeonhole blocking is
+        # guaranteed-recall for hamming<=3, so n_near/min_hamming are
+        # fully determined — replay them exactly
+        ("n_near and min_hamming replay exactly from the emitted signatures",
+         """
+         WITH p AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  bit_count(xor(a.simhash, b.simhash)) AS ham
+           FROM o a, o b WHERE a.doc_id < b.doc_id
+         ),
+         tn AS (
+           SELECT doc_id,
+             count(*) FILTER (WHERE ham <= 3) AS n_true,
+             min(ham) FILTER (WHERE ham <= 3) AS min_true
+           FROM (SELECT id_a AS doc_id, ham FROM p UNION ALL SELECT id_b AS doc_id, ham FROM p)
+           GROUP BY doc_id
+         )
+         SELECT count(*) AS replay_mismatch FROM o LEFT JOIN tn USING (doc_id)
+         WHERE o.n_near != coalesce(tn.n_true, 0)
+            OR o.min_hamming != coalesce(tn.min_true, 64)
+         """),
+        ("identical texts share one signature",
+         """
+         SELECT count(*) AS split_signature FROM (
+           SELECT d.text FROM o JOIN documents d USING (doc_id)
+           GROUP BY d.text HAVING count(DISTINCT o.simhash) > 1)
+         """),
+    ],
+    "knn_lsh": [
+        ("every emitted cosine equals the exact cosine of that pair; "
+         "no self pairs; probes respect the probe predicate",
+         """
+         SELECT
+          count(*) FILTER (WHERE abs(round(list_cosine_similarity(
+            p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) - o.cosine) > 1e-9) AS bad_cosine,
+          count(*) FILTER (WHERE o.probe_id = o.cand_id) AS self_pair,
+          count(*) FILTER (WHERE p.vec_id >= 8) AS bad_probe
+         FROM o JOIN embeddings p ON o.probe_id = p.vec_id
+                JOIN embeddings c ON o.cand_id = c.vec_id
+         """),
+        ("ranks are dense 1..k by cosine desc, cand_id tiebreak",
+         """
+         WITH r AS (SELECT *, row_number() OVER (
+             PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS want_rnk FROM o)
+         SELECT count(*) AS bad_rank FROM r WHERE rnk != want_rnk
+         """),
+    ],
+    "text_fingerprint": [
+        ("identical texts share fingerprint and simhash",
+         """
+         SELECT count(*) AS split_group FROM (
+           SELECT d.text FROM o JOIN documents d USING (doc_id)
+           GROUP BY d.text
+           HAVING count(DISTINCT o.fingerprint) > 1 OR count(DISTINCT o.simhash) > 1)
+         """),
+    ],
+    "q_sketch_stats": [
+        ("counts exact; HLL within 5% of true distinct; approx "
+         "percentiles inside tight true-quantile brackets",
+         """
+         WITH ex AS (
+           SELECT event_type, count(DISTINCT user_id) AS du, count(*) AS n,
+             quantile_disc(value, 0.45) AS p50lo, quantile_disc(value, 0.55) AS p50hi,
+             quantile_disc(value, 0.90) AS p95lo, quantile_disc(value, 0.995) AS p95hi
+           FROM events GROUP BY event_type)
+         SELECT
+          count(*) FILTER (WHERE o.n_events != ex.n) AS bad_count,
+          count(*) FILTER (WHERE abs(o.approx_users - ex.du) > 0.05 * ex.du) AS bad_hll,
+          count(*) FILTER (WHERE o.approx_p50 NOT BETWEEN ex.p50lo AND ex.p50hi) AS bad_p50,
+          count(*) FILTER (WHERE o.approx_p95 NOT BETWEEN ex.p95lo AND ex.p95hi) AS bad_p95
+         FROM o JOIN ex USING (event_type)
+         """),
+    ],
+    "mm_features": [
+        ("one row per document; metadata replays exactly; head_sig "
+         "replays byte-for-byte on printable-ASCII prefixes",
+         """
+         SELECT
+          ((SELECT count(*) FROM o) != (SELECT count(*) FROM documents))::BIGINT AS bad_cardinality,
+          count(*) FILTER (WHERE o.media_type != 'image/fake'
+            OR o.byte_len != octet_length(encode(d.text))
+            OR o.width  != d.n_chars % 640 + 1
+            OR o.height != d.n_chars % 480 + 1) AS bad_meta,
+          count(*) FILTER (WHERE octet_length(encode(d.text)) >= 8
+            AND regexp_matches(d.text[1:8], '^[ -~]{8}$')
+            AND o.head_sig != (
+              (ascii(d.text[1:1])::BIGINT << 56) | (ascii(d.text[2:2])::BIGINT << 48) |
+              (ascii(d.text[3:3])::BIGINT << 40) | (ascii(d.text[4:4])::BIGINT << 32) |
+              (ascii(d.text[5:5])::BIGINT << 24) | (ascii(d.text[6:6])::BIGINT << 16) |
+              (ascii(d.text[7:7])::BIGINT << 8) | ascii(d.text[8:8])::BIGINT)) AS bad_head
+         FROM o JOIN documents d USING (doc_id)
+         """),
+    ],
+}
 
 
 if __name__ == "__main__":
