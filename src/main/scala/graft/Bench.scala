@@ -11,11 +11,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional comma-separated filter for profiling single queries
-    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
-      case None => SparkEntry.queries
-    }
+    val selected = SparkEntry.selectQueries(sys.env.get("SPARK_GRAFT_QUERIES"))
     // warm the JVM (codegen, parquet reader, shuffle paths) so per-query
     // numbers reflect steady state rather than first-query JIT cost
     try {

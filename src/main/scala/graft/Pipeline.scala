@@ -50,8 +50,12 @@ object Pipeline {
       // dims keyed on their natural key, insert-if-absent with
       // surrogate ids that stay stable across incremental drops (new
       // keys continue after the stored max — never renumbered)
+      // d_event is one row per EVENT — fact-sized, so don't pin the
+      // returned frame in the block manager (pinResult = false); the
+      // count below is its only consumer before the next load
       timed("d_event")(Sinks.mergeDimSurrogate(spark, s"$w/d_event",
-        events.select("event_id"), "event_id", "guid_event").count()),
+        events.select("event_id"), "event_id", "guid_event",
+        pinResult = false).count()),
       timed("d_user")(Sinks.mergeDimSurrogate(spark, s"$w/d_user",
         events.select("user_id"), "user_id", "guid_user").count()),
       timed("d_parameter")(Sinks.mergeDimSurrogate(spark, s"$w/d_parameter",
@@ -74,7 +78,8 @@ object Pipeline {
           Seq("event_id", "event_parameter_name", "event_parameter_value"),
           Seq("event_time", "event_user_id", "event_name", "event_value", "guid_event"),
           Sinks.Update,
-          broadcastDelta = false).count() // fact-sized delta: shuffle merge
+          broadcastDelta = false, // fact-sized delta: shuffle merge
+          pinResult = false).count() // fact-sized result: no block-manager pin
       }),
       // the four analytic views, rebuilt per load
       timed("view_yearly_counts")(

@@ -323,6 +323,23 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- map
 
+  /** Shared SPARK_GRAFT_QUERIES parsing for Verify and Bench: trimmed,
+    * comma-separated names; unknown names warn on stderr instead of
+    * silently selecting nothing (a typo would otherwise look like a
+    * successful empty run).
+    */
+  def selectQueries(filter: Option[String]): Map[String, (SparkSession, String) => DataFrame] =
+    filter match {
+      case None => queries
+      case Some(raw) =>
+        val names = raw.split(",").map(_.trim).filter(_.nonEmpty).toSet
+        val unknown = names.diff(queries.keySet)
+        if (unknown.nonEmpty)
+          System.err.println(
+            s"[graft] SPARK_GRAFT_QUERIES names not in SparkEntry.queries: ${unknown.toSeq.sorted.mkString(", ")}")
+        queries.filter { case (n, _) => names(n) }
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "raw_ingest" -> (qRawIngest _),
     "d_event" -> (qDEvent _),

@@ -17,12 +17,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // optional comma-separated filter, mirroring Bench — the driver sets
     // no filter and gets the full dump
-    val only = sys.env.get("SPARK_GRAFT_QUERIES")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = only match {
-      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
-      case None => SparkEntry.queries
-    }
+    val selected = SparkEntry.selectQueries(sys.env.get("SPARK_GRAFT_QUERIES"))
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

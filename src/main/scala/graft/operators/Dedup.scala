@@ -48,17 +48,21 @@ object Dedup {
       primaryHash.as("h"),
       secondaryHash.as("h2"),
       length(col("text")).as("len"))
+    // disagreement = min(h2) != max(h2): same signal as a distinct
+    // count but with plain partial aggregation — count(DISTINCT h2)
+    // would trigger the Expand rewrite and double the shuffled rows
     val agg = hashed
       .groupBy(col("h"), col("len"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
-        countDistinct(col("h2")).as("n_h2"))
-    val clean = agg.filter(col("n_h2") === 1)
+        (min(col("h2")) =!= max(col("h2"))).as("h2_disagrees"))
+    val clean = agg.filter(!col("h2_disagrees"))
       .select(col("keep_id"), col("n_copies"))
     // collision fallback: groups where the independent hash disagrees
     // hold ≥2 distinct texts — regroup exactly by text. Suspects are
     // ~zero rows, so the text-keyed shuffle here is negligible and the
-    // key set broadcasts.
-    val suspectKeys = agg.filter(col("n_h2") > 1).select(col("h"), col("len"))
+    // key set broadcasts; with AQE the empty broadcast side prunes the
+    // fallback's corpus scan entirely in the normal no-collision case.
+    val suspectKeys = agg.filter(col("h2_disagrees")).select(col("h"), col("len"))
     val resolved = docs
       .select(col("doc_id"), col("text"), primaryHash.as("h"),
         length(col("text")).as("len"))

@@ -75,25 +75,35 @@ object Sinks {
     * filesystem check, NOT a read attempt — a transient read failure
     * must surface, never silently replace the table with the delta.
     *
-    * The returned frame is `localCheckpoint`ed, NOT a lazy re-read of
-    * the path: a lazy handle snapshots the file listing at creation,
-    * so the next merge/compact swap would silently invalidate it
-    * (FILE_NOT_EXIST on first action). Dims are small by design, so
-    * pinning the merged result in the block manager is cheap.
+    * With `pinResult` (the default) the returned frame is
+    * `localCheckpoint`ed, NOT a lazy re-read of the path: a lazy handle
+    * snapshots the file listing at creation, so the next merge/compact
+    * swap would silently invalidate it (FILE_NOT_EXIST on first
+    * action). The pin costs block-manager space until the handle is
+    * GC'd — cheap for dims, a non-starter for fact-sized tables: pass
+    * `pinResult = false` there and treat the returned lazy read as
+    * valid only until the next load's swap.
     */
   def mergeDim(spark: SparkSession, path: String, delta: DataFrame,
       keys: Seq[String], updateCols: Seq[String],
       mode: MergeMode = Update,
-      broadcastDelta: Boolean = true): DataFrame = {
+      broadcastDelta: Boolean = true,
+      pinResult: Boolean = true): DataFrame = {
     val merged = if (tableExists(spark, path)) mode match {
       case Update => MergeInto.upsert(spark.read.parquet(path), delta, keys,
         updateCols, broadcastDelta = broadcastDelta)
       case Ignore => MergeInto.insertIfAbsent(spark.read.parquet(path), delta, keys)
     } else delta
-    val pinned = merged.localCheckpoint()
-    pinned.write.mode(SaveMode.Overwrite).parquet(path + ".staging")
-    swapInto(spark, path + ".staging", path)
-    pinned
+    if (pinResult) {
+      val pinned = merged.localCheckpoint()
+      pinned.write.mode(SaveMode.Overwrite).parquet(path + ".staging")
+      swapInto(spark, path + ".staging", path)
+      pinned
+    } else {
+      merged.write.mode(SaveMode.Overwrite).parquet(path + ".staging")
+      swapInto(spark, path + ".staging", path)
+      spark.read.parquet(path)
+    }
   }
 
   /** Key-dim refresh with STABLE dense surrogate keys across loads:
@@ -103,7 +113,7 @@ object Sinks {
     * incremental loads; this is the append-stable correction.)
     */
   def mergeDimSurrogate(spark: SparkSession, path: String, deltaKeys: DataFrame,
-      keyCol: String, guidCol: String): DataFrame = {
+      keyCol: String, guidCol: String, pinResult: Boolean = true): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit, max}
     val fresh = deltaKeys.select(col(keyCol)).distinct()
     val merged = if (tableExists(spark, path)) {
@@ -124,11 +134,18 @@ object Sinks {
           .withColumn(guidCol, col(guidCol) + lit(offset)))
     } else graft.operators.SurrogateKey.withDenseId(fresh, Seq(keyCol), guidCol)
     // pin before swap — see mergeDim: a lazy read of `path` would be
-    // invalidated by the next load's rename
-    val pinned = merged.localCheckpoint()
-    pinned.write.mode(SaveMode.Overwrite).parquet(path + ".staging")
-    swapInto(spark, path + ".staging", path)
-    pinned
+    // invalidated by the next load's rename; skip the pin for
+    // fact-sized key dims (e.g. one row per event)
+    if (pinResult) {
+      val pinned = merged.localCheckpoint()
+      pinned.write.mode(SaveMode.Overwrite).parquet(path + ".staging")
+      swapInto(spark, path + ".staging", path)
+      pinned
+    } else {
+      merged.write.mode(SaveMode.Overwrite).parquet(path + ".staging")
+      swapInto(spark, path + ".staging", path)
+      spark.read.parquet(path)
+    }
   }
 
   /** Small-file compaction: rewrite a table directory into

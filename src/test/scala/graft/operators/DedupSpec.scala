@@ -27,8 +27,11 @@ class DedupSpec extends SparkSpecBase {
   }
 
   test("exact dedup shuffle key is the hash, not the document body") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Join}
     val plan = Dedup.exact(docs).queryExecution.optimizedPlan
+    // no distinct-aggregate Expand: the collision signal is min!=max,
+    // which keeps the corpus shuffle at one row per input row
+    assert(plan.collect { case e: Expand => e }.isEmpty, plan)
     val aggs = plan.collect { case a: Aggregate => a }
     val (textKeyed, hashKeyed) = aggs.partition(
       _.groupingExpressions.exists(_.references.exists(_.name == "text")))

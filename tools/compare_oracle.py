@@ -84,6 +84,12 @@ def main(sfdir, outdir):
             n = con.execute(
                 f"SELECT count(*) FROM read_parquet('{outdir}/{name}/*.parquet')").fetchone()[0]
             print(f"rows {name}: {n}" + (" (EMPTY!)" if n == 0 else ""))
+            if n == 0:
+                # universally-quantified checks are vacuously true over
+                # an empty output — that's a failure, not a pass
+                print(f"PROP FAIL {name}: empty output")
+                n_prop_bad += len(checks)
+                continue
             con.execute(
                 f"CREATE OR REPLACE VIEW o AS SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
         except Exception as e:
@@ -104,9 +110,20 @@ def main(sfdir, outdir):
                 n_prop_bad += 1
     print(f"props: {n_prop_ok} ok, {n_prop_bad} fail")
     print(f"\n{n_ok} ok, {n_bad} fail")
-    if n_prop_bad:
+    if n_prop_bad or n_bad:
         sys.exit(1)
 
+
+# The pairwise Jaccard/Hamming recomputations are O(n^2) in DuckDB;
+# bound them to the PAIRWISE_CAP lowest doc_ids so the checks stay fast
+# at larger SFs (the driver's gate runs at sf0.01 where documents = 500
+# — uncapped). Capped docs are still paired against EVERY doc, so their
+# per-doc stats are complete; each check's cardinality counter guards
+# against the cap (or a regression) silently verifying nothing.
+PAIRWISE_CAP = 1000
+
+# lowest-doc_id slice (robust to sparse/offset ids, unlike `doc_id < N`)
+_CAP = f"(SELECT doc_id FROM documents ORDER BY doc_id LIMIT {PAIRWISE_CAP})"
 
 # Word-3-gram shingle sets exactly as TextFunctions.wordShingles:
 # split on whitespace, windows of 3 starting at every position 0..len-3
@@ -127,18 +144,21 @@ _CHAR_GRAMS = """
   FROM documents
 """
 
-# Exact pairwise Jaccard + per-doc summary over a shingle-set CTE `sh`.
-_JACCARD_PERDOC = """
-pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-    round(len(list_intersect(a.s, b.s))::DOUBLE /
-          greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 4) AS j
-  FROM sh a, sh b WHERE a.doc_id < b.doc_id
-),
+# Exact per-doc Jaccard summary over a shingle-set CTE `sh_all`: each
+# capped doc is paired against EVERY other doc (a capped doc's best
+# match may lie outside the cap), so js/maxj are complete for the docs
+# the pairwise counters inspect.
+_JACCARD_PERDOC = f"""
+sh AS (SELECT * FROM sh_all WHERE doc_id IN {_CAP}),
 perdoc AS (
-  SELECT doc_id, list(j) AS js, max(j) AS maxj
-  FROM (SELECT id_a AS doc_id, j FROM pairs UNION ALL SELECT id_b AS doc_id, j FROM pairs)
-  GROUP BY doc_id
+  SELECT a.doc_id, list(
+    round(len(list_intersect(a.s, b.s))::DOUBLE /
+          greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 4)) AS js,
+    max(
+    round(len(list_intersect(a.s, b.s))::DOUBLE /
+          greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 4)) AS maxj
+  FROM sh a, sh_all b WHERE a.doc_id != b.doc_id
+  GROUP BY a.doc_id
 )
 """
 
@@ -153,10 +173,12 @@ PROPERTY_CHECKS = {
         ("emitted best_jaccard is the exact Jaccard of a real pair, "
          "never above the true max, zero-candidate rows are clean, "
          "near-dup flag consistent with threshold 0.5",
-         f"WITH sh AS ({_WORD_SHINGLES}), {_JACCARD_PERDOC}"
-         """
+         f"WITH sh_all AS ({_WORD_SHINGLES}), {_JACCARD_PERDOC}"
+         f"""
          SELECT
-          count(*) FILTER (WHERE o.n_candidates > 0 AND
+          ((SELECT count(*) FROM o) != (SELECT count(*) FROM documents))::BIGINT AS bad_cardinality,
+          ((SELECT count(*) FROM perdoc) != (SELECT count(*) FROM documents WHERE doc_id IN {_CAP}))::BIGINT AS bad_slice,
+          count(*) FILTER (WHERE o.n_candidates > 0 AND p.js IS NOT NULL AND
             len(list_filter(p.js, x -> abs(x - o.best_jaccard) < 1e-9)) = 0) AS no_matching_pair,
           count(*) FILTER (WHERE o.best_jaccard > p.maxj + 1e-9) AS invented_score,
           count(*) FILTER (WHERE o.n_candidates = 0 AND (o.best_jaccard != 0 OR o.is_near_dup)) AS bad_zero,
@@ -173,10 +195,12 @@ PROPERTY_CHECKS = {
     "dedup_ngram": [
         ("emitted best_gram_jaccard matches a real pair's exact "
          "char-3-gram Jaccard and never exceeds the true max",
-         f"WITH sh AS ({_CHAR_GRAMS}), {_JACCARD_PERDOC}"
-         """
+         f"WITH sh_all AS ({_CHAR_GRAMS}), {_JACCARD_PERDOC}"
+         f"""
          SELECT
-          count(*) FILTER (WHERE o.n_candidates > 0 AND
+          ((SELECT count(*) FROM o) != (SELECT count(*) FROM documents))::BIGINT AS bad_cardinality,
+          ((SELECT count(*) FROM perdoc) != (SELECT count(*) FROM documents WHERE doc_id IN {_CAP}))::BIGINT AS bad_slice,
+          count(*) FILTER (WHERE o.n_candidates > 0 AND p.js IS NOT NULL AND
             len(list_filter(p.js, x -> abs(x - o.best_gram_jaccard) < 1e-9)) = 0) AS no_matching_pair,
           count(*) FILTER (WHERE o.best_gram_jaccard > p.maxj + 1e-9) AS invented_score,
           count(*) FILTER (WHERE o.n_candidates = 0 AND o.best_gram_jaccard != 0) AS bad_zero
@@ -193,23 +217,24 @@ PROPERTY_CHECKS = {
         # given the emitted signatures, the pigeonhole blocking is
         # guaranteed-recall for hamming<=3, so n_near/min_hamming are
         # fully determined — replay them exactly
-        ("n_near and min_hamming replay exactly from the emitted signatures",
-         """
-         WITH p AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                  bit_count(xor(a.simhash, b.simhash)) AS ham
-           FROM o a, o b WHERE a.doc_id < b.doc_id
-         ),
-         tn AS (
-           SELECT doc_id,
-             count(*) FILTER (WHERE ham <= 3) AS n_true,
-             min(ham) FILTER (WHERE ham <= 3) AS min_true
-           FROM (SELECT id_a AS doc_id, ham FROM p UNION ALL SELECT id_b AS doc_id, ham FROM p)
-           GROUP BY doc_id
+        ("n_near and min_hamming replay exactly from the emitted "
+         "signatures (capped slice, each vs ALL docs)",
+         f"""
+         WITH tn AS (
+           SELECT a.doc_id,
+             count(*) FILTER (WHERE bit_count(xor(a.simhash, b.simhash)) <= 3) AS n_true,
+             min(bit_count(xor(a.simhash, b.simhash)))
+               FILTER (WHERE bit_count(xor(a.simhash, b.simhash)) <= 3) AS min_true
+           FROM o a, o b
+           WHERE a.doc_id != b.doc_id AND a.doc_id IN {_CAP}
+           GROUP BY a.doc_id
          )
-         SELECT count(*) AS replay_mismatch FROM o LEFT JOIN tn USING (doc_id)
-         WHERE o.n_near != coalesce(tn.n_true, 0)
-            OR o.min_hamming != coalesce(tn.min_true, 64)
+         SELECT
+          ((SELECT count(*) FROM o) != (SELECT count(*) FROM documents))::BIGINT AS bad_cardinality,
+          ((SELECT count(*) FROM tn) != (SELECT count(*) FROM documents WHERE doc_id IN {_CAP}))::BIGINT AS bad_slice,
+          count(*) FILTER (WHERE o.n_near != coalesce(tn.n_true, 0)
+            OR o.min_hamming != coalesce(tn.min_true, 64)) AS replay_mismatch
+         FROM o JOIN tn USING (doc_id)
          """),
         ("identical texts share one signature",
          """
@@ -219,14 +244,16 @@ PROPERTY_CHECKS = {
          """),
     ],
     "knn_lsh": [
-        ("every emitted cosine equals the exact cosine of that pair; "
+        ("every emitted cosine equals the exact cosine of that pair "
+         "(1.1e-4 tolerance absorbs round-at-boundary divergence); "
          "no self pairs; probes respect the probe predicate",
          """
          SELECT
           count(*) FILTER (WHERE abs(round(list_cosine_similarity(
-            p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) - o.cosine) > 1e-9) AS bad_cosine,
+            p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) - o.cosine) > 1.1e-4) AS bad_cosine,
           count(*) FILTER (WHERE o.probe_id = o.cand_id) AS self_pair,
-          count(*) FILTER (WHERE p.vec_id >= 8) AS bad_probe
+          count(*) FILTER (WHERE p.vec_id >= 8) AS bad_probe,
+          ((SELECT count(DISTINCT probe_id) FROM o) = 0)::BIGINT AS no_probes
          FROM o JOIN embeddings p ON o.probe_id = p.vec_id
                 JOIN embeddings c ON o.cand_id = c.vec_id
          """),
@@ -238,16 +265,19 @@ PROPERTY_CHECKS = {
          """),
     ],
     "text_fingerprint": [
-        ("identical texts share fingerprint and simhash",
+        ("one row per document; identical texts share fingerprint and simhash",
          """
-         SELECT count(*) AS split_group FROM (
-           SELECT d.text FROM o JOIN documents d USING (doc_id)
-           GROUP BY d.text
-           HAVING count(DISTINCT o.fingerprint) > 1 OR count(DISTINCT o.simhash) > 1)
+         SELECT
+          ((SELECT count(*) FROM o) != (SELECT count(*) FROM documents))::BIGINT AS bad_cardinality,
+          (SELECT count(*) FROM (
+            SELECT d.text FROM o JOIN documents d USING (doc_id)
+            GROUP BY d.text
+            HAVING count(DISTINCT o.fingerprint) > 1 OR count(DISTINCT o.simhash) > 1)) AS split_group
          """),
     ],
     "q_sketch_stats": [
-        ("counts exact; HLL within 5% of true distinct; approx "
+        ("counts exact; HLL within 15% (3x the default rsd=0.05 — 1 sd "
+         "would deterministically fail on some datasets); approx "
          "percentiles inside tight true-quantile brackets",
          """
          WITH ex AS (
@@ -256,8 +286,10 @@ PROPERTY_CHECKS = {
              quantile_disc(value, 0.90) AS p95lo, quantile_disc(value, 0.995) AS p95hi
            FROM events GROUP BY event_type)
          SELECT
+          ((SELECT count(*) FROM o) !=
+           (SELECT count(DISTINCT event_type) FROM events))::BIGINT AS bad_cardinality,
           count(*) FILTER (WHERE o.n_events != ex.n) AS bad_count,
-          count(*) FILTER (WHERE abs(o.approx_users - ex.du) > 0.05 * ex.du) AS bad_hll,
+          count(*) FILTER (WHERE abs(o.approx_users - ex.du) > 0.15 * ex.du) AS bad_hll,
           count(*) FILTER (WHERE o.approx_p50 NOT BETWEEN ex.p50lo AND ex.p50hi) AS bad_p50,
           count(*) FILTER (WHERE o.approx_p95 NOT BETWEEN ex.p95lo AND ex.p95hi) AS bad_p95
          FROM o JOIN ex USING (event_type)
