@@ -23,55 +23,36 @@ object Dedup {
 
   /** Exact dedup: group identical texts, keep the minimum doc_id.
     *
-    * 100 TB shape: the shuffle key is `(xxhash64(text), length(text))`
-    * — 16 bytes per row — so the document body never enters an
-    * exchange. Collision safety comes from a SECOND independent
-    * 64-bit hash carried as a value: a group whose members disagree on
-    * it contains a primary-hash collision and is re-resolved exactly,
-    * grouping those few rows by their full text. A false merge now
-    * needs two distinct texts of equal length colliding on BOTH
-    * independent hashes (~2^-128 — far below hardware error rates).
+    * 100 TB shape: the shuffle key is `(xxhash64(text), length(text),
+    * xxhash64(1, text))` — 24 bytes per row — so the document body
+    * never enters an exchange. Collision safety comes from the second
+    * INDEPENDENT 64-bit hash being part of the key: two distinct texts
+    * colliding on the primary hash (and length) almost surely differ
+    * on the secondary and land in separate groups — a primary-hash
+    * collision splits instead of merging. The residual false-merge
+    * needs two distinct equal-length texts colliding on BOTH
+    * independent hashes simultaneously (~2^-128 — far below hardware
+    * error rates). One scan, one map-side-combined shuffle, no
+    * fallback pass (an earlier verify-and-regroup variant cost three
+    * corpus scans for the same guarantee).
     */
   def exact(docs: DataFrame): DataFrame =
     exactHashed(docs, xxhash64(col("text")), xxhash64(lit(1), col("text")))
-      .select(col("keep_id"), col("n_copies"))
 
-  /** [[exact]] with injectable hash expressions so the collision
-    * fallback is testable (real 64-bit collisions are not findable).
-    * Returns one row per distinct text: (keep_id, n_copies).
+  /** [[exact]] with injectable hash expressions so collision behavior
+    * is testable (real 64-bit collisions are not findable). Returns
+    * one row per distinct text: (keep_id, n_copies).
     */
   private[operators] def exactHashed(docs: DataFrame,
       primaryHash: org.apache.spark.sql.Column,
-      secondaryHash: org.apache.spark.sql.Column): DataFrame = {
-    val hashed = docs.select(
-      col("doc_id"),
-      primaryHash.as("h"),
-      secondaryHash.as("h2"),
-      length(col("text")).as("len"))
-    // disagreement = min(h2) != max(h2): same signal as a distinct
-    // count but with plain partial aggregation — count(DISTINCT h2)
-    // would trigger the Expand rewrite and double the shuffled rows
-    val agg = hashed
-      .groupBy(col("h"), col("len"))
-      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
-        (min(col("h2")) =!= max(col("h2"))).as("h2_disagrees"))
-    val clean = agg.filter(!col("h2_disagrees"))
-      .select(col("keep_id"), col("n_copies"))
-    // collision fallback: groups where the independent hash disagrees
-    // hold ≥2 distinct texts — regroup exactly by text. Suspects are
-    // ~zero rows, so the text-keyed shuffle here is negligible and the
-    // key set broadcasts; with AQE the empty broadcast side prunes the
-    // fallback's corpus scan entirely in the normal no-collision case.
-    val suspectKeys = agg.filter(col("h2_disagrees")).select(col("h"), col("len"))
-    val resolved = docs
-      .select(col("doc_id"), col("text"), primaryHash.as("h"),
-        length(col("text")).as("len"))
-      .join(broadcast(suspectKeys), Seq("h", "len"), "left_semi")
-      .groupBy(col("text"))
+      secondaryHash: org.apache.spark.sql.Column): DataFrame =
+    docs
+      .groupBy(
+        primaryHash.as("h"),
+        length(col("text")).as("len"),
+        secondaryHash.as("h2"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
-    clean.unionByName(resolved)
-  }
 
   /** The deduplicated corpus itself: keep exactly the canonical
     * (minimum doc_id) row of every identical-text group. Canonical

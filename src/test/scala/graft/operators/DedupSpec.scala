@@ -26,28 +26,25 @@ class DedupSpec extends SparkSpecBase {
     assert(kept == Set(1L, 3L, 4L, 5L)) // doc 2 is the dropped duplicate
   }
 
-  test("exact dedup shuffle key is the hash, not the document body") {
+  test("exact dedup shuffles hash keys only — no text key, no Expand, one agg") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, Join}
     val plan = Dedup.exact(docs).queryExecution.optimizedPlan
-    // no distinct-aggregate Expand: the collision signal is min!=max,
-    // which keeps the corpus shuffle at one row per input row
+    // single aggregation pipeline: no Expand (distinct rewrite), no
+    // join (the old verify-and-regroup fallback cost 3 corpus scans)
     assert(plan.collect { case e: Expand => e }.isEmpty, plan)
+    assert(plan.collect { case j: Join => j }.isEmpty, plan)
     val aggs = plan.collect { case a: Aggregate => a }
-    val (textKeyed, hashKeyed) = aggs.partition(
-      _.groupingExpressions.exists(_.references.exists(_.name == "text")))
-    // the corpus-wide aggregate keys on (h, len) only…
-    assert(hashKeyed.nonEmpty, plan)
-    // …and any text-keyed aggregate sits on the collision-fallback
-    // branch (above the suspect-keys semi join), never over the corpus
-    textKeyed.foreach { a =>
-      assert(a.collectFirst { case j: Join => j }.isDefined, a)
+    assert(aggs.nonEmpty, plan)
+    // the document body is never a grouping key — only its hashes/length
+    aggs.foreach { a =>
+      assert(!a.groupingExpressions.exists(_.references.exists(_.name == "text")), a)
     }
   }
 
-  test("primary-hash collisions are detected and resolved exactly") {
+  test("primary-hash collisions split on the secondary hash, never merge") {
     // equal-length DISTINCT texts + a constant primary hash = a forced
-    // (h, len) collision; the secondary-hash disagreement must route
-    // the group through the exact-text fallback, not merge it
+    // (h, len) collision; the independent secondary hash in the group
+    // key must keep the distinct texts in separate groups
     val clash = Seq(
       (10L, "aaaa"), (11L, "bbbb"), (12L, "aaaa"), (13L, "cc")
     ).toDF("doc_id", "text")
