@@ -218,6 +218,11 @@ object SparkEntry {
       .withColumn("rnk", col("rnk").cast("bigint"))
       .orderBy(col("probe_id"), col("rnk"))
 
+  private def qKnnIvf(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(t(s, dir, "embeddings"), col("vec_id") < 8)
+      .withColumn("rnk", col("rnk").cast("bigint"))
+      .orderBy(col("probe_id"), col("rnk"))
+
   private def qCentroids(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val dim = emb.select(size(col("embedding")).as("d"))
@@ -380,6 +385,7 @@ object SparkEntry {
     "dedup_clusters" -> (qDedupClusters _),
     "knn_bruteforce" -> (qKnnBrute _),
     "knn_lsh" -> (qKnnLsh _),
+    "knn_ivf" -> (qKnnIvf _),
     "knn_centroids" -> (qCentroids _),
     "q_corr_stats" -> (qCorrStats _),
     "text_tokens" -> (qTextTokens _),
@@ -652,6 +658,29 @@ object SparkEntry {
         |   round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cosine
         |  FROM p, embeddings c WHERE c.vec_id <> p.vec_id),
         | sc AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk FROM d)
+        |SELECT probe_id, cand_id, cosine, rnk FROM sc WHERE rnk <= 5
+        |ORDER BY probe_id, rnk""".stripMargin,
+    "knn_ivf" ->
+      """WITH c0 AS (
+        |  SELECT label AS cell, i, round(sum(v::DOUBLE) / count(*), 6) AS cv
+        |  FROM (SELECT label, generate_subscripts(embedding, 1) AS i,
+        |        unnest(embedding) AS v FROM embeddings)
+        |  GROUP BY label, i),
+        | cents AS (SELECT cell, list(cv ORDER BY i) AS cvec FROM c0 GROUP BY cell),
+        | probes AS (SELECT vec_id AS probe_id, embedding FROM embeddings WHERE vec_id < 8),
+        | pc AS (SELECT p.probe_id, c.cell,
+        |   round(list_cosine_similarity(p.embedding::DOUBLE[], c.cvec), 4) AS ccos
+        |  FROM probes p, cents c),
+        | cells AS (SELECT probe_id, cell FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, cell) AS cr
+        |   FROM pc WHERE ccos IS NOT NULL) WHERE cr <= 2),
+        | cand AS (SELECT cells.probe_id, e.vec_id AS cand_id,
+        |   round(list_cosine_similarity(p.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cosine
+        |  FROM cells JOIN embeddings e ON e.label = cells.cell
+        |       JOIN embeddings p ON p.vec_id = cells.probe_id
+        |  WHERE e.vec_id <> cells.probe_id),
+        | sc AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+        |   FROM cand WHERE cosine IS NOT NULL)
         |SELECT probe_id, cand_id, cosine, rnk FROM sc WHERE rnk <= 5
         |ORDER BY probe_id, rnk""".stripMargin,
     "knn_centroids" ->

@@ -89,4 +89,64 @@ object Similarity {
       .filter(col("cosine").isNotNull) // zero-norm → NULL → not a neighbor
     graft.plans.TopKPlanner.perGroup(scored, "probe_id", "cosine", "cand_id", k)
   }
+
+  /** IVF-probed ANN top-k (the inverted-file scale path, cf. Jégou,
+    * Douze & Schmid, "Product quantization for nearest neighbor
+    * search", TPAMI 2011 §IV — here with the stored `label` as the
+    * coarse cell assignment instead of a trained k-means).
+    *
+    * Search: rank the (tiny, broadcast) cell-centroid table per probe,
+    * keep the best `nprobe` cells, exact-cosine search ONLY the
+    * vectors of those cells. Per-probe cost drops from N to
+    * nprobe × N / cells; the corpus never shuffles — candidates are a
+    * broadcast-semi-bounded slice.
+    *
+    * Fully deterministic (no hashing): centroids are 6-dp rounded so
+    * the cell ranking is cross-engine exact — the whole operator has a
+    * value-level DuckDB oracle, unlike the LSH path. Centroid math for
+    * probe→cell runs through the interpreted higher-order fold (cells
+    * are few); the candidate search uses the codegen'd dot.
+    */
+  def ivfTopK(emb: DataFrame, probeFilter: org.apache.spark.sql.Column,
+      k: Int = 5, nprobe: Int = 2): DataFrame = {
+    GraftFunctions.ensureRegistered(emb.sparkSession)
+    val dim = emb.select(size(col("embedding")).as("d"))
+      .filter(col("d").isNotNull).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(64)
+    val centroid = udaf(new graft.functions.CentroidAggregator(dim))
+    // coarse quantizer: one 6-dp-rounded centroid per stored cell;
+    // all-NULL cells yield a NULL centroid and are dropped
+    val cents = emb.groupBy(col("label").as("cell"))
+      .agg(centroid(col("embedding")).as("craw"))
+      .filter(col("craw").isNotNull)
+      .select(col("cell"), transform(col("craw"), v => round(v, 6)).as("cvec"))
+    val probes = emb.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        VF.normNative(col("embedding")).as("probe_nrm"))
+    // probe → nprobe best cells: probes × broadcast(centroids); the
+    // double-precision fold keeps values identical to the oracle's
+    val cellCos = probes.join(broadcast(cents))
+      .select(col("probe_id"), col("probe_emb"), col("probe_nrm"), col("cell"),
+        round(VF.dot(col("probe_emb"), col("cvec"))
+          / (VF.norm(col("probe_emb")) * VF.norm(col("cvec"))), 4).as("ccos"))
+      .filter(col("ccos").isNotNull)
+    val cellW = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ccos").desc, col("cell"))
+    val probedCells = cellCos
+      .withColumn("cr", row_number().over(cellW))
+      .filter(col("cr") <= nprobe)
+      .select(col("probe_id"), col("probe_emb"), col("probe_nrm"), col("cell"))
+    // exact search within probed cells only (a vector lives in exactly
+    // one cell, so no per-pair dedup is needed)
+    val scored = emb
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"),
+        VF.normNative(col("embedding")).as("cand_nrm"), col("label").as("cell"))
+      .join(broadcast(probedCells), Seq("cell"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        round(VF.dotNative(col("probe_emb"), col("cand_emb"))
+          / (col("probe_nrm") * col("cand_nrm")), 4).as("cosine"))
+      .filter(col("cosine").isNotNull)
+    graft.plans.TopKPlanner.perGroup(scored, "probe_id", "cosine", "cand_id", k)
+  }
 }

@@ -31,4 +31,25 @@ class SimilaritySpec extends SparkSpecBase {
     assert(lsh.nonEmpty)
     lsh.foreach { case (p, c) => assert(c <= brute(p) + 1e-9) }
   }
+
+  test("IVF search stays inside probed cells and never beats brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Similarity.ivfTopK(emb, col("vec_id") < 4, k = 5, nprobe = 2)
+    val rows = out.select("probe_id", "cand_id", "cosine", "rnk")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (p, c, _, _) => p != c })
+    // candidates come from at most nprobe distinct cells per probe
+    val cellOf = emb.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(r => cellOf(r._2)).distinct.length <= 2)
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length))
+      assert(sorted.map(_._3).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    }
+    // an ANN hit can never exceed the true best
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 4, k = 1)
+      .select("probe_id", "cosine").as[(Long, Double)].collect().toMap
+    rows.foreach { case (p, _, c, _) => assert(c <= brute(p) + 1e-9) }
+  }
 }
