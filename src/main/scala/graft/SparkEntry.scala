@@ -326,6 +326,12 @@ object SparkEntry {
     Multimodal.featurize(Multimodal.asMedia(t(s, dir, "documents")))
       .toDF().orderBy(col("doc_id"))
 
+  private def qMmFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(Multimodal.asMedia(t(s, dir, "documents")))
+      .toDF().select(col("doc_id"), col("frame_idx"), col("frame_off"),
+        col("frame_len"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   // ---------------------------------------------------------------- map
 
   /** Shared SPARK_GRAFT_QUERIES parsing for Verify and Bench: trimmed,
@@ -395,7 +401,8 @@ object SparkEntry {
     "text_redact" -> (qTextRedact _),
     "text_fingerprint" -> (qTextFingerprint _),
     "text_sample_quota" -> (qSampleQuota _),
-    "mm_features" -> (qMmFeatures _)
+    "mm_features" -> (qMmFeatures _),
+    "mm_frames" -> (qMmFrames _)
   )
 
   // ------------------------------------------------------------- oracle
@@ -753,6 +760,12 @@ object SparkEntry {
         | round(0.4::DOUBLE * round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x IN ('the','a','and','of','to','in','is','on','for','with')))::DOUBLE / len(string_split_regex(trim(text), '\s+'))::DOUBLE, 4)
         |   + 0.3::DOUBLE * (1.0::DOUBLE - round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE / length(text)::DOUBLE, 4))
         |   + 0.3::DOUBLE * least(1.0::DOUBLE, len(string_split_regex(trim(text), '\s+'))::DOUBLE / 100.0::DOUBLE), 4) AS quality_score
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frames" ->
+      """WITH s AS (SELECT unnest(range(0, 4)) AS i)
+        |SELECT d.doc_id, s.i::INT AS frame_idx, (s.i * 256)::BIGINT AS frame_off,
+        | least(256, octet_length(encode(d.text)) - s.i * 256)::BIGINT AS frame_len
+        |FROM documents d JOIN s ON s.i = 0 OR s.i * 256 < octet_length(encode(d.text))
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

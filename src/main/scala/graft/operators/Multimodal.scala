@@ -11,6 +11,12 @@ case class MMRecord(doc_id: Long, content: Array[Byte], media_type: String,
 case class MMFeature(doc_id: Long, media_type: String, byte_len: Long,
     content_hash: Long, head_sig: Long, width: Int, height: Int)
 
+/** One sampled frame: byte window `[frame_off, frame_off+frame_len)`
+  * of the source asset.
+  */
+case class MMFrame(doc_id: Long, frame_idx: Int, frame_off: Long,
+    frame_len: Long, frame_bytes: Array[Byte])
+
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded/feature-extracted in batched
   * per-partition passes.
@@ -72,6 +78,29 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition decoder init would go here (JNI handle, etc.)
       it.map(decodeStub)
+    }
+  }
+
+  /** Frame sampling: up to `maxFrames` evenly-strided byte windows per
+    * asset (a real video decoder would seek keyframes here — the
+    * contract is identical: one asset row in, bounded frame rows out,
+    * one decoder pass per partition). Every asset yields at least one
+    * frame; the last frame may be short. The ×maxFrames row blowup
+    * happens AFTER partition-bytes bounding, so a 100 TB corpus fans
+    * out without any executor holding more than one asset's bytes.
+    */
+  def frameSample(media: Dataset[MMRecord], maxFrames: Int = 4,
+      stride: Long = 256L): Dataset[MMFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val len = r.content.length.toLong
+      val n = math.min(maxFrames.toLong, math.max(1L, (len + stride - 1) / stride))
+      (0L until n).map { i =>
+        val off = i * stride
+        val flen = math.min(stride, len - off)
+        MMFrame(r.doc_id, i.toInt, off, flen,
+          java.util.Arrays.copyOfRange(r.content, off.toInt, (off + flen).toInt))
+      }
     }
   }
 }

@@ -17,6 +17,26 @@ class MultimodalSpec extends SparkSpecBase {
     assert(f1.count() == docs.count())
   }
 
+  test("frameSample: bounded strided windows, exact edge behavior") {
+    // lengths straddling the stride boundaries: 0, <s, =s, s+1, 2s, >max
+    val docs = Seq(
+      (0L, ""), (1L, "x" * 255), (2L, "x" * 256), (3L, "x" * 257),
+      (4L, "x" * 512), (5L, "x" * 5000)
+    ).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+    val frames = Multimodal.frameSample(Multimodal.asMedia(docs))
+      .collect().groupBy(_.doc_id)
+    def spec(id: Long) = frames(id).sortBy(_.frame_idx)
+      .map(f => (f.frame_idx, f.frame_off, f.frame_len, f.frame_bytes.length.toLong))
+    assert(spec(0L).toSeq == Seq((0, 0L, 0L, 0L)))      // empty asset: one empty frame
+    assert(spec(1L).toSeq == Seq((0, 0L, 255L, 255L)))
+    assert(spec(2L).toSeq == Seq((0, 0L, 256L, 256L)))  // exact stride: ONE frame
+    assert(spec(3L).toSeq == Seq((0, 0L, 256L, 256L), (1, 256L, 1L, 1L)))
+    assert(spec(4L).toSeq == Seq((0, 0L, 256L, 256L), (1, 256L, 256L, 256L)))
+    assert(spec(5L).length == 4)                        // maxFrames cap
+    assert(spec(5L).forall(_._3 == 256L))
+  }
+
   test("byte_len equals utf-8 length of the source text") {
     val docs = Seq((1L, "abc", 3L), (2L, "héllo", 6L))
       .toDF("doc_id", "text", "expected")
