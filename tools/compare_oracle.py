@@ -8,6 +8,7 @@ SQL from oracle_sql.json against the raw tables in <sfdir>, sorts
 columns by name, sorts rows, and compares values cell-by-cell.
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -114,13 +115,15 @@ def main(sfdir, outdir):
         sys.exit(1)
 
 
-# The pairwise Jaccard/Hamming recomputations are O(n^2) in DuckDB;
+# The pairwise Jaccard/Hamming recomputations are O(cap * n) in DuckDB;
 # bound them to the PAIRWISE_CAP lowest doc_ids so the checks stay fast
 # at larger SFs (the driver's gate runs at sf0.01 where documents = 500
 # — uncapped). Capped docs are still paired against EVERY doc, so their
 # per-doc stats are complete; each check's cardinality counter guards
 # against the cap (or a regression) silently verifying nothing.
-PAIRWISE_CAP = 1000
+# Override with GRAFT_PAIRWISE_CAP for large-SF local sweeps (e.g. 200
+# at sf0.1 keeps the list-heavy Jaccard checks to ~1M pairs).
+PAIRWISE_CAP = int(os.environ.get("GRAFT_PAIRWISE_CAP", "1000"))
 
 # lowest-doc_id slice (robust to sparse/offset ids, unlike `doc_id < N`)
 _CAP = f"(SELECT doc_id FROM documents ORDER BY doc_id LIMIT {PAIRWISE_CAP})"
