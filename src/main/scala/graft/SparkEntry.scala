@@ -225,10 +225,8 @@ object SparkEntry {
 
   private def qCentroids(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
-    val dim = emb.select(size(col("embedding")).as("d"))
-      .filter(col("d").isNotNull).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(64)
-    val centroid = udaf(new graft.functions.CentroidAggregator(dim))
+    val centroid = udaf(
+      new graft.functions.CentroidAggregator(Similarity.embeddingDim(emb)))
     emb.groupBy(col("label"))
       .agg(centroid(col("embedding")).as("centroid"))
       .select(col("label"), posexplode(col("centroid")))

@@ -27,6 +27,15 @@ object Similarity {
     emb.select(col("vec_id").as(idAs), col("embedding").as(embAs),
       VF.normNative(col("embedding")).as(nrmAs))
 
+  /** Embedding width from the first non-NULL row (one tiny eager job;
+    * 64 if the table has no embeddings). Shared by every operator that
+    * sizes a per-dimension buffer.
+    */
+  def embeddingDim(emb: DataFrame, default: Int = 64): Int =
+    emb.select(size(col("embedding")).as("d"))
+      .filter(col("d").isNotNull).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(default)
+
   /** Brute-force cosine top-k: `probes` (small, broadcast) × corpus →
     * per-probe top-k by (cosine desc, cand_id) — fully deterministic.
     */
@@ -57,10 +66,7 @@ object Similarity {
   def lshTopK(emb: DataFrame, probeFilter: org.apache.spark.sql.Column,
       k: Int = 5, numTables: Int = 4, bitsPerTable: Int = 4): DataFrame = {
     GraftFunctions.ensureRegistered(emb.sparkSession)
-    val dim = emb.select(size(col("embedding")).as("d"))
-      .filter(col("d").isNotNull).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(64)
-    val weights = VF.planeWeights(numTables * bitsPerTable, dim)
+    val weights = VF.planeWeights(numTables * bitsPerTable, embeddingDim(emb))
 
     def sigs(df: DataFrame, idAs: String, embAs: String, nrmAs: String): DataFrame = {
       val perTable = (0 until numTables).map { tbl =>
@@ -110,25 +116,27 @@ object Similarity {
   def ivfTopK(emb: DataFrame, probeFilter: org.apache.spark.sql.Column,
       k: Int = 5, nprobe: Int = 2): DataFrame = {
     GraftFunctions.ensureRegistered(emb.sparkSession)
-    val dim = emb.select(size(col("embedding")).as("d"))
-      .filter(col("d").isNotNull).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(64)
-    val centroid = udaf(new graft.functions.CentroidAggregator(dim))
-    // coarse quantizer: one 6-dp-rounded centroid per stored cell;
+    val centroid = udaf(new graft.functions.CentroidAggregator(embeddingDim(emb)))
+    // coarse quantizer: one 6-dp-rounded centroid per stored cell with
+    // its norm precomputed per CELL (not per probe×cell pair);
     // all-NULL cells yield a NULL centroid and are dropped
     val cents = emb.groupBy(col("label").as("cell"))
       .agg(centroid(col("embedding")).as("craw"))
       .filter(col("craw").isNotNull)
       .select(col("cell"), transform(col("craw"), v => round(v, 6)).as("cvec"))
+      .withColumn("cvec_nrm", VF.norm(col("cvec")))
+    // probe-side double-precision norm, once per probe — the cosine to
+    // a cell is then one fold per pair
     val probes = emb.filter(probeFilter)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
-        VF.normNative(col("embedding")).as("probe_nrm"))
+        VF.normNative(col("embedding")).as("probe_nrm"),
+        VF.norm(col("embedding")).as("probe_dnrm"))
     // probe → nprobe best cells: probes × broadcast(centroids); the
     // double-precision fold keeps values identical to the oracle's
     val cellCos = probes.join(broadcast(cents))
       .select(col("probe_id"), col("probe_emb"), col("probe_nrm"), col("cell"),
         round(VF.dot(col("probe_emb"), col("cvec"))
-          / (VF.norm(col("probe_emb")) * VF.norm(col("cvec"))), 4).as("ccos"))
+          / (col("probe_dnrm") * col("cvec_nrm")), 4).as("ccos"))
       .filter(col("ccos").isNotNull)
     val cellW = Window.partitionBy(col("probe_id"))
       .orderBy(col("ccos").desc, col("cell"))

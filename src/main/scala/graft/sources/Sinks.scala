@@ -94,6 +94,16 @@ object Sinks {
         updateCols, broadcastDelta = broadcastDelta)
       case Ignore => MergeInto.insertIfAbsent(spark.read.parquet(path), delta, keys)
     } else delta
+    persistAndSwap(spark, merged, path, pinResult)
+  }
+
+  /** Shared persist policy for the merge writers: stage, swap, and
+    * return either the block-manager-pinned merged frame (survives
+    * later swaps — for dims) or a lazy read of the live table (valid
+    * only until the next swap — for fact-sized results).
+    */
+  private def persistAndSwap(spark: SparkSession, merged: DataFrame,
+      path: String, pinResult: Boolean): DataFrame =
     if (pinResult) {
       val pinned = merged.localCheckpoint()
       pinned.write.mode(SaveMode.Overwrite).parquet(path + ".staging")
@@ -104,7 +114,6 @@ object Sinks {
       swapInto(spark, path + ".staging", path)
       spark.read.parquet(path)
     }
-  }
 
   /** Key-dim refresh with STABLE dense surrogate keys across loads:
     * only genuinely new natural keys get ids, continuing after the
@@ -133,19 +142,7 @@ object Sinks {
         graft.operators.SurrogateKey.withDenseId(newKeys, Seq(keyCol), guidCol)
           .withColumn(guidCol, col(guidCol) + lit(offset)))
     } else graft.operators.SurrogateKey.withDenseId(fresh, Seq(keyCol), guidCol)
-    // pin before swap — see mergeDim: a lazy read of `path` would be
-    // invalidated by the next load's rename; skip the pin for
-    // fact-sized key dims (e.g. one row per event)
-    if (pinResult) {
-      val pinned = merged.localCheckpoint()
-      pinned.write.mode(SaveMode.Overwrite).parquet(path + ".staging")
-      swapInto(spark, path + ".staging", path)
-      pinned
-    } else {
-      merged.write.mode(SaveMode.Overwrite).parquet(path + ".staging")
-      swapInto(spark, path + ".staging", path)
-      spark.read.parquet(path)
-    }
+    persistAndSwap(spark, merged, path, pinResult)
   }
 
   /** Small-file compaction: rewrite a table directory into

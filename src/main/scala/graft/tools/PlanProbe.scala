@@ -3,10 +3,12 @@ package graft.tools
 import graft.operators.Dedup
 import org.apache.spark.sql.functions.col
 
-/** One-off adaptive-plan inspector: prints the final (post-AQE)
-  * physical plan of dedup_exact so scan counts are visible — the
-  * collision fallback's corpus re-scan should be pruned to an empty
-  * relation when no suspect groups exist.
+/** Adaptive-plan inspector: prints the final (post-AQE) physical plan
+  * of dedup_exact so scan counts are visible. The operator's contract
+  * is ONE parquet scan and one hash-keyed aggregation — this tool
+  * caught the earlier verify-and-regroup variant costing three corpus
+  * scans (AQE never pruned its "empty" fallback branch at runtime),
+  * which led to the single-aggregation design.
   */
 object PlanProbe {
   def main(args: Array[String]): Unit = {

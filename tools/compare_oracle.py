@@ -150,18 +150,23 @@ _CHAR_GRAMS = """
 # Exact per-doc Jaccard summary over a shingle-set CTE `sh_all`: each
 # capped doc is paired against EVERY other doc (a capped doc's best
 # match may lie outside the cap), so js/maxj are complete for the docs
-# the pairwise counters inspect.
+# the pairwise counters inspect. The heavy set expression runs ONCE
+# per unordered pair (a < b, either side in cap), then fans out
+# directionally; maxj derives from js.
 _JACCARD_PERDOC = f"""
-sh AS (SELECT * FROM sh_all WHERE doc_id IN {_CAP}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    round(len(list_intersect(a.s, b.s))::DOUBLE /
+          greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 4) AS j
+  FROM sh_all a, sh_all b
+  WHERE a.doc_id < b.doc_id
+    AND (a.doc_id IN {_CAP} OR b.doc_id IN {_CAP})
+),
 perdoc AS (
-  SELECT a.doc_id, list(
-    round(len(list_intersect(a.s, b.s))::DOUBLE /
-          greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 4)) AS js,
-    max(
-    round(len(list_intersect(a.s, b.s))::DOUBLE /
-          greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 4)) AS maxj
-  FROM sh a, sh_all b WHERE a.doc_id != b.doc_id
-  GROUP BY a.doc_id
+  SELECT doc_id, list(j) AS js, max(j) AS maxj
+  FROM (SELECT id_a AS doc_id, j FROM pairs UNION ALL SELECT id_b AS doc_id, j FROM pairs)
+  WHERE doc_id IN {_CAP}
+  GROUP BY doc_id
 )
 """
 
@@ -255,8 +260,7 @@ PROPERTY_CHECKS = {
           count(*) FILTER (WHERE abs(round(list_cosine_similarity(
             p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) - o.cosine) > 1.1e-4) AS bad_cosine,
           count(*) FILTER (WHERE o.probe_id = o.cand_id) AS self_pair,
-          count(*) FILTER (WHERE p.vec_id >= 8) AS bad_probe,
-          ((SELECT count(DISTINCT probe_id) FROM o) = 0)::BIGINT AS no_probes
+          count(*) FILTER (WHERE p.vec_id >= 8) AS bad_probe
          FROM o JOIN embeddings p ON o.probe_id = p.vec_id
                 JOIN embeddings c ON o.cand_id = c.vec_id
          """),
