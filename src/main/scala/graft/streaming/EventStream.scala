@@ -1,7 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed event for the custom-state operators. */
+case class SEvent(ts: java.sql.Timestamp, event_type: String, user_id: Long)
+
+/** One closed session emitted by [[EventStream.sessionizeStateful]]. */
+case class SessionAgg(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long)
+
+/** Per-user open-session state (event-time millis). */
+private[streaming] case class SessState(startMs: Long, lastMs: Long, n: Long)
 
 /** Structured Streaming surface: the reference's daily-batch event loads
   * (reference: astro-sdk-tutorial/dags/etl_s3_snowflake_raw_event_ingest
@@ -37,4 +48,61 @@ object EventStream {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("n_events"))
+
+  /** Sessionization as CUSTOM state — `flatMapGroupsWithState` with an
+    * event-time timeout, for session semantics the built-in
+    * `session_window` can't express (here: the emitted row carries the
+    * true first/last event times rather than gap-padded window bounds;
+    * the same shape carries arbitrary per-session aggregates).
+    *
+    * State per user is one [[SessState]] (24 bytes), updated per
+    * micro-batch and EVICTED by the event-time timeout when the
+    * watermark passes `last event + gap` — bounded memory at any key
+    * cardinality. A session closes either by a later in-batch event
+    * beyond the gap or by the timeout firing; both paths emit exactly
+    * one row (Append mode).
+    */
+  def sessionizeStateful(events: Dataset[SEvent], gapMs: Long = 30L * 60 * 1000,
+      watermark: String = "2 hours"): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    def emit(user: Long, s: SessState): SessionAgg =
+      SessionAgg(user, new java.sql.Timestamp(s.startMs),
+        new java.sql.Timestamp(s.lastMs), s.n)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionAgg](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[SEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: the open session is final
+            val s = state.get
+            state.remove()
+            Iterator.single(emit(user, s))
+          } else {
+            // events within one micro-batch arrive unordered — sort
+            // before folding (bounded: one group's batch slice)
+            val sorted = it.toIndexedSeq.sortBy(_.ts.getTime)
+            val closed = Seq.newBuilder[SessionAgg]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += emit(user, s)
+                  cur = Some(SessState(t, t, 1))
+                case None =>
+                  cur = Some(SessState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 }

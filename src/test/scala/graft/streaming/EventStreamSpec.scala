@@ -64,6 +64,43 @@ class EventStreamSpec extends SparkSpecBase {
     assert(rows.select("user_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("custom-state sessionization: in-batch close, timeout close, eviction") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[SEvent]
+    val q = EventStream.sessionizeStateful(input.toDS())
+      .writeStream.format("memory").queryName("sess_state")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10 min apart (one session); a third 2 hours
+      // later closes it IN-BATCH and opens a new one. user 2: singleton.
+      input.addData(
+        SEvent(t("2024-01-01 10:00:00"), "view", 1L),
+        SEvent(t("2024-01-01 10:10:00"), "click", 1L),
+        SEvent(t("2024-01-01 12:30:00"), "view", 1L),
+        SEvent(t("2024-01-01 10:05:00"), "view", 2L))
+      q.processAllAvailable()
+      // advance the watermark far past every open session's last+gap;
+      // timeouts fire on the NEXT trigger after the watermark moves
+      input.addData(SEvent(t("2024-01-02 09:00:00"), "view", 99L))
+      q.processAllAvailable()
+      input.addData(SEvent(t("2024-01-02 09:00:01"), "view", 99L))
+      q.processAllAvailable()
+      val out = spark.table("sess_state")
+        .select(col("user_id"), col("session_start").cast("string"),
+          col("session_end").cast("string"), col("n_events"))
+        .as[(Long, String, String, Long)].collect().toSet
+      // in-batch close: first user-1 session carries TRUE event bounds
+      // (10:00–10:10), not gap-padded window edges
+      assert(out.contains((1L, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2L)))
+      // timeout close: the reopened user-1 session and user 2's singleton
+      assert(out.contains((1L, "2024-01-01 12:30:00", "2024-01-01 12:30:00", 1L)))
+      assert(out.contains((2L, "2024-01-01 10:05:00", "2024-01-01 10:05:00", 1L)))
+      // exactly one row per closed session — no duplicate emission
+      assert(out.size == out.map(r => (r._1, r._2)).size)
+    } finally q.stop()
+  }
+
   test("streaming sessionization merges events within the gap") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
