@@ -159,6 +159,21 @@ object SparkEntry {
     Relational.customerOrderFlags(t(s, dir, "customer"), t(s, dir, "orders"))
       .orderBy(col("c_custkey"))
 
+  private def qSkewJoin(s: SparkSession, dir: String): DataFrame = {
+    // salting is semantics-preserving, so the oracle is the PLAIN join —
+    // the salted plan must produce row-identical results
+    val small = t(s, dir, "part")
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    Skew.saltedJoin(
+      t(s, dir, "lineitem").select(col("l_partkey"), col("l_quantity")),
+      small, "l_partkey", factor = 8)
+      .groupBy(col("p_brand"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("p_brand"))
+  }
+
   private def qAttribution(s: SparkSession, dir: String): DataFrame =
     AsOfJoin.attribution(t(s, dir, "events")).orderBy(col("purchase_id"))
 
@@ -379,6 +394,7 @@ object SparkEntry {
     "q_semi_anti" -> (qSemiAnti _),
     "q_asof_attribution" -> (qAttribution _),
     "q_range_interval" -> (qIntervalCounts _),
+    "q_skew_join" -> (qSkewJoin _),
     "q_quality_checks" -> (qQualityChecks _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_keep" -> (qDedupKeep _),
@@ -625,6 +641,12 @@ object SparkEntry {
         |SELECT c_custkey, c_name, c_mktsegment, FALSE AS has_orders
         |FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q_skew_join" ->
+      """SELECT p_brand,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
