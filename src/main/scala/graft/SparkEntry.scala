@@ -174,6 +174,55 @@ object SparkEntry {
       .orderBy(col("p_brand"))
   }
 
+  private def qScd2History(s: SparkSession, dir: String): DataFrame = {
+    // two simulated snapshot loads from the part dim: load 2 re-prices
+    // every 10th part and introduces new keys for every 97th
+    val part = t(s, dir, "part")
+    val keys = Seq("p_partkey")
+    val tracked = Seq("p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+    val h0 = Scd2.init(part, keys, lit("2024-01-01"))
+    val bumped = part.withColumn("p_retailprice",
+      when(col("p_partkey") % 10 === 0, col("p_retailprice") * 1.1)
+        .otherwise(col("p_retailprice")))
+    val fresh = part.filter(col("p_partkey") % 97 === 0)
+      .withColumn("p_partkey", col("p_partkey") + 1000000L)
+    Scd2.merge(h0, bumped.unionByName(fresh), keys, tracked, lit("2024-02-01"))
+      .orderBy(col("p_partkey"), col("effective_from"))
+  }
+
+  private def qCdcDiff(s: SparkSession, dir: String): DataFrame = {
+    // synthetic next-day snapshot: re-price every 7th part, drop every
+    // 13th, insert a shifted copy of every 31st
+    val part = t(s, dir, "part")
+    val cur = part.filter(col("p_partkey") % 13 =!= 0)
+      .withColumn("p_retailprice",
+        when(col("p_partkey") % 7 === 0, col("p_retailprice") * 1.1)
+          .otherwise(col("p_retailprice")))
+      .unionByName(part.filter(col("p_partkey") % 31 === 0)
+        .withColumn("p_partkey", col("p_partkey") + 1000000L))
+    ChangeCapture.diff(part, cur, Seq("p_partkey"))
+      .orderBy(col("p_partkey"))
+  }
+
+  private def qBloomPrune(s: SparkSession, dir: String): DataFrame = {
+    // the prune is semantics-preserving (false positives fall to the
+    // exact join), so the oracle is the PLAIN filtered join
+    val dim = t(s, dir, "part").filter(col("p_brand") === "Brand#13")
+      .select(col("p_partkey"), col("p_size"))
+    val pruned = BloomPrune.reduce(
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount")),
+      "l_partkey", dim, "p_partkey", expectedKeys = 100000L)
+    pruned.join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_size"))
+      .agg(
+        sum(col("l_extendedprice").cast("decimal(10,2)") *
+          (lit(1) - col("l_discount")).cast("decimal(4,2)")).cast("double")
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_size"))
+  }
+
   private def qAttribution(s: SparkSession, dir: String): DataFrame =
     AsOfJoin.attribution(t(s, dir, "events")).orderBy(col("purchase_id"))
 
@@ -373,6 +422,9 @@ object SparkEntry {
     "f_events" -> (qFEvents _),
     "merge_upsert" -> (qMergeUpsert _),
     "merge_ignore" -> (qMergeIgnore _),
+    "scd2_history" -> (qScd2History _),
+    "q_cdc_diff" -> (qCdcDiff _),
+    "q_bloom_prune" -> (qBloomPrune _),
     "view_yearly_counts" -> (qViewYearly _),
     "view_item_rank_by_year" -> (qViewItemRank _),
     "view_top_item_recent_year" -> (qViewTopItem _),
@@ -468,6 +520,51 @@ object SparkEntry {
         |SELECT c_custkey, 'NEW_' || c_custkey AS c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 2 <> 0
         |ORDER BY c_custkey""".stripMargin,
+    "scd2_history" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice,
+        | DATE '2024-01-01' AS effective_from,
+        | CASE WHEN p_partkey % 10 = 0 THEN DATE '2024-02-01' END AS effective_to,
+        | p_partkey % 10 <> 0 AS is_current
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice * 1.1,
+        | DATE '2024-02-01', NULL, true
+        |FROM part WHERE p_partkey % 10 = 0
+        |UNION ALL
+        |SELECT p_partkey + 1000000, p_name, p_brand, p_type, p_size, p_retailprice,
+        | DATE '2024-02-01', NULL, true
+        |FROM part WHERE p_partkey % 97 = 0
+        |ORDER BY p_partkey, effective_from""".stripMargin,
+    "q_cdc_diff" ->
+      """WITH n AS (
+        |  SELECT p_partkey, p_name, p_brand, p_type, p_size,
+        |    CASE WHEN p_partkey % 7 = 0 THEN p_retailprice * 1.1 ELSE p_retailprice END AS p_retailprice
+        |  FROM part WHERE p_partkey % 13 <> 0
+        |  UNION ALL
+        |  SELECT p_partkey + 1000000, p_name, p_brand, p_type, p_size, p_retailprice
+        |  FROM part WHERE p_partkey % 31 = 0
+        |), d AS (
+        |  SELECT COALESCE(n.p_partkey, o.p_partkey) AS p_partkey,
+        |    CASE WHEN o.p_partkey IS NULL THEN 'I'
+        |         WHEN n.p_partkey IS NULL THEN 'D'
+        |         WHEN (o.p_name IS DISTINCT FROM n.p_name) OR (o.p_brand IS DISTINCT FROM n.p_brand)
+        |           OR (o.p_type IS DISTINCT FROM n.p_type) OR (o.p_size IS DISTINCT FROM n.p_size)
+        |           OR (o.p_retailprice IS DISTINCT FROM n.p_retailprice) THEN 'U' END AS change_type,
+        |    o.p_name AS old_p_name, n.p_name AS new_p_name,
+        |    o.p_brand AS old_p_brand, n.p_brand AS new_p_brand,
+        |    o.p_type AS old_p_type, n.p_type AS new_p_type,
+        |    o.p_size AS old_p_size, n.p_size AS new_p_size,
+        |    o.p_retailprice AS old_p_retailprice, n.p_retailprice AS new_p_retailprice
+        |  FROM part o FULL OUTER JOIN n ON o.p_partkey = n.p_partkey
+        |)
+        |SELECT * FROM d WHERE change_type IS NOT NULL ORDER BY p_partkey""".stripMargin,
+    "q_bloom_prune" ->
+      """SELECT p_size,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand = 'Brand#13'
+        |GROUP BY p_size ORDER BY p_size""".stripMargin,
     "view_yearly_counts" ->
       """WITH fe AS (SELECT CAST(ts AS DATE) AS period_day,
         |   json_extract_string(props, '$.k')::BIGINT AS item_key
