@@ -223,6 +223,13 @@ object SparkEntry {
       .orderBy(col("p_size"))
   }
 
+  private def qTermFreq(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.termFrequencies(t(s, dir, "documents"))
+
+  private def qFuzzyNames(s: SparkSession, dir: String): DataFrame =
+    FuzzyJoin.nearNames(t(s, dir, "part"), "p_name", maxDist = 2)
+      .orderBy(col("name_a"), col("name_b"))
+
   private def qAttribution(s: SparkSession, dir: String): DataFrame =
     AsOfJoin.attribution(t(s, dir, "events")).orderBy(col("purchase_id"))
 
@@ -425,6 +432,8 @@ object SparkEntry {
     "scd2_history" -> (qScd2History _),
     "q_cdc_diff" -> (qCdcDiff _),
     "q_bloom_prune" -> (qBloomPrune _),
+    "text_term_freq" -> (qTermFreq _),
+    "q_fuzzy_names" -> (qFuzzyNames _),
     "view_yearly_counts" -> (qViewYearly _),
     "view_item_rank_by_year" -> (qViewItemRank _),
     "view_top_item_recent_year" -> (qViewTopItem _),
@@ -565,6 +574,23 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_brand = 'Brand#13'
         |GROUP BY p_size ORDER BY p_size""".stripMargin,
+    "text_term_freq" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents
+        |), td AS (
+        |  SELECT token, doc_id, count(*) AS n_in_doc FROM tok WHERE token <> '' GROUP BY 1, 2
+        |)
+        |SELECT token, count(*)::BIGINT AS n_docs, sum(n_in_doc)::BIGINT AS n_total
+        |FROM td GROUP BY token
+        |ORDER BY n_total DESC, token LIMIT 100""".stripMargin,
+    "q_fuzzy_names" ->
+      """WITH nm AS (SELECT DISTINCT p_name FROM part),
+        |b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM nm)
+        |SELECT a.p_name AS name_a, c.p_name AS name_b,
+        |  levenshtein(a.p_name, c.p_name)::BIGINT AS edit_dist
+        |FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
+        |WHERE levenshtein(a.p_name, c.p_name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
     "view_yearly_counts" ->
       """WITH fe AS (SELECT CAST(ts AS DATE) AS period_day,
         |   json_extract_string(props, '$.k')::BIGINT AS item_key

@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class CorpusStatsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "a b a"),
+    (2L, "b c"),
+    (3L, "a  b\tc")   // multi-space + tab: tokenizer splits on any \s+
+  ).toDF("doc_id", "text")
+
+  test("term frequencies: doc frequency and total count per token") {
+    val out = CorpusStats.termFrequencies(docs)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", 2L, 3L), ("b", 3L, 3L), ("c", 2L, 2L)))
+  }
+
+  test("topN cuts on the (n_total desc, token) total order") {
+    val out = CorpusStats.termFrequencies(docs, topN = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    // a and b tie at n_total=3 -> token asc breaks it deterministically
+    assert(out == Seq(("a", 2L, 3L), ("b", 3L, 3L)))
+  }
+
+  test("no Expand in the plan: distinct-doc counting is two-level, not Expand") {
+    val plan = CorpusStats.termFrequencies(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "count-distinct Expand rewrite leaked in")
+  }
+}
