@@ -223,6 +223,9 @@ object SparkEntry {
       .orderBy(col("p_size"))
   }
 
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.functions.HeavyHitters.topTokens(t(s, dir, "documents"), "text", k = 16)
+
   private def qTermFreq(s: SparkSession, dir: String): DataFrame =
     CorpusStats.termFrequencies(t(s, dir, "documents"))
 
@@ -433,6 +436,7 @@ object SparkEntry {
     "q_cdc_diff" -> (qCdcDiff _),
     "q_bloom_prune" -> (qBloomPrune _),
     "text_term_freq" -> (qTermFreq _),
+    "text_heavy_hitters" -> (qHeavyHitters _),
     "q_fuzzy_names" -> (qFuzzyNames _),
     "view_yearly_counts" -> (qViewYearly _),
     "view_item_rank_by_year" -> (qViewItemRank _),

@@ -302,6 +302,34 @@ PROPERTY_CHECKS = {
          FROM o JOIN ex USING (event_type)
          """),
     ],
+    "text_heavy_hitters": [
+        ("SpaceSaving bracket est-err <= true <= est holds exactly per "
+         "emitted token; exactly min(16, vocab) counters; tokens real",
+         r"""
+         WITH tok AS (
+           SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents
+         ), tc AS (
+           SELECT token, count(*)::BIGINT AS n FROM tok WHERE token <> '' GROUP BY token
+         )
+         SELECT
+          ((SELECT count(*) FROM o) != least(16, (SELECT count(*) FROM tc)))::BIGINT AS bad_cardinality,
+          count(*) FILTER (WHERE t.n IS NULL) AS unknown_token,
+          count(*) FILTER (WHERE o.est_count < t.n) AS under_estimate,
+          count(*) FILTER (WHERE o.est_count - o.err_bound > t.n) AS bracket_broken
+         FROM o LEFT JOIN tc t USING (token)
+         """),
+        ("recall: every token with true count > N/16 is emitted",
+         r"""
+         WITH tok AS (
+           SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents
+         ), tc AS (
+           SELECT token, count(*)::BIGINT AS n FROM tok WHERE token <> '' GROUP BY token
+         ), tot AS (SELECT sum(n) AS n FROM tc)
+         SELECT count(*) AS missed_heavy
+         FROM tc, tot WHERE tc.n > tot.n / 16.0
+           AND tc.token NOT IN (SELECT token FROM o)
+         """),
+    ],
     "mm_features": [
         ("one row per document; metadata replays exactly; head_sig "
          "replays byte-for-byte on printable-ASCII prefixes",
