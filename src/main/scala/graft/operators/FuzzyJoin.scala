@@ -35,6 +35,9 @@ object FuzzyJoin {
     */
   def nearNames(df: DataFrame, textCol: String, maxDist: Int,
       block: Column => Column = lastTokenBlock): DataFrame = {
+    // registers BoundedLevenshteinRewrite: the <= maxDist verify below
+    // optimizes to the banded O(len·maxDist) levenshtein
+    graft.plans.GraftFunctions.ensureRegistered(df.sparkSession)
     val nm = df.select(col(textCol)).distinct()
       .withColumn("__blk", block(col(textCol)))
     val pairs = nm.alias("a").join(nm.alias("b"),

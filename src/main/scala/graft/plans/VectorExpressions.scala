@@ -70,6 +70,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.dotDescriptor)
     e.injectFunction(SimHashFunctions.descriptor)
+    e.injectOptimizerRule(_ => BoundedLevenshteinRewrite)
   }
 }
 
@@ -88,5 +89,10 @@ object GraftFunctions {
       val d = SimHashFunctions.descriptor
       reg.registerFunction(d._1, d._2, d._3)
     }
+    // caller-provided sessions can't take injectOptimizerRule after the
+    // fact; experimental.extraOptimizations is the supported late hook
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(BoundedLevenshteinRewrite))
+      spark.experimental.extraOptimizations = extra :+ BoundedLevenshteinRewrite
   }
 }
