@@ -145,6 +145,24 @@ object Sinks {
     persistAndSwap(spark, merged, path, pinResult)
   }
 
+  /** SCD2 history refresh: fold one load into the stored history
+    * table (or initialize it) and swap. Re-merging the SAME delta with
+    * the SAME load date is a no-op — unchanged rows are skipped and a
+    * re-delivered change finds its version already closed — which is
+    * what makes this safe under at-least-once delivery (streaming
+    * foreachBatch replays, backfill re-runs).
+    */
+  def mergeDimScd2(spark: SparkSession, path: String, delta: DataFrame,
+      keys: Seq[String], tracked: Seq[String],
+      loadDate: org.apache.spark.sql.Column,
+      pinResult: Boolean = true): DataFrame = {
+    val merged = if (tableExists(spark, path))
+      graft.operators.Scd2.merge(spark.read.parquet(path), delta, keys,
+        tracked, loadDate)
+    else graft.operators.Scd2.init(delta, keys, loadDate)
+    persistAndSwap(spark, merged, path, pinResult)
+  }
+
   /** Small-file compaction: rewrite a table directory into
     * ceil(rows / rowsPerFile) files via stage-then-swap. Daily MERGE
     * loads fragment tables; compaction keeps scan task counts sane.
