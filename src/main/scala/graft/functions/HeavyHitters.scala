@@ -41,16 +41,45 @@ object HeavyHitters {
   final class Summary(val k: Int) extends Serializable {
     val counters: mutable.HashMap[String, Counter] = mutable.HashMap.empty
 
-    private def minEntry(): (String, Counter) = counters.minBy(_._2.count)
+    // count -> tokens at that count. Eviction on the saturated miss
+    // path (the ENTIRE tail of a web-scale vocabulary) reads the first
+    // bucket instead of an O(k) minBy scan — counts move by +1 only,
+    // so maintenance is an adjacent-bucket move. Rebuilt lazily after
+    // deserialization/merge (@transient), O(k log k) once.
+    @transient private var buckets: java.util.TreeMap[Long, mutable.HashSet[String]] = _
+
+    private def rebuildBuckets(): Unit = {
+      buckets = new java.util.TreeMap[Long, mutable.HashSet[String]]
+      counters.foreach { case (t, c) => bucketAdd(t, c.count) }
+    }
+
+    private def bucketAdd(token: String, count: Long): Unit =
+      buckets.computeIfAbsent(count, _ => mutable.HashSet.empty) += token
+
+    private def bucketRemove(token: String, count: Long): Unit = {
+      val s = buckets.get(count)
+      s -= token
+      if (s.isEmpty) buckets.remove(count)
+    }
 
     def add(token: String): this.type = {
+      if (buckets == null) rebuildBuckets()
       counters.get(token) match {
-        case Some(c) => c.count += 1
-        case None if counters.size < k => counters.update(token, Counter(1L, 0L))
+        case Some(c) =>
+          bucketRemove(token, c.count)
+          c.count += 1
+          bucketAdd(token, c.count)
+        case None if counters.size < k =>
+          counters.update(token, Counter(1L, 0L))
+          bucketAdd(token, 1L)
         case None =>
-          val (evicted, c) = minEntry()
+          val minBucket = buckets.firstEntry()
+          val min = minBucket.getKey
+          val evicted = minBucket.getValue.head
           counters.remove(evicted)
-          counters.update(token, Counter(c.count + 1, c.count))
+          bucketRemove(evicted, min)
+          counters.update(token, Counter(min + 1, min))
+          bucketAdd(token, min + 1)
       }
       this
     }
@@ -77,6 +106,7 @@ object HeavyHitters {
       val kept = merged.sortBy { case (t, c) => (-c.count, t) }.take(k)
       counters.clear()
       kept.foreach { case (t, c) => counters.update(t, c) }
+      buckets = null // rebuilt lazily on the next add
       this
     }
   }
@@ -95,10 +125,8 @@ object HeavyHitters {
   def topTokens(docs: DataFrame, textCol: String, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val toks = docs
-      .select(explode(split(col(textCol), "\\s+")).as("token"))
-      .filter(length(col("token")) > 0)
-      .as[String]
+    val toks = TextFunctions.explodedTokens(docs, textCol)
+      .select(col("token")).as[String]
     spaceSaving(toks, k)
       .toDF("token", "est_count", "err_bound")
       .orderBy(col("est_count").desc, col("token"))

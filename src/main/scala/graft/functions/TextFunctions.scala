@@ -14,6 +14,16 @@ object TextFunctions {
   /** Whitespace tokens. */
   def words(c: Column): Column = split(trim(c), "\\s+")
 
+  /** One row per non-empty whitespace token, keeping `keep` columns —
+    * THE corpus tokenization (CorpusStats, HeavyHitters). Must stay
+    * aligned with the DuckDB property/value oracles'
+    * `string_split_regex(text, '\s+') ... WHERE token <> ''`.
+    */
+  def explodedTokens(df: org.apache.spark.sql.DataFrame, textCol: String,
+      keep: Seq[String] = Nil): org.apache.spark.sql.DataFrame =
+    df.select((keep.map(col) :+ explode(words(col(textCol))).as("token")): _*)
+      .filter(length(col("token")) > 0)
+
   /** Whitespace token count (BIGINT for cross-engine schema parity). */
   def wsTokenCount(c: Column): Column = size(words(c)).cast("bigint")
 

@@ -26,9 +26,7 @@ object CorpusStats {
     */
   def termFrequencies(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", topN: Int = 100): DataFrame = {
-    val toks = docs
-      .select(col(idCol), explode(split(col(textCol), "\\s+")).as("token"))
-      .filter(length(col("token")) > 0)
+    val toks = graft.functions.TextFunctions.explodedTokens(docs, textCol, Seq(idCol))
     toks.groupBy(col("token"), col(idCol))
       .agg(count(lit(1)).as("n_in_doc"))
       .groupBy(col("token"))

@@ -155,10 +155,11 @@ object Sinks {
   def mergeDimScd2(spark: SparkSession, path: String, delta: DataFrame,
       keys: Seq[String], tracked: Seq[String],
       loadDate: org.apache.spark.sql.Column,
+      broadcastDelta: Boolean = true,
       pinResult: Boolean = true): DataFrame = {
     val merged = if (tableExists(spark, path))
       graft.operators.Scd2.merge(spark.read.parquet(path), delta, keys,
-        tracked, loadDate)
+        tracked, loadDate, broadcastDelta = broadcastDelta)
     else graft.operators.Scd2.init(delta, keys, loadDate)
     persistAndSwap(spark, merged, path, pinResult)
   }

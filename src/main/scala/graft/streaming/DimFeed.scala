@@ -39,15 +39,39 @@ object DimFeed {
     * maps a batch id to that load's effective date (must be stable
     * across a replay of the same batch — derive it from batch
     * contents or a batch-id keyed calendar, never wall clock).
-    * Micro-batches must carry unique keys (enforced in-plan by the
-    * merge). Start with `.option("checkpointLocation", ...)`.
+    *
+    * Batch composition is trigger-timing dependent, so one micro-batch
+    * can legally carry SEVERAL changes to the same key (a backlog
+    * drained after downtime); the sink collapses each key to its last
+    * change by `latestBy` (remaining columns break ties, so a replayed
+    * batch collapses identically) BEFORE merging — without this, the
+    * merge's duplicate-key guard would kill the query and the
+    * checkpoint would replay the same poisonous batch forever.
+    * `latestBy` is consumed by the collapse and does not enter the
+    * history. Deltas that outgrow a broadcast (backfills) set
+    * `broadcastDelta = false`. Start with
+    * `.option("checkpointLocation", ...)`.
     */
   def scd2Sink(deltas: DataFrame, path: String, keys: Seq[String],
-      tracked: Seq[String], loadDateFor: Long => String): DataStreamWriter[Row] =
+      tracked: Seq[String], loadDateFor: Long => String,
+      latestBy: String = "ts",
+      broadcastDelta: Boolean = true): DataStreamWriter[Row] =
     deltas.writeStream.foreachBatch { (batch: Dataset[Row], id: Long) =>
       if (!batch.isEmpty) {
-        Sinks.mergeDimScd2(batch.sparkSession, path, batch, keys, tracked,
-          lit(loadDateFor(id)))
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions.{col, row_number}
+        val tieBreak = batch.columns
+          .filterNot(c => keys.contains(c) || c == latestBy)
+          .map(col(_).desc)
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy((col(latestBy).desc +: tieBreak.toSeq): _*)
+        val latest = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", latestBy)
+        // pinResult = false: the returned handle is dropped here, so
+        // localCheckpointing a growing history every batch buys nothing
+        Sinks.mergeDimScd2(batch.sparkSession, path, latest, keys, tracked,
+          lit(loadDateFor(id)), broadcastDelta = broadcastDelta,
+          pinResult = false)
         ()
       }
     }

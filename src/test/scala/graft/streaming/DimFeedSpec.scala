@@ -42,16 +42,19 @@ class DimFeedSpec extends SparkSpecBase {
     val dates = Map(0L -> "2024-01-01", 1L -> "2024-02-01")
     val input = MemoryStream[DimDelta]
     val q = DimFeed.scd2Sink(
-        input.toDF().select($"k", $"name", $"price"),
-        path, Seq("k"), Seq("name", "price"), dates)
+        input.toDF(), path, Seq("k"), Seq("name", "price"), dates)
       .option("checkpointLocation", chk).start()
     try {
       input.addData(
         DimDelta(t("2024-01-01 10:00:00"), 1L, "a", 10.0),
         DimDelta(t("2024-01-01 10:00:00"), 2L, "b", 20.0))
       q.processAllAvailable()
+      // a drained backlog: TWO changes to k=1 in ONE micro-batch — the
+      // sink must collapse to the latest instead of crash-looping on
+      // the merge's duplicate-key guard
       input.addData(
-        DimDelta(t("2024-02-01 10:00:00"), 1L, "a", 11.0))  // change k=1
+        DimDelta(t("2024-02-01 09:00:00"), 1L, "a", 10.5),
+        DimDelta(t("2024-02-01 10:00:00"), 1L, "a", 11.0))
       q.processAllAvailable()
       val h = spark.read.parquet(path)
       val rows = h.orderBy($"k", $"effective_from")
