@@ -174,6 +174,22 @@ object SparkEntry {
       .orderBy(col("p_brand"))
   }
 
+  private def qIncrAgg(s: SparkSession, dir: String): DataFrame = {
+    // three simulated drops folded into the stored aggregate state —
+    // the result must equal the one-shot aggregate over everything,
+    // which is exactly what the oracle computes
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        col("ts").cast("date").as("day"), col("value"))
+    val drops = (0 until 3).map(i =>
+      ev.filter(col("event_id") % 3 === i).drop("event_id"))
+    val spec = IncrementalAgg.Spec(sums = Seq("value"),
+      mins = Seq("value"), maxs = Seq("value"))
+    IncrementalAgg.foldAll(drops, Seq("event_type", "day"), spec)
+      .withColumn("sum_value", col("sum_value").cast("double"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   private def qScd2History(s: SparkSession, dir: String): DataFrame = {
     // two simulated snapshot loads from the part dim: load 2 re-prices
     // every 10th part and introduces new keys for every 97th
@@ -432,6 +448,7 @@ object SparkEntry {
     "f_events" -> (qFEvents _),
     "merge_upsert" -> (qMergeUpsert _),
     "merge_ignore" -> (qMergeIgnore _),
+    "q_incr_agg" -> (qIncrAgg _),
     "scd2_history" -> (qScd2History _),
     "q_cdc_diff" -> (qCdcDiff _),
     "q_bloom_prune" -> (qBloomPrune _),
@@ -533,6 +550,11 @@ object SparkEntry {
         |SELECT c_custkey, 'NEW_' || c_custkey AS c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 2 <> 0
         |ORDER BY c_custkey""".stripMargin,
+    "q_incr_agg" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS n_rows,
+        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+        | min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
     "scd2_history" ->
       """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice,
         | DATE '2024-01-01' AS effective_from,
