@@ -71,6 +71,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction(GraftFunctions.dotDescriptor)
     e.injectFunction(SimHashFunctions.descriptor)
     e.injectOptimizerRule(_ => BoundedLevenshteinRewrite)
+    e.injectOptimizerRule(_ => HofDotProductRewrite)
   }
 }
 
@@ -91,8 +92,10 @@ object GraftFunctions {
     }
     // caller-provided sessions can't take injectOptimizerRule after the
     // fact; experimental.extraOptimizations is the supported late hook
+    val rules = Seq(BoundedLevenshteinRewrite, HofDotProductRewrite)
     val extra = spark.experimental.extraOptimizations
-    if (!extra.contains(BoundedLevenshteinRewrite))
-      spark.experimental.extraOptimizations = extra :+ BoundedLevenshteinRewrite
+    val missing = rules.filterNot(extra.contains)
+    if (missing.nonEmpty)
+      spark.experimental.extraOptimizations = extra ++ missing
   }
 }

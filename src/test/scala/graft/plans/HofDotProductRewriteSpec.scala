@@ -1,0 +1,53 @@
+package graft.plans
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class HofDotProductRewriteSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def registered = { GraftFunctions.ensureRegistered(spark); spark }
+
+  // parquet source so ConvertToLocalRelation can't fold the projection
+  private lazy val vecPath = {
+    val p = java.nio.file.Files.createTempDirectory("hof_vecs").toString
+    Seq(
+      (1L, Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
+      (2L, Array(0.5f, -1f), Array(2f, 2f)),
+      (3L, null.asInstanceOf[Array[Float]], Array(1f, 1f)),
+      (4L, Array(1f, 2f, 3f), Array(1f, 1f)) // ragged: zip_with NULL-pads
+    ).toDF("id", "a", "b").write.mode("overwrite").parquet(p)
+    p
+  }
+  private def vecs = spark.read.parquet(vecPath)
+
+  private val hofDot =
+    "aggregate(zip_with(a, b, (x, y) -> double(x) * double(y)), 0d, (acc, v) -> acc + v)"
+
+  test("declarative dot product optimizes to the codegen kernel") {
+    registered
+    val q = vecs.select(expr(hofDot).as("dot"))
+    val plan = q.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_dot"), s"no kernel in:\n$plan")
+  }
+
+  test("values match the hand-computed dots; NULL and ragged semantics kept") {
+    registered
+    val out = vecs.select($"id", expr(hofDot).as("dot"))
+      .orderBy("id").as[(Long, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (1L, Some(32.0)),   // 4 + 10 + 18
+      (2L, Some(-1.0)),   // 1 - 2
+      (3L, None),         // NULL array stays NULL
+      (4L, None)))        // ragged arrays stay NULL (zip_with pads)
+  }
+
+  test("float-precision product (x * y without casts) is NOT rewritten") {
+    registered
+    val q = vecs.select(
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0f, (acc, v) -> acc + v)")
+        .as("dotf"))
+    assert(!q.queryExecution.optimizedPlan.toString.contains("graft_dot"),
+      "float-precision fold must keep its own arithmetic")
+  }
+}
