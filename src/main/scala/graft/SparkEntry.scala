@@ -174,6 +174,13 @@ object SparkEntry {
       .orderBy(col("p_brand"))
   }
 
+  private def qOutliers(s: SparkSession, dir: String): DataFrame =
+    Quality.zScoreOutliers(
+        t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+        "value", Seq("event_type"), threshold = 2.5)
+      .select(col("event_id"), col("event_type"), col("value"), col("z"))
+      .orderBy(col("event_id"))
+
   private def qIncrAgg(s: SparkSession, dir: String): DataFrame = {
     // three simulated drops folded into the stored aggregate state —
     // the result must equal the one-shot aggregate over everything,
@@ -448,6 +455,7 @@ object SparkEntry {
     "f_events" -> (qFEvents _),
     "merge_upsert" -> (qMergeUpsert _),
     "merge_ignore" -> (qMergeIgnore _),
+    "q_outliers" -> (qOutliers _),
     "q_incr_agg" -> (qIncrAgg _),
     "scd2_history" -> (qScd2History _),
     "q_cdc_diff" -> (qCdcDiff _),
@@ -550,6 +558,13 @@ object SparkEntry {
         |SELECT c_custkey, 'NEW_' || c_custkey AS c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 2 <> 0
         |ORDER BY c_custkey""".stripMargin,
+    "q_outliers" ->
+      """WITH st AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+        |            FROM events GROUP BY 1)
+        |SELECT event_id, e.event_type, value, round((value - mu) / sigma, 4) AS z
+        |FROM events e JOIN st USING (event_type)
+        |WHERE abs(round((value - mu) / sigma, 4)) >= 2.5
+        |ORDER BY event_id""".stripMargin,
     "q_incr_agg" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS n_rows,
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,

@@ -47,4 +47,30 @@ object Quality {
   /** Union a set of rule results into one (rule, n_violations) report. */
   def report(rules: Seq[DataFrame]): DataFrame =
     rules.reduce(_ unionByName _)
+
+  /** Per-group z-score outliers: rows whose `valueCol` sits at least
+    * `threshold` sample standard deviations from their group's mean.
+    *
+    * Two passes over the table (group stats, then the scan that tags
+    * rows), but the stats frame is one row per group — it broadcasts,
+    * so the fact is never shuffled. The z-score is rounded to 4
+    * decimals BEFORE the threshold compare in both this plan and the
+    * DuckDB oracle, so the classification boundary is identical
+    * cross-engine (SURVEY §5's cosine rule, applied to anomaly
+    * flags). Groups with zero variance or a single row have NULL
+    * sigma — their rows are never outliers.
+    */
+  def zScoreOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      threshold: Double): DataFrame = {
+    val stats = df.groupBy(groupCols.map(col): _*).agg(
+      avg(col(valueCol)).as("__mu"),
+      // a zero-variance group would divide by zero under ANSI mode;
+      // NULL sigma drops its rows, same as the oracle's 0/0 -> NaN path
+      when(stddev_samp(col(valueCol)) =!= 0.0, stddev_samp(col(valueCol)))
+        .as("__sigma"))
+    df.join(broadcast(stats), groupCols, "inner")
+      .withColumn("z", round((col(valueCol) - col("__mu")) / col("__sigma"), 4))
+      .filter(abs(col("z")) >= threshold)
+      .drop("__mu", "__sigma")
+  }
 }
