@@ -559,7 +559,8 @@ object SparkEntry {
         |FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 2 <> 0
         |ORDER BY c_custkey""".stripMargin,
     "q_outliers" ->
-      """WITH st AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+      """WITH st AS (SELECT event_type, avg(value) AS mu,
+        |            nullif(stddev_samp(value), 0) AS sigma
         |            FROM events GROUP BY 1)
         |SELECT event_id, e.event_type, value, round((value - mu) / sigma, 4) AS z
         |FROM events e JOIN st USING (event_type)

@@ -32,11 +32,7 @@ object IncrementalAgg {
 
   /** Which value columns to maintain, by mergeable shape. */
   final case class Spec(sums: Seq[String] = Nil, mins: Seq[String] = Nil,
-      maxs: Seq[String] = Nil) {
-    def stateCols: Seq[String] =
-      ("n_rows" +: sums.map("sum_" + _)) ++ mins.map("min_" + _) ++
-        maxs.map("max_" + _)
-  }
+      maxs: Seq[String] = Nil)
 
   /** Exact decimal for sum state (associative across folds). */
   private def sumDecimal(c: String) = sum(col(c).cast("decimal(18,6)"))

@@ -62,10 +62,14 @@ object Quality {
     */
   def zScoreOutliers(df: DataFrame, valueCol: String, groupCols: Seq[String],
       threshold: Double): DataFrame = {
+    require(!Seq("z", "__mu", "__sigma").exists(df.columns.contains),
+      "zScoreOutliers reserves columns z, __mu, __sigma")
     val stats = df.groupBy(groupCols.map(col): _*).agg(
       avg(col(valueCol)).as("__mu"),
       // a zero-variance group would divide by zero under ANSI mode;
-      // NULL sigma drops its rows, same as the oracle's 0/0 -> NaN path
+      // NULL sigma drops its rows — the oracle NULLs sigma=0 explicitly
+      // (nullif) so the classification never leans on an engine's
+      // division-by-zero convention
       when(stddev_samp(col(valueCol)) =!= 0.0, stddev_samp(col(valueCol)))
         .as("__sigma"))
     df.join(broadcast(stats), groupCols, "inner")

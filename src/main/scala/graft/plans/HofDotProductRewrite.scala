@@ -19,7 +19,12 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   * `graft_dot` directly). Users writing the declarative form shouldn't
   * need to know that. This rule rewrites the pattern to
   *
-  *   IF(size(a) = size(b), graft_dot(a, b), NULL)
+  *   IF(size(a) = size(b), <kernel>(a, b), NULL)
+  *
+  * where the kernel is [[DotProductFloat]] for non-nullable elements
+  * and [[DotProductFloatNullAware]] (same loop, aborts to NULL on a
+  * NULL slot — the HOF's element semantics) when the array type admits
+  * nulls, which is what parquet sources always report.
   *
   * The size guard preserves `zip_with`'s ragged-array semantics
   * exactly: the else branch is reached only when the sizes differ
@@ -39,6 +44,16 @@ object HofDotProductRewrite extends Rule[LogicalPlan] {
   private def isFloatArray(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
+  }
+
+  // On an equal-length pair with a NULL ELEMENT the HOF form
+  // propagates NULL, but the plain kernel reads a NULL slot as 0.0 —
+  // a silently wrong number. When either type admits null elements
+  // (parquet sources always say so), use the null-aware kernel, which
+  // keeps the tight codegen loop but aborts to NULL on a null slot.
+  private def elementsNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
   }
 
   /** double(x) * double(y) over exactly the two lambda variables. */
@@ -72,13 +87,18 @@ object HofDotProductRewrite extends Rule[LogicalPlan] {
             Literal(0.0, DoubleType),
             LambdaFunction(merge, mergeArgs, _),
             finish: LambdaFunction)
+          // deterministic: the rewrite duplicates a and b into the
+          // guard and the kernel — two evaluations must agree
           if isFloatArray(a) && isFloatArray(b) &&
+            a.deterministic && b.deterministic &&
             isDoubleProduct(product, prodArgs) &&
             isSum(merge, mergeArgs) && isIdentity(finish) =>
         If(
           EqualTo(Size(a, legacySizeOfNull = false),
             Size(b, legacySizeOfNull = false)),
-          DotProductFloat(a, b),
+          if (elementsNullable(a) || elementsNullable(b))
+            DotProductFloatNullAware(a, b)
+          else DotProductFloat(a, b),
           Literal(null, DoubleType))
     }
 }

@@ -60,6 +60,57 @@ case class DotProductFloat(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Null-element-aware dot product: identical tight loop, but a NULL
+  * slot in either array makes the WHOLE result NULL — the semantics
+  * `aggregate(zip_with(...))` has on nullable-element arrays, which
+  * [[DotProductFloat]] (reads a NULL slot as 0.0) cannot honor.
+  * [[HofDotProductRewrite]] picks this variant when a column's type
+  * says `containsNull = true` (what parquet sources always report).
+  */
+case class DotProductFloatNullAware(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot_nullaware"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("dotN")
+      val s = ctx.freshName("dotSum")
+      val i = ctx.freshName("dotI")
+      // ev.isNull is already declared (nullable=true); a NULL slot
+      // flips it back on and abandons the loop
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $s += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductFloatNullAware =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration of graft's native expressions.
   *
   * Preferred path: `spark.sql.extensions=graft.plans.GraftExtensions`.

@@ -42,6 +42,21 @@ class HofDotProductRewriteSpec extends SparkSpecBase {
       (4L, None)))        // ragged arrays stay NULL (zip_with pads)
   }
 
+  test("nullable elements get the null-aware kernel; NULL slot propagates") {
+    registered
+    val p = java.nio.file.Files.createTempDirectory("hof_nulls").toString
+    Seq(
+      (1L, Array[java.lang.Float](1f, null, 3f), Array[java.lang.Float](4f, 5f, 6f)),
+      (2L, Array[java.lang.Float](1f, 2f), Array[java.lang.Float](3f, 4f)))
+      .toDF("id", "a", "b").write.mode("overwrite").parquet(p)
+    val df = spark.read.parquet(p)
+    val q = df.select($"id", expr(hofDot).as("dot"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("graft_dot_nullaware"),
+      "nullable-element arrays must take the null-aware kernel")
+    assert(q.orderBy("id").as[(Long, Option[Double])].collect().toSeq ==
+      Seq((1L, None), (2L, Some(11.0))))
+  }
+
   test("float-precision product (x * y without casts) is NOT rewritten") {
     registered
     val q = vecs.select(
