@@ -74,6 +74,35 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("ShuffledHashJoin"), p)
   }
 
+  test("SCD2 merge plans BroadcastHashJoins only — the history never shuffles") {
+    val part = Tables.part(spark, sfDir)
+    val h0 = graft.operators.Scd2.init(part, Seq("p_partkey"),
+      org.apache.spark.sql.functions.lit("2024-01-01"))
+    val delta = part.filter(
+      org.apache.spark.sql.functions.col("p_partkey") % 97 === 0)
+    val p = plan(graft.operators.Scd2.merge(h0, delta, Seq("p_partkey"),
+      Seq("p_retailprice"), org.apache.spark.sql.functions.lit("2024-02-01")))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("incremental agg folds by key join — the raw drops shuffle only their partials") {
+    val ev = Tables.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value"))
+    val spec = graft.operators.IncrementalAgg.Spec(sums = Seq("value"))
+    val p = plan(graft.operators.IncrementalAgg.fold(
+      graft.operators.IncrementalAgg.partial(ev, Seq("event_type"), spec),
+      graft.operators.IncrementalAgg.partial(ev, Seq("event_type"), spec),
+      Seq("event_type"), spec))
+    // both inputs partial-aggregate before any exchange (map-side combine)
+    assert(p.contains("HashAggregate"), p)
+    val firstExchange = p.indexOf("Exchange")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && firstExchange >= 0, p)
+  }
+
   test("whole-stage codegen covers the pricing aggregation") {
     // under AQE the final plan (with codegen stages) exists only after
     // execution — run it, then inspect the adaptive executed plan
