@@ -174,6 +174,10 @@ object SparkEntry {
       .orderBy(col("p_brand"))
   }
 
+  private def qRolling7d(s: SparkSession, dir: String): DataFrame =
+    Relational.rolling7d(t(s, dir, "events"))
+      .orderBy(col("event_type"), col("day"))
+
   private def qOutliers(s: SparkSession, dir: String): DataFrame =
     Quality.zScoreOutliers(
         t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
@@ -455,6 +459,7 @@ object SparkEntry {
     "f_events" -> (qFEvents _),
     "merge_upsert" -> (qMergeUpsert _),
     "merge_ignore" -> (qMergeIgnore _),
+    "q_rolling_7d" -> (qRolling7d _),
     "q_outliers" -> (qOutliers _),
     "q_incr_agg" -> (qIncrAgg _),
     "scd2_history" -> (qScd2History _),
@@ -558,6 +563,25 @@ object SparkEntry {
         |SELECT c_custkey, 'NEW_' || c_custkey AS c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 2 <> 0
         |ORDER BY c_custkey""".stripMargin,
+    "q_rolling_7d" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS dv, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM daily),
+        |spine AS (
+        |  SELECT et.event_type, d.day
+        |  FROM (SELECT DISTINCT event_type FROM daily) et
+        |  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds) d),
+        |filled AS (
+        |  SELECT s.event_type, s.day, dv, coalesce(n, 0) AS n
+        |  FROM spine s LEFT JOIN daily USING (event_type, day))
+        |SELECT event_type, day,
+        |  CAST(sum(dv) OVER w AS DOUBLE) AS roll7_value,
+        |  CAST(sum(n) OVER w AS BIGINT) AS roll7_events
+        |FROM filled
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
     "q_outliers" ->
       """WITH st AS (SELECT event_type, avg(value) AS mu,
         |            nullif(stddev_samp(value), 0) AS sigma

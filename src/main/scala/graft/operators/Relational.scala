@@ -194,6 +194,37 @@ object Relational {
     has.unionByName(hasNot)
   }
 
+  /** Gap-filled 7-day rolling aggregates per event type.
+    *
+    * The scale-correct shape for rolling time-series over a fact:
+    * aggregate the fact to the DAY grain first (one map-side-combined
+    * pass — the only touch of the big table), then generate a
+    * contiguous date spine (`sequence` over the observed bounds ×
+    * distinct types, both tiny) and left-join the daily grain onto it
+    * so the window's ROWS frame equals the calendar frame even on days
+    * with no events. The rolling window itself runs over days × types
+    * rows — thousands, not billions — and a ROWS BETWEEN 6 PRECEDING
+    * frame on the filled spine is exactly "last 7 calendar days".
+    * Sums stay DECIMAL until the final cast (SURVEY §5).
+    */
+  def rolling7d(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+      .agg(sum(dec(col("value"), 18, 6)).as("dv"), count(lit(1)).as("n"))
+    val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val days = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+    val spine = daily.select(col("event_type")).distinct()
+      .crossJoin(broadcast(days))
+    val filled = spine.join(daily, Seq("event_type", "day"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-6, 0)
+    filled.select(col("event_type"), col("day"),
+      sum(col("dv")).over(w).cast("double").as("roll7_value"),
+      sum(col("n")).over(w).as("roll7_events"))
+  }
+
   /** Session windows per user (30-minute inactivity gap) — native
     * `session_window`, which runs distributed by user and is the same
     * operator Structured Streaming uses for stateful sessionization.
