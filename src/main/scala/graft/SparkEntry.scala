@@ -108,6 +108,12 @@ object SparkEntry {
       t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))
       .orderBy(col("n_name"))
 
+  private def qMktShare(s: SparkSession, dir: String): DataFrame =
+    Relational.marketShare(t(s, dir, "region"), t(s, dir, "nation"),
+      t(s, dir, "customer"), t(s, dir, "supplier"), t(s, dir, "orders"),
+      t(s, dir, "lineitem"))
+      .orderBy(col("order_year"))
+
   private def qRollup(s: SparkSession, dir: String): DataFrame =
     Relational.rollupSummary(t(s, dir, "lineitem"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
@@ -478,6 +484,7 @@ object SparkEntry {
     "q_event_hourly" -> (qHourly _),
     "q_event_sessionize" -> (qSessionize _),
     "q5_region_revenue" -> (qRegionRevenue _),
+    "q_mkt_share" -> (qMktShare _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_set_ops" -> (qSetOps _),
@@ -749,6 +756,23 @@ object SparkEntry {
         | JOIN lineitem l ON l_orderkey = o_orderkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_mkt_share" ->
+      """WITH rev AS (
+        |  SELECT year(o.o_orderdate) AS order_year, sn.n_name AS supp_nation,
+        |         CAST(l.l_extendedprice AS DECIMAL(10,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2)) AS rev
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |  JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation sn ON s.s_nationkey = sn.n_nationkey)
+        |SELECT order_year,
+        | round(CAST(sum(CASE WHEN supp_nation = 'NATION_15' THEN rev ELSE CAST(0 AS DECIMAL(10,2)) END) AS DOUBLE)
+        |       / nullif(CAST(sum(rev) AS DOUBLE), 0), 6) AS mkt_share,
+        | CAST(sum(rev) AS DOUBLE) AS total_revenue,
+        | count(*) AS n_items
+        |FROM rev GROUP BY order_year ORDER BY order_year""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -119,6 +119,50 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** TPC-H Q8-shaped market share: of all revenue booked by customers
+    * in `regionName`, the fraction supplied from `suppNation`, per
+    * order year — a ratio of two conditional aggregates computed in a
+    * SINGLE scan/shuffle (no self-join of the revenue stream, which is
+    * the naive two-query form).
+    *
+    * Scale shape: region/nation/supplier are true dims → broadcast;
+    * the customer join is left to AQE (same reasoning as
+    * [[regionRevenue]] — customer scales with the fact, force-broadcast
+    * measured worse under memory pressure); the orders⋈lineitem spine
+    * shuffles once on the order key. Both numerator and denominator are
+    * exact DECIMAL sums; only the final ratio is double.
+    */
+  def marketShare(region: DataFrame, nation: DataFrame, customer: DataFrame,
+      supplier: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      regionName: String = "EUROPE", suppNation: String = "NATION_15"): DataFrame = {
+    val custDim = customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppDim = supplier
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val rev = dec(col("l_extendedprice"), 10, 2) * dec(lit(1) - col("l_discount"), 4, 2)
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), rev.as("rev"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custDim, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppDim), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("order_year"))
+      .agg(
+        sum(when(col("supp_nation") === suppNation, col("rev"))
+          .otherwise(lit(0).cast("decimal(10,2)"))).cast("double").as("nation_rev"),
+        sum(col("rev")).cast("double").as("total_revenue"),
+        count(lit(1)).as("n_items"))
+      .select(col("order_year"),
+        round(col("nation_rev") / nullif(col("total_revenue"), lit(0d)), 6)
+          .as("mkt_share"),
+        col("total_revenue"), col("n_items"))
+  }
+
   /** ROLLUP aggregation: per (flag, status), per flag, and grand total.
     * Same partial-agg shape as a flat groupBy — grouping sets expand
     * map-side.
