@@ -114,6 +114,10 @@ object SparkEntry {
       t(s, dir, "lineitem"))
       .orderBy(col("order_year"))
 
+  private def qFunnel(s: SparkSession, dir: String): DataFrame =
+    Relational.funnel(t(s, dir, "events"))
+      .orderBy(col("user_id"))
+
   private def qRollup(s: SparkSession, dir: String): DataFrame =
     Relational.rollupSummary(t(s, dir, "lineitem"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
@@ -485,6 +489,7 @@ object SparkEntry {
     "q_event_sessionize" -> (qSessionize _),
     "q5_region_revenue" -> (qRegionRevenue _),
     "q_mkt_share" -> (qMktShare _),
+    "q_funnel" -> (qFunnel _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_set_ops" -> (qSetOps _),
@@ -773,6 +778,21 @@ object SparkEntry {
         | CAST(sum(rev) AS DOUBLE) AS total_revenue,
         | count(*) AS n_items
         |FROM rev GROUP BY order_year ORDER BY order_year""".stripMargin,
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type='view' THEN ts END) OVER (PARTITION BY user_id ORDER BY ts) AS fv
+        |  FROM events),
+        | s2 AS (SELECT *, CASE WHEN event_type='click' AND ts > fv THEN ts END AS cc FROM s1),
+        | s3 AS (SELECT *, min(cc) OVER (PARTITION BY user_id ORDER BY ts) AS fc FROM s2),
+        | s4 AS (SELECT *, CASE WHEN event_type='purchase' AND ts > fc THEN ts END AS pp FROM s3)
+        |SELECT user_id,
+        | date_trunc('second', min(CASE WHEN event_type='view' THEN ts END)) AS first_view,
+        | date_trunc('second', min(cc)) AS first_click,
+        | date_trunc('second', min(pp)) AS first_purchase,
+        | CASE WHEN min(pp) IS NOT NULL THEN 3 WHEN min(cc) IS NOT NULL THEN 2
+        |      WHEN min(CASE WHEN event_type='view' THEN ts END) IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth
+        |FROM s4 GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

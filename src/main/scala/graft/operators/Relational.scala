@@ -163,6 +163,50 @@ object Relational {
         col("total_revenue"), col("n_items"))
   }
 
+  /** Ordered funnel per user: first view, first click strictly after
+    * that view, first purchase strictly after that click — the
+    * marketing-analytics "conversion path" over the reference's event
+    * stream.
+    *
+    * Scale shape: ONE shuffle + ONE sort on (user_id, ts); the three
+    * dependent "min qualifying timestamp so far" layers all share that
+    * window spec, so Catalyst stacks them as Window operators over the
+    * same distribution with no re-exchange. A purchase at time T
+    * qualifies iff the minimum qualifying click so far is < T, which is
+    * exactly "some click after the first view precedes it" — no
+    * per-user event-list collection, no self-joins. The frame is the
+    * default RANGE UNBOUNDED PRECEDING..CURRENT ROW (peer rows with
+    * equal ts are all in frame) so same-timestamp ties resolve
+    * identically in any engine; cross-stage comparisons stay strict
+    * (`>`). Depth: 0 none, 1 viewed, 2 clicked after view, 3 purchased
+    * after that click.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val viewTs = when(col("event_type") === "view", col("ts"))
+    val staged = events
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("fv", min(viewTs).over(w))
+      .withColumn("cc",
+        when(col("event_type") === "click" && col("ts") > col("fv"), col("ts")))
+      .withColumn("fc", min(col("cc")).over(w))
+      .withColumn("pp",
+        when(col("event_type") === "purchase" && col("ts") > col("fc"), col("ts")))
+    staged.groupBy(col("user_id"))
+      .agg(
+        min(viewTs).as("fv_all"),
+        min(col("cc")).as("fc_all"),
+        min(col("pp")).as("fp_all"))
+      .select(col("user_id"),
+        date_trunc("second", col("fv_all")).as("first_view"),
+        date_trunc("second", col("fc_all")).as("first_click"),
+        date_trunc("second", col("fp_all")).as("first_purchase"),
+        when(col("fp_all").isNotNull, 3)
+          .when(col("fc_all").isNotNull, 2)
+          .when(col("fv_all").isNotNull, 1)
+          .otherwise(0).as("funnel_depth"))
+  }
+
   /** ROLLUP aggregation: per (flag, status), per flag, and grand total.
     * Same partial-agg shape as a flat groupBy — grouping sets expand
     * map-side.

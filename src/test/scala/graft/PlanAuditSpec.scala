@@ -103,6 +103,18 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(firstAgg >= 0 && firstExchange >= 0, p)
   }
 
+  test("funnel's three window layers share one exchange and one sort") {
+    val p = plan(Relational.funnel(Tables.events(spark, sfDir)))
+    // count tree-form nodes ("Exchange (n)") — the formatted details
+    // section repeats every node name once more
+    val exchanges = "Exchange \\(".r.findAllIn(p).length
+    // stacked dependent windows must reuse the (user_id, ts) sort: the
+    // only exchanges are the window shuffle and the final-agg shuffle
+    assert(exchanges <= 2, p)
+    val sorts = "Sort \\(".r.findAllIn(p).length
+    assert(sorts <= 1, p)
+  }
+
   test("whole-stage codegen covers the pricing aggregation") {
     // under AQE the final plan (with codegen stages) exists only after
     // execution — run it, then inspect the adaptive executed plan
