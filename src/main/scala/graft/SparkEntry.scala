@@ -266,6 +266,14 @@ object SparkEntry {
   private def qTermFreq(s: SparkSession, dir: String): DataFrame =
     CorpusStats.termFrequencies(t(s, dir, "documents"))
 
+  private def qLmScore(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.lmScore(t(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  private def qEmbQuantize(s: SparkSession, dir: String): DataFrame =
+    Quantize.scalarCodes(t(s, dir, "embeddings"))
+      .orderBy(col("vec_id"))
+
   private def qFuzzyNames(s: SparkSession, dir: String): DataFrame =
     FuzzyJoin.nearNames(t(s, dir, "part"), "p_name", maxDist = 2)
       .orderBy(col("name_a"), col("name_b"))
@@ -476,6 +484,8 @@ object SparkEntry {
     "q_cdc_diff" -> (qCdcDiff _),
     "q_bloom_prune" -> (qBloomPrune _),
     "text_term_freq" -> (qTermFreq _),
+    "text_lm_score" -> (qLmScore _),
+    "emb_quantize" -> (qEmbQuantize _),
     "text_heavy_hitters" -> (qHeavyHitters _),
     "q_fuzzy_names" -> (qFuzzyNames _),
     "view_yearly_counts" -> (qViewYearly _),
@@ -661,6 +671,29 @@ object SparkEntry {
         |SELECT token, count(*)::BIGINT AS n_docs, sum(n_in_doc)::BIGINT AS n_total
         |FROM td GROUP BY token
         |ORDER BY n_total DESC, token LIMIT 100""".stripMargin,
+    "text_lm_score" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS token FROM documents),
+        | tk AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+        | cnt AS (SELECT token, count(*)::BIGINT AS c FROM tk GROUP BY 1),
+        | vocab AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 16),
+        | tot AS (SELECT (SELECT sum(c)::BIGINT FROM cnt) AS t_total, (SELECT count(*)::BIGINT FROM vocab) AS v_n)
+        |SELECT tk.doc_id, count(*)::BIGINT AS n_tokens,
+        | round(avg(ln((coalesce(v.c,0)+1)::DOUBLE / (t.t_total + t.v_n + 1))), 4) AS lm_score,
+        | round(sum(CASE WHEN v.c IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS oov_ratio
+        |FROM tk LEFT JOIN vocab v USING (token) CROSS JOIN tot t
+        |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin,
+    "emb_quantize" ->
+      """WITH dims AS (
+        |  SELECT vec_id, generate_subscripts(embedding,1) AS pos, unnest(embedding) AS x FROM embeddings),
+        | stats AS (SELECT pos, min(x)::DOUBLE AS mn, max(x)::DOUBLE AS mx FROM dims GROUP BY pos),
+        | codes AS (
+        |  SELECT d.vec_id,
+        |    CASE WHEN s.mx = s.mn THEN 0
+        |         ELSE floor((d.x::DOUBLE - s.mn) / ((s.mx - s.mn)/255) + 0.5) END AS code
+        |  FROM dims d JOIN stats s USING (pos))
+        |SELECT vec_id, count(*)::BIGINT AS n_dims, sum(code)::BIGINT AS sum_code,
+        |       min(code)::BIGINT AS min_code, max(code)::BIGINT AS max_code
+        |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q_fuzzy_names" ->
       """WITH nm AS (SELECT DISTINCT p_name FROM part),
         |b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM nm)

@@ -34,4 +34,41 @@ object CorpusStats {
       .orderBy(col("n_total").desc, col("token"))
       .limit(topN)
   }
+
+  /** Unigram-LM document scoring — the CCNet-style "how much does this
+    * document look like the corpus" quality signal: build a top-V
+    * vocabulary from corpus term frequencies, smooth add-one over
+    * (vocab + one OOV bucket), and score each document by the mean
+    * natural-log probability of its tokens, alongside its OOV ratio.
+    * Low scores / high OOV mark boilerplate, noise, or off-corpus text.
+    *
+    * Scale shape: two passes over the exploded token stream, neither
+    * materialized — (1) token counts (map-side partial agg, shuffle is
+    * |vocab|-sized), with the top-V cut a `TakeOrdered` (deterministic
+    * total order: count desc, token asc); (2) per-document scoring,
+    * where the vocabulary and the two scalar totals ride along as
+    * BROADCASTs (V is constant, ~KBs), so the only shuffle is the
+    * per-document aggregation. Nothing driver-side, no all-token sort.
+    * Mean log-prob is rounded to 4dp (float-sum-order tolerance,
+    * SURVEY §5); both engines compute `ln((c+1)/(T+V+1))` verbatim.
+    */
+  def lmScore(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", vocabSize: Int = 16): DataFrame = {
+    val toks = graft.functions.TextFunctions.explodedTokens(docs, textCol, Seq(idCol))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val vocab = counts.orderBy(col("c").desc, col("token")).limit(vocabSize)
+    val totals = counts.agg(sum(col("c")).as("t_total"))
+      .crossJoin(vocab.agg(count(lit(1)).as("v_n")))
+    val denom = col("t_total") + col("v_n") + lit(1)
+    toks
+      .join(broadcast(vocab), Seq("token"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          denom.cast("double"))), 4).as("lm_score"),
+        round(sum(when(col("c").isNull, 1).otherwise(0)).cast("double") /
+          count(lit(1)), 4).as("oov_ratio"))
+  }
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scalar (int8-style) embedding quantization — the storage-side
+  * compression step of a vector corpus: per-dimension global min/max
+  * define a 0..255 grid, each component maps to its nearest code, and
+  * the per-vector code summary comes back integer-exact (so the gate
+  * compares BIGINTs, not float-rounding artifacts).
+  *
+  * Scale shape: pass 1 posexplodes to (pos, x) and partial-aggregates
+  * per dimension — the shuffle is |dims| × partitions rows, not n·d;
+  * pass 2 carries the packed per-dimension grid as a ONE-ROW broadcast
+  * (sorted struct array built by aggregation, nothing driver-side) and
+  * quantizes each vector in place — zero shuffle beyond the final
+  * per-vector projection. Code arithmetic is plain IEEE double ops in
+  * a fixed expression shape, so DuckDB reproduces every code exactly;
+  * a flat dimension (max == min) quantizes to code 0 rather than
+  * dividing by zero.
+  */
+object Quantize {
+
+  /** Per-vector quantization summary: `n_dims`, `sum_code`,
+    * `min_code`, `max_code` (all BIGINT, integer-exact cross-engine).
+    */
+  def scalarCodes(emb: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val stats = emb
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).cast("double").as("mn"),
+        max(col("x")).cast("double").as("mx"))
+    val grid = stats.agg(
+      sort_array(collect_list(struct(col("pos"), col("mn"), col("mx"))))
+        .as("ms"))
+    val codes = zip_with(col(vecCol), col("ms"), (x, m) =>
+      when(m.getField("mx") === m.getField("mn"), lit(0L))
+        .otherwise(floor((x.cast("double") - m.getField("mn")) /
+          ((m.getField("mx") - m.getField("mn")) / 255d) + 0.5d)))
+    emb
+      .select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(grid))
+      .select(col(idCol),
+        size(col(vecCol)).cast("long").as("n_dims"),
+        aggregate(codes, lit(0L), (acc, c) => acc + c).as("sum_code"),
+        array_min(codes).as("min_code"),
+        array_max(codes).as("max_code"))
+  }
+}

@@ -1,0 +1,35 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class QuantizeSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("codes hit the grid endpoints and midpoints exactly") {
+    // dim 0 spans [0, 10]: 0 -> 0, 10 -> 255, 5 -> round(127.5) = 128
+    // dim 1 is flat: always code 0
+    val emb = Seq(
+      (1L, Array(0.0f, 7.0f)),
+      (2L, Array(10.0f, 7.0f)),
+      (3L, Array(5.0f, 7.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Quantize.scalarCodes(emb).orderBy("vec_id").collect()
+    def codes(i: Int) = (out(i).getAs[Long]("min_code"), out(i).getAs[Long]("max_code"))
+    assert(out.forall(_.getAs[Long]("n_dims") == 2L))
+    assert(codes(0) == ((0L, 0L)))      // both dims code 0
+    assert(codes(1) == ((0L, 255L)))    // flat dim 0, max dim 255
+    assert(out(2).getAs[Long]("sum_code") == 128L)
+  }
+
+  test("sum_code is the plain sum of per-dimension codes") {
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(1.0f, 2.0f)),
+      (3L, Array(2.0f, 4.0f))
+    ).toDF("vec_id", "embedding")
+    // dim0 spans [0,2] -> codes 0, 128, 255; dim1 spans [0,4] -> same
+    val out = Quantize.scalarCodes(emb).orderBy("vec_id").collect()
+    assert(out.map(_.getAs[Long]("sum_code")).toSeq == Seq(0L, 256L, 510L))
+  }
+}
