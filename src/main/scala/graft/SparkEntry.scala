@@ -118,6 +118,10 @@ object SparkEntry {
     Relational.funnel(t(s, dir, "events"))
       .orderBy(col("user_id"))
 
+  private def qRetention(s: SparkSession, dir: String): DataFrame =
+    Relational.cohortRetention(t(s, dir, "events"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+
   private def qRollup(s: SparkSession, dir: String): DataFrame =
     Relational.rollupSummary(t(s, dir, "lineitem"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
@@ -500,6 +504,7 @@ object SparkEntry {
     "q5_region_revenue" -> (qRegionRevenue _),
     "q_mkt_share" -> (qMktShare _),
     "q_funnel" -> (qFunnel _),
+    "q_retention" -> (qRetention _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_set_ops" -> (qSetOps _),
@@ -826,6 +831,20 @@ object SparkEntry {
         | CASE WHEN min(pp) IS NOT NULL THEN 3 WHEN min(cc) IS NOT NULL THEN 2
         |      WHEN min(CASE WHEN event_type='view' THEN ts END) IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth
         |FROM s4 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_retention" ->
+      """WITH firsts AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+        | cohorts AS (SELECT user_id, date_trunc('week', first_ts)::DATE AS cohort_week FROM firsts),
+        | sizes AS (SELECT cohort_week, count(*)::BIGINT AS n_cohort FROM cohorts GROUP BY 1),
+        | act AS (
+        |   SELECT c.cohort_week,
+        |          (date_diff('day', c.cohort_week, e.ts::DATE) // 7)::BIGINT AS week_offset,
+        |          e.user_id
+        |   FROM events e JOIN cohorts c USING (user_id)),
+        | m AS (SELECT cohort_week, week_offset, count(DISTINCT user_id)::BIGINT AS n_active FROM act GROUP BY 1,2)
+        |SELECT m.cohort_week, m.week_offset, m.n_active, s.n_cohort,
+        |       round(m.n_active::DOUBLE / s.n_cohort, 4) AS retention
+        |FROM m JOIN sizes s USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

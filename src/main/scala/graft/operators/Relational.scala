@@ -207,6 +207,44 @@ object Relational {
           .otherwise(0).as("funnel_depth"))
   }
 
+  /** Weekly cohort retention — the marketing "retention triangle":
+    * users are cohorted by the ISO week of their first event, and each
+    * (cohort week, week offset) cell counts how many of them were
+    * still active that week.
+    *
+    * Scale shape: first-event-per-user is one map-side-combined
+    * aggregate; joining cohorts back onto the event stream keys BOTH
+    * sides by user_id (the same key the aggregate just shuffled on, so
+    * AQE plans at most one new exchange); the cell aggregate is a lone
+    * `count(DISTINCT user)` — no mixed plain aggregates, so Catalyst
+    * plans the two-level distinct WITHOUT the Expand rewrite (SURVEY
+    * §6); cohort sizes are a tiny per-week count that broadcasts onto
+    * the matrix.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val cohorts = events
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        date_trunc("week", col("first_ts")).cast("date").as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_cohort"))
+    val cells = events
+      .select(col("user_id"), col("ts"))
+      .join(cohorts, Seq("user_id"))
+      .select(col("cohort_week"),
+        floor(datediff(col("ts").cast("date"), col("cohort_week")) / 7)
+          .as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+    cells.join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        col("n_cohort"),
+        round(col("n_active").cast("double") / col("n_cohort"), 4)
+          .as("retention"))
+  }
+
   /** ROLLUP aggregation: per (flag, status), per flag, and grand total.
     * Same partial-agg shape as a flat groupBy — grouping sets expand
     * map-side.

@@ -49,6 +49,37 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Watermarked STREAM-STREAM interval join: each purchase pairs with
+    * the same user's views from the preceding `lookback` window — the
+    * continuous twin of the batch as-of attribution
+    * ([[graft.operators.AsOfJoin]]), expressed as Structured
+    * Streaming's inner interval join.
+    *
+    * Both sides are watermarked and the join condition bounds
+    * `view_ts` to `(purchase_ts - lookback, purchase_ts)`, so the
+    * engine can compute how long each buffered view can still match
+    * and EVICT join state once the purchase-side watermark passes
+    * `view_ts + lookback` — bounded state at any stream rate, the
+    * requirement for running this join for months. Append mode.
+    */
+  def purchaseAttribution(views: DataFrame, purchases: DataFrame,
+      lookback: String = "1 hour", watermark: String = "2 hours"): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("view_ts", watermark)
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(v, expr(
+        s"""p_user = v_user AND
+           |view_ts < purchase_ts AND
+           |view_ts >= purchase_ts - INTERVAL $lookback""".stripMargin))
+      .select(col("purchase_id"), col("view_id"), col("p_user").as("user_id"),
+        col("purchase_ts"), col("view_ts"))
+  }
+
   /** Sessionization as CUSTOM state — `flatMapGroupsWithState` with an
     * event-time timeout, for session semantics the built-in
     * `session_window` can't express (here: the emitted row carries the

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
 case class StreamEvent(ts: Timestamp, event_type: String, user_id: Long)
+case class IdEvent(event_id: Long, ts: Timestamp, user_id: Long)
 
 class EventStreamSpec extends SparkSpecBase {
 
@@ -98,6 +99,33 @@ class EventStreamSpec extends SparkSpecBase {
       assert(out.contains((2L, "2024-01-01 10:05:00", "2024-01-01 10:05:00", 1L)))
       // exactly one row per closed session — no duplicate emission
       assert(out.size == out.map(r => (r._1, r._2)).size)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs purchases with in-window views only") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[IdEvent]
+    val purchases = MemoryStream[IdEvent]
+    val q = EventStream.purchaseAttribution(views.toDF(), purchases.toDF(),
+        lookback = "1 hour")
+      .writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").start()
+    try {
+      views.addData(
+        IdEvent(10L, t("2024-01-01 09:30:00"), 1L),  // 40 min before: in window
+        IdEvent(11L, t("2024-01-01 08:00:00"), 1L),  // 2h10m before: too old
+        IdEvent(12L, t("2024-01-01 09:45:00"), 2L))  // other user
+      purchases.addData(IdEvent(100L, t("2024-01-01 10:10:00"), 1L))
+      q.processAllAvailable()
+      // advance both watermarks so the joined rows flush out of append mode
+      views.addData(IdEvent(13L, t("2024-01-01 14:00:00"), 9L))
+      purchases.addData(IdEvent(101L, t("2024-01-01 14:00:00"), 9L))
+      q.processAllAvailable()
+      val out = spark.table("attr_test")
+        .select(col("purchase_id"), col("view_id"))
+        .as[(Long, Long)].collect().toSeq
+      assert(out == Seq((100L, 10L)))
     } finally q.stop()
   }
 
