@@ -41,10 +41,17 @@ object Quantize {
     emb
       .select(col(idCol), col(vecCol))
       .crossJoin(broadcast(grid))
-      .select(col(idCol),
-        size(col(vecCol)).cast("long").as("n_dims"),
-        aggregate(codes, lit(0L), (acc, c) => acc + c).as("sum_code"),
-        array_min(codes).as("min_code"),
-        array_max(codes).as("max_code"))
+      // materialize the code array ONCE: lambda-bearing expressions are
+      // excluded from subexpression elimination, so inlining `codes`
+      // into sum/min/max would run the interpreted quantization 3x/row
+      .select(col(idCol), size(col(vecCol)).cast("long").as("n_dims"),
+        codes.as("codes"))
+      .select(col(idCol), col("n_dims"),
+        // null-skipping fold (a null component yields a null code):
+        // DuckDB's sum() skips nulls, and array_min/max already do
+        aggregate(col("codes"), lit(0L),
+          (acc, c) => acc + coalesce(c, lit(0L))).as("sum_code"),
+        array_min(col("codes")).as("min_code"),
+        array_max(col("codes")).as("max_code"))
   }
 }

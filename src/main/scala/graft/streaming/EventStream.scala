@@ -56,7 +56,7 @@ object EventStream {
     * Streaming's inner interval join.
     *
     * Both sides are watermarked and the join condition bounds
-    * `view_ts` to `(purchase_ts - lookback, purchase_ts)`, so the
+    * `view_ts` to `[purchase_ts - lookback, purchase_ts)`, so the
     * engine can compute how long each buffered view can still match
     * and EVICT join state once the purchase-side watermark passes
     * `view_ts + lookback` — bounded state at any stream rate, the
