@@ -118,6 +118,29 @@ object SparkEntry {
     Relational.funnel(t(s, dir, "events"))
       .orderBy(col("user_id"))
 
+  /** Top-3 spenders per nation through the NATIVE TopK plan
+    * (plans/TopKPlan.scala: partial heaps → exchange → final heaps) —
+    * the same custom Catalyst operator the knn_* queries rank with,
+    * exercised here on a relational aggregate so the oracle checks it
+    * on a second shape. O(n log k) with only k rows per group crossing
+    * the exchange — never a full per-group window sort.
+    */
+  private def qTopSpenders(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders")
+      .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("long").as("nation_key"), col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).cast("double").as("spend"))
+    graft.plans.TopKPlanner.perGroup(spend, "nation_key", "spend", "o_custkey", 3)
+      .select(col("nation_key"), col("o_custkey").as("custkey"), col("spend"),
+        col("rnk").cast("long").as("rnk"))
+      .orderBy(col("nation_key"), col("rnk"))
+  }
+
+  private def qMmDedup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.dedupAssets(Multimodal.asMedia(t(s, dir, "documents")))
+      .orderBy(col("content_md5"))
+
   private def qRetention(s: SparkSession, dir: String): DataFrame =
     Relational.cohortRetention(t(s, dir, "events"))
       .orderBy(col("cohort_week"), col("week_offset"))
@@ -505,6 +528,8 @@ object SparkEntry {
     "q_mkt_share" -> (qMktShare _),
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
+    "q_top_spenders" -> (qTopSpenders _),
+    "mm_dedup" -> (qMmDedup _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_set_ops" -> (qSetOps _),
@@ -845,6 +870,21 @@ object SparkEntry {
         |       round(m.n_active::DOUBLE / s.n_cohort, 4) AS retention
         |FROM m JOIN sizes s USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    "mm_dedup" ->
+      """SELECT md5(text) AS content_md5, octet_length(encode(text))::BIGINT AS byte_len,
+        | count(*)::BIGINT AS n_copies, min(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1, 2 ORDER BY content_md5""".stripMargin,
+    "q_top_spenders" ->
+      """WITH spend AS (
+        |  SELECT c.c_nationkey::BIGINT AS nation_key, o.o_custkey,
+        |         CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        | ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY nation_key ORDER BY spend DESC, o_custkey) AS rnk
+        |  FROM spend)
+        |SELECT nation_key, o_custkey AS custkey, spend, rnk::BIGINT AS rnk
+        |FROM ranked WHERE rnk <= 3 ORDER BY nation_key, rnk""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -89,6 +89,23 @@ object Multimodal {
     * happens AFTER partition-bytes bounding, so a 100 TB corpus fans
     * out without any executor holding more than one asset's bytes.
     */
+  /** Exact binary-asset dedup: identical media bytes collapse to one
+    * canonical asset. The group key is `(md5(content), octet_length)`
+    * — constant-width (48 bytes), so the media payload itself NEVER
+    * enters an exchange key (the same discipline as the hash-keyed
+    * text dedup, Dedup.scala); md5 collisions at differing content are
+    * cryptographically negligible and additionally length-guarded.
+    * Emits one row per distinct content with its copy count and the
+    * minimum doc_id as the deterministic canonical.
+    */
+  def dedupAssets(media: Dataset[MMRecord]): DataFrame =
+    media.toDF()
+      .select(md5(col("content")).as("content_md5"),
+        octet_length(col("content")).cast("long").as("byte_len"),
+        col("doc_id"))
+      .groupBy(col("content_md5"), col("byte_len"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+
   def frameSample(media: Dataset[MMRecord], maxFrames: Int = 4,
       stride: Long = 256L): Dataset[MMFrame] = {
     import media.sparkSession.implicits._

@@ -37,6 +37,22 @@ class MultimodalSpec extends SparkSpecBase {
     assert(spec(5L).forall(_._3 == 256L))
   }
 
+  test("identical asset bytes collapse to one canonical row, distinct bytes stay apart") {
+    val docs = Seq(
+      (5L, "same bytes"), (3L, "same bytes"), (9L, "same bytes"),
+      (7L, "other bytes")
+    ).toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+    val out = Multimodal.dedupAssets(Multimodal.asMedia(docs))
+      .orderBy("n_copies").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_copies") == 1L)
+    assert(out(0).getAs[Long]("canonical_id") == 7L)
+    assert(out(1).getAs[Long]("n_copies") == 3L)
+    assert(out(1).getAs[Long]("canonical_id") == 3L) // min doc_id wins
+    assert(out(1).getAs[Long]("byte_len") == "same bytes".length.toLong)
+  }
+
   test("byte_len equals utf-8 length of the source text") {
     val docs = Seq((1L, "abc", 3L), (2L, "héllo", 6L))
       .toDF("doc_id", "text", "expected")
