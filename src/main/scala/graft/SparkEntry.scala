@@ -141,6 +141,14 @@ object SparkEntry {
     Multimodal.dedupAssets(Multimodal.asMedia(t(s, dir, "documents")))
       .orderBy(col("content_md5"))
 
+  private def qLatePriority(s: SparkSession, dir: String): DataFrame =
+    Relational.latePriorityCounts(t(s, dir, "orders"), t(s, dir, "lineitem"))
+      .orderBy(col("o_orderpriority"))
+
+  private def qReturnedItems(s: SparkSession, dir: String): DataFrame =
+    Relational.returnedItemRevenue(t(s, dir, "customer"), t(s, dir, "orders"),
+      t(s, dir, "lineitem"), t(s, dir, "nation"))
+
   private def qRetention(s: SparkSession, dir: String): DataFrame =
     Relational.cohortRetention(t(s, dir, "events"))
       .orderBy(col("cohort_week"), col("week_offset"))
@@ -529,6 +537,8 @@ object SparkEntry {
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
     "q_top_spenders" -> (qTopSpenders _),
+    "q_late_priority" -> (qLatePriority _),
+    "q_returned_items" -> (qReturnedItems _),
     "mm_dedup" -> (qMmDedup _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
@@ -874,6 +884,24 @@ object SparkEntry {
       """SELECT md5(text) AS content_md5, octet_length(encode(text))::BIGINT AS byte_len,
         | count(*)::BIGINT AS n_copies, min(doc_id) AS canonical_id
         |FROM documents GROUP BY 1, 2 ORDER BY content_md5""".stripMargin,
+    "q_late_priority" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_late_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(10,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        | count(*)::BIGINT AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q_top_spenders" ->
       """WITH spend AS (
         |  SELECT c.c_nationkey::BIGINT AS nation_key, o.o_custkey,

@@ -245,6 +245,51 @@ object Relational {
           .as("retention"))
   }
 
+  /** TPC-H Q4-shaped priority audit: orders with at least one lineitem
+    * shipped more than `graceDays` after the order date, counted per
+    * priority. The EXISTS is a LEFT-SEMI hash join (equi on the order
+    * key, the date lag as the join residual) — each order crosses the
+    * exchange once regardless of how many late items it has, and the
+    * count aggregates a 5-row output.
+    */
+  def latePriorityCounts(orders: DataFrame, lineitem: DataFrame,
+      graceDays: Int = 60): DataFrame =
+    orders
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .join(lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") +
+            expr(s"INTERVAL $graceDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_orders"))
+
+  /** TPC-H Q10-shaped returned-item report: revenue lost to returns per
+    * customer, top 20. The lineitem scan filters on the return flag
+    * BEFORE any join (pushed to parquet), the orders⋈lineitem spine
+    * shuffles once, customer/nation resolve per AQE / broadcast, and
+    * the top-20 cut is a TakeOrdered over the aggregated output with a
+    * custkey tiebreak for a total order.
+    */
+  def returnedItemRevenue(customer: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, nation: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice"), 10, 2) * dec(lit(1) - col("l_discount"), 4, 2))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
   /** ROLLUP aggregation: per (flag, status), per flag, and grand total.
     * Same partial-agg shape as a flat groupBy — grouping sets expand
     * map-side.

@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class OrderReportsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s + " 00:00:00")
+
+  test("an order counts as late once, however many late items it has") {
+    val orders = Seq(
+      (1L, t("2024-01-01"), "1-URGENT"),
+      (2L, t("2024-01-01"), "5-LOW")
+    ).toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val lineitem = Seq(
+      (1L, t("2024-04-01")),  // 91 days late
+      (1L, t("2024-05-01")),  // also late: must not double-count
+      (2L, t("2024-01-15"))   // within grace
+    ).toDF("l_orderkey", "l_shipdate")
+    val out = Relational.latePriorityCounts(orders, lineitem, graceDays = 60)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("o_orderpriority") == "1-URGENT")
+    assert(out.head.getAs[Long]("n_late_orders") == 1L)
+  }
+
+  test("returned-item revenue counts only R-flag items, ranked by exact revenue") {
+    val lineitem = Seq(
+      (1L, 100.0, 0.0, "R"),
+      (1L, 50.0, 0.0, "N"),   // not returned: excluded
+      (2L, 30.0, 0.0, "R")
+    ).toDF("l_orderkey", "l_extendedprice", "l_discount", "l_returnflag")
+    val orders = Seq((1L, 10L), (2L, 20L)).toDF("o_orderkey", "o_custkey")
+    val customer = Seq((10L, "Customer#A", 0), (20L, "Customer#B", 0))
+      .toDF("c_custkey", "c_name", "c_nationkey")
+    val nation = Seq((0, "NATION_0")).toDF("n_nationkey", "n_name")
+    val out = Relational.returnedItemRevenue(customer, orders, lineitem, nation)
+      .collect()
+    assert(out.map(r => (r.getAs[Long]("c_custkey"), r.getAs[Double]("revenue"),
+      r.getAs[Long]("n_items"))).toSeq ==
+      Seq((10L, 100.0, 1L), (20L, 30.0, 1L)))
+  }
+}
