@@ -89,6 +89,21 @@ object Multimodal {
     * happens AFTER partition-bytes bounding, so a 100 TB corpus fans
     * out without any executor holding more than one asset's bytes.
     */
+  def frameSample(media: Dataset[MMRecord], maxFrames: Int = 4,
+      stride: Long = 256L): Dataset[MMFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val len = r.content.length.toLong
+      val n = math.min(maxFrames.toLong, math.max(1L, (len + stride - 1) / stride))
+      (0L until n).map { i =>
+        val off = i * stride
+        val flen = math.min(stride, len - off)
+        MMFrame(r.doc_id, i.toInt, off, flen,
+          java.util.Arrays.copyOfRange(r.content, off.toInt, (off + flen).toInt))
+      }
+    }
+  }
+
   /** Exact binary-asset dedup: identical media bytes collapse to one
     * canonical asset. The group key is `(md5(content), octet_length)`
     * — constant-width (48 bytes), so the media payload itself NEVER
@@ -105,19 +120,4 @@ object Multimodal {
         col("doc_id"))
       .groupBy(col("content_md5"), col("byte_len"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
-
-  def frameSample(media: Dataset[MMRecord], maxFrames: Int = 4,
-      stride: Long = 256L): Dataset[MMFrame] = {
-    import media.sparkSession.implicits._
-    media.flatMap { r =>
-      val len = r.content.length.toLong
-      val n = math.min(maxFrames.toLong, math.max(1L, (len + stride - 1) / stride))
-      (0L until n).map { i =>
-        val off = i * stride
-        val flen = math.min(stride, len - off)
-        MMFrame(r.doc_id, i.toInt, off, flen,
-          java.util.Arrays.copyOfRange(r.content, off.toInt, (off + flen).toInt))
-      }
-    }
-  }
 }

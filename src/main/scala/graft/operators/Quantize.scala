@@ -47,10 +47,14 @@ object Quantize {
       .select(col(idCol), size(col(vecCol)).cast("long").as("n_dims"),
         codes.as("codes"))
       .select(col(idCol), col("n_dims"),
-        // null-skipping fold (a null component yields a null code):
-        // DuckDB's sum() skips nulls, and array_min/max already do
-        aggregate(col("codes"), lit(0L),
-          (acc, c) => acc + coalesce(c, lit(0L))).as("sum_code"),
+        // null-skipping fold (a null component yields a null code),
+        // NULL when no component survives — matching SQL sum()
+        // semantics; array_min/max already skip nulls the same way.
+        // (A zero-length array still emits its row here, where SQL's
+        // unnest-then-group would drop it — no such vectors exist.)
+        when(array_max(col("codes")).isNotNull,
+          aggregate(col("codes"), lit(0L),
+            (acc, c) => acc + coalesce(c, lit(0L)))).as("sum_code"),
         array_min(col("codes")).as("min_code"),
         array_max(col("codes")).as("max_code"))
   }
