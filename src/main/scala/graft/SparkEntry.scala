@@ -305,6 +305,10 @@ object SparkEntry {
     CorpusStats.lmScore(t(s, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  private def qSplitAssign(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.splitAssign(t(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
   private def qEmbQuantize(s: SparkSession, dir: String): DataFrame =
     Quantize.scalarCodes(t(s, dir, "embeddings"))
       .orderBy(col("vec_id"))
@@ -521,6 +525,7 @@ object SparkEntry {
     "text_term_freq" -> (qTermFreq _),
     "text_lm_score" -> (qLmScore _),
     "emb_quantize" -> (qEmbQuantize _),
+    "text_split_assign" -> (qSplitAssign _),
     "text_heavy_hitters" -> (qHeavyHitters _),
     "q_fuzzy_names" -> (qFuzzyNames _),
     "view_yearly_counts" -> (qViewYearly _),
@@ -722,6 +727,13 @@ object SparkEntry {
         | round(sum(CASE WHEN v.c IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS oov_ratio
         |FROM tk LEFT JOIN vocab v USING (token) CROSS JOIN tot t
         |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin,
+    "text_split_assign" ->
+      """SELECT doc_id,
+        | ('0x'||substr(md5(text),1,8))::BIGINT % 100 AS bucket,
+        | CASE WHEN ('0x'||substr(md5(text),1,8))::BIGINT % 100 < 98 THEN 'train'
+        |      WHEN ('0x'||substr(md5(text),1,8))::BIGINT % 100 = 98 THEN 'valid'
+        |      ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "emb_quantize" ->
       """WITH dims AS (
         |  SELECT vec_id, generate_subscripts(embedding,1) AS pos, unnest(embedding) AS x FROM embeddings),

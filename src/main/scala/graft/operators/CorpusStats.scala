@@ -35,6 +35,29 @@ object CorpusStats {
       .limit(topN)
   }
 
+  /** Deterministic train/valid/test assignment by CONTENT hash: the
+    * first 32 bits of md5(text) pick a bucket in 0..99, buckets map
+    * 98/1/1 to train/valid/test. Hashing the content (not the id)
+    * makes the split stable under re-ingest/renumbering AND sends
+    * byte-identical duplicates to the same split — the standard guard
+    * against near-duplicate train→test leakage in LLM corpora (exact
+    * twins can never straddle the boundary).
+    *
+    * Pure per-row projection: zero shuffle at any scale, and md5 is
+    * bit-identical across engines so the oracle checks every
+    * assignment.
+    */
+  def splitAssign(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val bucket = (conv(substring(md5(col(textCol)), 1, 8), 16, 10)
+      .cast("long") % 100).as("bucket")
+    docs.select(col(idCol), bucket)
+      .withColumn("split",
+        when(col("bucket") < 98, "train")
+          .when(col("bucket") === 98, "valid")
+          .otherwise("test"))
+  }
+
   /** Unigram-LM document scoring — the CCNet-style "how much does this
     * document look like the corpus" quality signal: build a top-V
     * vocabulary from corpus term frequencies, smooth add-one over

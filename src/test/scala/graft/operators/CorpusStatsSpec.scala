@@ -30,4 +30,18 @@ class CorpusStatsSpec extends SparkSpecBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), "count-distinct Expand rewrite leaked in")
   }
+
+  test("split assignment is content-keyed: byte-identical twins share a split") {
+    import org.apache.spark.sql.functions.col
+    val twins = Seq((1L, "same text"), (99L, "same text"), (2L, "different"))
+      .toDF("doc_id", "text")
+    val out = CorpusStats.splitAssign(twins).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("bucket"), r.getAs[String]("split")))).toMap
+    assert(out(1L) == out(99L)) // duplicates can never straddle the split
+    assert(out.values.forall { case (b, s) =>
+      b >= 0 && b < 100 &&
+        (s == "train" && b < 98 || s == "valid" && b == 98 || s == "test" && b == 99)
+    })
+  }
 }
