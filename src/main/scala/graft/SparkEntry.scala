@@ -149,6 +149,10 @@ object SparkEntry {
     Relational.returnedItemRevenue(t(s, dir, "customer"), t(s, dir, "orders"),
       t(s, dir, "lineitem"), t(s, dir, "nation"))
 
+  private def qActiveUsers(s: SparkSession, dir: String): DataFrame =
+    Relational.activeUsers(t(s, dir, "events"))
+      .orderBy(col("day"))
+
   private def qRetention(s: SparkSession, dir: String): DataFrame =
     Relational.cohortRetention(t(s, dir, "events"))
       .orderBy(col("cohort_week"), col("week_offset"))
@@ -541,6 +545,7 @@ object SparkEntry {
     "q_mkt_share" -> (qMktShare _),
     "q_funnel" -> (qFunnel _),
     "q_retention" -> (qRetention _),
+    "q_active_users" -> (qActiveUsers _),
     "q_top_spenders" -> (qTopSpenders _),
     "q_late_priority" -> (qLatePriority _),
     "q_returned_items" -> (qReturnedItems _),
@@ -878,6 +883,16 @@ object SparkEntry {
         | CASE WHEN min(pp) IS NOT NULL THEN 3 WHEN min(cc) IS NOT NULL THEN 2
         |      WHEN min(CASE WHEN event_type='view' THEN ts END) IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth
         |FROM s4 GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_active_users" ->
+      """WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+        | dau AS (SELECT day, count(*)::BIGINT AS dau FROM du GROUP BY 1),
+        | span AS (SELECT DISTINCT day FROM du),
+        | wau AS (
+        |   SELECT s.day, count(DISTINCT u.user_id)::BIGINT AS wau_7d
+        |   FROM span s JOIN du u ON u.day BETWEEN s.day - 6 AND s.day
+        |   GROUP BY 1)
+        |SELECT d.day, d.dau, w.wau_7d FROM dau d JOIN wau w USING (day)
+        |ORDER BY day""".stripMargin,
     "q_retention" ->
       """WITH firsts AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
         | cohorts AS (SELECT user_id, date_trunc('week', first_ts)::DATE AS cohort_week FROM firsts),

@@ -290,6 +290,37 @@ object Relational {
       .orderBy(col("revenue").desc, col("c_custkey"))
       .limit(20)
 
+  /** Daily/weekly active users, EXACT (no sketches): DAU and trailing
+    * 7-day WAU per observed day.
+    *
+    * Rolling DISTINCT aggregates don't compose (a user active twice in
+    * the window counts once), so the scalable exact form works at the
+    * DAY GRAIN: dedup the stream to (day, user) pairs once — after
+    * that every structure is |days|-or-|day,user|-sized, never
+    * event-sized. Each pair then contributes to the ≤7 window days it
+    * can influence (a constant ×7 explode at day grain), an inner join
+    * against the tiny observed-day set drops phantom future days, and
+    * a lone count(DISTINCT user) per target day — no mixed aggs, no
+    * Expand rewrite — collapses multi-day users. The alternative
+    * (per-day user SETS shuffled across a window self-join at event
+    * grain) touches the raw stream 7×; this touches it once.
+    */
+  def activeUsers(events: DataFrame): DataFrame = {
+    val du = events
+      .select(col("ts").cast("date").as("day"), col("user_id"))
+      .distinct()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val span = du.select(col("day").as("observed_day")).distinct()
+    val wau = du
+      .withColumn("target_day",
+        explode(sequence(col("day"), date_add(col("day"), 6))))
+      .join(broadcast(span), col("target_day") === col("observed_day"))
+      .groupBy(col("target_day"))
+      .agg(countDistinct(col("user_id")).as("wau_7d"))
+      .withColumnRenamed("target_day", "day")
+    dau.join(wau, Seq("day"))
+  }
+
   /** ROLLUP aggregation: per (flag, status), per flag, and grand total.
     * Same partial-agg shape as a flat groupBy — grouping sets expand
     * map-side.
