@@ -103,6 +103,19 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(firstAgg >= 0 && firstExchange >= 0, p)
   }
 
+  test("activeUsers scans the event stream exactly once") {
+    // the single-pass form: DAU, WAU, and the observed-day filter all
+    // derive from one deduped-pair aggregation — no per-branch rescan.
+    // (AQE's executedPlan string prints Final AND Initial plan
+    // sections, so count scans in the final section only.)
+    val df = Relational.activeUsers(Tables.events(spark, sfDir))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    val scans = finalSection.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1, p)
+  }
+
   test("funnel's three window layers share one exchange and one sort") {
     val p = plan(Relational.funnel(Tables.events(spark, sfDir)))
     // count tree-form nodes ("Exchange (n)") — the formatted details
