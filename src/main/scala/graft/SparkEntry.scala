@@ -737,7 +737,7 @@ object SparkEntry {
         | ('0x'||substr(md5(text),1,8))::BIGINT % 100 AS bucket,
         | CASE WHEN ('0x'||substr(md5(text),1,8))::BIGINT % 100 < 98 THEN 'train'
         |      WHEN ('0x'||substr(md5(text),1,8))::BIGINT % 100 = 98 THEN 'valid'
-        |      ELSE 'test' END AS split
+        |      WHEN ('0x'||substr(md5(text),1,8))::BIGINT % 100 = 99 THEN 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
     "emb_quantize" ->
       """WITH dims AS (

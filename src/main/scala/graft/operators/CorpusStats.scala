@@ -55,7 +55,9 @@ object CorpusStats {
       .withColumn("split",
         when(col("bucket") < 98, "train")
           .when(col("bucket") === 98, "valid")
-          .otherwise("test"))
+          .when(col("bucket") === 99, "test"))
+    // null text -> null bucket -> null split: degenerate rows surface
+    // for upstream filtering instead of silently skewing the 1% test cut
   }
 
   /** Unigram-LM document scoring — the CCNet-style "how much does this

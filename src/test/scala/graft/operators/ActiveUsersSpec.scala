@@ -14,7 +14,7 @@ class ActiveUsersSpec extends SparkSpecBase {
       (1L, t("2024-01-01 10:00:00")),
       (1L, t("2024-01-03 10:00:00")),  // same user later in window
       (2L, t("2024-01-01 11:00:00")),
-      (3L, t("2024-01-09 10:00:00"))   // day 9: users 1/2 fell out (window 3..9)
+      (3L, t("2024-01-09 10:00:00"))   // day 9: window [3,9] keeps user 1, drops user 2
     ).toDF("user_id", "ts")
     val out = Relational.activeUsers(ev).orderBy("day")
       .select(col("day").cast("string"), col("dau"), col("wau_7d"))
