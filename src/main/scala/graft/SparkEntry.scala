@@ -118,6 +118,11 @@ object SparkEntry {
     Relational.funnel(t(s, dir, "events"))
       .orderBy(col("user_id"))
 
+  private def qFunnelWindowed(s: SparkSession, dir: String): DataFrame =
+    Relational.funnel(t(s, dir, "events"),
+      clickWithin = Some("1 HOUR"), purchaseWithin = Some("24 HOURS"))
+      .orderBy(col("user_id"))
+
   /** Top-3 spenders per nation through the NATIVE TopK plan
     * (plans/TopKPlan.scala: partial heaps → exchange → final heaps) —
     * the same custom Catalyst operator the knn_* queries rank with,
@@ -544,6 +549,7 @@ object SparkEntry {
     "q5_region_revenue" -> (qRegionRevenue _),
     "q_mkt_share" -> (qMktShare _),
     "q_funnel" -> (qFunnel _),
+    "q_funnel_windowed" -> (qFunnelWindowed _),
     "q_retention" -> (qRetention _),
     "q_active_users" -> (qActiveUsers _),
     "q_top_spenders" -> (qTopSpenders _),
@@ -893,6 +899,21 @@ object SparkEntry {
         |   GROUP BY 1)
         |SELECT d.day, d.dau, w.wau_7d FROM dau d JOIN wau w USING (day)
         |ORDER BY day""".stripMargin,
+    "q_funnel_windowed" ->
+      """WITH s1 AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type='view' THEN ts END) OVER (PARTITION BY user_id ORDER BY ts) AS fv
+        |  FROM events),
+        | s2 AS (SELECT *, CASE WHEN event_type='click' AND ts > fv AND ts <= fv + INTERVAL 1 HOUR THEN ts END AS cc FROM s1),
+        | s3 AS (SELECT *, min(cc) OVER (PARTITION BY user_id ORDER BY ts) AS fc FROM s2),
+        | s4 AS (SELECT *, CASE WHEN event_type='purchase' AND ts > fc AND ts <= fc + INTERVAL 24 HOUR THEN ts END AS pp FROM s3)
+        |SELECT user_id,
+        | date_trunc('second', min(CASE WHEN event_type='view' THEN ts END)) AS first_view,
+        | date_trunc('second', min(cc)) AS first_click,
+        | date_trunc('second', min(pp)) AS first_purchase,
+        | CASE WHEN min(pp) IS NOT NULL THEN 3 WHEN min(cc) IS NOT NULL THEN 2
+        |      WHEN min(CASE WHEN event_type='view' THEN ts END) IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth
+        |FROM s4 GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_retention" ->
       """WITH firsts AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
         | cohorts AS (SELECT user_id, date_trunc('week', first_ts)::DATE AS cohort_week FROM firsts),

@@ -180,18 +180,29 @@ object Relational {
     * identically in any engine; cross-stage comparisons stay strict
     * (`>`). Depth: 0 none, 1 viewed, 2 clicked after view, 3 purchased
     * after that click.
+    *
+    * `clickWithin` / `purchaseWithin` optionally bound each transition
+    * to an attribution window (e.g. click ≤ 1 hour after the first
+    * view) — the form real marketing attribution uses, and the one
+    * that produces mixed depths on organic data.
     */
-  def funnel(events: DataFrame): DataFrame = {
+  def funnel(events: DataFrame, clickWithin: Option[String] = None,
+      purchaseWithin: Option[String] = None): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    def within(anchor: Column, bound: Option[String]): Column =
+      bound.map(b => col("ts") <= anchor + expr(s"INTERVAL $b"))
+        .getOrElse(lit(true))
     val viewTs = when(col("event_type") === "view", col("ts"))
     val staged = events
       .select(col("user_id"), col("ts"), col("event_type"))
       .withColumn("fv", min(viewTs).over(w))
       .withColumn("cc",
-        when(col("event_type") === "click" && col("ts") > col("fv"), col("ts")))
+        when(col("event_type") === "click" && col("ts") > col("fv") &&
+          within(col("fv"), clickWithin), col("ts")))
       .withColumn("fc", min(col("cc")).over(w))
       .withColumn("pp",
-        when(col("event_type") === "purchase" && col("ts") > col("fc"), col("ts")))
+        when(col("event_type") === "purchase" && col("ts") > col("fc") &&
+          within(col("fc"), purchaseWithin), col("ts")))
     staged.groupBy(col("user_id"))
       .agg(
         min(viewTs).as("fv_all"),

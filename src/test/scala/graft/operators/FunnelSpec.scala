@@ -55,6 +55,21 @@ class FunnelSpec extends SparkSpecBase {
     assert(out(1L)._4 == 1)
   }
 
+  test("attribution windows bound each transition") {
+    val rows = Seq(
+      (1L, t("2024-01-01 10:00:00"), "view"),
+      (1L, t("2024-01-01 12:00:00"), "click"),    // 2h after view: outside 1h window
+      (2L, t("2024-01-01 10:00:00"), "view"),
+      (2L, t("2024-01-01 10:30:00"), "click"),    // within 1h
+      (2L, t("2024-01-03 11:00:00"), "purchase")) // 2 days after click: outside 24h
+      .toDF("user_id", "ts", "event_type")
+    val out = Relational.funnel(rows,
+        clickWithin = Some("1 HOUR"), purchaseWithin = Some("24 HOURS"))
+      .collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Int]("funnel_depth")).toMap
+    assert(out == Map(1L -> 1, 2L -> 2))
+  }
+
   test("a user with activity but no view is depth 0") {
     val out = run(Seq(
       (1L, t("2024-01-01 10:00:00"), "click"),
