@@ -52,4 +52,22 @@ class SimilaritySpec extends SparkSpecBase {
       .select("probe_id", "cosine").as[(Long, Double)].collect().toMap
     rows.foreach { case (p, _, c, _) => assert(c <= brute(p) + 1e-9) }
   }
+
+  test("recall@k is exactly 1 when nprobe covers every cell") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val nCells = emb.select($"label").distinct().count().toInt
+    val out = Similarity.recallAtK(emb, col("vec_id") < 4, k = 5, nprobe = nCells)
+      .select("probe_id", "n_hits", "recall_at_5")
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 4)
+    assert(out.forall { case (_, h, r) => h == 5L && r == 1.0 })
+  }
+
+  test("recall@k is bounded by [0, 1] and consistent with its hit count") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Similarity.recallAtK(emb, col("vec_id") < 8)
+      .select("n_hits", "recall_at_5").as[(Long, Double)].collect()
+    assert(out.length == 8)
+    assert(out.forall { case (h, r) => h >= 0 && h <= 5 && r == h / 5.0 })
+  }
 }
