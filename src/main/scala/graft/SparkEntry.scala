@@ -599,6 +599,36 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracle
 
+  // Shared knn-oracle CTE bodies: the brute-force pairwise scores and
+  // the IVF derivation appear in knn_bruteforce, knn_ivf AND
+  // knn_recall — composing them from ONE definition means a future
+  // index change (rounding, nprobe, null filter) cannot silently
+  // leave knn_recall evaluating a stale copy of the index.
+  private val knnBruteCtes: String =
+    """p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+      | d AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+      |   round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cosine
+      |  FROM p, embeddings c WHERE c.vec_id <> p.vec_id)""".stripMargin
+
+  private val knnIvfCtes: String =
+    """c0 AS (
+      |  SELECT label AS cell, i, round(sum(v::DOUBLE) / count(*), 6) AS cv
+      |  FROM (SELECT label, generate_subscripts(embedding, 1) AS i,
+      |        unnest(embedding) AS v FROM embeddings)
+      |  GROUP BY label, i),
+      | cents AS (SELECT cell, list(cv ORDER BY i) AS cvec FROM c0 GROUP BY cell),
+      | pc AS (SELECT p.vec_id AS probe_id, c.cell,
+      |   round(list_cosine_similarity(p.embedding::DOUBLE[], c.cvec), 4) AS ccos
+      |  FROM p, cents c),
+      | cells AS (SELECT probe_id, cell FROM (
+      |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, cell) AS cr
+      |   FROM pc WHERE ccos IS NOT NULL) WHERE cr <= 2),
+      | cand AS (SELECT cells.probe_id, e.vec_id AS cand_id,
+      |   round(list_cosine_similarity(pp.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cosine
+      |  FROM cells JOIN embeddings e ON e.label = cells.cell
+      |       JOIN embeddings pp ON pp.vec_id = cells.probe_id
+      |  WHERE e.vec_id <> cells.probe_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "raw_ingest" ->
       """SELECT event_id, date_trunc('second', ts) AS event_time, user_id, event_type, value,
@@ -1086,69 +1116,29 @@ object SparkEntry {
         |SELECT start AS node, min(node) AS component
         |FROM walk GROUP BY start ORDER BY node""".stripMargin,
     "knn_bruteforce" ->
-      """WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
-        | d AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
-        |   round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cosine
-        |  FROM p, embeddings c WHERE c.vec_id <> p.vec_id),
-        | sc AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk FROM d)
-        |SELECT probe_id, cand_id, cosine, rnk FROM sc WHERE rnk <= 5
-        |ORDER BY probe_id, rnk""".stripMargin,
+      (s"WITH $knnBruteCtes,\n" +
+        """ sc AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk FROM d)
+          |SELECT probe_id, cand_id, cosine, rnk FROM sc WHERE rnk <= 5
+          |ORDER BY probe_id, rnk""".stripMargin),
     "knn_ivf" ->
-      """WITH c0 AS (
-        |  SELECT label AS cell, i, round(sum(v::DOUBLE) / count(*), 6) AS cv
-        |  FROM (SELECT label, generate_subscripts(embedding, 1) AS i,
-        |        unnest(embedding) AS v FROM embeddings)
-        |  GROUP BY label, i),
-        | cents AS (SELECT cell, list(cv ORDER BY i) AS cvec FROM c0 GROUP BY cell),
-        | probes AS (SELECT vec_id AS probe_id, embedding FROM embeddings WHERE vec_id < 8),
-        | pc AS (SELECT p.probe_id, c.cell,
-        |   round(list_cosine_similarity(p.embedding::DOUBLE[], c.cvec), 4) AS ccos
-        |  FROM probes p, cents c),
-        | cells AS (SELECT probe_id, cell FROM (
-        |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, cell) AS cr
-        |   FROM pc WHERE ccos IS NOT NULL) WHERE cr <= 2),
-        | cand AS (SELECT cells.probe_id, e.vec_id AS cand_id,
-        |   round(list_cosine_similarity(p.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cosine
-        |  FROM cells JOIN embeddings e ON e.label = cells.cell
-        |       JOIN embeddings p ON p.vec_id = cells.probe_id
-        |  WHERE e.vec_id <> cells.probe_id),
-        | sc AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
-        |   FROM cand WHERE cosine IS NOT NULL)
-        |SELECT probe_id, cand_id, cosine, rnk FROM sc WHERE rnk <= 5
-        |ORDER BY probe_id, rnk""".stripMargin,
+      (s"WITH $knnBruteCtes,\n $knnIvfCtes,\n" +
+        """ sc AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+          |   FROM cand WHERE cosine IS NOT NULL)
+          |SELECT probe_id, cand_id, cosine, rnk FROM sc WHERE rnk <= 5
+          |ORDER BY probe_id, rnk""".stripMargin),
     "knn_recall" ->
-      """WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
-        | d AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
-        |   round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cosine
-        |  FROM p, embeddings c WHERE c.vec_id <> p.vec_id),
-        | brute AS (SELECT probe_id, cand_id FROM (
-        |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk FROM d)
-        |  WHERE rnk <= 5),
-        | c0 AS (
-        |  SELECT label AS cell, i, round(sum(v::DOUBLE) / count(*), 6) AS cv
-        |  FROM (SELECT label, generate_subscripts(embedding, 1) AS i,
-        |        unnest(embedding) AS v FROM embeddings)
-        |  GROUP BY label, i),
-        | cents AS (SELECT cell, list(cv ORDER BY i) AS cvec FROM c0 GROUP BY cell),
-        | pc AS (SELECT p.vec_id AS probe_id, c.cell,
-        |   round(list_cosine_similarity(p.embedding::DOUBLE[], c.cvec), 4) AS ccos
-        |  FROM p, cents c),
-        | cells AS (SELECT probe_id, cell FROM (
-        |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, cell) AS cr
-        |   FROM pc WHERE ccos IS NOT NULL) WHERE cr <= 2),
-        | cand AS (SELECT cells.probe_id, e.vec_id AS cand_id,
-        |   round(list_cosine_similarity(pp.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cosine
-        |  FROM cells JOIN embeddings e ON e.label = cells.cell
-        |       JOIN embeddings pp ON pp.vec_id = cells.probe_id
-        |  WHERE e.vec_id <> cells.probe_id),
-        | ivf AS (SELECT probe_id, cand_id FROM (
-        |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
-        |   FROM cand WHERE cosine IS NOT NULL) WHERE rnk <= 5)
-        |SELECT b.probe_id,
-        |  count(i.cand_id)::BIGINT AS n_hits,
-        |  round(count(i.cand_id)::DOUBLE / 5, 4) AS recall_at_5
-        |FROM brute b LEFT JOIN ivf i USING (probe_id, cand_id)
-        |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin,
+      (s"WITH $knnBruteCtes,\n $knnIvfCtes,\n" +
+        """ brute AS (SELECT probe_id, cand_id FROM (
+          |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk FROM d)
+          |  WHERE rnk <= 5),
+          | ivf AS (SELECT probe_id, cand_id FROM (
+          |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+          |   FROM cand WHERE cosine IS NOT NULL) WHERE rnk <= 5)
+          |SELECT b.probe_id,
+          |  count(i.cand_id)::BIGINT AS n_hits,
+          |  round(count(i.cand_id)::DOUBLE / count(*), 4) AS recall_at_5
+          |FROM brute b LEFT JOIN ivf i USING (probe_id, cand_id)
+          |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin),
     "knn_centroids" ->
       """WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS i,
         |  unnest(embedding) AS v FROM embeddings)

@@ -113,28 +113,6 @@ object Similarity {
     * probe→cell runs through the interpreted higher-order fold (cells
     * are few); the candidate search uses the codegen'd dot.
     */
-  /** ANN quality evaluation: recall@k of the IVF index against the
-    * brute-force ground truth, per probe — the eval loop every vector
-    * pipeline runs before trusting an approximate index. Both inputs
-    * are deterministic (IVF's centroids are 6-dp rounded), so the
-    * whole evaluation carries a value-level oracle. The join is
-    * top-k×top-k per probe (tiny) — all heavy lifting happens inside
-    * the two index scans themselves.
-    */
-  def recallAtK(emb: DataFrame, probeFilter: org.apache.spark.sql.Column,
-      k: Int = 5, nprobe: Int = 2): DataFrame = {
-    val brute = bruteForceTopK(emb, probeFilter, k)
-      .select(col("probe_id"), col("cand_id"))
-    val approx = ivfTopK(emb, probeFilter, k, nprobe)
-      .select(col("probe_id"), col("cand_id"), lit(1).as("hit"))
-    brute.join(approx, Seq("probe_id", "cand_id"), "left")
-      .groupBy(col("probe_id"))
-      .agg(
-        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"),
-        round(sum(coalesce(col("hit"), lit(0))).cast("double") / k, 4)
-          .as("recall_at_5"))
-  }
-
   def ivfTopK(emb: DataFrame, probeFilter: org.apache.spark.sql.Column,
       k: Int = 5, nprobe: Int = 2): DataFrame = {
     GraftFunctions.ensureRegistered(emb.sparkSession)
@@ -178,5 +156,30 @@ object Similarity {
           / (col("probe_nrm") * col("cand_nrm")), 4).as("cosine"))
       .filter(col("cosine").isNotNull)
     graft.plans.TopKPlanner.perGroup(scored, "probe_id", "cosine", "cand_id", k)
+  }
+
+  /** ANN quality evaluation: recall@k of the IVF index against the
+    * brute-force ground truth, per probe — the eval loop every vector
+    * pipeline runs before trusting an approximate index. Both inputs
+    * are deterministic (IVF's centroids are 6-dp rounded), so the
+    * whole evaluation carries a value-level oracle. The join is
+    * top-k×top-k per probe (tiny) — all heavy lifting happens inside
+    * the two index scans themselves. Recall divides by the ACTUAL
+    * ground-truth size (a probe can have fewer than k valid
+    * neighbors), so perfect retrieval is 1.0 by construction; the
+    * column is named for the requested k (`recall_at_5` by default).
+    */
+  def recallAtK(emb: DataFrame, probeFilter: org.apache.spark.sql.Column,
+      k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val brute = bruteForceTopK(emb, probeFilter, k)
+      .select(col("probe_id"), col("cand_id"))
+    val approx = ivfTopK(emb, probeFilter, k, nprobe)
+      .select(col("probe_id"), col("cand_id"), lit(1).as("hit"))
+    brute.join(approx, Seq("probe_id", "cand_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"),
+        round(sum(coalesce(col("hit"), lit(0))).cast("double") /
+          count(lit(1)), 4).as(s"recall_at_$k"))
   }
 }
