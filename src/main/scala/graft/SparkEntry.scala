@@ -158,6 +158,9 @@ object SparkEntry {
     Relational.activeUsers(t(s, dir, "events"))
       .orderBy(col("day"))
 
+  private def qCoPurchase(s: SparkSession, dir: String): DataFrame =
+    Relational.coPurchasePairs(t(s, dir, "lineitem"))
+
   private def qRetention(s: SparkSession, dir: String): DataFrame =
     Relational.cohortRetention(t(s, dir, "events"))
       .orderBy(col("cohort_week"), col("week_offset"))
@@ -559,6 +562,7 @@ object SparkEntry {
     "q_top_spenders" -> (qTopSpenders _),
     "q_late_priority" -> (qLatePriority _),
     "q_returned_items" -> (qReturnedItems _),
+    "q_copurchase" -> (qCoPurchase _),
     "mm_dedup" -> (qMmDedup _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
@@ -967,6 +971,15 @@ object SparkEntry {
       """SELECT md5(text) AS content_md5, octet_length(encode(text))::BIGINT AS byte_len,
         | count(*)::BIGINT AS n_copies, min(doc_id) AS canonical_id
         |FROM documents GROUP BY 1, 2 ORDER BY content_md5""".stripMargin,
+    "q_copurchase" ->
+      """WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        | pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        |  FROM basket a JOIN basket b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        |SELECT part_a, part_b, count(*)::BIGINT AS n_orders
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
     "q_late_priority" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_late_orders
         |FROM orders o

@@ -335,6 +335,34 @@ object Relational {
       .filter(col("dau") > 0)
       .select(col("target_day").as("day"), col("dau"), col("wau_7d"))
 
+  /** Market-basket co-occurrence: the top part PAIRS appearing in the
+    * same order — the "customers also bought" primitive. The basket is
+    * deduped to distinct (order, part) first so a part ordered twice
+    * in one basket can't inflate its pairs; the self-join keys on the
+    * order with `part_a < part_b` emitting each unordered pair once.
+    *
+    * Scale shape: the pair fan-out is bounded by the basket size
+    * (orders carry ≲10 items → ≤45 pairs per order, a constant), so
+    * the join output is O(orders), not quadratic in the catalog. Both
+    * self-join sides are the IDENTICAL deduped subtree shuffled on the
+    * same key, which Spark collapses into one exchange + a
+    * ReusedExchange; the pair count then aggregates with map-side
+    * partials and the top-20 cut is a TakeOrdered on a total order.
+    */
+  def coPurchasePairs(lineitem: DataFrame, topN: Int = 20): DataFrame = {
+    val basket = lineitem
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+    basket.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(basket.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(topN)
+  }
+
   /** ROLLUP aggregation: per (flag, status), per flag, and grand total.
     * Same partial-agg shape as a flat groupBy — grouping sets expand
     * map-side.

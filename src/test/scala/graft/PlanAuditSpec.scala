@@ -116,6 +116,15 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(scans == 1, p)
   }
 
+  test("co-purchase self-join reuses the deduped basket exchange") {
+    val df = Relational.coPurchasePairs(Tables.lineitem(spark, sfDir))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    val scans = finalSection.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1 || finalSection.contains("ReusedExchange"), p)
+  }
+
   test("funnel's three window layers share one exchange and one sort") {
     val p = plan(Relational.funnel(Tables.events(spark, sfDir)))
     // count tree-form nodes ("Exchange (n)") — the formatted details

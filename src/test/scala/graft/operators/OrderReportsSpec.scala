@@ -26,6 +26,19 @@ class OrderReportsSpec extends SparkSpecBase {
     assert(out.head.getAs[Long]("n_late_orders") == 1L)
   }
 
+  test("co-purchase pairs count each order once, unordered, duplicates collapsed") {
+    val lineitem = Seq(
+      (1L, 10L), (1L, 20L), (1L, 10L),  // dup part 10 in order 1: one basket entry
+      (2L, 20L), (2L, 10L),             // same pair, other order
+      (3L, 30L)                          // singleton basket: no pairs
+    ).toDF("l_orderkey", "l_partkey")
+    val out = Relational.coPurchasePairs(lineitem).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getAs[Long]("part_a"), r.getAs[Long]("part_b"),
+      r.getAs[Long]("n_orders")) == ((10L, 20L, 2L)))
+  }
+
   test("returned-item revenue counts only R-flag items, ranked by exact revenue") {
     val lineitem = Seq(
       (1L, 100.0, 0.0, "R"),
