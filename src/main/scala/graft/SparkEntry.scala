@@ -321,6 +321,10 @@ object SparkEntry {
     CorpusStats.splitAssign(t(s, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  private def qContamination(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.contamination(t(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
   private def qEmbQuantize(s: SparkSession, dir: String): DataFrame =
     Quantize.scalarCodes(t(s, dir, "embeddings"))
       .orderBy(col("vec_id"))
@@ -542,6 +546,7 @@ object SparkEntry {
     "text_lm_score" -> (qLmScore _),
     "emb_quantize" -> (qEmbQuantize _),
     "text_split_assign" -> (qSplitAssign _),
+    "text_contamination" -> (qContamination _),
     "text_heavy_hitters" -> (qHeavyHitters _),
     "q_fuzzy_names" -> (qFuzzyNames _),
     "view_yearly_counts" -> (qViewYearly _),
@@ -784,6 +789,21 @@ object SparkEntry {
         |      WHEN ('0x'||substr(md5(text),1,8))::BIGINT % 100 = 98 THEN 'valid'
         |      WHEN ('0x'||substr(md5(text),1,8))::BIGINT % 100 = 99 THEN 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_contamination" ->
+      """WITH sp AS (SELECT doc_id, text,
+        |    ('0x'||substr(md5(text),1,8))::BIGINT % 100 AS bucket FROM documents),
+        | t AS (SELECT doc_id, bucket, string_split_regex(trim(text), '\s+') AS w FROM sp),
+        | sh AS (SELECT doc_id, bucket,
+        |    array_to_string(w[r.i + 1 : r.i + 4], ' ') AS shingle
+        |   FROM t, range(0, 2000) r(i)
+        |   WHERE r.i <= greatest(len(w) - 4, 0)),
+        | train_sh AS (SELECT DISTINCT shingle FROM sh WHERE bucket < 98),
+        | test_sh AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE bucket = 99)
+        |SELECT ts.doc_id, count(*)::BIGINT AS n_shingles,
+        |  sum(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_contaminated,
+        |  round(sum(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS contamination
+        |FROM test_sh ts LEFT JOIN train_sh tr USING (shingle)
+        |GROUP BY ts.doc_id ORDER BY ts.doc_id""".stripMargin,
     "emb_quantize" ->
       """WITH dims AS (
         |  SELECT vec_id, generate_subscripts(embedding,1) AS pos, unnest(embedding) AS x FROM embeddings),

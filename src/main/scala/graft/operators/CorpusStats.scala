@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-wide token statistics — the "what is my training data made
@@ -47,10 +47,16 @@ object CorpusStats {
     * bit-identical across engines so the oracle checks every
     * assignment.
     */
+  /** The content-hash 0..99 bucket behind [[splitAssign]] (and the
+    * train/test scoping of [[contamination]]) — one definition so the
+    * split and everything derived from it can never disagree.
+    */
+  def splitBucket(text: Column): Column =
+    conv(substring(md5(text), 1, 8), 16, 10).cast("long") % 100
+
   def splitAssign(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val bucket = (conv(substring(md5(col(textCol)), 1, 8), 16, 10)
-      .cast("long") % 100).as("bucket")
+    val bucket = splitBucket(col(textCol)).as("bucket")
     docs.select(col(idCol), bucket)
       .withColumn("split",
         when(col("bucket") < 98, "train")
@@ -58,6 +64,41 @@ object CorpusStats {
           .when(col("bucket") === 99, "test"))
     // null text -> null bucket -> null split: degenerate rows surface
     // for upstream filtering instead of silently skewing the 1% test cut
+  }
+
+  /** Train→test contamination audit: for every TEST-split document,
+    * the share of its word `n`-gram shingles that also occur anywhere
+    * in the TRAIN split — the decontamination check run before
+    * trusting held-out evaluation on a corpus assembled with
+    * [[splitAssign]] (exact duplicates can't straddle the split by
+    * construction, so what this catches is PARTIAL overlap: shared
+    * boilerplate, near-duplicates, quoted passages).
+    *
+    * Scale shape: shingles explode inside the scan stage; the train
+    * shingle set dedups with map-side partial aggregation (it is far
+    * too large to broadcast — the join shuffles on the shingle, and
+    * only the 1%-sized test side rides through to the per-document
+    * aggregate). One corpus scan feeds both sides; the exchange under
+    * the shared shingle subtree is reused.
+    */
+  def contamination(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 4): DataFrame = {
+    val sh = docs
+      .select(col(idCol), splitBucket(col(textCol)).as("bucket"),
+        explode(graft.functions.TextFunctions.wordShingles(col(textCol), n))
+          .as("shingle"))
+    val trainSh = sh.filter(col("bucket") < 98)
+      .select(col("shingle")).distinct()
+      .withColumn("hit", lit(1))
+    val testSh = sh.filter(col("bucket") === 99)
+      .select(col(idCol), col("shingle")).distinct()
+    testSh.join(trainSh, Seq("shingle"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_contaminated"),
+        round(sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)), 4)
+          .as("contamination"))
   }
 
   /** Unigram-LM document scoring — the CCNet-style "how much does this

@@ -31,6 +31,27 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(!plan.contains("Expand"), "count-distinct Expand rewrite leaked in")
   }
 
+  test("contamination flags test shingles that appear anywhere in train") {
+    import org.apache.spark.sql.functions.col
+    // fixture texts chosen so their md5 buckets land where needed:
+    // doc 1 -> bucket 99 (test), doc 2 -> bucket 33 (train, shares the
+    // 'alpha beta gamma delta' 4-gram), doc 3 -> bucket 99 (test, clean)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta tail7"),
+      (2L, "head0 alpha beta gamma delta"),
+      (3L, "zeta eta theta iota kappa12")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.contamination(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_contaminated"),
+          r.getAs[Double]("contamination")))).toMap
+    // doc 1 has shingles {alpha beta gamma delta, beta gamma delta tail7}:
+    // the first also lives in train doc 2 -> 1 of 2 contaminated
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(3L)._2 == 0L)  // clean test doc: zero hits
+    assert(!out.contains(2L)) // train docs are not scored
+  }
+
   test("split assignment is content-keyed: byte-identical twins share a split") {
     import org.apache.spark.sql.functions.col
     val twins = Seq((1L, "same text"), (99L, "same text"), (2L, "different"))
