@@ -1150,7 +1150,8 @@ object SparkEntry {
         |FROM walk GROUP BY start ORDER BY node""".stripMargin,
     "knn_bruteforce" ->
       (s"WITH $knnBruteCtes,\n" +
-        """ sc AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk FROM d)
+        """ sc AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+          |   FROM d WHERE cosine IS NOT NULL)
           |SELECT probe_id, cand_id, cosine, rnk FROM sc WHERE rnk <= 5
           |ORDER BY probe_id, rnk""".stripMargin),
     "knn_ivf" ->
@@ -1162,7 +1163,8 @@ object SparkEntry {
     "knn_recall" ->
       (s"WITH $knnBruteCtes,\n $knnIvfCtes,\n" +
         """ brute AS (SELECT probe_id, cand_id FROM (
-          |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk FROM d)
+          |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+          |   FROM d WHERE cosine IS NOT NULL)
           |  WHERE rnk <= 5),
           | ivf AS (SELECT probe_id, cand_id FROM (
           |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk

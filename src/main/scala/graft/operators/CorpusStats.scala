@@ -47,13 +47,6 @@ object CorpusStats {
     * bit-identical across engines so the oracle checks every
     * assignment.
     */
-  /** The content-hash 0..99 bucket behind [[splitAssign]] (and the
-    * train/test scoping of [[contamination]]) — one definition so the
-    * split and everything derived from it can never disagree.
-    */
-  def splitBucket(text: Column): Column =
-    conv(substring(md5(text), 1, 8), 16, 10).cast("long") % 100
-
   def splitAssign(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val bucket = splitBucket(col(textCol)).as("bucket")
@@ -65,6 +58,13 @@ object CorpusStats {
     // null text -> null bucket -> null split: degenerate rows surface
     // for upstream filtering instead of silently skewing the 1% test cut
   }
+
+  /** The content-hash 0..99 bucket behind [[splitAssign]] (and the
+    * train/test scoping of [[contamination]]) — one definition so the
+    * split and everything derived from it can never disagree.
+    */
+  def splitBucket(text: Column): Column =
+    conv(substring(md5(text), 1, 8), 16, 10).cast("long") % 100
 
   /** Train→test contamination audit: for every TEST-split document,
     * the share of its word `n`-gram shingles that also occur anywhere
@@ -78,15 +78,22 @@ object CorpusStats {
     * shingle set dedups with map-side partial aggregation (it is far
     * too large to broadcast — the join shuffles on the shingle, and
     * only the 1%-sized test side rides through to the per-document
-    * aggregate). One corpus scan feeds both sides; the exchange under
-    * the shared shingle subtree is reused.
+    * aggregate). The two sides scan the corpus once EACH (their bucket
+    * filters and dedup keys differ, so no exchange is shared) — the
+    * honest cost of a two-population audit; both scans prune to
+    * (id, text). Shingles cap at `maxShingles` per document
+    * (pre-explode slice, mirrored verbatim in the oracle's
+    * `range(0, 2000)`) so one pathological document can't explode
+    * unboundedly.
     */
   def contamination(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", n: Int = 4): DataFrame = {
+      idCol: String = "doc_id", n: Int = 4,
+      maxShingles: Int = 2000): DataFrame = {
     val sh = docs
       .select(col(idCol), splitBucket(col(textCol)).as("bucket"),
-        explode(graft.functions.TextFunctions.wordShingles(col(textCol), n))
-          .as("shingle"))
+        explode(slice(
+          graft.functions.TextFunctions.wordShingles(col(textCol), n),
+          1, maxShingles)).as("shingle"))
     val trainSh = sh.filter(col("bucket") < 98)
       .select(col("shingle")).distinct()
       .withColumn("hit", lit(1))

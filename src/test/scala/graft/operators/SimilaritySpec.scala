@@ -63,11 +63,19 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.forall { case (_, h, r) => h == 5L && r == 1.0 })
   }
 
-  test("recall@k is bounded by [0, 1] and consistent with its hit count") {
+  test("recall@k divides by the probe's actual ground-truth size") {
     val emb = Tables.embeddings(spark, sfDir)
+    val bruteCounts = Similarity.bruteForceTopK(emb, col("vec_id") < 8)
+      .groupBy("probe_id").count()
+      .as[(Long, Long)].collect().toMap
     val out = Similarity.recallAtK(emb, col("vec_id") < 8)
-      .select("n_hits", "recall_at_5").as[(Long, Double)].collect()
+      .select("probe_id", "n_hits", "recall_at_5")
+      .as[(Long, Long, Double)].collect()
     assert(out.length == 8)
-    assert(out.forall { case (h, r) => h >= 0 && h <= 5 && r == h / 5.0 })
+    assert(out.forall { case (p, h, r) =>
+      val n = bruteCounts(p)
+      h >= 0 && h <= n &&
+        r == math.round(h.toDouble / n * 1e4) / 1e4
+    })
   }
 }
