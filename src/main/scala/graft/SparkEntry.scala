@@ -154,6 +154,25 @@ object SparkEntry {
     Relational.returnedItemRevenue(t(s, dir, "customer"), t(s, dir, "orders"),
       t(s, dir, "lineitem"), t(s, dir, "nation"))
 
+  private def qCustDist(s: SparkSession, dir: String): DataFrame =
+    Relational.custOrderDistribution(t(s, dir, "customer"), t(s, dir, "orders"))
+      .orderBy(col("custdist").desc, col("order_count").desc)
+
+  private def qTopSupplier(s: SparkSession, dir: String): DataFrame =
+    Relational.topSupplier(t(s, dir, "supplier"), t(s, dir, "lineitem"))
+      .orderBy(col("s_suppkey"))
+
+  private def qSmallQty(s: SparkSession, dir: String): DataFrame =
+    Relational.smallQtyRevenue(t(s, dir, "part"), t(s, dir, "lineitem"))
+
+  private def qBigOrders(s: SparkSession, dir: String): DataFrame =
+    Relational.bigOrders(t(s, dir, "customer"), t(s, dir, "orders"),
+      t(s, dir, "lineitem"))
+
+  private def qIdleRich(s: SparkSession, dir: String): DataFrame =
+    Relational.idleRichCustomers(t(s, dir, "customer"), t(s, dir, "orders"))
+      .orderBy(col("c_mktsegment"))
+
   private def qActiveUsers(s: SparkSession, dir: String): DataFrame =
     Relational.activeUsers(t(s, dir, "events"))
       .orderBy(col("day"))
@@ -567,6 +586,11 @@ object SparkEntry {
     "q_top_spenders" -> (qTopSpenders _),
     "q_late_priority" -> (qLatePriority _),
     "q_returned_items" -> (qReturnedItems _),
+    "q_cust_dist" -> (qCustDist _),
+    "q_top_supplier" -> (qTopSupplier _),
+    "q_small_qty_rev" -> (qSmallQty _),
+    "q_big_orders" -> (qBigOrders _),
+    "q_idle_rich" -> (qIdleRich _),
     "q_copurchase" -> (qCoPurchase _),
     "mm_dedup" -> (qMmDedup _),
     "q_rollup" -> (qRollup _),
@@ -1018,6 +1042,62 @@ object SparkEntry {
         |WHERE l.l_returnflag = 'R'
         |GROUP BY 1, 2, 3
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_cust_dist" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, count(*)::BIGINT AS order_count
+        |  FROM orders WHERE o_orderpriority <> '1-URGENT' GROUP BY 1)
+        |SELECT coalesce(p.order_count, 0)::BIGINT AS order_count,
+        |       count(*)::BIGINT AS custdist
+        |FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+        |GROUP BY 1 ORDER BY custdist DESC, order_count DESC""".stripMargin,
+    "q_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |   sum(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1998-04-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, CAST(r.rev AS DOUBLE) AS total_revenue
+        |FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.rev = (SELECT max(rev) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
+    "q_small_qty_rev" ->
+      """WITH li AS (
+        |  SELECT l.l_partkey, CAST(l.l_quantity AS DECIMAL(12,2)) AS qty,
+        |         CAST(l.l_extendedprice AS DECIMAL(10,2)) AS price
+        |  FROM lineitem l JOIN part p
+        |    ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#11'),
+        | stats AS (
+        |  SELECT l_partkey AS sk, sum(qty) AS sum_qty, count(qty)::BIGINT AS cnt
+        |  FROM li GROUP BY 1)
+        |SELECT CAST(sum(li.price) AS DOUBLE) / 7 AS avg_yearly
+        |FROM li JOIN stats ON li.l_partkey = stats.sk
+        |WHERE li.qty * 5 * stats.cnt < stats.sum_qty""".stripMargin,
+    "q_big_orders" ->
+      """WITH qty AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum_qty > 200)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        |       CAST(o.o_orderdate AS DATE) AS o_orderdate, o.o_totalprice,
+        |       CAST(q.sum_qty AS DOUBLE) AS sum_qty
+        |FROM qty q
+        |JOIN orders o ON q.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin,
+    "q_idle_rich" ->
+      """WITH avg_row AS (
+        |  SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_bal,
+        |         count(*)::BIGINT AS n_bal
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c.c_mktsegment, count(*)::BIGINT AS n_custs,
+        |       CAST(sum(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer c, avg_row a
+        |WHERE CAST(c.c_acctbal AS DECIMAL(12,2)) * a.n_bal > a.sum_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY c.c_mktsegment""".stripMargin,
     "q_top_spenders" ->
       """WITH spend AS (
         |  SELECT c.c_nationkey::BIGINT AS nation_key, o.o_custkey,

@@ -483,4 +483,135 @@ object Relational {
         col("user_id"),
         date_trunc("second", col("session_window.start")).as("session_start"),
         col("n_events"), col("sum_value"))
+
+  /** TPC-H Q13-shaped customer order-count distribution: how many
+    * customers placed 0, 1, 2, … qualifying orders.
+    *
+    * Scale shape: orders is PRE-AGGREGATED to one (custkey, count) row
+    * per customer before touching the customer table, so the join
+    * carries |customers| rows instead of |orders| — the classic
+    * "aggregate below the join" rewrite Q13's filtered LEFT JOIN
+    * usually defeats. Customers with no qualifying orders surface via
+    * the LEFT side's null → 0 coalesce. The final distribution GROUP BY
+    * is over ≲ max-orders-per-customer distinct keys — trivially small.
+    */
+  def custOrderDistribution(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val perCust = orders
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("order_count"))
+    customer.select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("order_count"), lit(0L)).as("order_count"))
+      .groupBy(col("order_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** TPC-H Q15-shaped top supplier: supplier(s) whose shipped revenue
+    * over a quarter equals the global maximum.
+    *
+    * Scale shape: the argmax is a 1-row aggregate over the per-supplier
+    * revenue frame CROSS-JOINED back (broadcast of one row) — never a
+    * global window sort, which would funnel every supplier through a
+    * single partition. The revenue equality join stays in DECIMAL so
+    * "equals the max" cannot be broken by float rounding; the cast to
+    * DOUBLE happens only in the final projection. Ties all surface
+    * (same semantics as Q15's HAVING = MAX subquery).
+    */
+  def topSupplier(supplier: DataFrame, lineitem: DataFrame,
+      from: String = "1998-01-01", until: String = "1998-04-01"): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice"), 10, 2)
+        * dec(lit(1) - col("l_discount"), 4, 2)).as("rev"))
+    val top = rev.agg(max(col("rev")).as("max_rev"))
+    rev.join(broadcast(top), col("rev") === col("max_rev"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev").cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q17-shaped small-quantity revenue: average yearly revenue
+    * lost if orders below 20% of a part's mean quantity stopped
+    * shipping, for one brand.
+    *
+    * Scale shape: the brand filter cuts `part` to a sliver that
+    * BROADCASTS into the lineitem scan (the only pass over the fact);
+    * the per-part mean comes from aggregating that already-filtered
+    * slice and broadcasting the tiny (partkey, sum, count) frame back —
+    * no window sort, no self-join shuffle. The 20%-of-average predicate
+    * is evaluated in integer/decimal cross-multiplied form
+    * (5·qty·cnt < sum·cnt·…  ⇒  5·qty·cnt < sum) so both engines decide
+    * the boundary identically — no float-division epsilon.
+    */
+  def smallQtyRevenue(part: DataFrame, lineitem: DataFrame,
+      brand: String = "Brand#11"): DataFrame = {
+    val p = part.filter(col("p_brand") === brand).select(col("p_partkey"))
+    val li = lineitem
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), dec(col("l_quantity")).as("qty"),
+        dec(col("l_extendedprice"), 10, 2).as("price"))
+    val stats = li.groupBy(col("l_partkey").as("sk"))
+      .agg(sum(col("qty")).as("sum_qty"), count(col("qty")).as("cnt"))
+    li.join(broadcast(stats), col("l_partkey") === col("sk"))
+      .filter(col("qty") * lit(5) * col("cnt") < col("sum_qty"))
+      .agg((sum(col("price")).cast("double") / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** TPC-H Q18-shaped large-volume orders: orders whose total quantity
+    * exceeds a threshold, with customer context, top 100 by price.
+    *
+    * Scale shape: lineitem collapses to one row per order (map-side
+    * combined) and the HAVING filter runs BEFORE any join, so only the
+    * rare big orders reach the orders join; customer resolves via
+    * broadcast (dim ≪ fact). The top-100 is a TakeOrdered with an
+    * orderkey tiebreak for a total order.
+    */
+  def bigOrders(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      minQty: Int = 200): DataFrame = {
+    val qty = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    qty.join(orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"), col("o_totalprice")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"),
+        col("o_totalprice"), col("sum_qty").cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q22-shaped lapsed high-balance customers: per market
+    * segment, how many customers hold an above-average positive balance
+    * yet placed no order since `since`.
+    *
+    * Scale shape: the global average is a 1-row aggregate broadcast
+    * back as (sum, cnt) and the threshold runs in cross-multiplied
+    * DECIMAL form (bal·cnt > sum — exact, engine-independent) instead
+    * of dividing; the "no recent order" test is a LEFT ANTI hash join
+    * whose build side is orders FILTERED AT THE SCAN (date pushdown)
+    * and pruned to the key column. Only the rare qualifying customers
+    * reach the anti join.
+    */
+  def idleRichCustomers(customer: DataFrame, orders: DataFrame,
+      since: String = "2000-01-01"): DataFrame = {
+    val bal = dec(col("c_acctbal"))
+    val avgRow = customer.filter(col("c_acctbal") > 0)
+      .agg(sum(bal).as("sum_bal"), count(lit(1)).as("n_bal"))
+    customer.select(col("c_custkey"), col("c_mktsegment"), bal.as("bal"))
+      .crossJoin(broadcast(avgRow))
+      .filter(col("bal") * col("n_bal") > col("sum_bal"))
+      .join(orders.filter(col("o_orderdate") >= lit(since))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("bal")).cast("double").as("total_bal"))
+  }
 }

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import java.sql.Timestamp
+
+class TpchReportsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def t(s: String): Timestamp = Timestamp.valueOf(s + " 00:00:00")
+
+  test("customer distribution buckets zero-order and urgent-only customers at 0") {
+    val customer = Seq(1L, 2L, 3L, 4L).toDF("c_custkey")
+    val orders = Seq(
+      (10L, 1L, "5-LOW"),
+      (11L, 1L, "2-HIGH"),
+      (12L, 2L, "1-URGENT"), // filtered out: customer 2 counts as 0 orders
+      (13L, 3L, "5-LOW")
+    ).toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val out = Relational.custOrderDistribution(customer, orders)
+      .collect()
+      .map(r => (r.getAs[Long]("order_count"), r.getAs[Long]("custdist")))
+      .toMap
+    assert(out == Map(0L -> 2L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("top supplier surfaces exact-revenue ties and respects the ship window") {
+    val supplier = Seq((1L, "S#1"), (2L, "S#2"), (3L, "S#3"))
+      .toDF("s_suppkey", "s_name")
+    val lineitem = Seq(
+      (1L, t("1998-02-01"), 100.0, 0.0),
+      (2L, t("1998-02-01"), 100.0, 0.0),  // exact tie with supplier 1
+      (3L, t("1997-12-31"), 999.0, 0.0)   // outside window: ignored
+    ).toDF("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val out = Relational.topSupplier(supplier, lineitem)
+      .collect()
+      .map(r => (r.getAs[Long]("s_suppkey"), r.getAs[Double]("total_revenue")))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 100.0), (2L, 100.0)))
+  }
+
+  test("small-qty revenue keeps strictly-below-20%-of-average items of the brand") {
+    val part = Seq((1L, "Brand#11"), (2L, "Brand#99"))
+      .toDF("p_partkey", "p_brand")
+    // part 1 quantities: 1, 9, 10 → avg 20/3 ≈ 6.67, 20% ≈ 1.33: only qty 1 counts
+    val lineitem = Seq(
+      (1L, 1.0, 70.0),
+      (1L, 9.0, 500.0),
+      (1L, 10.0, 500.0),
+      (2L, 1.0, 999.0) // other brand: excluded entirely
+    ).toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val out = Relational.smallQtyRevenue(part, lineitem).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("avg_yearly") == 10.0) // 70 / 7
+  }
+
+  test("big orders apply a strict HAVING before the joins") {
+    val customer = Seq((1L, "C#1")).toDF("c_custkey", "c_name")
+    val orders = Seq(
+      (10L, 1L, t("2024-01-01"), 5000.0),
+      (11L, 1L, t("2024-01-02"), 9000.0)
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val lineitem = Seq(
+      (10L, 150.0), (10L, 51.0), // 201 > 200: kept
+      (11L, 200.0)               // exactly 200: strict >, dropped
+    ).toDF("l_orderkey", "l_quantity")
+    val out = Relational.bigOrders(customer, orders, lineitem).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("o_orderkey") == 10L)
+    assert(out.head.getAs[Double]("sum_qty") == 201.0)
+  }
+
+  test("lapsed rich customers: recent order excludes, old order does not") {
+    val customer = Seq(
+      (1L, "SEG_A", 100.0), // above avg, only an old order: counted
+      (2L, "SEG_A", 100.0), // above avg, recent order: excluded
+      (3L, "SEG_B", 10.0),  // below avg: excluded
+      (4L, "SEG_B", 100.0)  // above avg, no orders at all: counted
+    ).toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    val orders = Seq(
+      (1L, t("1999-05-01")),
+      (2L, t("2000-06-01"))
+    ).toDF("o_custkey", "o_orderdate")
+    val out = Relational.idleRichCustomers(customer, orders)
+      .collect()
+      .map(r => (r.getAs[String]("c_mktsegment"), r.getAs[Long]("n_custs"),
+        r.getAs[Double]("total_bal")))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(("SEG_A", 1L, 100.0), ("SEG_B", 1L, 100.0)))
+  }
+}
