@@ -344,6 +344,18 @@ object SparkEntry {
     CorpusStats.contamination(t(s, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.repetition(t(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  private def qGopher(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.gopherQuality(t(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  private def qTfidf(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.tfidf(t(s, dir, "documents"))
+      .orderBy(col("doc_id"), col("rnk"))
+
   private def qEmbQuantize(s: SparkSession, dir: String): DataFrame =
     Quantize.scalarCodes(t(s, dir, "embeddings"))
       .orderBy(col("vec_id"))
@@ -562,6 +574,9 @@ object SparkEntry {
     "q_cdc_diff" -> (qCdcDiff _),
     "q_bloom_prune" -> (qBloomPrune _),
     "text_term_freq" -> (qTermFreq _),
+    "text_repetition" -> (qRepetition _),
+    "text_gopher" -> (qGopher _),
+    "text_tfidf" -> (qTfidf _),
     "text_lm_score" -> (qLmScore _),
     "emb_quantize" -> (qEmbQuantize _),
     "text_split_assign" -> (qSplitAssign _),
@@ -795,6 +810,61 @@ object SparkEntry {
         |SELECT token, count(*)::BIGINT AS n_docs, sum(n_in_doc)::BIGINT AS n_total
         |FROM td GROUP BY token
         |ORDER BY n_total DESC, token LIMIT 100""".stripMargin,
+    "text_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        | base AS (
+        |  SELECT doc_id, len(ws)::BIGINT AS n_words,
+        |         len(list_distinct(ws))::BIGINT AS n_distinct FROM w),
+        | toks AS (
+        |  SELECT doc_id, generate_subscripts(ws, 1) AS i, unnest(ws) AS tok FROM w),
+        | big AS (
+        |  SELECT a.doc_id, a.tok || ' ' || b.tok AS bigram
+        |  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        | top AS (
+        |  SELECT doc_id, max(cnt)::BIGINT AS top_n FROM (
+        |    SELECT doc_id, bigram, count(*) AS cnt FROM big GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT base.doc_id, base.n_words,
+        | (base.n_words - base.n_distinct)::DOUBLE / base.n_words AS dup_word_ratio,
+        | coalesce(top.top_n, 1)::DOUBLE / greatest(base.n_words - 1, 1) AS top_bigram_ratio
+        |FROM base LEFT JOIN top ON base.doc_id = top.doc_id
+        |ORDER BY base.doc_id""".stripMargin,
+    "text_gopher" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        | base AS (
+        |  SELECT doc_id, len(ws)::BIGINT AS n_words,
+        |   list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / len(ws) AS mean_word_len,
+        |   len(list_intersect(list_distinct(ws),
+        |       ['the','a','and','of','to','in','is','on','for','with']))::BIGINT AS n_stopwords
+        |  FROM w)
+        |SELECT doc_id, n_words, mean_word_len, n_stopwords,
+        | (n_words >= 30 AND n_words <= 80) AS flag_words,
+        | (mean_word_len >= 4.0 AND mean_word_len <= 5.0) AS flag_word_len,
+        | (n_stopwords >= 2) AS flag_stops,
+        | ((n_words >= 30 AND n_words <= 80)
+        |   AND (mean_word_len >= 4.0 AND mean_word_len <= 5.0)
+        |   AND n_stopwords >= 2) AS keep
+        |FROM base ORDER BY doc_id""".stripMargin,
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents),
+        | tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf
+        |        FROM toks WHERE token <> '' GROUP BY 1, 2),
+        | df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        | n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        | scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf,
+        |         round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 4) AS tfidf
+        |  FROM tf JOIN df USING (token), n),
+        | ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, rnk::BIGINT AS rnk, token, tf, tfidf
+        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "text_lm_score" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS token FROM documents),
         | tk AS (SELECT doc_id, token FROM tok WHERE token <> ''),

@@ -108,6 +108,115 @@ object CorpusStats {
           .as("contamination"))
   }
 
+  /** Within-document repetition signals — the Gopher-style "is this
+    * page one phrase pasted fifty times" filter: the duplicate-word
+    * fraction and the share of word-bigram slots taken by the single
+    * most repeated bigram.
+    *
+    * Scale shape: the word-level ratios are a pure per-row projection
+    * (`size`/`array_distinct` over the split array — zero shuffle);
+    * only the bigram mode needs an explode + two-level groupBy, and its
+    * exchange carries (doc, bigram) pairs with map-side combine. The
+    * two branches re-join at the DOCUMENT grain, so the join is
+    * doc-count-sized no matter how long the documents are. All ratios
+    * divide exact integers — bit-identical across engines, no rounding.
+    */
+  def repetition(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = graft.functions.TextFunctions.words(col(textCol))
+    val base = docs.select(
+      col(idCol),
+      size(w).cast("bigint").as("n_words"),
+      size(array_distinct(w)).cast("bigint").as("n_distinct"))
+    val top = docs
+      .select(col(idCol),
+        explode(graft.functions.TextFunctions.wordShingles(col(textCol), 2))
+          .as("bigram"))
+      .groupBy(col(idCol), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(max(col("cnt")).as("top_bigram_n"))
+    base.join(top, Seq(idCol), "left")
+      .select(
+        col(idCol), col("n_words"),
+        ((col("n_words") - col("n_distinct")).cast("double") / col("n_words"))
+          .as("dup_word_ratio"),
+        // single-word docs emit one degenerate shingle (count 1) on the
+        // Spark side and no bigram row in the oracle: coalesce keeps
+        // the two engines on the same value (ratio = 1/1)
+        (coalesce(col("top_bigram_n"), lit(1L)).cast("double") /
+          greatest(col("n_words") - 1, lit(1L))).as("top_bigram_ratio"))
+  }
+
+  /** Gopher-rule quality gate: per-document hygiene flags (word count
+    * in range, mean word length in range, at least two distinct common
+    * stopwords present) and the combined keep decision — the published
+    * heuristic family for cutting machine-generated or boilerplate
+    * pages from web-scale corpora.
+    *
+    * Pure per-row projection over the split array (higher-order
+    * `aggregate`/`transform`/`array_intersect`, all codegen'd): zero
+    * shuffle at any scale. Mean word length divides two exact integer
+    * totals, so both engines agree bit-for-bit.
+    */
+  def gopherQuality(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minWords: Int = 30, maxWords: Int = 80,
+      minMeanLen: Double = 4.0, maxMeanLen: Double = 5.0): DataFrame = {
+    val stops = Seq("the", "a", "and", "of", "to", "in", "is", "on",
+      "for", "with")
+    val w = graft.functions.TextFunctions.words(col(textCol))
+    docs.select(col(idCol), w.as("w"))
+      .select(
+        col(idCol),
+        size(col("w")).cast("bigint").as("n_words"),
+        (aggregate(transform(col("w"), x => length(x)), lit(0L),
+          (acc, x) => acc + x).cast("double") / size(col("w")))
+          .as("mean_word_len"),
+        size(array_intersect(array_distinct(col("w")),
+          array(stops.map(lit): _*))).cast("bigint").as("n_stopwords"))
+      .withColumn("flag_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("flag_word_len",
+        col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen)
+      .withColumn("flag_stops", col("n_stopwords") >= 2)
+      .withColumn("keep",
+        col("flag_words") && col("flag_word_len") && col("flag_stops"))
+  }
+
+  /** Per-document TF-IDF top terms — the classic "what is this document
+    * about" weighting, emitted as the `topK` highest-scoring terms per
+    * document.
+    *
+    * Scale shape: term frequencies aggregate at (doc, token) grain with
+    * map-side combine; document frequencies derive from THAT output
+    * (token grain — never a second corpus scan) and join back on the
+    * token; the corpus size N rides along as a broadcast 1-row
+    * aggregate. The final per-document top-K ranks (doc-partitioned
+    * window) over rows already collapsed to (doc, token) grain. Scores
+    * round to 4dp before ranking — `ln` is the one operation where
+    * engines may differ in the last ulp (SURVEY §5) — and the rank
+    * breaks ties on the token for a total order.
+    */
+  def tfidf(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", topK: Int = 3): DataFrame = {
+    val toks = graft.functions.TextFunctions.explodedTokens(docs, textCol, Seq(idCol))
+    val tf = toks.groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("token"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(
+        col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df")), 4))
+    val rk = row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+        .orderBy(col("tfidf").desc, col("token")))
+    scored.withColumn("rnk", rk.cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col(idCol), col("rnk"), col("token"), col("tf"), col("tfidf"))
+  }
+
   /** Unigram-LM document scoring — the CCNet-style "how much does this
     * document look like the corpus" quality signal: build a top-V
     * vocabulary from corpus term frequencies, smooth add-one over

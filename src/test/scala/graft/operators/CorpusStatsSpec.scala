@@ -52,6 +52,52 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(!out.contains(2L)) // train docs are not scored
   }
 
+  test("repetition: duplicate-word and top-bigram fractions") {
+    val d = Seq(
+      (1L, "x y x y x"),   // words 5, distinct 2; bigrams: "x y"×2, "y x"×2 -> top 2/4
+      (2L, "a b c d"),     // no repetition: dup 0, top bigram 1/3
+      (3L, "solo")         // single word: dup 0, degenerate ratio 1/1
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.repetition(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_words"), r.getAs[Double]("dup_word_ratio"),
+          r.getAs[Double]("top_bigram_ratio")))).toMap
+    assert(out(1L) == ((5L, 0.6, 0.5)))
+    assert(out(2L) == ((4L, 0.0, 1.0 / 3.0)))
+    assert(out(3L) == ((1L, 0.0, 1.0)))
+  }
+
+  test("gopher flags: each rule can independently fail the keep decision") {
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ")       // 50 x len>=5 words
+    val good = (("the and for " * 5) + "alpha delta gamma " * 15).trim
+    val d = Seq(
+      (1L, good),        // 60 words, mean len 270/60=4.5, stopwords {the,and,for}
+      (2L, "the and " + fifty), // mean word len > 5 -> flag_word_len false
+      (3L, "the of a b c d e f g h i j")  // 12 words -> flag_words false
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.gopherQuality(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("flag_words"), r.getAs[Boolean]("flag_word_len"),
+          r.getAs[Boolean]("flag_stops"), r.getAs[Boolean]("keep")))).toMap
+    assert(out(1L) == ((true, true, true, true)))
+    assert(out(2L)._2 == false)
+    assert(out(2L)._4 == false)
+    assert(out(3L)._1 == false)
+    assert(out(3L)._4 == false)
+  }
+
+  test("tfidf ranks corpus-rare terms above ubiquitous ones") {
+    val d = Seq(
+      (1L, "common rare1 common"),
+      (2L, "common rare2"),
+      (3L, "common rare3")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.tfidf(d, topK = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("token")).toMap
+    // 'common' has df=3 -> idf=0; each rareN (df=1, idf=ln 3) wins its doc
+    assert(out == Map(1L -> "rare1", 2L -> "rare2", 3L -> "rare3"))
+  }
+
   test("split assignment is content-keyed: byte-identical twins share a split") {
     import org.apache.spark.sql.functions.col
     val twins = Seq((1L, "same text"), (99L, "same text"), (2L, "different"))
