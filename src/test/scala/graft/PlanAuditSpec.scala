@@ -137,6 +137,51 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(sorts <= 1, p)
   }
 
+  test("small-qty revenue: filtered part and per-part stats both broadcast") {
+    val p = plan(Relational.smallQtyRevenue(
+      Tables.part(spark, sfDir), Tables.lineitem(spark, sfDir)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.split("\n").exists(l =>
+      l.contains("PushedFilters") && l.contains("p_brand")), p)
+  }
+
+  test("top supplier: ship window reaches the scan, argmax never sorts globally") {
+    val p = plan(Relational.topSupplier(
+      Tables.supplier(spark, sfDir), Tables.lineitem(spark, sfDir)))
+    assert(p.split("\n").exists(l =>
+      l.contains("PushedFilters") && l.contains("l_shipdate")), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the max is a 1-row aggregate joined back, not a window over a
+    // single partition
+    assert(!p.contains("Window"), p)
+  }
+
+  test("lapsed-customer report: date filter pushed, anti join is hash-based") {
+    val p = plan(Relational.idleRichCustomers(
+      Tables.customer(spark, sfDir), Tables.orders(spark, sfDir)))
+    assert(p.split("\n").exists(l =>
+      l.contains("PushedFilters") && l.contains("o_orderdate")), p)
+    // the anti join must be hash-based; the only nested-loop allowed is
+    // the Cross against the broadcast 1-row average
+    assert(p.split("\n").exists(l =>
+      l.contains("LeftAnti") && l.contains("HashJoin")), p)
+    assert(!p.contains("BroadcastNestedLoopJoin LeftAnti"), p)
+  }
+
+  test("big orders: top-100 is a TakeOrdered, customer resolves by broadcast") {
+    val p = plan(Relational.bigOrders(Tables.customer(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir)))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("gopher quality gate is a pure projection — zero exchanges") {
+    val p = plan(graft.operators.CorpusStats.gopherQuality(
+      Tables.documents(spark, sfDir)))
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("whole-stage codegen covers the pricing aggregation") {
     // under AQE the final plan (with codegen stages) exists only after
     // execution — run it, then inspect the adaptive executed plan
