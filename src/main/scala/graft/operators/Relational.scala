@@ -538,12 +538,13 @@ object Relational {
     * shipping, for one brand.
     *
     * Scale shape: the brand filter cuts `part` to a sliver that
-    * BROADCASTS into the lineitem scan (the only pass over the fact);
-    * the per-part mean comes from aggregating that already-filtered
-    * slice and broadcasting the tiny (partkey, sum, count) frame back —
-    * no window sort, no self-join shuffle. The 20%-of-average predicate
-    * is evaluated in integer/decimal cross-multiplied form
-    * (5·qty·cnt < sum·cnt·…  ⇒  5·qty·cnt < sum) so both engines decide
+    * BROADCASTS into the lineitem scan, and the per-part mean is a
+    * whole-partition WINDOW over the filtered slice — ONE pass over the
+    * fact, one exchange of the ~2% surviving rows (the agg-and-join-back
+    * alternative avoids that small shuffle but rescans the whole fact
+    * for the second subtree, which loses badly at 100 TB). The
+    * 20%-of-average predicate is evaluated in decimal cross-multiplied
+    * form (qty < 0.2·sum/cnt ⇒ 5·qty·cnt < sum) so both engines decide
     * the boundary identically — no float-division epsilon.
     */
   def smallQtyRevenue(part: DataFrame, lineitem: DataFrame,
@@ -553,9 +554,9 @@ object Relational {
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), dec(col("l_quantity")).as("qty"),
         dec(col("l_extendedprice"), 10, 2).as("price"))
-    val stats = li.groupBy(col("l_partkey").as("sk"))
-      .agg(sum(col("qty")).as("sum_qty"), count(col("qty")).as("cnt"))
-    li.join(broadcast(stats), col("l_partkey") === col("sk"))
+    val byPart = Window.partitionBy(col("l_partkey"))
+    li.withColumn("sum_qty", sum(col("qty")).over(byPart))
+      .withColumn("cnt", count(col("qty")).over(byPart))
       .filter(col("qty") * lit(5) * col("cnt") < col("sum_qty"))
       .agg((sum(col("price")).cast("double") / lit(7.0)).as("avg_yearly"))
   }

@@ -137,13 +137,20 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(sorts <= 1, p)
   }
 
-  test("small-qty revenue: filtered part and per-part stats both broadcast") {
-    val p = plan(Relational.smallQtyRevenue(
-      Tables.part(spark, sfDir), Tables.lineitem(spark, sfDir)))
+  test("small-qty revenue: one fact scan, broadcast part, pushed brand filter") {
+    val df = Relational.smallQtyRevenue(
+      Tables.part(spark, sfDir), Tables.lineitem(spark, sfDir))
+    val p = plan(df)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.split("\n").exists(l =>
       l.contains("PushedFilters") && l.contains("p_brand")), p)
+    df.collect()
+    val finalSection = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val liScans = finalSection.linesIterator
+      .count(l => l.contains("Scan parquet") && l.contains("lineitem"))
+    assert(liScans == 1, finalSection)
   }
 
   test("top supplier: ship window reaches the scan, argmax never sorts globally") {
