@@ -173,6 +173,15 @@ object SparkEntry {
     Relational.idleRichCustomers(t(s, dir, "customer"), t(s, dir, "orders"))
       .orderBy(col("c_mktsegment"))
 
+  private def qNationFlow(s: SparkSession, dir: String): DataFrame =
+    Relational.nationFlow(t(s, dir, "nation"), t(s, dir, "customer"),
+      t(s, dir, "supplier"), t(s, dir, "orders"), t(s, dir, "lineitem"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("order_year"))
+
+  private def qOrderGaps(s: SparkSession, dir: String): DataFrame =
+    Relational.orderGaps(t(s, dir, "orders"))
+      .orderBy(col("o_custkey"))
+
   private def qActiveUsers(s: SparkSession, dir: String): DataFrame =
     Relational.activeUsers(t(s, dir, "events"))
       .orderBy(col("day"))
@@ -606,6 +615,8 @@ object SparkEntry {
     "q_small_qty_rev" -> (qSmallQty _),
     "q_big_orders" -> (qBigOrders _),
     "q_idle_rich" -> (qIdleRich _),
+    "q_nation_flow" -> (qNationFlow _),
+    "q_order_gaps" -> (qOrderGaps _),
     "q_copurchase" -> (qCoPurchase _),
     "mm_dedup" -> (qMmDedup _),
     "q_rollup" -> (qRollup _),
@@ -1168,6 +1179,36 @@ object SparkEntry {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1 ORDER BY c.c_mktsegment""".stripMargin,
+    "q_nation_flow" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | year(o.o_orderdate)::INT AS order_year,
+        | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(10,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS volume,
+        | count(*)::BIGINT AS n_items
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_18', 'NATION_19')
+        |  AND n2.n_name IN ('NATION_18', 'NATION_19')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, order_year""".stripMargin,
+    "q_order_gaps" ->
+      """WITH seq AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |   lag(CAST(o_orderdate AS DATE)) OVER (
+        |     PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_date
+        |  FROM orders),
+        | gaps AS (
+        |  SELECT o_custkey, date_diff('day', prev_date, o_date)::BIGINT AS gap_days
+        |  FROM seq WHERE prev_date IS NOT NULL)
+        |SELECT o_custkey, count(*)::BIGINT AS n_gaps,
+        | sum(gap_days)::DOUBLE / count(*) AS avg_gap_days,
+        | min(gap_days)::BIGINT AS min_gap_days,
+        | max(gap_days)::BIGINT AS max_gap_days
+        |FROM gaps GROUP BY 1 ORDER BY o_custkey""".stripMargin,
     "q_top_spenders" ->
       """WITH spend AS (
         |  SELECT c.c_nationkey::BIGINT AS nation_key, o.o_custkey,

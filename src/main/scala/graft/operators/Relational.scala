@@ -588,6 +588,70 @@ object Relational {
       .limit(100)
   }
 
+  /** TPC-H Q7-shaped bi-national trade flow: shipped volume between two
+    * nations per direction and year.
+    *
+    * Scale shape: the two-nation filter lands on the TINY nation dim
+    * and propagates through broadcast joins into both the supplier and
+    * customer sides BEFORE the fact is touched, so the lineitem spine
+    * drops to ~2/|nations| of its rows at the first (broadcast) join.
+    * The orders join is the only big shuffle; the customer side arrives
+    * pre-filtered and AQE picks its join strategy from the filtered
+    * size. The cross-pair restriction (supplier nation ≠ customer
+    * nation) is a residual predicate, not a join explosion.
+    */
+  def nationFlow(nation: DataFrame, customer: DataFrame, supplier: DataFrame,
+      orders: DataFrame, lineitem: DataFrame,
+      nationA: String = "NATION_18", nationB: String = "NATION_19"): DataFrame = {
+    val n = nation.filter(col("n_name").isin(nationA, nationB))
+      .select(col("n_nationkey"), col("n_name"))
+    val sup = supplier.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = customer.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+        col("l_discount"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("o_orderdate")).as("order_year"))
+      .agg(
+        sum(dec(col("l_extendedprice"), 10, 2) * dec(lit(1) - col("l_discount"), 4, 2))
+          .cast("double").as("volume"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Inter-order gap report: per customer, the days between consecutive
+    * orders — the classic lag-window repurchase-cadence signal.
+    *
+    * Scale shape: ONE exchange on the customer key feeds both the lag
+    * window and the per-customer aggregate (same partitioning, so the
+    * groupBy adds no second shuffle); the sort is per-customer within
+    * partitions, never global. The (date, orderkey) order key is a
+    * total order, so gaps are deterministic under same-day ties. The
+    * average divides exact integer day counts — no float drift.
+    */
+  def orderGaps(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_date"), col("o_orderkey"))
+    orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_date"))
+      .withColumn("gap_days",
+        datediff(col("o_date"), lag(col("o_date"), 1).over(w)).cast("bigint"))
+      .filter(col("gap_days").isNotNull)
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        (sum(col("gap_days")).cast("double") / count(lit(1))).as("avg_gap_days"),
+        min(col("gap_days")).as("min_gap_days"),
+        max(col("gap_days")).as("max_gap_days"))
+  }
+
   /** TPC-H Q22-shaped lapsed high-balance customers: per market
     * segment, how many customers hold an above-average positive balance
     * yet placed no order since `since`.

@@ -183,6 +183,16 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("order gaps: the lag window's exchange also feeds the aggregate") {
+    val p = plan(Relational.orderGaps(Tables.orders(spark, sfDir)))
+    // window partitioning == groupBy key, so one hash exchange serves
+    // both and the per-customer sort happens within partitions
+    val exchanges = "Exchange \\(".r.findAllIn(p).length
+    assert(exchanges == 1, p)
+    val sorts = "Sort \\(".r.findAllIn(p).length
+    assert(sorts <= 1, p)
+  }
+
   test("gopher quality gate is a pure projection — zero exchanges") {
     val p = plan(graft.operators.CorpusStats.gopherQuality(
       Tables.documents(spark, sfDir)))

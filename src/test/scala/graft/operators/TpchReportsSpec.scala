@@ -69,6 +69,48 @@ class TpchReportsSpec extends SparkSpecBase {
     assert(out.head.getAs[Double]("sum_qty") == 201.0)
   }
 
+  test("nation flow keeps only cross-nation pairs, split by direction") {
+    val nation = Seq((1L, "NATION_18"), (2L, "NATION_19"), (3L, "NATION_0"))
+      .toDF("n_nationkey", "n_name")
+    val supplier = Seq((10L, 1L), (11L, 2L), (12L, 3L))
+      .toDF("s_suppkey", "s_nationkey")
+    val customer = Seq((20L, 2L), (21L, 1L)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq(
+      (100L, 20L, t("1997-06-01")),
+      (101L, 21L, t("1998-06-01"))
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val lineitem = Seq(
+      (100L, 10L, 100.0, 0.0), // 18 -> 19: kept
+      (100L, 11L, 50.0, 0.0),  // 19 -> 19: same nation, dropped
+      (101L, 11L, 80.0, 0.0),  // 19 -> 18: kept, other direction
+      (100L, 12L, 999.0, 0.0)  // NATION_0 supplier: outside the pair
+    ).toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val out = Relational.nationFlow(nation, customer, supplier, orders, lineitem)
+      .collect()
+      .map(r => (r.getAs[String]("supp_nation"), r.getAs[String]("cust_nation"),
+        r.getAs[Int]("order_year"), r.getAs[Double]("volume")))
+      .sortBy(x => (x._1, x._2))
+    assert(out.toSeq == Seq(
+      ("NATION_18", "NATION_19", 1997, 100.0),
+      ("NATION_19", "NATION_18", 1998, 80.0)))
+  }
+
+  test("order gaps: first order excluded, same-day ties ordered by key") {
+    val orders = Seq(
+      (1L, 1L, t("2024-01-01")),
+      (2L, 1L, t("2024-01-11")), // gap 10
+      (3L, 1L, t("2024-01-11")), // same day: gap 0 via orderkey tiebreak
+      (4L, 2L, t("2024-03-01"))  // single order: no gaps, no output row
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val out = Relational.orderGaps(orders).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("o_custkey") == 1L)
+    assert(r.getAs[Long]("n_gaps") == 2L)
+    assert(r.getAs[Double]("avg_gap_days") == 5.0)
+    assert((r.getAs[Long]("min_gap_days"), r.getAs[Long]("max_gap_days")) == ((0L, 10L)))
+  }
+
   test("lapsed rich customers: recent order excludes, old order does not") {
     val customer = Seq(
       (1L, "SEG_A", 100.0), // above avg, only an old order: counted
