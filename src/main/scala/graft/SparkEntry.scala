@@ -182,6 +182,14 @@ object SparkEntry {
     Relational.orderGaps(t(s, dir, "orders"))
       .orderBy(col("o_custkey"))
 
+  private def qNewVsReturning(s: SparkSession, dir: String): DataFrame =
+    Relational.newVsReturning(t(s, dir, "orders"))
+      .orderBy(col("order_year"), col("cohort"))
+
+  private def qMixture(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.mixture(t(s, dir, "documents"))
+      .orderBy(col("lang"), col("source"))
+
   private def qActiveUsers(s: SparkSession, dir: String): DataFrame =
     Relational.activeUsers(t(s, dir, "events"))
       .orderBy(col("day"))
@@ -617,6 +625,8 @@ object SparkEntry {
     "q_idle_rich" -> (qIdleRich _),
     "q_nation_flow" -> (qNationFlow _),
     "q_order_gaps" -> (qOrderGaps _),
+    "q_new_vs_returning" -> (qNewVsReturning _),
+    "text_mixture" -> (qMixture _),
     "q_copurchase" -> (qCoPurchase _),
     "mm_dedup" -> (qMmDedup _),
     "q_rollup" -> (qRollup _),
@@ -1195,6 +1205,29 @@ object SparkEntry {
         |  AND n1.n_name <> n2.n_name
         |GROUP BY 1, 2, 3
         |ORDER BY supp_nation, cust_nation, order_year""".stripMargin,
+    "q_new_vs_returning" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS o_date,
+        |   CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+        |   min(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey) AS first_date
+        |  FROM orders)
+        |SELECT year(o_date)::INT AS order_year,
+        | CASE WHEN o_date = first_date THEN 'new' ELSE 'returning' END AS cohort,
+        | count(*)::BIGINT AS n_orders,
+        | CAST(sum(price) AS DOUBLE) AS revenue
+        |FROM o GROUP BY 1, 2 ORDER BY order_year, cohort""".stripMargin,
+    "text_mixture" ->
+      """WITH slices AS (
+        |  SELECT lang, source, count(*)::BIGINT AS n_docs,
+        |   sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY 1, 2),
+        | totals AS (
+        |  SELECT sum(n_docs)::BIGINT AS t_docs, sum(n_tokens)::BIGINT AS t_tokens
+        |  FROM slices)
+        |SELECT s.lang, s.source, s.n_docs, s.n_tokens,
+        | s.n_docs::DOUBLE / t.t_docs AS doc_share,
+        | s.n_tokens::DOUBLE / t.t_tokens AS token_share
+        |FROM slices s, totals t ORDER BY s.lang, s.source""".stripMargin,
     "q_order_gaps" ->
       """WITH seq AS (
         |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,

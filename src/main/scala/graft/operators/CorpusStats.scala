@@ -217,6 +217,34 @@ object CorpusStats {
       .select(col(idCol), col("rnk"), col("token"), col("tf"), col("tfidf"))
   }
 
+  /** Corpus mixture datasheet: per (lang, source) slice, document and
+    * token counts plus each slice's share of the corpus — the table
+    * that drives sampling weights when assembling a training mix.
+    *
+    * Scale shape: one map-side-combined aggregate over the corpus
+    * (token counts are a per-row `size(split(...))` projection, so the
+    * exchange carries one partial row per slice, not per token); the
+    * corpus totals come back as a broadcast 1-row aggregate OF THE
+    * SLICE FRAME (never a second corpus scan). Shares divide exact
+    * integer counts — bit-identical across engines.
+    */
+  def mixture(docs: DataFrame, textCol: String = "text",
+      langCol: String = "lang", sourceCol: String = "source"): DataFrame = {
+    val slices = docs
+      .groupBy(col(langCol), col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(graft.functions.TextFunctions.wsTokenCount(col(textCol)))
+          .cast("long").as("n_tokens"))
+    val totals = slices.agg(
+      sum(col("n_docs")).cast("long").as("t_docs"),
+      sum(col("n_tokens")).cast("long").as("t_tokens"))
+    slices.crossJoin(broadcast(totals))
+      .select(col(langCol), col(sourceCol), col("n_docs"), col("n_tokens"),
+        (col("n_docs").cast("double") / col("t_docs")).as("doc_share"),
+        (col("n_tokens").cast("double") / col("t_tokens")).as("token_share"))
+  }
+
   /** Unigram-LM document scoring — the CCNet-style "how much does this
     * document look like the corpus" quality signal: build a top-V
     * vocabulary from corpus term frequencies, smooth add-one over

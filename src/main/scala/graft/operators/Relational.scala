@@ -652,6 +652,31 @@ object Relational {
         max(col("gap_days")).as("max_gap_days"))
   }
 
+  /** New-vs-returning revenue split per year — the marketing-funnel
+    * staple behind "how much of this year's revenue is acquisition vs
+    * retention".
+    *
+    * Scale shape: the first-order date is a whole-partition MIN window
+    * over the customer key — the same single-exchange pattern as
+    * [[orderGaps]] (no join back, no second pass over orders); the
+    * (year, flag) rollup that follows is a low-cardinality aggregate.
+    * Every order on the customer's first day counts as "new" (ties
+    * included), which is a date-equality rule — deterministic without
+    * any ordering. Money stays DECIMAL until the final cast.
+    */
+  def newVsReturning(orders: DataFrame): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+    orders
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("o_date"),
+        dec(col("o_totalprice")).as("price"))
+      .withColumn("first_date", min(col("o_date")).over(byCust))
+      .withColumn("cohort",
+        when(col("o_date") === col("first_date"), "new").otherwise("returning"))
+      .groupBy(year(col("o_date")).as("order_year"), col("cohort"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("price")).cast("double").as("revenue"))
+  }
+
   /** TPC-H Q22-shaped lapsed high-balance customers: per market
     * segment, how many customers hold an above-average positive balance
     * yet placed no order since `since`.

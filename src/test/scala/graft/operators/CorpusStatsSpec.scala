@@ -98,6 +98,22 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(out == Map(1L -> "rare1", 2L -> "rare2", 3L -> "rare3"))
   }
 
+  test("mixture: slice shares divide the corpus totals exactly") {
+    val d = Seq(
+      (1L, "a b c", "en", "s1"),     // 3 tokens
+      (2L, "d e", "en", "s1"),       // 2
+      (3L, "f g h", "en", "s2"),     // 3
+      (4L, "i j", "fr", "s1")        // 2
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = CorpusStats.mixture(d).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("doc_share"), r.getAs[Double]("token_share")))).toMap
+    assert(out(("en", "s1")) == ((2L, 5L, 0.5, 0.5)))
+    assert(out(("en", "s2")) == ((1L, 3L, 0.25, 0.3)))
+    assert(out(("fr", "s1")) == ((1L, 2L, 0.25, 0.2)))
+  }
+
   test("split assignment is content-keyed: byte-identical twins share a split") {
     import org.apache.spark.sql.functions.col
     val twins = Seq((1L, "same text"), (99L, "same text"), (2L, "different"))

@@ -111,6 +111,22 @@ class TpchReportsSpec extends SparkSpecBase {
     assert((r.getAs[Long]("min_gap_days"), r.getAs[Long]("max_gap_days")) == ((0L, 10L)))
   }
 
+  test("new-vs-returning: every first-day order is new, later ones returning") {
+    val orders = Seq(
+      (1L, 1L, t("1997-03-01"), 10.0), // first day, two orders: both new
+      (2L, 1L, t("1997-03-01"), 20.0),
+      (3L, 1L, t("1998-05-01"), 40.0), // later year: returning
+      (4L, 2L, t("1998-07-01"), 5.0)   // only order: new
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = Relational.newVsReturning(orders).collect()
+      .map(r => (r.getAs[Int]("order_year"), r.getAs[String]("cohort")) ->
+        ((r.getAs[Long]("n_orders"), r.getAs[Double]("revenue")))).toMap
+    assert(out == Map(
+      (1997, "new") -> ((2L, 30.0)),
+      (1998, "returning") -> ((1L, 40.0)),
+      (1998, "new") -> ((1L, 5.0))))
+  }
+
   test("lapsed rich customers: recent order excludes, old order does not") {
     val customer = Seq(
       (1L, "SEG_A", 100.0), // above avg, only an old order: counted
