@@ -37,6 +37,34 @@ class EventStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("gated ingest drops malformed events and reports observed metrics") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamEvent]
+    val q = EventStream.gatedIngest(input.toDF())
+      .writeStream.format("memory").queryName("gated_test")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamEvent(t("2024-01-01 10:05:00"), "view", 1L),
+        StreamEvent(t("2024-01-01 10:06:00"), null, 2L),      // dropped
+        StreamEvent(null, "click", 3L),                        // dropped
+        StreamEvent(t("2024-01-01 10:07:00"), "  ", 4L),       // dropped
+        StreamEvent(t("2024-01-01 10:08:00"), "click", 5L))
+      q.processAllAvailable()
+      val kept = spark.table("gated_test").as[StreamEvent].collect()
+      assert(kept.map(_.user_id).sorted.toSeq == Seq(1L, 5L))
+      val metrics = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("ingest_quality")))
+      val seen = metrics.map(_.getAs[Long]("n_seen")).sum
+      val dropped = metrics.map(_.getAs[Long]("n_dropped")).sum
+      val keptN = metrics.map(_.getAs[Long]("n_kept")).sum
+      assert(seen == 5L)
+      assert(dropped == 3L)
+      assert(keptN == 2L)
+    } finally q.stop()
+  }
+
   test("file sink + checkpoint: restart resumes exactly once") {
     import spark.implicits._
     val stage = java.nio.file.Files.createTempDirectory("graft_chk").toString
