@@ -526,9 +526,11 @@ object Relational {
       .agg(sum(dec(col("l_extendedprice"), 10, 2)
         * dec(lit(1) - col("l_discount"), 4, 2)).as("rev"))
     val top = rev.agg(max(col("rev")).as("max_rev"))
-    rev.join(broadcast(top), col("rev") === col("max_rev"))
-      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
-        col("l_suppkey") === col("s_suppkey"))
+    // broadcast the argmax-filtered sliver (a handful of tied rows),
+    // never the supplier dim itself — supplier streams past it
+    val winners = rev.join(broadcast(top), col("rev") === col("max_rev"))
+    supplier.select(col("s_suppkey"), col("s_name"))
+      .join(broadcast(winners), col("s_suppkey") === col("l_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         col("rev").cast("double").as("total_revenue"))
   }

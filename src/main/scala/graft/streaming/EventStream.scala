@@ -35,7 +35,7 @@ object EventStream {
 
   /** Quality-gated ingest with OBSERVED metrics: drops malformed events
     * (null timestamp/user, empty type) and publishes per-micro-batch
-    * counters — rows seen, rows dropped, distinct-ish volume proxy —
+    * seen/dropped/kept counters
     * through `Dataset.observe`, so every `StreamingQueryProgress`
     * carries the gate's health without a second aggregation pass.
     *
