@@ -190,6 +190,14 @@ object SparkEntry {
     CorpusStats.mixture(t(s, dir, "documents"))
       .orderBy(col("lang"), col("source"))
 
+  private def qPack(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.packManifest(t(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
+  private def qMixtureSample(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.mixtureSample(t(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
   private def qActiveUsers(s: SparkSession, dir: String): DataFrame =
     Relational.activeUsers(t(s, dir, "events"))
       .orderBy(col("day"))
@@ -627,6 +635,8 @@ object SparkEntry {
     "q_order_gaps" -> (qOrderGaps _),
     "q_new_vs_returning" -> (qNewVsReturning _),
     "text_mixture" -> (qMixture _),
+    "text_pack" -> (qPack _),
+    "text_mixture_sample" -> (qMixtureSample _),
     "q_copurchase" -> (qCoPurchase _),
     "mm_dedup" -> (qMmDedup _),
     "q_rollup" -> (qRollup _),
@@ -1228,6 +1238,40 @@ object SparkEntry {
         | s.n_docs::DOUBLE / t.t_docs AS doc_share,
         | s.n_tokens::DOUBLE / t.t_tokens AS token_share
         |FROM slices s, totals t ORDER BY s.lang, s.source""".stripMargin,
+    "text_pack" ->
+      """WITH sized AS (
+        |  SELECT doc_id, len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
+        |  FROM documents),
+        | cum AS (
+        |  SELECT doc_id, n_tokens,
+        |   coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pack_start
+        |  FROM sized)
+        |SELECT doc_id, n_tokens, pack_start,
+        | (pack_start // 256)::BIGINT AS first_chunk,
+        | ((pack_start + n_tokens - 1) // 256)::BIGINT AS last_chunk
+        |FROM cum ORDER BY doc_id""".stripMargin,
+    "text_mixture_sample" ->
+      """WITH slices AS (
+        |  SELECT lang, source,
+        |   sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY 1, 2),
+        | shares AS (
+        |  SELECT lang, source,
+        |   n_tokens::DOUBLE / (SELECT sum(n_tokens)::BIGINT FROM slices) AS token_share
+        |  FROM slices),
+        | weighted AS (
+        |  SELECT lang, source, token_share, pow(token_share, 0.5) AS w FROM shares),
+        | rates AS (
+        |  SELECT lang, source,
+        |   round(least(1.0, 0.25 * (w / (SELECT sum(w) FROM weighted)) / token_share), 6)
+        |     AS sample_rate
+        |  FROM weighted)
+        |SELECT d.doc_id, d.lang, d.source, r.sample_rate
+        |FROM documents d JOIN rates r ON d.lang = r.lang AND d.source = r.source
+        |WHERE ('0x'||substr(md5(d.text),1,8))::BIGINT
+        |      < floor(r.sample_rate * 4294967296.0)::BIGINT
+        |ORDER BY d.doc_id""".stripMargin,
     "q_order_gaps" ->
       """WITH seq AS (
         |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-wide token statistics — the "what is my training data made
@@ -243,6 +244,87 @@ object CorpusStats {
       .select(col(langCol), col(sourceCol), col("n_docs"), col("n_tokens"),
         (col("n_docs").cast("double") / col("t_docs")).as("doc_share"),
         (col("n_tokens").cast("double") / col("t_tokens")).as("token_share"))
+  }
+
+  /** Token-stream packing manifest: concatenate the corpus in doc-id
+    * order and cut it into fixed-capacity context windows — the
+    * GPT-style pre-training packing layout. Emits, per document, its
+    * global token offset and the first/last window it lands in
+    * (documents may straddle a boundary; that is the semantics of
+    * stream packing).
+    *
+    * Scale shape: a GLOBAL running sum ordered by doc id would funnel
+    * the corpus through one window partition, so the prefix sum runs
+    * two-level — per-range-bucket cumulative sums in parallel (window
+    * partitioned by `floor(id / bucketWidth)`), plus a bucket-grain
+    * prefix over the tiny bucket-totals frame that broadcasts back.
+    * The only unpartitioned window in the plan runs over |buckets|
+    * rows, not |docs|. All arithmetic is integer-exact.
+    */
+  def packManifest(docs: DataFrame, capacity: Int = 256,
+      bucketWidth: Long = 64, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sized = docs
+      .select(col(idCol),
+        graft.functions.TextFunctions.wsTokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("bucket", floor(col(idCol) / bucketWidth))
+    val inBucket = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+    val local = sized.withColumn("local_end", sum(col("n_tokens")).over(inBucket))
+    // bucket totals fall out of the window output (max running sum), so
+    // the corpus is scanned once and the groupBy reuses the window's
+    // bucket partitioning — no second scan, no second exchange
+    val totals = local.groupBy(col("bucket"))
+      .agg(max(col("local_end")).as("bucket_tokens"))
+    val bucketPrefix = totals.withColumn("bucket_offset",
+      coalesce(sum(col("bucket_tokens"))
+        .over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("bucket_offset"))
+    local.join(broadcast(bucketPrefix), Seq("bucket"))
+      .select(col(idCol), col("n_tokens"),
+        (col("bucket_offset") + col("local_end") - col("n_tokens"))
+          .as("pack_start"))
+      .withColumn("first_chunk", floor(col("pack_start") / capacity))
+      .withColumn("last_chunk",
+        floor((col("pack_start") + col("n_tokens") - 1) / capacity))
+  }
+
+  /** Temperature-scaled mixture resampling: re-weight the corpus toward
+    * a flattened (temperature > 1) or sharpened slice distribution and
+    * keep a deterministic content-hash sample hitting an expected
+    * `targetFrac` of corpus tokens — the standard move when one source
+    * dominates a training mix.
+    *
+    * Per slice s with token share p_s, the target share is
+    * q_s ∝ p_s^(1/T) and the keep rate r_s = min(1, f·q_s/p_s); a
+    * document survives iff its 32-bit md5 prefix < r_s·2^32. Hashing
+    * the CONTENT (not the id) keeps the choice stable under re-ingest
+    * and keeps byte-identical duplicates together, like [[splitAssign]].
+    * Rates are rounded to 6dp before the threshold compare in BOTH
+    * engines, so `pow`'s last-ulp drift cannot flip a document.
+    *
+    * Scale shape: the rate table derives from [[mixture]] (slice
+    * grain, tiny) and broadcasts back; the keep decision is a pure
+    * per-row projection. One corpus aggregate + one corpus scan.
+    */
+  def mixtureSample(docs: DataFrame, temperature: Double = 2.0,
+      targetFrac: Double = 0.25, textCol: String = "text",
+      langCol: String = "lang", sourceCol: String = "source"): DataFrame = {
+    val mix = mixture(docs, textCol, langCol, sourceCol)
+      .select(col(langCol), col(sourceCol), col("token_share"))
+      .withColumn("w", pow(col("token_share"), lit(1.0 / temperature)))
+    val z = mix.agg(sum(col("w")).as("z"))
+    val rates = mix.crossJoin(broadcast(z))
+      .select(col(langCol), col(sourceCol),
+        round(least(lit(1.0),
+          lit(targetFrac) * (col("w") / col("z")) / col("token_share")), 6)
+          .as("sample_rate"))
+    val bucket = conv(substring(md5(col(textCol)), 1, 8), 16, 10).cast("long")
+    // explicit floor: Spark's double→long cast truncates while DuckDB's
+    // rounds, so the threshold must be floored before the compare
+    docs.join(broadcast(rates), Seq(langCol, sourceCol))
+      .filter(bucket < floor(col("sample_rate") * lit(4294967296.0)))
+      .select(col("doc_id"), col(langCol), col(sourceCol), col("sample_rate"))
   }
 
   /** Unigram-LM document scoring — the CCNet-style "how much does this

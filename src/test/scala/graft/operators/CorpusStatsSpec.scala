@@ -114,6 +114,42 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(out(("fr", "s1")) == ((1L, 2L, 0.25, 0.2)))
   }
 
+  test("pack manifest: offsets are a global prefix sum across bucket borders") {
+    // bucketWidth=2 forces doc 3 into a second window bucket, so its
+    // offset must include the first bucket's total via the broadcast
+    // prefix — the two-level path, not a single global window
+    val d = Seq(
+      (1L, "a b c"),       // start 0, tokens 3
+      (2L, "d e f g"),     // start 3
+      (3L, "h i")          // start 7, other bucket
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.packManifest(d, capacity = 4, bucketWidth = 2)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("pack_start"), r.getAs[Long]("first_chunk"),
+          r.getAs[Long]("last_chunk")))).toMap
+    assert(out(1L) == ((0L, 0L, 0L)))
+    assert(out(2L) == ((3L, 0L, 1L)))  // straddles the capacity-4 boundary
+    assert(out(3L) == ((7L, 1L, 2L)))
+  }
+
+  test("mixture sample: rates flatten toward the smaller slice and bound at 1") {
+    val big = (1 to 40).map(i => (i.toLong, s"tok$i " * 8, "en", "s1"))
+    val small = (41 to 44).map(i => (i.toLong, s"tok$i " * 8, "fr", "s2"))
+    val d = (big ++ small).toDF("doc_id", "text", "lang", "source")
+    val out = CorpusStats.mixtureSample(d, temperature = 2.0, targetFrac = 0.5)
+      .collect()
+    val rates = out.map(r => r.getAs[String]("lang") ->
+      r.getAs[Double]("sample_rate")).toMap
+    // temperature flattening must give the minority slice the higher
+    // keep rate; both rates live in (0, 1]
+    assert(rates.size == 2, out.mkString(","))
+    assert(rates("fr") > rates("en"))
+    assert(rates.values.forall(r => r > 0.0 && r <= 1.0))
+    // all sampled docs carry their slice's rate and exist in the input
+    assert(out.map(_.getAs[Long]("doc_id")).forall(id => id >= 1 && id <= 44))
+  }
+
   test("split assignment is content-keyed: byte-identical twins share a split") {
     import org.apache.spark.sql.functions.col
     val twins = Seq((1L, "same text"), (99L, "same text"), (2L, "different"))
