@@ -173,6 +173,13 @@ object SparkEntry {
     Relational.idleRichCustomers(t(s, dir, "customer"), t(s, dir, "orders"))
       .orderBy(col("c_mktsegment"))
 
+  private def qForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    Relational.forecastRevenue(t(s, dir, "lineitem"))
+
+  private def qPromoShare(s: SparkSession, dir: String): DataFrame =
+    Relational.promoShare(t(s, dir, "part"), t(s, dir, "lineitem"))
+      .orderBy(col("ship_month"))
+
   private def qNationFlow(s: SparkSession, dir: String): DataFrame =
     Relational.nationFlow(t(s, dir, "nation"), t(s, dir, "customer"),
       t(s, dir, "supplier"), t(s, dir, "orders"), t(s, dir, "lineitem"))
@@ -634,6 +641,8 @@ object SparkEntry {
     "q_nation_flow" -> (qNationFlow _),
     "q_order_gaps" -> (qOrderGaps _),
     "q_new_vs_returning" -> (qNewVsReturning _),
+    "q6_forecast_revenue" -> (qForecastRevenue _),
+    "q14_promo_share" -> (qPromoShare _),
     "text_mixture" -> (qMixture _),
     "text_pack" -> (qPack _),
     "text_mixture_sample" -> (qMixtureSample _),
@@ -1199,6 +1208,27 @@ object SparkEntry {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1 ORDER BY c.c_mktsegment""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue_delta,
+        | count(*)::BIGINT AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.04
+        |  AND l_quantity < 24""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+        | CAST(sum(CASE WHEN p.p_type = 'PROMO'
+        |   THEN CAST(l.l_extendedprice AS DECIMAL(10,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))
+        |   ELSE CAST(0 AS DECIMAL(10,2)) END) AS DOUBLE) AS promo_revenue,
+        | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(10,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS total_revenue,
+        | CAST(sum(CASE WHEN p.p_type = 'PROMO'
+        |   THEN CAST(l.l_extendedprice AS DECIMAL(10,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))
+        |   ELSE CAST(0 AS DECIMAL(10,2)) END) AS DOUBLE)
+        |   / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(10,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS promo_share
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin,
     "q_nation_flow" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         | year(o.o_orderdate)::INT AS order_year,

@@ -590,6 +590,47 @@ object Relational {
       .limit(100)
   }
 
+  /** TPC-H Q6-shaped forecast-revenue delta: the revenue that would
+    * vanish if discounts in a narrow band were eliminated for a year —
+    * a single filtered scan with one exact-decimal aggregate. Every
+    * predicate compares raw columns, so all three reach the parquet
+    * scan; there is no join and no shuffle beyond the 1-row aggregate.
+    */
+  def forecastRevenue(lineitem: DataFrame, from: String = "1997-01-01",
+      until: String = "1998-01-01", loDisc: Double = 0.02,
+      hiDisc: Double = 0.04, maxQty: Int = 24): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until)
+        && col("l_discount") >= loDisc && col("l_discount") <= hiDisc
+        && col("l_quantity") < maxQty)
+      .agg(sum(dec(col("l_extendedprice"), 10, 2) * dec(col("l_discount"), 4, 2))
+        .cast("double").as("revenue_delta"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q14-shaped promotion share: per ship month, the fraction of
+    * revenue carried by promo-type parts.
+    *
+    * Scale shape: the part dim broadcasts (only partkey/type read), the
+    * fact is scanned once with both aggregates computed in the same
+    * pass (conditional sum, not a self-join), and the share divides two
+    * exact DECIMAL sums after a single cast — deterministic across
+    * engines without rounding.
+    */
+  def promoShare(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val rev = dec(col("l_extendedprice"), 10, 2) *
+      dec(lit(1) - col("l_discount"), 4, 2)
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(dec(lit(0), 10, 2)))
+          .cast("double").as("promo_revenue"),
+        sum(rev).cast("double").as("total_revenue"))
+      .withColumn("promo_share",
+        col("promo_revenue") / col("total_revenue"))
+  }
+
   /** TPC-H Q7-shaped bi-national trade flow: shipped volume between two
     * nations per direction and year.
     *

@@ -111,6 +111,33 @@ class TpchReportsSpec extends SparkSpecBase {
     assert((r.getAs[Long]("min_gap_days"), r.getAs[Long]("max_gap_days")) == ((0L, 10L)))
   }
 
+  test("forecast revenue sums price*discount inside the band only") {
+    val lineitem = Seq(
+      (t("1997-06-01"), 100.0, 0.03, 10.0), // in band: 100*0.03 = 3
+      (t("1997-06-01"), 100.0, 0.05, 10.0), // discount out of band
+      (t("1997-06-01"), 100.0, 0.03, 30.0), // quantity too large
+      (t("1998-06-01"), 100.0, 0.03, 10.0)  // shipped outside the year
+    ).toDF("l_shipdate", "l_extendedprice", "l_discount", "l_quantity")
+    val out = Relational.forecastRevenue(lineitem).collect().head
+    assert(out.getAs[Double]("revenue_delta") == 3.0)
+    assert(out.getAs[Long]("n_items") == 1L)
+  }
+
+  test("promo share divides exact conditional and total revenue per month") {
+    val part = Seq((1L, "PROMO"), (2L, "STANDARD")).toDF("p_partkey", "p_type")
+    val lineitem = Seq(
+      (1L, t("1997-06-02"), 30.0, 0.0),
+      (2L, t("1997-06-20"), 70.0, 0.0),
+      (2L, t("1997-07-01"), 50.0, 0.0)  // other month, no promo
+    ).toDF("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val out = Relational.promoShare(part, lineitem).collect()
+      .map(r => r.getAs[String]("ship_month") ->
+        ((r.getAs[Double]("promo_revenue"), r.getAs[Double]("total_revenue"),
+          r.getAs[Double]("promo_share")))).toMap
+    assert(out("1997-06") == ((30.0, 100.0, 0.3)))
+    assert(out("1997-07") == ((0.0, 50.0, 0.0)))
+  }
+
   test("new-vs-returning: every first-day order is new, later ones returning") {
     val orders = Seq(
       (1L, 1L, t("1997-03-01"), 10.0), // first day, two orders: both new
