@@ -216,6 +216,11 @@ object SparkEntry {
     Relational.cohortRetention(t(s, dir, "events"))
       .orderBy(col("cohort_week"), col("week_offset"))
 
+  private def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    Relational.marginalSummary(t(s, dir, "lineitem"))
+      .orderBy(col("g_rf"), asc_nulls_first("l_returnflag"),
+        asc_nulls_first("l_linestatus"))
+
   private def qRollup(s: SparkSession, dir: String): DataFrame =
     Relational.rollupSummary(t(s, dir, "lineitem"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
@@ -650,6 +655,7 @@ object SparkEntry {
     "mm_dedup" -> (qMmDedup _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_set_ops" -> (qSetOps _),
     "q_pivot_platform" -> (qPivotPlatform _),
     "q_agg_distinct" -> (qAggDistinct _),
@@ -1333,6 +1339,15 @@ object SparkEntry {
         | count(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | GROUPING(l_returnflag)::INT AS g_rf,
+        | GROUPING(l_linestatus)::INT AS g_ls,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY g_rf, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,

@@ -374,6 +374,25 @@ object Relational {
         sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
         count(lit(1)).as("n_rows"))
 
+  /** Non-hierarchical GROUPING SETS: independent per-flag and
+    * per-status marginals in ONE pass — the sets ((rf), (ls)) that
+    * neither ROLLUP nor CUBE can express without emitting unwanted
+    * combinations. The `grouping()` flags disambiguate which marginal a
+    * row belongs to (a NULL group value vs a rolled-up group). Same
+    * map-side Expand shape as rollup: the scan runs once, each input
+    * row fans out to exactly |sets| aggregation rows.
+    */
+  def marginalSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        grouping(col("l_returnflag")).cast("int").as("g_rf"),
+        grouping(col("l_linestatus")).cast("int").as("g_ls"),
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+
   /** Pivot-style daily platform matrix: one row per day, one count
     * column per event_type (conditional aggregation — a single scan,
     * no per-value shuffles, the scalable form of PIVOT).

@@ -138,6 +138,24 @@ class TpchReportsSpec extends SparkSpecBase {
     assert(out("1997-07") == ((0.0, 50.0, 0.0)))
   }
 
+  test("grouping sets emit the two marginals and nothing else") {
+    val lineitem = Seq(
+      ("R", "F", 1.0),
+      ("R", "O", 2.0),
+      ("N", "F", 4.0)
+    ).toDF("l_returnflag", "l_linestatus", "l_quantity")
+    val out = Relational.marginalSummary(lineitem).collect()
+    // per-flag marginal: grouping(ls)=1; per-status marginal: grouping(rf)=1
+    val byFlag = out.filter(_.getAs[Int]("g_ls") == 1)
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("sum_qty")).toMap
+    val byStatus = out.filter(_.getAs[Int]("g_rf") == 1)
+      .map(r => r.getAs[String]("l_linestatus") -> r.getAs[Double]("sum_qty")).toMap
+    assert(byFlag == Map("R" -> 3.0, "N" -> 4.0))
+    assert(byStatus == Map("F" -> 5.0, "O" -> 2.0))
+    // no (rf, ls) detail rows and no grand total: exactly the two sets
+    assert(out.length == 4)
+  }
+
   test("new-vs-returning: every first-day order is new, later ones returning") {
     val orders = Seq(
       (1L, 1L, t("1997-03-01"), 10.0), // first day, two orders: both new
