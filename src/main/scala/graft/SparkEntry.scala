@@ -1277,7 +1277,7 @@ object SparkEntry {
     "text_pack" ->
       """WITH sized AS (
         |  SELECT doc_id, len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         | cum AS (
         |  SELECT doc_id, n_tokens,
         |   coalesce(sum(n_tokens) OVER (ORDER BY doc_id
@@ -1304,7 +1304,9 @@ object SparkEntry {
         |     AS sample_rate
         |  FROM weighted)
         |SELECT d.doc_id, d.lang, d.source, r.sample_rate
-        |FROM documents d JOIN rates r ON d.lang = r.lang AND d.source = r.source
+        |FROM documents d JOIN rates r
+        |  ON d.lang IS NOT DISTINCT FROM r.lang
+        | AND d.source IS NOT DISTINCT FROM r.source
         |WHERE ('0x'||substr(md5(d.text),1,8))::BIGINT
         |      < floor(r.sample_rate * 4294967296.0)::BIGINT
         |ORDER BY d.doc_id""".stripMargin,

@@ -60,12 +60,19 @@ object CorpusStats {
     // for upstream filtering instead of silently skewing the 1% test cut
   }
 
+  /** The 32-bit md5-prefix content hash behind every deterministic
+    * content-keyed decision here ([[splitAssign]], [[mixtureSample]]) —
+    * one definition so derived choices can never disagree. Matches the
+    * oracle idiom `('0x'||substr(md5(text),1,8))::BIGINT`.
+    */
+  def contentHash32(text: Column): Column =
+    conv(substring(md5(text), 1, 8), 16, 10).cast("long")
+
   /** The content-hash 0..99 bucket behind [[splitAssign]] (and the
     * train/test scoping of [[contamination]]) — one definition so the
     * split and everything derived from it can never disagree.
     */
-  def splitBucket(text: Column): Column =
-    conv(substring(md5(text), 1, 8), 16, 10).cast("long") % 100
+  def splitBucket(text: Column): Column = contentHash32(text) % 100
 
   /** Train→test contamination audit: for every TEST-split document,
     * the share of its word `n`-gram shingles that also occur anywhere
@@ -257,18 +264,29 @@ object CorpusStats {
     * the corpus through one window partition, so the prefix sum runs
     * two-level — per-range-bucket cumulative sums in parallel (window
     * partitioned by `floor(id / bucketWidth)`), plus a bucket-grain
-    * prefix over the tiny bucket-totals frame that broadcasts back.
-    * The only unpartitioned window in the plan runs over |buckets|
-    * rows, not |docs|. All arithmetic is integer-exact.
+    * prefix over the bucket-totals frame that broadcasts back. The
+    * only unpartitioned window in the plan runs over |ids|/bucketWidth
+    * rows — at the default width of 2^20 that is ~10^4 rows for a
+    * 10^10-document corpus, KBs to broadcast. All arithmetic is
+    * integer-exact.
+    *
+    * NULL-text documents have no defined stream position and are
+    * EXCLUDED from the manifest (surface them upstream, as
+    * [[splitAssign]] does) — mirrored by the oracle's
+    * `WHERE text IS NOT NULL`.
     */
   def packManifest(docs: DataFrame, capacity: Int = 256,
-      bucketWidth: Long = 64, textCol: String = "text",
+      bucketWidth: Long = 1L << 20, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val sized = docs
       .select(col(idCol),
         graft.functions.TextFunctions.wsTokenCount(col(textCol)).as("n_tokens"))
+      .filter(col("n_tokens").isNotNull)
       .withColumn("bucket", floor(col(idCol) / bucketWidth))
+    // explicit ROWS frame: the default RANGE frame would double-count
+    // peer rows if ids ever duplicated
     val inBucket = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = sized.withColumn("local_end", sum(col("n_tokens")).over(inBucket))
     // bucket totals fall out of the window output (max running sum), so
     // the corpus is scanned once and the groupBy reuses the window's
@@ -305,26 +323,31 @@ object CorpusStats {
     *
     * Scale shape: the rate table derives from [[mixture]] (slice
     * grain, tiny) and broadcasts back; the keep decision is a pure
-    * per-row projection. One corpus aggregate + one corpus scan.
+    * per-row projection. One corpus aggregate + one corpus scan. The
+    * rate join is NULL-SAFE: a (null, null) slice keeps its own rate
+    * instead of silently vanishing while its probability mass still
+    * deflates everyone else's.
     */
   def mixtureSample(docs: DataFrame, temperature: Double = 2.0,
       targetFrac: Double = 0.25, textCol: String = "text",
-      langCol: String = "lang", sourceCol: String = "source"): DataFrame = {
+      idCol: String = "doc_id", langCol: String = "lang",
+      sourceCol: String = "source"): DataFrame = {
     val mix = mixture(docs, textCol, langCol, sourceCol)
       .select(col(langCol), col(sourceCol), col("token_share"))
       .withColumn("w", pow(col("token_share"), lit(1.0 / temperature)))
     val z = mix.agg(sum(col("w")).as("z"))
     val rates = mix.crossJoin(broadcast(z))
-      .select(col(langCol), col(sourceCol),
+      .select(col(langCol).as("r_lang"), col(sourceCol).as("r_source"),
         round(least(lit(1.0),
           lit(targetFrac) * (col("w") / col("z")) / col("token_share")), 6)
           .as("sample_rate"))
-    val bucket = conv(substring(md5(col(textCol)), 1, 8), 16, 10).cast("long")
     // explicit floor: Spark's double→long cast truncates while DuckDB's
     // rounds, so the threshold must be floored before the compare
-    docs.join(broadcast(rates), Seq(langCol, sourceCol))
-      .filter(bucket < floor(col("sample_rate") * lit(4294967296.0)))
-      .select(col("doc_id"), col(langCol), col(sourceCol), col("sample_rate"))
+    docs.join(broadcast(rates),
+        col(langCol) <=> col("r_lang") && col(sourceCol) <=> col("r_source"))
+      .filter(contentHash32(col(textCol)) <
+        floor(col("sample_rate") * lit(4294967296.0)))
+      .select(col(idCol), col(langCol), col(sourceCol), col("sample_rate"))
   }
 
   /** Unigram-LM document scoring — the CCNet-style "how much does this

@@ -133,6 +133,30 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(out(3L) == ((7L, 1L, 2L)))
   }
 
+  test("pack manifest excludes null-text docs; stream offsets stay contiguous") {
+    val d = Seq(
+      (1L, "a b c"),
+      (2L, null.asInstanceOf[String]),  // no stream position
+      (3L, "d e")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.packManifest(d, capacity = 4, bucketWidth = 2)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_start")).toMap
+    assert(out == Map(1L -> 0L, 3L -> 3L))  // doc 2 absent, no gap left
+  }
+
+  test("mixture sample keeps a null-keyed slice at its own rate") {
+    val d = (
+      (1 to 20).map(i => (i.toLong, s"tok$i " * 8, "en", "s1")) :+
+      ((21L, "tok21 " * 8, null.asInstanceOf[String], null.asInstanceOf[String]))
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = CorpusStats.mixtureSample(d, temperature = 2.0, targetFrac = 0.9)
+      .collect()
+    // the (null, null) slice is tiny -> rate caps at 1.0: doc 21 MUST
+    // survive (a null-dropping equi-join would silently delete it)
+    assert(out.exists(_.getAs[Long]("doc_id") == 21L), out.mkString(","))
+  }
+
   test("mixture sample: rates flatten toward the smaller slice and bound at 1") {
     val big = (1 to 40).map(i => (i.toLong, s"tok$i " * 8, "en", "s1"))
     val small = (41 to 44).map(i => (i.toLong, s"tok$i " * 8, "fr", "s2"))
