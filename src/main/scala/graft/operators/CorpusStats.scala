@@ -199,11 +199,14 @@ object CorpusStats {
     * map-side combine; document frequencies derive from THAT output
     * (token grain — never a second corpus scan) and join back on the
     * token; the corpus size N rides along as a broadcast 1-row
-    * aggregate. The final per-document top-K ranks (doc-partitioned
-    * window) over rows already collapsed to (doc, token) grain. Scores
-    * round to 4dp before ranking — `ln` is the one operation where
-    * engines may differ in the last ulp (SURVEY §5) — and the rank
-    * breaks ties on the token for a total order.
+    * aggregate. The final per-document top-K runs through the NATIVE
+    * TopK Catalyst plan (string tie-break): partial per-partition heaps
+    * mean only k rows per document cross the exchange, and no per-group
+    * sort ever materializes — O(n log k) versus the window-rank
+    * alternative's full (doc, token) sort. Scores round to 4dp before
+    * ranking — `ln` is the one operation where engines may differ in
+    * the last ulp (SURVEY §5) — and ties break on the token for a
+    * total order.
     */
   def tfidf(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", topK: Int = 3): DataFrame = {
@@ -217,12 +220,10 @@ object CorpusStats {
       .withColumn("tfidf", round(
         col("tf").cast("double") *
           log(col("n_docs").cast("double") / col("df")), 4))
-    val rk = row_number().over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
-        .orderBy(col("tfidf").desc, col("token")))
-    scored.withColumn("rnk", rk.cast("long"))
-      .filter(col("rnk") <= topK)
-      .select(col(idCol), col("rnk"), col("token"), col("tf"), col("tfidf"))
+      .select(col(idCol), col("token"), col("tf"), col("tfidf"))
+    graft.plans.TopKPlanner.perGroup(scored, idCol, "tfidf", "token", topK)
+      .select(col(idCol), col("rnk").cast("long").as("rnk"),
+        col("token"), col("tf"), col("tfidf"))
   }
 
   /** Corpus mixture datasheet: per (lang, source) slice, document and

@@ -35,7 +35,8 @@ object TopK {
 
     def pass(rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]) =
       rdd.mapPartitions(it =>
-        HeapPass.topK(it, gi, oi, ti, k).flatMap(_._2.iterator.map(_._3)))
+        HeapPass.topK(it, gi, oi, ti, k, graft.plans.LongTie)
+          .flatMap(_._2.iterator.map(_._3)))
 
     val partial = pass(GraftInternal.toInternalRdd(df))
     val survivors = GraftInternal.internalCreateDataFrame(spark, partial, schema)

@@ -34,6 +34,33 @@ case class TopKPerGroupPlan(
     copy(child = newChild)
 }
 
+/** How the heap extracts and orders the tie column — LONG and STRING
+  * ties are supported (ascending = better in both). Serializable so the
+  * physical nodes can ship it to executors.
+  */
+private[graft] sealed trait TieKind extends Serializable {
+  /** Extract the tie value to STORE (must survive the row buffer). */
+  def get(r: InternalRow, i: Int): Any
+  /** Extract for a transient comparison only (no defensive copy). */
+  def peek(r: InternalRow, i: Int): Any = get(r, i)
+  /** tie `a` beats tie `b` (strictly better under equal scores). */
+  def lt(a: Any, b: Any): Boolean
+}
+private[graft] case object LongTie extends TieKind {
+  def get(r: InternalRow, i: Int): Any = r.getLong(i)
+  def lt(a: Any, b: Any): Boolean =
+    a.asInstanceOf[Long] < b.asInstanceOf[Long]
+}
+private[graft] case object StringTie extends TieKind {
+  // copy on store: the UTF8String is backed by the iterator's reused
+  // row buffer; the hot comparison path peeks without copying
+  def get(r: InternalRow, i: Int): Any = r.getUTF8String(i).copy()
+  override def peek(r: InternalRow, i: Int): Any = r.getUTF8String(i)
+  def lt(a: Any, b: Any): Boolean =
+    a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .compareTo(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]) < 0
+}
+
 /** Shared bounded-heap pass: keeps the k best (order desc, tie asc)
   * rows per group within one partition's iterator.
   *
@@ -44,27 +71,39 @@ case class TopKPerGroupPlan(
   * keys matching nothing).
   */
 private[graft] object HeapPass {
-  type Entry = (Double, Long, InternalRow)
+  type Entry = (Double, Any, InternalRow)
 
-  def topK(it: Iterator[InternalRow], gi: Int, oi: Int, ti: Int, k: Int)
-      : Iterator[(Long, List[Entry])] = {
-    implicit val badnessFirst: Ordering[Entry] =
-      Ordering.by[Entry, (Double, Long)](e => (-e._1, e._2))
+  def topK(it: Iterator[InternalRow], gi: Int, oi: Int, ti: Int, k: Int,
+      tie: TieKind): Iterator[(Long, List[Entry])] = {
+    // priority queue head = WORST entry: lowest score, then largest tie
+    implicit val badnessFirst: Ordering[Entry] = new Ordering[Entry] {
+      def compare(x: Entry, y: Entry): Int = {
+        val c = java.lang.Double.compare(y._1, x._1)
+        if (c != 0) c
+        else if (tie.lt(x._2, y._2)) -1
+        else if (tie.lt(y._2, x._2)) 1
+        else 0
+      }
+    }
     val heaps = new java.util.HashMap[Long, scala.collection.mutable.PriorityQueue[Entry]]()
     it.filterNot(r => r.isNullAt(gi) || r.isNullAt(oi) || r.isNullAt(ti)).foreach { r =>
       val g = r.getLong(gi)
       val o = r.getDouble(oi)
-      val t = r.getLong(ti)
       var h = heaps.get(g)
       if (h == null) {
         h = scala.collection.mutable.PriorityQueue.empty[Entry]
         heaps.put(g, h)
       }
-      if (h.size < k) h.enqueue((o, t, r.copy()))
-      else {
+      if (h.size < k) {
+        val rc = r.copy()
+        h.enqueue((o, tie.get(rc, ti), rc))
+      } else {
         val worst = h.head
-        if (o > worst._1 || (o == worst._1 && t < worst._2)) {
-          h.dequeue(); h.enqueue((o, t, r.copy()))
+        val t = tie.peek(r, ti)
+        if (o > worst._1 || (o == worst._1 && tie.lt(t, worst._2))) {
+          h.dequeue()
+          val rc = r.copy()
+          h.enqueue((o, tie.get(rc, ti), rc))
         }
       }
     }
@@ -77,13 +116,13 @@ private[graft] object HeapPass {
 }
 
 /** Phase 1: per-partition top-k, no distribution requirement. */
-case class TopKPartialExec(gi: Int, oi: Int, ti: Int, k: Int, child: SparkPlan)
-    extends UnaryExecNode {
+case class TopKPartialExec(gi: Int, oi: Int, ti: Int, k: Int,
+    tie: TieKind, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] =
     child.execute().mapPartitions { it =>
-      HeapPass.topK(it, gi, oi, ti, k).flatMap(_._2.iterator.map(_._3))
+      HeapPass.topK(it, gi, oi, ti, k, tie).flatMap(_._2.iterator.map(_._3))
     }
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPartialExec =
     copy(child = newChild)
@@ -93,7 +132,7 @@ case class TopKPartialExec(gi: Int, oi: Int, ti: Int, k: Int, child: SparkPlan)
   * the exchange), final heaps, appends the rank column.
   */
 case class TopKFinalExec(group: Attribute, gi: Int, oi: Int, ti: Int, k: Int,
-    rnkAttr: Attribute, child: SparkPlan) extends UnaryExecNode {
+    tie: TieKind, rnkAttr: Attribute, child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output :+ rnkAttr
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(group)) :: Nil
@@ -105,7 +144,7 @@ case class TopKFinalExec(group: Attribute, gi: Int, oi: Int, ti: Int, k: Int,
       val proj = UnsafeProjection.create(schema)
       val joined = new JoinedRow
       val rnkRow = new GenericInternalRow(1)
-      HeapPass.topK(it, gi, oi, ti, k).flatMap { case (_, best) =>
+      HeapPass.topK(it, gi, oi, ti, k, tie).flatMap { case (_, best) =>
         best.iterator.zipWithIndex.map { case (e, i) =>
           rnkRow.update(0, i + 1)
           proj(joined(e._3, rnkRow)).copy(): InternalRow
@@ -126,8 +165,12 @@ object TopKStrategy extends SparkStrategy {
       val oi = out.indexWhere(_.exprId == o.exprId)
       val tiI = out.indexWhere(_.exprId == ti.exprId)
       require(gi >= 0 && oi >= 0 && tiI >= 0, "top-k columns not in child output")
-      val partial = TopKPartialExec(gi, oi, tiI, k, planLater(child))
-      TopKFinalExec(g, gi, oi, tiI, k, t.rnkAttr, partial) :: Nil
+      val tieKind: TieKind = ti.dataType match {
+        case org.apache.spark.sql.types.StringType => StringTie
+        case _ => LongTie
+      }
+      val partial = TopKPartialExec(gi, oi, tiI, k, tieKind, planLater(child))
+      TopKFinalExec(g, gi, oi, tiI, k, tieKind, t.rnkAttr, partial) :: Nil
     case _ => Nil
   }
 }
@@ -142,27 +185,30 @@ object TopKPlanner {
 
   /** Top-k best `orderCol` (desc, ties by `tieCol` asc) rows per
     * `groupCol`, with a 1..k `rnk` column — planned natively.
-    * Rows with a NULL group/order/tie value are excluded from the
-    * ranking (see [[HeapPass]]).
+    * The tie column may be LONG (numeric asc) or STRING (binary
+    * collation asc). Rows with a NULL group/order/tie value are
+    * excluded from the ranking (see [[HeapPass]]).
     */
   def perGroup(df: DataFrame, groupCol: String, orderCol: String,
       tieCol: String, k: Int): DataFrame = {
     val spark = df.sparkSession
     ensureRegistered(spark)
     val analyzed = df.queryExecution.analyzed
-    def attr(name: String, expected: org.apache.spark.sql.types.DataType): Attribute = {
+    def attr(name: String,
+        expected: Seq[org.apache.spark.sql.types.DataType]): Attribute = {
       val a = analyzed.output.find(_.name == name)
         .getOrElse(throw new IllegalArgumentException(s"no column $name"))
-      // the heap reads getLong/getDouble positionally — a mismatched
-      // type would silently reinterpret bits, so fail fast instead
-      require(a.dataType == expected,
-        s"top-k column $name must be $expected, found ${a.dataType}")
+      // the heap reads getLong/getDouble/getUTF8String positionally — a
+      // mismatched type would silently reinterpret bits, so fail fast
+      require(expected.contains(a.dataType),
+        s"top-k column $name must be one of ${expected.mkString("/")}, found ${a.dataType}")
       a
     }
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
     val plan = TopKPerGroupPlan(
-      attr(groupCol, org.apache.spark.sql.types.LongType),
-      attr(orderCol, org.apache.spark.sql.types.DoubleType),
-      attr(tieCol, org.apache.spark.sql.types.LongType), k, analyzed)
+      attr(groupCol, Seq(LongType)),
+      attr(orderCol, Seq(DoubleType)),
+      attr(tieCol, Seq(LongType, StringType)), k, analyzed)
     org.apache.spark.sql.GraftInternal.ofRows(spark, plan)
   }
 }

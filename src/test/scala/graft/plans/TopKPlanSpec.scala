@@ -27,6 +27,33 @@ class TopKPlanSpec extends SparkSpecBase {
     assert(plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("string ties rank by binary collation and match the window form") {
+    val df = (1 to 2000).map { i =>
+      (i.toLong % 7, (i % 13).toDouble, s"tok${i % 101}")
+    }.toDF("g", "score", "tok").repartition(5)
+    val planned = TopKPlanner.perGroup(df, "g", "score", "tok", k = 4)
+    val got = planned.select("g", "score", "tok", "rnk")
+      .orderBy("g", "rnk", "tok").collect().toSeq
+    val w = Window.partitionBy($"g").orderBy($"score".desc, $"tok")
+    val want = df.withColumn("rnk", row_number().over(w))
+      .filter($"rnk" <= 4).select("g", "score", "tok", "rnk")
+      .orderBy("g", "rnk", "tok").collect().toSeq
+    assert(got == want)
+  }
+
+  test("a NULL string tie is skipped, and duplicate ties keep both rows") {
+    val df = Seq(
+      (1L, 9.0, "b"),
+      (1L, 9.0, "a"),   // tie on score: 'a' outranks 'b'
+      (1L, 9.0, "a"),   // duplicate (score, tie): both rows kept
+      (1L, 9.0, null.asInstanceOf[String])
+    ).toDF("g", "score", "tok")
+    val out = TopKPlanner.perGroup(df, "g", "score", "tok", k = 3)
+      .orderBy("rnk", "tok").collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[String]("tok")).toSeq == Seq("a", "a", "b"))
+  }
+
   test("NULL group/order/tie rows are excluded, not ranked as zero") {
     // pre-fix the heap read NULL slots positionally as 0: a NULL score
     // would beat negative scores and corrupt ranks
