@@ -189,6 +189,10 @@ object SparkEntry {
     Relational.orderGaps(t(s, dir, "orders"))
       .orderBy(col("o_custkey"))
 
+  private def qRfm(s: SparkSession, dir: String): DataFrame =
+    Relational.rfmSegments(t(s, dir, "events"))
+      .orderBy(col("user_id"))
+
   private def qNewVsReturning(s: SparkSession, dir: String): DataFrame =
     Relational.newVsReturning(t(s, dir, "orders"))
       .orderBy(col("order_year"), col("cohort"))
@@ -648,6 +652,7 @@ object SparkEntry {
     "q_new_vs_returning" -> (qNewVsReturning _),
     "q6_forecast_revenue" -> (qForecastRevenue _),
     "q14_promo_share" -> (qPromoShare _),
+    "q_rfm" -> (qRfm _),
     "text_mixture" -> (qMixture _),
     "text_pack" -> (qPack _),
     "text_mixture_sample" -> (qMixtureSample _),
@@ -1235,6 +1240,38 @@ object SparkEntry {
         |   / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(10,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS promo_share
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY 1 ORDER BY ship_month""".stripMargin,
+    "q_rfm" ->
+      """WITH u AS (
+        |  SELECT user_id, max(ts) AS last_ts, count(*)::BIGINT AS frequency,
+        |         sum(CAST(value AS DECIMAL(18,6))) AS monetary_d
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        | th AS (
+        |  SELECT max(last_ts) AS now_ts,
+        |         quantile_cont(frequency, [0.25, 0.5, 0.75]) AS f_q,
+        |         quantile_cont(CAST(monetary_d AS DOUBLE), [0.25, 0.5, 0.75]) AS m_q
+        |  FROM u),
+        | s AS (
+        |  SELECT u.user_id,
+        |   date_diff('day', CAST(u.last_ts AS DATE), CAST(th.now_ts AS DATE))::BIGINT AS recency_days,
+        |   u.frequency, CAST(u.monetary_d AS DOUBLE) AS monetary, th.f_q, th.m_q
+        |  FROM u, th),
+        | rq AS (SELECT quantile_cont(recency_days, [0.25, 0.5, 0.75]) AS r_q FROM s),
+        | sc AS (
+        |  SELECT s.user_id, s.recency_days, s.frequency, s.monetary,
+        |   (5 - (1 + CASE WHEN s.recency_days > r_q[1] THEN 1 ELSE 0 END
+        |           + CASE WHEN s.recency_days > r_q[2] THEN 1 ELSE 0 END
+        |           + CASE WHEN s.recency_days > r_q[3] THEN 1 ELSE 0 END))::INT AS r_score,
+        |   (1 + CASE WHEN s.frequency > f_q[1] THEN 1 ELSE 0 END
+        |      + CASE WHEN s.frequency > f_q[2] THEN 1 ELSE 0 END
+        |      + CASE WHEN s.frequency > f_q[3] THEN 1 ELSE 0 END)::INT AS f_score,
+        |   (1 + CASE WHEN s.monetary > m_q[1] THEN 1 ELSE 0 END
+        |      + CASE WHEN s.monetary > m_q[2] THEN 1 ELSE 0 END
+        |      + CASE WHEN s.monetary > m_q[3] THEN 1 ELSE 0 END)::INT AS m_score
+        |  FROM s, rq)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |       r_score, f_score, m_score,
+        |       r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment
+        |FROM sc ORDER BY user_id""".stripMargin,
     "q_nation_flow" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         | year(o.o_orderdate)::INT AS order_year,

@@ -714,6 +714,57 @@ object Relational {
         max(col("gap_days")).as("max_gap_days"))
   }
 
+  /** RFM segmentation — recency / frequency / monetary quartile scores
+    * per purchasing user, the marketing-analytics segmentation staple.
+    *
+    * Scale shape: the textbook `ntile(4)` formulation needs a GLOBAL
+    * window sort of the user frame (billions of rows through one
+    * partition); instead the quartile THRESHOLDS come from one exact
+    * `percentile` aggregate over the user-grain frame and broadcast
+    * back, and each score is a pure per-row threshold compare —
+    * one shuffle (the user aggregate), no global sort. Thresholds
+    * interpolate exact integer metrics at factors 0.25/0.5/0.75, which
+    * is exact in binary floating point, so both engines compute
+    * bit-identical boundaries (SURVEY §5).
+    */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val users = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("ts")).as("last_ts"),
+        count(lit(1)).as("frequency"),
+        sum(dec(col("value"), 18, 6)).as("monetary_d"))
+    val thresholds = users.agg(
+      max(col("last_ts")).as("now_ts"),
+      expr("percentile(frequency, array(0.25, 0.5, 0.75))").as("f_q"),
+      expr("percentile(CAST(monetary_d AS DOUBLE), array(0.25, 0.5, 0.75))").as("m_q"))
+    val scored = users.crossJoin(broadcast(thresholds))
+      .withColumn("recency_days",
+        datediff(col("now_ts").cast("date"), col("last_ts").cast("date"))
+          .cast("bigint"))
+      .withColumn("monetary", col("monetary_d").cast("double"))
+    val rq = scored.agg(
+      expr("percentile(recency_days, array(0.25, 0.5, 0.75))").as("r_q"))
+    def score(m: Column, q: Column, invert: Boolean): Column = {
+      val s = lit(1) + when(m > q.getItem(0), 1).otherwise(0) +
+        when(m > q.getItem(1), 1).otherwise(0) +
+        when(m > q.getItem(2), 1).otherwise(0)
+      (if (invert) lit(5) - s else s).cast("int")
+    }
+    scored.crossJoin(broadcast(rq))
+      .select(
+        col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
+        // fewer days since last purchase = better: invert the quartile
+        score(col("recency_days").cast("double"), col("r_q"), invert = true)
+          .as("r_score"),
+        score(col("frequency").cast("double"), col("f_q"), invert = false)
+          .as("f_score"),
+        score(col("monetary"), col("m_q"), invert = false).as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+  }
+
   /** New-vs-returning revenue split per year — the marketing-funnel
     * staple behind "how much of this year's revenue is acquisition vs
     * retention".

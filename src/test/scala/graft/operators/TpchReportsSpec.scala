@@ -138,6 +138,27 @@ class TpchReportsSpec extends SparkSpecBase {
     assert(out("1997-07") == ((0.0, 50.0, 0.0)))
   }
 
+  test("rfm: quartile scores bucket users without a global sort") {
+    // 4 users with clearly separated metrics -> scores 1..4 each axis
+    val events = (1 to 4).flatMap { u =>
+      (1 to u * 2).map { i =>
+        (t(s"2024-0$u-01"), "purchase", u.toLong, u * 10.0 + i)
+      }
+    } :+ ((t("2024-04-02"), "view", 9L, 999.0)) // non-purchase: ignored
+    val df = events.toDF("ts", "event_type", "user_id", "value")
+    val out = Relational.rfmSegments(df).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Int]("r_score"), r.getAs[Int]("f_score"),
+          r.getAs[Int]("m_score"), r.getAs[String]("segment")))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    // user 4 purchased most recently, most often, for the most value
+    assert(out(4L) == ((4, 4, 4, "444")))
+    assert(out(1L)._1 == 1 && out(1L)._2 == 1 && out(1L)._3 == 1)
+    // plan guard: no unpartitioned window over the user frame
+    val plan = Relational.rfmSegments(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("grouping sets emit the two marginals and nothing else") {
     val lineitem = Seq(
       ("R", "F", 1.0),
