@@ -189,6 +189,9 @@ object SparkEntry {
     Relational.orderGaps(t(s, dir, "orders"))
       .orderBy(col("o_custkey"))
 
+  private def qEventPaths(s: SparkSession, dir: String): DataFrame =
+    Relational.topEventPaths(t(s, dir, "events"))
+
   private def qRfm(s: SparkSession, dir: String): DataFrame =
     Relational.rfmSegments(t(s, dir, "events"))
       .orderBy(col("user_id"))
@@ -653,6 +656,7 @@ object SparkEntry {
     "q6_forecast_revenue" -> (qForecastRevenue _),
     "q14_promo_share" -> (qPromoShare _),
     "q_rfm" -> (qRfm _),
+    "q_event_paths" -> (qEventPaths _),
     "text_mixture" -> (qMixture _),
     "text_pack" -> (qPack _),
     "text_mixture_sample" -> (qMixtureSample _),
@@ -1240,6 +1244,15 @@ object SparkEntry {
         |   / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(10,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS promo_share
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY 1 ORDER BY ship_month""".stripMargin,
+    "q_event_paths" ->
+      """WITH j AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |   array_to_string(
+        |     (list(event_type ORDER BY ts, event_id))[1:5], '>') AS path
+        |  FROM events GROUP BY 1, 2)
+        |SELECT path, count(*)::BIGINT AS n_journeys
+        |FROM j GROUP BY 1
+        |ORDER BY n_journeys DESC, path LIMIT 20""".stripMargin,
     "q_rfm" ->
       """WITH u AS (
         |  SELECT user_id, max(ts) AS last_ts, count(*)::BIGINT AS frequency,

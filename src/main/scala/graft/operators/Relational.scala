@@ -714,6 +714,32 @@ object Relational {
         max(col("gap_days")).as("max_gap_days"))
   }
 
+  /** Top user journeys: the most common day-grain event-type paths
+    * (first `steps` events of each user-day, in time order) — the
+    * "what do users actually do" path-analysis staple.
+    *
+    * Scale shape: one shuffle on the (user, day) journey key; the
+    * per-journey sort happens INSIDE the aggregated array (struct
+    * `sort_array`, ordered by the (ts, event_id) total order — never a
+    * global or window sort), and journeys are truncated to `steps`
+    * before the path string exists, bounding memory per group at the
+    * aggregation buffer. The top-N cut is a TakeOrdered on the tiny
+    * path-count frame.
+    */
+  def topEventPaths(events: DataFrame, steps: Int = 5,
+      topN: Int = 20): DataFrame =
+    events
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(concat_ws(">",
+        transform(slice(col("evs"), 1, steps), e => e.getField("event_type")))
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_journeys"))
+      .orderBy(col("n_journeys").desc, col("path"))
+      .limit(topN)
+
   /** RFM segmentation — recency / frequency / monetary quartile scores
     * per purchasing user, the marketing-analytics segmentation staple.
     *

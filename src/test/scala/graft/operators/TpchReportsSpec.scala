@@ -138,6 +138,23 @@ class TpchReportsSpec extends SparkSpecBase {
     assert(out("1997-07") == ((0.0, 50.0, 0.0)))
   }
 
+  test("event paths order by time, break ties on id, truncate at 5 steps") {
+    val events = Seq(
+      (1L, t("2024-01-01"), 1L, "view"),
+      (2L, t("2024-01-01"), 1L, "click"),   // same ts: event_id orders it
+      (3L, Timestamp.valueOf("2024-01-01 01:00:00"), 1L, "purchase"),
+      (4L, Timestamp.valueOf("2024-01-01 02:00:00"), 1L, "view"),
+      (5L, Timestamp.valueOf("2024-01-01 03:00:00"), 1L, "view"),
+      (6L, Timestamp.valueOf("2024-01-01 04:00:00"), 1L, "error"), // 6th: cut
+      (7L, t("2024-01-02"), 2L, "view")     // other journey
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Relational.topEventPaths(events).collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[Long]("n_journeys")).toMap
+    assert(out == Map(
+      "view>click>purchase>view>view" -> 1L,
+      "view" -> 1L))
+  }
+
   test("rfm: quartile scores bucket users without a global sort") {
     // 4 users with clearly separated metrics -> scores 1..4 each axis
     val events = (1 to 4).flatMap { u =>
