@@ -200,13 +200,15 @@ object CorpusStats {
     * (token grain — never a second corpus scan) and join back on the
     * token; the corpus size N rides along as a broadcast 1-row
     * aggregate. The final per-document top-K runs through the NATIVE
-    * TopK Catalyst plan (string tie-break): partial per-partition heaps
-    * mean only k rows per document cross the exchange, and no per-group
-    * sort ever materializes — O(n log k) versus the window-rank
-    * alternative's full (doc, token) sort. Scores round to 4dp before
-    * ranking — `ln` is the one operation where engines may differ in
-    * the last ulp (SURVEY §5) — and ties break on the token for a
-    * total order.
+    * TopK Catalyst plan (string tie-break) when the id column is a
+    * BIGINT: partial per-partition heaps mean only k rows per document
+    * cross the exchange, and no per-group sort ever materializes —
+    * O(n log k) versus the window-rank alternative's full (doc, token)
+    * sort. Non-long ids (URL/hash-keyed corpora) keep the window-rank
+    * path, so the public contract is unchanged. Scores round to 4dp
+    * before ranking — `ln` is the one operation where engines may
+    * differ in the last ulp (SURVEY §5) — and ties break on the token
+    * for a total order.
     */
   def tfidf(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", topK: Int = 3): DataFrame = {
@@ -221,9 +223,19 @@ object CorpusStats {
         col("tf").cast("double") *
           log(col("n_docs").cast("double") / col("df")), 4))
       .select(col(idCol), col("token"), col("tf"), col("tfidf"))
-    graft.plans.TopKPlanner.perGroup(scored, idCol, "tfidf", "token", topK)
-      .select(col(idCol), col("rnk").cast("long").as("rnk"),
-        col("token"), col("tf"), col("tfidf"))
+    val idIsLong = scored.schema(idCol).dataType ==
+      org.apache.spark.sql.types.LongType
+    val ranked =
+      if (idIsLong)
+        graft.plans.TopKPlanner.perGroup(scored, idCol, "tfidf", "token", topK)
+          .withColumn("rnk", col("rnk").cast("long"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("token"))
+        scored.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= topK)
+      }
+    ranked.select(col(idCol), col("rnk"), col("token"), col("tf"), col("tfidf"))
   }
 
   /** Corpus mixture datasheet: per (lang, source) slice, document and

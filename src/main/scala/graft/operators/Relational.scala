@@ -748,10 +748,14 @@ object Relational {
     * partition); instead the quartile THRESHOLDS come from one exact
     * `percentile` aggregate over the user-grain frame and broadcast
     * back, and each score is a pure per-row threshold compare —
-    * one shuffle (the user aggregate), no global sort. Thresholds
-    * interpolate exact integer metrics at factors 0.25/0.5/0.75, which
-    * is exact in binary floating point, so both engines compute
-    * bit-identical boundaries (SURVEY §5).
+    * one shuffle (the user aggregate), no global sort. The recency and
+    * frequency thresholds interpolate exact INTEGER metrics at factors
+    * 0.25/0.5/0.75 — exact in binary floating point, bit-identical
+    * boundaries by construction. The monetary threshold interpolates
+    * doubles (from exact decimal sums); its cross-engine identity rests
+    * on Spark's `percentile` and DuckDB's `quantile_cont` sharing the
+    * same two-sided formula `(hi-pos)·lo + (pos-lo)·hi` (verified — a
+    * plain lerp differs in the last ulp), not on exactness (SURVEY §5).
     */
   def rfmSegments(events: DataFrame): DataFrame = {
     val users = events

@@ -22,6 +22,7 @@ object TopK {
     */
   def perGroup(df: DataFrame, groupCol: String, orderCol: String,
       tieCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"top-k requires k >= 1, got $k")
     val spark = df.sparkSession
     val cols = df.columns
     val gi = cols.indexOf(groupCol)

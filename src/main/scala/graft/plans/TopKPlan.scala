@@ -39,23 +39,21 @@ case class TopKPerGroupPlan(
   * physical nodes can ship it to executors.
   */
 private[graft] sealed trait TieKind extends Serializable {
-  /** Extract the tie value to STORE (must survive the row buffer). */
-  def get(r: InternalRow, i: Int): Any
-  /** Extract for a transient comparison only (no defensive copy). */
-  def peek(r: InternalRow, i: Int): Any = get(r, i)
+  /** Extract the tie value WITHOUT a defensive copy. Safe to store only
+    * when `r` itself is a heap-owned copy that outlives the value (both
+    * HeapPass store sites copy the row first and keep it in the entry).
+    */
+  def peek(r: InternalRow, i: Int): Any
   /** tie `a` beats tie `b` (strictly better under equal scores). */
   def lt(a: Any, b: Any): Boolean
 }
 private[graft] case object LongTie extends TieKind {
-  def get(r: InternalRow, i: Int): Any = r.getLong(i)
+  def peek(r: InternalRow, i: Int): Any = r.getLong(i)
   def lt(a: Any, b: Any): Boolean =
     a.asInstanceOf[Long] < b.asInstanceOf[Long]
 }
 private[graft] case object StringTie extends TieKind {
-  // copy on store: the UTF8String is backed by the iterator's reused
-  // row buffer; the hot comparison path peeks without copying
-  def get(r: InternalRow, i: Int): Any = r.getUTF8String(i).copy()
-  override def peek(r: InternalRow, i: Int): Any = r.getUTF8String(i)
+  def peek(r: InternalRow, i: Int): Any = r.getUTF8String(i)
   def lt(a: Any, b: Any): Boolean =
     a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
       .compareTo(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]) < 0
@@ -95,15 +93,17 @@ private[graft] object HeapPass {
         heaps.put(g, h)
       }
       if (h.size < k) {
+        // peek on the COPIED row: the extracted value shares rc's
+        // heap-owned buffer, which the entry keeps alive
         val rc = r.copy()
-        h.enqueue((o, tie.get(rc, ti), rc))
+        h.enqueue((o, tie.peek(rc, ti), rc))
       } else {
         val worst = h.head
         val t = tie.peek(r, ti)
         if (o > worst._1 || (o == worst._1 && tie.lt(t, worst._2))) {
           h.dequeue()
           val rc = r.copy()
-          h.enqueue((o, tie.get(rc, ti), rc))
+          h.enqueue((o, tie.peek(rc, ti), rc))
         }
       }
     }
@@ -191,6 +191,7 @@ object TopKPlanner {
     */
   def perGroup(df: DataFrame, groupCol: String, orderCol: String,
       tieCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"top-k requires k >= 1, got $k")
     val spark = df.sparkSession
     ensureRegistered(spark)
     val analyzed = df.queryExecution.analyzed

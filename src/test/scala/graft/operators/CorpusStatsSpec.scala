@@ -86,6 +86,16 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(out(3L)._4 == false)
   }
 
+  test("tfidf keeps working with string document ids (window fallback)") {
+    val d = Seq(
+      ("url-a", "common rare1 common"),
+      ("url-b", "common rare2")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.tfidf(d, topK = 1).collect()
+      .map(r => r.getAs[String]("doc_id") -> r.getAs[String]("token")).toMap
+    assert(out == Map("url-a" -> "rare1", "url-b" -> "rare2"))
+  }
+
   test("tfidf ranks corpus-rare terms above ubiquitous ones") {
     val d = Seq(
       (1L, "common rare1 common"),

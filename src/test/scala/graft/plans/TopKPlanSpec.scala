@@ -54,6 +54,13 @@ class TopKPlanSpec extends SparkSpecBase {
     assert(out.map(_.getAs[String]("tok")).toSeq == Seq("a", "a", "b"))
   }
 
+  test("k < 1 fails fast at plan time, not with an executor crash") {
+    val df = Seq((1L, 1.0, 1L)).toDF("g", "score", "id")
+    intercept[IllegalArgumentException] {
+      TopKPlanner.perGroup(df, "g", "score", "id", k = 0)
+    }
+  }
+
   test("NULL group/order/tie rows are excluded, not ranked as zero") {
     // pre-fix the heap read NULL slots positionally as 0: a NULL score
     // would beat negative scores and corrupt ranks
