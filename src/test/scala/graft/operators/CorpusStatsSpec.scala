@@ -167,6 +167,29 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(out.exists(_.getAs[Long]("doc_id") == 21L), out.mkString(","))
   }
 
+  test("pack manifest is bucketWidth-invariant and equals the global prefix sum") {
+    // the two-level prefix decomposition must produce identical offsets
+    // for ANY bucket width — including widths that split mid-stream,
+    // width 1 (every doc its own bucket), and a width larger than the
+    // id range (degenerate single bucket == the naive global form)
+    val rnd = new scala.util.Random(42)
+    val docs = (0 until 200).filter(_ => rnd.nextBoolean()).map { i =>
+      (i.toLong, (0 until (1 + rnd.nextInt(9))).map(j => s"w$j").mkString(" "))
+    } // sparse, non-contiguous ids
+    val df = docs.toDF("doc_id", "text")
+    val expected = docs.sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, end), (id, text)) =>
+        val n = text.split("\\s+").length.toLong
+        (id, end, end + n)
+      }.drop(1).map { case (id, start, _) => id -> start }.toMap
+    for (width <- Seq(1L, 7L, 64L, 1L << 20)) {
+      val got = CorpusStats.packManifest(df, capacity = 16, bucketWidth = width)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pack_start"))
+        .toMap
+      assert(got == expected, s"bucketWidth=$width")
+    }
+  }
+
   test("mixture sample: rates flatten toward the smaller slice and bound at 1") {
     val big = (1 to 40).map(i => (i.toLong, s"tok$i " * 8, "en", "s1"))
     val small = (41 to 44).map(i => (i.toLong, s"tok$i " * 8, "fr", "s2"))
