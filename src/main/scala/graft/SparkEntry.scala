@@ -404,6 +404,10 @@ object SparkEntry {
     Quantize.scalarCodes(t(s, dir, "embeddings"))
       .orderBy(col("vec_id"))
 
+  private def qEmbNorm(s: SparkSession, dir: String): DataFrame =
+    Quantize.normalizeAudit(t(s, dir, "embeddings"))
+      .orderBy(col("vec_id"))
+
   private def qFuzzyNames(s: SparkSession, dir: String): DataFrame =
     FuzzyJoin.nearNames(t(s, dir, "part"), "p_name", maxDist = 2)
       .orderBy(col("name_a"), col("name_b"))
@@ -623,6 +627,7 @@ object SparkEntry {
     "text_tfidf" -> (qTfidf _),
     "text_lm_score" -> (qLmScore _),
     "emb_quantize" -> (qEmbQuantize _),
+    "emb_norm" -> (qEmbNorm _),
     "text_split_assign" -> (qSplitAssign _),
     "text_contamination" -> (qContamination _),
     "text_heavy_hitters" -> (qHeavyHitters _),
@@ -965,6 +970,21 @@ object SparkEntry {
         |SELECT vec_id, count(*)::BIGINT AS n_dims, sum(code)::BIGINT AS sum_code,
         |       min(code)::BIGINT AS min_code, max(code)::BIGINT AS max_code
         |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "emb_norm" ->
+      """WITH dims AS (
+        |  SELECT generate_subscripts(embedding,1) AS pos, unnest(embedding) AS x FROM embeddings),
+        | means AS (SELECT pos, round(sum(x::DOUBLE)/count(*), 6) AS mu FROM dims GROUP BY pos),
+        | mv AS (SELECT list(mu ORDER BY pos) AS mvec FROM means),
+        | c AS (
+        |  SELECT e.vec_id, e.label, e.embedding,
+        |   list_transform(list_zip(e.embedding, mv.mvec),
+        |     p -> p[1]::DOUBLE - p[2]) AS cv
+        |  FROM embeddings e, mv)
+        |SELECT vec_id, label, len(embedding)::BIGINT AS n_dims,
+        | round(sqrt(list_aggregate(list_transform(embedding, x -> x::DOUBLE * x), 'sum')), 4) AS norm_before,
+        | round(sqrt(list_aggregate(list_transform(cv, x -> x * x), 'sum')), 4) AS norm_centered,
+        | round(list_aggregate(cv, 'sum'), 4) AS centered_sum
+        |FROM c ORDER BY vec_id""".stripMargin,
     "q_fuzzy_names" ->
       """WITH nm AS (SELECT DISTINCT p_name FROM part),
         |b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM nm)

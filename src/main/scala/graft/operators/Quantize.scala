@@ -21,6 +21,42 @@ import org.apache.spark.sql.functions._
   */
 object Quantize {
 
+  /** Embedding normalization audit — the pre-index hygiene step of a
+    * vector corpus: per-dimension mean-centering followed by L2
+    * normalization, emitted as per-vector SUMMARIES (original norm,
+    * centered norm, centered component sum) so the gate compares
+    * scalars, not float arrays.
+    *
+    * Scale shape: pass 1 posexplodes to per-dimension means (shuffle is
+    * |dims| × partitions, like [[scalarCodes]]); the mean vector comes
+    * back as a ONE-ROW broadcast and centering/norms are per-row
+    * `zip_with`/`aggregate` folds in array order — deterministic and
+    * identical to DuckDB's list folds. Means round to 6dp before
+    * centering (cross-partition float-sum tolerance, the knn_ivf
+    * centroid rule); emitted summaries round to 4dp.
+    */
+  def normalizeAudit(emb: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    import graft.functions.VectorFunctions
+    val means = emb
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(round(sum(col("x").cast("double")) / count(lit(1)), 6).as("mu"))
+    val mvec = means.agg(
+      sort_array(collect_list(struct(col("pos"), col("mu")))).as("ms"))
+    emb.crossJoin(broadcast(mvec))
+      .withColumn("c",
+        zip_with(col(vecCol), col("ms"),
+          (x, m) => x.cast("double") - m.getField("mu")))
+      .select(
+        col(idCol), col("label"),
+        size(col(vecCol)).cast("bigint").as("n_dims"),
+        round(VectorFunctions.norm(col(vecCol)), 4).as("norm_before"),
+        round(VectorFunctions.norm(col("c")), 4).as("norm_centered"),
+        round(aggregate(col("c"), lit(0.0), (acc, x) => acc + x), 4)
+          .as("centered_sum"))
+  }
+
   /** Per-vector quantization summary: `n_dims`, `sum_code`,
     * `min_code`, `max_code` (all BIGINT, integer-exact cross-engine).
     */

@@ -6,6 +6,26 @@ import org.apache.spark.sql.functions._
 class QuantizeSpec extends SparkSpecBase {
   import spark.implicits._
 
+  test("normalization audit: centering zeroes the mean, norms are exact") {
+    // dim means: (2, 4). centered: v1 = (-1, -2), v2 = (1, 2)
+    val emb = Seq(
+      (1L, Array(1.0f, 2.0f), "a"),
+      (2L, Array(3.0f, 6.0f), "a")
+    ).toDF("vec_id", "embedding", "label")
+    val out = Quantize.normalizeAudit(emb).orderBy("vec_id").collect()
+    assert(out.map(_.getAs[Long]("n_dims")).toSeq == Seq(2L, 2L))
+    assert(out(0).getAs[Double]("norm_before") == math.sqrt(5.0).round4)
+    assert(out(0).getAs[Double]("norm_centered") == math.sqrt(5.0).round4)
+    assert(out(0).getAs[Double]("centered_sum") == -3.0)
+    assert(out(1).getAs[Double]("centered_sum") == 3.0)
+    // centered components sum to zero ACROSS the corpus per dimension
+    assert(out.map(_.getAs[Double]("centered_sum")).sum == 0.0)
+  }
+
+  private implicit class R4(d: Double) {
+    def round4: Double = math.rint(d * 1e4) / 1e4
+  }
+
   test("codes hit the grid endpoints and midpoints exactly") {
     // dim 0 spans [0, 10]: 0 -> 0, 10 -> 255, 5 -> round(127.5) = 128
     // dim 1 is flat: always code 0
