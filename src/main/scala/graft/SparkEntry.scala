@@ -581,6 +581,16 @@ object SparkEntry {
     Multimodal.featurize(Multimodal.asMedia(t(s, dir, "documents")))
       .toDF().orderBy(col("doc_id"))
 
+  /** Real byte-level header decode over synthesized PNG/JPEG/GIF
+    * containers (deterministic from doc metadata — see
+    * Multimodal.asMediaAssets). Full value oracle: every decode field
+    * is a closed-form function of (doc_id, n_chars, text), including
+    * the NULL rows for the malformed/truncated branch.
+    */
+  private def qMmDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeAssets(Multimodal.asMediaAssets(t(s, dir, "documents")))
+      .toDF().orderBy(col("doc_id"))
+
   private def qMmFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal.frameSample(Multimodal.asMedia(t(s, dir, "documents")))
       .toDF().select(col("doc_id"), col("frame_idx"), col("frame_off"),
@@ -702,7 +712,8 @@ object SparkEntry {
     "text_fingerprint" -> (qTextFingerprint _),
     "text_sample_quota" -> (qSampleQuota _),
     "mm_features" -> (qMmFeatures _),
-    "mm_frames" -> (qMmFrames _)
+    "mm_frames" -> (qMmFrames _),
+    "mm_decode" -> (qMmDecode _)
   )
 
   // ------------------------------------------------------------- oracle
@@ -1635,6 +1646,30 @@ object SparkEntry {
         |SELECT d.doc_id, s.i::INT AS frame_idx, (s.i * 256)::BIGINT AS frame_off,
         | least(256, octet_length(encode(d.text)) - s.i * 256)::BIGINT AS frame_len
         |FROM documents d JOIN s ON s.i = 0 OR s.i * 256 < octet_length(encode(d.text))
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    // mm_decode replays Multimodal.asMediaAssets' closed-form synth:
+    // doc_id%4 picks the container format (3 = malformed -> NULL
+    // decode), dims come from n_chars, the PNG color-type cycle from
+    // (doc_id/4)%4, and byte_len = header size + UTF-8 payload.
+    "mm_decode" ->
+      """SELECT doc_id,
+        | CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |   WHEN 2 THEN 'gif' ELSE NULL END AS format,
+        | CASE WHEN doc_id % 4 = 3 THEN NULL
+        |   ELSE (n_chars % 640 + 1) END::INT AS width,
+        | CASE WHEN doc_id % 4 = 3 THEN NULL
+        |   ELSE (n_chars % 480 + 1) END::INT AS height,
+        | CASE doc_id % 4
+        |   WHEN 0 THEN CASE (doc_id // 4) % 4
+        |     WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 2 ELSE 4 END
+        |   WHEN 1 THEN 3 WHEN 2 THEN 3 ELSE NULL END::INT AS channels,
+        | CASE doc_id % 4
+        |   WHEN 0 THEN 33 + octet_length(encode(text))
+        |   WHEN 1 THEN 39 + octet_length(encode(text))
+        |   WHEN 2 THEN 13 + octet_length(encode(text))
+        |   ELSE CASE WHEN (doc_id // 4) % 2 = 0
+        |     THEN 1 + octet_length(encode(text)) ELSE 12 END
+        | END::BIGINT AS byte_len
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

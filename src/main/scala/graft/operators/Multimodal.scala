@@ -17,6 +17,18 @@ case class MMFeature(doc_id: Long, media_type: String, byte_len: Long,
 case class MMFrame(doc_id: Long, frame_idx: Int, frame_off: Long,
     frame_len: Long, frame_bytes: Array[Byte])
 
+/** A raw media asset: just an id and opaque container bytes. */
+case class MMAsset(doc_id: Long, content: Array[Byte])
+
+/** Header-decoded asset facts. All decode fields are NULL when the
+  * container bytes are malformed (bad magic, truncated header,
+  * invalid field values) — a real pipeline routes those rows to a
+  * quarantine sink instead of crashing the batch.
+  */
+case class MMDecoded(doc_id: Long, format: Option[String],
+    width: Option[Int], height: Option[Int], channels: Option[Int],
+    byte_len: Long)
+
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * columns with typed metadata, decoded/feature-extracted in batched
   * per-partition passes.
@@ -120,4 +132,198 @@ object Multimodal {
         col("doc_id"))
       .groupBy(col("content_md5"), col("byte_len"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+
+  // ------------------------------------------------------- real decode
+
+  private val PngMagic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a,
+    0x0a).map(_.toByte)
+
+  /** PNG color type → sample channels (PNG spec §11.2.2):
+    * 0 greyscale, 2 truecolor, 3 indexed (1 palette sample),
+    * 4 grey+alpha, 6 truecolor+alpha.
+    */
+  private def pngChannels(colorType: Int): Option[Int] = colorType match {
+    case 0 => Some(1); case 2 => Some(3); case 3 => Some(1)
+    case 4 => Some(2); case 6 => Some(4); case _ => None
+  }
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  /** Strict byte-level container-header decode. Recognizes:
+    *
+    *  - PNG: 8-byte magic, then the IHDR chunk (must be first per the
+    *    spec): 4-byte length (must be 13), "IHDR", width/height as
+    *    big-endian u32, bit depth, color type. CRC is not verified
+    *    (header-only decode; a pixel decoder would).
+    *  - JPEG/JFIF: SOI marker, then a marker scan that skips variable
+    *    segments by their big-endian length (and standalone markers
+    *    RST/TEM) until a SOF frame header (C0-C3, C5-C7, C9-CB, CD-CF)
+    *    yields height, width, component count. Stops at SOS/EOI.
+    *  - GIF: "GIF87a"/"GIF89a", then logical-screen width/height as
+    *    little-endian u16; palette-indexed RGB → 3 channels.
+    *
+    * Anything else — wrong magic, truncated header, non-positive
+    * dimensions, invalid PNG color type / bit depth — is `None`.
+    * Pure function of the bytes; safe to call per row inside a
+    * partition pass.
+    */
+  def decodeHeader(b: Array[Byte]): Option[(String, Int, Int, Int)] = {
+    if (b.length >= 33 && PngMagic.indices.forall(i => b(i) == PngMagic(i))) {
+      val ihdrLen = be32(b, 8)
+      val isIhdr = b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'
+      if (ihdrLen != 13 || !isIhdr) return None
+      val w = be32(b, 16); val h = be32(b, 20)
+      val bitDepth = b(24) & 0xff; val colorType = b(25) & 0xff
+      val depthOk = bitDepth == 1 || bitDepth == 2 || bitDepth == 4 ||
+        bitDepth == 8 || bitDepth == 16
+      if (w <= 0 || h <= 0 || !depthOk) return None
+      pngChannels(colorType).map(c => ("png", w, h, c))
+    } else if (b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 3 < b.length) {
+        if ((b(i) & 0xff) != 0xff) return None
+        var j = i
+        while (j + 1 < b.length && (b(j + 1) & 0xff) == 0xff) j += 1 // fill bytes
+        val marker = b(j + 1) & 0xff
+        if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+          i = j + 2 // standalone marker, no length field
+        } else if (marker == 0xd9 || marker == 0xda) {
+          return None // EOI / start-of-scan before any SOF header
+        } else {
+          if (j + 3 >= b.length) return None
+          val segLen = be16(b, j + 2)
+          if (segLen < 2) return None
+          val isSof = (marker >= 0xc0 && marker <= 0xcf) &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) {
+            if (segLen < 8 || j + 9 >= b.length) return None
+            val h0 = be16(b, j + 5); val w0 = be16(b, j + 7)
+            val ncomp = b(j + 9) & 0xff
+            return if (w0 > 0 && h0 > 0 && ncomp > 0)
+              Some(("jpeg", w0, h0, ncomp)) else None
+          }
+          i = j + 2 + segLen
+        }
+      }
+      None
+    } else if (b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == '8' && (b(4) == '7' || b(4) == '9') && b(5) == 'a') {
+      val w = le16(b, 6); val h = le16(b, 8)
+      if (w > 0 && h > 0) Some(("gif", w, h, 3)) else None
+    } else None
+  }
+
+  /** Header-decode a corpus of raw assets: one partition pass, bytes
+    * dropped from the output schema so downstream never shuffles the
+    * payload. Malformed containers yield NULL decode fields, not a
+    * task failure — at 100 TB some fraction of a crawled corpus is
+    * always corrupt and must not poison the batch.
+    */
+  def decodeAssets(assets: Dataset[MMAsset]): Dataset[MMDecoded] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.map { a =>
+        decodeHeader(a.content) match {
+          case Some((fmt, w, h, c)) =>
+            MMDecoded(a.doc_id, Some(fmt), Some(w), Some(h), Some(c),
+              a.content.length.toLong)
+          case None =>
+            MMDecoded(a.doc_id, None, None, None, None, a.content.length.toLong)
+        }
+      }
+    }
+  }
+
+  // ---------------------------------------------- deterministic synth
+
+  private def crc32(bytes: Array[Byte], off: Int, len: Int): Int = {
+    val c = new java.util.zip.CRC32
+    c.update(bytes, off, len)
+    c.getValue.toInt
+  }
+
+  private def putBe32(b: Array[Byte], i: Int, v: Int): Unit = {
+    b(i) = (v >>> 24).toByte; b(i + 1) = (v >>> 16).toByte
+    b(i + 2) = (v >>> 8).toByte; b(i + 3) = v.toByte
+  }
+
+  /** PNG color types cycled by the synthesizer (greyscale, truecolor,
+    * grey+alpha, truecolor+alpha) and their channel counts.
+    */
+  private val SynthColorTypes = Array(0, 2, 4, 6)
+
+  private def synthPng(w: Int, h: Int, colorType: Int,
+      payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](33 + payload.length)
+    System.arraycopy(PngMagic, 0, out, 0, 8)
+    putBe32(out, 8, 13)
+    out(12) = 'I'; out(13) = 'H'; out(14) = 'D'; out(15) = 'R'
+    putBe32(out, 16, w); putBe32(out, 20, h)
+    out(24) = 8; out(25) = colorType.toByte
+    out(26) = 0; out(27) = 0; out(28) = 0 // compression, filter, interlace
+    putBe32(out, 29, crc32(out, 12, 17)) // CRC over type + data
+    System.arraycopy(payload, 0, out, 33, payload.length)
+    out
+  }
+
+  private def synthJpeg(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+    val head = Array[Int](
+      0xff, 0xd8, // SOI
+      0xff, 0xe0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1,
+      0, 0, // APP0/JFIF, length 16
+      0xff, 0xc0, 0x00, 0x11, 8, // SOF0, length 17, precision 8
+      (h >>> 8) & 0xff, h & 0xff, (w >>> 8) & 0xff, w & 0xff,
+      3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0 // 3 components
+    ).map(_.toByte)
+    head ++ payload
+  }
+
+  private def synthGif(w: Int, h: Int, payload: Array[Byte]): Array[Byte] = {
+    val head = new Array[Byte](13)
+    head(0) = 'G'; head(1) = 'I'; head(2) = 'F'
+    head(3) = '8'; head(4) = '9'; head(5) = 'a'
+    head(6) = (w & 0xff).toByte; head(7) = ((w >>> 8) & 0xff).toByte
+    head(8) = (h & 0xff).toByte; head(9) = ((h >>> 8) & 0xff).toByte
+    head(10) = 0xf7.toByte; head(11) = 0; head(12) = 0 // GCT flags, bg, aspect
+    head ++ payload
+  }
+
+  /** Deterministic container synth for the testdata (which ships no
+    * real media): `doc_id % 4` picks PNG / JPEG / GIF / malformed,
+    * with width `n_chars % 640 + 1`, height `n_chars % 480 + 1`, the
+    * PNG color type cycled through [[SynthColorTypes]] by
+    * `(doc_id / 4) % 4`, and the UTF-8 text as trailing payload. The
+    * malformed branch alternates between a no-magic blob
+    * (`0x00` + text) and a PNG truncated after 12 bytes — so the
+    * corrupt-input path of [[decodeAssets]] is exercised by the real
+    * query, not just specs. Every field of the decode output is a
+    * closed-form function of `(doc_id, n_chars, text)`, which is what
+    * lets DuckDB replay it as a full value oracle.
+    */
+  def asMediaAssets(docs: DataFrame): Dataset[MMAsset] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("n_chars").cast("int"), col("text"))
+      .as[(Long, Int, String)]
+      .map { case (id, nChars, text) =>
+        val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val w = nChars % 640 + 1; val h = nChars % 480 + 1
+        val content = (id % 4) match {
+          case 0 => synthPng(w, h, SynthColorTypes(((id / 4) % 4).toInt), payload)
+          case 1 => synthJpeg(w, h, payload)
+          case 2 => synthGif(w, h, payload)
+          case _ =>
+            if ((id / 4) % 2 == 0) Array(0.toByte) ++ payload
+            else PngMagic ++ Array[Byte](0, 0, 0, 13) // truncated mid-IHDR
+        }
+        MMAsset(id, content)
+      }
+  }
 }
