@@ -461,6 +461,15 @@ object SparkEntry {
       Dedup.embeddingNearDups(t(s, dir, "embeddings")), "probe_id", "cand_id")
       .orderBy(col("node"))
 
+  /** The all-corpus near-dup pair graph (no probe subset): LSH-bucket
+    * candidate generation + exact-cosine verify. Full value oracle —
+    * the seeded hyperplane weights are embedded into the SQL, so
+    * DuckDB replays buckets, candidates, and cosines exactly.
+    */
+  private def qDedupEmbeddingAll(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupsAll(t(s, dir, "embeddings"))
+      .orderBy(col("a_id"), col("b_id"))
+
   private def qKnnBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(t(s, dir, "embeddings"), col("vec_id") < 8)
       .withColumn("rnk", col("rnk").cast("bigint"))
@@ -478,6 +487,10 @@ object SparkEntry {
 
   private def qKnnRecall(s: SparkSession, dir: String): DataFrame =
     Similarity.recallAtK(t(s, dir, "embeddings"), col("vec_id") < 8)
+      .orderBy(col("probe_id"))
+
+  private def qKnnLshRecall(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshRecallAtK(t(s, dir, "embeddings"), col("vec_id") < 8)
       .orderBy(col("probe_id"))
 
   private def qCentroids(s: SparkSession, dir: String): DataFrame = {
@@ -697,11 +710,13 @@ object SparkEntry {
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_ngram" -> (qDedupNgram _),
     "dedup_embedding" -> (qDedupEmbedding _),
+    "dedup_embedding_all" -> (qDedupEmbeddingAll _),
     "dedup_clusters" -> (qDedupClusters _),
     "knn_bruteforce" -> (qKnnBrute _),
     "knn_lsh" -> (qKnnLsh _),
     "knn_ivf" -> (qKnnIvf _),
     "knn_recall" -> (qKnnRecall _),
+    "knn_lsh_recall" -> (qKnnLshRecall _),
     "knn_centroids" -> (qCentroids _),
     "q_corr_stats" -> (qCorrStats _),
     "text_tokens" -> (qTextTokens _),
@@ -747,6 +762,44 @@ object SparkEntry {
       |  FROM cells JOIN embeddings e ON e.label = cells.cell
       |       JOIN embeddings pp ON pp.vec_id = cells.probe_id
       |  WHERE e.vec_id <> cells.probe_id)""".stripMargin
+
+  // Full LSH replay: the hyperplane weight matrix is deterministic
+  // (seeded hash, VectorFunctions.planeWeights), so it is EMBEDDED
+  // into the oracle as ±1 literals generated from the same Scala
+  // function — DuckDB then re-derives the per-table signatures, the
+  // bucket-join candidate set, and the exact-cosine re-rank. Sign
+  // boundary safety: the smallest |projection| observed in the
+  // testdata is ~1e-6 while cross-engine double-summation divergence
+  // is ~1e-12, so the sig bits are stable across engines.
+  private def lshSigCtes(numTables: Int, bitsPerTable: Int): String = {
+    val weights =
+      graft.functions.VectorFunctions.planeWeights(numTables * bitsPerTable, 64)
+    val rows = weights.zipWithIndex.map { case (wv, p) =>
+      val lits = wv.map(v => if (v > 0f) "1" else "-1").mkString(",")
+      s"(${p / bitsPerTable}, ${p % bitsPerTable}, [$lits]::DOUBLE[])"
+    }.mkString(",\n  ")
+    s"""w(table_id, bit, wv) AS (VALUES
+       |  $rows),
+       | sigs AS (
+       |  SELECT e.vec_id, w.table_id,
+       |   sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], w.wv) >= 0
+       |     THEN (1 << w.bit) ELSE 0 END)::INT AS sig
+       |  FROM embeddings e, w WHERE e.embedding IS NOT NULL
+       |  GROUP BY e.vec_id, w.table_id)""".stripMargin
+  }
+
+  private def knnLshCtes: String = {
+    s"""${lshSigCtes(4, 4)},
+       | lcand AS (
+       |  SELECT DISTINCT s.vec_id AS probe_id, c.vec_id AS cand_id
+       |  FROM sigs s JOIN sigs c ON s.table_id = c.table_id AND s.sig = c.sig
+       |  WHERE s.vec_id < 8 AND c.vec_id <> s.vec_id),
+       | lsc AS (
+       |  SELECT l.probe_id, l.cand_id,
+       |   round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cosine
+       |  FROM lcand l JOIN embeddings p ON p.vec_id = l.probe_id
+       |       JOIN embeddings c ON c.vec_id = l.cand_id)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "raw_ingest" ->
@@ -1527,6 +1580,23 @@ object SparkEntry {
         |WHERE c.vec_id <> p.vec_id
         | AND round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) >= 0.35
         |ORDER BY probe_id, cand_id""".stripMargin,
+    // all-corpus LSH near-dup pairs: the 8-table × 4-bit weight matrix
+    // is embedded as literals (same seeded generator as the operator),
+    // so the bucket candidate set and the threshold verify replay
+    // value-for-value.
+    "dedup_embedding_all" ->
+      (s"WITH ${lshSigCtes(8, 4)},\n" +
+        """ pr AS (
+          |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+          |  FROM sigs a JOIN sigs b ON a.table_id = b.table_id AND a.sig = b.sig
+          |  WHERE a.vec_id < b.vec_id),
+          | sc AS (
+          |  SELECT pr.a_id, pr.b_id,
+          |   round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cosine
+          |  FROM pr JOIN embeddings ea ON ea.vec_id = pr.a_id
+          |       JOIN embeddings eb ON eb.vec_id = pr.b_id)
+          |SELECT a_id, b_id, cosine FROM sc WHERE cosine >= 0.35
+          |ORDER BY a_id, b_id""".stripMargin),
     "dedup_clusters" ->
       """WITH RECURSIVE probe_pairs AS (
         |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id
@@ -1550,6 +1620,26 @@ object SparkEntry {
           |   FROM d WHERE cosine IS NOT NULL)
           |SELECT probe_id, cand_id, cosine, rnk FROM sc WHERE rnk <= 5
           |ORDER BY probe_id, rnk""".stripMargin),
+    "knn_lsh" ->
+      (s"WITH $knnLshCtes,\n" +
+        """ sc AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+          |   FROM lsc WHERE cosine IS NOT NULL)
+          |SELECT probe_id, cand_id, cosine, rnk FROM sc WHERE rnk <= 5
+          |ORDER BY probe_id, rnk""".stripMargin),
+    "knn_lsh_recall" ->
+      (s"WITH $knnBruteCtes,\n $knnLshCtes,\n" +
+        """ brute AS (SELECT probe_id, cand_id FROM (
+          |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+          |   FROM d WHERE cosine IS NOT NULL)
+          |  WHERE rnk <= 5),
+          | lsh AS (SELECT probe_id, cand_id FROM (
+          |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+          |   FROM lsc WHERE cosine IS NOT NULL) WHERE rnk <= 5)
+          |SELECT b.probe_id,
+          |  count(l.cand_id)::BIGINT AS n_hits,
+          |  round(count(l.cand_id)::DOUBLE / count(*), 4) AS recall_at_5
+          |FROM brute b LEFT JOIN lsh l USING (probe_id, cand_id)
+          |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin),
     "knn_ivf" ->
       (s"WITH $knnBruteCtes,\n $knnIvfCtes,\n" +
         """ sc AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk

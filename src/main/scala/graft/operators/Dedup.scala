@@ -301,4 +301,54 @@ object Dedup {
           / (col("probe_nrm") * col("cand_nrm")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** ALL-corpus embedding near-dup pairs — the query a training
+    * pipeline actually runs (no probe subset), without all-pairs:
+    * candidates come from shared random-hyperplane buckets
+    * (`numTables` tables × `bitsPerTable` sign bits, same construction
+    * and seeded weights as [[Similarity.lshTopK]]), then only
+    * candidates pay an exact cosine.
+    *
+    * Shuffle discipline: the bucket self-join moves (vec_id, table_id,
+    * sig) rows — 16 bytes each, never the 64-float embedding; vectors
+    * re-join by id only for the candidate-pair verify. Candidate
+    * volume ≈ numTables × N² / 2^bits — size `bitsPerTable` ≈
+    * log2(N / targetBucketSize) so buckets stay bounded as the corpus
+    * grows (at a high near-dup threshold like 0.9 the per-bit
+    * collision probability ≈ 0.86, so recall survives 8-16 bits; the
+    * testdata's diffuse geometry at threshold 0.35 wants few bits and
+    * more tables). Emits each unordered pair once (`a_id < b_id`),
+    * ready for [[connectedComponents]].
+    */
+  def embeddingNearDupsAll(emb: DataFrame, threshold: Double = 0.35,
+      numTables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val weights = VF.planeWeights(numTables * bitsPerTable,
+      Similarity.embeddingDim(emb))
+    val perTable = (0 until numTables).map { tbl =>
+      val w = weights.slice(tbl * bitsPerTable, (tbl + 1) * bitsPerTable)
+      struct(lit(tbl).as("table_id"), VF.hyperplaneSig(col("embedding"), w).as("sig"))
+    }
+    val sigs = emb
+      .select(col("vec_id"), explode(array(perTable: _*)).as("bucket"))
+      .select(col("vec_id"), col("bucket.table_id").as("table_id"),
+        col("bucket.sig").as("sig"))
+    val pairs = sigs.select(col("vec_id").as("a_id"), col("table_id"), col("sig"))
+      .join(sigs.select(col("vec_id").as("b_id"), col("table_id"), col("sig")),
+        Seq("table_id", "sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    val scored = emb.select(col("vec_id"), col("embedding"),
+      VF.normNative(col("embedding")).as("nrm"))
+    pairs
+      .join(scored.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("nrm").as("a_nrm")), Seq("a_id"))
+      .join(scored.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("nrm").as("b_nrm")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(VF.dotNative(col("a_emb"), col("b_emb"))
+          / (col("a_nrm") * col("b_nrm")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
 }

@@ -170,16 +170,36 @@ object Similarity {
     * column is named for the requested k (`recall_at_5` by default).
     */
   def recallAtK(emb: DataFrame, probeFilter: org.apache.spark.sql.Column,
-      k: Int = 5, nprobe: Int = 2): DataFrame = {
-    val brute = bruteForceTopK(emb, probeFilter, k)
-      .select(col("probe_id"), col("cand_id"))
-    val approx = ivfTopK(emb, probeFilter, k, nprobe)
-      .select(col("probe_id"), col("cand_id"), lit(1).as("hit"))
-    brute.join(approx, Seq("probe_id", "cand_id"), "left")
+      k: Int = 5, nprobe: Int = 2): DataFrame =
+    recallOf(
+      bruteForceTopK(emb, probeFilter, k),
+      ivfTopK(emb, probeFilter, k, nprobe), k)
+
+  /** Recall@k of the LSH index against brute-force ground truth — the
+    * tuning loop for `numTables`/`bitsPerTable` (the knobs a user must
+    * set before pointing the LSH path at a 100 TB corpus). Despite the
+    * hashing, the whole evaluation is value-deterministic: the plane
+    * weights derive from a seeded hash, so an oracle can replay the
+    * signatures, the buckets, and therefore the exact recall.
+    */
+  def lshRecallAtK(emb: DataFrame, probeFilter: org.apache.spark.sql.Column,
+      k: Int = 5, numTables: Int = 4, bitsPerTable: Int = 4): DataFrame =
+    recallOf(
+      bruteForceTopK(emb, probeFilter, k),
+      lshTopK(emb, probeFilter, k, numTables, bitsPerTable), k)
+
+  /** Shared recall evaluation: |approx ∩ truth| / |truth| per probe.
+    * The join is top-k × top-k per probe (tiny); the heavy lifting is
+    * inside the two index scans feeding it.
+    */
+  private def recallOf(brute: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    brute.select(col("probe_id"), col("cand_id"))
+      .join(
+        approx.select(col("probe_id"), col("cand_id"), lit(1).as("hit")),
+        Seq("probe_id", "cand_id"), "left")
       .groupBy(col("probe_id"))
       .agg(
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"),
         round(sum(coalesce(col("hit"), lit(0))).cast("double") /
           count(lit(1)), 4).as(s"recall_at_$k"))
-  }
 }

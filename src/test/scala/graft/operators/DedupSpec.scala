@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpecBase
+import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpecBase {
@@ -91,5 +92,41 @@ class DedupSpec extends SparkSpecBase {
     val out = Dedup.embeddingNearDups(emb, probeMod = 1, threshold = 0.9)
       .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
     assert(out == Set((0L, 1L), (1L, 0L)))
+  }
+
+  test("all-corpus near-dup pairs: sound, unordered-once, recall above floor") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val got = Dedup.embeddingNearDupsAll(emb)
+      .select("a_id", "b_id", "cosine").as[(Long, Long, Double)].collect()
+    // soundness: every emitted pair really is over the threshold, and
+    // each unordered pair appears exactly once with a_id < b_id
+    assert(got.forall { case (a, b, c) => a < b && c >= 0.35 })
+    assert(got.map(p => (p._1, p._2)).distinct.length == got.length)
+    // recall vs the exact threshold-pair set (brute force over the
+    // small spec corpus only)
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect()
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        d += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble
+        ny += y(i).toDouble * y(i).toDouble
+        i += 1
+      }
+      math.round(d / (math.sqrt(nx) * math.sqrt(ny)) * 1e4) / 1e4
+    }
+    val truth = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs
+      if ia < ib && cos(va, vb) >= 0.35
+    } yield (ia, ib)).toSet
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    assert(gotPairs.subsetOf(truth)) // exact verify: no false positives
+    val recall = gotPairs.size.toDouble / truth.size
+    assert(recall >= 0.5, s"LSH pair recall $recall below floor (${gotPairs.size}/${truth.size})")
+    // composition: the pair graph feeds connectedComponents directly
+    val comp = Dedup.connectedComponents(
+      Dedup.embeddingNearDupsAll(emb), "a_id", "b_id")
+    assert(comp.count() > 0)
   }
 }

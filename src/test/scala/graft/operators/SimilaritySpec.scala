@@ -63,6 +63,28 @@ class SimilaritySpec extends SparkSpecBase {
     assert(out.forall { case (_, h, r) => h == 5L && r == 1.0 })
   }
 
+  test("LSH recall@k: bounded, consistent with lshTopK, above the tuning floor") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val out = Similarity.lshRecallAtK(emb, col("vec_id") < 8)
+      .select("probe_id", "n_hits", "recall_at_5")
+      .as[(Long, Long, Double)].collect()
+    assert(out.length == 8)
+    assert(out.forall { case (_, h, r) => h >= 0 && h <= 5 && r >= 0.0 && r <= 1.0 })
+    // replay: n_hits equals |lshTopK ∩ bruteForceTopK| per probe
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 8)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, col("vec_id") < 8)
+      .select("probe_id", "cand_id").as[(Long, Long)].collect().toSet
+    val wantHits = brute.groupBy(_._1).map { case (p, g) =>
+      p -> g.count(lsh.contains).toLong }
+    out.foreach { case (p, h, _) => assert(h == wantHits(p)) }
+    // the default table/bit settings must actually retrieve: mean
+    // recall over the probes stays above a tuning floor, so a user
+    // following the documented defaults is not flying blind
+    val mean = out.map(_._3).sum / out.length
+    assert(mean >= 0.4, s"mean LSH recall@5 $mean below floor")
+  }
+
   test("recall@k divides by the probe's actual ground-truth size") {
     val emb = Tables.embeddings(spark, sfDir)
     val bruteCounts = Similarity.bruteForceTopK(emb, col("vec_id") < 8)
