@@ -418,18 +418,25 @@ object SparkEntry {
   private def qIntervalCounts(s: SparkSession, dir: String): DataFrame =
     RangeJoin.nearbyCounts(t(s, dir, "events")).orderBy(col("probe_id"))
 
+  /** Five-rule audit as TWO scans of events (one folded conditional
+    * aggregate for the scan rules + the keyed uniqueness agg) plus the
+    * per-table refIntegrity anti-join and part range agg — not one job
+    * per rule.
+    */
   private def qQualityChecks(s: SparkSession, dir: String): DataFrame = {
     val events = t(s, dir, "events")
     val lineitem = t(s, dir, "lineitem")
     val orders = t(s, dir, "orders")
     val part = t(s, dir, "part")
     Quality.report(Seq(
-      Quality.notNull(events, "event_id", "events_event_id_not_null"),
-      Quality.unique(events, "event_id", "events_event_id_unique"),
-      Quality.inRange(events, "value", 0.0, 1000000.0, "events_value_range"),
+      Quality.audit(events, Seq(
+        Quality.NotNull("event_id", "events_event_id_not_null"),
+        Quality.Unique("event_id", "events_event_id_unique"),
+        Quality.InRange("value", 0.0, 1000000.0, "events_value_range"))),
       Quality.refIntegrity(lineitem, "l_orderkey", orders, "o_orderkey",
         "lineitem_orderkey_ref"),
-      Quality.inRange(part, "p_retailprice", 0.01, 1000000.0, "part_price_range")))
+      Quality.audit(part, Seq(
+        Quality.InRange("p_retailprice", 0.01, 1000000.0, "part_price_range")))))
       .orderBy(col("rule"))
   }
 

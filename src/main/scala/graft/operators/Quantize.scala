@@ -36,7 +36,7 @@ object Quantize {
     * centroid rule); emitted summaries round to 4dp.
     */
   def normalizeAudit(emb: DataFrame, vecCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id", labelCol: String = "label"): DataFrame = {
     import graft.functions.VectorFunctions
     val means = emb
       .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
@@ -49,7 +49,7 @@ object Quantize {
         zip_with(col(vecCol), col("ms"),
           (x, m) => x.cast("double") - m.getField("mu")))
       .select(
-        col(idCol), col("label"),
+        col(idCol), col(labelCol),
         size(col(vecCol)).cast("bigint").as("n_dims"),
         round(VectorFunctions.norm(col(vecCol)), 4).as("norm_before"),
         round(VectorFunctions.norm(col("c")), 4).as("norm_centered"),

@@ -718,27 +718,37 @@ object Relational {
     * (first `steps` events of each user-day, in time order) — the
     * "what do users actually do" path-analysis staple.
     *
-    * Scale shape: one shuffle on the (user, day) journey key; the
-    * per-journey sort happens INSIDE the aggregated array (struct
-    * `sort_array`, ordered by the (ts, event_id) total order — never a
-    * global or window sort), and journeys are truncated to `steps`
-    * before the path string exists, bounding memory per group at the
-    * aggregation buffer. The top-N cut is a TakeOrdered on the tiny
-    * path-count frame.
+    * Scale shape: journeys are truncated to `steps` BEFORE any
+    * aggregation buffer exists — a per-(user, day) `row_number` over
+    * the (ts, event_id) total order feeds a spillable external sort,
+    * so per-group memory is bounded by `steps`, not by the heaviest
+    * user-day (a bot with a million events would otherwise own the
+    * whole collect_list buffer). The grouping then reuses the
+    * window's (user, day) partitioning — still one journey-key
+    * shuffle — and the in-array `sort_array` orders at most `steps`
+    * structs. The top-N cut is a TakeOrdered on the tiny path-count
+    * frame.
     */
   def topEventPaths(events: DataFrame, steps: Int = 5,
-      topN: Int = 20): DataFrame =
+      topN: Int = 20): DataFrame = {
+    val journeyW = Window
+      .partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts"), col("event_id"))
     events
-      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .withColumn("day", col("ts").cast("date"))
+      .withColumn("rn", row_number().over(journeyW))
+      .filter(col("rn") <= steps)
+      .groupBy(col("user_id"), col("day"))
       .agg(sort_array(collect_list(
         struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
       .select(concat_ws(">",
-        transform(slice(col("evs"), 1, steps), e => e.getField("event_type")))
+        transform(col("evs"), e => e.getField("event_type")))
         .as("path"))
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n_journeys"))
       .orderBy(col("n_journeys").desc, col("path"))
       .limit(topN)
+  }
 
   /** RFM segmentation — recency / frequency / monetary quartile scores
     * per purchasing user, the marketing-analytics segmentation staple.

@@ -100,7 +100,11 @@ private[graft] object HeapPass {
       } else {
         val worst = h.head
         val t = tie.peek(r, ti)
-        if (o > worst._1 || (o == worst._1 && tie.lt(t, worst._2))) {
+        // Double.compare, not primitive > / ==, so the replace test
+        // agrees with the heap ordering on NaN and -0.0 (a primitive
+        // compare would make a NaN unevictable yet never replaceable)
+        val cmp = java.lang.Double.compare(o, worst._1)
+        if (cmp > 0 || (cmp == 0 && tie.lt(t, worst._2))) {
           h.dequeue()
           val rc = r.copy()
           h.enqueue((o, tie.peek(rc, ti), rc))
@@ -167,7 +171,11 @@ object TopKStrategy extends SparkStrategy {
       require(gi >= 0 && oi >= 0 && tiI >= 0, "top-k columns not in child output")
       val tieKind: TieKind = ti.dataType match {
         case org.apache.spark.sql.types.StringType => StringTie
-        case _ => LongTie
+        case org.apache.spark.sql.types.LongType => LongTie
+        // a catch-all LongTie would silently reinterpret e.g. INT
+        // bits through getLong — fail loudly instead
+        case other => throw new IllegalArgumentException(
+          s"top-k tie column must be LONG or STRING, got $other")
       }
       val partial = TopKPartialExec(gi, oi, tiI, k, tieKind, planLater(child))
       TopKFinalExec(g, gi, oi, tiI, k, tieKind, t.rnkAttr, partial) :: Nil

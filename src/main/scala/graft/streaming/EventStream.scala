@@ -52,7 +52,9 @@ object EventStream {
       .observe("ingest_quality",
         count(lit(1)).as("n_seen"),
         count(when(!valid, 1)).as("n_dropped"),
-        sum(when(valid, 1).otherwise(0)).as("n_kept"))
+        // count, not sum: an empty micro-batch must observe 0 for all
+        // three gate metrics (sum over zero rows is NULL)
+        count(when(valid, 1)).as("n_kept"))
       .filter(valid)
   }
 

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Relational, Views}
+import graft.operators.{Quality, Relational, Views}
 import graft.sources.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
@@ -114,6 +114,19 @@ class PlanAuditSpec extends SparkSpecBase {
     val finalSection = p.split("== Initial Plan ==").head
     val scans = finalSection.linesIterator.count(_.contains("Scan parquet"))
     assert(scans == 1, p)
+  }
+
+  test("quality audit reads the table at most twice: scan-rule fold + unique agg") {
+    val events = Tables.events(spark, sfDir)
+    val df = Quality.audit(events, Seq(
+      Quality.NotNull("event_id", "id_not_null"),
+      Quality.Unique("event_id", "id_unique"),
+      Quality.InRange("value", 0.0, 1000000.0, "value_range")))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    val scans = finalSection.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2, p)
   }
 
   test("co-purchase self-join reuses the deduped basket exchange") {
