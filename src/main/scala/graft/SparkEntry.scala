@@ -208,6 +208,15 @@ object SparkEntry {
     CorpusStats.packManifest(t(s, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  /** Packing manifest denominated in REAL BPE tokens (the unit a
+    * training pipeline packs by), not whitespace words — same
+    * two-level prefix-sum plan, different token counter.
+    */
+  private def qPackBpe(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.packManifest(t(s, dir, "documents"),
+      tokenCount = TF.bpeTokenCount)
+      .orderBy(col("doc_id"))
+
   private def qMixtureSample(s: SparkSession, dir: String): DataFrame =
     CorpusStats.mixtureSample(t(s, dir, "documents"))
       .orderBy(col("doc_id"))
@@ -529,6 +538,20 @@ object SparkEntry {
       TF.subTokenCount(col("text")).as("sub_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Whitespace vs real-BPE token counts under the frozen
+    * [[graft.functions.BpeTokenizer]] merge table. Full value oracle:
+    * the merge list is embedded into the SQL and replayed by a
+    * recursive CTE (leftmost-first-occurrence replacement ≡ the
+    * encoder's left-to-right merge pass), per distinct word, then
+    * joined back over word occurrences.
+    */
+  private def qTextTokensBpe(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      TF.wsTokenCount(col("text")).as("ws_tokens"),
+      TF.bpeTokenCount(col("text")).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
   private def qTextQuality(s: SparkSession, dir: String): DataFrame = {
     val c = col("text")
     val nChars = length(c).cast("bigint")
@@ -694,6 +717,7 @@ object SparkEntry {
     "q_event_paths" -> (qEventPaths _),
     "text_mixture" -> (qMixture _),
     "text_pack" -> (qPack _),
+    "text_pack_bpe" -> (qPackBpe _),
     "text_mixture_sample" -> (qMixtureSample _),
     "q_copurchase" -> (qCoPurchase _),
     "mm_dedup" -> (qMmDedup _),
@@ -727,6 +751,7 @@ object SparkEntry {
     "knn_centroids" -> (qCentroids _),
     "q_corr_stats" -> (qCorrStats _),
     "text_tokens" -> (qTextTokens _),
+    "text_tokens_bpe" -> (qTextTokensBpe _),
     "text_quality" -> (qTextQuality _),
     "text_langid" -> (qTextLangid _),
     "text_chunk" -> (qTextChunk _),
@@ -806,6 +831,40 @@ object SparkEntry {
        |   round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cosine
        |  FROM lcand l JOIN embeddings p ON p.vec_id = l.probe_id
        |       JOIN embeddings c ON c.vec_id = l.cand_id)""".stripMargin
+  }
+
+  // BPE replay: the frozen merge table is embedded as literals; a
+  // recursive CTE re-runs the encoder per DISTINCT word. State is the
+  // token list joined with '|' guards; replacing the LEFTMOST
+  // '|a|b|' occurrence (regexp_replace without 'g') until none remain
+  // is exactly the encoder's left-to-right pass for rank (a, b) — a
+  // merged token can never create a new (a, b) match to its left.
+  private def bpeCtes: String = {
+    val merges = graft.functions.BpeTokenizer.merges
+    val rows = merges.zipWithIndex.map { case ((a, b), r) =>
+      s"($r, '$a', '$b')"
+    }.mkString(",\n  ")
+    s"""m(rank, a, b) AS (VALUES
+       |  $rows),
+       | words AS (
+       |  SELECT DISTINCT w FROM (
+       |   SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |   FROM documents WHERE text IS NOT NULL) WHERE w <> ''),
+       | bpe(w, rank, s) AS (
+       |  SELECT w, 0, '|' || array_to_string(string_split(w, ''), '|') || '|'
+       |  FROM words
+       |  UNION ALL
+       |  SELECT w,
+       |   CASE WHEN instr(s, '|' || a || '|' || b || '|') > 0 THEN bpe.rank
+       |        ELSE bpe.rank + 1 END,
+       |   CASE WHEN instr(s, '|' || a || '|' || b || '|') > 0
+       |        THEN regexp_replace(s, '\\|' || a || '\\|' || b || '\\|',
+       |               '|' || a || b || '|')
+       |        ELSE s END
+       |  FROM bpe JOIN m ON m.rank = bpe.rank),
+       | wtok AS (
+       |  SELECT w, length(s) - length(replace(s, '|', '')) - 1 AS n_tok
+       |  FROM bpe WHERE rank = ${merges.size})""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1428,6 +1487,27 @@ object SparkEntry {
         | (pack_start // 256)::BIGINT AS first_chunk,
         | ((pack_start + n_tokens - 1) // 256)::BIGINT AS last_chunk
         |FROM cum ORDER BY doc_id""".stripMargin,
+    // same prefix-sum manifest, but sized by the replayed BPE counts
+    "text_pack_bpe" ->
+      (s"WITH RECURSIVE $bpeCtes,\n" +
+        """ docw AS (
+          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+          |  FROM documents WHERE text IS NOT NULL),
+          | sized AS (
+          |  SELECT d.doc_id,
+          |   coalesce((SELECT sum(t.n_tok) FROM docw
+          |     JOIN wtok t USING (w)
+          |     WHERE docw.doc_id = d.doc_id AND docw.w <> ''), 0)::BIGINT AS n_tokens
+          |  FROM documents d WHERE d.text IS NOT NULL),
+          | cum AS (
+          |  SELECT doc_id, n_tokens,
+          |   coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pack_start
+          |  FROM sized)
+          |SELECT doc_id, n_tokens, pack_start,
+          | (pack_start // 256)::BIGINT AS first_chunk,
+          | ((pack_start + n_tokens - 1) // 256)::BIGINT AS last_chunk
+          |FROM cum ORDER BY doc_id""".stripMargin),
     "text_mixture_sample" ->
       """WITH slices AS (
         |  SELECT lang, source,
@@ -1685,6 +1765,19 @@ object SparkEntry {
         | len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
         | len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS sub_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tokens_bpe" ->
+      (s"WITH RECURSIVE $bpeCtes,\n" +
+        """ docw AS (
+          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+          |  FROM documents WHERE text IS NOT NULL)
+          |SELECT d.doc_id,
+          | len(string_split_regex(trim(d.text), '\s+'))::BIGINT AS ws_tokens,
+          | CASE WHEN d.text IS NULL THEN NULL
+          |   ELSE coalesce((SELECT sum(t.n_tok) FROM docw
+          |     JOIN wtok t USING (w)
+          |     WHERE docw.doc_id = d.doc_id AND docw.w <> ''), 0) END::BIGINT
+          |  AS bpe_tokens
+          |FROM documents d ORDER BY doc_id""".stripMargin),
     "text_langid" ->
       """WITH s AS (SELECT doc_id, lang AS labeled_lang,
         |  len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x IN ('der','die','das','und','ist','von','mit','auf','zu','ein'))) AS s_de,

@@ -33,6 +33,16 @@ object TextFunctions {
   def subTokenCount(c: Column): Column =
     regexp_count(c, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).cast("bigint")
 
+  /** Real BPE token count under the frozen [[BpeTokenizer]] merge
+    * table (codegen'd [[graft.plans.BpeCountExpr]]) — the
+    * subword-denominated count packing manifests and mixture shares
+    * actually mean.
+    */
+  def bpeTokenCount(c: Column): Column =
+    org.apache.spark.sql.GraftInternal.columnOf(
+      graft.plans.BpeCountExpr(
+        org.apache.spark.sql.GraftInternal.expressionOf(c)))
+
   /** Word n-gram shingles ("a b c" word windows), for MinHash/Jaccard. */
   def wordShingles(c: Column, n: Int): Column = {
     val w = words(c)

@@ -290,10 +290,11 @@ object CorpusStats {
     */
   def packManifest(docs: DataFrame, capacity: Int = 256,
       bucketWidth: Long = 1L << 20, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
+      idCol: String = "doc_id",
+      tokenCount: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        graft.functions.TextFunctions.wsTokenCount): DataFrame = {
     val sized = docs
-      .select(col(idCol),
-        graft.functions.TextFunctions.wsTokenCount(col(textCol)).as("n_tokens"))
+      .select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))
       .filter(col("n_tokens").isNotNull)
       .withColumn("bucket", floor(col(idCol) / bucketWidth))
     // explicit ROWS frame: the default RANGE frame would double-count

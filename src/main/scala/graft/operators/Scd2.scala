@@ -35,7 +35,16 @@ import org.apache.spark.sql.types.DateType
   *     plus new versions of changed keys (delta-sized both sides).
   * Non-current rows pass through untouched. With `broadcastDelta =
   * false` (a backfill-sized delta) the same three joins run as
-  * shuffled hash joins on the natural key.
+  * shuffled hash joins on the natural key; the current slice then
+  * shuffles once per join it feeds (twice total), never more, and the
+  * closed majority of the history still bypasses every exchange.
+  *
+  * Key skew cannot amplify these joins: BOTH join inputs are key-unique
+  * by invariant — the current slice holds exactly one open row per
+  * natural key and the delta's key uniqueness is enforced in-plan
+  * ([[MergeInto.requireUniqueKeys]]) — so every probe matches at most
+  * one build row and no hot key fans out. The only place versions
+  * accumulate is the non-current slice, which never joins at all.
   *
   * All key and tracked-column comparisons are null-safe (`<=>`): a
   * NULL attribute value is a real value — NULL → 'x' closes a row,

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Quality, Relational, Views}
+import graft.operators.{Quality, Relational, Scd2, Views}
 import graft.sources.Tables
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.ExplainMode
@@ -114,6 +114,47 @@ class PlanAuditSpec extends SparkSpecBase {
     val finalSection = p.split("== Initial Plan ==").head
     val scans = finalSection.linesIterator.count(_.contains("Scan parquet"))
     assert(scans == 1, p)
+  }
+
+  test("SCD2 large-delta path: hash joins on the key, no broadcast, no nested loop") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val history = Scd2.init(
+      Tables.part(spark, sfDir).select(col("p_partkey").as("k"),
+        col("p_name").as("name"),
+        col("p_retailprice").cast("double").as("price")),
+      Seq("k"), lit("2024-01-01"))
+    val delta = Tables.part(spark, sfDir)
+      .select(col("p_partkey").as("k"), col("p_name").as("name"),
+        (col("p_retailprice").cast("double") * 1.1).as("price"))
+    // simulate a genuinely backfill-sized delta: with the broadcast
+    // thresholds off, neither the static planner nor AQE's runtime
+    // re-plan may fall back to broadcasting — on real data this is the
+    // regime where the delta exceeds the driver/executor broadcast
+    // budget (at spec scale AQE would otherwise happily broadcast the
+    // 2000-row frame and mask a planning regression)
+    val conf = spark.conf
+    val prev = (conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val df = Scd2.merge(history, delta, Seq("k"), Seq("name", "price"),
+        lit("2024-02-01"), broadcastDelta = false)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val finalSection = p.split("== Initial Plan ==").head
+      // the key-unique 1:1 joins must run as shuffled hash/sort-merge
+      // joins on the natural key (a nested loop or cartesian here
+      // would be a planning regression)
+      assert(!finalSection.contains("BroadcastHashJoin"), p)
+      assert(!finalSection.contains("BroadcastNestedLoopJoin"), p)
+      assert(!finalSection.contains("CartesianProduct"), p)
+      assert(finalSection.contains("SortMergeJoin")
+        || finalSection.contains("ShuffledHashJoin"), p)
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev._1)
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev._2)
+    }
   }
 
   test("quality audit reads the table at most twice: scan-rule fold + unique agg") {

@@ -80,7 +80,13 @@ def main(sfdir, outdir):
     # exact Jaccard/cosine/Hamming from the raw data, so a wrong emitted
     # value (not just a wrong row count) fails the gate.
     n_prop_ok = n_prop_bad = 0
+    # per-query property verdicts, persisted next to the verify dump so
+    # the gate artifact records WHY a no_oracle query is trusted
+    # (props_ok/props_total + per-check detail) without a re-run
+    prop_report = {}
     for name, checks in sorted(PROPERTY_CHECKS.items()):
+        rep = {"props_ok": 0, "props_total": len(checks), "checks": []}
+        prop_report[name] = rep
         try:
             n = con.execute(
                 f"SELECT count(*) FROM read_parquet('{outdir}/{name}/*.parquet')").fetchone()[0]
@@ -90,12 +96,17 @@ def main(sfdir, outdir):
                 # an empty output — that's a failure, not a pass
                 print(f"PROP FAIL {name}: empty output")
                 n_prop_bad += len(checks)
+                rep["checks"] = [
+                    {"desc": d, "ok": False, "err": "empty output"}
+                    for d, _ in checks]
                 continue
             con.execute(
                 f"CREATE OR REPLACE VIEW o AS SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')")
         except Exception as e:
             print(f"rows {name}: ERROR {e}")
             n_prop_bad += len(checks)
+            rep["checks"] = [
+                {"desc": d, "ok": False, "err": str(e)} for d, _ in checks]
             continue
         for desc, sql in checks:
             try:
@@ -104,11 +115,20 @@ def main(sfdir, outdir):
                 if bad:
                     print(f"PROP FAIL {name}: {desc} — {bad}")
                     n_prop_bad += 1
+                    rep["checks"].append({"desc": desc, "ok": False, "err": str(bad)})
                 else:
                     n_prop_ok += 1
+                    rep["props_ok"] += 1
+                    rep["checks"].append({"desc": desc, "ok": True})
             except Exception as e:
                 print(f"PROP FAIL {name}: {desc} — {e}")
                 n_prop_bad += 1
+                rep["checks"].append({"desc": desc, "ok": False, "err": str(e)})
+    try:
+        with open(os.path.join(outdir, "property_report.json"), "w") as f:
+            json.dump(prop_report, f, indent=1, sort_keys=True)
+    except OSError as e:
+        print(f"WARN could not write property_report.json: {e}")
     print(f"props: {n_prop_ok} ok, {n_prop_bad} fail")
     print(f"\n{n_ok} ok, {n_bad} fail")
     if n_prop_bad or n_bad:
