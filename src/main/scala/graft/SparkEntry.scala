@@ -142,6 +142,16 @@ object SparkEntry {
       .orderBy(col("nation_key"), col("rnk"))
   }
 
+  /** PageRank over the co-purchase item graph, 5 power-iteration
+    * rounds. Full value oracle: the oracle unrolls the same 5 rounds
+    * as a CTE chain with identical double literals and per-round
+    * 10dp rounding, so ranks replay bit-exactly.
+    */
+  private def qPageRank(s: SparkSession, dir: String): DataFrame =
+    Graph.pageRank(Graph.coPurchaseEdges(t(s, dir, "lineitem")))
+      .orderBy(col("rank").desc, col("node"))
+      .limit(20)
+
   private def qMmDedup(s: SparkSession, dir: String): DataFrame =
     Multimodal.dedupAssets(Multimodal.asMedia(t(s, dir, "documents")))
       .orderBy(col("content_md5"))
@@ -509,6 +519,14 @@ object SparkEntry {
     Similarity.lshRecallAtK(t(s, dir, "embeddings"), col("vec_id") < 8)
       .orderBy(col("probe_id"))
 
+  /** Trained (Lloyd) k-means assignment after 3 rounds from the
+    * deterministic lowest-id seeds — full value oracle via an
+    * unrolled assign/means CTE chain.
+    */
+  private def qEmbKmeans(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansAssign(t(s, dir, "embeddings"))
+      .orderBy(col("vec_id"))
+
   private def qCentroids(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val centroid = udaf(
@@ -720,6 +738,7 @@ object SparkEntry {
     "text_pack_bpe" -> (qPackBpe _),
     "text_mixture_sample" -> (qMixtureSample _),
     "q_copurchase" -> (qCoPurchase _),
+    "q_pagerank" -> (qPageRank _),
     "mm_dedup" -> (qMmDedup _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
@@ -749,6 +768,7 @@ object SparkEntry {
     "knn_recall" -> (qKnnRecall _),
     "knn_lsh_recall" -> (qKnnLshRecall _),
     "knn_centroids" -> (qCentroids _),
+    "emb_kmeans" -> (qEmbKmeans _),
     "q_corr_stats" -> (qCorrStats _),
     "text_tokens" -> (qTextTokens _),
     "text_tokens_bpe" -> (qTextTokensBpe _),
@@ -865,6 +885,69 @@ object SparkEntry {
        | wtok AS (
        |  SELECT w, length(s) - length(replace(s, '|', '')) - 1 AS n_tok
        |  FROM bpe WHERE rank = ${merges.size})""".stripMargin
+  }
+
+  // PageRank replay: unrolled power-iteration chain, same double
+  // literals ((1 - 0.85), 0.85) and the same per-round 10dp rounding
+  // as Graph.pageRank — the only cross-engine divergence (summation
+  // order inside the per-node aggregate, ~1e-18) is absorbed by the
+  // rounding, so every round starts bit-identical.
+  private def pageRankCtes(iters: Int): String = {
+    val its = (1 to iters).map { i =>
+      s""" r$i AS (
+         |  SELECT nd.node,
+         |   round((1 - 0.85) / (SELECT n FROM nn)
+         |     + 0.85 * coalesce(s.acc, 0.0), 10) AS rank
+         |  FROM nodes nd LEFT JOIN (
+         |   SELECT e.dst AS node, sum(r.rank / deg.outdeg) AS acc
+         |   FROM e JOIN r${i - 1} r ON r.node = e.src
+         |        JOIN deg ON deg.src = e.src
+         |   GROUP BY e.dst) s ON s.node = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       | e AS (SELECT DISTINCT l.l_partkey AS src, r.l_partkey AS dst
+       |  FROM b l JOIN b r USING (l_orderkey)
+       |  WHERE l.l_partkey <> r.l_partkey),
+       | nodes AS (SELECT DISTINCT src AS node FROM e),
+       | nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+       | deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM e GROUP BY src),
+       | r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+       |$its""".stripMargin
+  }
+
+  // k-means replay: unrolled Lloyd rounds. Distances round to 4dp
+  // before the argmin, per-dim means to 6dp before the next round —
+  // identical to Similarity.kmeansAssign, so each round starts from
+  // bit-identical centroids in both engines. Empty clusters keep the
+  // previous centroid via the LEFT JOIN + coalesce.
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s""" a$i AS (
+         |  SELECT vec_id, cluster, d2 FROM (
+         |   SELECT p.vec_id, c.cluster,
+         |    round(p.xx - 2.0 * list_dot_product(p.x, c.cvec)
+         |      + list_dot_product(c.cvec, c.cvec), 4) AS d2,
+         |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+         |      round(p.xx - 2.0 * list_dot_product(p.x, c.cvec)
+         |        + list_dot_product(c.cvec, c.cvec), 4), c.cluster) AS rn
+         |   FROM pts p, c${i - 1} c) WHERE rn = 1),
+         | m$i AS (
+         |  SELECT a.cluster, u.i, round(sum(u.v) / count(*), 6) AS cv
+         |  FROM a$i a JOIN (SELECT vec_id, generate_subscripts(x, 1) AS i,
+         |    unnest(x) AS v FROM pts) u USING (vec_id)
+         |  GROUP BY a.cluster, u.i),
+         | c$i AS (
+         |  SELECT c.cluster, coalesce(m.mvec, c.cvec) AS cvec
+         |  FROM c${i - 1} c LEFT JOIN (SELECT cluster, list(cv ORDER BY i) AS mvec
+         |    FROM m$i GROUP BY cluster) m USING (cluster))""".stripMargin
+    }.mkString(",\n")
+    s"""pts AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS x,
+       |   list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS xx
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       | c0 AS (SELECT vec_id AS cluster, x AS cvec FROM pts
+       |  ORDER BY vec_id LIMIT $k),
+       |$rounds""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1299,6 +1382,10 @@ object SparkEntry {
         |SELECT part_a, part_b, count(*)::BIGINT AS n_orders
         |FROM pairs GROUP BY 1, 2
         |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin,
+    "q_pagerank" ->
+      (s"WITH ${pageRankCtes(5)}\n" +
+        """SELECT node, rank FROM r5
+          |ORDER BY rank DESC, node LIMIT 20""".stripMargin),
     "q_late_priority" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_late_orders
         |FROM orders o
@@ -1747,6 +1834,9 @@ object SparkEntry {
           |  round(count(i.cand_id)::DOUBLE / count(*), 4) AS recall_at_5
           |FROM brute b LEFT JOIN ivf i USING (probe_id, cand_id)
           |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin),
+    "emb_kmeans" ->
+      (s"WITH ${kmeansCtes(8, 3)}\n" +
+        """SELECT vec_id, cluster, d2 FROM a3 ORDER BY vec_id""".stripMargin),
     "knn_centroids" ->
       """WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS i,
         |  unnest(embedding) AS v FROM embeddings)

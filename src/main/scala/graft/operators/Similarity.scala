@@ -188,6 +188,59 @@ object Similarity {
       bruteForceTopK(emb, probeFilter, k),
       lshTopK(emb, probeFilter, k, numTables, bitsPerTable), k)
 
+  /** Lloyd k-means over the embedding column, `iters` fixed rounds —
+    * the trained counterpart of [[ivfTopK]]'s stored-label coarse
+    * quantizer (a production IVF index trains its cells exactly like
+    * this). Returns the final assignment `(vec_id, cluster, d2)`;
+    * clusters are labeled by their seed vector's id.
+    *
+    * Engineered determinism (the knn_ivf rulebook): seeds are the `k`
+    * lowest vec_ids; squared distances round to 4dp BEFORE the argmin
+    * (ties break on cluster id asc); per-dimension means round to 6dp
+    * each round, so both engines start every round from bit-identical
+    * centroids and the whole trainer replays as a value-level oracle.
+    * A cluster that loses all members keeps its previous centroid.
+    *
+    * Scale shape: centroids are k tiny rows — they broadcast; each
+    * round is one corpus projection (assign) plus one per-dim
+    * partial-agg (means). The corpus never shuffles whole vectors:
+    * the mean aggregation moves (cluster, dim, value) partials only.
+    */
+  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val pts = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), VF.asDouble(col("embedding")).as("x"),
+        VF.dot(col("embedding"), col("embedding")).as("xx"))
+      .localCheckpoint()
+    var cents = pts.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cluster"), col("x").as("cvec"))
+      .localCheckpoint()
+    var assign: DataFrame = null
+    for (_ <- 1 to iters) {
+      val scored = pts.crossJoin(broadcast(
+          cents.withColumn("cc", VF.dot(col("cvec"), col("cvec")))))
+        .select(col("vec_id"),
+          round(col("xx") - lit(2.0) * VF.dot(col("x"), col("cvec"))
+            + col("cc"), 4).as("d2"),
+          col("cluster"))
+      assign = scored.groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cluster"))).as("m"))
+        .select(col("vec_id"), col("m.cluster").as("cluster"),
+          col("m.d2").as("d2"))
+      val dimMeans = assign.join(pts, Seq("vec_id"))
+        .select(col("cluster"), posexplode(col("x")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(round(sum(col("v")) / count(lit(1)), 6).as("cv"))
+        .groupBy(col("cluster"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("ms"))
+        .select(col("cluster"),
+          transform(col("ms"), m => m.getField("cv")).as("newvec"))
+      cents = cents.join(dimMeans, Seq("cluster"), "left")
+        .select(col("cluster"), coalesce(col("newvec"), col("cvec")).as("cvec"))
+        .localCheckpoint()
+    }
+    assign
+  }
+
   /** Shared recall evaluation: |approx ∩ truth| / |truth| per probe.
     * The join is top-k × top-k per probe (tiny); the heavy lifting is
     * inside the two index scans feeding it.

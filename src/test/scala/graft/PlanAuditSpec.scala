@@ -116,6 +116,23 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(scans == 1, p)
   }
 
+  test("all-corpus near-dup pairs: ids-only bucket join, embeddings never in an exchange") {
+    val df = graft.operators.Dedup.embeddingNearDupsAll(
+      Tables.embeddings(spark, sfDir))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // candidate generation is a bucket-key join, never all-pairs
+    assert(!finalSection.contains("CartesianProduct"), p)
+    assert(!finalSection.contains("BroadcastNestedLoopJoin"), p)
+    // no exchange row carries the 64-float embedding payload: every
+    // hashpartitioning line partitions ids/sigs/pair keys only
+    val exchanges = finalSection.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(exchanges.forall(l => !l.contains("embedding")), p)
+  }
+
   test("SCD2 large-delta path: hash joins on the key, no broadcast, no nested loop") {
     import org.apache.spark.sql.functions.{col, lit}
     val history = Scd2.init(

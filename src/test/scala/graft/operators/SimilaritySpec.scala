@@ -85,6 +85,31 @@ class SimilaritySpec extends SparkSpecBase {
     assert(mean >= 0.4, s"mean LSH recall@5 $mean below floor")
   }
 
+  test("kmeans recovers planted clusters and labels by seed id") {
+    // two tight groups far apart; seeds (2 lowest ids) land one per group
+    val emb = Seq(
+      (0L, Array(10f, 0f, 0f, 0f)), (2L, Array(10.1f, 0f, 0f, 0f)),
+      (4L, Array(9.9f, 0.1f, 0f, 0f)),
+      (1L, Array(0f, 10f, 0f, 0f)), (3L, Array(0f, 10.2f, 0f, 0f)),
+      (5L, Array(0.1f, 9.8f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansAssign(emb, k = 2, iters = 3)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(out(0L) == 0L && out(2L) == 0L && out(4L) == 0L)
+    assert(out(1L) == 1L && out(3L) == 1L && out(5L) == 1L)
+  }
+
+  test("kmeans on the corpus is deterministic and k-bounded") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val a = Similarity.kmeansAssign(emb).orderBy("vec_id").collect().toSeq
+    val b = Similarity.kmeansAssign(emb).orderBy("vec_id").collect().toSeq
+    assert(a == b)
+    val clusters = a.map(_.getLong(1)).distinct
+    assert(clusters.nonEmpty && clusters.size <= 8)
+    // every assignment's d2 is non-negative and finite
+    assert(a.forall(r => r.getDouble(2) >= -1e-9))
+  }
+
   test("recall@k divides by the probe's actual ground-truth size") {
     val emb = Tables.embeddings(spark, sfDir)
     val bruteCounts = Similarity.bruteForceTopK(emb, col("vec_id") < 8)
