@@ -950,6 +950,59 @@ object SparkEntry {
        |$rounds""".stripMargin
   }
 
+  // MinHash replay: the affine family's (a_j, b_j) parameters come
+  // from the SAME Scala generator the operator uses
+  // (TextFunctions.minhashParams) and are embedded as literals; the
+  // base hash is the md5-prefix device proven by contentHash32. Band
+  // bucketing is exact tuple equality (no hashed band key), so the
+  // candidate set, the exact-Jaccard verify, and the per-doc rollup
+  // all replay value-for-value.
+  private def minhashCtes(shingleCte: String, k: Int, bands: Int,
+      rows: Int): String = {
+    val params = graft.functions.TextFunctions.minhashParams(k)
+    val p = graft.functions.TextFunctions.MinhashPrime
+    val mins = params.map { case (a, b) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % $p))"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => s"sig[${b * rows + r + 1}] AS s$r")
+        .mkString(", ")
+      s"SELECT doc_id, $b AS band, $cols FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    val joinCond = (0 until rows).map(r => s"a.s$r = b.s$r").mkString(" AND ")
+    s"""sh AS ($shingleCte),
+       | hsh AS (SELECT doc_id,
+       |  list_transform(s, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+       |  FROM sh),
+       | sig AS (SELECT doc_id, [
+       |    $mins] AS sig FROM hsh),
+       | bnd AS (
+       |  $bandSelects),
+       | cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bnd a JOIN bnd b ON a.band = b.band AND $joinCond
+       |  WHERE a.doc_id < b.doc_id),
+       | ver AS (
+       |  SELECT id_a, id_b,
+       |   round(len(list_intersect(sa.s, sb.s))::DOUBLE /
+       |     greatest(len(list_distinct(list_concat(sa.s, sb.s))), 1), 4) AS j
+       |  FROM cand JOIN sh sa ON sa.doc_id = id_a
+       |       JOIN sh sb ON sb.doc_id = id_b)""".stripMargin
+  }
+
+  private val wordShingleCte: String =
+    """SELECT doc_id, list_distinct(list_transform(
+      |   range(0, greatest(len(w)-3, 0)+1),
+      |   i -> array_to_string(w[i+1:i+3], ' '))) AS s
+      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      |        FROM documents)""".stripMargin
+
+  private val charGramCte: String =
+    """SELECT doc_id, list_distinct(list_transform(
+      |   range(1, greatest(length(text)-2, 1)+1),
+      |   i -> text[i:i+2])) AS s
+      |  FROM documents""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "raw_ingest" ->
       """SELECT event_id, date_trunc('second', ts) AS event_time, user_id, event_type, value,
@@ -1746,6 +1799,31 @@ object SparkEntry {
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
         |ORDER BY doc_id""".stripMargin,
+    "dedup_minhash" ->
+      (s"WITH ${minhashCtes(wordShingleCte, 32, 8, 4)}\n" +
+        """SELECT d.doc_id,
+          | coalesce(p.n_candidates, 0)::BIGINT AS n_candidates,
+          | coalesce(p.best_jaccard, 0.0) AS best_jaccard,
+          | coalesce(p.is_near_dup, false) AS is_near_dup
+          |FROM documents d LEFT JOIN (
+          | SELECT doc_id, count(*)::BIGINT AS n_candidates,
+          |  max(j) AS best_jaccard, bool_or(j >= 0.5) AS is_near_dup
+          | FROM (SELECT id_a AS doc_id, j FROM ver
+          |       UNION ALL SELECT id_b AS doc_id, j FROM ver)
+          | GROUP BY doc_id) p USING (doc_id)
+          |ORDER BY doc_id""".stripMargin),
+    "dedup_ngram" ->
+      (s"WITH ${minhashCtes(charGramCte, 16, 4, 4)}\n" +
+        """SELECT d.doc_id,
+          | coalesce(p.n_candidates, 0)::BIGINT AS n_candidates,
+          | coalesce(p.best_gram_jaccard, 0.0) AS best_gram_jaccard
+          |FROM documents d LEFT JOIN (
+          | SELECT doc_id, count(*)::BIGINT AS n_candidates,
+          |  max(j) AS best_gram_jaccard
+          | FROM (SELECT id_a AS doc_id, j FROM ver
+          |       UNION ALL SELECT id_b AS doc_id, j FROM ver)
+          | GROUP BY doc_id) p USING (doc_id)
+          |ORDER BY doc_id""".stripMargin),
     "dedup_embedding" ->
       """WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0)
         |SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,

@@ -57,21 +57,63 @@ object TextFunctions {
       sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
       i => c.substr(i, lit(n)))
 
-  /** MinHash signature: k independent min-hashes over a shingle array.
-    * Per-row `array_min(transform(...xxhash64(seed, shingle)))` — the
-    * whole signature is computed with zero shuffle (contrast with the
+  /** Modulus of the affine minhash family: the Mersenne prime 2^61-1.
+    * Bounds chosen so `a*h + b` stays inside a signed 64-bit long in
+    * BOTH engines: a < 2^29, h < 2^32, b < 2^60 ⇒ sum < 2^62.
+    */
+  val MinhashPrime: Long = (1L << 61) - 1
+
+  /** Deterministic (a, b) parameters of the j-th affine min-hash —
+    * seeded MurmurHash3 of the index, no stored model, identical on
+    * every executor and embeddable into an external oracle as
+    * literals (the carter-wegman universal family: h_j(x) =
+    * (a_j·x + b_j) mod p).
+    */
+  def minhashParams(k: Int): IndexedSeq[(Long, Long)] =
+    (0 until k).map { j =>
+      import scala.util.hashing.MurmurHash3.productHash
+      val a = (math.abs(productHash((j, 0)).toLong) % ((1L << 29) - 1)) + 1L
+      val b = ((productHash((j, 1)).toLong & 0x3fffffffL) << 30) |
+        (productHash((j, 2)).toLong & 0x3fffffffL)
+      (a, b)
+    }
+
+  /** 32-bit md5-prefix hash of a string — the cross-engine base hash
+    * (DuckDB: `('0x' || substr(md5(x), 1, 8))::BIGINT`, the same
+    * device as CorpusStats.contentHash32).
+    */
+  def md5Hash32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** MinHash signature from PRE-HASHED shingles: k affine min-hashes
+    * over the 32-bit base hashes, zero shuffle (contrast with the
     * explode→groupBy formulation, which shuffles every shingle).
+    * Callers materialize the base-hash array in its own projection so
+    * the md5 runs once per shingle, not once per (shingle, j) —
+    * CollapseProject will not inline a non-trivial expression
+    * referenced k times.
+    */
+  def minhashSigFromHashes(hs: Column, k: Int): Column =
+    array(minhashParams(k).map { case (a, b) =>
+      array_min(transform(hs, h => (h * a + b) % MinhashPrime))
+    }: _*)
+
+  /** MinHash signature straight from a shingle array (spec/ad-hoc use;
+    * production paths pre-hash — see [[minhashSigFromHashes]]).
     */
   def minhashSig(shingles: Column, k: Int): Column =
-    array((0 until k).map(j =>
-      array_min(transform(shingles, s => xxhash64(lit(j), s)))): _*)
+    minhashSigFromHashes(transform(shingles, md5Hash32 _), k)
 
-  /** LSH band keys for a minhash signature: b bands of r rows each,
-    * band key = hash(band, sig[b*r+1..b*r+r]).
+  /** LSH band tuples for a minhash signature: b bands of r rows each,
+    * band key = the struct (band, sig[b*r+1..b*r+r]) itself — exact
+    * tuple equality instead of a hashed key, so bucketing is
+    * collision-free and replayable by value in any engine.
     */
-  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
-    array((0 until bands).map(b =>
-      xxhash64(lit(b) +: (0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*)): _*)
+  def bandTuples(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      struct((lit(b).as("band") +:
+        (0 until rows).map(r => element_at(sig, b * rows + r + 1).as(s"s$r"))): _*)
+    }: _*)
 
   /** Exact Jaccard similarity of two string-array columns (as sets). */
   def jaccard(a: Column, b: Column): Column = {

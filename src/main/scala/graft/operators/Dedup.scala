@@ -73,19 +73,18 @@ object Dedup {
   def minhashNearDups(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
       jaccardThreshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val sigs = docs.select(
-      col("doc_id"),
-      TF.wordShingles(col("text"), 3).as("shingles"),
-      TF.minhashSig(TF.wordShingles(col("text"), 3), numHashes).as("sig"))
+    // base md5 hashes in their own projection: one md5 per shingle,
+    // reused by all k affine min-hashes (see minhashSigFromHashes)
+    val sigs = docs
+      .select(col("doc_id"), TF.wordShingles(col("text"), 3).as("shingles"))
+      .withColumn("hs", transform(col("shingles"), TF.md5Hash32 _))
+      .select(col("doc_id"), col("shingles"),
+        TF.minhashSigFromHashes(col("hs"), numHashes).as("sig"))
     val banded = sigs.select(
-      col("doc_id"),
-      posexplode(TF.bandKeys(col("sig"), bands, rows)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+      col("doc_id"), explode(TF.bandTuples(col("sig"), bands, rows)).as("bk"))
     val pairs = banded.alias("a")
       .join(banded.alias("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     val verified = pairs
@@ -148,17 +147,16 @@ object Dedup {
     * doc with its best char-gram match.
     */
   def ngramNearDups(docs: DataFrame, n: Int = 3): DataFrame = {
-    val grams = docs.select(
-      col("doc_id"),
-      TF.charNgrams(col("text"), n).as("grams"),
-      TF.minhashSig(TF.charNgrams(col("text"), n), 16).as("sig"))
-    val banded = grams.select(col("doc_id"), posexplode(TF.bandKeys(col("sig"), 4, 4)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_key"))
+    val grams = docs
+      .select(col("doc_id"), TF.charNgrams(col("text"), n).as("grams"))
+      .withColumn("hs", transform(col("grams"), TF.md5Hash32 _))
+      .select(col("doc_id"), col("grams"),
+        TF.minhashSigFromHashes(col("hs"), 16).as("sig"))
+    val banded = grams.select(
+      col("doc_id"), explode(TF.bandTuples(col("sig"), 4, 4)).as("bk"))
     val pairs = banded.alias("a")
       .join(banded.alias("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
     val verified = pairs
