@@ -1003,6 +1003,29 @@ object SparkEntry {
       |   i -> text[i:i+2])) AS s
       |  FROM documents""".stripMargin
 
+  // SimHash replay: per-token 64-bit hash = the first 16 hex chars of
+  // md5 (same bit pattern as SimHash64Util.tokenHash64's big-endian 8
+  // bytes), lane votes as a (doc, bit) aggregate, signed signature
+  // rebuilt with an explicit bit-63 branch (BIGINT can't hold 2^63),
+  // unsigned twin kept for chunking and Hamming.
+  private val simhashCtes: String =
+    s"""tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+       |  FROM documents),
+       | th AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+       |  FROM tok),
+       | lanes AS (SELECT unnest(range(0, 64)) AS b),
+       | votes AS (
+       |  SELECT th.doc_id, lanes.b,
+       |   sum(CASE WHEN (th.h >> lanes.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+       |  FROM th, lanes GROUP BY th.doc_id, lanes.b),
+       | sigs AS (
+       |  SELECT doc_id,
+       |   (sum(CASE WHEN acc >= 0 AND b < 63 THEN (1::BIGINT << b) ELSE 0 END)
+       |     + CASE WHEN max(CASE WHEN b = 63 AND acc >= 0 THEN 1 ELSE 0 END) = 1
+       |         THEN (-9223372036854775807 - 1) ELSE 0 END)::BIGINT AS simhash,
+       |   sum(CASE WHEN acc >= 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END)::UBIGINT AS sig_u
+       |  FROM votes GROUP BY doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "raw_ingest" ->
       """SELECT event_id, date_trunc('second', ts) AS event_time, user_id, event_type, value,
@@ -1823,6 +1846,44 @@ object SparkEntry {
           | FROM (SELECT id_a AS doc_id, j FROM ver
           |       UNION ALL SELECT id_b AS doc_id, j FROM ver)
           | GROUP BY doc_id) p USING (doc_id)
+          |ORDER BY doc_id""".stripMargin),
+    "dedup_simhash" ->
+      (s"WITH $simhashCtes,\n" +
+        """ chunks AS (
+          |  SELECT doc_id, c AS chunk_idx, ((sig_u >> (c * 16)) & 65535)::BIGINT AS chunk
+          |  FROM sigs, (SELECT unnest(range(0, 4)) AS c)),
+          | prs AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM chunks a JOIN chunks b
+          |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+          |  WHERE a.doc_id < b.doc_id),
+          | near AS (
+          |  SELECT id_a, id_b, bit_count(xor(sa.sig_u, sb.sig_u)) AS hamming
+          |  FROM prs JOIN sigs sa ON sa.doc_id = id_a
+          |       JOIN sigs sb ON sb.doc_id = id_b
+          |  WHERE bit_count(xor(sa.sig_u, sb.sig_u)) <= 3),
+          | perdoc AS (
+          |  SELECT doc_id, count(*)::BIGINT AS n_near, min(hamming) AS min_hamming
+          |  FROM (SELECT id_a AS doc_id, hamming FROM near
+          |        UNION ALL SELECT id_b AS doc_id, hamming FROM near)
+          |  GROUP BY doc_id)
+          |SELECT s.doc_id, s.simhash,
+          | coalesce(p.n_near, 0)::BIGINT AS n_near,
+          | coalesce(p.min_hamming, 64)::INT AS min_hamming
+          |FROM sigs s LEFT JOIN perdoc p USING (doc_id)
+          |ORDER BY doc_id""".stripMargin),
+    "text_fingerprint" ->
+      (s"WITH $simhashCtes,\n" +
+        """ fsh AS (
+          |  SELECT doc_id, list_min(list_transform(sw,
+          |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS fingerprint
+          |  FROM (SELECT doc_id, list_transform(
+          |     range(0, greatest(len(w)-8, 0)+1),
+          |     i -> array_to_string(w[i+1:i+8], ' ')) AS sw
+          |   FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          |         FROM documents)))
+          |SELECT f.doc_id, f.fingerprint, s.simhash
+          |FROM fsh f JOIN sigs s USING (doc_id)
           |ORDER BY doc_id""".stripMargin),
     "dedup_embedding" ->
       """WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0)

@@ -133,9 +133,7 @@ object TextFunctions {
     udf { (tokens: Seq[String]) =>
       val acc = new Array[Int](64)
       if (tokens != null) tokens.foreach { t =>
-        val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
-        val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b)
-        val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        val h = graft.plans.SimHash64Util.tokenHash64(t)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -164,7 +162,8 @@ object TextFunctions {
     * local edits, per-row, shuffle-free.
     */
   def fingerprint(c: Column): Column =
-    array_min(transform(wordShingles(c, 8), s => xxhash64(s)))
+    array_min(transform(wordShingles(c, 8), s =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
 
   /** Overlapping token-window chunks for training-data preparation:
     * chunk i = words [i·stride, i·stride+window). Array of chunk

@@ -9,21 +9,40 @@ import org.apache.spark.sql.types.{DataType, LongType}
 /** Shared simhash kernel — called from both the interpreted path and the
   * generated code (codegen emits a static call, so the expression stays
   * inside the whole-stage-codegen pipeline with zero closure capture).
-  * Algorithm identical to the original UDF in
-  * [[graft.functions.TextFunctions.simhash64]]: two 32-bit MurmurHash3
-  * string hashes composed to 64 bits, signed per-bit vote.
+  *
+  * The per-token 64-bit hash is the first 8 bytes of the token's MD5
+  * (the md5-prefix device from the minhash family) — chosen over a
+  * murmur composition because an external engine can replay it
+  * (`('0x' || substr(md5(t), 1, 16))::UBIGINT`), which is what gives
+  * dedup_simhash and text_fingerprint full value oracles. One digest
+  * instance per thread; per-token cost is one MD5 block.
   */
 object SimHash64Util {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 md5 bytes, big-endian — the bit pattern of the first 16
+    * hex chars of `md5(t)`.
+    */
+  def tokenHash64(t: String): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h
+  }
+
   def hash(tokens: ArrayData): Long = {
     val acc = new Array[Int](64)
     val n = tokens.numElements()
     var j = 0
     while (j < n) {
       if (!tokens.isNullAt(j)) {
-        val t = tokens.getUTF8String(j).toString
-        val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
-        val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b)
-        val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        val h = tokenHash64(tokens.getUTF8String(j).toString)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
