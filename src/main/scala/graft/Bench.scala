@@ -25,13 +25,23 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt.max(1)
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      // stop at the first failing rep (no point re-running a throwing
+      // query); report the best SUCCESSFUL rep, and mark the query
+      // failed only when no rep succeeded — a transient second-rep
+      // failure must not discard a valid first-rep timing
+      val times = scala.collection.mutable.ListBuffer.empty[Double]
+      var sawFailure = false
+      var i = 0
+      while (i < reps && !sawFailure) {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case _: Throwable => if (!failed.contains(name)) failed += name; -1L }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).count()
+          times += (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => sawFailure = true }
+        i += 1
       }
-      name -> times.min
+      if (times.isEmpty) { failed += name; name -> -1.0 }
+      else name -> times.min
     }
     val ok = results.filterNot { case (k, _) => failed.contains(k) }
     val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }

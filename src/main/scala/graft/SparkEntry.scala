@@ -356,6 +356,34 @@ object SparkEntry {
       .orderBy(col("p_partkey"), col("effective_from"))
   }
 
+  /** The SCD2 read path: lineitem facts priced against the part-dim
+    * version valid at each ship date (two versions: the 1995 init and
+    * a 1998 re-price of every 10th part), rolled up by ship year ×
+    * version. Facts before a key's first version drop out; facts after
+    * the re-price resolve the new price — the temporal semantics the
+    * history exists to answer.
+    */
+  private def qScd2Asof(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "part").select(col("p_partkey"), col("p_retailprice"))
+    val h0 = Scd2.init(dim, Seq("p_partkey"), lit("1995-01-01"))
+    // re-price by +1: exact in binary floating point, so the
+    // double→DECIMAL cast downstream cannot diverge cross-engine the
+    // way a *1.1 product could on a decimal-tie value (SURVEY §5)
+    val bumped = dim.withColumn("p_retailprice",
+      when(col("p_partkey") % 10 === 0, col("p_retailprice") + 1.0)
+        .otherwise(col("p_retailprice")))
+    val hist = Scd2.merge(h0, bumped, Seq("p_partkey"),
+      Seq("p_retailprice"), lit("1998-01-01"))
+    val facts = t(s, dir, "lineitem").select(col("l_partkey"), col("l_shipdate"))
+    Scd2.asOf(hist, facts, "p_partkey", "l_partkey", "l_shipdate")
+      .groupBy(year(col("l_shipdate")).cast("bigint").as("ship_year"),
+        col("effective_from"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("p_retailprice").cast("decimal(12,2)")).cast("double")
+          .as("asof_price_sum"))
+      .orderBy(col("ship_year"), col("effective_from"))
+  }
+
   private def qCdcDiff(s: SparkSession, dir: String): DataFrame = {
     // synthetic next-day snapshot: re-price every 7th part, drop every
     // 13th, insert a shifted copy of every 31st
@@ -690,6 +718,7 @@ object SparkEntry {
     "q_outliers" -> (qOutliers _),
     "q_incr_agg" -> (qIncrAgg _),
     "scd2_history" -> (qScd2History _),
+    "q_scd2_asof" -> (qScd2Asof _),
     "q_cdc_diff" -> (qCdcDiff _),
     "q_bloom_prune" -> (qBloomPrune _),
     "text_term_freq" -> (qTermFreq _),
@@ -1120,6 +1149,21 @@ object SparkEntry {
         | DATE '2024-02-01', NULL, true
         |FROM part WHERE p_partkey % 97 = 0
         |ORDER BY p_partkey, effective_from""".stripMargin,
+    "q_scd2_asof" ->
+      """WITH hist AS (
+        |  SELECT p_partkey, p_retailprice, DATE '1995-01-01' AS effective_from,
+        |    CASE WHEN p_partkey % 10 = 0 THEN DATE '1998-01-01' END AS effective_to
+        |  FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, p_retailprice + 1.0, DATE '1998-01-01', NULL
+        |  FROM part WHERE p_partkey % 10 = 0)
+        |SELECT year(l_shipdate)::BIGINT AS ship_year, h.effective_from,
+        |  count(*)::BIGINT AS n_items,
+        |  CAST(sum(CAST(h.p_retailprice AS DECIMAL(12,2))) AS DOUBLE) AS asof_price_sum
+        |FROM lineitem l JOIN hist h ON h.p_partkey = l.l_partkey
+        |  AND l.l_shipdate >= h.effective_from
+        |  AND (h.effective_to IS NULL OR l.l_shipdate < h.effective_to)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_cdc_diff" ->
       """WITH n AS (
         |  SELECT p_partkey, p_name, p_brand, p_type, p_size,

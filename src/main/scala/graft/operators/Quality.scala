@@ -66,6 +66,7 @@ object Quality {
     * scan rules — not once per rule — plus one shuffle per unique key.
     */
   def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "audit requires at least one check")
     val scanAggs = checks.collect {
       case NotNull(c, r) => r -> count(when(col(c).isNull, 1))
       case InRange(c, lo, hi, r) => r -> count(when(col(c) < lo || col(c) > hi, 1))
@@ -73,11 +74,13 @@ object Quality {
     val scanReport = if (scanAggs.isEmpty) Nil else {
       val aggs = scanAggs.zipWithIndex.map { case ((_, n), i) =>
         n.cast("bigint").as(s"v$i") }
-      val stackArgs = scanAggs.zipWithIndex.map { case ((r, _), i) =>
-        s"'${r.replace("'", "''")}', v$i" }.mkString(", ")
+      // unpivot via explode of (rule, count) structs — rule names stay
+      // literal Columns, never SQL text (no escaping surface)
+      val pairs = scanAggs.zipWithIndex.map { case ((r, _), i) =>
+        struct(lit(r).as("rule"), col(s"v$i").as("n_violations")) }
       Seq(df.agg(aggs.head, aggs.tail: _*)
-        .selectExpr(
-          s"stack(${scanAggs.size}, $stackArgs) AS (rule, n_violations)"))
+        .select(explode(array(pairs: _*)).as("kv"))
+        .select(col("kv.rule").as("rule"), col("kv.n_violations").as("n_violations")))
     }
     val keyedReports = checks.collect { case Unique(c, r) => unique(df, c, r) }
     report(scanReport ++ keyedReports)

@@ -107,4 +107,32 @@ object Scd2 {
     nonCur.unionByName(curOut).unionByName(inserts.select(
       history.columns.map(col).toIndexedSeq: _*))
   }
+
+  /** As-of temporal join: resolve, for every fact row, the dim version
+    * that was valid at the fact's event time — `effective_from ≤ t`
+    * and (`effective_to` IS NULL or `t < effective_to`), i.e. versions
+    * own the half-open interval [from, to). This is THE read path an
+    * SCD2 history exists for: facts join the dim "as of" their own
+    * time, not the current truth.
+    *
+    * Scale shape: an equi hash join on the natural key with the
+    * interval test as a residual filter — the versions of one key
+    * partition time, so each fact matches at most one version and the
+    * join never amplifies. History-side skew cannot arise for the
+    * same reason as in [[merge]]: versions accumulate per key only as
+    * genuine history, and the interval residual keeps exactly one.
+    */
+  def asOf(history: DataFrame, facts: DataFrame, historyKey: String,
+      factKey: String, factTimeCol: String): DataFrame = {
+    // qualified references, so the natural case of historyKey ==
+    // factKey (or a fact frame carrying its own effective_* columns)
+    // does not hit an ambiguous-reference analysis error
+    val h = history.alias("__h")
+    val f = facts.alias("__f")
+    val t = col(s"__f.$factTimeCol")
+    f.join(h,
+      col(s"__h.$historyKey") === col(s"__f.$factKey") &&
+        t >= col(s"__h.$FromCol") &&
+        (col(s"__h.$ToCol").isNull || t < col(s"__h.$ToCol")))
+  }
 }

@@ -207,6 +207,8 @@ object Similarity {
     * the mean aggregation moves (cluster, dim, value) partials only.
     */
   def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    require(k >= 1, s"kmeansAssign needs k >= 1, got $k")
+    require(iters >= 1, s"kmeansAssign needs iters >= 1, got $iters")
     val pts = emb.filter(col("embedding").isNotNull)
       .select(col("vec_id"), VF.asDouble(col("embedding")).as("x"),
         VF.dot(col("embedding"), col("embedding")).as("xx"))

@@ -150,8 +150,11 @@ class PlanAuditSpec extends SparkSpecBase {
     // budget (at spec scale AQE would otherwise happily broadcast the
     // 2000-row frame and mask a planning regression)
     val conf = spark.conf
-    val prev = (conf.get("spark.sql.autoBroadcastJoinThreshold"),
-      conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"))
+    // getOption, not get-with-fallback: an unset AQE threshold must be
+    // RE-unset afterwards (setting it to the fallback would disable
+    // AQE broadcast re-planning for every later test in this JVM)
+    val prev = (conf.getOption("spark.sql.autoBroadcastJoinThreshold"),
+      conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold"))
     try {
       conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
@@ -169,8 +172,10 @@ class PlanAuditSpec extends SparkSpecBase {
       assert(finalSection.contains("SortMergeJoin")
         || finalSection.contains("ShuffledHashJoin"), p)
     } finally {
-      conf.set("spark.sql.autoBroadcastJoinThreshold", prev._1)
-      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev._2)
+      prev._1.fold(conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      prev._2.fold(conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
     }
   }
 

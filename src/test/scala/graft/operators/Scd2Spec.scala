@@ -76,6 +76,36 @@ class Scd2Spec extends SparkSpecBase {
     assert(ex.getMessage.contains("duplicate keys"))
   }
 
+  test("asOf resolves the version valid at each fact time, half-open [from, to)") {
+    val load2 = Seq((1L, "a", 11.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "price")
+    val h1 = Scd2.merge(h0, load2, Seq("k"), Seq("name", "price"),
+      lit("2024-02-01"))
+    val facts = Seq(
+      (1L, "2023-12-31"), // before any version: drops
+      (1L, "2024-01-15"), // inside v1
+      (1L, "2024-02-01"), // boundary: belongs to v2, not v1
+      (1L, "2024-03-01"), // inside v2
+      (2L, "2024-03-01"), // unchanged key: still v1
+      (9L, "2024-03-01")  // unknown key: drops
+    ).toDF("fk", "d").withColumn("d", col("d").cast("date"))
+    val out = Scd2.asOf(h1, facts, "k", "fk", "d")
+      .select(col("fk"), col("d").cast("string"), col("price"))
+      .as[(Long, String, Double)].collect().toSet
+    assert(out == Set(
+      (1L, "2024-01-15", 10.0),
+      (1L, "2024-02-01", 11.0),
+      (1L, "2024-03-01", 11.0),
+      (2L, "2024-03-01", 20.0)))
+    // the natural case: fact and dim share the key NAME — must resolve
+    // without an ambiguous-reference analysis error
+    val sameName = Seq((1L, "2024-03-01")).toDF("k", "d")
+      .withColumn("d", col("d").cast("date"))
+    val sn = Scd2.asOf(h1, sameName, "k", "k", "d")
+      .select(col("price")).as[Double].collect().toSeq
+    assert(sn == Seq(11.0))
+  }
+
   test("broadcast and shuffled forms agree") {
     val load2 = Seq((1L, "a", 11.0), (4L, "d", 40.0)).toDF("k", "name", "price")
     val b = Scd2.merge(h0, load2, Seq("k"), Seq("name", "price"),
