@@ -521,7 +521,10 @@ object SparkEntry {
     * DuckDB replays buckets, candidates, and cosines exactly.
     */
   private def qDedupEmbeddingAll(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingNearDupsAll(t(s, dir, "embeddings"))
+    // bits pinned (not the operator's adaptive default): the oracle
+    // embeds the 8×4 weight matrix statically, so the replay must see
+    // the same bucketing at every SF
+    Dedup.embeddingNearDupsAll(t(s, dir, "embeddings"), bitsPerTable = 4)
       .orderBy(col("a_id"), col("b_id"))
 
   private def qKnnBrute(s: SparkSession, dir: String): DataFrame =
@@ -542,6 +545,12 @@ object SparkEntry {
   private def qKnnRecall(s: SparkSession, dir: String): DataFrame =
     Similarity.recallAtK(t(s, dir, "embeddings"), col("vec_id") < 8)
       .orderBy(col("probe_id"))
+
+  /** Train-then-serve ANN: IVF probing over Lloyd-trained cells. */
+  private def qKnnIvfTrained(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTrainedTopK(t(s, dir, "embeddings"), col("vec_id") < 8)
+      .withColumn("rnk", col("rnk").cast("bigint"))
+      .orderBy(col("probe_id"), col("rnk"))
 
   private def qKnnLshRecall(s: SparkSession, dir: String): DataFrame =
     Similarity.lshRecallAtK(t(s, dir, "embeddings"), col("vec_id") < 8)
@@ -798,6 +807,7 @@ object SparkEntry {
     "knn_lsh_recall" -> (qKnnLshRecall _),
     "knn_centroids" -> (qCentroids _),
     "emb_kmeans" -> (qEmbKmeans _),
+    "knn_ivf_trained" -> (qKnnIvfTrained _),
     "q_corr_stats" -> (qCorrStats _),
     "text_tokens" -> (qTextTokens _),
     "text_tokens_bpe" -> (qTextTokensBpe _),
@@ -2020,6 +2030,35 @@ object SparkEntry {
     "emb_kmeans" ->
       (s"WITH ${kmeansCtes(8, 3)}\n" +
         """SELECT vec_id, cluster, d2 FROM a3 ORDER BY vec_id""".stripMargin),
+    // trained IVF = the kmeans replay composed with the IVF search
+    // CTEs, cells re-centroided from the final assignment exactly as
+    // ivfTopK's CentroidAggregator does (sum/count, 6dp)
+    "knn_ivf_trained" ->
+      (s"WITH ${kmeansCtes(8, 3)},\n" +
+        """ p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+          | lab AS (SELECT e.vec_id, e.embedding, a3.cluster AS cell
+          |  FROM embeddings e JOIN a3 USING (vec_id)),
+          | tc0 AS (
+          |  SELECT cell, i, round(sum(v::DOUBLE) / count(*), 6) AS cv
+          |  FROM (SELECT cell, generate_subscripts(embedding, 1) AS i,
+          |        unnest(embedding) AS v FROM lab)
+          |  GROUP BY cell, i),
+          | tcents AS (SELECT cell, list(cv ORDER BY i) AS cvec FROM tc0 GROUP BY cell),
+          | tpc AS (SELECT p.vec_id AS probe_id, c.cell,
+          |   round(list_cosine_similarity(p.embedding::DOUBLE[], c.cvec), 4) AS ccos
+          |  FROM p, tcents c),
+          | tcells AS (SELECT probe_id, cell FROM (
+          |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, cell) AS cr
+          |   FROM tpc WHERE ccos IS NOT NULL) WHERE cr <= 2),
+          | tcand AS (SELECT tcells.probe_id, e.vec_id AS cand_id,
+          |   round(list_cosine_similarity(pp.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cosine
+          |  FROM tcells JOIN lab e ON e.cell = tcells.cell
+          |       JOIN embeddings pp ON pp.vec_id = tcells.probe_id
+          |  WHERE e.vec_id <> tcells.probe_id),
+          | tsc AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+          |   FROM tcand WHERE cosine IS NOT NULL)
+          |SELECT probe_id, cand_id, cosine, rnk FROM tsc WHERE rnk <= 5
+          |ORDER BY probe_id, rnk""".stripMargin),
     "knn_centroids" ->
       """WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS i,
         |  unnest(embedding) AS v FROM embeddings)

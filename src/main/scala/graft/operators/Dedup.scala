@@ -318,13 +318,29 @@ object Dedup {
     * more tables). Emits each unordered pair once (`a_id < b_id`),
     * ready for [[connectedComponents]].
     */
+  /** bits ≈ log2(N / 64), floored at 4 and capped at 16 — the
+    * bucket-width law (candidates ∝ N²/2^bits) keeps expected bucket
+    * size ~constant as the corpus grows.
+    */
+  private[operators] def adaptiveBits(n: Long): Int =
+    math.min(16, math.max(4,
+      math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2.0)).toInt))
+
   def embeddingNearDupsAll(emb: DataFrame, threshold: Double = 0.35,
-      numTables: Int = 8, bitsPerTable: Int = 4): DataFrame = {
+      numTables: Int = 8, bitsPerTable: Int = -1): DataFrame = {
     graft.plans.GraftFunctions.ensureRegistered(emb.sparkSession)
-    val weights = VF.planeWeights(numTables * bitsPerTable,
+    // default bits follow the bucket-width law measured in SURVEY §6
+    // (candidates ∝ N²/2^bits): bits ≈ log2(N / 64), floored at 4 and
+    // capped at 16 — one count job, the same class of probe as
+    // embeddingDim. Callers pin an explicit value when an external
+    // replay (the oracle) must know the weight matrix statically.
+    val bits =
+      if (bitsPerTable > 0) bitsPerTable
+      else adaptiveBits(emb.filter(col("embedding").isNotNull).count())
+    val weights = VF.planeWeights(numTables * bits,
       Similarity.embeddingDim(emb))
     val perTable = (0 until numTables).map { tbl =>
-      val w = weights.slice(tbl * bitsPerTable, (tbl + 1) * bitsPerTable)
+      val w = weights.slice(tbl * bits, (tbl + 1) * bits)
       struct(lit(tbl).as("table_id"), VF.hyperplaneSig(col("embedding"), w).as("sig"))
     }
     val sigs = emb

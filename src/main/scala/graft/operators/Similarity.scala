@@ -114,13 +114,13 @@ object Similarity {
     * are few); the candidate search uses the codegen'd dot.
     */
   def ivfTopK(emb: DataFrame, probeFilter: org.apache.spark.sql.Column,
-      k: Int = 5, nprobe: Int = 2): DataFrame = {
+      k: Int = 5, nprobe: Int = 2, labelCol: String = "label"): DataFrame = {
     GraftFunctions.ensureRegistered(emb.sparkSession)
     val centroid = udaf(new graft.functions.CentroidAggregator(embeddingDim(emb)))
     // coarse quantizer: one 6-dp-rounded centroid per stored cell with
     // its norm precomputed per CELL (not per probe×cell pair);
     // all-NULL cells yield a NULL centroid and are dropped
-    val cents = emb.groupBy(col("label").as("cell"))
+    val cents = emb.groupBy(col(labelCol).as("cell"))
       .agg(centroid(col("embedding")).as("craw"))
       .filter(col("craw").isNotNull)
       .select(col("cell"), transform(col("craw"), v => round(v, 6)).as("cvec"))
@@ -148,7 +148,7 @@ object Similarity {
     // one cell, so no per-pair dedup is needed)
     val scored = emb
       .select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"),
-        VF.normNative(col("embedding")).as("cand_nrm"), col("label").as("cell"))
+        VF.normNative(col("embedding")).as("cand_nrm"), col(labelCol).as("cell"))
       .join(broadcast(probedCells), Seq("cell"))
       .filter(col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),
@@ -156,6 +156,22 @@ object Similarity {
           / (col("probe_nrm") * col("cand_nrm")), 4).as("cosine"))
       .filter(col("cosine").isNotNull)
     graft.plans.TopKPlanner.perGroup(scored, "probe_id", "cosine", "cand_id", k)
+  }
+
+  /** Train-then-serve IVF: coarse cells come from [[kmeansAssign]]
+    * (Lloyd-trained) instead of a stored label — the full production
+    * ANN shape: train the quantizer, assign the corpus, probe the
+    * best `nprobe` trained cells at query time. Deterministic end to
+    * end (k-means seeds/rounding + the IVF rounding rules), so the
+    * whole composed pipeline carries a value-level oracle.
+    */
+  def ivfTrainedTopK(emb: DataFrame, probeFilter: org.apache.spark.sql.Column,
+      k: Int = 5, nprobe: Int = 2, cells: Int = 8,
+      trainIters: Int = 3): DataFrame = {
+    val assign = kmeansAssign(emb, cells, trainIters)
+      .select(col("vec_id"), col("cluster").as("__trained_cell"))
+    val labeled = emb.join(assign, Seq("vec_id"))
+    ivfTopK(labeled, probeFilter, k, nprobe, labelCol = "__trained_cell")
   }
 
   /** ANN quality evaluation: recall@k of the IVF index against the

@@ -94,6 +94,14 @@ class DedupSpec extends SparkSpecBase {
     assert(out == Set((0L, 1L), (1L, 0L)))
   }
 
+  test("adaptive bucket bits follow the log2(N/64) law with floor 4 and cap 16") {
+    assert(Dedup.adaptiveBits(0L) == 4)
+    assert(Dedup.adaptiveBits(500L) == 4)     // the gate corpus
+    assert(Dedup.adaptiveBits(5000L) == 7)    // sf0.1
+    assert(Dedup.adaptiveBits(20000L) == 9)   // ~sf1 replica
+    assert(Dedup.adaptiveBits(100000000L) == 16) // capped
+  }
+
   test("all-corpus near-dup pairs: sound, unordered-once, recall above floor") {
     val emb = Tables.embeddings(spark, sfDir)
     val got = Dedup.embeddingNearDupsAll(emb)

@@ -85,6 +85,29 @@ class SimilaritySpec extends SparkSpecBase {
     assert(mean >= 0.4, s"mean LSH recall@5 $mean below floor")
   }
 
+  test("trained IVF: inside trained cells, never beats brute force, k-bounded") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val rows = Similarity.ivfTrainedTopK(emb, col("vec_id") < 4)
+      .select("probe_id", "cand_id", "cosine", "rnk")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (p, c, _, _) => p != c })
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.length <= 5)
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length))
+    }
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 4, k = 1)
+      .select("probe_id", "cosine").as[(Long, Double)].collect().toMap
+    rows.foreach { case (p, _, c, _) => assert(c <= brute(p) + 1e-9) }
+    // candidates come from at most nprobe trained cells per probe
+    val cellOf = Similarity.kmeansAssign(emb)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(r => cellOf(r._2)).distinct.length <= 2)
+    }
+  }
+
   test("kmeans recovers planted clusters and labels by seed id") {
     // two tight groups far apart; seeds (2 lowest ids) land one per group
     val emb = Seq(
