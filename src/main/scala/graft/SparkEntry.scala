@@ -227,6 +227,14 @@ object SparkEntry {
       tokenCount = TF.bpeTokenCount)
       .orderBy(col("doc_id"))
 
+  /** Weighted sampling without replacement (Efraimidis-Spirakis
+    * order-statistic keys from the content hash) — longer documents
+    * proportionally likelier, choice stable under re-ingest.
+    */
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.weightedSample(t(s, dir, "documents"))
+      .orderBy(col("sample_key").desc, col("doc_id"))
+
   private def qMixtureSample(s: SparkSession, dir: String): DataFrame =
     CorpusStats.mixtureSample(t(s, dir, "documents"))
       .orderBy(col("doc_id"))
@@ -775,6 +783,7 @@ object SparkEntry {
     "text_pack" -> (qPack _),
     "text_pack_bpe" -> (qPackBpe _),
     "text_mixture_sample" -> (qMixtureSample _),
+    "text_weighted_sample" -> (qWeightedSample _),
     "q_copurchase" -> (qCoPurchase _),
     "q_pagerank" -> (qPageRank _),
     "mm_dedup" -> (qMmDedup _),
@@ -1725,6 +1734,12 @@ object SparkEntry {
           | (pack_start // 256)::BIGINT AS first_chunk,
           | ((pack_start + n_tokens - 1) // 256)::BIGINT AS last_chunk
           |FROM cum ORDER BY doc_id""".stripMargin),
+    "text_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+        | round(pow((('0x' || substr(md5(text), 1, 8))::BIGINT + 0.5) / 4294967296.0,
+        |   1.0 / greatest(n_chars::DOUBLE, 1.0)), 6) AS sample_key
+        |FROM documents
+        |ORDER BY sample_key DESC, doc_id LIMIT 50""".stripMargin,
     "text_mixture_sample" ->
       """WITH slices AS (
         |  SELECT lang, source,

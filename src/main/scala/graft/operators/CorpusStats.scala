@@ -342,6 +342,29 @@ object CorpusStats {
     * instead of silently vanishing while its probability mass still
     * deflates everyone else's.
     */
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis, "Weighted random sampling with a reservoir", IPL 2006):
+    * each document draws key = u^(1/w) with u a uniform derived from
+    * its content hash and w its weight (chars here); the top-n keys
+    * ARE a weighted sample without replacement. Content-hash
+    * randomness makes the draw stable under re-ingest and replayable
+    * by any engine (the [[contentHash32]] device); keys round to 6dp
+    * before ranking (SURVEY §5 pow rule) with the id as tiebreak.
+    *
+    * Scale shape: one pure projection plus a TakeOrdered top-n — no
+    * global sort, no shuffle beyond the n-row collect at the driver
+    * boundary.
+    */
+  def weightedSample(docs: DataFrame, n: Int = 50, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val w = greatest(col("n_chars").cast("double"), lit(1.0))
+    val u = (contentHash32(col(textCol)).cast("double") + 0.5) / 4294967296.0
+    docs.select(col(idCol), col("n_chars"),
+        round(pow(u, lit(1.0) / w), 6).as("sample_key"))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(n)
+  }
+
   def mixtureSample(docs: DataFrame, temperature: Double = 2.0,
       targetFrac: Double = 0.25, textCol: String = "text",
       idCol: String = "doc_id", langCol: String = "lang",

@@ -207,6 +207,27 @@ class CorpusStatsSpec extends SparkSpecBase {
     assert(out.map(_.getAs[Long]("doc_id")).forall(id => id >= 1 && id <= 44))
   }
 
+  test("weighted sample: n-bounded, deterministic, weight-monotone keys") {
+    import org.apache.spark.sql.functions.{col, length}
+    val docs = (1L to 40L).map(i => (i, ("w" * i.toInt) + s" doc$i"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("bigint"))
+    val a = CorpusStats.weightedSample(docs, n = 10).collect().toSeq
+    val b = CorpusStats.weightedSample(docs, n = 10).collect().toSeq
+    assert(a == b)
+    assert(a.length == 10)
+    // keys live in (0, 1] and arrive in rank order
+    val keys = a.map(_.getAs[Double]("sample_key"))
+    assert(keys.forall(k => k > 0.0 && k <= 1.0))
+    assert(keys.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    // an overwhelming weight dominates: key = u^(1/w) -> 1 as w grows
+    val heavy = docs.unionByName(
+      Seq((999L, "h" * 5000)).toDF("doc_id", "text")
+        .withColumn("n_chars", length(col("text")).cast("bigint")))
+    val top = CorpusStats.weightedSample(heavy, n = 1).collect().head
+    assert(top.getAs[Long]("doc_id") == 999L)
+  }
+
   test("split assignment is content-keyed: byte-identical twins share a split") {
     import org.apache.spark.sql.functions.col
     val twins = Seq((1L, "same text"), (99L, "same text"), (2L, "different"))
