@@ -903,10 +903,14 @@ object SparkEntry {
 
   // BPE replay: the frozen merge table is embedded as literals; a
   // recursive CTE re-runs the encoder per DISTINCT word. State is the
-  // token list joined with '|' guards; replacing the LEFTMOST
-  // '|a|b|' occurrence (regexp_replace without 'g') until none remain
-  // is exactly the encoder's left-to-right pass for rank (a, b) — a
-  // merged token can never create a new (a, b) match to its left.
+  // token list joined with chr(1) guards — a control byte no real
+  // word contains, where a printable guard like '|' would corrupt the
+  // framing for any corpus word containing it (tokens themselves are
+  // [a-z], so embedding them verbatim in SQL/regex is safe).
+  // Replacing the LEFTMOST guard-delimited (a, b) occurrence
+  // (regexp_replace without 'g') until none remain is exactly the
+  // encoder's left-to-right pass for rank (a, b) — a merged token can
+  // never create a new (a, b) match to its left.
   private def bpeCtes: String = {
     val merges = graft.functions.BpeTokenizer.merges
     val rows = merges.zipWithIndex.map { case ((a, b), r) =>
@@ -919,19 +923,20 @@ object SparkEntry {
        |   SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
        |   FROM documents WHERE text IS NOT NULL) WHERE w <> ''),
        | bpe(w, rank, s) AS (
-       |  SELECT w, 0, '|' || array_to_string(string_split(w, ''), '|') || '|'
+       |  SELECT w, 0,
+       |   chr(1) || array_to_string(string_split(w, ''), chr(1)) || chr(1)
        |  FROM words
        |  UNION ALL
        |  SELECT w,
-       |   CASE WHEN instr(s, '|' || a || '|' || b || '|') > 0 THEN bpe.rank
-       |        ELSE bpe.rank + 1 END,
-       |   CASE WHEN instr(s, '|' || a || '|' || b || '|') > 0
-       |        THEN regexp_replace(s, '\\|' || a || '\\|' || b || '\\|',
-       |               '|' || a || b || '|')
+       |   CASE WHEN instr(s, chr(1) || a || chr(1) || b || chr(1)) > 0
+       |        THEN bpe.rank ELSE bpe.rank + 1 END,
+       |   CASE WHEN instr(s, chr(1) || a || chr(1) || b || chr(1)) > 0
+       |        THEN regexp_replace(s, chr(1) || a || chr(1) || b || chr(1),
+       |               chr(1) || a || b || chr(1))
        |        ELSE s END
        |  FROM bpe JOIN m ON m.rank = bpe.rank),
        | wtok AS (
-       |  SELECT w, length(s) - length(replace(s, '|', '')) - 1 AS n_tok
+       |  SELECT w, length(s) - length(replace(s, chr(1), '')) - 1 AS n_tok
        |  FROM bpe WHERE rank = ${merges.size})""".stripMargin
   }
 
@@ -1736,8 +1741,8 @@ object SparkEntry {
           |FROM cum ORDER BY doc_id""".stripMargin),
     "text_weighted_sample" ->
       """SELECT doc_id, n_chars,
-        | round(pow((('0x' || substr(md5(text), 1, 8))::BIGINT + 0.5) / 4294967296.0,
-        |   1.0 / greatest(n_chars::DOUBLE, 1.0)), 6) AS sample_key
+        | round(ln((('0x' || substr(md5(text), 1, 8))::BIGINT + 0.5) / 4294967296.0)
+        |   / greatest(n_chars::DOUBLE, 1.0), 9) AS sample_key
         |FROM documents
         |ORDER BY sample_key DESC, doc_id LIMIT 50""".stripMargin,
     "text_mixture_sample" ->

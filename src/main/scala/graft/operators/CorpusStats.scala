@@ -344,12 +344,19 @@ object CorpusStats {
     */
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
     * Spirakis, "Weighted random sampling with a reservoir", IPL 2006):
-    * each document draws key = u^(1/w) with u a uniform derived from
-    * its content hash and w its weight (chars here); the top-n keys
-    * ARE a weighted sample without replacement. Content-hash
-    * randomness makes the draw stable under re-ingest and replayable
-    * by any engine (the [[contentHash32]] device); keys round to 6dp
-    * before ranking (SURVEY §5 pow rule) with the id as tiebreak.
+    * each document draws key = ln(u)/w — the monotone log transform of
+    * the classic u^(1/w) order statistic — with u a uniform derived
+    * from its content hash and w its weight (chars here); the top-n
+    * keys ARE a weighted sample without replacement. The log form is
+    * numerically WELL-CONDITIONED at production weights: u^(1/w)
+    * crowds against 1.0 as w grows (at w=3000 every u>0.9985 rounds
+    * to 1.000000 at 6dp, degenerating the cut to an id tiebreak),
+    * while ln(u)/w keeps keys spread across a wide negative range.
+    * Content-hash randomness makes the draw stable under re-ingest
+    * and replayable by any engine (the [[contentHash32]] device);
+    * keys round to 9dp before ranking (ln's cross-engine ulp drift is
+    * ~1e-18 absolute here, so 9dp absorbs it without quantizing the
+    * order) with the id as tiebreak.
     *
     * Scale shape: one pure projection plus a TakeOrdered top-n — no
     * global sort, no shuffle beyond the n-row collect at the driver
@@ -360,7 +367,7 @@ object CorpusStats {
     val w = greatest(col("n_chars").cast("double"), lit(1.0))
     val u = (contentHash32(col(textCol)).cast("double") + 0.5) / 4294967296.0
     docs.select(col(idCol), col("n_chars"),
-        round(pow(u, lit(1.0) / w), 6).as("sample_key"))
+        round(log(u) / w, 9).as("sample_key"))
       .orderBy(col("sample_key").desc, col(idCol))
       .limit(n)
   }

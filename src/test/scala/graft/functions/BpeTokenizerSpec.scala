@@ -35,6 +35,35 @@ class BpeTokenizerSpec extends SparkSpecBase {
     assert(BpeTokenizer.encode("qqq").size == 3)
   }
 
+  test("512-merge table compresses the corpus into the realistic band") {
+    assert(BpeTokenizer.NumMerges >= 512)
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").where("text IS NOT NULL").as[String].collect()
+    assert(texts.nonEmpty)
+    var words = 0L
+    var toks = 0L
+    texts.foreach { t =>
+      val ws = t.trim.split("\\s+").filter(_.nonEmpty)
+      words += ws.length
+      toks += BpeTokenizer.countTokens(t)
+    }
+    val ratio = toks.toDouble / words.toDouble
+    // a production-shaped table tokenizes common words as ~1 token and
+    // rarer ones as a few subwords: 1.1-1.5 tokens/word, NOT ~chars/word
+    assert(ratio >= 1.1 && ratio <= 1.5, s"tokens/word ratio $ratio")
+  }
+
+  test("whitespace word boundary is the regex \\s class, not isWhitespace") {
+    // U+00A0 (no-break space) is NOT regex-\s: it must stay inside the
+    // word, exactly as string_split_regex(text, '\s+') keeps it
+    val nbsp = "the\u00A0stream"
+    assert(BpeTokenizer.countTokens(nbsp) ==
+      BpeTokenizer.wordTokenCount(nbsp))
+    // the five ASCII \s chars all delimit
+    assert(BpeTokenizer.countTokens("a\tb\nc\u000Bd\fe\rf") ==
+      Seq("a", "b", "c", "d", "e", "f").map(BpeTokenizer.wordTokenCount).sum)
+  }
+
   test("countTokens sums per-word counts over whitespace runs") {
     val n = BpeTokenizer.countTokens("the  stream\tthe")
     assert(n == BpeTokenizer.wordTokenCount("the") * 2 +

@@ -216,11 +216,11 @@ class CorpusStatsSpec extends SparkSpecBase {
     val b = CorpusStats.weightedSample(docs, n = 10).collect().toSeq
     assert(a == b)
     assert(a.length == 10)
-    // keys live in (0, 1] and arrive in rank order
+    // keys live in the negative log domain and arrive in rank order
     val keys = a.map(_.getAs[Double]("sample_key"))
-    assert(keys.forall(k => k > 0.0 && k <= 1.0))
+    assert(keys.forall(k => k < 0.0))
     assert(keys.sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
-    // an overwhelming weight dominates: key = u^(1/w) -> 1 as w grows
+    // an overwhelming weight dominates: key = ln(u)/w -> 0- as w grows
     val heavy = docs.unionByName(
       Seq((999L, "h" * 5000)).toDF("doc_id", "text")
         .withColumn("n_chars", length(col("text")).cast("bigint")))
