@@ -535,6 +535,13 @@ object SparkEntry {
     Dedup.embeddingNearDupsAll(t(s, dir, "embeddings"), bitsPerTable = 4)
       .orderBy(col("a_id"), col("b_id"))
 
+  private def qDedupEmbeddingAuto(s: SparkSession, dir: String): DataFrame =
+    // nothing pinned: bits from the integer bucket-width law (count
+    // probe), tables from the recall coupling — the oracle replays
+    // BOTH laws, so this entry proves the adaptive path, not a constant
+    Dedup.embeddingNearDupsAuto(t(s, dir, "embeddings"))
+      .orderBy(col("a_id"), col("b_id"))
+
   private def qKnnBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(t(s, dir, "embeddings"), col("vec_id") < 8)
       .withColumn("rnk", col("rnk").cast("bigint"))
@@ -683,10 +690,6 @@ object SparkEntry {
       .orderBy(col("lang"), col("sample_rank"))
   }
 
-  private def qMmFeatures(s: SparkSession, dir: String): DataFrame =
-    Multimodal.featurize(Multimodal.asMedia(t(s, dir, "documents")))
-      .toDF().orderBy(col("doc_id"))
-
   /** Real byte-level header decode over synthesized PNG/JPEG/GIF
     * containers (deterministic from doc metadata — see
     * Multimodal.asMediaAssets). Full value oracle: every decode field
@@ -808,6 +811,7 @@ object SparkEntry {
     "dedup_ngram" -> (qDedupNgram _),
     "dedup_embedding" -> (qDedupEmbedding _),
     "dedup_embedding_all" -> (qDedupEmbeddingAll _),
+    "dedup_embedding_auto" -> (qDedupEmbeddingAuto _),
     "dedup_clusters" -> (qDedupClusters _),
     "knn_bruteforce" -> (qKnnBrute _),
     "knn_lsh" -> (qKnnLsh _),
@@ -826,7 +830,6 @@ object SparkEntry {
     "text_redact" -> (qTextRedact _),
     "text_fingerprint" -> (qTextFingerprint _),
     "text_sample_quota" -> (qSampleQuota _),
-    "mm_features" -> (qMmFeatures _),
     "mm_frames" -> (qMmFrames _),
     "mm_decode" -> (qMmDecode _)
   )
@@ -885,6 +888,46 @@ object SparkEntry {
        |   sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], w.wv) >= 0
        |     THEN (1 << w.bit) ELSE 0 END)::INT AS sig
        |  FROM embeddings e, w WHERE e.embedding IS NOT NULL
+       |  GROUP BY e.vec_id, w.table_id)""".stripMargin
+  }
+
+  // Adaptive-LSH replay: embeds the FULL maxTables × MaxAutoBits
+  // weight matrix (plane index = table·16 + bit — layout independent
+  // of the chosen bits) and re-computes BOTH sizing laws in SQL with
+  // the same arithmetic as Dedup.adaptiveBits/adaptiveTables: bits =
+  // smallest k in [4,16] with 64·2^k ≥ n (pure integers), tables =
+  // ceil(round(ln(1/(1-R)) / pBit^bits, 6)) capped — so the gate
+  // proves the sizing LAW at each SF, not one pinned constant.
+  private def autoLshCtes(threshold: Double, targetRecall: Double,
+      maxTables: Int): String = {
+    val maxBits = graft.operators.Dedup.MaxAutoBits
+    val weights =
+      graft.functions.VectorFunctions.planeWeights(maxTables * maxBits, 64)
+    val rows = weights.zipWithIndex.map { case (wv, p) =>
+      val lits = wv.map(v => if (v > 0f) "1" else "-1").mkString(",")
+      s"(${p / maxBits}, ${p % maxBits}, [$lits]::DOUBLE[])"
+    }.mkString(",\n  ")
+    val pbit = graft.operators.Dedup.pBit(threshold)
+    val lnR = math.log(1.0 / (1.0 - targetRecall))
+    s"""nn AS (SELECT count(*)::BIGINT AS n FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       | pp AS (
+       |  SELECT coalesce(min(k), 16)::INT AS bits
+       |  FROM range(4, 17) t(k), nn WHERE 64 * (1::BIGINT << k) >= nn.n),
+       | pt AS (
+       |  SELECT bits,
+       |   least($maxTables, greatest(1,
+       |     ceil(round($lnR / pow($pbit, bits), 6))))::INT AS tables
+       |  FROM pp),
+       | w(table_id, bit, wv) AS (VALUES
+       |  $rows),
+       | sigs AS (
+       |  SELECT e.vec_id, w.table_id,
+       |   sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], w.wv) >= 0
+       |     THEN (1 << w.bit) ELSE 0 END)::INT AS sig
+       |  FROM embeddings e, w, pt
+       |  WHERE e.embedding IS NOT NULL
+       |   AND w.table_id < pt.tables AND w.bit < pt.bits
        |  GROUP BY e.vec_id, w.table_id)""".stripMargin
   }
 
@@ -1973,6 +2016,19 @@ object SparkEntry {
     // value-for-value.
     "dedup_embedding_all" ->
       (s"WITH ${lshSigCtes(8, 4)},\n" +
+        """ pr AS (
+          |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+          |  FROM sigs a JOIN sigs b ON a.table_id = b.table_id AND a.sig = b.sig
+          |  WHERE a.vec_id < b.vec_id),
+          | sc AS (
+          |  SELECT pr.a_id, pr.b_id,
+          |   round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cosine
+          |  FROM pr JOIN embeddings ea ON ea.vec_id = pr.a_id
+          |       JOIN embeddings eb ON eb.vec_id = pr.b_id)
+          |SELECT a_id, b_id, cosine FROM sc WHERE cosine >= 0.35
+          |ORDER BY a_id, b_id""".stripMargin),
+    "dedup_embedding_auto" ->
+      (s"WITH ${autoLshCtes(0.35, 0.9, 32)},\n" +
         """ pr AS (
           |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
           |  FROM sigs a JOIN sigs b ON a.table_id = b.table_id AND a.sig = b.sig

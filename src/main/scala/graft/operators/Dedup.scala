@@ -318,17 +318,62 @@ object Dedup {
     * more tables). Emits each unordered pair once (`a_id < b_id`),
     * ready for [[connectedComponents]].
     */
-  /** bits ≈ log2(N / 64), floored at 4 and capped at 16 — the
-    * bucket-width law (candidates ∝ N²/2^bits) keeps expected bucket
-    * size ~constant as the corpus grows.
+  /** bits = smallest k in [4, 16] with 64·2^k ≥ N (the integer form of
+    * ceil(log2(N/64)) floored at 4, capped at 16) — the bucket-width
+    * law (candidates ∝ N²/2^bits) keeps expected bucket size
+    * ~constant as the corpus grows. Pure integer arithmetic so an
+    * external replay computes the identical value (a float log2 can
+    * flip a ceil at exact powers of two).
     */
-  private[operators] def adaptiveBits(n: Long): Int =
-    math.min(16, math.max(4,
-      math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2.0)).toInt))
+  private[operators] def adaptiveBits(n: Long): Int = {
+    var k = 4
+    while (k < 16 && 64L * (1L << k) < n) k += 1
+    k
+  }
+
+  /** Maximum per-table bits the auto planner will ever use; fixes the
+    * (table, bit) → plane-index layout (`table·MaxAutoBits + bit`) so
+    * the weight matrix is one static object regardless of how many
+    * bits the law picks — what lets an external replay embed the
+    * whole matrix once and select (bits, tables) at run time.
+    */
+  private[graft] val MaxAutoBits: Int = 16
+
+  /** Per-bit sign-agreement probability of a random hyperplane at a
+    * given cosine (Goemans–Williamson, used for LSH by Charikar '02):
+    * P[collide] = 1 − arccos(cos θ)/π. Rounded to 6dp so both engines
+    * continue from the identical constant (acos differs by ulps
+    * across math libraries).
+    */
+  private[graft] def pBit(threshold: Double): Double =
+    BigDecimal(1.0 -
+        math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Recall-coupled table count: the smallest L with
+    * 1 − (1 − p^bits)^L ≥ targetRecall, via L ≥ ln(1/(1−R))/p^bits
+    * — the ADVICE coupling: as the bucket-width law grows `bits`, the
+    * per-table collision probability p^bits decays geometrically, so
+    * the table count must grow to hold recall; a fixed table count
+    * silently collapses recall on large corpora (at threshold 0.35,
+    * p ≈ 0.614, 16 bits ⇒ p^16 ≈ 4e-4 per table). The ratio is
+    * rounded to 6dp before the ceil (same cross-engine guard as
+    * everywhere else); `maxTables` caps the cost explosion of LOW
+    * thresholds, where hyperplane LSH is inherently unselective and a
+    * capped plan honestly under-recalls rather than melting the
+    * cluster.
+    */
+  private[operators] def adaptiveTables(bits: Int, threshold: Double,
+      targetRecall: Double = 0.9, maxTables: Int = 32): Int = {
+    val need = math.log(1.0 / (1.0 - targetRecall)) /
+      math.pow(pBit(threshold), bits)
+    val rounded = BigDecimal(need)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    math.min(maxTables, math.max(1, math.ceil(rounded).toInt))
+  }
 
   def embeddingNearDupsAll(emb: DataFrame, threshold: Double = 0.35,
       numTables: Int = 8, bitsPerTable: Int = -1): DataFrame = {
-    graft.plans.GraftFunctions.ensureRegistered(emb.sparkSession)
     // default bits follow the bucket-width law measured in SURVEY §6
     // (candidates ∝ N²/2^bits): bits ≈ log2(N / 64), floored at 4 and
     // capped at 16 — one count job, the same class of probe as
@@ -340,7 +385,47 @@ object Dedup {
     val weights = VF.planeWeights(numTables * bits,
       Similarity.embeddingDim(emb))
     val perTable = (0 until numTables).map { tbl =>
-      val w = weights.slice(tbl * bits, (tbl + 1) * bits)
+      weights.slice(tbl * bits, (tbl + 1) * bits)
+    }
+    bucketedNearDups(emb, threshold, perTable)
+  }
+
+  /** Fully self-tuning all-corpus near-dup pairs: `bits` from the
+    * integer bucket-width law ([[adaptiveBits]] — one count probe,
+    * replayed by the oracle), `tables` from the recall coupling
+    * ([[adaptiveTables]]). Plane layout is `table·MaxAutoBits + bit`
+    * (each table owns a fixed 16-plane stripe and uses the first
+    * `bits`), so the weight matrix is identical no matter what the
+    * law picks — the oracle embeds the full `maxTables` × 16 matrix
+    * as literals and selects (bits, tables) with the same integer
+    * arithmetic. Gate-checked at every SF with DIFFERENT effective
+    * bits (4 at 500 vectors, 5 at 2000), proving the law rather than
+    * a pinned constant.
+    */
+  def embeddingNearDupsAuto(emb: DataFrame, threshold: Double = 0.35,
+      targetRecall: Double = 0.9, maxTables: Int = 32): DataFrame = {
+    val n = emb.filter(col("embedding").isNotNull).count()
+    val bits = adaptiveBits(n)
+    val tables = adaptiveTables(bits, threshold, targetRecall, maxTables)
+    val weights = VF.planeWeights(maxTables * MaxAutoBits,
+      Similarity.embeddingDim(emb))
+    val perTable = (0 until tables).map { tbl =>
+      weights.slice(tbl * MaxAutoBits, tbl * MaxAutoBits + bits)
+    }
+    bucketedNearDups(emb, threshold, perTable)
+  }
+
+  /** Shared banded-LSH near-dup pipeline: per-table sign signatures,
+    * ids-only bucket self-join, exact-cosine verify on candidates.
+    * Shuffle discipline: the bucket self-join moves (vec_id, table_id,
+    * sig) rows — 16 bytes each, never the 64-float embedding; vectors
+    * re-join by id only for the candidate-pair verify. Emits each
+    * unordered pair once (`a_id < b_id`).
+    */
+  private def bucketedNearDups(emb: DataFrame, threshold: Double,
+      perTableWeights: Seq[Array[Array[Float]]]): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val perTable = perTableWeights.zipWithIndex.map { case (w, tbl) =>
       struct(lit(tbl).as("table_id"), VF.hyperplaneSig(col("embedding"), w).as("sig"))
     }
     val sigs = emb

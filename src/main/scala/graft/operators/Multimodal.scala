@@ -7,10 +7,6 @@ import org.apache.spark.sql.functions._
 case class MMRecord(doc_id: Long, content: Array[Byte], media_type: String,
     width: Int, height: Int)
 
-/** Extracted per-asset features. */
-case class MMFeature(doc_id: Long, media_type: String, byte_len: Long,
-    content_hash: Long, head_sig: Long, width: Int, height: Int)
-
 /** One sampled frame: byte window `[frame_off, frame_off+frame_len)`
   * of the source asset.
   */
@@ -30,18 +26,13 @@ case class MMDecoded(doc_id: Long, format: Option[String],
     byte_len: Long)
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
-  * columns with typed metadata, decoded/feature-extracted in batched
-  * per-partition passes.
-  *
-  * The decode itself is STUBBED (no image/audio libs in this container):
-  * [[decodeStub]] produces deterministic fake features (FNV-1a content
-  * hash, head bytes, length) standing in for a real decoder. Everything
-  * around it — binary schema, typed `Dataset[MMRecord]`, `mapPartitions`
-  * batching (one decoder init per partition, the shape a JNI/FFmpeg/JPEG
-  * decoder needs), partition sizing — is real and is what matters at
-  * 100 TB: media rows are large, so `spark.sql.files.maxPartitionBytes`
-  * bounds decode-batch memory, and features detach from bytes early so
-  * downstream stages never shuffle the binary payload.
+  * columns with typed metadata, decoded in batched per-partition
+  * passes ([[decodeAssets]] — a real byte-level PNG/JPEG/GIF header
+  * decoder, no image libs needed). The structural discipline is what
+  * matters at 100 TB: media rows are large, so
+  * `spark.sql.files.maxPartitionBytes` bounds decode-batch memory,
+  * and decoded facts detach from bytes early so downstream stages
+  * never shuffle the binary payload.
   */
 object Multimodal {
 
@@ -58,39 +49,6 @@ object Multimodal {
       (col("n_chars") % 640 + 1).cast("int").as("width"),
       (col("n_chars") % 480 + 1).cast("int").as("height"))
       .as[MMRecord]
-  }
-
-  /** STUB decoder: deterministic features from the raw bytes. A real
-    * implementation would decode pixels/samples here; the contract
-    * (bytes in, fixed-width features out, batched per partition) is
-    * identical.
-    */
-  private def decodeStub(r: MMRecord): MMFeature = {
-    var h = -3750763034362895579L // FNV-1a 64 offset basis
-    var i = 0
-    while (i < r.content.length) {
-      h = (h ^ (r.content(i) & 0xffL)) * 1099511628211L
-      i += 1
-    }
-    val head = if (r.content.length >= 8) {
-      var v = 0L
-      var j = 0
-      while (j < 8) { v = (v << 8) | (r.content(j) & 0xffL); j += 1 }
-      v
-    } else r.content.length.toLong
-    MMFeature(r.doc_id, r.media_type, r.content.length.toLong, h, head,
-      r.width, r.height)
-  }
-
-  /** Batched feature extraction: one pass per partition (decoder init
-    * amortized), bytes dropped from the output schema.
-    */
-  def featurize(media: Dataset[MMRecord]): Dataset[MMFeature] = {
-    import media.sparkSession.implicits._
-    media.mapPartitions { it =>
-      // per-partition decoder init would go here (JNI handle, etc.)
-      it.map(decodeStub)
-    }
   }
 
   /** Frame sampling: up to `maxFrames` evenly-strided byte windows per

@@ -102,6 +102,56 @@ class DedupSpec extends SparkSpecBase {
     assert(Dedup.adaptiveBits(100000000L) == 16) // capped
   }
 
+  test("recall coupling: table count grows with bits, holds target recall") {
+    // at threshold 0.35, pBit ~ 0.614: per-table recall decays
+    // geometrically with bits, so tables must grow to compensate
+    val t4 = Dedup.adaptiveTables(4, 0.35)
+    val t8 = Dedup.adaptiveTables(8, 0.35)
+    assert(t4 < t8)
+    // the chosen L satisfies 1-(1-p^bits)^L >= 0.9 (unless capped)
+    for (bits <- 4 to 8) {
+      val p = Dedup.pBit(0.35)
+      val l = Dedup.adaptiveTables(bits, 0.35, maxTables = 10000)
+      // sufficiency (the L >= ln(1/d)/p^k bound is conservative by
+      // design: ln(1-x) < -x, so it may exceed the true minimum by 1)
+      assert(math.pow(1.0 - math.pow(p, bits), l) <= 0.1 + 1e-9,
+        s"bits=$bits l=$l")
+    }
+    // a high threshold needs far fewer tables at the same bits
+    assert(Dedup.adaptiveTables(8, 0.9) < Dedup.adaptiveTables(8, 0.35))
+    // the cap engages rather than exploding the plan
+    assert(Dedup.adaptiveTables(16, 0.35, maxTables = 32) == 32)
+  }
+
+  test("auto near-dup pairs: sound and recall-complete on the spec corpus") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val got = Dedup.embeddingNearDupsAuto(emb)
+      .select("a_id", "b_id", "cosine").as[(Long, Long, Double)].collect()
+    assert(got.forall { case (a, b, c) => a < b && c >= 0.35 })
+    assert(got.map(p => (p._1, p._2)).distinct.length == got.length)
+    // recall vs exact threshold pairs: the coupled plan targets 0.9,
+    // so on the tiny spec corpus demand at least 0.8 measured
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().filter(_._2 != null)
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0
+      for (i <- x.indices) {
+        d += x(i).toDouble * y(i); nx += x(i).toDouble * x(i)
+        ny += y(i).toDouble * y(i)
+      }
+      d / math.sqrt(nx * ny)
+    }
+    val truth = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      c = cos(vecs(i)._2, vecs(j)._2) if c >= 0.3502 // off-boundary guard
+    } yield (math.min(vecs(i)._1, vecs(j)._1), math.max(vecs(i)._1, vecs(j)._1))).toSet
+    val gotPairs = got.map(p => (p._1, p._2)).toSet
+    if (truth.nonEmpty) {
+      val recall = truth.count(gotPairs.contains).toDouble / truth.size
+      assert(recall >= 0.8, s"recall $recall over ${truth.size} true pairs")
+    }
+  }
+
   test("all-corpus near-dup pairs: sound, unordered-once, recall above floor") {
     val emb = Tables.embeddings(spark, sfDir)
     val got = Dedup.embeddingNearDupsAll(emb)

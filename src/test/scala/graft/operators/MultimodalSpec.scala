@@ -7,12 +7,12 @@ import org.apache.spark.sql.functions._
 class MultimodalSpec extends SparkSpecBase {
   import spark.implicits._
 
-  test("featurize is deterministic and drops the binary payload") {
+  test("decodeAssets is deterministic and drops the binary payload") {
     val docs = Tables.documents(spark, sfDir)
-    val f1 = Multimodal.featurize(Multimodal.asMedia(docs)).orderBy("doc_id")
-    val f2 = Multimodal.featurize(Multimodal.asMedia(docs)).orderBy("doc_id")
-    assert(f1.columns.toSet == Set("doc_id", "media_type", "byte_len",
-      "content_hash", "head_sig", "width", "height"))
+    val f1 = Multimodal.decodeAssets(Multimodal.asMediaAssets(docs)).orderBy("doc_id")
+    val f2 = Multimodal.decodeAssets(Multimodal.asMediaAssets(docs)).orderBy("doc_id")
+    assert(f1.columns.toSet == Set("doc_id", "format", "width", "height",
+      "channels", "byte_len"))
     assert(f1.collect().toSeq == f2.collect().toSeq)
     assert(f1.count() == docs.count())
   }
@@ -130,13 +130,15 @@ class MultimodalSpec extends SparkSpecBase {
     assert(good.collect().forall(d => d.format.nonEmpty && d.width.exists(_ > 0)))
   }
 
-  test("byte_len equals utf-8 length of the source text") {
-    val docs = Seq((1L, "abc", 3L), (2L, "héllo", 6L))
+  test("decoded byte_len covers header plus utf-8 payload length") {
+    // doc_id 1 -> JPEG branch (39-byte synth header: SOI + APP0 + SOF0),
+    // doc_id 2 -> GIF branch (13-byte header); payload is the UTF-8 text
+    val docs = Seq((1L, "abc", 39L + 3L), (2L, "héllo", 13L + 6L))
       .toDF("doc_id", "text", "expected")
       .withColumn("n_chars", length(col("text")).cast("bigint"))
-    val feats = Multimodal.featurize(Multimodal.asMedia(docs))
+    val feats = Multimodal.decodeAssets(Multimodal.asMediaAssets(docs))
     val got = feats.select("doc_id", "byte_len").as[(Long, Long)].collect().toMap
-    assert(got(1L) == 3L)
-    assert(got(2L) == 6L) // é is 2 bytes in UTF-8
+    assert(got(1L) == 42L)
+    assert(got(2L) == 19L) // é is 2 bytes in UTF-8
   }
 }

@@ -350,26 +350,6 @@ PROPERTY_CHECKS = {
            AND tc.token NOT IN (SELECT token FROM o)
          """),
     ],
-    "mm_features": [
-        ("one row per document; metadata replays exactly; head_sig "
-         "replays byte-for-byte on printable-ASCII prefixes",
-         """
-         SELECT
-          ((SELECT count(*) FROM o) != (SELECT count(*) FROM documents))::BIGINT AS bad_cardinality,
-          count(*) FILTER (WHERE o.media_type != 'image/fake'
-            OR o.byte_len != octet_length(encode(d.text))
-            OR o.width  != d.n_chars % 640 + 1
-            OR o.height != d.n_chars % 480 + 1) AS bad_meta,
-          count(*) FILTER (WHERE octet_length(encode(d.text)) >= 8
-            AND regexp_matches(d.text[1:8], '^[ -~]{8}$')
-            AND o.head_sig != (
-              (ascii(d.text[1:1])::BIGINT << 56) | (ascii(d.text[2:2])::BIGINT << 48) |
-              (ascii(d.text[3:3])::BIGINT << 40) | (ascii(d.text[4:4])::BIGINT << 32) |
-              (ascii(d.text[5:5])::BIGINT << 24) | (ascii(d.text[6:6])::BIGINT << 16) |
-              (ascii(d.text[7:7])::BIGINT << 8) | ascii(d.text[8:8])::BIGINT)) AS bad_head
-         FROM o JOIN documents d USING (doc_id)
-         """),
-    ],
 }
 
 
