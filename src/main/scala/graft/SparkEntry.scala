@@ -103,6 +103,24 @@ object SparkEntry {
     Relational.sessionize(t(s, dir, "events"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Streaming-equivalence gate: the batch hourly aggregation fed by a
+    * REAL file stream (readStream + AvailableNow into a memory sink).
+    * Shares q_event_hourly's oracle — the continuous path must land on
+    * the exact batch answer.
+    */
+  private def qStreamHourly(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay
+      .replayEvents(s, dir, Relational.hourlyEventAgg)
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** Streaming-equivalence gate for session windows (same oracle as
+    * q_event_sessionize).
+    */
+  private def qStreamSessionize(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay
+      .replayEvents(s, dir, Relational.sessionize(_))
+      .orderBy(col("user_id"), col("session_start"))
+
   private def qRegionRevenue(s: SparkSession, dir: String): DataFrame =
     Relational.regionRevenue(t(s, dir, "region"), t(s, dir, "nation"),
       t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))
@@ -567,6 +585,24 @@ object SparkEntry {
       .withColumn("rnk", col("rnk").cast("bigint"))
       .orderBy(col("probe_id"), col("rnk"))
 
+  /** Train-ONCE/serve-many ANN: the first call per JVM trains the
+    * Lloyd cells and persists (centroids, cell-partitioned inverted
+    * lists) via [[graft.sources.IvfIndexStore]]; every later call —
+    * including later bench reps — serves from the stored tables with
+    * no training in the plan. Training is deterministic, so the
+    * stored index equals a replayed retrain and the query keeps a
+    * full value oracle.
+    */
+  private def qKnnIvfServed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val path = graft.sources.IvfIndexStore.defaultPath(dir)
+    graft.sources.IvfIndexStore.ensure(emb, path)
+    graft.sources.IvfIndexStore
+      .servedTopK(s, path, emb.filter(col("vec_id") < 8))
+      .withColumn("rnk", col("rnk").cast("bigint"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   private def qKnnLshRecall(s: SparkSession, dir: String): DataFrame =
     Similarity.lshRecallAtK(t(s, dir, "embeddings"), col("vec_id") < 8)
       .orderBy(col("probe_id"))
@@ -761,6 +797,8 @@ object SparkEntry {
     "q_window_running" -> (qRunning _),
     "q_event_hourly" -> (qHourly _),
     "q_event_sessionize" -> (qSessionize _),
+    "stream_event_hourly" -> (qStreamHourly _),
+    "stream_event_sessionize" -> (qStreamSessionize _),
     "q5_region_revenue" -> (qRegionRevenue _),
     "q_mkt_share" -> (qMktShare _),
     "q_funnel" -> (qFunnel _),
@@ -821,6 +859,7 @@ object SparkEntry {
     "knn_centroids" -> (qCentroids _),
     "emb_kmeans" -> (qEmbKmeans _),
     "knn_ivf_trained" -> (qKnnIvfTrained _),
+    "knn_ivf_served" -> (qKnnIvfServed _),
     "q_corr_stats" -> (qCorrStats _),
     "text_tokens" -> (qTextTokens _),
     "text_tokens_bpe" -> (qTextTokensBpe _),
@@ -1045,6 +1084,58 @@ object SparkEntry {
        |  ORDER BY vec_id LIMIT $k),
        |$rounds""".stripMargin
   }
+
+  private lazy val eventHourlyOracle: String =
+    """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start, event_type,
+      | count(*) AS n_events,
+      | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY hour_start, event_type
+      |ORDER BY hour_start, event_type""".stripMargin
+
+  private lazy val eventSessionizeOracle: String =
+    """WITH g AS (SELECT user_id, ts, value,
+      |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+      |   THEN 1 ELSE 0 END AS brk FROM events),
+      | s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM g)
+      |SELECT user_id, date_trunc('second', min(ts)) AS session_start,
+      | count(*) AS n_events,
+      | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, sess
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // Trained-IVF replay: the kmeans CTE chain composed with the IVF
+  // serve stage, cells re-centroided from the final assignment exactly
+  // as cellCentroids' CentroidAggregator does (sum/count, 6dp). Shared
+  // by knn_ivf_trained (in-query training) and knn_ivf_served (reads
+  // the persisted index, whose contents equal this deterministic
+  // retrain).
+  private lazy val ivfTrainedOracle: String =
+    s"WITH ${kmeansCtes(8, 3)},\n" +
+      """ p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+        | lab AS (SELECT e.vec_id, e.embedding, a3.cluster AS cell
+        |  FROM embeddings e JOIN a3 USING (vec_id)),
+        | tc0 AS (
+        |  SELECT cell, i, round(sum(v::DOUBLE) / count(*), 6) AS cv
+        |  FROM (SELECT cell, generate_subscripts(embedding, 1) AS i,
+        |        unnest(embedding) AS v FROM lab)
+        |  GROUP BY cell, i),
+        | tcents AS (SELECT cell, list(cv ORDER BY i) AS cvec FROM tc0 GROUP BY cell),
+        | tpc AS (SELECT p.vec_id AS probe_id, c.cell,
+        |   round(list_cosine_similarity(p.embedding::DOUBLE[], c.cvec), 4) AS ccos
+        |  FROM p, tcents c),
+        | tcells AS (SELECT probe_id, cell FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, cell) AS cr
+        |   FROM tpc WHERE ccos IS NOT NULL) WHERE cr <= 2),
+        | tcand AS (SELECT tcells.probe_id, e.vec_id AS cand_id,
+        |   round(list_cosine_similarity(pp.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cosine
+        |  FROM tcells JOIN lab e ON e.cell = tcells.cell
+        |       JOIN embeddings pp ON pp.vec_id = tcells.probe_id
+        |  WHERE e.vec_id <> tcells.probe_id),
+        | tsc AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+        |   FROM tcand WHERE cosine IS NOT NULL)
+        |SELECT probe_id, cand_id, cosine, rnk FROM tsc WHERE rnk <= 5
+        |ORDER BY probe_id, rnk""".stripMargin
 
   // MinHash replay: the affine family's (a_j, b_j) parameters come
   // from the SAME Scala generator the operator uses
@@ -1458,23 +1549,12 @@ object SparkEntry {
         | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS DOUBLE) AS running_total,
         | CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS INT) AS order_seq
         |FROM orders ORDER BY o_custkey, order_seq""".stripMargin,
-    "q_event_hourly" ->
-      """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start, event_type,
-        | count(*) AS n_events,
-        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY hour_start, event_type
-        |ORDER BY hour_start, event_type""".stripMargin,
-    "q_event_sessionize" ->
-      """WITH g AS (SELECT user_id, ts, value,
-        |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |     OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
-        |   THEN 1 ELSE 0 END AS brk FROM events),
-        | s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM g)
-        |SELECT user_id, date_trunc('second', min(ts)) AS session_start,
-        | count(*) AS n_events,
-        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
-        |FROM s GROUP BY user_id, sess
-        |ORDER BY user_id, session_start""".stripMargin,
+    "q_event_hourly" -> eventHourlyOracle,
+    "q_event_sessionize" -> eventSessionizeOracle,
+    // the stream_* twins are the SAME transforms fed by a file stream:
+    // batch-equivalence means the batch oracle checks them unchanged
+    "stream_event_hourly" -> eventHourlyOracle,
+    "stream_event_sessionize" -> eventSessionizeOracle,
     "q5_region_revenue" ->
       """SELECT n_name,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
@@ -2109,32 +2189,11 @@ object SparkEntry {
     // trained IVF = the kmeans replay composed with the IVF search
     // CTEs, cells re-centroided from the final assignment exactly as
     // ivfTopK's CentroidAggregator does (sum/count, 6dp)
-    "knn_ivf_trained" ->
-      (s"WITH ${kmeansCtes(8, 3)},\n" +
-        """ p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
-          | lab AS (SELECT e.vec_id, e.embedding, a3.cluster AS cell
-          |  FROM embeddings e JOIN a3 USING (vec_id)),
-          | tc0 AS (
-          |  SELECT cell, i, round(sum(v::DOUBLE) / count(*), 6) AS cv
-          |  FROM (SELECT cell, generate_subscripts(embedding, 1) AS i,
-          |        unnest(embedding) AS v FROM lab)
-          |  GROUP BY cell, i),
-          | tcents AS (SELECT cell, list(cv ORDER BY i) AS cvec FROM tc0 GROUP BY cell),
-          | tpc AS (SELECT p.vec_id AS probe_id, c.cell,
-          |   round(list_cosine_similarity(p.embedding::DOUBLE[], c.cvec), 4) AS ccos
-          |  FROM p, tcents c),
-          | tcells AS (SELECT probe_id, cell FROM (
-          |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, cell) AS cr
-          |   FROM tpc WHERE ccos IS NOT NULL) WHERE cr <= 2),
-          | tcand AS (SELECT tcells.probe_id, e.vec_id AS cand_id,
-          |   round(list_cosine_similarity(pp.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cosine
-          |  FROM tcells JOIN lab e ON e.cell = tcells.cell
-          |       JOIN embeddings pp ON pp.vec_id = tcells.probe_id
-          |  WHERE e.vec_id <> tcells.probe_id),
-          | tsc AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
-          |   FROM tcand WHERE cosine IS NOT NULL)
-          |SELECT probe_id, cand_id, cosine, rnk FROM tsc WHERE rnk <= 5
-          |ORDER BY probe_id, rnk""".stripMargin),
+    "knn_ivf_trained" -> ivfTrainedOracle,
+    // the served query reads the PERSISTED index, whose contents are a
+    // deterministic function of the corpus — the oracle retrains in
+    // SQL and lands on the identical stored tables
+    "knn_ivf_served" -> ivfTrainedOracle,
     "knn_centroids" ->
       """WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS i,
         |  unnest(embedding) AS v FROM embeddings)

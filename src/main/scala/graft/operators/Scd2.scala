@@ -56,6 +56,12 @@ object Scd2 {
   val ToCol = "effective_to"
   val CurrentCol = "is_current"
 
+  /** Partition column of the compacted layout
+    * ([[graft.sources.Sinks.compactScd2]]): `year(effective_to)`,
+    * 9999 for open versions.
+    */
+  val CloseYearCol = "close_year"
+
   /** First load: every row becomes the open current version. */
   def init(snapshot: DataFrame, keys: Seq[String], loadDate: Column): DataFrame =
     MergeInto.requireUniqueKeys(snapshot, keys)
@@ -122,6 +128,25 @@ object Scd2 {
     * same reason as in [[merge]]: versions accumulate per key only as
     * genuine history, and the interval residual keeps exactly one.
     */
+  /** [[asOf]] against a COMPACTED history
+    * ([[graft.sources.Sinks.compactScd2]] layout) for a fact window
+    * bounded below by `minFactDate` (a LITERAL, so pruning is static):
+    * a version closed before the bound cannot own any fact at or after
+    * it, and since the close year is a partition column the eliminated
+    * versions never leave the file manifest — the history scan itself
+    * shrinks with the window (plan-audited in PlanAuditSpec). The
+    * interval residual inside [[asOf]] is unchanged, so results equal
+    * the unpruned join for any fact at or after the bound.
+    */
+  def asOfPruned(compacted: DataFrame, facts: DataFrame, historyKey: String,
+      factKey: String, factTimeCol: String,
+      minFactDate: Column): DataFrame = {
+    val pruned = compacted.filter(
+      col(CurrentCol) || col(CloseYearCol) >= org.apache.spark.sql.functions
+        .year(minFactDate.cast(DateType)))
+    asOf(pruned.drop(CloseYearCol), facts, historyKey, factKey, factTimeCol)
+  }
+
   def asOf(history: DataFrame, facts: DataFrame, historyKey: String,
       factKey: String, factTimeCol: String): DataFrame = {
     // qualified references, so the natural case of historyKey ==

@@ -115,25 +115,48 @@ object Similarity {
     */
   def ivfTopK(emb: DataFrame, probeFilter: org.apache.spark.sql.Column,
       k: Int = 5, nprobe: Int = 2, labelCol: String = "label"): DataFrame = {
-    GraftFunctions.ensureRegistered(emb.sparkSession)
+    val corpus = emb.select(col("vec_id"), col("embedding"),
+      col(labelCol).as("cell"))
+    ivfSearch(corpus, cellCentroids(emb, labelCol), emb.filter(probeFilter),
+      k, nprobe)
+  }
+
+  /** Coarse quantizer table: one 6-dp-rounded centroid per cell with
+    * all-NULL cells dropped — the exact construction the IVF oracle
+    * replays, shared by the in-query path ([[ivfTopK]]) and the
+    * persisted index ([[graft.sources.IvfIndexStore]]).
+    */
+  private[graft] def cellCentroids(emb: DataFrame,
+      labelCol: String): DataFrame = {
     val centroid = udaf(new graft.functions.CentroidAggregator(embeddingDim(emb)))
-    // coarse quantizer: one 6-dp-rounded centroid per stored cell with
-    // its norm precomputed per CELL (not per probe×cell pair);
-    // all-NULL cells yield a NULL centroid and are dropped
-    val cents = emb.groupBy(col(labelCol).as("cell"))
+    emb.groupBy(col(labelCol).as("cell"))
       .agg(centroid(col("embedding")).as("craw"))
       .filter(col("craw").isNotNull)
       .select(col("cell"), transform(col("craw"), v => round(v, 6)).as("cvec"))
-      .withColumn("cvec_nrm", VF.norm(col("cvec")))
+  }
+
+  /** The IVF serve stage: rank the (tiny, broadcast) centroid table
+    * per probe, keep the best `nprobe` cells, exact-cosine search ONLY
+    * the corpus rows of those cells. Takes the cell-labeled corpus and
+    * the centroid table as INPUTS so the caller decides where they
+    * come from — recomputed in-query ([[ivfTopK]]) or read from a
+    * persisted index ([[graft.sources.IvfIndexStore.servedTopK]]),
+    * where a cell-partitioned layout lets the scan prune to the probed
+    * cells.
+    */
+  private[graft] def ivfSearch(cellCorpus: DataFrame, cents: DataFrame,
+      probeRows: DataFrame, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    GraftFunctions.ensureRegistered(cellCorpus.sparkSession)
+    val cw = cents.withColumn("cvec_nrm", VF.norm(col("cvec")))
     // probe-side double-precision norm, once per probe — the cosine to
     // a cell is then one fold per pair
-    val probes = emb.filter(probeFilter)
+    val probes = probeRows
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
         VF.normNative(col("embedding")).as("probe_nrm"),
         VF.norm(col("embedding")).as("probe_dnrm"))
     // probe → nprobe best cells: probes × broadcast(centroids); the
     // double-precision fold keeps values identical to the oracle's
-    val cellCos = probes.join(broadcast(cents))
+    val cellCos = probes.join(broadcast(cw))
       .select(col("probe_id"), col("probe_emb"), col("probe_nrm"), col("cell"),
         round(VF.dot(col("probe_emb"), col("cvec"))
           / (col("probe_dnrm") * col("cvec_nrm")), 4).as("ccos"))
@@ -146,9 +169,9 @@ object Similarity {
       .select(col("probe_id"), col("probe_emb"), col("probe_nrm"), col("cell"))
     // exact search within probed cells only (a vector lives in exactly
     // one cell, so no per-pair dedup is needed)
-    val scored = emb
+    val scored = cellCorpus
       .select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"),
-        VF.normNative(col("embedding")).as("cand_nrm"), col(labelCol).as("cell"))
+        VF.normNative(col("embedding")).as("cand_nrm"), col("cell"))
       .join(broadcast(probedCells), Seq("cell"))
       .filter(col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"),

@@ -188,4 +188,38 @@ object Sinks {
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** SCD2 history compaction: rewrite the monotonically growing
+    * history PARTITIONED BY (is_current, close year). The current
+    * slice — the only part [[graft.operators.Scd2.merge]] ever joins —
+    * becomes one partition subtree; closed versions land in the year
+    * they were closed. The payoff is on the as-of READ path
+    * ([[graft.operators.Scd2.asOfPruned]]): a version closed before a
+    * fact window's lower bound cannot own any fact in the window, and
+    * because the close year is a partition column those versions are
+    * eliminated in the file manifest — the scan itself shrinks, which
+    * is what keeps a years-old history readable instead of paying the
+    * full accumulated-version scan on every query.
+    */
+  def compactScd2(history: DataFrame, path: String): Unit =
+    history
+      .withColumn(graft.operators.Scd2.CloseYearCol,
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.year(
+            col(graft.operators.Scd2.ToCol)),
+          org.apache.spark.sql.functions.lit(9999)))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(graft.operators.Scd2.CurrentCol,
+        graft.operators.Scd2.CloseYearCol)
+      .parquet(path)
+
+  /** Read a [[compactScd2]] layout (partition columns come back typed
+    * from directory values).
+    */
+  def readScd2(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .withColumn(graft.operators.Scd2.CurrentCol,
+        col(graft.operators.Scd2.CurrentCol).cast("boolean"))
+      .withColumn(graft.operators.Scd2.CloseYearCol,
+        col(graft.operators.Scd2.CloseYearCol).cast("int"))
 }

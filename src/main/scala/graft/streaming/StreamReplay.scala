@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+/** Batch-equivalence replay: run the SAME transform the batch gate
+  * queries use, but fed by a REAL file stream (`readStream` over the
+  * events parquet, `Trigger.AvailableNow`), into an in-memory sink —
+  * then hand the completed result to the verify gate, where the
+  * DuckDB oracle for the batch query checks it value-for-value.
+  *
+  * This is the streaming surface's correctness story: same engine,
+  * same data, same transform ⇒ the continuous path must produce the
+  * exact batch answer. A divergence (wrong watermark wiring, a
+  * non-streamable expression silently changing semantics, an output
+  * mode dropping rows) fails the gate non-zero like any other query.
+  *
+  * Scale shape: nothing here is gate-only scaffolding — readStream +
+  * AvailableNow is precisely the production backfill pattern ("replay
+  * the lake through the streaming topology"), and complete-mode
+  * results at gate SF stand in for what a real deployment would write
+  * through a parquet/Kafka sink in append mode.
+  */
+object StreamReplay {
+
+  private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Replay `dir`'s events table as a file stream through `transform`
+    * and return the completed output. The stream frame gets the same
+    * TIMESTAMP(NANOS) → µs conversion as [[graft.sources.Tables
+    * .events]] plus a watermark (required scaffolding for streaming
+    * aggregation state eviction; with one AvailableNow pass nothing
+    * is ever late, so it cannot change the answer — which is exactly
+    * what the equivalence check proves).
+    */
+  def replayEvents(spark: SparkSession, dir: String,
+      transform: DataFrame => DataFrame,
+      watermark: String = "2 hours",
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$dir/events.parquet"
+    val batchSchema = spark.read.parquet(path).schema
+    // the testdata table is one bare file; a brace glob makes the file
+    // stream source resolve basePath to the parent DIRECTORY (it
+    // rejects a file basePath) while still matching only this table
+    val raw = spark.readStream.schema(batchSchema)
+      .parquet(s"$dir/{events.parquet}")
+    val events = batchSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+    val out = transform(events.withWatermark("ts", watermark))
+    val name = s"graft_replay_${runId.incrementAndGet()}"
+    val q = out.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination()
+    finally q.stop()
+    spark.table(name)
+  }
+}

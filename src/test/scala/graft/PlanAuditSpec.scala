@@ -275,6 +275,64 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("compacted SCD2 as-of prunes closed partitions for a bounded window") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val dim = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), col("p_retailprice"))
+    val h0 = Scd2.init(dim, Seq("p_partkey"), lit("1995-01-01"))
+    val bumped = dim.withColumn("p_retailprice",
+      when(col("p_partkey") % 10 === 0, col("p_retailprice") + 1.0)
+        .otherwise(col("p_retailprice")))
+    val hist = Scd2.merge(h0, bumped, Seq("p_partkey"),
+      Seq("p_retailprice"), lit("1998-01-01"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_scd2_audit").toString + "/hist"
+    graft.sources.Sinks.compactScd2(hist, path)
+    val compacted = graft.sources.Sinks.readScd2(spark, path)
+    // facts bounded to 1999+: every version closed in 1998 is dead to
+    // the window and must be eliminated at the MANIFEST, not the filter
+    val facts = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_shipdate"))
+      .filter(col("l_shipdate") >= "1999-01-01")
+    val joined = Scd2.asOfPruned(compacted, facts, "p_partkey",
+      "l_partkey", "l_shipdate", lit("1999-01-01"))
+    val p = plan(joined)
+    val scanLines = p.split("\n").filter(_.contains("close_year")).mkString("\n")
+    assert(scanLines.contains("PartitionFilters"), p)
+    // equivalence on the bounded window: pruning drops no matches
+    val expect = Scd2.asOf(hist, facts, "p_partkey", "l_partkey", "l_shipdate")
+      .select(col("l_partkey"), col("l_shipdate"), col("p_retailprice"))
+      .orderBy("l_partkey", "l_shipdate").collect().toSeq
+    val got = joined
+      .select(col("l_partkey"), col("l_shipdate"), col("p_retailprice"))
+      .orderBy("l_partkey", "l_shipdate").collect().toSeq
+    assert(got == expect)
+  }
+
+  test("served IVF reads the stored index and never retrains") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_audit").toString
+    graft.sources.IvfIndexStore.build(emb, path)
+    val df = graft.sources.IvfIndexStore.servedTopK(spark, path,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") < 8))
+    val p = plan(df)
+    // the quantizer and the candidate set are parquet scans of the
+    // index tables...
+    assert(p.contains(s"$path/centroids"), p)
+    assert(p.contains(s"$path/cells"), p)
+    // ...and nothing in the serve plan recomputes the training: no
+    // centroid UDAF, no per-dimension mean explode
+    assert(!p.contains("centroidaggregator"), p)
+    assert(!p.toLowerCase.contains("posexplode"), p)
+    // served results equal the in-query trained pipeline exactly
+    val served = df.orderBy("probe_id", "rnk").collect().toSeq
+    val trained = graft.operators.Similarity
+      .ivfTrainedTopK(emb, org.apache.spark.sql.functions.col("vec_id") < 8)
+      .orderBy("probe_id", "rnk").collect().toSeq
+    assert(served == trained)
+  }
+
   test("whole-stage codegen covers the pricing aggregation") {
     // under AQE the final plan (with codegen stages) exists only after
     // execution — run it, then inspect the adaptive executed plan

@@ -29,6 +29,35 @@ class GraphSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("converged pageRank equals the fixed-round form at its stop count") {
+    val edges = Graph.coPurchaseEdges(Tables.lineitem(spark, sfDir))
+    val (conv, rounds) = Graph.pageRankConverged(edges, eps = 1e-8)
+    assert(rounds >= 1 && rounds < 50, s"rounds=$rounds")
+    // m converged rounds are bit-identical to pageRank(iters = m) —
+    // the fixed-round oracle stays authoritative for the epsilon form
+    val fixed = Graph.pageRank(edges, iters = rounds)
+      .orderBy("node").collect().toSeq
+    assert(conv.orderBy("node").collect().toSeq == fixed)
+    // and the stop was genuine: one more round moves every rank < eps
+    val more = Graph.pageRank(edges, iters = rounds + 1)
+    val drift = more.select(org.apache.spark.sql.functions.col("node"),
+        org.apache.spark.sql.functions.col("rank").as("r2"))
+      .join(conv, Seq("node"))
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.abs(
+          org.apache.spark.sql.functions.col("r2") -
+            org.apache.spark.sql.functions.col("rank"))))
+      .head().getDouble(0)
+    assert(drift < 1e-8, s"drift=$drift")
+  }
+
+  test("converged pageRank on the empty graph returns zero rounds") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val (r, rounds) = Graph.pageRankConverged(empty)
+    assert(rounds == 0)
+    assert(r.count() == 0)
+  }
+
   test("coPurchaseEdges is symmetric, self-free, and distinct") {
     val e = Graph.coPurchaseEdges(Tables.lineitem(spark, sfDir))
       .as[(Long, Long)].collect()
