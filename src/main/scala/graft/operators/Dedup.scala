@@ -210,8 +210,11 @@ object Dedup {
       symRaw.sparkSession.sessionState.conf.numShufflePartitions.toLong,
       nEdges / 500000L + 1L)).toInt
     val sym = symRaw.repartition(parts, col("src")).localCheckpoint()
-    // localCheckpoint each round: iterative joins otherwise stack an
-    // exponentially deep lineage that every convergence check replays
+    // persist + materialize each round: iterative joins otherwise
+    // stack an exponentially deep lineage that every convergence
+    // check replays (persist beats localCheckpoint here — checkpoint
+    // re-executes the round's plan in a second job; the checksum
+    // action below already materializes the cache)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("component", col("node"))
       .localCheckpoint()
@@ -220,6 +223,7 @@ object Dedup {
     var checksum = checksumOf(labels)
     var converged = labels.isEmpty // empty graph: already done
     var iter = 0
+    var pinned: DataFrame = null
     while (!converged && iter < maxIter) {
       val propagated = sym
         .join(labels, sym("src") === labels("node"))
@@ -228,12 +232,15 @@ object Dedup {
         .repartition(parts, col("node"))
         .groupBy(col("node"))
         .agg(min(col("component")).as("component"))
-        .localCheckpoint()
-      // fixpoint when the min-label checksum stops shrinking (one
-      // action per round; labels are materialized by the checkpoint)
+        .persist()
+      // fixpoint when the min-label checksum stops shrinking — the
+      // one action per round, which also fills the round's cache; the
+      // previous round unpersists only after the check that read it
       val after = checksumOf(propagated)
       converged = after == checksum
       checksum = after
+      if (pinned != null) pinned.unpersist(false)
+      pinned = propagated
       labels = propagated
       iter += 1
     }

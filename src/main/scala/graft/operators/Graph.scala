@@ -15,18 +15,24 @@ object Graph {
     * order. Per-order fan-out is bounded by basket size (squared), so
     * the pair explosion stays linear-ish in lineitem at any corpus
     * size; the distinct collapses repeat co-purchases.
+    *
+    * Shape: one groupBy(order) with a map-side-combined `collect_set`
+    * builds each basket (dedup within the basket happens IN the
+    * partial aggregate, so the raw lineitem is never shuffled twice),
+    * the pair fan-out is two generators over the basket array (no
+    * self-join — the quadratic blow-up happens per ROW, bounded by
+    * basket size), and one distinct collapses cross-order repeats.
+    * Two shuffles total: basket-build on the order key, distinct on
+    * the pair.
     */
-  def coPurchaseEdges(lineitem: DataFrame): DataFrame = {
-    val basket = lineitem
-      .select(col("l_orderkey"), col("l_partkey"))
-      .distinct()
-    basket.select(col("l_orderkey"), col("l_partkey").as("src"))
-      .join(basket.select(col("l_orderkey"), col("l_partkey").as("dst")),
-        Seq("l_orderkey"))
+  def coPurchaseEdges(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("items"))
+      .select(explode(col("items")).as("src"), col("items"))
+      .select(col("src"), explode(col("items")).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"))
       .distinct()
-  }
 
   /** PageRank by fixed-round power iteration (Brin & Page 1998), for a
     * SYMMETRIC edge list (every node appears as a src, so there are no
@@ -39,39 +45,79 @@ object Graph {
     * round starts from bit-identical inputs. The teleport and damping
     * terms are written as the same double literals on both sides.
     *
-    * Scale shape: each round is one edge⋈rank hash join plus one
-    * groupBy(dst) partial-agg — shuffles bounded by the edge list,
-    * nothing quadratic, no driver state beyond the node count (one
-    * scalar action). `localCheckpoint` per round caps lineage depth
-    * (the iterative-loop rule from connectedComponents).
+    * Scale shape: ONE shuffle per round. Every static frame is
+    * pre-partitioned on the hash key it joins on and localCheckpointed
+    * (LogicalRDD preserves the partitioning, and alias-aware output
+    * partitioning carries it through the renames): edges by `src`,
+    * degrees and the node spine by `node`, and each round's rank frame
+    * comes out of a groupBy/join on `node` already co-partitioned for
+    * the next round. The only exchange left is the contribution
+    * aggregation — the irreducible shuffle of the edge-sized
+    * contribution stream onto its destination — so round cost is
+    * bounded by one pass over the edges at any graph size. No driver
+    * state beyond the node count (one scalar action); a materialized
+    * persist chain per round caps the replayed lineage (the
+    * iterative-loop rule from connectedComponents).
     */
   def pageRank(edges: DataFrame, iters: Int = 5,
       damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
-    val n = nodes.count().toDouble
-    val deg = e.groupBy(col("src"))
-      .agg(count(lit(1)).cast("double").as("outdeg"))
-      .localCheckpoint()
+    val (e, nodes, deg, n) = prepare(edges)
     var r = nodes.withColumn("rank", lit(1.0 / n))
+    var prev: DataFrame = null
     for (_ <- 1 to iters) {
-      r = pageRankRound(e, nodes, deg, r, n, damping).localCheckpoint()
+      // persist + count, not localCheckpoint: both cap the replayed
+      // lineage at one round, but checkpoint re-executes the round's
+      // plan (rebuilding its broadcasts) in a second job — measured
+      // ~1.5 s/round overhead at sf0.1 vs ~0.2 s for the persist
+      // chain. The previous round unpersists once its successor is
+      // materialized, so at most two round frames are ever cached.
+      val next = pageRankRound(e, nodes, deg, r, n, damping).persist()
+      next.count()
+      if (prev != null) prev.unpersist(false)
+      prev = next
+      r = next
     }
     r
   }
 
+  /** The static per-graph frames every round reuses: edges partitioned
+    * by `src`, the node spine and out-degrees partitioned by `node`,
+    * all checkpointed once, plus the node count.
+    */
+  private def prepare(edges: DataFrame): (DataFrame, DataFrame, DataFrame, Double) = {
+    // persist + one materializing action each, NOT localCheckpoint:
+    // checkpoint re-executes the (expensive, edge-sized) upstream plan
+    // in a second job per frame — three frames deep that tripled the
+    // setup cost at sf0.1
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
+    e.count()
+    val nodes = e.select(col("src").as("node")).distinct().persist()
+    val n = nodes.count().toDouble
+    // deg is first consumed inside round 1, which fills its cache —
+    // no extra action needed
+    val deg = e.groupBy(col("src"))
+      .agg(count(lit(1)).cast("double").as("outdeg"))
+      .select(col("src").as("node"), col("outdeg"))
+      .persist()
+    (e, nodes, deg, n)
+  }
+
   /** One power-iteration round (shared by the fixed-round and the
     * converged form, so "m converged rounds" is bit-identical to
-    * `pageRank(iters = m)`).
+    * `pageRank(iters = m)`). All three joins are co-partitioned on
+    * their key (see [[pageRank]]); the groupBy is the round's one
+    * exchange.
     */
   private def pageRankRound(e: DataFrame, nodes: DataFrame, deg: DataFrame,
       r: DataFrame, n: Double, damping: Double): DataFrame = {
-    val contrib = e
-      .join(r.select(col("node").as("src"), col("rank")), Seq("src"))
-      .join(deg, Seq("src"))
-      .select(col("dst").as("node"), (col("rank") / col("outdeg")).as("c"))
-      .groupBy(col("node"))
-      .agg(sum(col("c")).as("acc"))
+    // per-node outgoing weight, co-partitioned join on node, then
+    // renamed back to src (alias-aware partitioning keeps the layout)
+    val w = r.join(deg, Seq("node"))
+      .select(col("node").as("src"), (col("rank") / col("outdeg")).as("w"))
+    val contrib = e.join(w, Seq("src"))
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("w")).as("acc"))
     nodes.join(contrib, Seq("node"), "left")
       .select(col("node"),
         round(lit(1.0 - damping) / n
@@ -102,14 +148,10 @@ object Graph {
       maxIters: Int = 50, damping: Double = 0.85,
       checkEvery: Int = 3): (DataFrame, Int) = {
     require(eps > 0 && maxIters >= 1 && checkEvery >= 1)
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    val nodes = e.select(col("src").as("node")).distinct().localCheckpoint()
-    val n = nodes.count().toDouble
+    val (e, nodes, deg, n) = prepare(edges)
     if (n == 0) return (nodes.withColumn("rank", lit(0.0)), 0)
-    val deg = e.groupBy(col("src"))
-      .agg(count(lit(1)).cast("double").as("outdeg"))
-      .localCheckpoint()
-    var r = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint()
+    var r = nodes.withColumn("rank", lit(1.0 / n))
+    var pinned: DataFrame = null
     var rounds = 0
     var delta = Double.MaxValue
     while (rounds < maxIters && delta >= eps) {
@@ -120,11 +162,16 @@ object Graph {
         inner += 1
         rounds += 1
       }
-      val next = stepped.localCheckpoint()
+      // persist chain (see [[pageRank]]); the delta check is the
+      // materializing action, and the previous block unpersists only
+      // AFTER the delta that reads it
+      val next = stepped.persist()
       delta = next
         .join(r.select(col("node"), col("rank").as("prev")), Seq("node"))
         .agg(max(abs(col("rank") - col("prev"))).as("d"))
         .head().getDouble(0)
+      if (pinned != null) pinned.unpersist(false)
+      pinned = next
       r = next
     }
     (r, rounds)

@@ -248,13 +248,24 @@ object Similarity {
   def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
     require(k >= 1, s"kmeansAssign needs k >= 1, got $k")
     require(iters >= 1, s"kmeansAssign needs iters >= 1, got $iters")
+    // persist, not localCheckpoint: checkpoint would re-execute the
+    // projection in a second job; the seed collect below materializes
+    // the cache
     val pts = emb.filter(col("embedding").isNotNull)
       .select(col("vec_id"), VF.asDouble(col("embedding")).as("x"),
         VF.dot(col("embedding"), col("embedding")).as("xx"))
-      .localCheckpoint()
-    var cents = pts.orderBy(col("vec_id")).limit(k)
-      .select(col("vec_id").as("cluster"), col("x").as("cvec"))
-      .localCheckpoint()
+      .persist()
+    // centroids are k tiny rows by construction — pin each round's
+    // table as a driver-side LOCAL relation (collect + literal
+    // re-create) instead of checkpointing: the per-round lineage cap
+    // costs one k-row collect, not a cluster job, and the crossJoin
+    // below broadcasts a literal
+    val sess = emb.sparkSession
+    def pin(df: DataFrame): DataFrame =
+      sess.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+    var cents = pin(pts.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cluster"), col("x").as("cvec")))
     var assign: DataFrame = null
     for (_ <- 1 to iters) {
       val scored = pts.crossJoin(broadcast(
@@ -275,9 +286,8 @@ object Similarity {
         .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("ms"))
         .select(col("cluster"),
           transform(col("ms"), m => m.getField("cv")).as("newvec"))
-      cents = cents.join(dimMeans, Seq("cluster"), "left")
-        .select(col("cluster"), coalesce(col("newvec"), col("cvec")).as("cvec"))
-        .localCheckpoint()
+      cents = pin(cents.join(dimMeans, Seq("cluster"), "left")
+        .select(col("cluster"), coalesce(col("newvec"), col("cvec")).as("cvec")))
     }
     assign
   }
