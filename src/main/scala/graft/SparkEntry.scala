@@ -457,6 +457,13 @@ object SparkEntry {
     CorpusStats.splitAssign(t(s, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  /** Bounded-state distinct-count sketch per language, with the exact
+    * distinct count as its in-gate recall eval (KMV, k = 64).
+    */
+  private def qDistinctSketch(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.kmvDistinct(t(s, dir, "documents"), k = 64)
+      .orderBy(col("lang"))
+
   private def qContamination(s: SparkSession, dir: String): DataFrame =
     CorpusStats.contamination(t(s, dir, "documents"))
       .orderBy(col("doc_id"))
@@ -479,6 +486,11 @@ object SparkEntry {
 
   private def qEmbNorm(s: SparkSession, dir: String): DataFrame =
     Quantize.normalizeAudit(t(s, dir, "embeddings"))
+      .orderBy(col("vec_id"))
+
+  /** JL ±1 random projection 64 → 16 dims with distortion audit. */
+  private def qEmbProject(s: SparkSession, dir: String): DataFrame =
+    Quantize.randomProject(t(s, dir, "embeddings"))
       .orderBy(col("vec_id"))
 
   private def qFuzzyNames(s: SparkSession, dir: String): DataFrame =
@@ -784,7 +796,9 @@ object SparkEntry {
     "text_lm_score" -> (qLmScore _),
     "emb_quantize" -> (qEmbQuantize _),
     "emb_norm" -> (qEmbNorm _),
+    "emb_project" -> (qEmbProject _),
     "text_split_assign" -> (qSplitAssign _),
+    "text_distinct_sketch" -> (qDistinctSketch _),
     "text_contamination" -> (qContamination _),
     "text_heavy_hitters" -> (qHeavyHitters _),
     "q_fuzzy_names" -> (qFuzzyNames _),
@@ -904,6 +918,40 @@ object SparkEntry {
       |  FROM cells JOIN embeddings e ON e.label = cells.cell
       |       JOIN embeddings pp ON pp.vec_id = cells.probe_id
       |  WHERE e.vec_id <> cells.probe_id)""".stripMargin
+
+  // JL projection replay: the seeded ±1 matrix embeds as literals
+  // (same generator as the operator); per-component dots via
+  // list_dot_product / 4.0, norms as the SAME left-to-right sum of
+  // squared components both engines spell out, everything rounded 4dp.
+  private lazy val embProjectOracle: String = {
+    val outDim = 16
+    val w = graft.functions.VectorFunctions.planeWeights(outDim, 64)
+    val rows = w.zipWithIndex.map { case (wv, j) =>
+      s"($j, [${wv.map(v => if (v > 0f) "1" else "-1").mkString(",")}]::DOUBLE[])"
+    }.mkString(",\n  ")
+    val piv = (0 until outDim)
+      .map(j => s"max(CASE WHEN j = $j THEN pj END) AS pj$j")
+      .mkString(",\n   ")
+    val sumSq = (0 until outDim).map(j => s"pj$j * pj$j").mkString(" + ")
+    s"""WITH w(j, wv) AS (VALUES
+       |  $rows),
+       | p AS (SELECT e.vec_id, w.j,
+       |   list_dot_product(e.embedding::DOUBLE[], w.wv) / 4.0 AS pj
+       |  FROM embeddings e, w WHERE e.embedding IS NOT NULL),
+       | piv AS (SELECT vec_id,
+       |   $piv
+       |  FROM p GROUP BY vec_id),
+       | o AS (SELECT vec_id,
+       |   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS onorm
+       |  FROM embeddings WHERE embedding IS NOT NULL)
+       |SELECT piv.vec_id,
+       | round(pj0, 4) AS proj_0, round(pj1, 4) AS proj_1,
+       | round(pj2, 4) AS proj_2, round(pj3, 4) AS proj_3,
+       | round(sqrt($sumSq), 4) AS proj_norm,
+       | round(onorm, 4) AS orig_norm,
+       | round(sqrt($sumSq) / onorm, 4) AS distortion
+       |FROM piv JOIN o USING (vec_id) ORDER BY vec_id""".stripMargin
+  }
 
   // Full LSH replay: the hyperplane weight matrix is deterministic
   // (seeded hash, VectorFunctions.planeWeights), so it is EMBEDDED
@@ -1352,6 +1400,26 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_brand = 'Brand#13'
         |GROUP BY p_size ORDER BY p_size""".stripMargin,
+    // KMV distinct sketch: the k smallest distinct md5-prefix hashes
+    // replay as a row_number cut over distinct hashes; the estimator
+    // (k-1)·2^32/h_(k) is exact-integer-fed double arithmetic, so the
+    // approximate sketch is still HASH-exact across engines.
+    "text_distinct_sketch" ->
+      """WITH b AS (
+        |  SELECT lang, ('0x'||substr(md5(text),1,8))::BIGINT AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        | st AS (SELECT lang, count(*)::BIGINT AS n_rows FROM b GROUP BY lang),
+        | d AS (SELECT DISTINCT lang, h FROM b),
+        | r AS (SELECT lang, h,
+        |   row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM d),
+        | agg AS (SELECT lang, count(*)::BIGINT AS nd,
+        |   count(*) FILTER (rn <= 64)::BIGINT AS n_kept,
+        |   max(h) FILTER (rn <= 64) AS kth_hash FROM r GROUP BY lang)
+        |SELECT st.lang, st.n_rows, agg.n_kept, agg.kth_hash,
+        |  round(CASE WHEN agg.nd < 64 THEN agg.nd::DOUBLE
+        |        ELSE 63 * 4294967296.0 / agg.kth_hash END, 4) AS est_distinct,
+        |  agg.nd AS n_distinct_exact
+        |FROM st JOIN agg USING (lang) ORDER BY lang""".stripMargin,
     "text_term_freq" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents
@@ -1476,6 +1544,7 @@ object SparkEntry {
         | round(sqrt(list_aggregate(list_transform(cv, x -> x * x), 'sum')), 4) AS norm_centered,
         | round(list_aggregate(cv, 'sum'), 4) AS centered_sum
         |FROM c ORDER BY vec_id""".stripMargin,
+    "emb_project" -> embProjectOracle,
     "q_fuzzy_names" ->
       """WITH nm AS (SELECT DISTINCT p_name FROM part),
         |b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM nm)

@@ -430,4 +430,30 @@ object CorpusStats {
         round(sum(when(col("c").isNull, 1).otherwise(0)).cast("double") /
           count(lit(1)), 4).as("oov_ratio"))
   }
+
+  /** Per-group distinct-document estimate via the bounded-state KMV
+    * sketch ([[graft.functions.KmvAggregator]]) — and, as its recall
+    * eval, the exact distinct count it approximates. The sketch path
+    * shuffles ≤ k longs per (partition, group) no matter the corpus
+    * size; the exact path (`count(DISTINCT h)`) is the gate-scale
+    * yardstick a production run would drop. Hash = the md5-prefix
+    * device, so the whole sketch replays bit-exact in the oracle.
+    */
+  def kmvDistinct(docs: DataFrame, k: Int = 64, textCol: String = "text",
+      groupCol: String = "lang"): DataFrame = {
+    val kmv = udaf(new graft.functions.KmvAggregator(k))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol),
+        graft.functions.TextFunctions.md5Hash32(col(textCol)).as("h"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        kmv(col("h")).as("kmv"),
+        countDistinct(col("h")).as("n_distinct_exact"))
+      .select(col(groupCol), col("n_rows"),
+        col("kmv.n_kept").as("n_kept"),
+        col("kmv.kth_hash").as("kth_hash"),
+        round(col("kmv.est_distinct"), 4).as("est_distinct"),
+        col("n_distinct_exact"))
+  }
 }

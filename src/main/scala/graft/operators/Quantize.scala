@@ -21,6 +21,52 @@ import org.apache.spark.sql.functions._
   */
 object Quantize {
 
+  /** Johnson–Lindenstrauss random projection (Achlioptas '03 ±1
+    * variant): project each embedding onto `outDim` seeded ±1
+    * hyperplanes scaled by 1/sqrt(outDim), preserving pairwise
+    * distances within ~1/sqrt(outDim) distortion — the standard
+    * dimensionality-reduction front-end that lets downstream ANN /
+    * clustering run on 16 dims instead of 64 (4× less shuffle byte
+    * volume for every exchange that carries vectors).
+    *
+    * Scale shape: pure per-row projection — the ±1 matrix is a
+    * compile-time constant (same seeded generator as the LSH planes,
+    * [[graft.functions.VectorFunctions.planeWeights]]), each output
+    * component one codegen'd native dot product; zero shuffle, zero
+    * model state. Emitted: the first 4 projected components (4dp), the
+    * projected and original norms, and their ratio — the distortion
+    * JL bounds. Norms are explicit left-to-right sums of the projected
+    * components, the same fold order the oracle spells out, so the
+    * only cross-engine noise is the ~1e-12 dot-sum divergence absorbed
+    * by 4dp rounding (the knn cosine rule).
+    */
+  def randomProject(emb: DataFrame, outDim: Int = 16,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    import graft.functions.VectorFunctions
+    graft.plans.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val dim = Similarity.embeddingDim(emb)
+    val w = VectorFunctions.planeWeights(outDim, dim)
+    val scale = math.sqrt(outDim.toDouble)
+    val base = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol))
+    val projected = base.select(
+      col(idCol) +: w.zipWithIndex.map { case (wv, j) =>
+        (VectorFunctions.dotNative(col(vecCol), typedlit(wv)) / scale)
+          .as(s"pj$j")
+      } :+ (VectorFunctions.normNative(col(vecCol)).as("onorm")): _*)
+    val sumSq = (0 until outDim).map(j => col(s"pj$j") * col(s"pj$j"))
+      .reduceLeft(_ + _)
+    projected.select(
+      col(idCol),
+      round(col("pj0"), 4).as("proj_0"),
+      round(col("pj1"), 4).as("proj_1"),
+      round(col("pj2"), 4).as("proj_2"),
+      round(col("pj3"), 4).as("proj_3"),
+      round(sqrt(sumSq), 4).as("proj_norm"),
+      round(col("onorm"), 4).as("orig_norm"),
+      round(sqrt(sumSq) / col("onorm"), 4).as("distortion"))
+  }
+
   /** Embedding normalization audit — the pre-index hygiene step of a
     * vector corpus: per-dimension mean-centering followed by L2
     * normalization, emitted as per-vector SUMMARIES (original norm,

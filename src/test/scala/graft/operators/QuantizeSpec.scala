@@ -52,4 +52,30 @@ class QuantizeSpec extends SparkSpecBase {
     val out = Quantize.scalarCodes(emb).orderBy("vec_id").collect()
     assert(out.map(_.getAs[Long]("sum_code")).toSeq == Seq(0L, 256L, 510L))
   }
+
+  test("randomProject preserves norms within the JL distortion band") {
+    val emb = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    val out = Quantize.randomProject(emb).collect()
+    assert(out.nonEmpty)
+    // E[distortion] = 1; at outDim=16 nearly all mass is within ±60%
+    val ds = out.map(_.getAs[Double]("distortion"))
+    assert(ds.forall(d => d > 0.3 && d < 1.9),
+      s"distortion out of band: min=${ds.min} max=${ds.max}")
+    val mean = ds.sum / ds.length
+    assert(math.abs(mean - 1.0) < 0.15, s"mean distortion $mean")
+  }
+
+  test("randomProject matches a hand-computed projection and stays shuffle-free") {
+    import spark.implicits._
+    val w = graft.functions.VectorFunctions.planeWeights(16, 64)
+    val v = Array.tabulate(64)(i => (i % 5 - 2).toFloat)
+    val emb = Seq((1L, v.toSeq, "x")).toDF("vec_id", "embedding", "label")
+      .selectExpr("vec_id", "cast(embedding as array<float>) as embedding", "label")
+    val row = Quantize.randomProject(emb).collect().head
+    val expected0 = math.round(
+      v.zip(w(0)).map { case (x, s) => x.toDouble * s }.sum / 4.0 * 1e4) / 1e4
+    assert(row.getAs[Double]("proj_0") == expected0)
+    val plan = Quantize.randomProject(emb).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
 }
