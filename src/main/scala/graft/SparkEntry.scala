@@ -121,6 +121,23 @@ object SparkEntry {
       .replayEvents(s, dir, Relational.sessionize(_))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Streaming-equivalence gate for the STREAM-STREAM interval join:
+    * views and purchases split from one replayed file stream, joined
+    * by [[graft.streaming.EventStream.purchaseAttribution]] (append
+    * mode — inner interval joins emit as they match; the watermarks
+    * exist to bound join state). The oracle is the plain SQL interval
+    * self-join — the continuous path must land on the exact batch
+    * answer.
+    */
+  private def qStreamAttribution(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.replayEvents(s, dir,
+      ev => graft.streaming.EventStream.purchaseAttribution(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "purchase")),
+      watermark = null,
+      mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      .orderBy(col("purchase_id"), col("view_id"))
+
   private def qRegionRevenue(s: SparkSession, dir: String): DataFrame =
     Relational.regionRevenue(t(s, dir, "region"), t(s, dir, "nation"),
       t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))
@@ -488,6 +505,20 @@ object SparkEntry {
     Quantize.normalizeAudit(t(s, dir, "embeddings"))
       .orderBy(col("vec_id"))
 
+  /** Multi-touch marketing attribution: linear + inverse-age-decay
+    * credit split across the views in each purchase's lookback window.
+    */
+  private def qMultiTouch(s: SparkSession, dir: String): DataFrame =
+    AsOfJoin.multiTouch(t(s, dir, "events"))
+      .orderBy(col("purchase_id"), col("view_id"))
+
+  /** Z-order layout audit: per z-range file, the (custkey × date)
+    * bounding rectangle the parquet footer index would carry.
+    */
+  private def qZorderLayout(s: SparkSession, dir: String): DataFrame =
+    ZOrder.ordersLayout(t(s, dir, "orders"))
+      .orderBy(col("file_id"))
+
   /** JL ±1 random projection 64 → 16 dims with distortion audit. */
   private def qEmbProject(s: SparkSession, dir: String): DataFrame =
     Quantize.randomProject(t(s, dir, "embeddings"))
@@ -797,6 +828,8 @@ object SparkEntry {
     "emb_quantize" -> (qEmbQuantize _),
     "emb_norm" -> (qEmbNorm _),
     "emb_project" -> (qEmbProject _),
+    "q_zorder_layout" -> (qZorderLayout _),
+    "q_attribution_multitouch" -> (qMultiTouch _),
     "text_split_assign" -> (qSplitAssign _),
     "text_distinct_sketch" -> (qDistinctSketch _),
     "text_contamination" -> (qContamination _),
@@ -813,6 +846,7 @@ object SparkEntry {
     "q_event_sessionize" -> (qSessionize _),
     "stream_event_hourly" -> (qStreamHourly _),
     "stream_event_sessionize" -> (qStreamSessionize _),
+    "stream_attribution" -> (qStreamAttribution _),
     "q5_region_revenue" -> (qRegionRevenue _),
     "q_mkt_share" -> (qMktShare _),
     "q_funnel" -> (qFunnel _),
@@ -1545,6 +1579,33 @@ object SparkEntry {
         | round(list_aggregate(cv, 'sum'), 4) AS centered_sum
         |FROM c ORDER BY vec_id""".stripMargin,
     "emb_project" -> embProjectOracle,
+    // z-order: the same magic-number bit spreading (masks 0x0F0F /
+    // 0x3333 / 0x5555) spelled out in SQL — integer-exact end to end;
+    // the 256-bucket scaling is one correctly-rounded double division
+    // of exact integers, identical in both engines.
+    "q_zorder_layout" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_custkey,
+        |   datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d
+        |  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL),
+        | b AS (SELECT min(o_custkey) AS ckmin, max(o_custkey) AS ckmax,
+        |   min(d) AS dmin, max(d) AS dmax FROM r),
+        | s AS (SELECT o_orderkey,
+        |   floor(((o_custkey - ckmin) * 256.0) / (ckmax - ckmin + 1))::BIGINT AS xb,
+        |   floor(((d - dmin) * 256.0) / (dmax - dmin + 1))::BIGINT AS yb
+        |  FROM r, b),
+        | p1 AS (SELECT o_orderkey, xb, yb,
+        |   ((xb | (xb << 4)) & 3855) AS sx, ((yb | (yb << 4)) & 3855) AS sy FROM s),
+        | p2 AS (SELECT o_orderkey, xb, yb,
+        |   ((sx | (sx << 2)) & 13107) AS sx, ((sy | (sy << 2)) & 13107) AS sy FROM p1),
+        | p3 AS (SELECT o_orderkey, xb, yb,
+        |   ((sx | (sx << 1)) & 21845) AS sx, ((sy | (sy << 1)) & 21845) AS sy FROM p2),
+        | z AS (SELECT o_orderkey, xb, yb, ((sx << 1) | sy) AS zval FROM p3)
+        |SELECT (zval >> 6) AS file_id, count(*) AS n_rows,
+        | min(xb) AS ck_bucket_min, max(xb) AS ck_bucket_max,
+        | min(yb) AS day_bucket_min, max(yb) AS day_bucket_max,
+        | min(zval) AS z_min, max(zval) AS z_max
+        |FROM z GROUP BY file_id ORDER BY file_id""".stripMargin,
     "q_fuzzy_names" ->
       """WITH nm AS (SELECT DISTINCT p_name FROM part),
         |b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk FROM nm)
@@ -1624,6 +1685,15 @@ object SparkEntry {
     // batch-equivalence means the batch oracle checks them unchanged
     "stream_event_hourly" -> eventHourlyOracle,
     "stream_event_sessionize" -> eventSessionizeOracle,
+    // stream-stream interval join ≡ the batch interval self-join
+    "stream_attribution" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+        | p.user_id, p.ts AS purchase_ts, v.ts AS view_ts
+        |FROM events p JOIN events v
+        | ON v.user_id = p.user_id AND v.ts < p.ts
+        |  AND v.ts >= p.ts - INTERVAL 1 HOUR
+        |WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+        |ORDER BY purchase_id, view_id""".stripMargin,
     "q5_region_revenue" ->
       """SELECT n_name,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
@@ -2063,6 +2133,28 @@ object SparkEntry {
         | date_diff('second', v.ts, p.ts) AS gap_seconds
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts < p.ts
         |ORDER BY purchase_id""".stripMargin,
+    // multi-touch: same interval join; decay = 1/(1+age_min) uses only
+    // correctly-rounded IEEE add/divide (no pow), 4dp rounding absorbs
+    // the per-purchase window-SUM order noise
+    "q_attribution_multitouch" ->
+      """WITH v AS (SELECT user_id AS vu, event_id AS view_id, ts AS vts
+        |   FROM events WHERE event_type = 'view'),
+        | p AS (SELECT user_id, event_id AS purchase_id, ts AS pts, value
+        |   FROM events WHERE event_type = 'purchase'),
+        | j AS (SELECT p.purchase_id, v.view_id, p.user_id, p.value,
+        |   date_diff('second', v.vts, p.pts)::DOUBLE / 60 AS age_min
+        |  FROM p JOIN v ON v.vu = p.user_id AND v.vts < p.pts
+        |   AND v.vts >= p.pts - INTERVAL 60 MINUTE),
+        | w AS (SELECT *, 1::DOUBLE / (1::DOUBLE + age_min) AS raw_w,
+        |   count(*) OVER (PARTITION BY purchase_id) AS n_touches,
+        |   sum(1::DOUBLE / (1::DOUBLE + age_min))
+        |     OVER (PARTITION BY purchase_id) AS sw FROM j)
+        |SELECT purchase_id, view_id, user_id, n_touches::BIGINT AS n_touches,
+        | round(age_min, 4) AS age_min,
+        | round(1::DOUBLE / n_touches, 4) AS w_linear,
+        | round(raw_w / sw, 4) AS w_decay,
+        | round(value * round(raw_w / sw, 4), 4) AS attributed_value
+        |FROM w ORDER BY purchase_id, view_id""".stripMargin,
     "q_range_interval" ->
       """SELECT e.event_id AS probe_id, count(*) AS n_nearby
         |FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e

@@ -44,4 +44,52 @@ object AsOfJoin {
         (unix_timestamp(col("ts")) - unix_timestamp(col("view_ts")))
           .as("gap_seconds"))
   }
+
+  /** MULTI-touch attribution — the standard marketing-analytics step
+    * past last-touch ([[attribution]]): every view in the `lookbackMin`
+    * window before a purchase shares credit, under two models at once:
+    *  - `w_linear`: equal split 1/n across the n candidate views;
+    *  - `w_decay`: inverse-age decay `1/(1+age_min)` normalized per
+    *    purchase — recent touches weigh more, no half-life constant to
+    *    tune and no `pow()` (whose last-ulp behavior is libm-specific;
+    *    add/divide are IEEE correctly-rounded, so both engines agree
+    *    bit-for-bit before the 4-dp rounding absorbs the per-purchase
+    *    SUM order noise);
+    *  - `attributed_value`: the purchase's `value` split by the ROUNDED
+    *    decay weight, so the revenue split is deterministic given the
+    *    published weights.
+    *
+    * Scale shape: one interval join per (user) key — candidates are
+    * bounded by the lookback window, never all history; the per-purchase
+    * normalization is a window sum over those few candidate rows (same
+    * partitioning as the join output, no extra shuffle of the corpus).
+    */
+  def multiTouch(events: DataFrame, lookbackMin: Int = 60): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("event_id").as("view_id"),
+        col("ts").as("vts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("pts"), col("value"))
+    val joined = purchases.join(views,
+      col("vu") === col("user_id") && col("vts") < col("pts") &&
+        col("vts") >= col("pts") - expr(s"INTERVAL $lookbackMin MINUTES"))
+      .withColumn("age_min",
+        (unix_timestamp(col("pts")) - unix_timestamp(col("vts")))
+          .cast("double") / 60.0)
+      .withColumn("raw_w", lit(1.0) / (lit(1.0) + col("age_min")))
+    val perPurchase = Window.partitionBy(col("purchase_id"))
+    val wDecay = round(col("raw_w") /
+      sum(col("raw_w")).over(perPurchase), 4)
+    joined
+      .withColumn("n_touches", count(lit(1)).over(perPurchase))
+      .withColumn("w_decay", wDecay)
+      .select(
+        col("purchase_id"), col("view_id"), col("user_id"),
+        col("n_touches"),
+        round(col("age_min"), 4).as("age_min"),
+        round(lit(1.0) / col("n_touches"), 4).as("w_linear"),
+        col("w_decay"),
+        round(col("value") * col("w_decay"), 4).as("attributed_value"))
+  }
 }

@@ -48,7 +48,9 @@ object ZOrder {
   /** Z-order layout audit for `orders` over (o_custkey, o_orderdate):
     * per z-range file, the row count and the (custkey-bucket ×
     * day-bucket) bounding rectangle — tight rectangles = good pruning.
-    * `fileShift` cuts files as z >> shift (64 files at the default).
+    * `fileShift` cuts files as z >> shift (1024 z-ranges at the
+    * default — each an 8-aligned 8×8 bucket block; raise the shift to
+    * cut fewer, larger files as row volume grows).
     */
   def ordersLayout(orders: DataFrame, fileShift: Int = 6): DataFrame = {
     val day = datediff(to_date(col("o_orderdate")), lit("1970-01-01"))

@@ -32,7 +32,10 @@ object StreamReplay {
     * .events]] plus a watermark (required scaffolding for streaming
     * aggregation state eviction; with one AvailableNow pass nothing
     * is ever late, so it cannot change the answer — which is exactly
-    * what the equivalence check proves).
+    * what the equivalence check proves). Pass `watermark = null` for
+    * transforms that watermark their own branches (e.g. a
+    * stream-stream join watermarks each renamed side — re-defining the
+    * source watermark on top of those is disallowed by the engine).
     */
   def replayEvents(spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame,
@@ -51,7 +54,8 @@ object StreamReplay {
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
-    val out = transform(events.withWatermark("ts", watermark))
+    val out = transform(
+      if (watermark == null) events else events.withWatermark("ts", watermark))
     val name = s"graft_replay_${runId.incrementAndGet()}"
     val q = out.writeStream
       .format("memory")

@@ -40,4 +40,29 @@ class AsOfRangeSpec extends SparkSpecBase {
     assert(viaBuckets == brute)
     assert(viaBuckets.nonEmpty)
   }
+
+  test("multi-touch splits credit across in-window views, weights sum to 1") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, "view", 0.0),
+      (1L, ts("2024-01-01 10:30:00"), 101L, "view", 0.0),
+      (1L, ts("2024-01-01 11:00:00"), 102L, "purchase", 50.0),
+      (1L, ts("2024-01-01 08:00:00"), 103L, "view", 0.0), // outside lookback
+      (2L, ts("2024-01-01 09:59:00"), 200L, "view", 0.0),
+      (2L, ts("2024-01-01 10:00:00"), 201L, "purchase", 10.0)
+    ).toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = AsOfJoin.multiTouch(events).orderBy("purchase_id", "view_id").collect()
+    // purchase 102: views 100 (age 60m) and 101 (age 30m); 201: view 200 only
+    assert(out.map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("view_id"))).toSeq ==
+      Seq((102L, 100L), (102L, 101L), (201L, 200L)))
+    val p102 = out.filter(_.getAs[Long]("purchase_id") == 102L)
+    assert(p102.forall(_.getAs[Double]("w_linear") == 0.5))
+    // decay: raw 1/61 vs 1/31 → recent view gets more credit
+    val wByView = p102.map(r => r.getAs[Long]("view_id") -> r.getAs[Double]("w_decay")).toMap
+    assert(wByView(101L) > wByView(100L))
+    assert(math.abs(wByView(100L) + wByView(101L) - 1.0) < 2e-4)
+    // single-touch purchase gets full credit and full value
+    val p201 = out.filter(_.getAs[Long]("purchase_id") == 201L).head
+    assert(p201.getAs[Double]("w_decay") == 1.0 &&
+      p201.getAs[Double]("attributed_value") == 10.0)
+  }
 }

@@ -178,4 +178,27 @@ class EventStreamSpec extends SparkSpecBase {
       assert(out == Seq((1L, 2L), (1L, 1L), (2L, 1L)))
     } finally q.stop()
   }
+
+  test("file-replay attribution equals the batch interval self-join") {
+    val streamed = StreamReplay.replayEvents(spark, sfDir,
+        ev => EventStream.purchaseAttribution(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "purchase")),
+        watermark = null,
+        mode = org.apache.spark.sql.streaming.OutputMode.Append())
+      .select("purchase_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = graft.sources.Tables.events(spark, sfDir)
+    val batch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("u"),
+        col("ts").as("pts"))
+      .join(
+        ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id").as("vu"),
+            col("ts").as("vts")),
+        expr("u = vu AND vts < pts AND vts >= pts - INTERVAL 1 HOUR"))
+      .select("purchase_id", "view_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
