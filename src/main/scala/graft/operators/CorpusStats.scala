@@ -436,24 +436,33 @@ object CorpusStats {
     * eval, the exact distinct count it approximates. The sketch path
     * shuffles ≤ k longs per (partition, group) no matter the corpus
     * size; the exact path (`count(DISTINCT h)`) is the gate-scale
-    * yardstick a production run would drop. Hash = the md5-prefix
-    * device, so the whole sketch replays bit-exact in the oracle.
+    * yardstick a production run would drop (`withExact = false` is the
+    * production shape: ONE aggregation, the exchange carries only the
+    * k-bounded buffer per partition-group, no distinct Expand). Hash =
+    * the md5-prefix device, so the whole sketch replays bit-exact in
+    * the oracle.
     */
   def kmvDistinct(docs: DataFrame, k: Int = 64, textCol: String = "text",
-      groupCol: String = "lang"): DataFrame = {
+      groupCol: String = "lang", withExact: Boolean = true): DataFrame = {
     val kmv = udaf(new graft.functions.KmvAggregator(k))
-    docs.filter(col(textCol).isNotNull)
+    val hashed = docs.filter(col(textCol).isNotNull)
       .select(col(groupCol),
         graft.functions.TextFunctions.md5Hash32(col(textCol)).as("h"))
-      .groupBy(col(groupCol))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        kmv(col("h")).as("kmv"),
-        countDistinct(col("h")).as("n_distinct_exact"))
-      .select(col(groupCol), col("n_rows"),
-        col("kmv.n_kept").as("n_kept"),
-        col("kmv.kth_hash").as("kth_hash"),
-        round(col("kmv.est_distinct"), 4).as("est_distinct"),
-        col("n_distinct_exact"))
+    val sketchCols = Seq(
+      col(groupCol), col("n_rows"),
+      col("kmv.n_kept").as("n_kept"),
+      col("kmv.kth_hash").as("kth_hash"),
+      round(col("kmv.est_distinct"), 4).as("est_distinct"))
+    if (withExact)
+      hashed.groupBy(col(groupCol))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          kmv(col("h")).as("kmv"),
+          countDistinct(col("h")).as("n_distinct_exact"))
+        .select(sketchCols :+ col("n_distinct_exact"): _*)
+    else
+      hashed.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n_rows"), kmv(col("h")).as("kmv"))
+        .select(sketchCols: _*)
   }
 }

@@ -57,14 +57,28 @@ object StreamReplay {
     val out = transform(
       if (watermark == null) events else events.withWatermark("ts", watermark))
     val name = s"graft_replay_${runId.incrementAndGet()}"
-    val q = out.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination()
-    finally q.stop()
+    // Stateful-operator cost in a replay is dominated by per-partition
+    // state-store instances (commit + snapshot per micro-batch per
+    // partition, ×2 sides for a stream-stream join), not by data volume
+    // at gate SF — scope the stream's shuffle partitions down for the
+    // replay and restore the session conf after. A real deployment
+    // sizes this per-topology to its key cardinality.
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(partsKey)
+    spark.conf.set(partsKey, "8")
+    try {
+      val q = out.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(partsKey, v)
+      case None => spark.conf.unset(partsKey)
+    }
     spark.table(name)
   }
 }

@@ -333,6 +333,17 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(served == trained)
   }
 
+  test("KMV sketch path: one bounded-state aggregation, no distinct Expand") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val p = plan(graft.operators.CorpusStats.kmvDistinct(docs, withExact = false))
+    // the production sketch: partial + final object-hash aggregate over
+    // the k-bounded buffer, a single exchange on the group key, and no
+    // Expand rewrite (that's the distinct path's shuffle multiplier)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("Expand"), p)
+    assert(p.split("\n").count(_.trim.startsWith("Exchange")) <= 1, p)
+  }
+
   test("whole-stage codegen covers the pricing aggregation") {
     // under AQE the final plan (with codegen stages) exists only after
     // execution — run it, then inspect the adaptive executed plan
