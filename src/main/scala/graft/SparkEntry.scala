@@ -285,6 +285,16 @@ object SparkEntry {
     Relational.cohortRetention(t(s, dir, "events"))
       .orderBy(col("cohort_week"), col("week_offset"))
 
+  /** Weekly cohort LTV matrix: per-cohort cumulative revenue curve. */
+  private def qCohortLtv(s: SparkSession, dir: String): DataFrame =
+    Relational.cohortLtv(t(s, dir, "events"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+
+  /** Customer decile gains chart: revenue concentration + lift. */
+  private def qDecileLift(s: SparkSession, dir: String): DataFrame =
+    Relational.decileLift(t(s, dir, "events"))
+      .orderBy(col("decile"))
+
   private def qGroupingSets(s: SparkSession, dir: String): DataFrame =
     Relational.marginalSummary(t(s, dir, "lineitem"))
       .orderBy(col("g_rf"), asc_nulls_first("l_returnflag"),
@@ -852,6 +862,8 @@ object SparkEntry {
     "q_funnel" -> (qFunnel _),
     "q_funnel_windowed" -> (qFunnelWindowed _),
     "q_retention" -> (qRetention _),
+    "q_cohort_ltv" -> (qCohortLtv _),
+    "q_decile_lift" -> (qDecileLift _),
     "q_active_users" -> (qActiveUsers _),
     "q_top_spenders" -> (qTopSpenders _),
     "q_late_priority" -> (qLatePriority _),
@@ -1775,6 +1787,47 @@ object SparkEntry {
         |       round(m.n_active::DOUBLE / s.n_cohort, 4) AS retention
         |FROM m JOIN sizes s USING (cohort_week)
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    // cohort LTV: DECIMAL(12,2) revenue sums stay exact through the
+    // cumulative window; double cast + 4dp division happen last (§5)
+    "q_cohort_ltv" ->
+      """WITH firsts AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1),
+        | cohorts AS (SELECT user_id, date_trunc('week', first_ts)::DATE AS cohort_week FROM firsts),
+        | sizes AS (SELECT cohort_week, count(*)::BIGINT AS n_cohort FROM cohorts GROUP BY 1),
+        | p AS (
+        |   SELECT c.cohort_week,
+        |     (date_diff('day', c.cohort_week, e.ts::DATE) // 7)::BIGINT AS week_offset,
+        |     CAST(e.value AS DECIMAL(12,2)) AS v
+        |   FROM events e JOIN cohorts c USING (user_id)
+        |   WHERE e.event_type = 'purchase'),
+        | cell AS (SELECT cohort_week, week_offset, sum(v) AS rev FROM p GROUP BY 1, 2),
+        | cum AS (SELECT *, sum(rev) OVER (PARTITION BY cohort_week
+        |   ORDER BY week_offset) AS cum_rev FROM cell)
+        |SELECT cum.cohort_week, cum.week_offset, s.n_cohort,
+        | CAST(rev AS DOUBLE) AS revenue,
+        | CAST(cum_rev AS DOUBLE) AS cum_revenue,
+        | round(CAST(cum_rev AS DOUBLE) / s.n_cohort, 4) AS ltv_per_user
+        |FROM cum JOIN sizes s USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+    // decile lift: deterministic ntile order (spend desc, user_id);
+    // DECIMAL spend sums exact, shares/lift rounded 4dp at the end
+    "q_decile_lift" ->
+      """WITH spend AS (
+        |  SELECT user_id, sum(CAST(value AS DECIMAL(12,2))) AS spend
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        | ranked AS (SELECT *, ntile(10) OVER (ORDER BY spend DESC, user_id) AS decile FROM spend),
+        | d AS (SELECT decile, count(*)::BIGINT AS n_users, sum(spend) AS rev
+        |   FROM ranked GROUP BY 1),
+        | t AS (SELECT sum(n_users)::BIGINT AS t_users, sum(rev) AS t_rev FROM d),
+        | c AS (SELECT d.*, t.t_users, t.t_rev,
+        |   sum(rev) OVER (ORDER BY decile) AS cum_rev,
+        |   sum(n_users) OVER (ORDER BY decile) AS cum_users FROM d, t)
+        |SELECT decile::BIGINT AS decile, n_users,
+        | CAST(rev AS DOUBLE) AS revenue,
+        | round(CAST(rev AS DOUBLE) / CAST(t_rev AS DOUBLE), 4) AS rev_share,
+        | round(CAST(cum_rev AS DOUBLE) / CAST(t_rev AS DOUBLE), 4) AS cum_rev_share,
+        | round((CAST(cum_rev AS DOUBLE) / CAST(t_rev AS DOUBLE))
+        |   / (CAST(cum_users AS DOUBLE) / CAST(t_users AS DOUBLE)), 4) AS lift
+        |FROM c ORDER BY decile""".stripMargin,
     "mm_dedup" ->
       """SELECT md5(text) AS content_md5, octet_length(encode(text))::BIGINT AS byte_len,
         | count(*)::BIGINT AS n_copies, min(doc_id) AS canonical_id

@@ -256,6 +256,88 @@ object Relational {
           .as("retention"))
   }
 
+  /** Weekly cohort LTV matrix — the revenue companion to
+    * [[cohortRetention]]: users cohorted by first-event week (same
+    * grain as the retention triangle), each (cohort, week-offset) cell
+    * carries that week's purchase revenue, the running cumulative
+    * revenue, and cumulative LTV per cohort user — the curve a
+    * marketing team reads payback periods off.
+    *
+    * Scale shape: one user-keyed shuffle to attach cohorts (first-seen
+    * agg reuses the same key), cells aggregate with map-side partials,
+    * cohort sizes broadcast, and the cumulative window runs over the
+    * (cohort × weeks) matrix — thousands of rows however large the
+    * event stream. Money math follows §5: DECIMAL(12,2) sums stay
+    * exact through the cumulative window; the double cast happens last.
+    */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val cohorts = events
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"),
+        date_trunc("week", col("first_ts")).cast("date").as("cohort_week"))
+    val sizes = cohorts.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("n_cohort"))
+    val cells = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("value"))
+      .join(cohorts, Seq("user_id"))
+      .select(col("cohort_week"),
+        floor(datediff(col("ts").cast("date"), col("cohort_week")) / 7)
+          .as("week_offset"),
+        col("value").cast("decimal(12,2)").as("v"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(sum(col("v")).as("rev"))
+    val cum = Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+    cells.join(broadcast(sizes), Seq("cohort_week"))
+      .withColumn("cum_rev", sum(col("rev")).over(cum))
+      .select(col("cohort_week"), col("week_offset"), col("n_cohort"),
+        col("rev").cast("double").as("revenue"),
+        col("cum_rev").cast("double").as("cum_revenue"),
+        round(col("cum_rev").cast("double") / col("n_cohort"), 4)
+          .as("ltv_per_user"))
+  }
+
+  /** Customer decile lift (the marketing gains chart): customers ranked
+    * by total purchase spend split into deciles; each decile reports
+    * its user count, revenue, revenue share, cumulative share, and
+    * LIFT — cumulative revenue share over cumulative user share ("the
+    * top 10% of customers drive Nx their fair share of revenue").
+    *
+    * Scale shape: the event stream collapses to one exact-DECIMAL spend
+    * row per customer (map-side partials, one shuffle); only that USER
+    * grain — orders of magnitude smaller than events, the standard
+    * assumption behind every ntile gains chart — crosses the global
+    * sort for ntile. The decile rollup is 10 rows; totals broadcast.
+    * The ntile order is total (spend desc, user_id) so the cut is
+    * deterministic under ties in both engines.
+    */
+  def decileLift(events: DataFrame): DataFrame = {
+    val spend = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(12,2)")).as("spend"))
+    val ranked = spend.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("spend").desc, col("user_id"))))
+    val deciles = ranked.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users"), sum(col("spend")).as("rev"))
+    val totals = deciles.agg(
+      sum(col("n_users")).as("t_users"), sum(col("rev")).as("t_rev"))
+    val cum = Window.orderBy(col("decile"))
+    deciles.crossJoin(broadcast(totals))
+      .withColumn("cum_rev", sum(col("rev")).over(cum))
+      .withColumn("cum_users", sum(col("n_users")).over(cum))
+      .select(col("decile").cast("long").as("decile"), col("n_users"),
+        col("rev").cast("double").as("revenue"),
+        round(col("rev").cast("double") / col("t_rev").cast("double"), 4)
+          .as("rev_share"),
+        round(col("cum_rev").cast("double") / col("t_rev").cast("double"), 4)
+          .as("cum_rev_share"),
+        round((col("cum_rev").cast("double") / col("t_rev").cast("double")) /
+          (col("cum_users").cast("double") / col("t_users").cast("double")), 4)
+          .as("lift"))
+  }
+
   /** TPC-H Q4-shaped priority audit: orders with at least one lineitem
     * shipped more than `graceDays` after the order date, counted per
     * priority. The EXISTS is a LEFT-SEMI hash join (equi on the order
