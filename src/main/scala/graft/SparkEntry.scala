@@ -1040,18 +1040,27 @@ object SparkEntry {
       val lits = wv.map(v => if (v > 0f) "1" else "-1").mkString(",")
       s"(${p / maxBits}, ${p % maxBits}, [$lits]::DOUBLE[])"
     }.mkString(",\n  ")
-    val pbit = graft.operators.Dedup.pBit(threshold)
     val lnR = math.log(1.0 / (1.0 - targetRecall))
+    // p^bits per candidate bits, embedded as literals computed by the
+    // SAME repeated-multiplication loop the operator uses
+    // (Dedup.pBitPow) — DuckDB's pow() is a different libm whose
+    // last-ulp drift can straddle the 6dp round below and flip the
+    // ceil; a literal product removes the hazard while the division /
+    // round / ceil law stays recomputed in SQL.
+    val powRows = (4 to 16).map { b =>
+      s"($b, ${graft.operators.Dedup.pBitPow(threshold, b)})"
+    }.mkString(", ")
     s"""nn AS (SELECT count(*)::BIGINT AS n FROM embeddings
        |  WHERE embedding IS NOT NULL),
        | pp AS (
        |  SELECT coalesce(min(k), 16)::INT AS bits
        |  FROM range(4, 17) t(k), nn WHERE 64 * (1::BIGINT << k) >= nn.n),
+       | pw(pbits, pb) AS (VALUES $powRows),
        | pt AS (
        |  SELECT bits,
        |   least($maxTables, greatest(1,
-       |     ceil(round($lnR / pow($pbit, bits), 6))))::INT AS tables
-       |  FROM pp),
+       |     ceil(round($lnR / pw.pb, 6))))::INT AS tables
+       |  FROM pp JOIN pw ON pw.pbits = pp.bits),
        | w(table_id, bit, wv) AS (VALUES
        |  $rows),
        | sigs AS (
@@ -1463,6 +1472,7 @@ object SparkEntry {
         |   max(h) FILTER (rn <= 64) AS kth_hash FROM r GROUP BY lang)
         |SELECT st.lang, st.n_rows, agg.n_kept, agg.kth_hash,
         |  round(CASE WHEN agg.nd < 64 THEN agg.nd::DOUBLE
+        |        WHEN agg.kth_hash = 0 THEN agg.n_kept::DOUBLE
         |        ELSE 63 * 4294967296.0 / agg.kth_hash END, 4) AS est_distinct,
         |  agg.nd AS n_distinct_exact
         |FROM st JOIN agg USING (lang) ORDER BY lang""".stripMargin,

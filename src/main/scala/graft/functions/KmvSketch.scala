@@ -76,8 +76,13 @@ class KmvAggregator(k: Int) extends Aggregator[Long, KmvBuffer, KmvResult] {
     if (b.n == 0) null
     else {
       val kth = b.hs(b.n - 1)
+      // kth == 0 in a full sketch cannot happen with distinct
+      // non-negative hashes (the LARGEST of k distinct values ≥ k-1),
+      // but guard anyway: JVM x/0.0 = Infinity while SQL engines yield
+      // NULL — fall back to the kept count, mirrored in the oracle.
       val est =
         if (b.n < k) b.n.toDouble // sketch not full: count is EXACT
+        else if (kth == 0L) b.n.toDouble
         else (k - 1).toDouble * 4294967296.0 / kth.toDouble
       KmvResult(b.n.toLong, kth, est)
     }

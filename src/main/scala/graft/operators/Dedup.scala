@@ -224,22 +224,36 @@ object Dedup {
     var converged = labels.isEmpty // empty graph: already done
     var iter = 0
     var pinned: DataFrame = null
+    var root: DataFrame = null
     while (!converged && iter < maxIter) {
-      val propagated = sym
+      // every 4th round the frame is localCheckpointed instead of
+      // persisted: persist caps the REPLAYED lineage only while the
+      // cache holds — the logical plan still grows by one join per
+      // round, and an evicted block replays every prior round. The
+      // periodic eager cut bounds both; the checkpoint frame stays
+      // pinned until the next cut lands (it is the lineage root the
+      // persisted rounds between cuts recompute from).
+      val isCut = (iter + 1) % 4 == 0
+      val stepped = sym
         .join(labels, sym("src") === labels("node"))
         .select(col("dst").as("node"), col("component"))
         .unionByName(labels)
         .repartition(parts, col("node"))
         .groupBy(col("node"))
         .agg(min(col("component")).as("component"))
-        .persist()
+      val propagated =
+        if (isCut) stepped.localCheckpoint(true) else stepped.persist()
       // fixpoint when the min-label checksum stops shrinking — the
       // one action per round, which also fills the round's cache; the
       // previous round unpersists only after the check that read it
       val after = checksumOf(propagated)
       converged = after == checksum
       checksum = after
-      if (pinned != null) pinned.unpersist(false)
+      if (pinned != null && (pinned ne root)) pinned.unpersist(false)
+      if (isCut) {
+        if (root != null) root.unpersist(false)
+        root = propagated
+      }
       pinned = propagated
       labels = propagated
       iter += 1
@@ -370,10 +384,22 @@ object Dedup {
     * capped plan honestly under-recalls rather than melting the
     * cluster.
     */
+  /** p^bits by repeated multiplication from the 6dp-rounded [[pBit]]:
+    * a fixed sequence of correctly-rounded IEEE multiplies, so the
+    * product is one well-defined double any replay can embed as a
+    * literal. `math.pow` goes through libm, whose last ulp differs
+    * across platforms — enough to straddle the 6dp rounding boundary
+    * in [[adaptiveTables]] and flip the ceil.
+    */
+  private[graft] def pBitPow(threshold: Double, bits: Int): Double = {
+    val p = pBit(threshold)
+    (1 to bits).foldLeft(1.0)((acc, _) => acc * p)
+  }
+
   private[operators] def adaptiveTables(bits: Int, threshold: Double,
       targetRecall: Double = 0.9, maxTables: Int = 32): Int = {
     val need = math.log(1.0 / (1.0 - targetRecall)) /
-      math.pow(pBit(threshold), bits)
+      pBitPow(threshold, bits)
     val rounded = BigDecimal(need)
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     math.min(maxTables, math.max(1, math.ceil(rounded).toInt))

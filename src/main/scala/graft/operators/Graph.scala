@@ -152,7 +152,9 @@ object Graph {
     if (n == 0) return (nodes.withColumn("rank", lit(0.0)), 0)
     var r = nodes.withColumn("rank", lit(1.0 / n))
     var pinned: DataFrame = null
+    var root: DataFrame = null
     var rounds = 0
+    var blocks = 0
     var delta = Double.MaxValue
     while (rounds < maxIters && delta >= eps) {
       var stepped = r
@@ -162,15 +164,28 @@ object Graph {
         inner += 1
         rounds += 1
       }
+      blocks += 1
       // persist chain (see [[pageRank]]); the delta check is the
       // materializing action, and the previous block unpersists only
-      // AFTER the delta that reads it
-      val next = stepped.persist()
+      // AFTER the delta that reads it. persist alone does NOT truncate
+      // lineage — a long convergence run grows the plan linearly and a
+      // cache-evicted block replays every prior round — so every
+      // second block the frame is localCheckpointed instead (eager:
+      // the plan is cut at a LogicalRDD). A checkpoint frame stays
+      // pinned until the NEXT checkpoint lands, because it is the
+      // lineage root the persisted frames between cuts recompute from.
+      val isCut = blocks % 2 == 0
+      val next =
+        if (isCut) stepped.localCheckpoint(true) else stepped.persist()
       delta = next
         .join(r.select(col("node"), col("rank").as("prev")), Seq("node"))
         .agg(max(abs(col("rank") - col("prev"))).as("d"))
         .head().getDouble(0)
-      if (pinned != null) pinned.unpersist(false)
+      if (pinned != null && (pinned ne root)) pinned.unpersist(false)
+      if (isCut) {
+        if (root != null) root.unpersist(false)
+        root = next
+      }
       pinned = next
       r = next
     }

@@ -35,7 +35,7 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndexStore {
 
-  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Deterministic per-(dataset, params) index location under the JVM
     * temp dir.
@@ -60,10 +60,18 @@ object IvfIndexStore {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
   }
 
-  /** [[build]] at most once per JVM per path. */
+  /** [[build]] at most once per JVM per path. `computeIfAbsent` is the
+    * memo: the first caller runs the build INSIDE the map's per-key
+    * lock, so a concurrent second caller blocks until the index is
+    * fully on disk rather than serving a half-written one. A build
+    * that throws leaves no entry behind, so the next caller retries.
+    */
   def ensure(emb: DataFrame, path: String, cells: Int = 8,
       iters: Int = 3): Unit =
-    if (built.add(path)) build(emb, path, cells, iters)
+    built.computeIfAbsent(path, _ => {
+      build(emb, path, cells, iters)
+      java.lang.Boolean.TRUE
+    })
 
   /** The stored inverted lists; the partition column comes back as the
     * directory value, cast to the trained cell id type.

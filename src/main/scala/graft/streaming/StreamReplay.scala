@@ -41,7 +41,22 @@ object StreamReplay {
       transform: DataFrame => DataFrame,
       watermark: String = "2 hours",
       mode: OutputMode = OutputMode.Complete()): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+    val prevNanos = spark.conf.getOption(nanosKey)
+    spark.conf.set(nanosKey, "true")
+    try replayEventsWithNanos(spark, dir, transform, watermark, mode)
+    finally prevNanos match {
+      // restore the legacy-read conf — leaking it would change how
+      // every LATER batch query in the session reads nanos timestamps
+      case Some(v) => spark.conf.set(nanosKey, v)
+      case None => spark.conf.unset(nanosKey)
+    }
+  }
+
+  private def replayEventsWithNanos(spark: SparkSession, dir: String,
+      transform: DataFrame => DataFrame,
+      watermark: String,
+      mode: OutputMode): DataFrame = {
     val path = s"$dir/events.parquet"
     val batchSchema = spark.read.parquet(path).schema
     // the testdata table is one bare file; a brace glob makes the file
