@@ -600,10 +600,13 @@ object SparkEntry {
     * DuckDB replays buckets, candidates, and cosines exactly.
     */
   private def qDedupEmbeddingAll(s: SparkSession, dir: String): DataFrame =
-    // bits pinned (not the operator's adaptive default): the oracle
-    // embeds the 8×4 weight matrix statically, so the replay must see
-    // the same bucketing at every SF
-    Dedup.embeddingNearDupsAll(t(s, dir, "embeddings"), bitsPerTable = 4)
+    // bits from the operator's adaptive bucket-width default (a count
+    // probe): candidates stay ∝ N²/2^bits with 2^bits growing with N,
+    // so the gate exercises the config you'd actually run at scale.
+    // The pinned-bits form (bitsPerTable = 4 ⇒ candidates ∝ N²/16) is
+    // a spec-only teaching case in DedupSpec; the oracle here embeds
+    // the full 8×16 plane matrix and recomputes the integer law in SQL.
+    Dedup.embeddingNearDupsAll(t(s, dir, "embeddings"))
       .orderBy(col("a_id"), col("b_id"))
 
   private def qDedupEmbeddingAuto(s: SparkSession, dir: String): DataFrame =
@@ -1016,6 +1019,40 @@ object SparkEntry {
     }.mkString(",\n  ")
     s"""w(table_id, bit, wv) AS (VALUES
        |  $rows),
+       | sigs AS (
+       |  SELECT e.vec_id, w.table_id,
+       |   sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], w.wv) >= 0
+       |     THEN (1 << w.bit) ELSE 0 END)::INT AS sig
+       |  FROM embeddings e, w WHERE e.embedding IS NOT NULL
+       |  GROUP BY e.vec_id, w.table_id)""".stripMargin
+  }
+
+  // Adaptive-BITS replay with a FIXED table count (the
+  // embeddingNearDupsAll default): embeds all numTables×16 candidate
+  // planes indexed FLAT — the plane generator is a pure hash of the
+  // plane index, so the first numTables·bits planes are identical
+  // whatever bits the integer bucket-width law picks — then recomputes
+  // that law in SQL and derives the operator's (table, bit) layout
+  // `p = table·bits + bit` at run time.
+  private def adaptiveBitsLshCtes(numTables: Int): String = {
+    val maxBits = graft.operators.Dedup.MaxAutoBits
+    val weights =
+      graft.functions.VectorFunctions.planeWeights(numTables * maxBits, 64)
+    val rows = weights.zipWithIndex.map { case (wv, p) =>
+      val lits = wv.map(v => if (v > 0f) "1" else "-1").mkString(",")
+      s"($p, [$lits]::DOUBLE[])"
+    }.mkString(",\n  ")
+    s"""nn AS (SELECT count(*)::BIGINT AS n FROM embeddings
+       |  WHERE embedding IS NOT NULL),
+       | pp AS (
+       |  SELECT coalesce(min(k), 16)::INT AS bits
+       |  FROM range(4, 17) t(k), nn WHERE 64 * (1::BIGINT << k) >= nn.n),
+       | planes(p, wv) AS (VALUES
+       |  $rows),
+       | w AS (
+       |  SELECT (planes.p // pp.bits)::INT AS table_id,
+       |   (planes.p % pp.bits)::INT AS bit, planes.wv
+       |  FROM planes, pp WHERE planes.p < $numTables * pp.bits),
        | sigs AS (
        |  SELECT e.vec_id, w.table_id,
        |   sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], w.wv) >= 0
@@ -2314,12 +2351,13 @@ object SparkEntry {
         |WHERE c.vec_id <> p.vec_id
         | AND round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) >= 0.35
         |ORDER BY probe_id, cand_id""".stripMargin,
-    // all-corpus LSH near-dup pairs: the 8-table × 4-bit weight matrix
-    // is embedded as literals (same seeded generator as the operator),
-    // so the bucket candidate set and the threshold verify replay
-    // value-for-value.
+    // all-corpus LSH near-dup pairs: 8 tables, ADAPTIVE bits per table
+    // — the full 8×16 candidate plane matrix is embedded as literals
+    // (same seeded generator as the operator) and the bucket-width law
+    // is recomputed in SQL, so the bucket candidate set and the
+    // threshold verify replay value-for-value at every SF.
     "dedup_embedding_all" ->
-      (s"WITH ${lshSigCtes(8, 4)},\n" +
+      (s"WITH ${adaptiveBitsLshCtes(8)},\n" +
         """ pr AS (
           |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
           |  FROM sigs a JOIN sigs b ON a.table_id = b.table_id AND a.sig = b.sig

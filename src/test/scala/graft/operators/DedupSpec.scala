@@ -186,5 +186,15 @@ class DedupSpec extends SparkSpecBase {
     val comp = Dedup.connectedComponents(
       Dedup.embeddingNearDupsAll(emb), "a_id", "b_id")
     assert(comp.count() > 0)
+    // pinned-bits teaching case (NOT the gated config): bitsPerTable=4
+    // freezes bucket width, so candidates grow ∝ N²/16 — the shape the
+    // adaptive default exists to avoid. Kept here to document the law:
+    // wider buckets can only raise candidate recall, and the exact
+    // verify keeps the result sound either way.
+    val pinned = Dedup.embeddingNearDupsAll(emb, bitsPerTable = 4)
+      .select("a_id", "b_id", "cosine").as[(Long, Long, Double)].collect()
+    assert(pinned.forall { case (a, b, c) => a < b && c >= 0.35 })
+    assert(pinned.map(p => (p._1, p._2)).toSet.subsetOf(truth))
+    assert(pinned.length.toDouble / truth.size >= 0.5)
   }
 }
