@@ -305,28 +305,74 @@ object Relational {
     * top 10% of customers drive Nx their fair share of revenue").
     *
     * Scale shape: the event stream collapses to one exact-DECIMAL spend
-    * row per customer (map-side partials, one shuffle); only that USER
-    * grain — orders of magnitude smaller than events, the standard
-    * assumption behind every ntile gains chart — crosses the global
-    * sort for ntile. The decile rollup is 10 rows; totals broadcast.
-    * The ntile order is total (spend desc, user_id) so the cut is
-    * deterministic under ties in both engines.
+    * row per customer (map-side partials, one shuffle). The decile cut
+    * needs each user's GLOBAL rank in (spend desc, user_id) order, but
+    * a bare `ntile(10) OVER (ORDER BY …)` funnels the whole user grain
+    * through ONE window partition's sort — billions of rows in a
+    * single task at warehouse scale. Instead the rank is computed
+    * two-level (the [[CorpusStats.packManifest]] prefix-sum pattern):
+    * `repartitionByRange` on the ntile order gives globally ordered
+    * partitions, each sorted and locally numbered in parallel
+    * (`monotonically_increasing_id` after `sortWithinPartitions`
+    * encodes the in-partition row offset — no extra exchange), and the
+    * broadcast prefix sum of partition counts lifts local numbers to
+    * exact global ranks. The decile then falls out of ntile's bucket
+    * arithmetic on (rank, n) — bit-identical to the oracle's ntile by
+    * construction, including remainder buckets and tie order. The only
+    * unpartitioned window runs over the partition-count frame (≤
+    * `spark.sql.shuffle.partitions` rows — a cluster constant, not a
+    * data size); the 10-row cumulative uses a broadcast triangular
+    * self-join, so no data-grain frame ever crosses a global window.
     */
   def decileLift(events: DataFrame): DataFrame = {
     val spend = events
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
       .agg(sum(col("value").cast("decimal(12,2)")).as("spend"))
-    val ranked = spend.withColumn("decile",
-      ntile(10).over(Window.orderBy(col("spend").desc, col("user_id"))))
+    val parts = spend.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = spend
+      .repartitionByRange(parts, col("spend").desc, col("user_id"))
+      .sortWithinPartitions(col("spend").desc, col("user_id"))
+      .withColumn("pid", spark_partition_id())
+      // monotonically_increasing_id = (pid << 33) + in-partition row
+      // offset, assigned ABOVE the sort (Catalyst never reorders a
+      // nondeterministic projection through it), so the offset IS the
+      // local rank in ntile order
+      .withColumn("lrn",
+        monotonically_increasing_id()
+          - shiftleft(col("pid").cast("long"), 33) + lit(1L))
+    val counts = ranged.groupBy(col("pid"))
+      .agg(max(col("lrn")).as("cnt"))
+    val prefix = counts
+      .withColumn("off",
+        coalesce(sum(col("cnt")).over(Window.orderBy(col("pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("off"))
+    val nRow = counts.agg(sum(col("cnt")).as("n"))
+    val ranked = ranged
+      .join(broadcast(prefix), Seq("pid"))
+      .crossJoin(broadcast(nRow))
+      .withColumn("rnk", col("off") + col("lrn"))
+      // ntile(10) from the exact global rank: rem = n % 10 leading
+      // buckets hold base+1 rows, the rest hold base = n div 10 (the
+      // div-by-zero arm is unreachable when base = 0 — then rnk ≤ rem
+      // always — and CASE evaluates lazily)
+      .withColumn("decile", expr(
+        """CASE WHEN rnk <= (n % 10) * ((n div 10) + 1)
+          |THEN (rnk - 1) div ((n div 10) + 1) + 1
+          |ELSE (n % 10) + (rnk - (n % 10) * ((n div 10) + 1) - 1)
+          |  div (n div 10) + 1 END""".stripMargin))
     val deciles = ranked.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_users"), sum(col("spend")).as("rev"))
     val totals = deciles.agg(
       sum(col("n_users")).as("t_users"), sum(col("rev")).as("t_rev"))
-    val cum = Window.orderBy(col("decile"))
-    deciles.crossJoin(broadcast(totals))
-      .withColumn("cum_rev", sum(col("rev")).over(cum))
-      .withColumn("cum_users", sum(col("n_users")).over(cum))
+    val cums = deciles.select(col("decile").as("d2"),
+      col("n_users").as("nu2"), col("rev").as("rev2"))
+    deciles
+      .join(broadcast(cums), col("d2") <= col("decile"))
+      .groupBy(col("decile"), col("n_users"), col("rev"))
+      .agg(sum(col("rev2")).as("cum_rev"), sum(col("nu2")).as("cum_users"))
+      .crossJoin(broadcast(totals))
       .select(col("decile").cast("long").as("decile"), col("n_users"),
         col("rev").cast("double").as("revenue"),
         round(col("rev").cast("double") / col("t_rev").cast("double"), 4)

@@ -116,6 +116,32 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(scans == 1, p)
   }
 
+  test("decile lift: no data-grain global window — deciles cut from two-level ranks") {
+    val df = Relational.decileLift(Tables.events(spark, sfDir))
+    df.collect()
+    // audit the optimized LOGICAL plan: AQE hides executed sub-stages
+    // (broadcast stages wrap their subtree), but every Window survives
+    // to the optimized plan unwrapped
+    val opt = df.queryExecution.optimizedPlan
+    // ntile (the single-partition global sort) must not appear anywhere
+    assert(!opt.toString.contains("ntile"), opt.toString)
+    // any window WITHOUT a partition spec may only run over the
+    // partition-count prefix frame (≤ shuffle-partitions rows, a
+    // cluster constant) — never over the user/event grain
+    val windows = opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty, opt.toString)
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val childCols = w.child.output.map(_.name).toSet
+      assert(childCols.exists(_.startsWith("cnt")) &&
+        childCols.exists(_.startsWith("pid")),
+        s"unpartitioned window over $childCols")
+      assert(!childCols.exists(_.startsWith("user_id")) &&
+        !childCols.exists(_.startsWith("spend")),
+        s"unpartitioned window over the user grain: $childCols")
+    }
+  }
+
   test("all-corpus near-dup pairs: ids-only bucket join, embeddings never in an exchange") {
     val df = graft.operators.Dedup.embeddingNearDupsAll(
       Tables.embeddings(spark, sfDir))
