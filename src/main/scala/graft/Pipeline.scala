@@ -2,7 +2,7 @@ package graft
 
 import graft.operators.{StarSchema, Views}
 import graft.sources.{Sinks, Tables}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** The full reference ETL as one in-library batch pipeline.
   *
@@ -91,6 +91,55 @@ object Pipeline {
       timed("view_top_platform")(
         overwrite(Views.topPlatformByPeriod(events, part), s"$w/view_top_platform"))
     )
+  }
+
+  /** Content summary of a warehouse built by [[runDaily]] — one row per
+    * table: row count, key cardinality, a surrogate/key checksum, and
+    * an exact-DECIMAL value checksum (doubles only after the sum, so
+    * partition sum order can't move a bit). This is the gate surface
+    * for the CHAINED pipeline: the numbers only come out right if
+    * stage ordering holds (f_events joins the MERGED d_event — its
+    * key_sum is the guid sum THROUGH that join), each table's MERGE
+    * mode is right, and a re-run is idempotent. Surrogate dims check
+    * as n·(n+1)/2 — dense ids from an empty warehouse — so any
+    * renumbering or double-insert shifts key_sum.
+    */
+  def warehouseSummary(spark: SparkSession, warehouseDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val w = warehouseDir.stripSuffix("/")
+    def read(t: String) = spark.read.parquet(s"$w/$t")
+    def row(tbl: String, df: DataFrame, nKeys: Column, keySum: Column,
+        valSum: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"), nKeys.cast("long").as("n_keys"),
+          keySum.cast("long").as("key_sum"),
+          round(valSum.cast("double"), 4).as("val_sum"))
+        .select(lit(tbl).as("tbl"), col("n_rows"), col("n_keys"),
+          col("key_sum"), col("val_sum"))
+    Seq(
+      row("event_raw", read("event_raw"), countDistinct(col("event_id")),
+        sum(col("guid_event_raw")), sum(col("value").cast("decimal(18,6)"))),
+      row("d_event", read("d_event"), countDistinct(col("event_id")),
+        sum(col("guid_event")), lit(0.0)),
+      row("d_user", read("d_user"), countDistinct(col("user_id")),
+        sum(col("guid_user")), lit(0.0)),
+      row("d_parameter", read("d_parameter"),
+        countDistinct(col("parameter_name")), sum(col("guid_parameter")),
+        lit(0.0)),
+      row("d_item", read("d_item"), countDistinct(col("item_id")),
+        sum(col("item_id")), sum(col("item_price").cast("decimal(18,2)"))),
+      row("f_events", read("f_events"), countDistinct(col("event_id")),
+        sum(col("guid_event")), sum(col("event_value").cast("decimal(18,6)"))),
+      row("view_yearly_counts", read("view_yearly_counts"),
+        countDistinct(col("period_day")), sum(col("item_views")), lit(0.0)),
+      row("view_item_rank", read("view_item_rank"),
+        countDistinct(col("item_name")),
+        sum(col("item_views") * col("item_view_rank")), lit(0.0)),
+      row("view_top_item", read("view_top_item"),
+        countDistinct(col("item_name")), sum(col("item_views")), lit(0.0)),
+      row("view_top_platform", read("view_top_platform"),
+        countDistinct(col("period_day")), sum(col("platform_views")),
+        lit(0.0))
+    ).reduce(_.unionByName(_))
   }
 
   /** CLI: runDaily(srcDir, warehouseDir). */

@@ -44,6 +44,29 @@ object SparkEntry {
   private def qFEvents(s: SparkSession, dir: String): DataFrame =
     StarSchema.fEvents(t(s, dir, "events")).orderBy(col("event_id"))
 
+  // The reference's DELIVERABLE is the chained daily run (7 DAGs fired
+  // in sequence via trigger_dependent_dag; aggregated_views.py:103-118
+  // closes the chain). This entry runs the WHOLE chain TWICE into a
+  // fresh temp warehouse — the second run must be a no-op on the
+  // surrogate dims and an equal-value update on the fact — then gates
+  // the warehouse content per table (counts, key cardinalities,
+  // surrogate checksums, exact-decimal value checksums). A
+  // stage-ordering break (f_events joins the MERGED d_event), a wrong
+  // MERGE mode, or a non-idempotent re-run moves a number and fails
+  // the hash; the per-stage entries (d_event, f_events, view_*) only
+  // ever gate each stage in isolation.
+  private def qPipelineDaily(s: SparkSession, dir: String): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val wh = s"${sys.props("java.io.tmpdir")}/graft_wh_$key"
+    val p = new org.apache.hadoop.fs.Path(wh)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // gate from EMPTY, always
+    graft.Pipeline.runDaily(s, dir, wh)
+    graft.Pipeline.runDaily(s, dir, wh) // idempotency is part of the gate
+    graft.Pipeline.warehouseSummary(s, wh).orderBy(col("tbl"))
+  }
+
   private def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders").select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
@@ -826,6 +849,7 @@ object SparkEntry {
     "f_events" -> (qFEvents _),
     "merge_upsert" -> (qMergeUpsert _),
     "merge_ignore" -> (qMergeIgnore _),
+    "pipeline_daily" -> (qPipelineDaily _),
     "q_rolling_7d" -> (qRolling7d _),
     "q_outliers" -> (qOutliers _),
     "q_incr_agg" -> (qIncrAgg _),
@@ -1393,6 +1417,67 @@ object SparkEntry {
         | COALESCE(t.o_orderdate, s.o_orderdate) AS o_orderdate
         |FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
         |ORDER BY o_orderkey""".stripMargin,
+    // chained-pipeline oracle: recompute the warehouse each stage
+    // writes (after any number of idempotent runs from empty) straight
+    // from the source tables — dense surrogate dims sum to n(n+1)/2,
+    // the fact's guid sum goes THROUGH the event-dim numbering (rank
+    // by event_id, same as the d_event oracle), and money sums stay
+    // DECIMAL until the final cast.
+    "pipeline_daily" ->
+      """WITH ev AS (SELECT * FROM events WHERE event_id IS NOT NULL),
+        | de AS (SELECT DISTINCT event_id FROM ev),
+        | du AS (SELECT DISTINCT user_id FROM ev),
+        | dp AS (SELECT DISTINCT unnest(json_keys(props)) AS parameter_name FROM ev),
+        | gde AS (SELECT event_id, row_number() OVER (ORDER BY event_id) AS guid FROM de),
+        | fe AS (SELECT e.event_id, CAST(e.value AS DECIMAL(18,6)) AS ev_val, g.guid
+        |   FROM ev e JOIN gde g USING (event_id)),
+        | vf AS (SELECT CAST(ts AS DATE) AS period_day,
+        |   json_extract_string(props, '$.k')::BIGINT AS item_key FROM ev
+        |   WHERE event_type = 'view'),
+        | vj AS (SELECT vf.period_day, d.p_name AS item_name
+        |   FROM vf JOIN part d ON vf.item_key = d.p_partkey),
+        | v1 AS (SELECT period_day, count(*)::BIGINT AS item_views FROM vj GROUP BY 1),
+        | ic AS (SELECT period_day, item_name, count(*)::BIGINT AS item_views
+        |   FROM vj GROUP BY 1, 2),
+        | v2 AS (SELECT ic.*, dense_rank() OVER (PARTITION BY period_day
+        |     ORDER BY item_views DESC)::BIGINT AS item_view_rank FROM ic),
+        | v3 AS (SELECT * FROM ic WHERE period_day = (SELECT max(period_day) FROM ic)
+        |   ORDER BY item_views DESC, item_name LIMIT 1)
+        |SELECT * FROM (
+        | SELECT 'event_raw' AS tbl, count(*)::BIGINT AS n_rows,
+        |   count(DISTINCT event_id)::BIGINT AS n_keys,
+        |   ((count(*)::BIGINT * (count(*)::BIGINT + 1)) // 2)::BIGINT AS key_sum,
+        |   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS val_sum FROM ev
+        | UNION ALL
+        | SELECT 'd_event', count(*)::BIGINT, count(*)::BIGINT,
+        |   ((count(*)::BIGINT * (count(*)::BIGINT + 1)) // 2)::BIGINT, 0.0::DOUBLE FROM de
+        | UNION ALL
+        | SELECT 'd_user', count(*)::BIGINT, count(*)::BIGINT,
+        |   ((count(*)::BIGINT * (count(*)::BIGINT + 1)) // 2)::BIGINT, 0.0::DOUBLE FROM du
+        | UNION ALL
+        | SELECT 'd_parameter', count(*)::BIGINT, count(*)::BIGINT,
+        |   ((count(*)::BIGINT * (count(*)::BIGINT + 1)) // 2)::BIGINT, 0.0::DOUBLE FROM dp
+        | UNION ALL
+        | SELECT 'd_item', count(*)::BIGINT, count(DISTINCT p_partkey)::BIGINT,
+        |   sum(p_partkey)::BIGINT,
+        |   round(CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DECIMAL(18,2))) AS DOUBLE), 4)
+        |   FROM part
+        | UNION ALL
+        | SELECT 'f_events', count(*)::BIGINT, count(DISTINCT event_id)::BIGINT,
+        |   sum(guid)::BIGINT, round(CAST(sum(ev_val) AS DOUBLE), 4) FROM fe
+        | UNION ALL
+        | SELECT 'view_item_rank', count(*)::BIGINT, count(DISTINCT item_name)::BIGINT,
+        |   sum(item_views * item_view_rank)::BIGINT, 0.0::DOUBLE FROM v2
+        | UNION ALL
+        | SELECT 'view_top_item', count(*)::BIGINT, count(DISTINCT item_name)::BIGINT,
+        |   sum(item_views)::BIGINT, 0.0::DOUBLE FROM v3
+        | UNION ALL
+        | SELECT 'view_top_platform', count(*)::BIGINT, count(DISTINCT period_day)::BIGINT,
+        |   sum(item_views)::BIGINT, 0.0::DOUBLE FROM v1
+        | UNION ALL
+        | SELECT 'view_yearly_counts', count(*)::BIGINT, count(DISTINCT period_day)::BIGINT,
+        |   sum(item_views)::BIGINT, 0.0::DOUBLE FROM v1
+        |) ORDER BY tbl""".stripMargin,
     "merge_ignore" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey % 2 = 0
