@@ -617,6 +617,36 @@ object SparkEntry {
       Dedup.embeddingNearDups(t(s, dir, "embeddings")), "probe_id", "cand_id")
       .orderBy(col("node"))
 
+  private def qDedupClustersDist(s: SparkSession, dir: String): DataFrame =
+    // same answer as dedup_clusters, but localThreshold = 0 forces the
+    // DISTRIBUTED min-label propagation loop — the path a >1M-edge
+    // graph takes at scale — to produce the gated result; without this
+    // entry the gate only ever exercises the driver union-find
+    Dedup.connectedComponents(
+      Dedup.embeddingNearDups(t(s, dir, "embeddings")), "probe_id", "cand_id",
+      localThreshold = 0L)
+      .orderBy(col("node"))
+
+  // recursive-CTE label propagation: shared verbatim by the local and
+  // the forced-distributed cluster entries (same answer by contract)
+  private val dedupClustersSql: String =
+    """WITH RECURSIVE probe_pairs AS (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id
+      |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0) p, embeddings c
+      |  WHERE c.vec_id <> p.vec_id
+      |   AND round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) >= 0.35),
+      | pairs AS (
+      |  SELECT probe_id AS src, cand_id AS dst FROM probe_pairs
+      |  UNION
+      |  SELECT cand_id, probe_id FROM probe_pairs),
+      | nodes AS (SELECT DISTINCT src AS node FROM pairs),
+      | walk(start, node) AS (
+      |  SELECT node, node FROM nodes
+      |  UNION
+      |  SELECT w.start, p.dst FROM walk w JOIN pairs p ON p.src = w.node)
+      |SELECT start AS node, min(node) AS component
+      |FROM walk GROUP BY start ORDER BY node""".stripMargin
+
   /** The all-corpus near-dup pair graph (no probe subset): LSH-bucket
     * candidate generation + exact-cosine verify. Full value oracle —
     * the seeded hyperplane weights are embedded into the SQL, so
@@ -938,6 +968,7 @@ object SparkEntry {
     "dedup_embedding_all" -> (qDedupEmbeddingAll _),
     "dedup_embedding_auto" -> (qDedupEmbeddingAuto _),
     "dedup_clusters" -> (qDedupClusters _),
+    "dedup_clusters_dist" -> (qDedupClustersDist _),
     "knn_bruteforce" -> (qKnnBrute _),
     "knn_lsh" -> (qKnnLsh _),
     "knn_ivf" -> (qKnnIvf _),
@@ -2467,23 +2498,9 @@ object SparkEntry {
           |       JOIN embeddings eb ON eb.vec_id = pr.b_id)
           |SELECT a_id, b_id, cosine FROM sc WHERE cosine >= 0.35
           |ORDER BY a_id, b_id""".stripMargin),
-    "dedup_clusters" ->
-      """WITH RECURSIVE probe_pairs AS (
-        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id
-        |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0) p, embeddings c
-        |  WHERE c.vec_id <> p.vec_id
-        |   AND round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) >= 0.35),
-        | pairs AS (
-        |  SELECT probe_id AS src, cand_id AS dst FROM probe_pairs
-        |  UNION
-        |  SELECT cand_id, probe_id FROM probe_pairs),
-        | nodes AS (SELECT DISTINCT src AS node FROM pairs),
-        | walk(start, node) AS (
-        |  SELECT node, node FROM nodes
-        |  UNION
-        |  SELECT w.start, p.dst FROM walk w JOIN pairs p ON p.src = w.node)
-        |SELECT start AS node, min(node) AS component
-        |FROM walk GROUP BY start ORDER BY node""".stripMargin,
+    "dedup_clusters" -> dedupClustersSql,
+    // identical answer, distributed path forced — same oracle
+    "dedup_clusters_dist" -> dedupClustersSql,
     "knn_bruteforce" ->
       (s"WITH $knnBruteCtes,\n" +
         """ sc AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
