@@ -52,24 +52,50 @@ object ZOrder {
     * default — each an 8-aligned 8×8 bucket block; raise the shift to
     * cut fewer, larger files as row volume grows).
     */
-  def ordersLayout(orders: DataFrame, fileShift: Int = 6): DataFrame = {
-    val day = datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
-    val rows = orders
-      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
-      .select(col("o_orderkey"), col("o_custkey"), day.as("d"))
-    val bounds = rows.agg(
-      min(col("o_custkey")).as("ckmin"), max(col("o_custkey")).as("ckmax"),
-      min(col("d")).as("dmin"), max(col("d")).as("dmax"))
-    val z = rows.crossJoin(broadcast(bounds))
-      .select(col("o_orderkey"),
-        bucket256(col("o_custkey"), col("ckmin"), col("ckmax")).as("xb"),
-        bucket256(col("d"), col("dmin"), col("dmax")).as("yb"))
-      .withColumn("zval", morton8(col("xb"), col("yb")))
-    z.groupBy(shiftright(col("zval"), fileShift).as("file_id"))
+  def ordersLayout(orders: DataFrame, fileShift: Int = 6): DataFrame =
+    ordersWithZ(orders)
+      .select(col("o_orderkey"), col("xb"), col("yb"), col("zval"))
+      .groupBy(shiftright(col("zval"), fileShift).as("file_id"))
       .agg(
         count(lit(1)).as("n_rows"),
         min(col("xb")).as("ck_bucket_min"), max(col("xb")).as("ck_bucket_max"),
         min(col("yb")).as("day_bucket_min"), max(col("yb")).as("day_bucket_max"),
         min(col("zval")).as("z_min"), max(col("zval")).as("z_max"))
+
+  /** Every source column plus the (xb, yb, zval) z-order columns for
+    * orders over (o_custkey, o_orderdate-day). Bounds ride along as a
+    * one-row broadcast; the z map stays a pure per-row projection.
+    */
+  def ordersWithZ(orders: DataFrame): DataFrame = {
+    val day = datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+    val rows = orders
+      .filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull)
+      .withColumn("d", day)
+    val bounds = rows.agg(
+      min(col("o_custkey")).as("ckmin"), max(col("o_custkey")).as("ckmax"),
+      min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+    rows.crossJoin(broadcast(bounds))
+      .withColumn("xb", bucket256(col("o_custkey"), col("ckmin"), col("ckmax")))
+      .withColumn("yb", bucket256(col("d"), col("dmin"), col("dmax")))
+      .withColumn("zval", morton8(col("xb"), col("yb")))
+      .drop("ckmin", "ckmax", "dmin", "dmax", "d")
   }
+
+  /** The PHYSICAL z-order write: `repartitionByRange(zval)` +
+    * `sortWithinPartitions(zval)` cuts each output file on a
+    * contiguous z range — a small (custkey × date) rectangle — so the
+    * parquet footer min/max on BOTH dimensions is tight per file, and
+    * a selective predicate on either dimension skips nearly every row
+    * group at scan time (pushed filters against footer stats). This is
+    * the write [[ordersLayout]]'s stats table models; ZOrderSpec
+    * asserts the pruning with scan metrics against an unordered
+    * layout of the same rows.
+    */
+  def writeOrdersZOrdered(orders: DataFrame, path: String,
+      numFiles: Int = 64): Unit =
+    ordersWithZ(orders)
+      .repartitionByRange(numFiles, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .drop("xb", "yb")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
 }

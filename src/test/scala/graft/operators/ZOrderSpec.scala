@@ -39,6 +39,64 @@ class ZOrderSpec extends SparkSpecBase {
       orders.filter(col("o_custkey").isNotNull && col("o_orderdate").isNotNull).count())
   }
 
+  test("physical z-order write prunes: selective scans read a fraction of an unordered layout") {
+    // sf0.01 (15k rows): at sf0.001 the unordered baseline's 12-row
+    // files get accidentally-selective footers and prune too — ~120
+    // rows per file makes the unordered footers span the key range
+    // sf0.01 (15k rows): at sf0.001 the unordered baseline's 12-row
+    // files get accidentally-selective footers and prune too — ~120
+    // rows per file makes the unordered footers span the key range.
+    // o_orderdate goes to DATE up front: parquet filter pushdown
+    // covers date/int/long/string but NOT timestamp_ntz, so an ntz
+    // date column would silently disable the very pruning under test.
+    val orders = graft.sources.Tables.load(spark, "/root/testdata/sf0.01", "orders")
+      .withColumn("o_orderdate", to_date(col("o_orderdate")))
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // same rows, two layouts: z-range-cut files vs hash-shuffled files
+    ZOrder.writeOrdersZOrdered(orders, s"$base/zorder", numFiles = 128)
+    ZOrder.ordersWithZ(orders).drop("xb", "yb")
+      .repartition(128).write.parquet(s"$base/flat")
+
+    // rows the parquet reader actually surfaces from the scan (after
+    // row-group stats skipping, before the residual filter)
+    def scanRows(path: String, pred: org.apache.spark.sql.Column): Long = {
+      val df = spark.read.parquet(path).where(pred)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.map(_.metrics("numOutputRows").value).sum
+    }
+
+    val b = orders.agg(
+      min(col("o_custkey")), max(col("o_custkey")),
+      min(col("o_orderdate")), max(col("o_orderdate"))).head()
+    val (ckLo, ckHi) = (b.getLong(0), b.getLong(1))
+    val ckPred = col("o_custkey") <= lit(ckLo + (ckHi - ckLo) / 64)
+    val dLoD = b.getAs[java.sql.Date](2).toLocalDate
+    val dHiD = b.getAs[java.sql.Date](3).toLocalDate
+    val spanDays = java.time.temporal.ChronoUnit.DAYS.between(dLoD, dHiD)
+    val datePred = col("o_orderdate") <=
+      lit(java.sql.Date.valueOf(dLoD.plusDays(spanDays / 64)))
+
+    for (pred <- Seq(ckPred, datePred)) {
+      // pruning loses nothing: both layouts return identical rows
+      val zKeys = spark.read.parquet(s"$base/zorder").where(pred)
+        .select("o_orderkey").collect().map(_.getLong(0)).sorted
+      val fKeys = spark.read.parquet(s"$base/flat").where(pred)
+        .select("o_orderkey").collect().map(_.getLong(0)).sorted
+      assert(zKeys.sameElements(fKeys))
+      // the unordered layout reads ~every row (each file spans the full
+      // key range); the z layout skips row groups whose footer
+      // rectangle misses the predicate
+      val zRead = scanRows(s"$base/zorder", pred)
+      val fRead = scanRows(s"$base/flat", pred)
+      info(s"pruning ratio: z=$zRead flat=$fRead (${zRead.toDouble / fRead})")
+      assert(zRead <= fRead / 3,
+        s"z-order read $zRead rows vs $fRead unordered — no pruning")
+    }
+  }
+
   test("the z map is a pure projection: no shuffle before the stats rollup") {
     val orders = graft.sources.Tables.load(spark, sfDir, "orders")
     val plan = ZOrder.ordersLayout(orders).queryExecution.executedPlan.toString
