@@ -161,6 +161,30 @@ object SparkEntry {
       mode = org.apache.spark.sql.streaming.OutputMode.Append())
       .orderBy(col("purchase_id"), col("view_id"))
 
+  /** Streaming-equivalence gate for SCD2 maintenance: the same two
+    * snapshot loads as `scd2_history`, but delivered as a FILE STREAM
+    * through [[graft.streaming.DimFeed.scd2Sink]] (one micro-batch
+    * per load) — the maintained history must match the batch oracle
+    * value-for-value.
+    */
+  private def qStreamScd2(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val bumped = part.withColumn("p_retailprice",
+      when(col("p_partkey") % 10 === 0, col("p_retailprice") * 1.1)
+        .otherwise(col("p_retailprice")))
+    val fresh = part.filter(col("p_partkey") % 97 === 0)
+      .withColumn("p_partkey", col("p_partkey") + 1000000L)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val work = s"${sys.props("java.io.tmpdir")}/graft_sscd2_$key"
+    graft.streaming.DimFeed.replayScd2(s,
+      Seq((part, "2024-01-01"), (bumped.unionByName(fresh), "2024-02-01")),
+      Seq("p_partkey"),
+      Seq("p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+      work)
+      .orderBy(col("p_partkey"), col("effective_from"))
+  }
+
   private def qRegionRevenue(s: SparkSession, dir: String): DataFrame =
     Relational.regionRevenue(t(s, dir, "region"), t(s, dir, "nation"),
       t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))
@@ -627,6 +651,24 @@ object SparkEntry {
       localThreshold = 0L)
       .orderBy(col("node"))
 
+  // two-load SCD2 history: shared verbatim by the batch merge entry
+  // and the streamed-sink replay (same history by contract)
+  private val scd2HistorySql: String =
+    """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice,
+      | DATE '2024-01-01' AS effective_from,
+      | CASE WHEN p_partkey % 10 = 0 THEN DATE '2024-02-01' END AS effective_to,
+      | p_partkey % 10 <> 0 AS is_current
+      |FROM part
+      |UNION ALL
+      |SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice * 1.1,
+      | DATE '2024-02-01', NULL, true
+      |FROM part WHERE p_partkey % 10 = 0
+      |UNION ALL
+      |SELECT p_partkey + 1000000, p_name, p_brand, p_type, p_size, p_retailprice,
+      | DATE '2024-02-01', NULL, true
+      |FROM part WHERE p_partkey % 97 = 0
+      |ORDER BY p_partkey, effective_from""".stripMargin
+
   // recursive-CTE label propagation: shared verbatim by the local and
   // the forced-distributed cluster entries (same answer by contract)
   private val dedupClustersSql: String =
@@ -914,6 +956,7 @@ object SparkEntry {
     "stream_event_hourly" -> (qStreamHourly _),
     "stream_event_sessionize" -> (qStreamSessionize _),
     "stream_attribution" -> (qStreamAttribution _),
+    "stream_scd2" -> (qStreamScd2 _),
     "q5_region_revenue" -> (qRegionRevenue _),
     "q_mkt_share" -> (qMktShare _),
     "q_funnel" -> (qFunnel _),
@@ -1548,21 +1591,9 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
         | min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
-    "scd2_history" ->
-      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice,
-        | DATE '2024-01-01' AS effective_from,
-        | CASE WHEN p_partkey % 10 = 0 THEN DATE '2024-02-01' END AS effective_to,
-        | p_partkey % 10 <> 0 AS is_current
-        |FROM part
-        |UNION ALL
-        |SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice * 1.1,
-        | DATE '2024-02-01', NULL, true
-        |FROM part WHERE p_partkey % 10 = 0
-        |UNION ALL
-        |SELECT p_partkey + 1000000, p_name, p_brand, p_type, p_size, p_retailprice,
-        | DATE '2024-02-01', NULL, true
-        |FROM part WHERE p_partkey % 97 = 0
-        |ORDER BY p_partkey, effective_from""".stripMargin,
+    "scd2_history" -> scd2HistorySql,
+    // the streamed sink must land on the same history — same oracle
+    "stream_scd2" -> scd2HistorySql,
     "q_scd2_asof" ->
       """WITH hist AS (
         |  SELECT p_partkey, p_retailprice, DATE '1995-01-01' AS effective_from,

@@ -52,6 +52,57 @@ object DimFeed {
     * `broadcastDelta = false`. Start with
     * `.option("checkpointLocation", ...)`.
     */
+  /** File-replay of snapshot loads through [[scd2Sink]]: stages each
+    * load as ONE parquet file (mtime-ordered), streams them with
+    * `maxFilesPerTrigger = 1` so every load arrives as its own
+    * micro-batch, and returns the on-disk history the sink maintained.
+    * The gate compares this history to the BATCH [[graft.operators
+    * .Scd2]] oracle over the same loads and dates — the streaming
+    * sink must produce the identical history, or the wiring
+    * (per-batch collapse, load-date mapping, merge idempotency) is
+    * wrong. `workDir` is recreated from scratch on every call: the
+    * replay always runs from an empty history and a fresh checkpoint.
+    */
+  def replayScd2(spark: org.apache.spark.sql.SparkSession,
+      loads: Seq[(DataFrame, String)], keys: Seq[String],
+      tracked: Seq[String], workDir: String): DataFrame = {
+    require(loads.nonEmpty, "replayScd2 needs at least one load")
+    val root = new org.apache.hadoop.fs.Path(workDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) fs.delete(root, true)
+    val stage = s"$workDir/stage"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(stage))
+    loads.zipWithIndex.foreach { case ((df, _), i) =>
+      val tmp = s"$workDir/tmp_$i"
+      // __load_seq doubles as the sink's latestBy collapse column; a
+      // uniform value per staged file, dropped before the merge
+      df.withColumn("__load_seq", lit(i.toLong))
+        .coalesce(1).write.parquet(tmp)
+      val single = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part file staged in $tmp"))
+      val dst = new java.io.File(s"$stage/load_$i.parquet")
+      java.nio.file.Files.move(single.toPath, dst.toPath)
+      // the file source orders batches by modification time — pin
+      // strictly increasing mtimes so load i is micro-batch i
+      dst.setLastModified(1700000000000L + i * 60000L)
+      ()
+    }
+    val dates = loads.map(_._2)
+    val schema = spark.read.parquet(s"$stage/load_0.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    val hist = s"$workDir/history"
+    val q = scd2Sink(src, hist, keys, tracked,
+        (id: Long) => dates(id.toInt), latestBy = "__load_seq")
+      .option("checkpointLocation", s"$workDir/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    spark.read.parquet(hist)
+  }
+
   def scd2Sink(deltas: DataFrame, path: String, keys: Seq[String],
       tracked: Seq[String], loadDateFor: Long => String,
       latestBy: String = "ts",
