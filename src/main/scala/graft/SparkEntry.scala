@@ -730,6 +730,15 @@ object SparkEntry {
     Similarity.recallAtK(t(s, dir, "embeddings"), col("vec_id") < 8)
       .orderBy(col("probe_id"))
 
+  /** IVF + int8-ADC search with exact re-rank (the memory-bounded
+    * PQ-family index shape): approximate ranking on dequantized codes,
+    * full-precision cosine for the top-15 survivors only.
+    */
+  private def qKnnIvfPq(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfPqTopK(t(s, dir, "embeddings"), col("vec_id") < 8)
+      .withColumn("rnk", col("rnk").cast("bigint"))
+      .orderBy(col("probe_id"), col("rnk"))
+
   /** Train-then-serve ANN: IVF probing over Lloyd-trained cells. */
   private def qKnnIvfTrained(s: SparkSession, dir: String): DataFrame =
     Similarity.ivfTrainedTopK(t(s, dir, "embeddings"), col("vec_id") < 8)
@@ -1021,6 +1030,7 @@ object SparkEntry {
     "emb_kmeans" -> (qEmbKmeans _),
     "knn_ivf_trained" -> (qKnnIvfTrained _),
     "knn_ivf_served" -> (qKnnIvfServed _),
+    "knn_ivfpq" -> (qKnnIvfPq _),
     "q_corr_stats" -> (qCorrStats _),
     "text_tokens" -> (qTextTokens _),
     "text_tokens_bpe" -> (qTextTokensBpe _),
@@ -2589,6 +2599,43 @@ object SparkEntry {
     // deterministic function of the corpus — the oracle retrains in
     // SQL and lands on the identical stored tables
     "knn_ivf_served" -> ivfTrainedOracle,
+    // IVF+ADC replay: the int8 grid (emb_quantize's min/max law), the
+    // fixed-shape dequantization mn + floor((x-mn)/step + .5)*step,
+    // the 4dp ADC cut at rerank=15 (ties on cand_id), and the exact
+    // re-rank all recompute in SQL — including WHICH candidates
+    // survive the approximate stage
+    "knn_ivfpq" ->
+      (s"WITH $knnBruteCtes,\n $knnIvfCtes,\n" +
+        """ g AS (SELECT i, min(v::DOUBLE) AS mn, max(v::DOUBLE) AS mx
+          |  FROM (SELECT generate_subscripts(embedding, 1) AS i,
+          |        unnest(embedding) AS v FROM embeddings
+          |        WHERE embedding IS NOT NULL)
+          |  GROUP BY i),
+          | r0 AS (SELECT e.vec_id, e.i,
+          |   CASE WHEN g.mx = g.mn THEN g.mn
+          |     ELSE g.mn + floor((e.v::DOUBLE - g.mn) / ((g.mx - g.mn) / 255) + 0.5)
+          |          * ((g.mx - g.mn) / 255) END AS rv
+          |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+          |        unnest(embedding) AS v FROM embeddings
+          |        WHERE embedding IS NOT NULL) e JOIN g USING (i)),
+          | recon AS (SELECT vec_id, list(rv ORDER BY i) AS rvec FROM r0 GROUP BY vec_id),
+          | adc AS (SELECT cells.probe_id, e.vec_id AS cand_id,
+          |   round(list_cosine_similarity(pp.embedding::DOUBLE[], rc.rvec), 4) AS adc_cosine
+          |  FROM cells JOIN embeddings e ON e.label = cells.cell
+          |       JOIN recon rc ON rc.vec_id = e.vec_id
+          |       JOIN embeddings pp ON pp.vec_id = cells.probe_id
+          |  WHERE e.vec_id <> cells.probe_id),
+          | topm AS (SELECT probe_id, cand_id, adc_cosine FROM (
+          |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY adc_cosine DESC, cand_id) AS mr
+          |   FROM adc WHERE adc_cosine IS NOT NULL) WHERE mr <= 15),
+          | ex AS (SELECT t.probe_id, t.cand_id, t.adc_cosine,
+          |   round(list_cosine_similarity(pp.embedding::DOUBLE[], ce.embedding::DOUBLE[]), 4) AS cosine
+          |  FROM topm t JOIN embeddings ce ON ce.vec_id = t.cand_id
+          |       JOIN embeddings pp ON pp.vec_id = t.probe_id),
+          | fr AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+          |   FROM ex WHERE cosine IS NOT NULL)
+          |SELECT probe_id, cand_id, adc_cosine, cosine, rnk FROM fr WHERE rnk <= 5
+          |ORDER BY probe_id, rnk""".stripMargin),
     "knn_centroids" ->
       """WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS i,
         |  unnest(embedding) AS v FROM embeddings)

@@ -147,25 +147,7 @@ object Similarity {
   private[graft] def ivfSearch(cellCorpus: DataFrame, cents: DataFrame,
       probeRows: DataFrame, k: Int = 5, nprobe: Int = 2): DataFrame = {
     GraftFunctions.ensureRegistered(cellCorpus.sparkSession)
-    val cw = cents.withColumn("cvec_nrm", VF.norm(col("cvec")))
-    // probe-side double-precision norm, once per probe — the cosine to
-    // a cell is then one fold per pair
-    val probes = probeRows
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
-        VF.normNative(col("embedding")).as("probe_nrm"),
-        VF.norm(col("embedding")).as("probe_dnrm"))
-    // probe → nprobe best cells: probes × broadcast(centroids); the
-    // double-precision fold keeps values identical to the oracle's
-    val cellCos = probes.join(broadcast(cw))
-      .select(col("probe_id"), col("probe_emb"), col("probe_nrm"), col("cell"),
-        round(VF.dot(col("probe_emb"), col("cvec"))
-          / (col("probe_dnrm") * col("cvec_nrm")), 4).as("ccos"))
-      .filter(col("ccos").isNotNull)
-    val cellW = Window.partitionBy(col("probe_id"))
-      .orderBy(col("ccos").desc, col("cell"))
-    val probedCells = cellCos
-      .withColumn("cr", row_number().over(cellW))
-      .filter(col("cr") <= nprobe)
+    val probedCells = probeCells(cents, probeRows, nprobe)
       .select(col("probe_id"), col("probe_emb"), col("probe_nrm"), col("cell"))
     // exact search within probed cells only (a vector lives in exactly
     // one cell, so no per-pair dedup is needed)
@@ -179,6 +161,127 @@ object Similarity {
           / (col("probe_nrm") * col("cand_nrm")), 4).as("cosine"))
       .filter(col("cosine").isNotNull)
     graft.plans.TopKPlanner.perGroup(scored, "probe_id", "cosine", "cand_id", k)
+  }
+
+  /** The probe→cell ranking stage shared by [[ivfSearch]] and
+    * [[ivfPqTopK]]: rank the (tiny, broadcast) centroid table per
+    * probe by 4-dp cosine, keep the best `nprobe` cells (ties on cell
+    * id asc). Emits one row per (probe, probed cell) carrying the
+    * probe's embedding plus both norm precisions — the float-path norm
+    * (`probe_nrm`, for the codegen'd exact re-rank) and the
+    * double-fold norm (`probe_dnrm`, for oracle-exact double math
+    * against centroids or reconstructed codes).
+    */
+  private[graft] def probeCells(cents: DataFrame, probeRows: DataFrame,
+      nprobe: Int): DataFrame = {
+    val cw = cents.withColumn("cvec_nrm", VF.norm(col("cvec")))
+    // probe-side double-precision norm, once per probe — the cosine to
+    // a cell is then one fold per pair
+    val probes = probeRows
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        VF.normNative(col("embedding")).as("probe_nrm"),
+        VF.norm(col("embedding")).as("probe_dnrm"))
+    // probe → nprobe best cells: probes × broadcast(centroids); the
+    // double-precision fold keeps values identical to the oracle's
+    val cellCos = probes.join(broadcast(cw))
+      .select(col("probe_id"), col("probe_emb"), col("probe_nrm"),
+        col("probe_dnrm"), col("cell"),
+        round(VF.dot(col("probe_emb"), col("cvec"))
+          / (col("probe_dnrm") * col("cvec_nrm")), 4).as("ccos"))
+      .filter(col("ccos").isNotNull)
+    val cellW = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ccos").desc, col("cell"))
+    cellCos
+      .withColumn("cr", row_number().over(cellW))
+      .filter(col("cr") <= nprobe)
+      .select(col("probe_id"), col("probe_emb"), col("probe_nrm"),
+        col("probe_dnrm"), col("cell"))
+  }
+
+  /** IVF + scalar-quantized ADC search with exact re-rank — the
+    * memory-bounded production ANN shape (Jégou, Douze & Schmid,
+    * TPAMI 2011 §V: asymmetric distance computation): the inverted
+    * lists store QUANTIZED codes (here the int8 grid of
+    * [[Quantize.scalarCodes]] — 1 byte/dim instead of 4), the probed
+    * cells are scanned against the probe with approximate distances on
+    * the DEQUANTIZED codes, and only the top `rerank` survivors fetch
+    * their full-precision vectors for the exact cosine ordering.
+    *
+    * Scale shape: the big scan (probed cells × probes) touches only
+    * the reconstructed-code arrays — at 100 TB the float corpus stays
+    * in cold storage and the index is 4× smaller, which is the entire
+    * point of PQ-family indexes; the full-precision fetch is a
+    * broadcast semi-join of probes × rerank ids (tiny), so the corpus
+    * never shuffles. (A production refinement would replace the
+    * per-pair reconstructed dot with per-dimension lookup tables; the
+    * dequantized formulation keeps the math value-replayable.)
+    *
+    * Determinism: the grid is global per-dimension min/max (integer-
+    * exact codes, the emb_quantize construction); reconstruction
+    * `mn + code*step` is fixed-shape IEEE double math; both ranking
+    * stages round to 4dp with id-asc tie-breaks — so the whole index,
+    * including WHICH candidates survive the ADC cut, replays as a
+    * value-level DuckDB oracle.
+    */
+  def ivfPqTopK(emb: DataFrame, probeFilter: org.apache.spark.sql.Column,
+      k: Int = 5, nprobe: Int = 2, labelCol: String = "label",
+      rerank: Int = 15): DataFrame = {
+    GraftFunctions.ensureRegistered(emb.sparkSession)
+    val corpus = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"), col(labelCol).as("cell"))
+    // per-dimension global min/max grid — the scalarCodes construction
+    // (shuffle is |dims| × partitions, never n·d)
+    val stats = corpus
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).cast("double").as("mn"),
+        max(col("x")).cast("double").as("mx"))
+    val grid = stats.agg(
+      sort_array(collect_list(struct(col("pos"), col("mn"), col("mx"))))
+        .as("ms"))
+    // dequantized corpus: code = floor((x-mn)/step + 0.5) (the int8
+    // cell), recon = mn + code*step — a flat dimension reconstructs to
+    // its constant instead of dividing by zero
+    val recon = zip_with(col("embedding"), col("ms"), (x, m) => {
+      val step = (m.getField("mx") - m.getField("mn")) / 255d
+      when(m.getField("mx") === m.getField("mn"), m.getField("mn"))
+        .otherwise(m.getField("mn") +
+          floor((x.cast("double") - m.getField("mn")) / step + 0.5d) * step)
+    })
+    val coded = corpus.crossJoin(broadcast(grid))
+      .select(col("vec_id"), col("cell"), recon.as("rvec"))
+    val probed = probeCells(cellCentroids(emb, labelCol),
+      emb.filter(probeFilter), nprobe)
+    // ADC scan: exact probe × dequantized candidates of the probed
+    // cells only — the double fold keeps values oracle-identical
+    val adc = coded.join(broadcast(probed), Seq("cell"))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        round(VF.dot(col("probe_emb"), col("rvec"))
+          / (col("probe_dnrm") * VF.norm(col("rvec"))), 4).as("adc_cosine"))
+      .filter(col("adc_cosine").isNotNull)
+    val topm = graft.plans.TopKPlanner
+      .perGroup(adc, "probe_id", "adc_cosine", "cand_id", rerank)
+      .drop("rnk")
+    // exact re-rank: fetch full-precision vectors for the survivors
+    // only (probes × rerank rows — broadcast; the corpus side is a
+    // pruned semi-join, no shuffle)
+    val cands = emb.select(col("vec_id").as("cand_id"),
+      col("embedding").as("cand_emb"),
+      VF.normNative(col("embedding")).as("cand_nrm"))
+    val probesExact = emb.filter(probeFilter)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        VF.normNative(col("embedding")).as("probe_nrm"))
+    val exact = cands.join(broadcast(topm), Seq("cand_id"))
+      .join(broadcast(probesExact), Seq("probe_id"))
+      .select(col("probe_id"), col("cand_id"), col("adc_cosine"),
+        round(VF.dotNative(col("probe_emb"), col("cand_emb"))
+          / (col("probe_nrm") * col("cand_nrm")), 4).as("cosine"))
+      .filter(col("cosine").isNotNull)
+    // final ordering over probes × rerank rows — window cost is nil
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    exact.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
   }
 
   /** Train-then-serve IVF: coarse cells come from [[kmeansAssign]]

@@ -133,6 +133,40 @@ class SimilaritySpec extends SparkSpecBase {
     assert(a.forall(r => r.getDouble(2) >= -1e-9))
   }
 
+  test("IVF+PQ: inside probed cells, exact final scores, ADC bounds the fetch") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val rows = Similarity.ivfPqTopK(emb, col("vec_id") < 4, k = 5, nprobe = 2)
+      .select("probe_id", "cand_id", "adc_cosine", "cosine", "rnk")
+      .as[(Long, Long, Double, Double, Int)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (p, c, _, _, _) => p != c })
+    // candidates come from at most nprobe distinct cells per probe
+    val cellOf = emb.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(r => cellOf(r._2)).distinct.length <= 2)
+      assert(g.length <= 5)
+      val sorted = g.sortBy(_._5)
+      assert(sorted.map(_._5).toSeq == (1 to sorted.length))
+      // final ordering is by the EXACT cosine, not the ADC score
+      assert(sorted.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    }
+    // the exact re-rank reproduces the true cosine: every survivor's
+    // final score equals the plain-IVF score for the same pair
+    val ivf = Similarity.ivfTopK(emb, col("vec_id") < 4, k = 5, nprobe = 2)
+      .select("probe_id", "cand_id", "cosine")
+      .as[(Long, Long, Double)].collect()
+      .map { case (p, c, s) => (p, c) -> s }.toMap
+    rows.foreach { case (p, c, _, s, _) =>
+      ivf.get((p, c)).foreach(want => assert(s == want)) }
+    // the ADC approximation is close: quantization to 255 levels keeps
+    // the approximate cosine within a coarse band of the exact one
+    rows.foreach { case (_, _, adc, s, _) => assert(math.abs(adc - s) < 0.05) }
+    // an ANN hit can never exceed the true best
+    val brute = Similarity.bruteForceTopK(emb, col("vec_id") < 4, k = 1)
+      .select("probe_id", "cosine").as[(Long, Double)].collect().toMap
+    rows.foreach { case (p, _, _, s, _) => assert(s <= brute(p) + 1e-9) }
+  }
+
   test("recall@k divides by the probe's actual ground-truth size") {
     val emb = Tables.embeddings(spark, sfDir)
     val bruteCounts = Similarity.bruteForceTopK(emb, col("vec_id") < 8)
