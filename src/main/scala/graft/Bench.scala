@@ -44,11 +44,23 @@ object Bench {
       else name -> times.min
     }
     val ok = results.filterNot { case (k, _) => failed.contains(k) }
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-dp timings: full-precision doubles balloon the line past what
+    // log captures keep intact, and sub-0.1ms digits are pure noise
+    def r4(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(line)
+    // committed-artifact escape hatch: stdout capture can truncate —
+    // when asked, also write the parsed line to a file
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes("UTF-8"))
+    }
     spark.stop()
   }
 }

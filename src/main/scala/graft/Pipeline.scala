@@ -26,9 +26,18 @@ object Pipeline {
     StageResult(name, rows, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Overwrite `path` and return the row count FROM THE WRITE PASS
+    * itself (`Dataset.observe`): the count accumulates while the rows
+    * stream through the writer, so the table is never read back and
+    * the plan never runs twice. At 100 TB a read-back count doubles
+    * the stage's I/O; an up-front `df.count()` doubles its compute.
+    */
   private def overwrite(df: DataFrame, path: String): Long = {
-    df.write.mode(SaveMode.Overwrite).parquet(path)
-    df.sparkSession.read.parquet(path).count()
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    obs.get("rows").asInstanceOf[Long]
   }
 
   /** One daily load: srcDir (raw drop) → warehouseDir (star schema +

@@ -38,6 +38,14 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) loads as NTZ;
+        // the session timezone is pinned UTC in every entrypoint, so the
+        // cast to TimestampType is a pure reinterpretation (bit-identical
+        // micros) — and it restores watermark/unix_micros compatibility
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw // already a timestamp column (re-written drops)
     }
   }

@@ -67,6 +67,12 @@ object StreamReplay {
     val events = batchSchema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // same normalization as Tables.events: UTC-pinned session makes
+        // the NTZ→TIMESTAMP cast a pure reinterpretation, and watermarks
+        // require TimestampType
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
     val out = transform(
