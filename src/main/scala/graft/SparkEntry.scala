@@ -185,6 +185,26 @@ object SparkEntry {
       .orderBy(col("p_partkey"), col("effective_from"))
   }
 
+  /** Exactly-once ingest gate: the events table delivered TWICE as an
+    * at-least-once file stream through
+    * `dropDuplicatesWithinWatermark(event_id)` — the sink must hold
+    * exactly one copy of the batch table (oracle = the plain table).
+    */
+  private def qStreamDedup(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay
+      .replayRedelivered(s, dir, Seq("event_id"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .orderBy(col("event_id"))
+
+  /** Dominant principal component of the embedding corpus: 3 unrolled
+    * power-iteration rounds on the exact-rounded centered Gram matrix,
+    * per-vector component scores + the eigenvalue-scale estimate.
+    */
+  private def qEmbPca(s: SparkSession, dir: String): DataFrame =
+    Pca.topComponent(t(s, dir, "embeddings"))
+      .orderBy(col("vec_id"))
+
   private def qRegionRevenue(s: SparkSession, dir: String): DataFrame =
     Relational.regionRevenue(t(s, dir, "region"), t(s, dir, "nation"),
       t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))
@@ -1041,7 +1061,9 @@ object SparkEntry {
     "text_fingerprint" -> (qTextFingerprint _),
     "text_sample_quota" -> (qSampleQuota _),
     "mm_frames" -> (qMmFrames _),
-    "mm_decode" -> (qMmDecode _)
+    "mm_decode" -> (qMmDecode _),
+    "emb_pca" -> (qEmbPca _),
+    "stream_dedup" -> (qStreamDedup _)
   )
 
   // ------------------------------------------------------------- oracle
@@ -2749,6 +2771,42 @@ object SparkEntry {
         |   ELSE CASE WHEN (doc_id // 4) % 2 = 0
         |     THEN 1 + octet_length(encode(text)) ELSE 12 END
         | END::BIGINT AS byte_len
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // stream_dedup: the redelivered stream must collapse to exactly the
+    // batch table — the oracle IS the plain table
+    "stream_dedup" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
+    "emb_pca" -> pcaOracle
   )
+
+  /** PCA oracle: replays the 6-dp column means, the centered Gram
+    * matrix, three power-iteration rounds (6-dp matvec, exact max-|w|
+    * normalization — no sqrt anywhere), and the 4-dp projection —
+    * step-for-step the math [[graft.operators.Pca.topComponent]] pins.
+    */
+  private lazy val pcaOracle: String = {
+    val iterCtes = (1 to 3).map { k =>
+      val pv = s"v${k - 1}"
+      s""" w$k AS (SELECT gi AS i, round(sum(gv * vv), 6) AS wv
+         |  FROM g JOIN $pv ON gj = $pv.i GROUP BY gi),
+         | s$k AS (SELECT max(abs(wv)) AS s FROM w$k),
+         | v$k AS (SELECT i, round(wv / (SELECT s FROM s$k), 6) AS vv FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+       |   unnest(embedding)::DOUBLE AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       | m AS (SELECT i, round(sum(v) / count(*), 6) AS mv FROM e GROUP BY i),
+       | c AS (SELECT e.vec_id, e.label, e.i, e.v - m.mv AS cv
+       |  FROM e JOIN m USING (i)),
+       | g AS (SELECT a.i AS gi, b.i AS gj, round(sum(a.cv * b.cv), 6) AS gv
+       |  FROM c a JOIN c b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+       | v0 AS (SELECT i, 1.0::DOUBLE AS vv FROM m),
+       |$iterCtes
+       |SELECT c.vec_id, any_value(c.label) AS label,
+       | round(sum(c.cv * v3.vv), 4) AS pc1_score,
+       | round((SELECT s FROM s3), 4) AS ev_scale
+       |FROM c JOIN v3 USING (i)
+       |GROUP BY c.vec_id ORDER BY vec_id""".stripMargin
+  }
 }

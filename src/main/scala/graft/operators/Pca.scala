@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Top-principal-component extraction over the embedding corpus — the
+  * classic "what single direction explains my vectors" pass (drift
+  * monitoring, whitening prep, anisotropy checks before cosine search).
+  *
+  * Scale shape, in order of the plan:
+  *  1. column means: one explode + `groupBy(pos)` aggregate — d output
+  *     rows, partial-aggregated map-side, pinned driver-side (d doubles,
+  *     data-size independent, same policy as the kmeans centroid pin).
+  *  2. Gram matrix of the CENTERED data: each row contributes its d²
+  *     outer product as one flattened array, exploded and summed by
+  *     cell index. The shuffle moves ≤ d²·partitions rows regardless of
+  *     corpus size (map-side combine over 4096 cells), and the vectors
+  *     themselves never enter an exchange. At 100 TB this is the only
+  *     data-sized pass — one scan, one bounded shuffle.
+  *  3. power iteration: G is d×d (driver-pinned, like the kmeans
+  *     centroids); `iters` matvec rounds cost nothing distributed.
+  *  4. scores: one more scan projecting each centered vector onto the
+  *     component — zero shuffle.
+  *
+  * Determinism contract (oracle replays every step in SQL): means and
+  * Gram cells round to 6 dp; each matvec result rounds to 6 dp; the
+  * normalization divides by max|w| (exact on rounded values — no sqrt,
+  * no FP norm) and rounds to 6 dp; scores round to 4 dp. Summation
+  * order differences between engines live ~7 orders of magnitude below
+  * every rounding boundary.
+  */
+object Pca {
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Per-vector projection onto the dominant principal component after
+    * `iters` unrolled power-iteration rounds from the all-ones start
+    * vector. Emits (vec_id, label, pc1_score, ev_scale): `ev_scale` is
+    * the last round's max|G·v| — the dominant-eigenvalue estimate the
+    * iteration converged toward, constant across rows so the gate pins
+    * the whole iteration, not just the final direction.
+    */
+  def topComponent(emb: DataFrame, iters: Int = 3,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(iters >= 1, s"topComponent needs iters >= 1, got $iters")
+    val dim = Similarity.embeddingDim(emb)
+    val pts = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col("label"),
+        graft.functions.VectorFunctions.asDouble(col(vecCol)).as("x"))
+      .persist()
+
+    // 1. column means, rounded, pinned driver-side
+    val means: Array[Double] = {
+      val rows = pts
+        .select(posexplode(col("x")).as(Seq("pos", "v")))
+        .groupBy(col("pos"))
+        .agg(round(sum(col("v")) / count(lit(1)), 6).as("m"))
+        .collect()
+      val a = new Array[Double](dim)
+      rows.foreach(r => a(r.getInt(0)) = r.getDouble(1))
+      a
+    }
+
+    val centered: Column = zip_with(col("x"), typedlit(means), (v, m) => v - m)
+
+    // 2. Gram of the centered data: flattened d² outer product per row,
+    // summed by cell — cell index ij = i*dim + j
+    val gRows = pts
+      .select(flatten(transform(centered,
+        xi => transform(centered, xj => xi * xj))).as("op"))
+      .select(posexplode(col("op")).as(Seq("ij", "p")))
+      .groupBy(col("ij"))
+      .agg(round(sum(col("p")), 6).as("g"))
+      .collect()
+    val g = Array.ofDim[Double](dim, dim)
+    gRows.foreach(r => g(r.getInt(0) / dim)(r.getInt(0) % dim) = r.getDouble(1))
+
+    // 3. driver-side power iteration, every step rounded like the oracle
+    var v = Array.fill(dim)(1.0)
+    var evScale = 0.0
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(dim) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += g(i)(j) * v(j); j += 1 }
+        r6(acc)
+      }
+      evScale = w.map(math.abs).max
+      v = w.map(x => r6(x / evScale))
+    }
+
+    // 4. score pass: centered projection onto the component
+    val score = aggregate(
+      zip_with(centered, typedlit(v), (c, w) => c * w),
+      lit(0.0), (acc, x) => acc + x)
+    val out = pts.select(col(idCol), col("label"),
+      round(score, 4).as("pc1_score"),
+      round(lit(evScale), 4).as("ev_scale"))
+    pts.unpersist()
+    out
+  }
+}

@@ -53,6 +53,22 @@ object StreamReplay {
     }
   }
 
+  /** The same ts normalization as [[graft.sources.Tables.events]],
+    * applied to a STREAM frame: nanos-as-LONG → µs timestamp, NTZ →
+    * TIMESTAMP (UTC-pinned session, pure reinterpretation — and
+    * watermarks require TimestampType).
+    */
+  private def normalizeTs(batchSchema: org.apache.spark.sql.types.StructType,
+      raw: DataFrame): DataFrame =
+    batchSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+
   private def replayEventsWithNanos(spark: SparkSession, dir: String,
       transform: DataFrame => DataFrame,
       watermark: String,
@@ -64,17 +80,7 @@ object StreamReplay {
     // rejects a file basePath) while still matching only this table
     val raw = spark.readStream.schema(batchSchema)
       .parquet(s"$dir/{events.parquet}")
-    val events = batchSchema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        // same normalization as Tables.events: UTC-pinned session makes
-        // the NTZ→TIMESTAMP cast a pure reinterpretation, and watermarks
-        // require TimestampType
-        raw.withColumn("ts",
-          col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
-    }
+    val events = normalizeTs(batchSchema, raw)
     val out = transform(
       if (watermark == null) events else events.withWatermark("ts", watermark))
     val name = s"graft_replay_${runId.incrementAndGet()}"
@@ -92,6 +98,63 @@ object StreamReplay {
         .format("memory")
         .queryName(name)
         .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(partsKey, v)
+      case None => spark.conf.unset(partsKey)
+    }
+    spark.table(name)
+  }
+
+  /** Exactly-once ingest over an at-least-once delivery channel: stage
+    * `copies` IDENTICAL deliveries of the events table as mtime-ordered
+    * files, stream them one micro-batch each (`maxFilesPerTrigger = 1`)
+    * through `dropDuplicatesWithinWatermark(keys)` in APPEND mode.
+    * Every row of delivery 2..n finds its key already in the dedup
+    * state and is suppressed, so the sink holds exactly one copy of the
+    * table — the redelivery/backfill-overlap case every production
+    * file-drop ingest hits, gated against the plain batch table.
+    *
+    * The watermark delay must cover the redelivery horizon — here the
+    * full table span, so no state evicts mid-replay and the equivalence
+    * is exact. Production sizes it to the channel's actual redelivery
+    * window; state is then bounded by keys-per-window, not corpus size
+    * (that bounded-state trade is the point of
+    * `dropDuplicatesWithinWatermark` over plain `dropDuplicates`).
+    */
+  def replayRedelivered(spark: SparkSession, dir: String,
+      keys: Seq[String], watermark: String = "35 days",
+      copies: Int = 2): DataFrame = {
+    require(copies >= 2, "a redelivery replay needs at least 2 deliveries")
+    val stage = java.nio.file.Files.createTempDirectory("graft_redeliver")
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    (0 until copies).foreach { i =>
+      val dst = stage.resolve(s"delivery_$i.parquet")
+      java.nio.file.Files.copy(src, dst)
+      // the file source orders batches by modification time — pin
+      // strictly increasing mtimes so delivery i is micro-batch i
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+      ()
+    }
+    val batchSchema = spark.read.parquet(stage.toString).schema
+    val raw = spark.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+    val events = normalizeTs(batchSchema, raw)
+    val out = events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+    val name = s"graft_replay_${runId.incrementAndGet()}"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(partsKey)
+    spark.conf.set(partsKey, "8")
+    try {
+      val q = out.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow())
         .start()
       try q.awaitTermination()

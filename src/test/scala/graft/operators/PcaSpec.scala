@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class PcaSpec extends SparkSpecBase {
+
+  private def emb(rows: Seq[(Long, Seq[Float], Int)]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, v, l) =>
+        Row(id, v, l)
+      }, 2),
+      StructType(Seq(
+        StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(FloatType), nullable = true),
+        StructField("label", IntegerType, nullable = false))))
+
+  test("hand-computed axis-aligned case: component lands on the dominant axis") {
+    // points (±1, 0), (±2, 0): means (0,0), centered Gram [[10,0],[0,0]];
+    // power iteration from (1,1): w=(10,0), s=10, v=(1,0) and stays —
+    // scores are the x coordinates, ev_scale is the eigenvalue 10
+    val df = emb(Seq(
+      (1L, Seq(1f, 0f), 0), (2L, Seq(-1f, 0f), 0),
+      (3L, Seq(2f, 0f), 0), (4L, Seq(-2f, 0f), 0)))
+    val out = Pca.topComponent(df).orderBy("vec_id").collect()
+    assert(out.map(_.getDouble(2)).toSeq === Seq(1.0, -1.0, 2.0, -2.0))
+    assert(out.map(_.getDouble(3)).distinct.toSeq === Seq(10.0))
+  }
+
+  test("null embeddings are excluded, not scored") {
+    val df = emb(Seq(
+      (1L, Seq(1f, 0f), 0), (2L, null, 0), (3L, Seq(-1f, 0f), 0)))
+    val out = Pca.topComponent(df)
+    assert(out.count() === 2)
+    assert(out.filter(col("vec_id") === 2L).count() === 0)
+  }
+
+  test("scores are deterministic across runs and sum to ~zero (centered)") {
+    val df = graft.sources.Tables.embeddings(spark, sfDir)
+    val a = Pca.topComponent(df).orderBy("vec_id").collect()
+    val b = Pca.topComponent(df).orderBy("vec_id").collect()
+    assert(a.toSeq === b.toSeq)
+    // projections of mean-centered vectors sum to zero up to rounding:
+    // each score is rounded to 4 dp, so the sum is bounded by n * 5e-5
+    val s = a.map(_.getDouble(2)).sum
+    assert(math.abs(s) <= a.length * 5e-5 + 1e-3)
+  }
+
+  test("the component explains at least as much variance as any raw axis") {
+    // the dominant eigenvalue (ev_scale after convergence-ish rounds)
+    // must dominate every diagonal Gram entry; check via score energy:
+    // sum(score^2) >= max over dims of sum(centered^2) within slack
+    val df = graft.sources.Tables.embeddings(spark, sfDir)
+    val out = Pca.topComponent(df)
+    val scoreEnergy = out.agg(sum(col("pc1_score") * col("pc1_score")))
+      .head().getDouble(0)
+    val pts = df.filter(col("embedding").isNotNull)
+      .select(graft.functions.VectorFunctions.asDouble(col("embedding")).as("x"))
+    val dimStats = pts.select(posexplode(col("x")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg((sum(col("v") * col("v")) - sum(col("v")) * sum(col("v")) / count(lit(1)))
+        .as("energy"))
+      .agg(max(col("energy"))).head().getDouble(0)
+    // 3 power rounds from all-ones may not fully converge; allow 5% slack
+    assert(scoreEnergy >= dimStats * 0.95,
+      s"PC1 energy $scoreEnergy should dominate best axis $dimStats")
+  }
+}
