@@ -205,6 +205,15 @@ object SparkEntry {
     Pca.topComponent(t(s, dir, "embeddings"))
       .orderBy(col("vec_id"))
 
+  /** Perceptual-style near-dup FRAME pairs across media assets:
+    * integer block-hash signatures per sampled frame, 4×16-bit banded
+    * candidate join, Hamming verify ≤ 3 (banding lossless at that
+    * radius — the oracle's all-pairs answer must match exactly).
+    */
+  private def qMmPhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.nearDupFrames(Multimodal.asMedia(t(s, dir, "documents")))
+      .orderBy(col("doc_a"), col("doc_b"), col("frame_idx"))
+
   private def qRegionRevenue(s: SparkSession, dir: String): DataFrame =
     Relational.regionRevenue(t(s, dir, "region"), t(s, dir, "nation"),
       t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))
@@ -1063,7 +1072,8 @@ object SparkEntry {
     "mm_frames" -> (qMmFrames _),
     "mm_decode" -> (qMmDecode _),
     "emb_pca" -> (qEmbPca _),
-    "stream_dedup" -> (qStreamDedup _)
+    "stream_dedup" -> (qStreamDedup _),
+    "mm_phash" -> (qMmPhash _)
   )
 
   // ------------------------------------------------------------- oracle
@@ -2777,7 +2787,37 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_id, ts, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
-    "emb_pca" -> pcaOracle
+    "emb_pca" -> pcaOracle,
+    // mm_phash: all-pairs ground truth — the banded Spark path must
+    // land on it exactly (pigeonhole lossless at Hamming <= 3). The
+    // corpus is ASCII, so char positions/codes equal byte
+    // offsets/values and substr replays the frame windows.
+    "mm_phash" ->
+      """WITH f AS (SELECT d.doc_id, fi.i::INT AS frame_idx,
+        |   list_transform(regexp_extract_all(substr(d.text, fi.i * 256 + 1, 256), '.'),
+        |     c -> unicode(c)) AS bytes
+        |  FROM documents d, (SELECT unnest(range(0, 4)) AS i) fi
+        |  WHERE fi.i = 0 OR fi.i * 256 < octet_length(encode(d.text))),
+        | blocks AS (SELECT doc_id, frame_idx, len(bytes) AS n,
+        |   list_sum(bytes) AS total, b.b AS b,
+        |   coalesce(list_sum(bytes[(b.b * len(bytes) // 64) + 1
+        |     : ((b.b + 1) * len(bytes) // 64)]), 0) AS bsum,
+        |   ((b.b + 1) * len(bytes) // 64) - (b.b * len(bytes) // 64) AS blen
+        |  FROM f, (SELECT unnest(range(0, 64)) AS b) b),
+        | bits AS (SELECT doc_id, frame_idx,
+        |   sum(CASE WHEN b < 32 AND bsum * n > total * blen
+        |     THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig_lo,
+        |   sum(CASE WHEN b >= 32 AND bsum * n > total * blen
+        |     THEN (1::BIGINT << (b - 32)) ELSE 0 END)::BIGINT AS sig_hi
+        |  FROM blocks GROUP BY doc_id, frame_idx)
+        |SELECT doc_a, doc_b, frame_idx, hamming FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.frame_idx,
+        |   (bit_count(xor(a.sig_lo, b.sig_lo))
+        |    + bit_count(xor(a.sig_hi, b.sig_hi)))::INT AS hamming
+        |  FROM bits a JOIN bits b
+        |    ON a.doc_id < b.doc_id AND a.frame_idx = b.frame_idx)
+        |WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b, frame_idx""".stripMargin
   )
 
   /** PCA oracle: replays the 6-dp column means, the centered Gram

@@ -91,6 +91,87 @@ object Multimodal {
       .groupBy(col("content_md5"), col("byte_len"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
 
+  /** Per-frame 64-bit block hash — the aHash structure: the frame's
+    * bytes split into 64 equal ranges, bit b set when block b's mean
+    * exceeds the frame mean. The comparison is cross-multiplied
+    * (`blockSum · frameLen > frameSum · blockLen`) so the whole
+    * signature is INTEGER math — no FP, bit-identical everywhere. On
+    * real images the same structure runs on pixel-block luminance
+    * after decode; the byte-level stand-in keeps every downstream
+    * stage (banding, candidate join, Hamming verify) production-real.
+    * Packed as two 32-bit halves (blocks 0-31 → `sig_lo`, 32-63 →
+    * `sig_hi`) so neither engine touches the BIGINT sign bit.
+    * One pass per frame; the bytes never leave the map.
+    */
+  def frameSignatures(frames: Dataset[MMFrame]): DataFrame = {
+    import frames.sparkSession.implicits._
+    frames.map { f =>
+      val b = f.frame_bytes
+      val n = b.length
+      var total = 0L
+      var i = 0
+      while (i < n) { total += (b(i) & 0xff); i += 1 }
+      var lo = 0L
+      var hi = 0L
+      var blk = 0
+      while (blk < 64) {
+        val s = blk * n / 64
+        val e = (blk + 1) * n / 64
+        var bs = 0L
+        var j = s
+        while (j < e) { bs += (b(j) & 0xff); j += 1 }
+        if (bs * n > total * (e - s)) {
+          if (blk < 32) lo |= 1L << blk else hi |= 1L << (blk - 32)
+        }
+        blk += 1
+      }
+      (f.doc_id, f.frame_idx, lo, hi)
+    }.toDF("doc_id", "frame_idx", "sig_lo", "sig_hi")
+  }
+
+  /** Near-duplicate FRAME pairs across assets — the shared-segment
+    * detector (same intro/scene in two videos, re-encoded thumbnail
+    * reuse): per-frame block-hash signatures, banded into 4×16-bit
+    * keys, candidate pairs from the band join, Hamming-verified to
+    * `maxHamming`. The 4-band pigeonhole is LOSSLESS for
+    * `maxHamming <= 3` (3 differing bits cannot touch all 4 bands),
+    * so the banded result equals the all-pairs answer — which is
+    * exactly what the oracle computes.
+    *
+    * Scale shape: the exchange carries (doc_id, frame_idx, band, 16-bit
+    * value, two sig longs) — never frame bytes; bucket keys spread over
+    * 4·2^16 · frames values; Hamming runs on candidates only. Same
+    * discipline as the text simhash path (Dedup.scala).
+    */
+  def nearDupFrames(media: Dataset[MMRecord], maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit banding is only lossless up to Hamming 3, got $maxHamming")
+    val sigs = frameSignatures(frameSample(media))
+    val mask = lit(0xffffL)
+    val bands = sigs.select(col("doc_id"), col("frame_idx"),
+      col("sig_lo"), col("sig_hi"),
+      posexplode(array(
+        col("sig_lo").bitwiseAND(mask),
+        shiftright(col("sig_lo"), 16).bitwiseAND(mask),
+        col("sig_hi").bitwiseAND(mask),
+        shiftright(col("sig_hi"), 16).bitwiseAND(mask))).as(Seq("band", "bv")))
+    val a = bands.alias("a")
+    val b = bands.alias("b")
+    val cand = a.join(b,
+        col("a.frame_idx") === col("b.frame_idx") &&
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.frame_idx").as("frame_idx"),
+        col("a.sig_lo").as("alo"), col("a.sig_hi").as("ahi"),
+        col("b.sig_lo").as("blo"), col("b.sig_hi").as("bhi"))
+      .distinct() // several agreeing bands -> one candidate
+    cand.select(col("doc_a"), col("doc_b"), col("frame_idx"),
+        (bit_count(col("alo").bitwiseXOR(col("blo"))) +
+          bit_count(col("ahi").bitwiseXOR(col("bhi")))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ------------------------------------------------------- real decode
 
   private val PngMagic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a,
