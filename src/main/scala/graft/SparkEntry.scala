@@ -214,6 +214,13 @@ object SparkEntry {
     Multimodal.nearDupFrames(Multimodal.asMedia(t(s, dir, "documents")))
       .orderBy(col("doc_a"), col("doc_b"), col("frame_idx"))
 
+  /** Cross-corpus duplicated-span audit: per-doc share of word 4-gram
+    * shingles that occur in at least one other document.
+    */
+  private def qDupSpans(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.dupSpans(t(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
   private def qRegionRevenue(s: SparkSession, dir: String): DataFrame =
     Relational.regionRevenue(t(s, dir, "region"), t(s, dir, "nation"),
       t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))
@@ -1073,7 +1080,8 @@ object SparkEntry {
     "mm_decode" -> (qMmDecode _),
     "emb_pca" -> (qEmbPca _),
     "stream_dedup" -> (qStreamDedup _),
-    "mm_phash" -> (qMmPhash _)
+    "mm_phash" -> (qMmPhash _),
+    "text_dup_spans" -> (qDupSpans _)
   )
 
   // ------------------------------------------------------------- oracle
@@ -2817,7 +2825,25 @@ object SparkEntry {
         |  FROM bits a JOIN bits b
         |    ON a.doc_id < b.doc_id AND a.frame_idx = b.frame_idx)
         |WHERE hamming <= 3
-        |ORDER BY doc_a, doc_b, frame_idx""".stripMargin
+        |ORDER BY doc_a, doc_b, frame_idx""".stripMargin,
+    // text_dup_spans joins on the same 60-bit md5-prefix shingle keys
+    // the Spark plan shuffles, so even a hash collision replays
+    // identically in both engines
+    "text_dup_spans" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        | sh AS (SELECT DISTINCT doc_id,
+        |    ('0x'||substr(md5(array_to_string(w[r.i + 1 : r.i + 4], ' ')),1,15))::BIGINT AS h
+        |   FROM t, range(0, 2000) r(i)
+        |   WHERE r.i <= greatest(len(w) - 4, 0)),
+        | sd AS (SELECT h, count(*)::BIGINT AS n_docs FROM sh GROUP BY h)
+        |SELECT sh.doc_id, count(*)::BIGINT AS n_shingles,
+        |  sum(CASE WHEN sd.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+        |  round(sum(CASE WHEN sd.n_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 4) AS dup_frac,
+        |  max(sd.n_docs)::BIGINT AS max_span_docs
+        |FROM sh JOIN sd USING (h)
+        |GROUP BY sh.doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** PCA oracle: replays the 6-dp column means, the centered Gram

@@ -129,6 +129,47 @@ object CorpusStats {
     * doc-count-sized no matter how long the documents are. All ratios
     * divide exact integers — bit-identical across engines, no rounding.
     */
+  /** Cross-corpus duplicated-span audit: for every document, the share
+    * of its word `n`-gram shingles that also occur in at least one
+    * OTHER document — the "how much of this page is boilerplate /
+    * copied elsewhere" signal measured before span-level dedup (C4
+    * removes repeated three-sentence spans; RefinedWeb reports exactly
+    * this duplicate-fraction per page). `max_span_docs` is the spread
+    * of the doc's most-copied span. Complements [[repetition]]
+    * (within-doc) and [[contamination]] (train→test): this one is
+    * corpus↔corpus.
+    *
+    * Scale shape: shingles are reduced to constant-width 60-bit
+    * md5-prefix keys BEFORE any exchange — the shingle strings never
+    * shuffle; the spread count and the audit join both partition on
+    * that key (identical subplans, so the exchange is reused), and
+    * per-doc contribution is capped at `maxShingles` like
+    * [[contamination]] so one pathological page cannot skew a
+    * partition. The oracle replays the same hashed keys, so a
+    * (cryptographically negligible) collision cannot silently diverge
+    * the engines.
+    */
+  def dupSpans(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 4,
+      maxShingles: Int = 2000): DataFrame = {
+    val sh = docs
+      .select(col(idCol), explode(slice(
+        graft.functions.TextFunctions.wordShingles(col(textCol), n),
+        1, maxShingles)).as("shingle"))
+      .select(col(idCol),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val spread = sh.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+    sh.join(spread, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("n_docs") >= 2, 1).otherwise(0)).cast("long").as("n_dup"),
+        round(sum(when(col("n_docs") >= 2, 1).otherwise(0)).cast("double")
+          / count(lit(1)), 4).as("dup_frac"),
+        max(col("n_docs")).as("max_span_docs"))
+  }
+
   def repetition(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val w = graft.functions.TextFunctions.words(col(textCol))
