@@ -185,6 +185,30 @@ object SparkEntry {
       .orderBy(col("p_partkey"), col("effective_from"))
   }
 
+  /** Streaming-equivalence gate for incremental aggregate maintenance:
+    * the same three drops as `q_incr_agg`, delivered as a FILE STREAM
+    * through the exactly-once [[graft.streaming.IncrFeed.incrAggSink]]
+    * (one micro-batch per drop, batch marker swapped atomically with
+    * the table) — the maintained table must equal the one-shot
+    * aggregate value-for-value.
+    */
+  private def qStreamIncrAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("event_type"),
+        col("ts").cast("date").as("day"), col("value"))
+    val drops = (0 until 3).map(i =>
+      ev.filter(col("event_id") % 3 === i).drop("event_id"))
+    val spec = IncrementalAgg.Spec(sums = Seq("value"),
+      mins = Seq("value"), maxs = Seq("value"))
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val work = s"${sys.props("java.io.tmpdir")}/graft_sincr_$key"
+    graft.streaming.IncrFeed
+      .replayIncrAgg(s, drops, Seq("event_type", "day"), spec, work)
+      .withColumn("sum_value", col("sum_value").cast("double"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** Exactly-once ingest gate: the events table delivered TWICE as an
     * at-least-once file stream through
     * `dropDuplicatesWithinWatermark(event_id)` — the sink must hold
@@ -687,6 +711,14 @@ object SparkEntry {
       localThreshold = 0L)
       .orderBy(col("node"))
 
+  // one-shot aggregate over all drops: shared verbatim by the batch
+  // fold entry and the streamed-sink replay (same table by contract)
+  private val incrAggSql: String =
+    """SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS n_rows,
+      | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+      | min(value) AS min_value, max(value) AS max_value
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin
+
   // two-load SCD2 history: shared verbatim by the batch merge entry
   // and the streamed-sink replay (same history by contract)
   private val scd2HistorySql: String =
@@ -1081,7 +1113,8 @@ object SparkEntry {
     "emb_pca" -> (qEmbPca _),
     "stream_dedup" -> (qStreamDedup _),
     "mm_phash" -> (qMmPhash _),
-    "text_dup_spans" -> (qDupSpans _)
+    "text_dup_spans" -> (qDupSpans _),
+    "stream_incr_agg" -> (qStreamIncrAgg _)
   )
 
   // ------------------------------------------------------------- oracle
@@ -1636,11 +1669,9 @@ object SparkEntry {
         |FROM events e JOIN st USING (event_type)
         |WHERE abs(round((value - mu) / sigma, 4)) >= 2.5
         |ORDER BY event_id""".stripMargin,
-    "q_incr_agg" ->
-      """SELECT event_type, CAST(ts AS DATE) AS day, count(*)::BIGINT AS n_rows,
-        | CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
-        | min(value) AS min_value, max(value) AS max_value
-        |FROM events GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+    "q_incr_agg" -> incrAggSql,
+    // the streamed fold must land on the same table — same oracle
+    "stream_incr_agg" -> incrAggSql,
     "scd2_history" -> scd2HistorySql,
     // the streamed sink must land on the same history — same oracle
     "stream_scd2" -> scd2HistorySql,

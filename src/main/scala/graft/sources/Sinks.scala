@@ -46,7 +46,7 @@ object Sinks {
       require(fs.rename(backup, target), s"could not recover $target from backup")
   }
 
-  private def swapInto(spark: SparkSession, stagingPath: String, path: String): Unit = {
+  private[graft] def swapInto(spark: SparkSession, stagingPath: String, path: String): Unit = {
     val staging = new org.apache.hadoop.fs.Path(stagingPath)
     val target = new org.apache.hadoop.fs.Path(path)
     val backup = new org.apache.hadoop.fs.Path(path + ".backup")
