@@ -11,12 +11,12 @@ import org.apache.spark.sql.functions._
   *  1. column means: one explode + `groupBy(pos)` aggregate — d output
   *     rows, partial-aggregated map-side, pinned driver-side (d doubles,
   *     data-size independent, same policy as the kmeans centroid pin).
-  *  2. Gram matrix of the CENTERED data: each row contributes its d²
-  *     outer product as one flattened array, exploded and summed by
-  *     cell index. The shuffle moves ≤ d²·partitions rows regardless of
-  *     corpus size (map-side combine over 4096 cells), and the vectors
-  *     themselves never enter an exchange. At 100 TB this is the only
-  *     data-sized pass — one scan, one bounded shuffle.
+  *  2. Gram matrix of the CENTERED data: a typed Aggregator folds each
+  *     row's outer product into one in-place d²-double buffer per
+  *     partition, so the exchange carries ONE 32 KB buffer per
+  *     partition regardless of corpus size and the vectors themselves
+  *     never enter it. At 100 TB this is the only data-sized pass —
+  *     one scan, one bounded reduction.
   *  3. power iteration: G is d×d (driver-pinned, like the kmeans
   *     centroids); `iters` matvec rounds cost nothing distributed.
   *  4. scores: one more scan projecting each centered vector onto the
@@ -64,17 +64,15 @@ object Pca {
 
     val centered: Column = zip_with(col("x"), typedlit(means), (v, m) => v - m)
 
-    // 2. Gram of the centered data: flattened d² outer product per row,
-    // summed by cell — cell index ij = i*dim + j
-    val gRows = pts
-      .select(flatten(transform(centered,
-        xi => transform(centered, xj => xi * xj))).as("op"))
-      .select(posexplode(col("op")).as(Seq("ij", "p")))
-      .groupBy(col("ij"))
-      .agg(round(sum(col("p")), 6).as("g"))
-      .collect()
-    val g = Array.ofDim[Double](dim, dim)
-    gRows.foreach(r => g(r.getInt(0) / dim)(r.getInt(0) % dim) = r.getDouble(1))
+    // 2. Gram of the centered data via the typed aggregator: one
+    // in-place d²-double buffer per partition, ONE buffer per partition
+    // in the exchange (no per-row d² explode). Cells round to 6 dp on
+    // the driver with the same HALF_UP rule the oracle's round() uses.
+    val gramAgg = udaf(new graft.functions.GramAggregator(dim))
+    val cells = pts.select(centered.as("cx"))
+      .agg(gramAgg(col("cx")).as("g"))
+      .head().getSeq[Double](0)
+    val g = Array.tabulate(dim, dim)((i, j) => r6(cells(i * dim + j)))
 
     // 3. driver-side power iteration, every step rounded like the oracle
     var v = Array.fill(dim)(1.0)

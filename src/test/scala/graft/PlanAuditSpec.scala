@@ -370,6 +370,39 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(p.split("\n").count(_.trim.startsWith("Exchange")) <= 1, p)
   }
 
+  test("mm_phash: banded candidate join — no all-pairs, frame bytes never in an exchange") {
+    val media = graft.operators.Multimodal.asMedia(Tables.documents(spark, sfDir))
+    val df = graft.operators.Multimodal.nearDupFrames(media)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    assert(!finalSection.contains("CartesianProduct"), p)
+    assert(!finalSection.contains("BroadcastNestedLoopJoin"), p)
+    val exchanges = finalSection.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(exchanges.forall(l => !l.contains("frame_bytes") && !l.contains("content")), p)
+  }
+
+  test("text_dup_spans: exchanges carry the 60-bit key, never the shingle string") {
+    val df = graft.operators.CorpusStats.dupSpans(Tables.documents(spark, sfDir))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    val exchanges = finalSection.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(exchanges.forall(l => !l.contains("shingle")), p)
+  }
+
+  test("emb_pca: the score pass is a zero-shuffle projection") {
+    // means and Gram reduce in their own bounded jobs; the returned
+    // frame must be scan + projection only — no exchange at any scale
+    val df = graft.operators.Pca.topComponent(Tables.embeddings(spark, sfDir))
+    val p = plan(df)
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("whole-stage codegen covers the pricing aggregation") {
     // under AQE the final plan (with codegen stages) exists only after
     // execution — run it, then inspect the adaptive executed plan
