@@ -152,12 +152,15 @@ object CorpusStats {
   def dupSpans(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", n: Int = 4,
       maxShingles: Int = 2000): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
+    // the codegen'd kernel hashes each shingle in one pass over the
+    // token array (never materializing shingle strings in the row) —
+    // element i is the first 60 bits of md5 of the i-th n-gram, the
+    // exact value the oracle's substr(md5(shingle),1,15) computes
     val sh = docs
-      .select(col(idCol), explode(slice(
-        graft.functions.TextFunctions.wordShingles(col(textCol), n),
-        1, maxShingles)).as("shingle"))
-      .select(col(idCol),
-        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+      .select(col(idCol), explode(call_function("graft_shingle_hash60",
+        graft.functions.TextFunctions.words(col(textCol)),
+        lit(n), lit(maxShingles))).as("h"))
       .distinct()
     val spread = sh.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
     sh.join(spread, Seq("h"))

@@ -121,6 +121,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.dotDescriptor)
     e.injectFunction(SimHashFunctions.descriptor)
+    e.injectFunction(ShingleHashFunctions.descriptor)
     e.injectOptimizerRule(_ => BoundedLevenshteinRewrite)
     e.injectOptimizerRule(_ => HofDotProductRewrite)
   }
@@ -139,6 +140,10 @@ object GraftFunctions {
     }
     if (!reg.functionExists(FunctionIdentifier("graft_simhash64"))) {
       val d = SimHashFunctions.descriptor
+      reg.registerFunction(d._1, d._2, d._3)
+    }
+    if (!reg.functionExists(FunctionIdentifier("graft_shingle_hash60"))) {
+      val d = ShingleHashFunctions.descriptor
       reg.registerFunction(d._1, d._2, d._3)
     }
     // caller-provided sessions can't take injectOptimizerRule after the
