@@ -131,13 +131,27 @@ object StreamReplay {
     require(copies >= 2, "a redelivery replay needs at least 2 deliveries")
     val stage = java.nio.file.Files.createTempDirectory("graft_redeliver")
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    // the table may be one bare file (driver testdata) or a
+    // Spark-written directory of part files (scale replicas) — stage
+    // every data file of each delivery, mtime-ordered so all of
+    // delivery i's batches precede delivery i+1's (each file is its
+    // own micro-batch; exactly-once must hold at ANY batch granularity)
+    val srcFiles: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(src)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(src).iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+            !p.getFileName.toString.startsWith("_") &&
+            !p.getFileName.toString.startsWith("."))
+          .toSeq.sortBy(_.getFileName.toString)
+      } else Seq(src)
     (0 until copies).foreach { i =>
-      val dst = stage.resolve(s"delivery_$i.parquet")
-      java.nio.file.Files.copy(src, dst)
-      // the file source orders batches by modification time — pin
-      // strictly increasing mtimes so delivery i is micro-batch i
-      dst.toFile.setLastModified(1700000000000L + i * 60000L)
-      ()
+      srcFiles.zipWithIndex.foreach { case (f, j) =>
+        val dst = stage.resolve(f"delivery_${i}%03d_$j%05d.parquet")
+        java.nio.file.Files.copy(f, dst)
+        dst.toFile.setLastModified(1700000000000L + (i.toLong * srcFiles.size + j) * 60000L)
+        ()
+      }
     }
     val batchSchema = spark.read.parquet(stage.toString).schema
     val raw = spark.readStream.schema(batchSchema)
