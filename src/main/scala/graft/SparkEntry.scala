@@ -245,6 +245,14 @@ object SparkEntry {
     CorpusStats.dupSpans(t(s, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  /** Sketch algebra: pairwise distinct-user overlap between event
+    * segments from mergeable KMV k-min sets (union / Jaccard /
+    * intersection estimates), exact overlap riding along as the eval.
+    */
+  private def qKmvOverlap(s: SparkSession, dir: String): DataFrame =
+    Sketches.kmvOverlap(t(s, dir, "events"))
+      .orderBy(col("type_a"), col("type_b"))
+
   private def qRegionRevenue(s: SparkSession, dir: String): DataFrame =
     Relational.regionRevenue(t(s, dir, "region"), t(s, dir, "nation"),
       t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))
@@ -1114,7 +1122,8 @@ object SparkEntry {
     "stream_dedup" -> (qStreamDedup _),
     "mm_phash" -> (qMmPhash _),
     "text_dup_spans" -> (qDupSpans _),
-    "stream_incr_agg" -> (qStreamIncrAgg _)
+    "stream_incr_agg" -> (qStreamIncrAgg _),
+    "q_kmv_overlap" -> (qKmvOverlap _)
   )
 
   // ------------------------------------------------------------- oracle
@@ -2857,6 +2866,56 @@ object SparkEntry {
         |    ON a.doc_id < b.doc_id AND a.frame_idx = b.frame_idx)
         |WHERE hamming <= 3
         |ORDER BY doc_a, doc_b, frame_idx""".stripMargin,
+    // q_kmv_overlap: the per-segment k-min sets, the union merge, and
+    // every estimate replay as deterministic integer/double arithmetic
+    // on the same md5-prefix hashes the Spark sketches keep
+    "q_kmv_overlap" ->
+      """WITH u AS (SELECT DISTINCT event_type AS seg,
+        |    ('0x'||substr(md5(user_id::VARCHAR),1,8))::BIGINT AS h
+        |   FROM events WHERE user_id IS NOT NULL),
+        | r AS (SELECT seg, h,
+        |    row_number() OVER (PARTITION BY seg ORDER BY h) AS rn FROM u),
+        | s AS (SELECT seg, h FROM r WHERE rn <= 256),
+        | cnt AS (SELECT seg, count(*)::BIGINT AS n, max(h) AS kth
+        |   FROM s GROUP BY seg),
+        | pr AS (SELECT a.seg AS ta, a.n AS na, a.kth AS ka,
+        |    b.seg AS tb, b.n AS nb, b.kth AS kb
+        |   FROM cnt a JOIN cnt b ON a.seg < b.seg),
+        | mu AS (SELECT ta, tb, h,
+        |    row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+        |   FROM (SELECT DISTINCT pr.ta, pr.tb, s.h
+        |         FROM pr JOIN s ON s.seg = pr.ta OR s.seg = pr.tb)),
+        | m AS (SELECT ta, tb, h FROM mu WHERE rn <= 256),
+        | ms AS (SELECT m.ta, m.tb, count(*)::BIGINT AS nm, max(m.h) AS kthm,
+        |    sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+        |      THEN 1 ELSE 0 END)::BIGINT AS inter
+        |   FROM m LEFT JOIN s sa ON sa.seg = m.ta AND sa.h = m.h
+        |          LEFT JOIN s sb ON sb.seg = m.tb AND sb.h = m.h
+        |   GROUP BY m.ta, m.tb),
+        | du AS (SELECT DISTINCT event_type AS seg, user_id AS uid
+        |   FROM events WHERE user_id IS NOT NULL),
+        | ex AS (SELECT x.seg AS ta, y.seg AS tb, count(*)::BIGINT AS exact_overlap
+        |   FROM du x JOIN du y ON x.uid = y.uid AND x.seg < y.seg
+        |   GROUP BY 1, 2)
+        |SELECT pr.ta AS type_a, pr.tb AS type_b,
+        | round(CASE WHEN pr.na < 256 THEN pr.na::DOUBLE
+        |   WHEN pr.ka = 0 THEN pr.na::DOUBLE
+        |   ELSE 255 * 4294967296.0 / pr.ka END, 4) AS est_a,
+        | round(CASE WHEN pr.nb < 256 THEN pr.nb::DOUBLE
+        |   WHEN pr.kb = 0 THEN pr.nb::DOUBLE
+        |   ELSE 255 * 4294967296.0 / pr.kb END, 4) AS est_b,
+        | round(CASE WHEN ms.nm < 256 THEN ms.nm::DOUBLE
+        |   WHEN ms.kthm = 0 THEN ms.nm::DOUBLE
+        |   ELSE 255 * 4294967296.0 / ms.kthm END, 4) AS est_union,
+        | round(ms.inter::DOUBLE / ms.nm, 4) AS jaccard,
+        | round(ms.inter::DOUBLE / ms.nm *
+        |   (CASE WHEN ms.nm < 256 THEN ms.nm::DOUBLE
+        |    WHEN ms.kthm = 0 THEN ms.nm::DOUBLE
+        |    ELSE 255 * 4294967296.0 / ms.kthm END), 4) AS est_overlap,
+        | coalesce(ex.exact_overlap, 0)::BIGINT AS exact_overlap
+        |FROM pr JOIN ms ON ms.ta = pr.ta AND ms.tb = pr.tb
+        |  LEFT JOIN ex ON ex.ta = pr.ta AND ex.tb = pr.tb
+        |ORDER BY type_a, type_b""".stripMargin,
     // text_dup_spans joins on the same 60-bit md5-prefix shingle keys
     // the Spark plan shuffles, so even a hash collision replays
     // identically in both engines

@@ -90,3 +90,23 @@ class KmvAggregator(k: Int) extends Aggregator[Long, KmvBuffer, KmvResult] {
   override def bufferEncoder: Encoder[KmvBuffer] = Encoders.product[KmvBuffer]
   override def outputEncoder: Encoder[KmvResult] = Encoders.product[KmvResult]
 }
+
+/** The same bounded k-min state, finished as the kept hash SET (sorted
+  * ascending) instead of the scalar estimate — the form sketch ALGEBRA
+  * needs: two sets union-merge to the union's sketch, and membership
+  * of the merged k-minima in both input sets estimates Jaccard /
+  * intersection ([[graft.operators.Sketches.kmvOverlap]]). Same
+  * exchange bound: ≤ k longs per (partition, group).
+  */
+class KmvHashesAggregator(k: Int)
+    extends Aggregator[Long, KmvBuffer, Seq[Long]] {
+  private val inner = new KmvAggregator(k)
+  override def zero: KmvBuffer = inner.zero
+  override def reduce(b: KmvBuffer, h: Long): KmvBuffer = inner.reduce(b, h)
+  override def merge(x: KmvBuffer, y: KmvBuffer): KmvBuffer = inner.merge(x, y)
+  override def finish(b: KmvBuffer): Seq[Long] =
+    if (b.n == 0) null else b.hs.take(b.n).toSeq
+  override def bufferEncoder: Encoder[KmvBuffer] = Encoders.product[KmvBuffer]
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
