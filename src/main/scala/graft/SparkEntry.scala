@@ -253,6 +253,11 @@ object SparkEntry {
     Sketches.kmvOverlap(t(s, dir, "events"))
       .orderBy(col("type_a"), col("type_b"))
 
+  /** First-order Markov transition matrix over user event journeys. */
+  private def qEventTransitions(s: SparkSession, dir: String): DataFrame =
+    Relational.eventTransitions(t(s, dir, "events"))
+      .orderBy(col("prev_type"), col("next_type"))
+
   private def qRegionRevenue(s: SparkSession, dir: String): DataFrame =
     Relational.regionRevenue(t(s, dir, "region"), t(s, dir, "nation"),
       t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))
@@ -1123,7 +1128,8 @@ object SparkEntry {
     "mm_phash" -> (qMmPhash _),
     "text_dup_spans" -> (qDupSpans _),
     "stream_incr_agg" -> (qStreamIncrAgg _),
-    "q_kmv_overlap" -> (qKmvOverlap _)
+    "q_kmv_overlap" -> (qKmvOverlap _),
+    "q_event_transitions" -> (qEventTransitions _)
   )
 
   // ------------------------------------------------------------- oracle
@@ -2866,6 +2872,18 @@ object SparkEntry {
         |    ON a.doc_id < b.doc_id AND a.frame_idx = b.frame_idx)
         |WHERE hamming <= 3
         |ORDER BY doc_a, doc_b, frame_idx""".stripMargin,
+    "q_event_transitions" ->
+      """WITH p AS (SELECT user_id, event_type,
+        |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |     AS prev_type
+        |  FROM events),
+        | c AS (SELECT prev_type, event_type AS next_type,
+        |   count(*)::BIGINT AS n_transitions
+        |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n_transitions,
+        | round(n_transitions::DOUBLE /
+        |   sum(n_transitions) OVER (PARTITION BY prev_type), 4) AS p_next
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
     // q_kmv_overlap: the per-segment k-min sets, the union merge, and
     // every estimate replay as deterministic integer/double arithmetic
     // on the same md5-prefix hashes the Spark sketches keep

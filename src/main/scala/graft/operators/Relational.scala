@@ -878,6 +878,32 @@ object Relational {
       .limit(topN)
   }
 
+  /** Event-type transition matrix over user journeys — the first-order
+    * Markov model behind "what do users do next" analyses (next-step
+    * prediction, funnel leak detection): for every (prev → next) event
+    * pair, the transition count and conditional probability
+    * `P(next | prev)`.
+    *
+    * Scale shape: one window exchange on the journey key orders each
+    * user's stream once (lag is a streaming frame — no buffering
+    * beyond one row); the pair aggregation partial-combines map-side
+    * into a type²-sized matrix, and the probability normalization runs
+    * as a window over THAT tiny aggregated frame — no second pass over
+    * the data. Total order (ts, event_id) makes ties deterministic.
+    */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val byPrev = Window.partitionBy(col("prev_type"))
+    pairs.select(col("prev_type"), col("next_type"), col("n_transitions"),
+      round(col("n_transitions").cast("double")
+        / sum(col("n_transitions")).over(byPrev), 4).as("p_next"))
+  }
+
   /** RFM segmentation — recency / frequency / monetary quartile scores
     * per purchasing user, the marketing-analytics segmentation staple.
     *
