@@ -258,6 +258,13 @@ object SparkEntry {
     Relational.eventTransitions(t(s, dir, "events"))
       .orderBy(col("prev_type"), col("next_type"))
 
+  /** Span-level dedup ACTION: corpus-duplicated 4-grams removed from
+    * every doc except the canonical (lowest-id) occurrence.
+    */
+  private def qDupSpansClean(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.dupSpansClean(t(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
   private def qRegionRevenue(s: SparkSession, dir: String): DataFrame =
     Relational.regionRevenue(t(s, dir, "region"), t(s, dir, "nation"),
       t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))
@@ -1129,7 +1136,8 @@ object SparkEntry {
     "text_dup_spans" -> (qDupSpans _),
     "stream_incr_agg" -> (qStreamIncrAgg _),
     "q_kmv_overlap" -> (qKmvOverlap _),
-    "q_event_transitions" -> (qEventTransitions _)
+    "q_event_transitions" -> (qEventTransitions _),
+    "text_dup_spans_clean" -> (qDupSpansClean _)
   )
 
   // ------------------------------------------------------------- oracle
@@ -2934,6 +2942,39 @@ object SparkEntry {
         |FROM pr JOIN ms ON ms.ta = pr.ta AND ms.tb = pr.tb
         |  LEFT JOIN ex ON ex.ta = pr.ta AND ex.tb = pr.tb
         |ORDER BY type_a, type_b""".stripMargin,
+    // text_dup_spans_clean: the same 60-bit shingle keys, plus the
+    // coverage replay — window i removes words [i, min(i+4, len)) of
+    // every non-canonical doc containing the duplicated shingle.
+    // Static range(0,4) + filter instead of a lateral range (DuckDB
+    // rejects column params there); word positions via
+    // generate_subscripts, rebuild via ORDER BY position string_agg
+    "text_dup_spans_clean" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        | sh AS (SELECT doc_id, r.i AS i, len(w) AS nw,
+        |    ('0x'||substr(md5(array_to_string(w[r.i + 1 : r.i + 4], ' ')),1,15))::BIGINT AS h
+        |   FROM t, range(0, 2000) r(i)
+        |   WHERE r.i <= greatest(len(w) - 4, 0)),
+        | dh AS (SELECT DISTINCT doc_id, h FROM sh),
+        | sp AS (SELECT h, count(*) AS n_docs, min(doc_id) AS canon
+        |   FROM dh GROUP BY h),
+        | rp AS (SELECT DISTINCT sh.doc_id, sh.i + r2.j AS p
+        |   FROM sh JOIN sp USING (h) CROSS JOIN range(0, 4) r2(j)
+        |   WHERE sp.n_docs >= 2 AND sh.doc_id <> sp.canon
+        |     AND sh.i + r2.j <= least(sh.i + 3, sh.nw - 1)),
+        | wp AS (SELECT doc_id, generate_subscripts(w, 1) - 1 AS p,
+        |    unnest(w) AS x FROM t),
+        | keptw AS (SELECT wp.doc_id, wp.p, wp.x
+        |   FROM wp LEFT JOIN rp ON rp.doc_id = wp.doc_id AND rp.p = wp.p
+        |   WHERE rp.p IS NULL),
+        | ka AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+        |    string_agg(x, ' ' ORDER BY p) AS clean_text
+        |   FROM keptw GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.w)::INT AS n_words,
+        | (len(t.w) - coalesce(ka.n_kept, 0))::BIGINT AS n_removed,
+        | coalesce(ka.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN ka USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // text_dup_spans joins on the same 60-bit md5-prefix shingle keys
     // the Spark plan shuffles, so even a hash collision replays
     // identically in both engines

@@ -173,6 +173,52 @@ object CorpusStats {
         max(col("n_docs")).as("max_span_docs"))
   }
 
+  /** The MATERIALIZING twin of [[dupSpans]] — C4's span-level dedup
+    * action: every corpus-duplicated word `n`-gram is removed from all
+    * documents EXCEPT its canonical occurrence (the lowest doc_id that
+    * contains it); a word is dropped when any removal window covers it.
+    * Emits the cleaned text plus removal counts.
+    *
+    * Scale shape: position-grain shingle hashes come from the same
+    * one-pass codegen kernel (60-bit keys, strings never shuffle);
+    * the spread/canon aggregate and the coverage join both partition
+    * on the hash; coverage positions collapse per doc (≤ maxShingles·n
+    * ints) and the final rebuild is a per-row array filter — the
+    * corpus text itself crosses no exchange except the final per-doc
+    * removed-position set join.
+    */
+  def dupSpansClean(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 4,
+      maxShingles: Int = 2000): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val w = graft.functions.TextFunctions.words(col(textCol))
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), w.as("w"),
+        call_function("graft_shingle_hash60", w, lit(n), lit(maxShingles)).as("hs"))
+    val pos = base.select(col(idCol), size(col("w")).as("nw"),
+      posexplode(col("hs")).as(Seq("i", "h")))
+    val spread = pos.select(col(idCol), col("h")).distinct()
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canon"))
+    val removed = pos.join(spread, Seq("h"))
+      .filter(col("n_docs") >= 2 && col(idCol) =!= col("canon"))
+      // window i covers words [i, min(i+n, nw)) — the tail clamp only
+      // bites on docs shorter than n (their single short shingle)
+      .select(col(idCol), explode(sequence(col("i"),
+        least(col("i") + lit(n - 1), col("nw") - 1))).as("p"))
+      .distinct()
+      .groupBy(col(idCol)).agg(collect_set(col("p")).as("rm"))
+    base.join(removed, Seq(idCol), "left")
+      .select(col(idCol), col("w"),
+        coalesce(col("rm"), array().cast("array<int>")).as("rm"))
+      .select(col(idCol),
+        size(col("w")).as("n_words"),
+        filter(col("w"), (_, i) => !array_contains(col("rm"), i)).as("kept"))
+      .select(col(idCol), col("n_words"),
+        (col("n_words") - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+  }
+
   def repetition(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     val w = graft.functions.TextFunctions.words(col(textCol))
