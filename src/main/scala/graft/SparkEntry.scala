@@ -265,6 +265,15 @@ object SparkEntry {
     CorpusStats.dupSpansClean(t(s, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  /** Streaming-equivalence gate for the CUSTOM-STATE sessionizer
+    * (`flatMapGroupsWithState` + event-time timeout): file replay with
+    * sentinel flush batches; sessions carry TRUE first/last event
+    * bounds, checked against the islands-method batch oracle.
+    */
+  private def qStreamSessionizeStateful(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.replaySessionizeStateful(s, dir)
+      .orderBy(col("user_id"), col("session_start"))
+
   private def qRegionRevenue(s: SparkSession, dir: String): DataFrame =
     Relational.regionRevenue(t(s, dir, "region"), t(s, dir, "nation"),
       t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))
@@ -1137,7 +1146,8 @@ object SparkEntry {
     "stream_incr_agg" -> (qStreamIncrAgg _),
     "q_kmv_overlap" -> (qKmvOverlap _),
     "q_event_transitions" -> (qEventTransitions _),
-    "text_dup_spans_clean" -> (qDupSpansClean _)
+    "text_dup_spans_clean" -> (qDupSpansClean _),
+    "stream_sessionize_state" -> (qStreamSessionizeStateful _)
   )
 
   // ------------------------------------------------------------- oracle
@@ -2942,6 +2952,25 @@ object SparkEntry {
         |FROM pr JOIN ms ON ms.ta = pr.ta AND ms.tb = pr.tb
         |  LEFT JOIN ex ON ex.ta = pr.ta AND ex.tb = pr.tb
         |ORDER BY type_a, type_b""".stripMargin,
+    // stream_sessionize_state: islands-method sessionization — a break
+    // where the within-user gap exceeds 30 min, sessions as cumulative
+    // break sums; bounds are TRUE first/last event times (the custom
+    // state's semantics), not gap-padded window edges
+    "stream_sessionize_state" ->
+      """WITH l AS (SELECT user_id, ts, event_id,
+        |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+        |  FROM events),
+        | b AS (SELECT user_id, ts, event_id,
+        |   CASE WHEN pts IS NULL OR ts - pts > INTERVAL '30 minutes'
+        |     THEN 1 ELSE 0 END AS brk
+        |  FROM l),
+        | g AS (SELECT user_id, ts,
+        |   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+        |  FROM b)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        | count(*)::BIGINT AS n_events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     // text_dup_spans_clean: the same 60-bit shingle keys, plus the
     // coverage replay — window i removes words [i, min(i+4, len)) of
     // every non-canonical doc containing the duplicated shingle.

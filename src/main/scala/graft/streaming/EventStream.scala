@@ -11,8 +11,11 @@ case class SEvent(ts: java.sql.Timestamp, event_type: String, user_id: Long)
 case class SessionAgg(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, n_events: Long)
 
-/** Per-user open-session state (event-time millis). */
-private[streaming] case class SessState(startMs: Long, lastMs: Long, n: Long)
+/** Per-user open-session state (event-time MICROS — java.sql.Timestamp
+  * carries microsecond data in its nanos field; folding on `getTime`
+  * millis would silently truncate bounds the batch oracle keeps).
+  */
+private[streaming] case class SessState(startUs: Long, lastUs: Long, n: Long)
 
 /** Structured Streaming surface: the reference's daily-batch event loads
   * (reference: astro-sdk-tutorial/dags/etl_s3_snowflake_raw_event_ingest
@@ -121,9 +124,16 @@ object EventStream {
   def sessionizeStateful(events: Dataset[SEvent], gapMs: Long = 30L * 60 * 1000,
       watermark: String = "2 hours"): Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
+    def usOf(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    def tsOf(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    val gapUs = gapMs * 1000L
     def emit(user: Long, s: SessState): SessionAgg =
-      SessionAgg(user, new java.sql.Timestamp(s.startMs),
-        new java.sql.Timestamp(s.lastMs), s.n)
+      SessionAgg(user, tsOf(s.startUs), tsOf(s.lastUs), s.n)
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
@@ -138,14 +148,14 @@ object EventStream {
           } else {
             // events within one micro-batch arrive unordered — sort
             // before folding (bounded: one group's batch slice)
-            val sorted = it.toIndexedSeq.sortBy(_.ts.getTime)
+            val sorted = it.toIndexedSeq.sortBy(e => usOf(e.ts))
             val closed = Seq.newBuilder[SessionAgg]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = usOf(e.ts)
               cur match {
-                case Some(s) if t - s.lastMs <= gapMs =>
-                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                case Some(s) if t - s.lastUs <= gapUs =>
+                  cur = Some(s.copy(lastUs = math.max(s.lastUs, t), n = s.n + 1))
                 case Some(s) =>
                   closed += emit(user, s)
                   cur = Some(SessState(t, t, 1))
@@ -155,7 +165,9 @@ object EventStream {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
+              // timeouts are milli-grain: round UP so eviction can
+              // never fire before last + gap has truly passed
+              state.setTimeoutTimestamp((s.lastUs + gapUs + 999L) / 1000L)
             }
             closed.result().iterator
           }

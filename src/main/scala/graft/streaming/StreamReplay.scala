@@ -109,6 +109,70 @@ object StreamReplay {
     spark.table(name)
   }
 
+  /** File-replay gate for the CUSTOM-STATE sessionizer
+    * ([[EventStream.sessionizeStateful]], `flatMapGroupsWithState` with
+    * an event-time timeout): the events table staged as ONE file (one
+    * micro-batch — in-batch processing sorts each user's slice, so the
+    * fold equals the global time order at any SF), followed by two
+    * one-row far-future SENTINEL files. Sentinel one advances the
+    * watermark past every open session's `last + gap`; sentinel two
+    * provides the trigger on which the timeouts actually fire —
+    * without them, AvailableNow would end with every corpus-final
+    * session still open and the gate would silently under-count. The
+    * sentinel user's rows are filtered from the result. This is the
+    * flush discipline any bounded replay through timeout-based custom
+    * state needs; a live deployment never stops, so only the replay
+    * shape requires it.
+    */
+  def replaySessionizeStateful(spark: SparkSession, dir: String,
+      gapMs: Long = 30L * 60 * 1000): DataFrame = {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_sessstate")
+    def stageOne(df: DataFrame, idx: Int): Unit = {
+      val tmp = s"$stage/tmp_$idx"
+      df.coalesce(1).write.parquet(tmp)
+      val single = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part file staged in $tmp"))
+      val dst = new java.io.File(s"$stage/load_$idx.parquet")
+      java.nio.file.Files.move(single.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + idx * 60000L)
+      ()
+    }
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"), col("user_id"))
+    stageOne(ev, 0)
+    val sentinel = Seq(
+      (java.sql.Timestamp.valueOf("2099-01-01 00:00:00"), "flush", -1L))
+      .toDF("ts", "event_type", "user_id")
+    stageOne(sentinel, 1)
+    stageOne(sentinel.withColumn("ts",
+      col("ts") + org.apache.spark.sql.functions.expr("INTERVAL 1 MINUTE")), 2)
+    val schema = spark.read.parquet(s"$stage/load_0.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+    val out = EventStream.sessionizeStateful(src.as[SEvent], gapMs).toDF()
+    val name = s"graft_replay_${runId.incrementAndGet()}"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(partsKey)
+    spark.conf.set(partsKey, "8")
+    try {
+      val q = out.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(partsKey, v)
+      case None => spark.conf.unset(partsKey)
+    }
+    spark.table(name).filter(col("user_id") =!= -1L)
+  }
+
   /** Exactly-once ingest over an at-least-once delivery channel: stage
     * `copies` IDENTICAL deliveries of the events table as mtime-ordered
     * files, stream them one micro-batch each (`maxFilesPerTrigger = 1`)
