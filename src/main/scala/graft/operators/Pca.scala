@@ -77,7 +77,8 @@ object Pca {
     // 3. driver-side power iteration, every step rounded like the oracle
     var v = Array.fill(dim)(1.0)
     var evScale = 0.0
-    for (_ <- 1 to iters) {
+    var it = 0
+    while (it < iters && (it == 0 || evScale != 0.0)) {
       val w = Array.tabulate(dim) { i =>
         var acc = 0.0
         var j = 0
@@ -85,7 +86,10 @@ object Pca {
         r6(acc)
       }
       evScale = w.map(math.abs).max
-      v = w.map(x => r6(x / evScale))
+      // a zero matvec (all vectors identical -> zero Gram) has no
+      // dominant direction: stop with the zero vector instead of 0/0
+      v = if (evScale == 0.0) w else w.map(x => r6(x / evScale))
+      it += 1
     }
 
     // 4. score pass: centered projection onto the component

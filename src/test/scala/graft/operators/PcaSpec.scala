@@ -37,6 +37,17 @@ class PcaSpec extends SparkSpecBase {
     assert(out.filter(col("vec_id") === 2L).count() === 0)
   }
 
+  test("degenerate corpus (all vectors identical) yields zeros, never NaN") {
+    val df = emb(Seq(
+      (1L, Seq(2f, 3f), 0), (2L, Seq(2f, 3f), 0), (3L, Seq(2f, 3f), 0)))
+    val out = Pca.topComponent(df).orderBy("vec_id").collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(!r.getDouble(2).isNaN && r.getDouble(2) === 0.0)
+      assert(!r.getDouble(3).isNaN && r.getDouble(3) === 0.0)
+    }
+  }
+
   test("scores are deterministic across runs and sum to ~zero (centered)") {
     val df = graft.sources.Tables.embeddings(spark, sfDir)
     val a = Pca.topComponent(df).orderBy("vec_id").collect()
