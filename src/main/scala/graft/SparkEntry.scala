@@ -274,6 +274,13 @@ object SparkEntry {
     graft.streaming.StreamReplay.replaySessionizeStateful(s, dir)
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Bigram LM corpus-likeness scoring over the closed top-16+unk
+    * alphabet — word order now matters, unlike the unigram lmScore.
+    */
+  private def qBigramLm(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.bigramLmScore(t(s, dir, "documents"))
+      .orderBy(col("doc_id"))
+
   private def qRegionRevenue(s: SparkSession, dir: String): DataFrame =
     Relational.regionRevenue(t(s, dir, "region"), t(s, dir, "nation"),
       t(s, dir, "customer"), t(s, dir, "orders"), t(s, dir, "lineitem"))
@@ -1147,7 +1154,8 @@ object SparkEntry {
     "q_kmv_overlap" -> (qKmvOverlap _),
     "q_event_transitions" -> (qEventTransitions _),
     "text_dup_spans_clean" -> (qDupSpansClean _),
-    "stream_sessionize_state" -> (qStreamSessionizeStateful _)
+    "stream_sessionize_state" -> (qStreamSessionizeStateful _),
+    "text_bigram_lm" -> (qBigramLm _)
   )
 
   // ------------------------------------------------------------- oracle
@@ -2952,6 +2960,32 @@ object SparkEntry {
         |FROM pr JOIN ms ON ms.ta = pr.ta AND ms.tb = pr.tb
         |  LEFT JOIN ex ON ex.ta = pr.ta AND ex.tb = pr.tb
         |ORDER BY type_a, type_b""".stripMargin,
+    // text_bigram_lm: train (pair counts over the top-16+unk alphabet)
+    // and score (mean add-one-smoothed log conditional) replay
+    // verbatim; bigram cap mirrors the Spark slice at 2000
+    "text_bigram_lm" ->
+      """WITH t AS (SELECT doc_id,
+        |   list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        | cnt AS (SELECT unnest(w) AS token FROM t),
+        | vocab AS (SELECT token FROM (
+        |   SELECT token, count(*) AS c FROM cnt GROUP BY token
+        |   ORDER BY c DESC, token LIMIT 16)),
+        | pr AS (SELECT doc_id, r.i AS i, w[r.i] AS a, w[r.i + 1] AS b
+        |  FROM t, range(1, 2001) r(i) WHERE r.i <= len(w) - 1),
+        | prm AS (SELECT doc_id, i,
+        |   CASE WHEN va.token IS NULL THEN '<unk>' ELSE pr.a END AS w1,
+        |   CASE WHEN vb.token IS NULL THEN '<unk>' ELSE pr.b END AS w2
+        |  FROM pr LEFT JOIN vocab va ON va.token = pr.a
+        |          LEFT JOIN vocab vb ON vb.token = pr.b),
+        | c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM prm GROUP BY 1, 2),
+        | c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM prm GROUP BY 1)
+        |SELECT prm.doc_id, count(*)::BIGINT AS n_bigrams,
+        | round(avg(ln((c2.c2 + 1)::DOUBLE / (c1.c1 + 17))), 4) AS bigram_lm,
+        | round(avg(CASE WHEN w1 = '<unk>' OR w2 = '<unk>'
+        |   THEN 1.0 ELSE 0.0 END), 4) AS unk_ratio
+        |FROM prm JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY prm.doc_id ORDER BY doc_id""".stripMargin,
     // stream_sessionize_state: islands-method sessionization — a break
     // where the within-user gap exceeds 30 min, sessions as cumulative
     // break sums; bounds are TRUE first/last event times (the custom

@@ -532,6 +532,58 @@ object CorpusStats {
     * the md5-prefix device, so the whole sketch replays bit-exact in
     * the oracle.
     */
+  /** Bigram language-model corpus-likeness scoring — the stronger
+    * fluency signal over [[lmScore]]'s unigram bag: word order now
+    * matters ("the the the" scores badly even from in-vocab tokens).
+    * Tokens map to a closed alphabet (top-`vocabSize` corpus tokens +
+    * `<unk>`), the bigram model trains on corpus pair counts, and each
+    * doc scores the mean add-one-smoothed log conditional
+    * `ln((c(w1,w2)+1) / (c(w1·)+V+1))` over its (capped) bigrams.
+    *
+    * Scale shape: the vocab is a driver-pinned `vocabSize`-row list
+    * (kmeans-centroid policy); the model tables are alphabet-bounded
+    * (≤ (V+1)² pairs) and broadcast; the doc pass is one scan with a
+    * per-row pair explode capped at `maxBigrams`. Deterministic:
+    * integer counts, one `ln` per pair, 4-dp rounding — the oracle
+    * replays training and scoring verbatim.
+    */
+  def bigramLmScore(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", vocabSize: Int = 16,
+      maxBigrams: Int = 2000): DataFrame = {
+    val wordsNonEmpty = filter(
+      graft.functions.TextFunctions.words(col(textCol)), x => x =!= lit(""))
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), wordsNonEmpty.as("w"))
+    val vocabArr: Array[String] = base
+      .select(explode(col("w")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(vocabSize)
+      .collect().map(_.getString(0))
+    val alphabet = vocabArr.length + 1 // + <unk>
+    val mapped = base.filter(size(col("w")) >= 2)
+      .select(col(idCol), transform(col("w"),
+        x => when(array_contains(typedlit(vocabArr), x), x)
+          .otherwise(lit("<unk>"))).as("mw"))
+    val pairs = mapped
+      .select(col(idCol), explode(slice(transform(
+        sequence(lit(1), size(col("mw")) - 1),
+        i => struct(element_at(col("mw"), i).as("w1"),
+          element_at(col("mw"), i + 1).as("w2"))), 1, maxBigrams)).as("p"))
+      .select(col(idCol), col("p.w1"), col("p.w2"))
+    val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    pairs
+      .join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c2") + 1).cast("double")
+          / (col("c1") + lit(alphabet)).cast("double"))), 4).as("bigram_lm"),
+        round(avg(when(col("w1") === "<unk>" || col("w2") === "<unk>", 1.0)
+          .otherwise(0.0)), 4).as("unk_ratio"))
+  }
+
   def kmvDistinct(docs: DataFrame, k: Int = 64, textCol: String = "text",
       groupCol: String = "lang", withExact: Boolean = true): DataFrame = {
     val kmv = udaf(new graft.functions.KmvAggregator(k))
