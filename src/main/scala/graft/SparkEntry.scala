@@ -867,6 +867,20 @@ object SparkEntry {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** Serve-many PQ: ADC scan over the STORED int8 codes of the trained
+    * cells, exact re-rank from the stored full-precision lists — no
+    * training, no re-encoding in the plan.
+    */
+  private def qKnnPqServed(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val path = graft.sources.IvfIndexStore.defaultPath(dir)
+    graft.sources.IvfIndexStore.ensure(emb, path)
+    graft.sources.IvfIndexStore
+      .servedPqTopK(s, path, emb.filter(col("vec_id") < 8))
+      .withColumn("rnk", col("rnk").cast("bigint"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   private def qKnnLshRecall(s: SparkSession, dir: String): DataFrame =
     Similarity.lshRecallAtK(t(s, dir, "embeddings"), col("vec_id") < 8)
       .orderBy(col("probe_id"))
@@ -1155,7 +1169,8 @@ object SparkEntry {
     "q_event_transitions" -> (qEventTransitions _),
     "text_dup_spans_clean" -> (qDupSpansClean _),
     "stream_sessionize_state" -> (qStreamSessionizeStateful _),
-    "text_bigram_lm" -> (qBigramLm _)
+    "text_bigram_lm" -> (qBigramLm _),
+    "knn_pq_served" -> (qKnnPqServed _)
   )
 
   // ------------------------------------------------------------- oracle
@@ -1472,6 +1487,61 @@ object SparkEntry {
   // by knn_ivf_trained (in-query training) and knn_ivf_served (reads
   // the persisted index, whose contents equal this deterministic
   // retrain).
+  /** knn_pq_served: the stored index contents are deterministic
+    * functions of the corpus (kmeans replay for the cells, the
+    * min/max grid law for the codes), so the oracle retrains the
+    * coarse quantizer, re-derives the int8 reconstruction, and replays
+    * the ADC cut + exact re-rank — landing on exactly what the serve
+    * plan reads from disk.
+    */
+  private lazy val pqServedOracle: String =
+    s"WITH ${kmeansCtes(8, 3)},\n" +
+      """ p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+        | lab AS (SELECT e.vec_id, e.embedding, a3.cluster AS cell
+        |  FROM embeddings e JOIN a3 USING (vec_id)),
+        | tc0 AS (
+        |  SELECT cell, i, round(sum(v::DOUBLE) / count(*), 6) AS cv
+        |  FROM (SELECT cell, generate_subscripts(embedding, 1) AS i,
+        |        unnest(embedding) AS v FROM lab)
+        |  GROUP BY cell, i),
+        | tcents AS (SELECT cell, list(cv ORDER BY i) AS cvec FROM tc0 GROUP BY cell),
+        | tpc AS (SELECT p.vec_id AS probe_id, c.cell,
+        |   round(list_cosine_similarity(p.embedding::DOUBLE[], c.cvec), 4) AS ccos
+        |  FROM p, tcents c),
+        | tcells AS (SELECT probe_id, cell FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, cell) AS cr
+        |   FROM tpc WHERE ccos IS NOT NULL) WHERE cr <= 2),
+        | g AS (SELECT i, min(v::DOUBLE) AS mn, max(v::DOUBLE) AS mx
+        |  FROM (SELECT generate_subscripts(embedding, 1) AS i,
+        |        unnest(embedding) AS v FROM embeddings
+        |        WHERE embedding IS NOT NULL)
+        |  GROUP BY i),
+        | r0 AS (SELECT e.vec_id, e.i,
+        |   CASE WHEN g.mx = g.mn THEN g.mn
+        |     ELSE g.mn + floor((e.v::DOUBLE - g.mn) / ((g.mx - g.mn) / 255) + 0.5)
+        |          * ((g.mx - g.mn) / 255) END AS rv
+        |  FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |        unnest(embedding) AS v FROM embeddings
+        |        WHERE embedding IS NOT NULL) e JOIN g USING (i)),
+        | recon AS (SELECT vec_id, list(rv ORDER BY i) AS rvec FROM r0 GROUP BY vec_id),
+        | adc AS (SELECT tcells.probe_id, e.vec_id AS cand_id,
+        |   round(list_cosine_similarity(pp.embedding::DOUBLE[], rc.rvec), 4) AS adc_cosine
+        |  FROM tcells JOIN lab e ON e.cell = tcells.cell
+        |       JOIN recon rc ON rc.vec_id = e.vec_id
+        |       JOIN embeddings pp ON pp.vec_id = tcells.probe_id
+        |  WHERE e.vec_id <> tcells.probe_id),
+        | topm AS (SELECT probe_id, cand_id, adc_cosine FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY adc_cosine DESC, cand_id) AS mr
+        |   FROM adc WHERE adc_cosine IS NOT NULL) WHERE mr <= 15),
+        | ex AS (SELECT t.probe_id, t.cand_id, t.adc_cosine,
+        |   round(list_cosine_similarity(pp.embedding::DOUBLE[], ce.embedding::DOUBLE[]), 4) AS cosine
+        |  FROM topm t JOIN embeddings ce ON ce.vec_id = t.cand_id
+        |       JOIN embeddings pp ON pp.vec_id = t.probe_id),
+        | fr AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+        |   FROM ex WHERE cosine IS NOT NULL)
+        |SELECT probe_id, cand_id, adc_cosine, cosine, rnk FROM fr WHERE rnk <= 5
+        |ORDER BY probe_id, rnk""".stripMargin
+
   private lazy val ivfTrainedOracle: String =
     s"WITH ${kmeansCtes(8, 3)},\n" +
       """ p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
@@ -2711,6 +2781,7 @@ object SparkEntry {
     // deterministic function of the corpus — the oracle retrains in
     // SQL and lands on the identical stored tables
     "knn_ivf_served" -> ivfTrainedOracle,
+    "knn_pq_served" -> pqServedOracle,
     // IVF+ADC replay: the int8 grid (emb_quantize's min/max law), the
     // fixed-shape dequantization mn + floor((x-mn)/step + .5)*step,
     // the 4dp ADC cut at rerank=15 (ties on cand_id), and the exact

@@ -47,7 +47,12 @@ object IvfIndexStore {
     s"${sys.props("java.io.tmpdir")}/graft_ivf_${key}_c${cells}_i$iters"
   }
 
-  /** Train the coarse quantizer and persist (centroids, cell lists). */
+  /** Train the coarse quantizer and persist (centroids, cell lists) —
+    * plus the PQ layer: `grid/` (the per-dimension int8 min/max law)
+    * and `codes/` (cell-partitioned int8 codes, the memory-bounded
+    * representation [[servedPqTopK]] scans instead of full vectors —
+    * d bytes per vector instead of 4d).
+    */
   def build(emb: DataFrame, path: String, cells: Int = 8,
       iters: Int = 3): Unit = {
     val assign = Similarity.kmeansAssign(emb, cells, iters)
@@ -58,7 +63,31 @@ object IvfIndexStore {
       .partitionBy("cell").parquet(s"$path/cells")
     Similarity.cellCentroids(labeled, "cell")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    val stats = labeled
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x")).cast("double").as("mn"),
+        max(col("x")).cast("double").as("mx"))
+    stats.write.mode(SaveMode.Overwrite).parquet(s"$path/grid")
+    val gridRow = spark_grid(stats)
+    val code = zip_with(col("embedding"), col("ms"), (x, m) => {
+      val step = (m.getField("mx") - m.getField("mn")) / 255d
+      when(m.getField("mx") === m.getField("mn"), lit(0))
+        .otherwise(floor((x.cast("double") - m.getField("mn")) / step + 0.5d)
+          .cast("int"))
+    })
+    labeled.crossJoin(broadcast(gridRow))
+      .select(col("vec_id"), col("cell"), code.as("codes"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("cell").parquet(s"$path/codes")
   }
+
+  /** One-row (pos, mn, mx)-struct-list frame from the grid stats —
+    * broadcast beside every row that quantizes or dequantizes.
+    */
+  private def spark_grid(stats: DataFrame): DataFrame =
+    stats.agg(sort_array(collect_list(
+      struct(col("pos"), col("mn"), col("mx")))).as("ms"))
 
   /** [[build]] at most once per JVM per path. `computeIfAbsent` is the
     * memo: the first caller runs the build INSIDE the map's per-key
@@ -92,4 +121,56 @@ object IvfIndexStore {
       k: Int = 5, nprobe: Int = 2): DataFrame =
     Similarity.ivfSearch(cellsTable(spark, path),
       centroidsTable(spark, path), probeRows, k, nprobe)
+
+  /** Serve top-k from the stored PQ layer: the probed cells are scanned
+    * on STORED int8 codes (dequantized against the broadcast grid —
+    * the candidate scan reads d bytes per vector, not 4d), the ADC
+    * top-`rerank` survivors fetch full precision from `cells/` for the
+    * exact re-rank, and nothing trains or re-encodes in the plan. The
+    * arithmetic mirrors [[graft.operators.Similarity.ivfPqTopK]]
+    * value-for-value (codes store the same `floor((x-mn)/step + .5)`
+    * grid cell that the in-query form computes inline), so the oracle
+    * that replays the trained pipeline also pins the served one.
+    */
+  def servedPqTopK(spark: SparkSession, path: String, probeRows: DataFrame,
+      k: Int = 5, nprobe: Int = 2, rerank: Int = 15): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val probed = Similarity.probeCells(centroidsTable(spark, path),
+      probeRows, nprobe)
+    val gridRow = spark_grid(spark.read.parquet(s"$path/grid"))
+    val codes = spark.read.parquet(s"$path/codes")
+      .withColumn("cell", col("cell").cast("long"))
+    val recon = zip_with(col("codes"), col("ms"), (c, m) => {
+      val step = (m.getField("mx") - m.getField("mn")) / 255d
+      when(m.getField("mx") === m.getField("mn"), m.getField("mn"))
+        .otherwise(m.getField("mn") + c.cast("double") * step)
+    })
+    val adc = codes.join(broadcast(probed), Seq("cell"))
+      .crossJoin(broadcast(gridRow))
+      .filter(col("probe_id") =!= col("vec_id"))
+      .select(col("probe_id"), col("vec_id").as("cand_id"),
+        round(VF.dot(col("probe_emb"), recon)
+          / (col("probe_dnrm") * VF.norm(recon)), 4).as("adc_cosine"))
+      .filter(col("adc_cosine").isNotNull)
+    val topm = graft.plans.TopKPlanner
+      .perGroup(adc, "probe_id", "adc_cosine", "cand_id", rerank)
+      .drop("rnk")
+    val cands = cellsTable(spark, path)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"),
+        VF.normNative(col("embedding")).as("cand_nrm"))
+    val probesExact = probeRows
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+        VF.normNative(col("embedding")).as("probe_nrm"))
+    val exact = cands.join(broadcast(topm), Seq("cand_id"))
+      .join(broadcast(probesExact), Seq("probe_id"))
+      .select(col("probe_id"), col("cand_id"), col("adc_cosine"),
+        round(VF.dotNative(col("probe_emb"), col("cand_emb"))
+          / (col("probe_nrm") * col("cand_nrm")), 4).as("cosine"))
+      .filter(col("cosine").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    exact.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+  }
 }
