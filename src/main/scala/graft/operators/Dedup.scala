@@ -108,6 +108,81 @@ object Dedup {
         coalesce(col("is_near_dup"), lit(false)).as("is_near_dup"))
   }
 
+  /** Incremental near-dup: a NEW drop (`delta`) against a PERSISTED
+    * corpus band index ([[graft.sources.MinhashIndexStore]]) — the
+    * daily-drop form of [[minhashNearDups]]. The corpus is never
+    * re-shingled or re-signed: its side of the candidate join is a
+    * parquet scan of the stored (doc_id, band, s0..s3) table; only the
+    * delta pays the signature pass. Candidates = delta×stored band
+    * matches ∪ delta-internal band matches (a drop also near-dups
+    * against itself), so a delta doc's candidate set is IDENTICAL to
+    * what the full batch run would give it — which is what keeps the
+    * value-level oracle: the batch replay filtered to delta ids.
+    *
+    * 100 TB shape: the band join moves 48-byte band rows, never text;
+    * with `broadcastDelta` (a daily drop ≪ the corpus) the stored
+    * index is scanned without ANY exchange — candidates ∝
+    * |delta|×bucket, not corpus². The exact-Jaccard verify fetches
+    * corpus text by id for candidate ids only (a semi-join-pruned
+    * read of the docs table), so corpus shingles are computed for
+    * candidates, not the corpus. Output: one row per delta doc.
+    */
+  def minhashNearDupsDelta(delta: DataFrame, corpus: DataFrame,
+      storedBands: DataFrame, jaccardThreshold: Double = 0.5,
+      broadcastDelta: Boolean = true): DataFrame = {
+    import graft.sources.MinhashIndexStore
+    val keyCols = MinhashIndexStore.BandKeyCols
+    val deltaSh = delta.select(col("doc_id"),
+      TF.wordShingles(col("text"), 3).as("shingles"))
+    val deltaBands = MinhashIndexStore.bandRows(delta)
+    val deltaSide =
+      if (broadcastDelta) broadcast(deltaBands) else deltaBands
+    // delta × stored-corpus candidates: the stored side is a SCAN of
+    // the index, the delta side the only signature computation in the
+    // plan (defensive self-pair filter — caller contract is disjoint)
+    val candCorpus = storedBands
+      .join(deltaSide.withColumnRenamed("doc_id", "delta_id"), keyCols)
+      .filter(col("doc_id") =!= col("delta_id"))
+      .select(least(col("doc_id"), col("delta_id")).as("id_a"),
+        greatest(col("doc_id"), col("delta_id")).as("id_b"))
+    // delta-internal candidates: the drop against itself
+    val candDelta = {
+      val cond = keyCols.map(c => col(s"a.$c") === col(s"b.$c"))
+        .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
+      deltaBands.alias("a").join(deltaBands.alias("b"), cond)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    }
+    val pairs = candCorpus.unionByName(candDelta).distinct()
+    // exact-Jaccard verify: corpus text fetched by candidate id only
+    val candIds = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val corpusSh = corpus.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), TF.wordShingles(col("text"), 3).as("shingles"))
+    val allSh = deltaSh.unionByName(corpusSh)
+    val verified = pairs
+      .join(allSh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(allSh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    val perDoc = verified
+      .select(col("id_a").as("doc_id"), col("jaccard"))
+      .unionByName(verified.select(col("id_b").as("doc_id"), col("jaccard")))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        max(col("jaccard")).as("best_jaccard"),
+        max(col("jaccard") >= jaccardThreshold).as("is_near_dup"))
+    // rollup keyed from the delta: corpus ids fall out, every delta
+    // doc appears even with zero candidates
+    delta.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+        coalesce(col("is_near_dup"), lit(false)).as("is_near_dup"))
+  }
+
   /** SimHash near-dup: 64-bit signature, pigeonhole 16-bit chunk
     * blocking, Hamming verify via `bit_count(a^b)`. One row per doc.
     */

@@ -1,0 +1,99 @@
+package graft.sources
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sign-once / query-many persistence for the MinHash near-dup index —
+  * the incremental form the batch [[graft.operators.Dedup.minhashNearDups]]
+  * lacks: without it, every daily drop re-shingles and re-signs the
+  * WHOLE corpus to find its near-dups. With it, the corpus pays the
+  * signature pass once; each new drop signs only itself and joins the
+  * stored band table ([[graft.operators.Dedup.minhashNearDupsDelta]]).
+  *
+  * Layout under `path`:
+  *
+  *  - `bands/` — (doc_id, s0..s{r-1}) parquet PARTITIONED BY band: one
+  *    row per (doc, band) holding that band's signature tuple as plain
+  *    long columns. ~48 bytes × bands per document regardless of text
+  *    length — at 100 TB of text the index is ~0.4% of the corpus, and
+  *    the per-band subtrees let a constrained replay process the join
+  *    band-by-band (8 independent joins) to bound peak shuffle.
+  *
+  * Determinism: signatures are the same md5-affine family the in-plan
+  * side uses ([[TF.minhashSigFromHashes]], seeded parameters, no stored
+  * model), so a rebuilt index is byte-identical and the delta query
+  * keeps a full value-level oracle: the oracle re-signs the corpus in
+  * SQL and lands on the stored band contents.
+  *
+  * [[ensure]] builds at most once per JVM per path (same memo contract
+  * as [[IvfIndexStore.ensure]]): the build runs inside the map's
+  * per-key lock, a concurrent caller blocks until the index is fully
+  * on disk, a failed build leaves no entry so the next caller retries.
+  */
+object MinhashIndexStore {
+
+  /** Family parameters — shared by the index build, the delta side, and
+    * the oracle replay (same values as the batch `dedup_minhash` gate).
+    */
+  val NumHashes: Int = 32
+  val Bands: Int = 8
+  val Rows: Int = NumHashes / Bands
+
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Deterministic per-dataset index location under the JVM temp dir. */
+  def defaultPath(datasetDir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(datasetDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .take(12)
+    s"${sys.props("java.io.tmpdir")}/graft_minhash_${key}_k${NumHashes}_b$Bands"
+  }
+
+  /** Columns that form the LSH bucket key: the band index plus the
+    * band's `Rows` signature values — exact tuple equality, no hashed
+    * band key (collision-free and replayable by value).
+    */
+  val BandKeyCols: Seq[String] = "band" +: (0 until Rows).map("s" + _)
+
+  /** Flattened band rows for any (doc_id, text) frame: one row per
+    * (doc, band) with the band's signature tuple as plain columns —
+    * the join-ready layout shared by the stored corpus side and the
+    * in-plan delta side. Zero shuffle: shingle → md5 → k affine mins →
+    * band explode are all per-row projections.
+    */
+  def bandRows(docs: DataFrame): DataFrame = {
+    val sigs = docs
+      .select(col("doc_id"), TF.wordShingles(col("text"), 3).as("shingles"))
+      .withColumn("hs", transform(col("shingles"), TF.md5Hash32 _))
+      .select(col("doc_id"),
+        TF.minhashSigFromHashes(col("hs"), NumHashes).as("sig"))
+    sigs
+      .select(col("doc_id"),
+        explode(TF.bandTuples(col("sig"), Bands, Rows)).as("bk"))
+      .select(col("doc_id") +: col("bk.band").as("band") +:
+        (0 until Rows).map(r => col(s"bk.s$r")): _*)
+  }
+
+  /** Sign the corpus once and persist the band table. */
+  def build(corpus: DataFrame, path: String): Unit =
+    bandRows(corpus)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("band")
+      .parquet(s"$path/bands")
+
+  /** [[build]] at most once per JVM per path. */
+  def ensure(corpus: DataFrame, path: String): Unit =
+    built.computeIfAbsent(path, _ => {
+      build(corpus, path)
+      java.lang.Boolean.TRUE
+    })
+
+  /** The stored band table; the partition column comes back as the
+    * directory value, cast to the written int type.
+    */
+  def bandsTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/bands")
+      .withColumn("band", col("band").cast("int"))
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import graft.sources.{MinhashIndexStore, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental near-dup against the persisted MinHash band index:
+  * batch equivalence (the delta query must return EXACTLY the batch
+  * per-doc rollup restricted to delta ids), index determinism, and the
+  * serve-plan audit (stored side scanned, not re-signed).
+  */
+class DedupIncrementalSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshPath(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_mh_$tag").toString
+
+  private def run(docs: DataFrame, path: String): DataFrame = {
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    MinhashIndexStore.build(corpus, path)
+    Dedup.minhashNearDupsDelta(delta, corpus,
+      MinhashIndexStore.bandsTable(spark, path))
+  }
+
+  test("incremental equals the batch rollup restricted to delta ids") {
+    val docs = Tables.documents(spark, sfDir)
+    val path = freshPath("equiv")
+    val inc = run(docs, path)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    val batch = Dedup.minhashNearDups(docs)
+      .filter(col("doc_id") % 10 === 0)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(inc.nonEmpty)
+    assert(inc == batch)
+    // the gate split must exercise both candidate sources on this data:
+    // at least one delta doc with a candidate (else the entry proves
+    // nothing about the index join)
+    assert(inc.exists(_._2 > 0), inc.take(20))
+  }
+
+  test("rebuilt index is byte-identical (deterministic signatures)") {
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0).limit(50)
+    val a = MinhashIndexStore.bandRows(corpus)
+      .orderBy(MinhashIndexStore.BandKeyCols.map(col) :+ col("doc_id"): _*)
+      .collect().toSeq
+    val b = MinhashIndexStore.bandRows(corpus)
+      .orderBy(MinhashIndexStore.BandKeyCols.map(col) :+ col("doc_id"): _*)
+      .collect().toSeq
+    assert(a == b)
+  }
+
+  test("empty delta returns an empty frame with the contract schema") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val path = freshPath("empty")
+    val out = run(docs, path)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_candidates", "best_jaccard", "is_near_dup"))
+    assert(out.count() == 0L)
+  }
+
+  test("serve plan scans the stored index; text never enters an exchange") {
+    val docs = Tables.documents(spark, sfDir)
+    val path = freshPath("plan")
+    val df = run(docs, path)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // the stored corpus side is a parquet scan of the index path
+    assert(finalSection.contains("graft_mh_plan"), p)
+    // no corpus-only signing branch: every minhash computation in the
+    // plan sits on a delta-filtered scan, so each signing Project's
+    // source filter must include the POSITIVE delta predicate (the
+    // semi-join-inferred contradiction branch carries both atoms and
+    // passes; a corpus re-sign would carry only the NOT atom)
+    val positiveDelta = """(?<!NOT \()\(\(doc_id#\d+L? % 10\) = 0\)""".r
+    val corpusScanLines = finalSection.linesIterator.filter { l =>
+      l.contains("documents.parquet") && l.contains("FileScan") &&
+        positiveDelta.findFirstIn(l).isEmpty
+    }.toSeq
+    // corpus scans exist only for the verify text fetch (no signing
+    // above them is proven functionally by the tampered-index test)
+    assert(corpusScanLines.forall(_.contains("text")), p)
+    // no text column in any exchange: band keys and ids shuffle, text
+    // never does
+    val exchanges = finalSection.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.forall(l => !l.contains("text") && !l.contains("shingles")), p)
+  }
+
+  test("stored index IS the corpus side: tampering it changes the answer") {
+    // functional proof the corpus is never re-signed in the serve
+    // plan: swap the stored band table for an EMPTY one — if the plan
+    // recomputed corpus signatures from the docs table the answer
+    // would be unchanged; with the store honored, only delta-internal
+    // candidates remain, i.e. exactly the batch run over the delta
+    // alone
+    val docs = Tables.documents(spark, sfDir)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val path = freshPath("tamper")
+    // a one-row decoy corpus whose shingles (and hence band tuples)
+    // cannot collide with any real document
+    MinhashIndexStore.build(
+      Seq((999999999L, "zzzq yyyq xxxq wwwq vvvq uuuq"))
+        .toDF("doc_id", "text"), path)
+    val inc = Dedup.minhashNearDupsDelta(delta, corpus,
+        MinhashIndexStore.bandsTable(spark, path))
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    val deltaOnly = Dedup.minhashNearDups(delta)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(inc == deltaOnly)
+  }
+}
