@@ -173,6 +173,85 @@ object StreamReplay {
     spark.table(name).filter(col("user_id") =!= -1L)
   }
 
+  /** KILL-AND-RESUME gate for the custom-state sessionizer: the same
+    * fold as [[replaySessionizeStateful]], but split across TWO
+    * AvailableNow runs sharing ONE checkpoint and ONE file sink. Run 1
+    * sees only the first half of the time range (cut at the span
+    * midpoint) and stops with every mid-flight session still open in
+    * the state store; the second half plus the sentinel flush files
+    * land while the query is DOWN; run 2 resumes from the checkpoint.
+    * Sessions straddling the cut close correctly ONLY if the
+    * `flatMapGroupsWithState` state survived the restart — a lost or
+    * re-initialized store would split them and the islands oracle
+    * would hash-mismatch. This is the upgrade/crash path every
+    * production stateful topology takes; the hourly-agg restart spec
+    * covers the built-in window operator, this gate covers the custom
+    * state machine.
+    */
+  def replaySessionizeStatefulRestart(spark: SparkSession, dir: String,
+      gapMs: Long = 30L * 60 * 1000): DataFrame = {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_sessrestart")
+    val sink = java.nio.file.Files.createTempDirectory("graft_sessrestart_sink")
+    val chk = java.nio.file.Files.createTempDirectory("graft_sessrestart_chk")
+    def stageOne(df: DataFrame, idx: Int): Unit = {
+      val tmp = s"$stage/tmp_$idx"
+      df.coalesce(1).write.parquet(tmp)
+      val single = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part file staged in $tmp"))
+      val dst = new java.io.File(s"$stage/load_$idx.parquet")
+      java.nio.file.Files.move(single.toPath, dst.toPath)
+      dst.setLastModified(1700000000000L + idx * 60000L)
+      ()
+    }
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("ts"), col("event_type"), col("user_id"))
+    // midpoint cut on the true span: sessions straddling it prove the
+    // RESUMED state, not merely the resumed source offsets
+    val mm = ev.agg(org.apache.spark.sql.functions.min(col("ts")),
+      org.apache.spark.sql.functions.max(col("ts"))).head()
+    val cut = new java.sql.Timestamp(
+      (mm.getTimestamp(0).getTime + mm.getTimestamp(1).getTime) / 2)
+    stageOne(ev.filter(col("ts") <= lit(cut)), 0)
+    val schema = spark.read.parquet(s"$stage/load_0.parquet").schema
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString)
+      val out = EventStream.sessionizeStateful(src.as[SEvent], gapMs).toDF()
+      val partsKey = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.getOption(partsKey)
+      spark.conf.set(partsKey, "8")
+      try {
+        val q = out.writeStream
+          .format("parquet")
+          .option("path", sink.toString)
+          .option("checkpointLocation", chk.toString)
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination()
+        finally q.stop()
+      } finally prev match {
+        case Some(v) => spark.conf.set(partsKey, v)
+        case None => spark.conf.unset(partsKey)
+      }
+    }
+    runOnce() // run 1: first half only; open sessions live in state
+    // the rest of the corpus + the sentinel flush files land while the
+    // query is down (same flush discipline as the single-run replay)
+    stageOne(ev.filter(col("ts") > lit(cut)), 1)
+    val sentinel = Seq(
+      (java.sql.Timestamp.valueOf("2099-01-01 00:00:00"), "flush", -1L))
+      .toDF("ts", "event_type", "user_id")
+    stageOne(sentinel, 2)
+    stageOne(sentinel.withColumn("ts",
+      col("ts") + org.apache.spark.sql.functions.expr("INTERVAL 1 MINUTE")), 3)
+    runOnce() // run 2: resumes the SAME checkpoint and state store
+    spark.read.parquet(sink.toString).filter(col("user_id") =!= -1L)
+  }
+
   /** Exactly-once ingest over an at-least-once delivery channel: stage
     * `copies` IDENTICAL deliveries of the events table as mtime-ordered
     * files, stream them one micro-batch each (`maxFilesPerTrigger = 1`)
@@ -184,14 +263,25 @@ object StreamReplay {
     *
     * The watermark delay must cover the redelivery horizon — here the
     * full table span, so no state evicts mid-replay and the equivalence
-    * is exact. Production sizes it to the channel's actual redelivery
-    * window; state is then bounded by keys-per-window, not corpus size
-    * (that bounded-state trade is the point of
+    * is exact. The default (`watermark = null`) DERIVES the delay from
+    * the staged table's actual ts span plus a day of slack — files
+    * stream in filename, not time, order, so a fixed default on a
+    * longer-spanned table would silently advance the watermark past
+    * older rows and drop them as late data (an under-counting sink
+    * with no error). Production sizes it to the channel's actual
+    * redelivery window; state is then bounded by keys-per-window, not
+    * corpus size (that bounded-state trade is the point of
     * `dropDuplicatesWithinWatermark` over plain `dropDuplicates`).
+    *
+    * `maxFilesPerTrigger` is the latency/throughput dial: 1 proves
+    * exactly-once at the finest batch granularity (every file pays a
+    * state-store commit); a production topology batches more files per
+    * trigger to amortize the commit — same answer, fewer commits
+    * (gated by the amortized twin entry).
     */
   def replayRedelivered(spark: SparkSession, dir: String,
-      keys: Seq[String], watermark: String = "35 days",
-      copies: Int = 2): DataFrame = {
+      keys: Seq[String], watermark: String = null,
+      copies: Int = 2, maxFilesPerTrigger: Int = 1): DataFrame = {
     require(copies >= 2, "a redelivery replay needs at least 2 deliveries")
     val stage = java.nio.file.Files.createTempDirectory("graft_redeliver")
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
@@ -218,11 +308,25 @@ object StreamReplay {
       }
     }
     val batchSchema = spark.read.parquet(stage.toString).schema
+    val delay = Option(watermark).getOrElse {
+      // span-derived delay: one bounded agg over the staged files —
+      // ceil(max(ts) - min(ts)) in days, plus one day of slack
+      val staged = normalizeTs(batchSchema,
+        spark.read.schema(batchSchema).parquet(stage.toString))
+      val row = staged.agg(
+        org.apache.spark.sql.functions.min(col("ts")),
+        org.apache.spark.sql.functions.max(col("ts"))).head()
+      val spanMs =
+        if (row.isNullAt(0)) 0L
+        else row.getTimestamp(1).getTime - row.getTimestamp(0).getTime
+      val days = spanMs / 86400000L + 2L // ceil + 1 day slack
+      s"$days days"
+    }
     val raw = spark.readStream.schema(batchSchema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
       .parquet(stage.toString)
     val events = normalizeTs(batchSchema, raw)
-    val out = events.withWatermark("ts", watermark)
+    val out = events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark(keys)
     val name = s"graft_replay_${runId.incrementAndGet()}"
     val partsKey = "spark.sql.shuffle.partitions"

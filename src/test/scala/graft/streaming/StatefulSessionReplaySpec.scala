@@ -31,4 +31,19 @@ class StatefulSessionReplaySpec extends SparkSpecBase {
     assert(streamed.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(streamed).count() === 0)
   }
+
+  test("kill-and-resume replay equals the single-run fold exactly-once") {
+    // run 1 folds only the first half of the span, run 2 resumes the
+    // same checkpoint: sessions straddling the cut close correctly
+    // only if the custom state survived the restart
+    val resumed = StreamReplay.replaySessionizeStatefulRestart(spark, sfDir)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+    val single = StreamReplay.replaySessionizeStateful(spark, sfDir)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+    assert(resumed.count() === single.count())
+    assert(resumed.exceptAll(single).count() === 0)
+    assert(single.exceptAll(resumed).count() === 0)
+  }
 }
