@@ -221,6 +221,19 @@ object SparkEntry {
         col("event_type"), col("value"), col("props"))
       .orderBy(col("event_id"))
 
+  /** The amortized twin of [[qStreamDedup]]: same redelivered corpus,
+    * same exactly-once answer, but 8 files per trigger — the
+    * production dial that proves micro-batch GRANULARITY (state-store
+    * commits per batch), not data volume, drives the fine-grained
+    * gate's cost. Both entries share one oracle: the plain table.
+    */
+  private def qStreamDedupAmortized(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay
+      .replayRedelivered(s, dir, Seq("event_id"), maxFilesPerTrigger = 8)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .orderBy(col("event_id"))
+
   /** Dominant principal component of the embedding corpus: 3 unrolled
     * power-iteration rounds on the exact-rounded centered Gram matrix,
     * per-vector component scores + the eigenvalue-scale estimate.
@@ -272,6 +285,15 @@ object SparkEntry {
     */
   private def qStreamSessionizeStateful(s: SparkSession, dir: String): DataFrame =
     graft.streaming.StreamReplay.replaySessionizeStateful(s, dir)
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Kill-and-resume twin: the same custom-state fold split across two
+    * AvailableNow runs sharing one checkpoint — sessions straddling
+    * the cut survive the restart exactly-once or the islands oracle
+    * hash-mismatches.
+    */
+  private def qStreamSessionizeRestart(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.replaySessionizeStatefulRestart(s, dir)
       .orderBy(col("user_id"), col("session_start"))
 
   /** Bigram LM corpus-likeness scoring over the closed top-16+unk
@@ -722,6 +744,27 @@ object SparkEntry {
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(t(s, dir, "documents")).orderBy(col("doc_id"))
 
+  /** Incremental near-dup: doc_id % 10 == 0 plays the NEW daily drop,
+    * the other 90% the already-indexed corpus. The first call per JVM
+    * signs the corpus and persists the band table via
+    * [[graft.sources.MinhashIndexStore]]; every later call — including
+    * later bench reps — joins the delta against the STORED index with
+    * no corpus signature pass in the plan. Deterministic signatures
+    * mean the stored index equals a replayed re-sign, so the query
+    * keeps a full value oracle (the batch replay filtered to delta
+    * ids).
+    */
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val path = graft.sources.MinhashIndexStore.defaultPath(dir)
+    graft.sources.MinhashIndexStore.ensure(corpus, path)
+    Dedup.minhashNearDupsDelta(delta, corpus,
+      graft.sources.MinhashIndexStore.bandsTable(s, path))
+      .orderBy(col("doc_id"))
+  }
+
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(t(s, dir, "documents")).orderBy(col("doc_id"))
 
@@ -1132,6 +1175,7 @@ object SparkEntry {
     "dedup_exact" -> (qDedupExact _),
     "dedup_keep" -> (qDedupKeep _),
     "dedup_minhash" -> (qDedupMinhash _),
+    "dedup_incremental" -> (qDedupIncremental _),
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_ngram" -> (qDedupNgram _),
     "dedup_embedding" -> (qDedupEmbedding _),
@@ -1162,6 +1206,7 @@ object SparkEntry {
     "mm_decode" -> (qMmDecode _),
     "emb_pca" -> (qEmbPca _),
     "stream_dedup" -> (qStreamDedup _),
+    "stream_dedup_amortized" -> (qStreamDedupAmortized _),
     "mm_phash" -> (qMmPhash _),
     "text_dup_spans" -> (qDupSpans _),
     "stream_incr_agg" -> (qStreamIncrAgg _),
@@ -1169,6 +1214,7 @@ object SparkEntry {
     "q_event_transitions" -> (qEventTransitions _),
     "text_dup_spans_clean" -> (qDupSpansClean _),
     "stream_sessionize_state" -> (qStreamSessionizeStateful _),
+    "stream_sessionize_restart" -> (qStreamSessionizeRestart _),
     "text_bigram_lm" -> (qBigramLm _),
     "knn_pq_served" -> (qKnnPqServed _)
   )
@@ -2632,6 +2678,23 @@ object SparkEntry {
           |       UNION ALL SELECT id_b AS doc_id, j FROM ver)
           | GROUP BY doc_id) p USING (doc_id)
           |ORDER BY doc_id""".stripMargin),
+    // incremental = the batch replay restricted to delta ids: a delta
+    // doc's pairs all touch the delta, so its per-doc rollup over the
+    // full candidate set equals the rollup over delta-involving pairs
+    // — corpus-corpus pairs drop out in the join against the delta
+    "dedup_incremental" ->
+      (s"WITH ${minhashCtes(wordShingleCte, 32, 8, 4)}\n" +
+        """SELECT d.doc_id,
+          | coalesce(p.n_candidates, 0)::BIGINT AS n_candidates,
+          | coalesce(p.best_jaccard, 0.0) AS best_jaccard,
+          | coalesce(p.is_near_dup, false) AS is_near_dup
+          |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d LEFT JOIN (
+          | SELECT doc_id, count(*)::BIGINT AS n_candidates,
+          |  max(j) AS best_jaccard, bool_or(j >= 0.5) AS is_near_dup
+          | FROM (SELECT id_a AS doc_id, j FROM ver
+          |       UNION ALL SELECT id_b AS doc_id, j FROM ver)
+          | GROUP BY doc_id) p USING (doc_id)
+          |ORDER BY doc_id""".stripMargin),
     "dedup_ngram" ->
       (s"WITH ${minhashCtes(charGramCte, 16, 4, 4)}\n" +
         """SELECT d.doc_id,
@@ -2938,6 +3001,11 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT event_id, ts, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
+    // the amortized twin must land on the identical table — only the
+    // micro-batch granularity differs
+    "stream_dedup_amortized" ->
+      """SELECT event_id, ts, user_id, event_type, value, props
+        |FROM events ORDER BY event_id""".stripMargin,
     "emb_pca" -> pcaOracle,
     // mm_phash: all-pairs ground truth — the banded Spark path must
     // land on it exactly (pigeonhole lossless at Hamming <= 3). The
@@ -3052,7 +3120,8 @@ object SparkEntry {
         | c2 AS (SELECT w1, w2, count(*)::BIGINT AS c2 FROM prm GROUP BY 1, 2),
         | c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM prm GROUP BY 1)
         |SELECT prm.doc_id, count(*)::BIGINT AS n_bigrams,
-        | round(avg(ln((c2.c2 + 1)::DOUBLE / (c1.c1 + 17))), 4) AS bigram_lm,
+        | round(avg(ln((c2.c2 + 1)::DOUBLE /
+        |   (c1.c1 + (SELECT count(*) + 1 FROM vocab)))), 4) AS bigram_lm,
         | round(avg(CASE WHEN w1 = '<unk>' OR w2 = '<unk>'
         |   THEN 1.0 ELSE 0.0 END), 4) AS unk_ratio
         |FROM prm JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
@@ -3061,21 +3130,10 @@ object SparkEntry {
     // where the within-user gap exceeds 30 min, sessions as cumulative
     // break sums; bounds are TRUE first/last event times (the custom
     // state's semantics), not gap-padded window edges
-    "stream_sessionize_state" ->
-      """WITH l AS (SELECT user_id, ts, event_id,
-        |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
-        |  FROM events),
-        | b AS (SELECT user_id, ts, event_id,
-        |   CASE WHEN pts IS NULL OR ts - pts > INTERVAL '30 minutes'
-        |     THEN 1 ELSE 0 END AS brk
-        |  FROM l),
-        | g AS (SELECT user_id, ts,
-        |   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
-        |  FROM b)
-        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-        | count(*)::BIGINT AS n_events
-        |FROM g GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin,
+    "stream_sessionize_state" -> sessionizeIslandsSql,
+    // the kill-and-resume twin folds the SAME sessions across a
+    // checkpoint restart — identical islands answer required
+    "stream_sessionize_restart" -> sessionizeIslandsSql,
     // text_dup_spans_clean: the same 60-bit shingle keys, plus the
     // coverage replay — window i removes words [i, min(i+4, len)) of
     // every non-canonical doc containing the duplicated shingle.
@@ -3134,13 +3192,33 @@ object SparkEntry {
     * normalization — no sqrt anywhere), and the 4-dp projection —
     * step-for-step the math [[graft.operators.Pca.topComponent]] pins.
     */
+  // islands-method sessionization, shared verbatim by the single-run
+  // custom-state gate and its kill-and-resume twin (same sessions by
+  // contract — a restart must not split or duplicate any)
+  private val sessionizeIslandsSql: String =
+    """WITH l AS (SELECT user_id, ts, event_id,
+      |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+      |  FROM events),
+      | b AS (SELECT user_id, ts, event_id,
+      |   CASE WHEN pts IS NULL OR ts - pts > INTERVAL '30 minutes'
+      |     THEN 1 ELSE 0 END AS brk
+      |  FROM l),
+      | g AS (SELECT user_id, ts,
+      |   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      |  FROM b)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      | count(*)::BIGINT AS n_events
+      |FROM g GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   private lazy val pcaOracle: String = {
     val iterCtes = (1 to 3).map { k =>
       val pv = s"v${k - 1}"
       s""" w$k AS (SELECT gi AS i, round(sum(gv * vv), 6) AS wv
          |  FROM g JOIN $pv ON gj = $pv.i GROUP BY gi),
          | s$k AS (SELECT max(abs(wv)) AS s FROM w$k),
-         | v$k AS (SELECT i, round(wv / (SELECT s FROM s$k), 6) AS vv FROM w$k)""".stripMargin
+         | v$k AS (SELECT i, CASE WHEN (SELECT s FROM s$k) = 0 THEN wv
+         |   ELSE round(wv / (SELECT s FROM s$k), 6) END AS vv FROM w$k)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
        |   unnest(embedding)::DOUBLE AS v

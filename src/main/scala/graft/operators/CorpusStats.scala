@@ -540,12 +540,17 @@ object CorpusStats {
     * doc scores the mean add-one-smoothed log conditional
     * `ln((c(w1,w2)+1) / (c(w1·)+V+1))` over its (capped) bigrams.
     *
-    * Scale shape: the vocab is a driver-pinned `vocabSize`-row list
-    * (kmeans-centroid policy); the model tables are alphabet-bounded
-    * (≤ (V+1)² pairs) and broadcast; the doc pass is one scan with a
-    * per-row pair explode capped at `maxBigrams`. Deterministic:
-    * integer counts, one `ln` per pair, 4-dp rounding — the oracle
-    * replays training and scoring verbatim.
+    * Scale shape: the vocab is a broadcast `vocabSize`-row frame —
+    * PURE PLAN, no driver collect (the q_rfm threshold-broadcast
+    * pattern): the top-k token list folds to a single array row that
+    * rides beside every doc, and the smoothing alphabet is
+    * `size(vocab)+1` computed in-plan, so a corpus with fewer than
+    * `vocabSize` distinct tokens smooths by its TRUE alphabet (the
+    * oracle derives the same count from its vocab CTE). The model
+    * tables are alphabet-bounded (≤ (V+1)² pairs) and broadcast; the
+    * doc pass is one scan with a per-row pair explode capped at
+    * `maxBigrams`. Deterministic: integer counts, one `ln` per pair,
+    * 4-dp rounding — the oracle replays training and scoring verbatim.
     */
   def bigramLmScore(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", vocabSize: Int = 16,
@@ -554,22 +559,26 @@ object CorpusStats {
       graft.functions.TextFunctions.words(col(textCol)), x => x =!= lit(""))
     val base = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), wordsNonEmpty.as("w"))
-    val vocabArr: Array[String] = base
+    // top-k vocab as ONE broadcast row: (sorted token array). The sort
+    // is cosmetic — membership tests don't depend on order — but makes
+    // the row deterministic for plan-level caching/debugging.
+    val vocabRow = base
       .select(explode(col("w")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("token")).limit(vocabSize)
-      .collect().map(_.getString(0))
-    val alphabet = vocabArr.length + 1 // + <unk>
+      .agg(sort_array(collect_list(col("token"))).as("va"))
     val mapped = base.filter(size(col("w")) >= 2)
+      .crossJoin(broadcast(vocabRow))
       .select(col(idCol), transform(col("w"),
-        x => when(array_contains(typedlit(vocabArr), x), x)
-          .otherwise(lit("<unk>"))).as("mw"))
+        x => when(array_contains(col("va"), x), x)
+          .otherwise(lit("<unk>"))).as("mw"),
+        (size(col("va")) + 1).as("alphabet")) // + <unk>
     val pairs = mapped
-      .select(col(idCol), explode(slice(transform(
+      .select(col(idCol), col("alphabet"), explode(slice(transform(
         sequence(lit(1), size(col("mw")) - 1),
         i => struct(element_at(col("mw"), i).as("w1"),
           element_at(col("mw"), i + 1).as("w2"))), 1, maxBigrams)).as("p"))
-      .select(col(idCol), col("p.w1"), col("p.w2"))
+      .select(col(idCol), col("alphabet"), col("p.w1"), col("p.w2"))
     val c2 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     pairs
@@ -579,7 +588,7 @@ object CorpusStats {
       .agg(
         count(lit(1)).as("n_bigrams"),
         round(avg(log((col("c2") + 1).cast("double")
-          / (col("c1") + lit(alphabet)).cast("double"))), 4).as("bigram_lm"),
+          / (col("c1") + col("alphabet")).cast("double"))), 4).as("bigram_lm"),
         round(avg(when(col("w1") === "<unk>" || col("w2") === "<unk>", 1.0)
           .otherwise(0.0)), 4).as("unk_ratio"))
   }

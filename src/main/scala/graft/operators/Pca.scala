@@ -99,6 +99,11 @@ object Pca {
     val out = pts.select(col(idCol), col("label"),
       round(score, 4).as("pc1_score"),
       round(lit(evScale), 4).as("ev_scale"))
+    // the persist serves the two driver-side reductions (means, Gram)
+    // ONLY: unpersisting here means the caller's score action re-reads
+    // the source through the filter/cast projection — a single cheap
+    // scan, deliberately preferred over holding corpus-sized blocks
+    // pinned until an unknowable caller action
     pts.unpersist()
     out
   }

@@ -36,10 +36,16 @@ object ShingleHash60Util {
     while (i < total) {
       sb.setLength(0)
       val end = math.min(i + n, count)
+      // concat_ws semantics: null tokens contribute NOTHING — not even
+      // a separator (a null mid-window must not leave a double space)
+      var appended = false
       var j = i
       while (j < end) {
-        if (j > i) sb.append(' ')
-        if (!words.isNullAt(j)) sb.append(words.getUTF8String(j).toString)
+        if (!words.isNullAt(j)) {
+          if (appended) sb.append(' ')
+          sb.append(words.getUTF8String(j).toString)
+          appended = true
+        }
         j += 1
       }
       md.reset()
