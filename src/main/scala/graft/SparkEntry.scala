@@ -765,6 +765,46 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Rollover lifecycle gate: the index serves THROUGH an append.
+    * Base corpus = 80% of docs, drop 1 (doc_id % 10 == 5) is folded in
+    * via [[graft.sources.MinhashIndexStore.append]], then drop 2
+    * (doc_id % 10 == 0) queries the rolled index. The answer must
+    * equal [[qDedupIncremental]]'s (same oracle): an appended index
+    * must be indistinguishable from a fresh build over corpus ∪ drop1.
+    */
+  private def qDedupIncrementalRollover(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val delta2 = docs.filter(col("doc_id") % 10 === 0)
+    val drop1 = docs.filter(col("doc_id") % 10 === 5)
+    val base = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+    val path = graft.sources.MinhashIndexStore.defaultPath(dir) + "_roll"
+    graft.sources.MinhashIndexStore.ensureRolled(base, drop1, path)
+    Dedup.minhashNearDupsDelta(delta2,
+      docs.filter(col("doc_id") % 10 =!= 0),
+      graft.sources.MinhashIndexStore.bandsTable(s, path))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Incremental EMBEDDING near-dup: vec_id % 10 == 0 plays the new
+    * drop against the persisted signature index of the other 90%
+    * ([[graft.sources.EmbLshIndexStore]]). `bits` comes from the
+    * integer bucket-width law over the CATALOG total (corpus + drop)
+    * — the same count the oracle's law CTE recomputes — so the stored
+    * and replayed signatures agree bit-for-bit.
+    */
+  private def qDedupEmbeddingIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val n = emb.filter(col("embedding").isNotNull).count()
+    val bits = Dedup.adaptiveBits(n)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val path = graft.sources.EmbLshIndexStore.defaultPath(dir, bits)
+    graft.sources.EmbLshIndexStore.ensure(corpus, path, bits)
+    Dedup.embeddingNearDupsDelta(delta, emb,
+      graft.sources.EmbLshIndexStore.sigsTable(s, path), bits)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(t(s, dir, "documents")).orderBy(col("doc_id"))
 
@@ -1176,6 +1216,8 @@ object SparkEntry {
     "dedup_keep" -> (qDedupKeep _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_incremental" -> (qDedupIncremental _),
+    "dedup_incremental_rollover" -> (qDedupIncrementalRollover _),
+    "dedup_embedding_incremental" -> (qDedupEmbeddingIncremental _),
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_ngram" -> (qDedupNgram _),
     "dedup_embedding" -> (qDedupEmbedding _),
@@ -2682,19 +2724,28 @@ object SparkEntry {
     // doc's pairs all touch the delta, so its per-doc rollup over the
     // full candidate set equals the rollup over delta-involving pairs
     // — corpus-corpus pairs drop out in the join against the delta
-    "dedup_incremental" ->
-      (s"WITH ${minhashCtes(wordShingleCte, 32, 8, 4)}\n" +
-        """SELECT d.doc_id,
-          | coalesce(p.n_candidates, 0)::BIGINT AS n_candidates,
-          | coalesce(p.best_jaccard, 0.0) AS best_jaccard,
-          | coalesce(p.is_near_dup, false) AS is_near_dup
-          |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d LEFT JOIN (
-          | SELECT doc_id, count(*)::BIGINT AS n_candidates,
-          |  max(j) AS best_jaccard, bool_or(j >= 0.5) AS is_near_dup
-          | FROM (SELECT id_a AS doc_id, j FROM ver
-          |       UNION ALL SELECT id_b AS doc_id, j FROM ver)
-          | GROUP BY doc_id) p USING (doc_id)
-          |ORDER BY doc_id""".stripMargin),
+    "dedup_incremental" -> deltaMinhashOracle,
+    // the rollover twin serves the same answer THROUGH an append:
+    // build(80%) + append(10%) must be indistinguishable from a fresh
+    // index over the unioned corpus
+    "dedup_incremental_rollover" -> deltaMinhashOracle,
+    // embedding incremental = the batch all-corpus LSH pair replay
+    // (adaptive-bits law over the catalog total) restricted to pairs
+    // touching the delta
+    "dedup_embedding_incremental" ->
+      (s"WITH ${adaptiveBitsLshCtes(8)},\n" +
+        """ pr AS (
+          |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+          |  FROM sigs a JOIN sigs b ON a.table_id = b.table_id AND a.sig = b.sig
+          |  WHERE a.vec_id < b.vec_id),
+          | sc AS (
+          |  SELECT pr.a_id, pr.b_id,
+          |   round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cosine
+          |  FROM pr JOIN embeddings ea ON ea.vec_id = pr.a_id
+          |       JOIN embeddings eb ON eb.vec_id = pr.b_id)
+          |SELECT a_id, b_id, cosine FROM sc
+          |WHERE cosine >= 0.35 AND (a_id % 10 = 0 OR b_id % 10 = 0)
+          |ORDER BY a_id, b_id""".stripMargin),
     "dedup_ngram" ->
       (s"WITH ${minhashCtes(charGramCte, 16, 4, 4)}\n" +
         """SELECT d.doc_id,
@@ -3192,6 +3243,22 @@ object SparkEntry {
     * normalization — no sqrt anywhere), and the 4-dp projection —
     * step-for-step the math [[graft.operators.Pca.topComponent]] pins.
     */
+  // delta-restricted minhash rollup, shared verbatim by the fresh-index
+  // incremental gate and its rollover (build + append) twin
+  private lazy val deltaMinhashOracle: String =
+    s"WITH ${minhashCtes(wordShingleCte, 32, 8, 4)}\n" +
+      """SELECT d.doc_id,
+        | coalesce(p.n_candidates, 0)::BIGINT AS n_candidates,
+        | coalesce(p.best_jaccard, 0.0) AS best_jaccard,
+        | coalesce(p.is_near_dup, false) AS is_near_dup
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d LEFT JOIN (
+        | SELECT doc_id, count(*)::BIGINT AS n_candidates,
+        |  max(j) AS best_jaccard, bool_or(j >= 0.5) AS is_near_dup
+        | FROM (SELECT id_a AS doc_id, j FROM ver
+        |       UNION ALL SELECT id_b AS doc_id, j FROM ver)
+        | GROUP BY doc_id) p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+
   // islands-method sessionization, shared verbatim by the single-run
   // custom-state gate and its kill-and-resume twin (same sessions by
   // contract — a restart must not split or duplicate any)

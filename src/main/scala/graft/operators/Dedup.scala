@@ -421,7 +421,7 @@ object Dedup {
     * external replay computes the identical value (a float log2 can
     * flip a ceil at exact powers of two).
     */
-  private[operators] def adaptiveBits(n: Long): Int = {
+  private[graft] def adaptiveBits(n: Long): Int = {
     var k = 4
     while (k < 16 && 64L * (1L << k) < n) k += 1
     k
@@ -521,6 +521,58 @@ object Dedup {
       weights.slice(tbl * MaxAutoBits, tbl * MaxAutoBits + bits)
     }
     bucketedNearDups(emb, threshold, perTable)
+  }
+
+  /** Incremental EMBEDDING near-dup: a NEW drop against the PERSISTED
+    * corpus signature index ([[graft.sources.EmbLshIndexStore]]) — the
+    * daily-drop form of [[embeddingNearDupsAll]], completing the
+    * incremental tier for BOTH near-dup families (text minhash via
+    * [[minhashNearDupsDelta]], embeddings here). The corpus is never
+    * re-signed: its side of the bucket join is a parquet scan of the
+    * stored (vec_id, table_id, sig) table; only the delta pays the
+    * hyperplane kernel. Candidates = delta×stored bucket matches ∪
+    * delta-internal matches, so the emitted pair set is IDENTICAL to
+    * the batch run restricted to delta-involving pairs — the value
+    * oracle. `bits` must equal the index's build parameter (the caller
+    * derives both from the bucket-width law over the catalog total).
+    *
+    * 100 TB shape: the bucket join moves 12-byte sig rows, never the
+    * 64-float vectors; with `broadcastDelta` the stored index scans
+    * with no exchange. Vectors re-join by id only for the candidate
+    * cosine verify. Emits (a_id, b_id, cosine) with `a_id < b_id`.
+    */
+  def embeddingNearDupsDelta(delta: DataFrame, all: DataFrame,
+      storedSigs: DataFrame, bits: Int, threshold: Double = 0.35,
+      broadcastDelta: Boolean = true): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(delta.sparkSession)
+    val deltaSigs = graft.sources.EmbLshIndexStore.sigRows(delta, bits)
+    val deltaSide =
+      if (broadcastDelta) broadcast(deltaSigs) else deltaSigs
+    val candCorpus = storedSigs
+      .join(deltaSide.withColumnRenamed("vec_id", "delta_id"),
+        Seq("table_id", "sig"))
+      .filter(col("vec_id") =!= col("delta_id"))
+      .select(least(col("vec_id"), col("delta_id")).as("a_id"),
+        greatest(col("vec_id"), col("delta_id")).as("b_id"))
+    val candDelta = deltaSigs
+      .select(col("vec_id").as("a_id"), col("table_id"), col("sig"))
+      .join(deltaSigs.select(col("vec_id").as("b_id"), col("table_id"),
+        col("sig")), Seq("table_id", "sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    val pairs = candCorpus.unionByName(candDelta)
+      .dropDuplicates("a_id", "b_id")
+    val scored = all.select(col("vec_id"), col("embedding"),
+      VF.normNative(col("embedding")).as("nrm"))
+    pairs
+      .join(scored.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        col("nrm").as("a_nrm")), Seq("a_id"))
+      .join(scored.select(col("vec_id").as("b_id"), col("embedding").as("b_emb"),
+        col("nrm").as("b_nrm")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(VF.dotNative(col("a_emb"), col("b_emb"))
+          / (col("a_nrm") * col("b_nrm")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 
   /** Shared banded-LSH near-dup pipeline: per-table sign signatures,

@@ -1,0 +1,85 @@
+package graft.sources
+
+import graft.functions.{VectorFunctions => VF}
+import graft.operators.Similarity
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sign-once / query-many persistence for the EMBEDDING near-dup
+  * index — the [[MinhashIndexStore]] pattern applied to the
+  * random-hyperplane LSH family of
+  * [[graft.operators.Dedup.embeddingNearDupsAll]]: the corpus pays the
+  * signature pass once, each new drop signs only itself and joins the
+  * stored signature table
+  * ([[graft.operators.Dedup.embeddingNearDupsDelta]]).
+  *
+  * Layout under `path`:
+  *
+  *  - `sigs/` — (vec_id, sig) parquet PARTITIONED BY table_id: one row
+  *    per (vector, table) holding the table's sign-bit signature —
+  *    ~12 bytes × tables per vector, ~3% of a 64-float corpus; the
+  *    per-table subtrees let a replay process the bucket join
+  *    table-by-table to bound peak shuffle.
+  *
+  * The plane weights are the seeded deterministic family
+  * ([[VF.planeWeights]], same flat layout as `embeddingNearDupsAll`:
+  * table `t` owns planes `[t*bits, (t+1)*bits)`), so a rebuilt index
+  * is byte-identical and the delta query keeps a full value oracle.
+  * `bits` is a BUILD parameter pinned in the path: the caller derives
+  * it from the integer bucket-width law over the catalog total
+  * (corpus + pending drops), exactly as the oracle recomputes it.
+  */
+object EmbLshIndexStore {
+
+  /** Table count — same default as the batch all-corpus operator. */
+  val NumTables: Int = 8
+
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  def defaultPath(datasetDir: String, bits: Int): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(datasetDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .take(12)
+    s"${sys.props("java.io.tmpdir")}/graft_elsh_${key}_t${NumTables}_b$bits"
+  }
+
+  /** Per-(vector, table) signature rows for any (vec_id, embedding)
+    * frame — the join-ready layout shared by the stored corpus side
+    * and the in-plan delta side. Zero shuffle: the signature is a
+    * per-row projection over the codegen'd hyperplane kernel.
+    */
+  def sigRows(emb: DataFrame, bits: Int): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val weights = VF.planeWeights(NumTables * bits,
+      Similarity.embeddingDim(emb))
+    val perTable = (0 until NumTables).map { tbl =>
+      struct(lit(tbl).as("table_id"),
+        VF.hyperplaneSig(col("embedding"),
+          weights.slice(tbl * bits, (tbl + 1) * bits)).as("sig"))
+    }
+    emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), explode(array(perTable: _*)).as("b"))
+      .select(col("vec_id"), col("b.table_id").as("table_id"),
+        col("b.sig").as("sig"))
+  }
+
+  def build(corpus: DataFrame, path: String, bits: Int): Unit =
+    sigRows(corpus, bits)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("table_id")
+      .parquet(s"$path/sigs")
+
+  /** [[build]] at most once per JVM per path (same memo contract as
+    * [[IvfIndexStore.ensure]]).
+    */
+  def ensure(corpus: DataFrame, path: String, bits: Int): Unit =
+    built.computeIfAbsent(path, _ => {
+      build(corpus, path, bits)
+      java.lang.Boolean.TRUE
+    })
+
+  def sigsTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/sigs")
+      .withColumn("table_id", col("table_id").cast("int"))
+}

@@ -96,4 +96,32 @@ object MinhashIndexStore {
   def bandsTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/bands")
       .withColumn("band", col("band").cast("int"))
+
+  /** Fold a vetted drop INTO the stored index: append its band rows to
+    * the same partitioned layout, so tomorrow's drop near-dups against
+    * today's. Signatures are deterministic and per-doc independent, so
+    * append ≡ rebuild from the unioned corpus (spec-pinned) — the
+    * index never needs a full re-sign, which is the whole point of the
+    * incremental tier. Parquet append is per-file atomic; a production
+    * deployment wraps it in the staging-swap of [[Sinks]] or a table
+    * format's transaction when drops race.
+    */
+  def append(delta: DataFrame, path: String): Unit =
+    bandRows(delta)
+      .write.mode(SaveMode.Append)
+      .partitionBy("band")
+      .parquet(s"$path/bands")
+
+  /** Memoized build-then-append lifecycle for the rollover gate: the
+    * first caller per JVM per path indexes the base corpus and folds
+    * drop 1 in via [[append]]; later callers serve from the rolled
+    * index.
+    */
+  def ensureRolled(corpus: DataFrame, firstDrop: DataFrame,
+      path: String): Unit =
+    built.computeIfAbsent(path, _ => {
+      build(corpus, path)
+      append(firstDrop, path)
+      java.lang.Boolean.TRUE
+    })
 }

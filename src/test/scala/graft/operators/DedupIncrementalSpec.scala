@@ -93,6 +93,44 @@ class DedupIncrementalSpec extends SparkSpecBase {
     assert(exchanges.forall(l => !l.contains("text") && !l.contains("shingles")), p)
   }
 
+  test("append equals rebuild: the rolled index is byte-identical") {
+    val docs = Tables.documents(spark, sfDir)
+    val base = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+    val drop1 = docs.filter(col("doc_id") % 10 === 5)
+    val rolled = freshPath("rolled")
+    MinhashIndexStore.build(base, rolled)
+    MinhashIndexStore.append(drop1, rolled)
+    val rebuilt = freshPath("rebuilt")
+    MinhashIndexStore.build(base.unionByName(drop1), rebuilt)
+    val ordCols = MinhashIndexStore.BandKeyCols.map(col) :+ col("doc_id")
+    val a = MinhashIndexStore.bandsTable(spark, rolled)
+      .orderBy(ordCols: _*).collect().toSeq
+    val b = MinhashIndexStore.bandsTable(spark, rebuilt)
+      .orderBy(ordCols: _*).collect().toSeq
+    assert(a.nonEmpty)
+    assert(a == b)
+  }
+
+  test("embedding incremental equals the batch pairs restricted to the delta") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.filter(col("embedding").isNotNull).count()
+    val bits = Dedup.adaptiveBits(n)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val path = freshPath("emb")
+    graft.sources.EmbLshIndexStore.build(corpus, path, bits)
+    val inc = Dedup.embeddingNearDupsDelta(delta, emb,
+        graft.sources.EmbLshIndexStore.sigsTable(spark, path), bits)
+      .orderBy("a_id", "b_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    val batch = Dedup.embeddingNearDupsAll(emb)
+      .filter(col("a_id") % 10 === 0 || col("b_id") % 10 === 0)
+      .orderBy("a_id", "b_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(inc.nonEmpty)
+    assert(inc == batch)
+  }
+
   test("stored index IS the corpus side: tampering it changes the answer") {
     // functional proof the corpus is never re-signed in the serve
     // plan: swap the stored band table for an EMPTY one — if the plan
