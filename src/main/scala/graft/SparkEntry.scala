@@ -234,6 +234,18 @@ object SparkEntry {
         col("event_type"), col("value"), col("props"))
       .orderBy(col("event_id"))
 
+  /** STREAMING incremental near-dup: two doc drops stream through
+    * [[graft.streaming.StreamReplay.replayNearDupDrops]] — each
+    * micro-batch queries the persisted MinHash band index for its
+    * near-dups, then appends itself so the next drop indexes against
+    * it. Cross-drop pairs land exactly once, on the LATER drop's row
+    * (the arrival-order law the oracle replays on the full-corpus
+    * batch candidates).
+    */
+  private def qStreamNearDup(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.replayNearDupDrops(s, dir)
+      .orderBy(col("doc_id"))
+
   /** Dominant principal component of the embedding corpus: 3 unrolled
     * power-iteration rounds on the exact-rounded centered Gram matrix,
     * per-vector component scores + the eigenvalue-scale estimate.
@@ -964,6 +976,30 @@ object SparkEntry {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** IVF index ROLLOVER: vec_id % 5 == 4 plays the new drop; the index
+    * trains on the other 80% only, the drop is folded in by
+    * [[graft.sources.IvfIndexStore.append]] (assigned to the nearest
+    * STORED centroid — quantizer and grid stay frozen, no retrain in
+    * the append or the serve), and the standard probes are served from
+    * the rolled index. Completes the delta-vs-corpus lifecycle for the
+    * third index family (MinHash and embedding-LSH landed first): a
+    * daily embedding drop costs one assignment pass over the drop, not
+    * a corpus retrain. The oracle retrains on the base in SQL, assigns
+    * the drop against those centroids by the same 4-dp d2 law, and
+    * serves the union.
+    */
+  private def qKnnIvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 5 =!= 4)
+    val delta = emb.filter(col("vec_id") % 5 === 4)
+    val path = graft.sources.IvfIndexStore.defaultPath(dir) + "_roll"
+    graft.sources.IvfIndexStore.ensureRolled(s, base, delta, path)
+    graft.sources.IvfIndexStore
+      .servedTopK(s, path, emb.filter(col("vec_id") < 8))
+      .withColumn("rnk", col("rnk").cast("bigint"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   private def qKnnLshRecall(s: SparkSession, dir: String): DataFrame =
     Similarity.lshRecallAtK(t(s, dir, "embeddings"), col("vec_id") < 8)
       .orderBy(col("probe_id"))
@@ -1249,6 +1285,7 @@ object SparkEntry {
     "emb_pca" -> (qEmbPca _),
     "stream_dedup" -> (qStreamDedup _),
     "stream_dedup_amortized" -> (qStreamDedupAmortized _),
+    "stream_neardup" -> (qStreamNearDup _),
     "mm_phash" -> (qMmPhash _),
     "text_dup_spans" -> (qDupSpans _),
     "stream_incr_agg" -> (qStreamIncrAgg _),
@@ -1258,7 +1295,8 @@ object SparkEntry {
     "stream_sessionize_state" -> (qStreamSessionizeStateful _),
     "stream_sessionize_restart" -> (qStreamSessionizeRestart _),
     "text_bigram_lm" -> (qBigramLm _),
-    "knn_pq_served" -> (qKnnPqServed _)
+    "knn_pq_served" -> (qKnnPqServed _),
+    "knn_ivf_append" -> (qKnnIvfAppend _)
   )
 
   // ------------------------------------------------------------- oracle
@@ -1520,7 +1558,7 @@ object SparkEntry {
   // identical to Similarity.kmeansAssign, so each round starts from
   // bit-identical centroids in both engines. Empty clusters keep the
   // previous centroid via the LEFT JOIN + coalesce.
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int, extraWhere: String = ""): String = {
     val rounds = (1 to iters).map { i =>
       s""" a$i AS (
          |  SELECT vec_id, cluster, d2 FROM (
@@ -1544,7 +1582,7 @@ object SparkEntry {
     s"""pts AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS x,
        |   list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS xx
-       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |  FROM embeddings WHERE embedding IS NOT NULL$extraWhere),
        | c0 AS (SELECT vec_id AS cluster, x AS cvec FROM pts
        |  ORDER BY vec_id LIMIT $k),
        |$rounds""".stripMargin
@@ -1641,6 +1679,51 @@ object SparkEntry {
         |        unnest(embedding) AS v FROM lab)
         |  GROUP BY cell, i),
         | tcents AS (SELECT cell, list(cv ORDER BY i) AS cvec FROM tc0 GROUP BY cell),
+        | tpc AS (SELECT p.vec_id AS probe_id, c.cell,
+        |   round(list_cosine_similarity(p.embedding::DOUBLE[], c.cvec), 4) AS ccos
+        |  FROM p, tcents c),
+        | tcells AS (SELECT probe_id, cell FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, cell) AS cr
+        |   FROM tpc WHERE ccos IS NOT NULL) WHERE cr <= 2),
+        | tcand AS (SELECT tcells.probe_id, e.vec_id AS cand_id,
+        |   round(list_cosine_similarity(pp.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cosine
+        |  FROM tcells JOIN lab e ON e.cell = tcells.cell
+        |       JOIN embeddings pp ON pp.vec_id = tcells.probe_id
+        |  WHERE e.vec_id <> tcells.probe_id),
+        | tsc AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+        |   FROM tcand WHERE cosine IS NOT NULL)
+        |SELECT probe_id, cand_id, cosine, rnk FROM tsc WHERE rnk <= 5
+        |ORDER BY probe_id, rnk""".stripMargin
+
+  /** knn_ivf_append: kmeans replay restricted to the BASE corpus (the
+    * 80% the index trained on), stored centroids re-derived from the
+    * final base assignment, the drop assigned against those FROZEN
+    * centroids by the same 4-dp-rounded d2 argmin (ties cell asc) the
+    * append pass uses, then the standard IVF serve over the union —
+    * landing on exactly what the rolled index stores.
+    */
+  private lazy val ivfAppendOracle: String =
+    s"WITH ${kmeansCtes(8, 3, " AND vec_id % 5 <> 4")},\n" +
+      """ p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+        | lab0 AS (SELECT e.vec_id, e.embedding, a3.cluster AS cell
+        |  FROM embeddings e JOIN a3 USING (vec_id)),
+        | tc0 AS (
+        |  SELECT cell, i, round(sum(v::DOUBLE) / count(*), 6) AS cv
+        |  FROM (SELECT cell, generate_subscripts(embedding, 1) AS i,
+        |        unnest(embedding) AS v FROM lab0)
+        |  GROUP BY cell, i),
+        | tcents AS (SELECT cell, list(cv ORDER BY i) AS cvec FROM tc0 GROUP BY cell),
+        | dpts AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS x,
+        |   list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS xx
+        |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 5 = 4),
+        | dlab AS (SELECT vec_id, embedding, cell FROM (
+        |   SELECT d.vec_id, d.embedding, c.cell,
+        |    row_number() OVER (PARTITION BY d.vec_id ORDER BY
+        |      round(d.xx - 2.0 * list_dot_product(d.x, c.cvec)
+        |        + list_dot_product(c.cvec, c.cvec), 4), c.cell) AS rn
+        |   FROM dpts d, tcents c) WHERE rn = 1),
+        | lab AS (SELECT vec_id, embedding, cell FROM lab0
+        |  UNION ALL SELECT vec_id, embedding, cell FROM dlab),
         | tpc AS (SELECT p.vec_id AS probe_id, c.cell,
         |   round(list_cosine_similarity(p.embedding::DOUBLE[], c.cvec), 4) AS ccos
         |  FROM p, tcents c),
@@ -2896,6 +2979,9 @@ object SparkEntry {
     // SQL and lands on the identical stored tables
     "knn_ivf_served" -> ivfTrainedOracle,
     "knn_pq_served" -> pqServedOracle,
+    // rolled index: base-trained kmeans + frozen-centroid drop
+    // assignment + serve over the union — the append never retrains
+    "knn_ivf_append" -> ivfAppendOracle,
     // IVF+ADC replay: the int8 grid (emb_quantize's min/max law), the
     // fixed-shape dequantization mn + floor((x-mn)/step + .5)*step,
     // the 4dp ADC cut at rerank=15 (ties on cand_id), and the exact
@@ -3057,6 +3143,7 @@ object SparkEntry {
     "stream_dedup_amortized" ->
       """SELECT event_id, ts, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
+    "stream_neardup" -> streamNearDupOracle,
     "emb_pca" -> pcaOracle,
     // mm_phash: all-pairs ground truth — the banded Spark path must
     // land on it exactly (pigeonhole lossless at Hamming <= 3). The
@@ -3257,6 +3344,37 @@ object SparkEntry {
         | FROM (SELECT id_a AS doc_id, j FROM ver
         |       UNION ALL SELECT id_b AS doc_id, j FROM ver)
         | GROUP BY doc_id) p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin
+
+  /** stream_neardup: the full-corpus minhash candidates under the
+    * ARRIVAL-ORDER law — a doc's rollup counts a verified pair only if
+    * the other side arrived no later (base = 0, drop 1 = 1, drop 2 =
+    * 2), which is exactly what the streaming topology emits: each
+    * drop's row is computed against base ∪ drops-so-far, and a
+    * cross-drop pair lands once, on the later drop's row.
+    */
+  private lazy val streamNearDupOracle: String =
+    s"WITH ${minhashCtes(wordShingleCte, 32, 8, 4)},\n" +
+      """ arr AS (SELECT doc_id,
+        |   CASE WHEN doc_id % 10 = 0 THEN 2
+        |        WHEN doc_id % 10 = 5 THEN 1 ELSE 0 END AS a
+        |  FROM documents),
+        | vr AS (SELECT v.id_a, v.id_b, v.j, aa.a AS a_a, ab.a AS a_b
+        |  FROM ver v JOIN arr aa ON aa.doc_id = v.id_a
+        |       JOIN arr ab ON ab.doc_id = v.id_b),
+        | sides AS (
+        |  SELECT id_a AS doc_id, j FROM vr WHERE a_a >= a_b AND a_a > 0
+        |  UNION ALL
+        |  SELECT id_b AS doc_id, j FROM vr WHERE a_b >= a_a AND a_b > 0),
+        | p AS (SELECT doc_id, count(*)::BIGINT AS n_candidates,
+        |   max(j) AS best_jaccard, bool_or(j >= 0.5) AS is_near_dup
+        |  FROM sides GROUP BY doc_id)
+        |SELECT d.doc_id,
+        | coalesce(p.n_candidates, 0)::BIGINT AS n_candidates,
+        | coalesce(p.best_jaccard, 0.0) AS best_jaccard,
+        | coalesce(p.is_near_dup, false) AS is_near_dup
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 IN (0, 5)) d
+        |LEFT JOIN p USING (doc_id)
         |ORDER BY doc_id""".stripMargin
 
   // islands-method sessionization, shared verbatim by the single-run

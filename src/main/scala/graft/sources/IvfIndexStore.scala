@@ -69,18 +69,86 @@ object IvfIndexStore {
       .agg(min(col("x")).cast("double").as("mn"),
         max(col("x")).cast("double").as("mx"))
     stats.write.mode(SaveMode.Overwrite).parquet(s"$path/grid")
+    writeCodes(labeled, stats, path, SaveMode.Overwrite)
+  }
+
+  /** Encode against the grid and land the int8 `codes/` layer. The
+    * clamp to [0, 255] is a no-op for the build (the grid IS the
+    * corpus min/max) and the honest int8 bound for appended vectors
+    * that fall outside the frozen grid's range.
+    */
+  private def writeCodes(labeled: DataFrame, stats: DataFrame, path: String,
+      mode: SaveMode): Unit = {
     val gridRow = spark_grid(stats)
     val code = zip_with(col("embedding"), col("ms"), (x, m) => {
       val step = (m.getField("mx") - m.getField("mn")) / 255d
       when(m.getField("mx") === m.getField("mn"), lit(0))
-        .otherwise(floor((x.cast("double") - m.getField("mn")) / step + 0.5d)
-          .cast("int"))
+        .otherwise(greatest(lit(0), least(lit(255),
+          floor((x.cast("double") - m.getField("mn")) / step + 0.5d)
+            .cast("int"))))
     })
     labeled.crossJoin(broadcast(gridRow))
       .select(col("vec_id"), col("cell"), code.as("codes"))
-      .write.mode(SaveMode.Overwrite)
+      .write.mode(mode)
       .partitionBy("cell").parquet(s"$path/codes")
   }
+
+  /** Nearest STORED centroid per row — the append-time coarse
+    * assignment. Same math as a [[Similarity.kmeansAssign]] assignment
+    * round (4-dp-rounded squared distance, argmin with ties on cell
+    * asc), but run against the index's persisted `centroids/` instead
+    * of a retrain: appending must never move the quantizer.
+    */
+  private def assignStored(rows: DataFrame, cents: DataFrame): DataFrame = {
+    import graft.functions.{VectorFunctions => VF}
+    rows.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        VF.asDouble(col("embedding")).as("x"),
+        VF.dot(col("embedding"), col("embedding")).as("xx"))
+      .crossJoin(broadcast(
+        cents.withColumn("cc", VF.dot(col("cvec"), col("cvec")))))
+      .select(col("vec_id"), col("embedding"),
+        round(col("xx") - lit(2.0) * VF.dot(col("x"), col("cvec"))
+          + col("cc"), 4).as("d2"),
+        col("cell"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cell"), col("embedding"))).as("m"))
+      .select(col("vec_id"), col("m.embedding").as("embedding"),
+        col("m.cell").as("cell"))
+  }
+
+  /** Fold a new drop INTO the stored index without retraining: each
+    * delta vector is assigned to its nearest STORED centroid
+    * ([[assignStored]] — the quantizer and the int8 grid stay FROZEN
+    * at their build-time values, the production semantics of an index
+    * append), then lands in the same cell-partitioned `cells/` and
+    * `codes/` layouts. Centroids/grid are never rewritten, so a serve
+    * after an append reads the identical quantizer — spec-pinned,
+    * plus a tamper test proving the stored centroids (not a retrain)
+    * drive the assignment. Periodic RE-TRAINS (when drift degrades
+    * recall) are a fresh [[build]]; the recall eval loop
+    * (`knn_recall`) is the drift detector.
+    */
+  def append(spark: SparkSession, delta: DataFrame, path: String): Unit = {
+    val labeled = assignStored(delta, centroidsTable(spark, path))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    labeled.write.mode(SaveMode.Append)
+      .partitionBy("cell").parquet(s"$path/cells")
+    writeCodes(labeled, spark.read.parquet(s"$path/grid"), path,
+      SaveMode.Append)
+  }
+
+  /** Memoized build-then-append lifecycle for the rollover gate: train
+    * on the base corpus once per JVM per path, fold the drop in via
+    * [[append]]; later callers serve from the rolled index.
+    */
+  def ensureRolled(spark: SparkSession, base: DataFrame, delta: DataFrame,
+      path: String, cells: Int = 8, iters: Int = 3): Unit =
+    built.computeIfAbsent(path, _ => {
+      build(base, path, cells, iters)
+      append(spark, delta, path)
+      java.lang.Boolean.TRUE
+    })
 
   /** One-row (pos, mn, mx)-struct-list frame from the grid stats —
     * broadcast beside every row that quantizes or dequantizes.
