@@ -67,6 +67,24 @@ object SparkEntry {
     graft.Pipeline.warehouseSummary(s, wh).orderBy(col("tbl"))
   }
 
+  /** The CHAINED corpus-curation pipeline ([[graft.CorpusPipeline]]):
+    * quality gate → exact dedup → near-dup removal → split → pack,
+    * every stage a materialized table read by the next; the gate
+    * checks the per-stage survivor counts / id checksums / token
+    * totals, which only come out right if the whole chain composed
+    * correctly. The oracle replays all five laws as one CTE chain.
+    */
+  private def qPipelineCorpus(s: SparkSession, dir: String): DataFrame = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val wh = s"${sys.props("java.io.tmpdir")}/graft_corpus_$key"
+    val p = new org.apache.hadoop.fs.Path(wh)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true) // gate from EMPTY, always
+    graft.CorpusPipeline.runCuration(s, dir, wh)
+    graft.CorpusPipeline.curationSummary(s, wh).orderBy(col("stage"))
+  }
+
   private def qMergeUpsert(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders").select(
       col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
@@ -1286,6 +1304,7 @@ object SparkEntry {
     "stream_dedup" -> (qStreamDedup _),
     "stream_dedup_amortized" -> (qStreamDedupAmortized _),
     "stream_neardup" -> (qStreamNearDup _),
+    "pipeline_corpus" -> (qPipelineCorpus _),
     "mm_phash" -> (qMmPhash _),
     "text_dup_spans" -> (qDupSpans _),
     "stream_incr_agg" -> (qStreamIncrAgg _),
@@ -3144,6 +3163,7 @@ object SparkEntry {
       """SELECT event_id, ts, user_id, event_type, value, props
         |FROM events ORDER BY event_id""".stripMargin,
     "stream_neardup" -> streamNearDupOracle,
+    "pipeline_corpus" -> pipelineCorpusOracle,
     "emb_pca" -> pcaOracle,
     // mm_phash: all-pairs ground truth — the banded Spark path must
     // land on it exactly (pigeonhole lossless at Hamming <= 3). The
@@ -3345,6 +3365,70 @@ object SparkEntry {
         |       UNION ALL SELECT id_b AS doc_id, j FROM ver)
         | GROUP BY doc_id) p USING (doc_id)
         |ORDER BY doc_id""".stripMargin
+
+  /** pipeline_corpus: all five curation laws replayed as one CTE
+    * chain — Gopher flags → quality survivors → exact keep-min per
+    * text → minhash near-dup pairs among the canonical corpus (the
+    * shingle CTE reads from `canon`, not `documents`) → drop-higher-id
+    * → content-hash split → train-only packing prefix sum — then the
+    * same per-stage summary rows the Spark side computes from its
+    * staged tables.
+    */
+  private lazy val pipelineCorpusOracle: String = {
+    val canonShingleCte =
+      """SELECT doc_id, list_distinct(list_transform(
+        |   range(0, greatest(len(w)-3, 0)+1),
+        |   i -> array_to_string(w[i+1:i+3], ' '))) AS s
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+        |        FROM canon)""".stripMargin
+    s"""WITH gw AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+       | gbase AS (
+       |  SELECT doc_id, len(ws)::BIGINT AS n_words,
+       |   list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / len(ws) AS mean_word_len,
+       |   len(list_intersect(list_distinct(ws),
+       |       ['the','a','and','of','to','in','is','on','for','with']))::BIGINT AS n_stopwords
+       |  FROM gw),
+       | gk AS (SELECT doc_id, n_words FROM gbase
+       |  WHERE n_words BETWEEN 30 AND 80
+       |    AND mean_word_len BETWEEN 4.0 AND 5.0 AND n_stopwords >= 2),
+       | ek AS (SELECT min(d.doc_id) AS doc_id
+       |  FROM documents d JOIN gk ON gk.doc_id = d.doc_id GROUP BY d.text),
+       | canon AS (SELECT d.doc_id, d.text FROM documents d JOIN ek USING (doc_id)),
+       | ${minhashCtes(canonShingleCte, 32, 8, 4)},
+       | nd AS (SELECT DISTINCT id_b AS doc_id FROM ver WHERE j >= 0.5),
+       | clean AS (SELECT c.doc_id, c.text FROM canon c
+       |  WHERE c.doc_id NOT IN (SELECT doc_id FROM nd)),
+       | spl AS (SELECT doc_id, text,
+       |   CASE WHEN ('0x'||substr(md5(text),1,8))::BIGINT % 100 < 98 THEN 'train'
+       |        WHEN ('0x'||substr(md5(text),1,8))::BIGINT % 100 = 98 THEN 'valid'
+       |        ELSE 'test' END AS split
+       |  FROM clean),
+       | sized AS (SELECT doc_id,
+       |   len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+       |  FROM spl WHERE split = 'train' AND text IS NOT NULL),
+       | cum AS (SELECT doc_id, n_tokens,
+       |   coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pack_start
+       |  FROM sized),
+       | pk AS (SELECT doc_id, n_tokens,
+       |   ((pack_start + n_tokens - 1) // 256)::BIGINT AS last_chunk FROM cum)
+       |SELECT 'quality_keep' AS stage, count(*)::BIGINT AS n_docs,
+       |  coalesce(sum(doc_id), 0)::BIGINT AS id_sum,
+       |  coalesce(sum(n_words), 0)::BIGINT AS val_sum FROM gk
+       |UNION ALL SELECT 'exact_keep', count(*)::BIGINT,
+       |  coalesce(sum(doc_id), 0)::BIGINT, 0::BIGINT FROM canon
+       |UNION ALL SELECT 'neardup_clean', count(*)::BIGINT,
+       |  coalesce(sum(doc_id), 0)::BIGINT, 0::BIGINT FROM clean
+       |UNION ALL SELECT 'split_' || split, count(*)::BIGINT,
+       |  sum(doc_id)::BIGINT, 0::BIGINT FROM spl GROUP BY split
+       |UNION ALL SELECT 'pack', count(*)::BIGINT,
+       |  coalesce(sum(doc_id), 0)::BIGINT,
+       |  coalesce(sum(n_tokens), 0)::BIGINT FROM pk
+       |UNION ALL SELECT 'pack_chunks',
+       |  (coalesce(max(last_chunk), -1) + 1)::BIGINT, 0::BIGINT, 0::BIGINT FROM pk
+       |ORDER BY stage""".stripMargin
+  }
 
   /** stream_neardup: the full-corpus minhash candidates under the
     * ARRIVAL-ORDER law — a doc's rollup counts a verified pair only if

@@ -65,13 +65,15 @@ object Dedup {
     docs.join(keep, Seq("doc_id"), "left_semi")
   }
 
-  /** Candidate near-dup pairs via MinHash + LSH banding over word
-    * 3-gram shingles, verified with exact Jaccard. Returns one row per
-    * doc: its candidate count and best match (robust output shape even
-    * on corpora with no near-dups).
+  /** The verified near-dup PAIR frame behind [[minhashNearDups]]:
+    * MinHash + LSH banded candidates over word 3-gram shingles,
+    * exact-Jaccard verified — `(id_a < id_b, jaccard)`, one row per
+    * candidate pair. Exposed so pair-consuming compositions (keep-
+    * lowest dedup actions, cluster building, the corpus pipeline) can
+    * share the one candidate computation instead of re-deriving it.
     */
-  def minhashNearDups(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
-      jaccardThreshold: Double = 0.5): DataFrame = {
+  def minhashNearDupPairs(docs: DataFrame, numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
     // base md5 hashes in their own projection: one md5 per shingle,
     // reused by all k affine min-hashes (see minhashSigFromHashes)
@@ -87,10 +89,21 @@ object Dedup {
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    val verified = pairs
+    pairs
       .join(sigs.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sigs.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"), TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"),
+        TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+  }
+
+  /** Candidate near-dup pairs via MinHash + LSH banding over word
+    * 3-gram shingles, verified with exact Jaccard. Returns one row per
+    * doc: its candidate count and best match (robust output shape even
+    * on corpora with no near-dups).
+    */
+  def minhashNearDups(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    val verified = minhashNearDupPairs(docs, numHashes, bands)
     val perDocA = verified.select(col("id_a").as("doc_id"), col("id_b").as("other"), col("jaccard"))
     val perDocB = verified.select(col("id_b").as("doc_id"), col("id_a").as("other"), col("jaccard"))
     val perDoc = perDocA.unionByName(perDocB)
