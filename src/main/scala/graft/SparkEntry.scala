@@ -382,6 +382,17 @@ object SparkEntry {
       .orderBy(col("rank").desc, col("node"))
       .limit(20)
 
+  /** Per-node triangle counts + clustering coefficient on the
+    * co-purchase graph via the degree-ordered node-iterator
+    * ([[Graph.triangleCounts]] — oriented out-degree bounded by O(√m),
+    * so a hub item can't explode the wedge build). The oracle lists
+    * triangles by plain id orientation: the triangle set is
+    * orientation-invariant, so the per-corner counts match exactly.
+    */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame =
+    Graph.triangleCounts(Graph.coPurchaseEdges(t(s, dir, "lineitem")))
+      .orderBy(col("node"))
+
   private def qMmDedup(s: SparkSession, dir: String): DataFrame =
     Multimodal.dedupAssets(Multimodal.asMedia(t(s, dir, "documents")))
       .orderBy(col("content_md5"))
@@ -1251,6 +1262,7 @@ object SparkEntry {
     "text_weighted_sample" -> (qWeightedSample _),
     "q_copurchase" -> (qCoPurchase _),
     "q_pagerank" -> (qPageRank _),
+    "q_triangles" -> (qTriangles _),
     "mm_dedup" -> (qMmDedup _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
@@ -2421,6 +2433,27 @@ object SparkEntry {
       (s"WITH ${pageRankCtes(5)}\n" +
         """SELECT node, rank FROM r5
           |ORDER BY rank DESC, node LIMIT 20""".stripMargin),
+    // triangle ground truth by id orientation (x < y < z): the set is
+    // orientation-invariant, so it equals the degree-ordered listing
+    "q_triangles" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        | e AS (SELECT DISTINCT l.l_partkey AS src, r.l_partkey AS dst
+        |  FROM b l JOIN b r USING (l_orderkey)
+        |  WHERE l.l_partkey <> r.l_partkey),
+        | ue AS (SELECT src AS a, dst AS c FROM e WHERE src < dst),
+        | tri AS (SELECT x.a AS x, x.c AS y, z.c AS z
+        |  FROM ue x JOIN ue y ON x.a = y.a AND x.c < y.c
+        |       JOIN ue z ON z.a = x.c AND z.c = y.c),
+        | corners AS (SELECT x AS node FROM tri
+        |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+        | deg AS (SELECT src AS node, count(*)::BIGINT AS degree
+        |  FROM e GROUP BY src),
+        | t AS (SELECT node, count(*)::BIGINT AS n_triangles
+        |  FROM corners GROUP BY node)
+        |SELECT t.node, deg.degree, t.n_triangles,
+        | round(2.0 * t.n_triangles / (deg.degree * (deg.degree - 1)), 4)
+        |   AS clustering
+        |FROM t JOIN deg USING (node) ORDER BY node""".stripMargin,
     "q_late_priority" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_late_orders
         |FROM orders o

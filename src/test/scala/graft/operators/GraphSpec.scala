@@ -67,4 +67,40 @@ class GraphSpec extends SparkSpecBase {
     assert(set.size == e.length)
     assert(e.forall { case (s, d) => set.contains((d, s)) })
   }
+
+  private def sym(pairs: (Long, Long)*) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("triangleCounts on a known graph: K4 minus one edge") {
+    // nodes 1-2-3-4, all edges except (1,4): triangles {1,2,3}, {2,3,4}
+    val e = sym((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val r = Graph.triangleCounts(e)
+      .select("node", "degree", "n_triangles", "clustering")
+      .as[(Long, Long, Long, Double)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L) == (1L, 2L, 1L, 1.0))
+    assert(r(2L) == (2L, 3L, 2L, 0.6667))
+    assert(r(3L) == (3L, 3L, 2L, 0.6667))
+    assert(r(4L) == (4L, 2L, 1L, 1.0))
+  }
+
+  test("triangle-free graph yields no rows; hub star has no triangles") {
+    val star = sym((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    assert(Graph.triangleCounts(star).count() == 0L)
+  }
+
+  test("degree orientation equals the naive id-ordered triple count") {
+    val edges = Graph.coPurchaseEdges(Tables.lineitem(spark, sfDir))
+    val got = Graph.triangleCounts(edges)
+      .select("node", "n_triangles").as[(Long, Long)].collect().toMap
+    // naive: enumerate id-ordered triples via two joins on the unique
+    // undirected pairs (the orientation-free ground truth)
+    val ue = edges.filter($"src" < $"dst").as[(Long, Long)].collect().toSet
+    val byA = ue.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val naive = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((a, ns) <- byA; y <- ns; z <- ns if y < z && ue.contains((y, z))) {
+      naive(a) += 1; naive(y) += 1; naive(z) += 1
+    }
+    assert(got.nonEmpty)
+    assert(got == naive.toMap)
+  }
 }
