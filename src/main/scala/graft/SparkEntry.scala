@@ -686,6 +686,15 @@ object SparkEntry {
     CorpusStats.lmScore(t(s, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  /** Feature-hashed document embeddings ([[CorpusStats.docEmbed]]):
+    * signed hashed bag-of-words into 16 dims, integer-exact raw votes
+    * + 6-dp L2-normalized values — the model-free text→embedding
+    * bridge, fully value-replayed by the oracle's bit-arithmetic.
+    */
+  private def qDocEmbed(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.docEmbed(t(s, dir, "documents"))
+      .orderBy(col("doc_id"), col("dim_idx"))
+
   private def qSplitAssign(s: SparkSession, dir: String): DataFrame =
     CorpusStats.splitAssign(t(s, dir, "documents"))
       .orderBy(col("doc_id"))
@@ -1263,6 +1272,7 @@ object SparkEntry {
     "q_copurchase" -> (qCoPurchase _),
     "q_pagerank" -> (qPageRank _),
     "q_triangles" -> (qTriangles _),
+    "text_doc_embed" -> (qDocEmbed _),
     "mm_dedup" -> (qMmDedup _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
@@ -2129,6 +2139,23 @@ object SparkEntry {
         | round(sum(CASE WHEN v.c IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS oov_ratio
         |FROM tk LEFT JOIN vocab v USING (token) CROSS JOIN tot t
         |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin,
+    // feature hashing: dim = low 4 bits of the md5-prefix token hash,
+    // sign = bit 4 (1 - 2*bit); integer vote sums, 6dp L2 normalize
+    "text_doc_embed" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        | h AS (SELECT doc_id, ('0x'||substr(md5(w),1,8))::BIGINT AS h
+        |  FROM tok WHERE w <> ''),
+        | raw AS (SELECT doc_id, (h & 15)::BIGINT AS dim_idx,
+        |   sum(1 - 2 * ((h >> 4) & 1))::BIGINT AS raw
+        |  FROM h GROUP BY doc_id, (h & 15)),
+        | nrm AS (SELECT doc_id, sqrt(sum(raw * raw)) AS nrm
+        |  FROM raw GROUP BY doc_id)
+        |SELECT r.doc_id, r.dim_idx, r.raw,
+        | CASE WHEN n.nrm = 0 THEN 0.0 ELSE round(r.raw / n.nrm, 6) END AS value
+        |FROM raw r JOIN nrm n USING (doc_id)
+        |ORDER BY doc_id, dim_idx""".stripMargin,
     "text_split_assign" ->
       """SELECT doc_id,
         | ('0x'||substr(md5(text),1,8))::BIGINT % 100 AS bucket,

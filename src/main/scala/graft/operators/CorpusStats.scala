@@ -616,4 +616,52 @@ object CorpusStats {
         .agg(count(lit(1)).as("n_rows"), kmv(col("h")).as("kmv"))
         .select(sketchCols: _*)
   }
+
+  /** Deterministic document embeddings via the hashing trick
+    * (feature hashing: Weinberger et al., ICML 2009 — signed hashed
+    * bag-of-words): token → 32-bit md5-prefix hash, dimension = the
+    * low log2(dims) bits, sign = the next bit (independent of the
+    * dimension choice, the ±1 trick that makes hash collisions cancel
+    * in expectation instead of biasing upward). Raw coordinates are
+    * exact INTEGER sums of ±1 votes; the L2-normalized value rounds to
+    * 6dp, so the whole embedding is value-replayable cross-engine —
+    * the bridge from the text tier to the embedding/ANN tier with no
+    * model artifact to ship.
+    *
+    * Output: one row per (doc, TOUCHED dimension — a dim at least one
+    * token hashed to, even if the ±1 votes cancelled to 0) — `raw`
+    * (the exact vote sum) and `value` (L2-normalized, 6dp; an all-
+    * cancelled zero-norm doc keeps 0s). NULL-text docs emit nothing
+    * (no defined embedding).
+    *
+    * Scale shape: tokens explode inside the scan stage and reduce to
+    * (doc, dim) grain with map-side combine — the ONE shuffle, keyed
+    * by 16 bytes, text never enters an exchange. The per-doc norm
+    * derives from the dim-grain output (≤ dims rows per doc), not a
+    * second corpus scan.
+    */
+  def docEmbed(docs: DataFrame, dims: Int = 16, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(dims >= 2 && (dims & (dims - 1)) == 0,
+      s"dims must be a power of two, got $dims")
+    val h = graft.functions.TextFunctions.md5Hash32(col("w"))
+    val raw = docs
+      .select(col(idCol),
+        explode(graft.functions.TextFunctions.words(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .select(col(idCol), h.as("h"))
+      .select(col(idCol),
+        col("h").bitwiseAND(lit(dims - 1L)).as("dim_idx"),
+        (lit(1L) - lit(2L) * shiftright(col("h"),
+          java.lang.Integer.numberOfTrailingZeros(dims)).bitwiseAND(lit(1L)))
+          .as("sign"))
+      .groupBy(col(idCol), col("dim_idx"))
+      .agg(sum(col("sign")).as("raw"))
+    val norms = raw.groupBy(col(idCol))
+      .agg(sqrt(sum(col("raw") * col("raw"))).as("nrm"))
+    raw.join(norms, Seq(idCol))
+      .select(col(idCol), col("dim_idx"), col("raw"),
+        when(col("nrm") === 0.0, lit(0.0))
+          .otherwise(round(col("raw") / col("nrm"), 6)).as("value"))
+  }
 }

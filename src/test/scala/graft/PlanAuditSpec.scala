@@ -425,6 +425,31 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(reused.nonEmpty, p)
   }
 
+  test("rolled IVF index: serve after append reads stored tables, never retrains") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfroll_audit").toString
+    graft.sources.IvfIndexStore.build(emb.filter(col("vec_id") % 5 =!= 4), path)
+    graft.sources.IvfIndexStore.append(spark,
+      emb.filter(col("vec_id") % 5 === 4), path)
+    val df = graft.sources.IvfIndexStore.servedTopK(spark, path,
+      emb.filter(col("vec_id") < 8))
+    val p = plan(df)
+    // quantizer + candidates are scans of the ROLLED index; nothing in
+    // the serve plan retrains or re-assigns (no centroid UDAF, no
+    // per-dimension mean explode, no Lloyd-round persist chain)
+    assert(p.contains(s"$path/centroids"), p)
+    assert(p.contains(s"$path/cells"), p)
+    assert(!p.contains("centroidaggregator"), p)
+    assert(!p.toLowerCase.contains("posexplode"), p)
+    // and the appended vectors ARE served: a probe can surface a
+    // delta-cell candidate (functional coverage is the gate oracle;
+    // here assert the cells scan sees the appended partitions)
+    val cells = graft.sources.IvfIndexStore.cellsTable(spark, path)
+    assert(cells.filter(col("vec_id") % 5 === 4).count() > 0)
+  }
+
   test("whole-stage codegen covers the pricing aggregation") {
     // under AQE the final plan (with codegen stages) exists only after
     // execution — run it, then inspect the adaptive executed plan

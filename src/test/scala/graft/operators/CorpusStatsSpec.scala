@@ -241,4 +241,32 @@ class CorpusStatsSpec extends SparkSpecBase {
         (s == "train" && b < 98 || s == "valid" && b == 98 || s == "test" && b == 99)
     })
   }
+
+  test("docEmbed: repeated tokens stack votes, norms hit 1, identical text identical vector") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha alpha alpha"), // one token thrice: |raw| = 3 on one dim
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "alpha beta gamma delta epsilon"), // identical to doc 2
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = CorpusStats.docEmbed(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byDoc = out.groupBy(_._1)
+    // null text: no embedding rows
+    assert(!byDoc.contains(4L))
+    // doc 1: exactly one touched dim, raw = ±3, value = ±1
+    val d1 = byDoc(1L)
+    assert(d1.length == 1 && math.abs(d1.head._3) == 3L &&
+      math.abs(d1.head._4) == 1.0)
+    // identical text ⇒ identical embedding (content-deterministic)
+    assert(byDoc(2L).map(t => (t._2, t._3, t._4)).sortBy(_._1).toSeq ==
+      byDoc(3L).map(t => (t._2, t._3, t._4)).sortBy(_._1).toSeq)
+    // L2 norm of every embedding is 1 within the 6dp rounding
+    byDoc.filter(_._1 != 4L).foreach { case (id, rows) =>
+      val n2 = rows.map(r => r._4 * r._4).sum
+      assert(math.abs(n2 - 1.0) < 1e-4, s"doc $id norm² = $n2")
+    }
+    // dims stay inside [0, 16)
+    assert(out.forall(r => r._2 >= 0 && r._2 < 16))
+  }
 }
