@@ -1042,6 +1042,22 @@ object SparkEntry {
     Similarity.lshRecallAtK(t(s, dir, "embeddings"), col("vec_id") < 8)
       .orderBy(col("probe_id"))
 
+  /** Recall@5 of the PQ-served ADC cut against exact brute force — the
+    * eval loop for the memory-bounded index family (knn_recall and
+    * knn_lsh_recall cover IVF and LSH; this closes PQ). Both inputs
+    * are deterministic, so the eval carries a full value oracle.
+    */
+  private def qKnnPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val path = graft.sources.IvfIndexStore.defaultPath(dir)
+    graft.sources.IvfIndexStore.ensure(emb, path)
+    Similarity.recallOf(
+      Similarity.bruteForceTopK(emb, col("vec_id") < 8),
+      graft.sources.IvfIndexStore
+        .servedPqTopK(s, path, emb.filter(col("vec_id") < 8)), 5)
+      .orderBy(col("probe_id"))
+  }
+
   /** Trained (Lloyd) k-means assignment after 3 rounds from the
     * deterministic lowest-id seeds — full value oracle via an
     * unrolled assign/means CTE chain.
@@ -1337,7 +1353,8 @@ object SparkEntry {
     "stream_sessionize_restart" -> (qStreamSessionizeRestart _),
     "text_bigram_lm" -> (qBigramLm _),
     "knn_pq_served" -> (qKnnPqServed _),
-    "knn_ivf_append" -> (qKnnIvfAppend _)
+    "knn_ivf_append" -> (qKnnIvfAppend _),
+    "knn_pq_recall" -> (qKnnPqRecall _)
   )
 
   // ------------------------------------------------------------- oracle
@@ -1661,8 +1678,8 @@ object SparkEntry {
     * the ADC cut + exact re-rank — landing on exactly what the serve
     * plan reads from disk.
     */
-  private lazy val pqServedOracle: String =
-    s"WITH ${kmeansCtes(8, 3)},\n" +
+  private lazy val pqServedCtes: String =
+    s"${kmeansCtes(8, 3)},\n" +
       """ p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
         | lab AS (SELECT e.vec_id, e.embedding, a3.cluster AS cell
         |  FROM embeddings e JOIN a3 USING (vec_id)),
@@ -1705,8 +1722,11 @@ object SparkEntry {
         |  FROM topm t JOIN embeddings ce ON ce.vec_id = t.cand_id
         |       JOIN embeddings pp ON pp.vec_id = t.probe_id),
         | fr AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
-        |   FROM ex WHERE cosine IS NOT NULL)
-        |SELECT probe_id, cand_id, adc_cosine, cosine, rnk FROM fr WHERE rnk <= 5
+        |   FROM ex WHERE cosine IS NOT NULL)""".stripMargin
+
+  private lazy val pqServedOracle: String =
+    s"WITH $pqServedCtes\n" +
+      """SELECT probe_id, cand_id, adc_cosine, cosine, rnk FROM fr WHERE rnk <= 5
         |ORDER BY probe_id, rnk""".stripMargin
 
   private lazy val ivfTrainedOracle: String =
@@ -3058,6 +3078,23 @@ object SparkEntry {
     // SQL and lands on the identical stored tables
     "knn_ivf_served" -> ivfTrainedOracle,
     "knn_pq_served" -> pqServedOracle,
+    // recall@5 of the PQ-served cut vs exact brute force — the eval
+    // loop that decides whether the d-bytes-per-candidate ADC scan is
+    // retrieving what full precision would
+    "knn_pq_recall" ->
+      (s"WITH $pqServedCtes,\n" +
+        """ d AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+          |   round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cosine
+          |  FROM p, embeddings c WHERE c.vec_id <> p.vec_id),
+          | brute AS (SELECT probe_id, cand_id FROM (
+          |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+          |   FROM d WHERE cosine IS NOT NULL) WHERE rnk <= 5),
+          | pq AS (SELECT probe_id, cand_id FROM fr WHERE rnk <= 5)
+          |SELECT b.probe_id,
+          |  count(i.cand_id)::BIGINT AS n_hits,
+          |  round(count(i.cand_id)::DOUBLE / count(*), 4) AS recall_at_5
+          |FROM brute b LEFT JOIN pq i USING (probe_id, cand_id)
+          |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin),
     // rolled index: base-trained kmeans + frozen-centroid drop
     // assignment + serve over the union — the append never retrains
     "knn_ivf_append" -> ivfAppendOracle,

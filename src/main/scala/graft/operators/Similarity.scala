@@ -399,7 +399,7 @@ object Similarity {
     * The join is top-k × top-k per probe (tiny); the heavy lifting is
     * inside the two index scans feeding it.
     */
-  private def recallOf(brute: DataFrame, approx: DataFrame, k: Int): DataFrame =
+  private[graft] def recallOf(brute: DataFrame, approx: DataFrame, k: Int): DataFrame =
     brute.select(col("probe_id"), col("cand_id"))
       .join(
         approx.select(col("probe_id"), col("cand_id"), lit(1).as("hit")),
