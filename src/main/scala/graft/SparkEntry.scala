@@ -855,6 +855,26 @@ object SparkEntry {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** INCREMENTAL clustering: the near-dup graph's labels are maintained
+    * against a PERSISTED base labeling ([[graft.sources.CcLabelStore]])
+    * — delta edges (any pair touching vec_id % 10 == 0) re-solve only
+    * their affected components; untouched components stream from the
+    * store. Labels are component-minimum ids, so the answer equals the
+    * batch re-solve — same oracle as dedup_clusters.
+    */
+  private def qDedupClustersIncr(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.embeddingNearDups(t(s, dir, "embeddings"))
+    val isDelta = col("probe_id") % 10 === 0 || col("cand_id") % 10 === 0
+    val base = pairs.filter(!isDelta)
+    val delta = pairs.filter(isDelta)
+    val path = graft.sources.CcLabelStore.defaultPath(dir)
+    graft.sources.CcLabelStore.ensure(base, "probe_id", "cand_id", path)
+    Dedup.connectedComponentsIncremental(
+      graft.sources.CcLabelStore.labelsTable(s, path),
+      base, delta, "probe_id", "cand_id")
+      .orderBy(col("node"))
+  }
+
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(t(s, dir, "documents")).orderBy(col("doc_id"))
 
@@ -1316,6 +1336,7 @@ object SparkEntry {
     "dedup_embedding_all" -> (qDedupEmbeddingAll _),
     "dedup_embedding_auto" -> (qDedupEmbeddingAuto _),
     "dedup_clusters" -> (qDedupClusters _),
+    "dedup_clusters_incr" -> (qDedupClustersIncr _),
     "dedup_clusters_dist" -> (qDedupClustersDist _),
     "knn_bruteforce" -> (qKnnBrute _),
     "knn_lsh" -> (qKnnLsh _),
@@ -3020,6 +3041,9 @@ object SparkEntry {
     "dedup_clusters" -> dedupClustersSql,
     // identical answer, distributed path forced — same oracle
     "dedup_clusters_dist" -> dedupClustersSql,
+    // labels are component-minimum ids: the incremental maintenance
+    // answer is definitionally the batch re-solve — same oracle
+    "dedup_clusters_incr" -> dedupClustersSql,
     "knn_bruteforce" ->
       (s"WITH $knnBruteCtes,\n" +
         """ sc AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk

@@ -354,6 +354,47 @@ object Dedup {
     labels
   }
 
+  /** INCREMENTAL connected components: fold a DELTA edge set into a
+    * STORED labeling without re-solving untouched components — the
+    * daily-drop form of [[connectedComponents]] (labels are the
+    * component-minimum node id, so the incremental answer is
+    * definitionally equal to the batch re-solve over base ∪ delta,
+    * which is what keeps the batch oracle).
+    *
+    * Mechanics: the delta's endpoints name the AFFECTED stored
+    * components (plus any brand-new nodes); the sub-problem is the
+    * stored base edges inside those components (a base edge always
+    * connects same-component nodes, so ONE semi-join on the src
+    * endpoint selects them) unioned with the delta, re-solved by the
+    * standard loop; every untouched component's labels stream straight
+    * from the store. Cost ∝ affected-component size × rounds, not
+    * corpus size — at 100 TB a daily drop touches a sliver of the
+    * near-dup graph and the store pays one scan, no label ever
+    * recomputed outside the blast radius (spec-pinned by a tamper
+    * test: altering an untouched stored label surfaces in the output).
+    */
+  def connectedComponentsIncremental(storedLabels: DataFrame,
+      baseEdges: DataFrame, deltaEdges: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val deltaNodes = deltaEdges.select(col(srcCol).as("node"))
+      .unionByName(deltaEdges.select(col(dstCol).as("node"))).distinct()
+    val affected = storedLabels.join(deltaNodes, Seq("node"), "left_semi")
+      .select(col("component")).distinct()
+    val affectedNodes = storedLabels
+      .join(affected, Seq("component"), "left_semi")
+      .select(col("node"))
+    val subBase = baseEdges
+      .join(affectedNodes.withColumnRenamed("node", srcCol),
+        Seq(srcCol), "left_semi")
+      .select(col(srcCol), col(dstCol))
+    val solved = connectedComponents(
+      subBase.unionByName(deltaEdges.select(col(srcCol), col(dstCol))),
+      srcCol, dstCol)
+    storedLabels.join(affected, Seq("component"), "left_anti")
+      .select(col("node"), col("component"))
+      .unionByName(solved.select(col("node"), col("component")))
+  }
+
   /** Driver union-find over a materialized (bounded) edge list:
     * O(E α(E)), path compression + union by min — component = minimum
     * node id, matching the distributed loop's labeling exactly.

@@ -36,4 +36,51 @@ class ComponentsSpec extends SparkSpecBase {
     assert(local == dist)
     assert(local.map(_._2).toSet == Set(1L, 10L, 20L))
   }
+
+  test("incremental CC: delta merges, new components, untouched stay stored") {
+    // base: {1,2,3}, {10,11}, {20,21}; delta merges {1..} with {10..}
+    // and adds a brand-new component {30,31}
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L)).toDF("a", "b")
+    val delta = Seq((3L, 10L), (30L, 31L)).toDF("a", "b")
+    val stored = Dedup.connectedComponents(base, "a", "b")
+    val got = Dedup.connectedComponentsIncremental(stored, base, delta, "a", "b")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val batch = Dedup.connectedComponents(base.unionByName(delta), "a", "b")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == batch)
+    assert(got.toMap.apply(11L) == 1L) // the merge actually crossed
+  }
+
+  test("incremental CC streams untouched labels from the STORE (tamper-proof)") {
+    val base = Seq((1L, 2L), (10L, 11L)).toDF("a", "b")
+    val delta = Seq((1L, 3L)).toDF("a", "b") // touches only component 1
+    val stored = Dedup.connectedComponents(base, "a", "b")
+    // tamper the untouched component's label: a re-solve would restore
+    // 10; honoring the store must surface the decoy
+    val tampered = stored
+      .withColumn("component",
+        org.apache.spark.sql.functions.when($"component" === 10L, 999L)
+          .otherwise($"component"))
+    val got = Dedup
+      .connectedComponentsIncremental(tampered, base, delta, "a", "b")
+      .orderBy("node").as[(Long, Long)].collect().toMap
+    assert(got(10L) == 999L && got(11L) == 999L)
+    assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
+  }
+
+  test("incremental CC on the gate split equals the batch labels") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val pairs = Dedup.embeddingNearDups(emb)
+    val isDelta = $"probe_id" % 10 === 0 || $"cand_id" % 10 === 0
+    val base = pairs.filter(!isDelta)
+    val delta = pairs.filter(isDelta)
+    val stored = Dedup.connectedComponents(base, "probe_id", "cand_id")
+    val got = Dedup
+      .connectedComponentsIncremental(stored, base, delta, "probe_id", "cand_id")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val batch = Dedup.connectedComponents(pairs, "probe_id", "cand_id")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got == batch)
+  }
 }
