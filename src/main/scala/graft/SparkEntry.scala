@@ -393,6 +393,16 @@ object SparkEntry {
     Graph.triangleCounts(Graph.coPurchaseEdges(t(s, dir, "lineitem")))
       .orderBy(col("node"))
 
+  /** Scene-boundary detection within each media asset
+    * ([[Multimodal.sceneSegments]]): consecutive frame signatures more
+    * than 24 Hamming bits apart open a new scene; islands-grouped
+    * spans with the opening cut distance. Integer arithmetic end to
+    * end, replayed by the oracle on the same byte-window frames.
+    */
+  private def qMmScenes(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sceneSegments(Multimodal.asMedia(t(s, dir, "documents")))
+      .orderBy(col("doc_id"), col("scene_idx"))
+
   private def qMmDedup(s: SparkSession, dir: String): DataFrame =
     Multimodal.dedupAssets(Multimodal.asMedia(t(s, dir, "documents")))
       .orderBy(col("content_md5"))
@@ -1365,6 +1375,7 @@ object SparkEntry {
     "stream_neardup" -> (qStreamNearDup _),
     "pipeline_corpus" -> (qPipelineCorpus _),
     "mm_phash" -> (qMmPhash _),
+    "mm_scenes" -> (qMmScenes _),
     "text_dup_spans" -> (qDupSpans _),
     "stream_incr_agg" -> (qStreamIncrAgg _),
     "q_kmv_overlap" -> (qKmvOverlap _),
@@ -1385,6 +1396,29 @@ object SparkEntry {
   // knn_recall — composing them from ONE definition means a future
   // index change (rounding, nprobe, null filter) cannot silently
   // leave knn_recall evaluating a stale copy of the index.
+  /** Shared mm frame-signature replay: byte-window frames from the
+    * ASCII corpus (substr replays the windows), 64-block aHash bits
+    * packed as two 32-bit halves — used by mm_phash and mm_scenes.
+    */
+  private val mmBitsCtes: String =
+    """f AS (SELECT d.doc_id, fi.i::INT AS frame_idx,
+      |   list_transform(regexp_extract_all(substr(d.text, fi.i * 256 + 1, 256), '.'),
+      |     c -> unicode(c)) AS bytes
+      |  FROM documents d, (SELECT unnest(range(0, 4)) AS i) fi
+      |  WHERE fi.i = 0 OR fi.i * 256 < octet_length(encode(d.text))),
+      | blocks AS (SELECT doc_id, frame_idx, len(bytes) AS n,
+      |   list_sum(bytes) AS total, b.b AS b,
+      |   coalesce(list_sum(bytes[(b.b * len(bytes) // 64) + 1
+      |     : ((b.b + 1) * len(bytes) // 64)]), 0) AS bsum,
+      |   ((b.b + 1) * len(bytes) // 64) - (b.b * len(bytes) // 64) AS blen
+      |  FROM f, (SELECT unnest(range(0, 64)) AS b) b),
+      | bits AS (SELECT doc_id, frame_idx,
+      |   sum(CASE WHEN b < 32 AND bsum * n > total * blen
+      |     THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig_lo,
+      |   sum(CASE WHEN b >= 32 AND bsum * n > total * blen
+      |     THEN (1::BIGINT << (b - 32)) ELSE 0 END)::BIGINT AS sig_hi
+      |  FROM blocks GROUP BY doc_id, frame_idx)""".stripMargin
+
   private val knnBruteCtes: String =
     """p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
       | d AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
@@ -3291,31 +3325,38 @@ object SparkEntry {
     // corpus is ASCII, so char positions/codes equal byte
     // offsets/values and substr replays the frame windows.
     "mm_phash" ->
-      """WITH f AS (SELECT d.doc_id, fi.i::INT AS frame_idx,
-        |   list_transform(regexp_extract_all(substr(d.text, fi.i * 256 + 1, 256), '.'),
-        |     c -> unicode(c)) AS bytes
-        |  FROM documents d, (SELECT unnest(range(0, 4)) AS i) fi
-        |  WHERE fi.i = 0 OR fi.i * 256 < octet_length(encode(d.text))),
-        | blocks AS (SELECT doc_id, frame_idx, len(bytes) AS n,
-        |   list_sum(bytes) AS total, b.b AS b,
-        |   coalesce(list_sum(bytes[(b.b * len(bytes) // 64) + 1
-        |     : ((b.b + 1) * len(bytes) // 64)]), 0) AS bsum,
-        |   ((b.b + 1) * len(bytes) // 64) - (b.b * len(bytes) // 64) AS blen
-        |  FROM f, (SELECT unnest(range(0, 64)) AS b) b),
-        | bits AS (SELECT doc_id, frame_idx,
-        |   sum(CASE WHEN b < 32 AND bsum * n > total * blen
-        |     THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS sig_lo,
-        |   sum(CASE WHEN b >= 32 AND bsum * n > total * blen
-        |     THEN (1::BIGINT << (b - 32)) ELSE 0 END)::BIGINT AS sig_hi
-        |  FROM blocks GROUP BY doc_id, frame_idx)
-        |SELECT doc_a, doc_b, frame_idx, hamming FROM (
+      (s"WITH $mmBitsCtes\n" +
+      """SELECT doc_a, doc_b, frame_idx, hamming FROM (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.frame_idx,
         |   (bit_count(xor(a.sig_lo, b.sig_lo))
         |    + bit_count(xor(a.sig_hi, b.sig_hi)))::INT AS hamming
         |  FROM bits a JOIN bits b
         |    ON a.doc_id < b.doc_id AND a.frame_idx = b.frame_idx)
         |WHERE hamming <= 3
-        |ORDER BY doc_a, doc_b, frame_idx""".stripMargin,
+        |ORDER BY doc_a, doc_b, frame_idx""".stripMargin),
+    // scene boundaries: same frame-signature replay, then the lag +
+    // islands grouping with the 24-bit cut law
+    "mm_scenes" ->
+      (s"WITH $mmBitsCtes,\n" +
+      """ lagd AS (SELECT doc_id, frame_idx, sig_lo, sig_hi,
+        |   lag(sig_lo) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS plo,
+        |   lag(sig_hi) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS phi
+        |  FROM bits),
+        | d2 AS (SELECT doc_id, frame_idx,
+        |   CASE WHEN plo IS NULL THEN NULL
+        |     ELSE (bit_count(xor(sig_lo, plo)) + bit_count(xor(sig_hi, phi)))::INT
+        |   END AS dist FROM lagd),
+        | b2 AS (SELECT doc_id, frame_idx, dist,
+        |   CASE WHEN dist IS NULL OR dist > 24 THEN 1 ELSE 0 END AS brk FROM d2),
+        | g AS (SELECT doc_id, frame_idx, dist, brk,
+        |   (sum(brk) OVER (PARTITION BY doc_id ORDER BY frame_idx) - 1)::BIGINT AS scene_idx
+        |  FROM b2)
+        |SELECT doc_id, scene_idx,
+        | min(frame_idx)::INT AS start_frame, max(frame_idx)::INT AS end_frame,
+        | count(*)::BIGINT AS n_frames,
+        | max(CASE WHEN brk = 1 THEN dist END)::INT AS cut_dist
+        |FROM g GROUP BY doc_id, scene_idx
+        |ORDER BY doc_id, scene_idx""".stripMargin),
     "q_event_transitions" ->
       """WITH p AS (SELECT user_id, event_type,
         |   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

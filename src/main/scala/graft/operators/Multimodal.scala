@@ -172,6 +172,47 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Scene segmentation WITHIN each asset — the boundary detector every
+    * video pipeline runs before per-scene sampling/captioning:
+    * consecutive sampled frames whose block-hash signatures differ by
+    * more than `cutThreshold` Hamming bits start a new scene; runs of
+    * similar frames group into one (islands method over the frame
+    * index, the same device as sessionization). Emits one row per
+    * scene with its frame span and the cut distance that opened it
+    * (NULL for each asset's first scene).
+    *
+    * Scale shape: signatures come from the one [[frameSignatures]]
+    * pass (bytes never leave the map); the lag/island windows
+    * partition per asset over ≤ maxFrames rows — per-key work is
+    * constant, the shuffle key is the doc id. Deterministic integer
+    * arithmetic end to end, full value oracle.
+    */
+  def sceneSegments(media: Dataset[MMRecord], cutThreshold: Int = 24): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sigs = frameSignatures(frameSample(media))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    val run = Window.partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lagged = sigs
+      .withColumn("plo", lag(col("sig_lo"), 1).over(w))
+      .withColumn("phi", lag(col("sig_hi"), 1).over(w))
+      .withColumn("dist",
+        when(col("plo").isNull, lit(null).cast("int"))
+          .otherwise((bit_count(col("sig_lo").bitwiseXOR(col("plo"))) +
+            bit_count(col("sig_hi").bitwiseXOR(col("phi")))).cast("int")))
+      .withColumn("brk",
+        when(col("dist").isNull || col("dist") > cutThreshold, 1)
+          .otherwise(0))
+      .withColumn("scene_idx", (sum(col("brk")).over(run) - 1L).cast("bigint"))
+      .withColumn("cut", when(col("brk") === 1, col("dist")))
+    lagged.groupBy(col("doc_id"), col("scene_idx"))
+      .agg(
+        min(col("frame_idx")).cast("int").as("start_frame"),
+        max(col("frame_idx")).cast("int").as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        max(col("cut")).as("cut_dist"))
+  }
+
   // ------------------------------------------------------- real decode
 
   private val PngMagic = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a,

@@ -44,4 +44,27 @@ class MmPhashSpec extends SparkSpecBase {
       Multimodal.nearDupFrames(media, maxHamming = 4)
     }
   }
+
+  test("sceneSegments: identical frames group, a hard cut opens a scene") {
+    import spark.implicits._
+    // frames are 256-byte windows: two identical ramp frames (Hamming
+    // 0 → one scene), then an alternating-block frame whose signature
+    // is 32 bits away (> 24 → a new scene)
+    val ramp = Array.tabulate(256)(i => i.toByte)
+    val alt = Array.tabulate(256) { i =>
+      if ((i / 4) % 2 == 0) 0x00.toByte else 0xff.toByte
+    }
+    val content = ramp ++ ramp ++ alt
+    val media = Seq(MMRecord(7L, content, "video", 0, 0)).toDS()
+    val out = Multimodal.sceneSegments(media).orderBy("scene_idx")
+      .select("doc_id", "scene_idx", "start_frame", "end_frame", "n_frames")
+      .as[(Long, Long, Int, Int, Long)].collect().toSeq
+    assert(out == Seq((7L, 0L, 0, 1, 2L), (7L, 1L, 2, 2, 1L)))
+    // the cut distance is recorded on the scene it opened
+    val cuts = Multimodal.sceneSegments(media).orderBy("scene_idx")
+      .select("cut_dist").collect().map(r =>
+        if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(cuts.head.isEmpty) // first scene has no opening cut
+    assert(cuts(1).exists(_ > 24))
+  }
 }
