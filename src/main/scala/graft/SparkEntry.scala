@@ -1077,6 +1077,25 @@ object SparkEntry {
     * knn_lsh_recall cover IVF and LSH; this closes PQ). Both inputs
     * are deterministic, so the eval carries a full value oracle.
     */
+  /** Recall@5 of the ROLLED (build + append, frozen quantizer) index
+    * against brute force over the whole corpus — the drift measurement
+    * that backs the append contract's "periodic retrain when recall
+    * degrades": the number a production pipeline watches to decide
+    * when the frozen centroids have drifted from the appended data.
+    */
+  private def qKnnIvfAppendRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 5 =!= 4)
+    val delta = emb.filter(col("vec_id") % 5 === 4)
+    val path = graft.sources.IvfIndexStore.defaultPath(dir) + "_roll"
+    graft.sources.IvfIndexStore.ensureRolled(s, base, delta, path)
+    Similarity.recallOf(
+      Similarity.bruteForceTopK(emb, col("vec_id") < 8),
+      graft.sources.IvfIndexStore
+        .servedTopK(s, path, emb.filter(col("vec_id") < 8)), 5)
+      .orderBy(col("probe_id"))
+  }
+
   private def qKnnPqRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val path = graft.sources.IvfIndexStore.defaultPath(dir)
@@ -1386,7 +1405,8 @@ object SparkEntry {
     "text_bigram_lm" -> (qBigramLm _),
     "knn_pq_served" -> (qKnnPqServed _),
     "knn_ivf_append" -> (qKnnIvfAppend _),
-    "knn_pq_recall" -> (qKnnPqRecall _)
+    "knn_pq_recall" -> (qKnnPqRecall _),
+    "knn_ivf_append_recall" -> (qKnnIvfAppendRecall _)
   )
 
   // ------------------------------------------------------------- oracle
@@ -1818,8 +1838,8 @@ object SparkEntry {
     * append pass uses, then the standard IVF serve over the union —
     * landing on exactly what the rolled index stores.
     */
-  private lazy val ivfAppendOracle: String =
-    s"WITH ${kmeansCtes(8, 3, " AND vec_id % 5 <> 4")},\n" +
+  private lazy val ivfAppendCtes: String =
+    s"${kmeansCtes(8, 3, " AND vec_id % 5 <> 4")},\n" +
       """ p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
         | lab0 AS (SELECT e.vec_id, e.embedding, a3.cluster AS cell
         |  FROM embeddings e JOIN a3 USING (vec_id)),
@@ -1852,8 +1872,11 @@ object SparkEntry {
         |       JOIN embeddings pp ON pp.vec_id = tcells.probe_id
         |  WHERE e.vec_id <> tcells.probe_id),
         | tsc AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
-        |   FROM tcand WHERE cosine IS NOT NULL)
-        |SELECT probe_id, cand_id, cosine, rnk FROM tsc WHERE rnk <= 5
+        |   FROM tcand WHERE cosine IS NOT NULL)""".stripMargin
+
+  private lazy val ivfAppendOracle: String =
+    s"WITH $ivfAppendCtes\n" +
+      """SELECT probe_id, cand_id, cosine, rnk FROM tsc WHERE rnk <= 5
         |ORDER BY probe_id, rnk""".stripMargin
 
   // MinHash replay: the affine family's (a_j, b_j) parameters come
@@ -3156,6 +3179,23 @@ object SparkEntry {
     // rolled index: base-trained kmeans + frozen-centroid drop
     // assignment + serve over the union — the append never retrains
     "knn_ivf_append" -> ivfAppendOracle,
+    // recall@5 of the ROLLED index vs brute force over the union —
+    // the drift measurement behind "periodic retrain when recall
+    // degrades": quantifies what the frozen-centroid append costs
+    "knn_ivf_append_recall" ->
+      (s"WITH $ivfAppendCtes,\n" +
+        """ bd AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+          |   round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cosine
+          |  FROM p, embeddings c WHERE c.vec_id <> p.vec_id),
+          | brute AS (SELECT probe_id, cand_id FROM (
+          |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+          |   FROM bd WHERE cosine IS NOT NULL) WHERE rnk <= 5),
+          | rolled AS (SELECT probe_id, cand_id FROM tsc WHERE rnk <= 5)
+          |SELECT b.probe_id,
+          |  count(r.cand_id)::BIGINT AS n_hits,
+          |  round(count(r.cand_id)::DOUBLE / count(*), 4) AS recall_at_5
+          |FROM brute b LEFT JOIN rolled r USING (probe_id, cand_id)
+          |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin),
     // IVF+ADC replay: the int8 grid (emb_quantize's min/max law), the
     // fixed-shape dequantization mn + floor((x-mn)/step + .5)*step,
     // the 4dp ADC cut at rerank=15 (ties on cand_id), and the exact
