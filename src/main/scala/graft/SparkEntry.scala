@@ -497,6 +497,12 @@ object SparkEntry {
   private def qCoPurchase(s: SparkSession, dir: String): DataFrame =
     Relational.coPurchasePairs(t(s, dir, "lineitem"))
 
+  /** Association rules (support/confidence/lift) over order baskets —
+    * top-20 directed rules by lift ([[Relational.assocRules]]).
+    */
+  private def qAssocRules(s: SparkSession, dir: String): DataFrame =
+    Relational.assocRules(t(s, dir, "lineitem"))
+
   private def qRetention(s: SparkSession, dir: String): DataFrame =
     Relational.cohortRetention(t(s, dir, "events"))
       .orderBy(col("cohort_week"), col("week_offset"))
@@ -1335,6 +1341,7 @@ object SparkEntry {
     "text_mixture_sample" -> (qMixtureSample _),
     "text_weighted_sample" -> (qWeightedSample _),
     "q_copurchase" -> (qCoPurchase _),
+    "q_assoc_rules" -> (qAssocRules _),
     "q_pagerank" -> (qPageRank _),
     "q_triangles" -> (qTriangles _),
     "text_doc_embed" -> (qDocEmbed _),
@@ -2558,6 +2565,25 @@ object SparkEntry {
       (s"WITH ${pageRankCtes(5)}\n" +
         """SELECT node, rank FROM r5
           |ORDER BY rank DESC, node LIMIT 20""".stripMargin),
+    "q_assoc_rules" ->
+      """WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        | tot AS (SELECT count(DISTINCT l_orderkey)::DOUBLE AS n_total FROM basket),
+        | items AS (SELECT l_partkey, count(*)::BIGINT AS n_item
+        |  FROM basket GROUP BY l_partkey),
+        | pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |   count(*)::BIGINT AS n_ab
+        |  FROM basket a JOIN basket b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT part_a, part_b, n_ab,
+        | round(n_ab / t.n_total, 4) AS support,
+        | round(n_ab::DOUBLE / ia.n_item, 4) AS confidence,
+        | round((n_ab::DOUBLE / ia.n_item) / (ib.n_item / t.n_total), 4) AS lift
+        |FROM pairs
+        | JOIN items ia ON ia.l_partkey = part_a
+        | JOIN items ib ON ib.l_partkey = part_b, tot t
+        |ORDER BY lift DESC, part_a, part_b LIMIT 20""".stripMargin,
     // triangle ground truth by id orientation (x < y < z): the set is
     // orientation-invariant, so it equals the degree-ordered listing
     "q_triangles" ->

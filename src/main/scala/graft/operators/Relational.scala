@@ -491,6 +491,54 @@ object Relational {
       .limit(topN)
   }
 
+  /** Association rules at pair grain (support / confidence / lift —
+    * Agrawal & Srikant, SIGMOD 1993): every DIRECTED item pair a→b
+    * co-occurring in at least `minOrders` baskets, scored as
+    * support = n_ab / N, confidence = n_ab / n_a, and
+    * lift = confidence / (n_b / N); the top `topN` rules by lift.
+    * "Customers who bought a also bought b" with the base-rate
+    * correction co-occurrence counts alone lack.
+    *
+    * Scale shape: the deduped basket feeds BOTH the pair fan-out
+    * (bounded per order by basket size, same reused-exchange self-join
+    * as [[coPurchasePairs]]) and the per-item counts (one map-side
+    * partial agg); the basket total N is a broadcast 1-row aggregate.
+    * Item counts join the pair table on the item key — part-grain,
+    * never order-grain. Ratios round to 4dp in the same operation
+    * order as the oracle, and the final cut is a TakeOrdered on the
+    * (lift, a, b) total order.
+    */
+  def assocRules(lineitem: DataFrame, minOrders: Long = 2,
+      topN: Int = 20): DataFrame = {
+    val basket = lineitem
+      .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+    val total = basket.agg(
+      countDistinct(col("l_orderkey")).cast("double").as("n_total"))
+    val items = basket.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_item"))
+    val pairs = basket.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(basket.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        Seq("l_orderkey"))
+      .filter(col("part_a") =!= col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minOrders)
+    pairs
+      .join(items.select(col("l_partkey").as("part_a"),
+        col("n_item").as("n_a")), Seq("part_a"))
+      .join(items.select(col("l_partkey").as("part_b"),
+        col("n_item").as("n_b")), Seq("part_b"))
+      .crossJoin(broadcast(total))
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        round(col("n_ab") / col("n_total"), 4).as("support"),
+        round(col("n_ab") / col("n_a"), 4).as("confidence"),
+        round((col("n_ab") / col("n_a"))
+          / (col("n_b") / col("n_total")), 4).as("lift"))
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(topN)
+  }
+
   /** ROLLUP aggregation: per (flag, status), per flag, and grand total.
     * Same partial-agg shape as a flat groupBy — grouping sets expand
     * map-side.

@@ -55,4 +55,22 @@ class OrderReportsSpec extends SparkSpecBase {
       r.getAs[Long]("n_items"))).toSeq ==
       Seq((10L, 100.0, 1L), (20L, 30.0, 1L)))
   }
+
+  test("association rules score support, confidence, and lift by hand-check") {
+    // 4 baskets: {10,20} ×3, {10} ×1 → rule 20→10 has conf 1.0,
+    // lift 1.0/(4/4)=1.0; rule 10→20: conf 3/4, lift 0.75/(3/4)=1.0
+    val lineitem = Seq(
+      (1L, 10L), (1L, 20L),
+      (2L, 10L), (2L, 20L),
+      (3L, 10L), (3L, 20L),
+      (4L, 10L)
+    ).toDF("l_orderkey", "l_partkey")
+    val out = Relational.assocRules(lineitem).collect().map(r =>
+      ((r.getAs[Long]("part_a"), r.getAs[Long]("part_b")),
+        (r.getAs[Long]("n_ab"), r.getAs[Double]("support"),
+          r.getAs[Double]("confidence"), r.getAs[Double]("lift")))).toMap
+    assert(out.size == 2)
+    assert(out((10L, 20L)) == ((3L, 0.75, 0.75, 1.0)))
+    assert(out((20L, 10L)) == ((3L, 0.75, 1.0, 1.0)))
+  }
 }
