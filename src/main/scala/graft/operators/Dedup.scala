@@ -158,17 +158,28 @@ object Dedup {
       .filter(col("doc_id") =!= col("delta_id"))
       .select(least(col("doc_id"), col("delta_id")).as("id_a"),
         greatest(col("doc_id"), col("delta_id")).as("id_b"))
-    // delta-internal candidates: the drop against itself
+    // delta-internal candidates: the drop against itself. The b side
+    // reuses the SAME broadcast as the stored-index join (one
+    // broadcast exchange, one signing pass for both candidate sources)
     val candDelta = {
       val cond = keyCols.map(c => col(s"a.$c") === col(s"b.$c"))
         .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
-      deltaBands.alias("a").join(deltaBands.alias("b"), cond)
+      deltaBands.alias("a").join(deltaSide.alias("b"), cond)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     }
     val pairs = candCorpus.unionByName(candDelta).distinct()
-    // exact-Jaccard verify: corpus text fetched by candidate id only
-    val candIds = pairs.select(col("id_a").as("doc_id"))
-      .unionByName(pairs.select(col("id_b").as("doc_id"))).distinct()
+    // exact-Jaccard verify: corpus text fetched by candidate id only.
+    // The id set comes straight from the delta×stored band join (the
+    // non-delta side of every candidate pair is by construction a
+    // stored-index id), NOT from re-deriving the full pair frame — one
+    // index-scan subtree instead of two — and delta ids never enter
+    // it, so callers may pass the FULL docs table as `corpus` without
+    // a corpus-wide anti-join (a streaming micro-batch doesn't know
+    // its complement's predicate)
+    val candIds = storedBands
+      .join(deltaSide.select(keyCols.map(col): _*), keyCols)
+      .select(col("doc_id")).distinct()
+      .join(delta.select(col("doc_id")), Seq("doc_id"), "left_anti")
     val corpusSh = corpus.join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), TF.wordShingles(col("text"), 3).as("shingles"))
     val allSh = deltaSh.unionByName(corpusSh)
