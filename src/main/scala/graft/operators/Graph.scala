@@ -220,13 +220,22 @@ object Graph {
     * the triangle SET is orientation-invariant, so the counts match).
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    // neighbor count per node (symmetric list: every neighbor appears
-    // once as dst of the node's out-edges)
-    val deg = edges.groupBy(col("src").as("node"))
+    // materialize the unique undirected pairs ONCE — three consumers
+    // (degree aggregate, wedge build, closing-edge lookup) would
+    // otherwise each recompute the possibly-expensive upstream edge
+    // generation (same rule as connectedComponents' edge checkpoint)
+    val ue = edges.filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+      .localCheckpoint()
+    // neighbor count per node from both endpoints of the unique pairs
+    val deg = ue.select(col("src").as("node"))
+      .unionByName(ue.select(col("dst").as("node")))
+      .groupBy(col("node"))
       .agg(count(lit(1)).as("degree"))
-    // undirected unique pairs, then degree-orientation: (u → v) with
-    // (deg, id)(u) < (deg, id)(v); carry v's key for the wedge order
-    val oriented = edges.filter(col("src") < col("dst"))
+    // degree-orientation: (u → v) with (deg, id)(u) < (deg, id)(v);
+    // carry v's key for the wedge order. Materialized once — the wedge
+    // self-join and the closing lookup both read it.
+    val oriented = ue
       .join(deg.select(col("node").as("src"), col("degree").as("ds")), "src")
       .join(deg.select(col("node").as("dst"), col("degree").as("dd")), "dst")
       .select(
@@ -236,19 +245,40 @@ object Graph {
           .otherwise(struct(col("dst").as("u"), col("src").as("v"),
             col("ds").as("dv"), col("dd").as("du"))).as("o"))
       .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
-    // wedges at u over orientation-ordered leg pairs: the closing edge
-    // is then exactly (y → z) in the oriented list
-    val wedges = oriented.alias("a")
-      .join(oriented.alias("b"),
-        col("a.u") === col("b.u") &&
-          (struct(col("a.dv"), col("a.v")) < struct(col("b.dv"), col("b.v"))))
-      .select(col("a.u").as("x"), col("a.v").as("y"), col("b.v").as("z"))
-    val triangles = wedges.join(
-      oriented.select(col("u").as("y"), col("v").as("z")), Seq("y", "z"))
-    val corners = triangles.select(explode(array(col("x"), col("y"), col("z")))
-      .as("node"))
+      .localCheckpoint()
+    // EDGE-ITERATOR close: a triangle a→b, a→c, b→c is found exactly
+    // once, at its orientation-minimal edge (a, b), as the out-neighbor
+    // intersection N+(a) ∩ N+(b). The wedge stream (Σ C(outdeg, 2)
+    // rows, easily 30× the edge count) never materializes — the same
+    // work runs as per-edge array intersections inside one codegen
+    // stage. Orientation bounds every adjacency array by O(√m)
+    // elements; the adjacency table itself is m entries total, so it
+    // broadcasts on bounded graphs and shuffle-joins past the
+    // threshold (each join keyed by a node id, arrays never wider
+    // than √m either way).
+    val adj = oriented.groupBy(col("u"))
+      .agg(sort_array(collect_list(col("v"))).as("nbrs"))
+    val wide = ue.count() > 5000000L
+    def side(renamed: DataFrame) = if (wide) renamed else broadcast(renamed)
+    val joined = oriented.select(col("u"), col("v"))
+      .join(side(adj.select(col("u"), col("nbrs").as("nu"))), Seq("u"))
+      .join(side(adj.select(col("u").as("v"), col("nbrs").as("nv"))),
+        Seq("v"), "left")
+      .select(col("u"), col("v"), col("nu"),
+        coalesce(col("nv"), array().cast("array<long>")).as("nv"))
+    val tri = joined
+      .select(col("u"), col("v"), array_intersect(col("nu"), col("nv")).as("ws"))
+      .filter(size(col("ws")) > 0)
+    // per-corner credit: u and v once per closing third corner, every
+    // third corner once — triangle-grain rows only
+    val corners = tri
+      .select(explode(col("ws")).as("node"), lit(1L).as("cnt"))
+      .unionByName(tri.select(col("u").as("node"),
+        size(col("ws")).cast("long").as("cnt")))
+      .unionByName(tri.select(col("v").as("node"),
+        size(col("ws")).cast("long").as("cnt")))
     corners.groupBy(col("node"))
-      .agg(count(lit(1)).as("n_triangles"))
+      .agg(sum(col("cnt")).as("n_triangles"))
       .join(deg, Seq("node"))
       .select(col("node"), col("degree"), col("n_triangles"),
         round(lit(2.0) * col("n_triangles")
