@@ -503,6 +503,15 @@ object SparkEntry {
   private def qAssocRules(s: SparkSession, dir: String): DataFrame =
     Relational.assocRules(t(s, dir, "lineitem"))
 
+  /** 2-D Pareto skyline of parts (price lower-better × size
+    * higher-better) via the two-level running max
+    * ([[Relational.skyline2d]]); the oracle is the INDEPENDENT
+    * quadratic NOT-EXISTS dominance formulation.
+    */
+  private def qSkyline(s: SparkSession, dir: String): DataFrame =
+    Relational.skyline2d(t(s, dir, "part"))
+      .orderBy(col("p_partkey"))
+
   private def qRetention(s: SparkSession, dir: String): DataFrame =
     Relational.cohortRetention(t(s, dir, "events"))
       .orderBy(col("cohort_week"), col("week_offset"))
@@ -1342,6 +1351,7 @@ object SparkEntry {
     "text_weighted_sample" -> (qWeightedSample _),
     "q_copurchase" -> (qCoPurchase _),
     "q_assoc_rules" -> (qAssocRules _),
+    "q_skyline" -> (qSkyline _),
     "q_pagerank" -> (qPageRank _),
     "q_triangles" -> (qTriangles _),
     "text_doc_embed" -> (qDocEmbed _),
@@ -2565,6 +2575,17 @@ object SparkEntry {
       (s"WITH ${pageRankCtes(5)}\n" +
         """SELECT node, rank FROM r5
           |ORDER BY rank DESC, node LIMIT 20""".stripMargin),
+    // independent ground truth: the quadratic dominance NOT EXISTS —
+    // the Spark plan's two-level running max must land on it exactly
+    "q_skyline" ->
+      """SELECT p_partkey, p_name, p_retailprice, p_size
+        |FROM part a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part b
+        |  WHERE b.p_retailprice <= a.p_retailprice
+        |    AND b.p_size >= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+        |ORDER BY p_partkey""".stripMargin,
     "q_assoc_rules" ->
       """WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         | tot AS (SELECT count(DISTINCT l_orderkey)::DOUBLE AS n_total FROM basket),

@@ -491,6 +491,49 @@ object Relational {
       .limit(topN)
   }
 
+  /** 2-D skyline (Pareto frontier): the parts no other part beats on
+    * BOTH price (lower-better) and size (higher-better), with at least
+    * one strict improvement — the dominance query behind "best
+    * price/capability trade-offs". The textbook formulation is a
+    * quadratic NOT-EXISTS dominance self-join (which the oracle runs
+    * as the independent ground truth); this plan exploits the 2-D
+    * structure instead: a row is dominated iff the max size among
+    * STRICTLY cheaper rows reaches its size, or a same-price row
+    * strictly exceeds it — a running max over the price order.
+    *
+    * Scale shape: the running max runs TWO-LEVEL (the packManifest
+    * prefix-sum pattern): per-price grain first (one partial agg),
+    * then in-bucket running max partitioned by a price bucket + a
+    * bucket-grain prefix max that broadcasts — no global
+    * single-partition window at any scale. One scan, two bounded
+    * exchanges, dominance decided per row.
+    */
+  def skyline2d(part: DataFrame, bucketWidth: Double = 100.0): DataFrame = {
+    val grain = part
+      .groupBy(col("p_retailprice").as("price"))
+      .agg(max(col("p_size")).as("pmax"))
+      .withColumn("bucket", floor(col("price") / bucketWidth))
+    val inBucket = Window.partitionBy(col("bucket")).orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = grain.withColumn("lmax", max(col("pmax")).over(inBucket))
+    val bucketMax = grain.groupBy(col("bucket"))
+      .agg(max(col("pmax")).as("bmax"))
+    val bucketPrefix = bucketMax.withColumn("prevbmax",
+      max(col("bmax")).over(Window.orderBy(col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bucket"), col("prevbmax"))
+    val prevmax = local.join(broadcast(bucketPrefix), Seq("bucket"))
+      .select(col("price"), col("pmax"),
+        greatest(coalesce(col("lmax"), lit(Int.MinValue)),
+          coalesce(col("prevbmax"), lit(Int.MinValue))).as("cheaper_max"))
+    part
+      .join(prevmax, col("p_retailprice") === col("price"))
+      .filter(!(col("cheaper_max") >= col("p_size") ||
+        col("pmax") > col("p_size")))
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"),
+        col("p_size"))
+  }
+
   /** Association rules at pair grain (support / confidence / lift —
     * Agrawal & Srikant, SIGMOD 1993): every DIRECTED item pair a→b
     * co-occurring in at least `minOrders` baskets, scored as

@@ -73,4 +73,20 @@ class OrderReportsSpec extends SparkSpecBase {
     assert(out((10L, 20L)) == ((3L, 0.75, 0.75, 1.0)))
     assert(out((20L, 10L)) == ((3L, 0.75, 1.0, 1.0)))
   }
+
+  test("skyline keeps exactly the undominated parts; twins both survive") {
+    val part = Seq(
+      (1L, "a", BigDecimal("10.00"), 5), // dominated by 3 (cheaper, same size)
+      (2L, "b", BigDecimal("10.00"), 5), // dominated by 3
+      (3L, "c", BigDecimal("5.00"), 5),  // skyline
+      (4L, "d", BigDecimal("20.00"), 10), // skyline (largest size)
+      (5L, "e", BigDecimal("20.00"), 9), // dominated by 4 (same price, bigger)
+      (6L, "f", BigDecimal("3.00"), 1),  // dominated by 7 (cheaper, same size)
+      (7L, "g", BigDecimal("2.00"), 1),  // skyline twin
+      (8L, "h", BigDecimal("2.00"), 1)   // skyline twin (no strict edge between twins)
+    ).toDF("p_partkey", "p_name", "p_retailprice", "p_size")
+    val got = Relational.skyline2d(part)
+      .select("p_partkey").as[Long].collect().toSet
+    assert(got == Set(3L, 4L, 7L, 8L))
+  }
 }
