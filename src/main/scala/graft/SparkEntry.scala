@@ -900,6 +900,14 @@ object SparkEntry {
       .orderBy(col("node"))
   }
 
+  /** Near-dup keep-lowest ACTION ([[Dedup.minhashKeep]]): the corpus
+    * with every Jaccard ≥ 0.5 near-dup of a lower id removed.
+    */
+  private def qDedupMinhashKeep(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashKeep(t(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(t(s, dir, "documents")).orderBy(col("doc_id"))
 
@@ -1381,6 +1389,7 @@ object SparkEntry {
     "dedup_embedding" -> (qDedupEmbedding _),
     "dedup_embedding_all" -> (qDedupEmbeddingAll _),
     "dedup_embedding_auto" -> (qDedupEmbeddingAuto _),
+    "dedup_minhash_keep" -> (qDedupMinhashKeep _),
     "dedup_clusters" -> (qDedupClusters _),
     "dedup_clusters_incr" -> (qDedupClustersIncr _),
     "dedup_clusters_dist" -> (qDedupClustersDist _),
@@ -3142,6 +3151,13 @@ object SparkEntry {
           |       JOIN embeddings eb ON eb.vec_id = pr.b_id)
           |SELECT a_id, b_id, cosine FROM sc WHERE cosine >= 0.35
           |ORDER BY a_id, b_id""".stripMargin),
+    // near-dup keep-lowest action: survivors after dropping every
+    // verified higher-id near-dup
+    "dedup_minhash_keep" ->
+      (s"WITH ${minhashCtes(wordShingleCte, 32, 8, 4)}\n" +
+        """SELECT doc_id, lang, source, n_chars FROM documents
+          |WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ver WHERE j >= 0.5)
+          |ORDER BY doc_id""".stripMargin),
     "dedup_clusters" -> dedupClustersSql,
     // identical answer, distributed path forced — same oracle
     "dedup_clusters_dist" -> dedupClustersSql,

@@ -96,6 +96,21 @@ object Dedup {
         TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
+  /** The near-dup ACTION twin of [[exactKeep]]: every document with a
+    * verified (Jaccard ≥ threshold) near-dup of LOWER id is dropped —
+    * the C4-style keep-lowest rule ([[graft.CorpusPipeline]] composes
+    * this same law as its third stage) — and the survivors
+    * materialize. Candidates come from the banded
+    * [[minhashNearDupPairs]] pass (never all-pairs); the drop set is a
+    * tiny id frame, so the action is one anti-join on the corpus.
+    */
+  def minhashKeep(docs: DataFrame, jaccardThreshold: Double = 0.5): DataFrame = {
+    val dropped = minhashNearDupPairs(docs)
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select(col("id_b").as("doc_id")).distinct()
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   /** Candidate near-dup pairs via MinHash + LSH banding over word
     * 3-gram shingles, verified with exact Jaccard. Returns one row per
     * doc: its candidate count and best match (robust output shape even
