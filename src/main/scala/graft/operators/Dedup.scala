@@ -76,11 +76,17 @@ object Dedup {
       bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
     // base md5 hashes in their own projection: one md5 per shingle,
-    // reused by all k affine min-hashes (see minhashSigFromHashes)
+    // reused by all k affine min-hashes (see minhashSigFromHashes).
+    // LEAN signatures — shingle arrays are NOT retained past the scan
+    // stage, so the band explode, the candidate self-join, and the
+    // pair distinct all move (doc_id, band-tuple) longs only; the
+    // verify re-shingles CANDIDATE docs from a semi-join-pruned second
+    // fetch instead of dragging every document's shingle array through
+    // the exchanges (the delta path's discipline, applied to batch)
     val sigs = docs
       .select(col("doc_id"), TF.wordShingles(col("text"), 3).as("shingles"))
       .withColumn("hs", transform(col("shingles"), TF.md5Hash32 _))
-      .select(col("doc_id"), col("shingles"),
+      .select(col("doc_id"),
         TF.minhashSigFromHashes(col("hs"), numHashes).as("sig"))
     val banded = sigs.select(
       col("doc_id"), explode(TF.bandTuples(col("sig"), bands, rows)).as("bk"))
@@ -89,9 +95,17 @@ object Dedup {
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    // candidate ids from a second lean band join (ids-only — cheaper
+    // than re-deriving the distinct pair frame)
+    val candIds = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id")).distinct()
+    val candSh = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), TF.wordShingles(col("text"), 3).as("shingles"))
     pairs
-      .join(sigs.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(sigs.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .join(candSh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(candSh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
@@ -105,10 +119,32 @@ object Dedup {
     * tiny id frame, so the action is one anti-join on the corpus.
     */
   def minhashKeep(docs: DataFrame, jaccardThreshold: Double = 0.5): DataFrame = {
-    val dropped = minhashNearDupPairs(docs)
+    // exact-collapse BEFORE the banded pass — the standard curation
+    // ordering, and VALUE-IDENTICAL here: byte-equal twins (that have
+    // at least one shingle) hold identical signatures, so they are
+    // all-band candidates at Jaccard 1.0 and the keep-lowest rule
+    // drops exactly the non-canonical twins; and a canonical's
+    // lowest-id witness is itself canonical (signature and Jaccard
+    // depend only on text, so substituting the witness's canonical
+    // preserves both the band collision and the verdict). Collapsing
+    // first shrinks the pair stage by the exact-dup rate — an order
+    // of magnitude on heavily mirrored corpora. Shingle-less docs
+    // (< 3 words) pair with nothing under the J-law (even byte-equal
+    // twins score 0) and pass through unconditionally.
+    // shingles exist iff the doc has ≥ 3 whitespace words — the cheap
+    // equivalent predicate (no 3-gram array built just to size it;
+    // this filter subtree is evaluated by several consumers)
+    val shingleable = docs
+      .filter(size(TF.words(col("text"))) >= 3)
+    val canonIds = exact(shingleable).select(col("keep_id").as("doc_id"))
+    val canonDocs = shingleable.join(canonIds, Seq("doc_id"), "left_semi")
+    val ndDropped = minhashNearDupPairs(canonDocs)
       .filter(col("jaccard") >= jaccardThreshold)
-      .select(col("id_b").as("doc_id")).distinct()
-    docs.join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("id_b").as("doc_id"))
+    val twinDropped = shingleable.select(col("doc_id"))
+      .join(canonIds, Seq("doc_id"), "left_anti")
+    docs.join(twinDropped.unionByName(ndDropped).distinct(),
+      Seq("doc_id"), "left_anti")
   }
 
   /** Candidate near-dup pairs via MinHash + LSH banding over word
