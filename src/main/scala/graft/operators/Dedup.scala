@@ -120,28 +120,27 @@ object Dedup {
     */
   def minhashKeep(docs: DataFrame, jaccardThreshold: Double = 0.5): DataFrame = {
     // exact-collapse BEFORE the banded pass — the standard curation
-    // ordering, and VALUE-IDENTICAL here: byte-equal twins (that have
-    // at least one shingle) hold identical signatures, so they are
-    // all-band candidates at Jaccard 1.0 and the keep-lowest rule
-    // drops exactly the non-canonical twins; and a canonical's
-    // lowest-id witness is itself canonical (signature and Jaccard
-    // depend only on text, so substituting the witness's canonical
-    // preserves both the band collision and the verdict). Collapsing
-    // first shrinks the pair stage by the exact-dup rate — an order
-    // of magnitude on heavily mirrored corpora. Shingle-less docs
-    // (< 3 words) pair with nothing under the J-law (even byte-equal
-    // twins score 0) and pass through unconditionally.
-    // shingles exist iff the doc has ≥ 3 whitespace words — the cheap
-    // equivalent predicate (no 3-gram array built just to size it;
-    // this filter subtree is evaluated by several consumers)
-    val shingleable = docs
-      .filter(size(TF.words(col("text"))) >= 3)
-    val canonIds = exact(shingleable).select(col("keep_id").as("doc_id"))
-    val canonDocs = shingleable.join(canonIds, Seq("doc_id"), "left_semi")
+    // ordering, and VALUE-IDENTICAL here: the shingle law emits at
+    // least one (possibly partial) shingle for EVERY non-NULL text
+    // (sequence(0, max(len-3, 0)) is never empty), so byte-equal twins
+    // always hold identical shingle sets, collide in all bands, and
+    // verify at Jaccard 1.0 — the keep-lowest rule drops exactly the
+    // non-canonical twins; and a canonical's lowest-id witness is
+    // itself canonical (signature and Jaccard depend only on text, so
+    // substituting the witness's canonical preserves both the band
+    // collision and the verdict). Collapsing first shrinks the pair
+    // stage by the exact-dup rate — an order of magnitude on heavily
+    // mirrored corpora. Only NULL-text docs sit out: they produce no
+    // signature and pair with nothing under the J-law, but the
+    // hash-keyed exact pass WOULD group them together — so they pass
+    // through unconditionally.
+    val hashable = docs.filter(col("text").isNotNull)
+    val canonIds = exact(hashable).select(col("keep_id").as("doc_id"))
+    val canonDocs = hashable.join(canonIds, Seq("doc_id"), "left_semi")
     val ndDropped = minhashNearDupPairs(canonDocs)
       .filter(col("jaccard") >= jaccardThreshold)
       .select(col("id_b").as("doc_id"))
-    val twinDropped = shingleable.select(col("doc_id"))
+    val twinDropped = hashable.select(col("doc_id"))
       .join(canonIds, Seq("doc_id"), "left_anti")
     docs.join(twinDropped.unionByName(ndDropped).distinct(),
       Seq("doc_id"), "left_anti")
@@ -670,9 +669,12 @@ object Dedup {
       .filter(col("vec_id") =!= col("delta_id"))
       .select(least(col("vec_id"), col("delta_id")).as("a_id"),
         greatest(col("vec_id"), col("delta_id")).as("b_id"))
+    // delta-internal candidates reuse the SAME broadcast as the
+    // stored-index join — one broadcast exchange, one signing pass for
+    // both candidate sources (the minhash twin's discipline)
     val candDelta = deltaSigs
       .select(col("vec_id").as("a_id"), col("table_id"), col("sig"))
-      .join(deltaSigs.select(col("vec_id").as("b_id"), col("table_id"),
+      .join(deltaSide.select(col("vec_id").as("b_id"), col("table_id"),
         col("sig")), Seq("table_id", "sig"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))

@@ -258,14 +258,18 @@ object Graph {
     // than √m either way).
     val adj = oriented.groupBy(col("u"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
-    val wide = ue.count() > 5000000L
-    def side(renamed: DataFrame) = if (wide) renamed else broadcast(renamed)
-    val joined = oriented.select(col("u"), col("v"))
-      .join(side(adj.select(col("u"), col("nbrs").as("nu"))), Seq("u"))
-      .join(side(adj.select(col("u").as("v"), col("nbrs").as("nv"))),
-        Seq("v"), "left")
-      .select(col("u"), col("v"), col("nu"),
-        coalesce(col("nv"), array().cast("array<long>")).as("nv"))
+    // ue is checkpointed, so the strategy probe is a cached-RDD count;
+    // the two adjacency joins alias ONE side frame, so the planner
+    // reuses a single (broadcast or shuffle) exchange of the adjacency
+    // instead of materializing it twice
+    val adjSide =
+      if (ue.count() > 5000000L) adj else broadcast(adj)
+    val joined = oriented.select(col("u"), col("v")).alias("e")
+      .join(adjSide.alias("na"), col("e.u") === col("na.u"))
+      .join(adjSide.alias("nb"), col("e.v") === col("nb.u"), "left")
+      .select(col("e.u").as("u"), col("e.v").as("v"),
+        col("na.nbrs").as("nu"),
+        coalesce(col("nb.nbrs"), array().cast("array<long>")).as("nv"))
     val tri = joined
       .select(col("u"), col("v"), array_intersect(col("nu"), col("nv")).as("ws"))
       .filter(size(col("ws")) > 0)

@@ -143,12 +143,16 @@ object IvfIndexStore {
     * [[append]]; later callers serve from the rolled index.
     */
   def ensureRolled(spark: SparkSession, base: DataFrame, delta: DataFrame,
-      path: String, cells: Int = 8, iters: Int = 3): Unit =
-    built.computeIfAbsent(path, _ => {
+      path: String, cells: Int = 8, iters: Int = 3): Unit = {
+    require(!built.containsKey(s"plain:$path"),
+      s"$path was built by ensure; use a distinct path per lifecycle")
+    built.computeIfAbsent(s"rolled:$path", _ => {
       build(base, path, cells, iters)
       append(spark, delta, path)
       java.lang.Boolean.TRUE
     })
+    ()
+  }
 
   /** One-row (pos, mn, mx)-struct-list frame from the grid stats —
     * broadcast beside every row that quantizes or dequantizes.
@@ -164,11 +168,17 @@ object IvfIndexStore {
     * that throws leaves no entry behind, so the next caller retries.
     */
   def ensure(emb: DataFrame, path: String, cells: Int = 8,
-      iters: Int = 3): Unit =
-    built.computeIfAbsent(path, _ => {
+      iters: Int = 3): Unit = {
+    // lifecycle-qualified memo key: ensure and ensureRolled can never
+    // silently satisfy each other's contract on a shared path
+    require(!built.containsKey(s"rolled:$path"),
+      s"$path was built by ensureRolled; use a distinct path per lifecycle")
+    built.computeIfAbsent(s"plain:$path", _ => {
       build(emb, path, cells, iters)
       java.lang.Boolean.TRUE
     })
+    ()
+  }
 
   /** The stored inverted lists; the partition column comes back as the
     * directory value, cast to the trained cell id type.

@@ -83,12 +83,20 @@ object MinhashIndexStore {
       .partitionBy("band")
       .parquet(s"$path/bands")
 
-  /** [[build]] at most once per JVM per path. */
-  def ensure(corpus: DataFrame, path: String): Unit =
-    built.computeIfAbsent(path, _ => {
+  /** [[build]] at most once per JVM per path. The memo key carries the
+    * lifecycle ([[ensure]] vs [[ensureRolled]]) so the two can never
+    * silently satisfy each other's contract on a shared path — mixing
+    * lifecycles on one path is a caller error and now throws.
+    */
+  def ensure(corpus: DataFrame, path: String): Unit = {
+    require(!built.containsKey(s"rolled:$path"),
+      s"$path was built by ensureRolled; use a distinct path per lifecycle")
+    built.computeIfAbsent(s"plain:$path", _ => {
       build(corpus, path)
       java.lang.Boolean.TRUE
     })
+    ()
+  }
 
   /** The stored band table; the partition column comes back as the
     * directory value, cast to the written int type.
@@ -118,10 +126,14 @@ object MinhashIndexStore {
     * index.
     */
   def ensureRolled(corpus: DataFrame, firstDrop: DataFrame,
-      path: String): Unit =
-    built.computeIfAbsent(path, _ => {
+      path: String): Unit = {
+    require(!built.containsKey(s"plain:$path"),
+      s"$path was built by ensure; use a distinct path per lifecycle")
+    built.computeIfAbsent(s"rolled:$path", _ => {
       build(corpus, path)
       append(firstDrop, path)
       java.lang.Boolean.TRUE
     })
+    ()
+  }
 }

@@ -26,6 +26,44 @@ object StreamReplay {
 
   private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Stage one mtime-ordered single-file parquet load under `stage`:
+    * coalesce to a single part file and move it to `<name><idx>.parquet`
+    * with a deterministic timestamp, so a `maxFilesPerTrigger = 1`
+    * stream replays the loads in staging order. Shared by every
+    * file-replay gate in this object.
+    */
+  private def stageFile(df: DataFrame, stage: java.nio.file.Path,
+      name: String, idx: Int): Unit = {
+    val tmp = s"$stage/tmp_${name.replace('/', '_')}$idx"
+    df.coalesce(1).write.parquet(tmp)
+    val single = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no parquet part file staged in $tmp"))
+    val dst = new java.io.File(s"$stage/$name$idx.parquet")
+    Option(dst.getParentFile).foreach(_.mkdirs())
+    java.nio.file.Files.move(single.toPath, dst.toPath)
+    dst.setLastModified(1700000000000L + idx * 60000L)
+    ()
+  }
+
+  /** Recursive file-level copy — gives a replay run its own mutable
+    * copy of a staged base index (parquet dirs are plain files).
+    */
+  private def copyTree(from: java.nio.file.Path,
+      to: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(from).iterator().asScala.foreach { p =>
+      val dst = to.resolve(from.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) {
+        java.nio.file.Files.createDirectories(dst); ()
+      } else {
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.copy(p, dst)
+        ()
+      }
+    }
+  }
+
   /** Replay `dir`'s events table as a file stream through `transform`
     * and return the completed output. The stream frame gets the same
     * TIMESTAMP(NANOS) → µs conversion as [[graft.sources.Tables
@@ -128,17 +166,8 @@ object StreamReplay {
       gapMs: Long = 30L * 60 * 1000): DataFrame = {
     import spark.implicits._
     val stage = java.nio.file.Files.createTempDirectory("graft_sessstate")
-    def stageOne(df: DataFrame, idx: Int): Unit = {
-      val tmp = s"$stage/tmp_$idx"
-      df.coalesce(1).write.parquet(tmp)
-      val single = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part file staged in $tmp"))
-      val dst = new java.io.File(s"$stage/load_$idx.parquet")
-      java.nio.file.Files.move(single.toPath, dst.toPath)
-      dst.setLastModified(1700000000000L + idx * 60000L)
-      ()
-    }
+    def stageOne(df: DataFrame, idx: Int): Unit =
+      stageFile(df, stage, "load_", idx)
     val ev = graft.sources.Tables.events(spark, dir)
       .select(col("ts"), col("event_type"), col("user_id"))
     stageOne(ev, 0)
@@ -194,17 +223,8 @@ object StreamReplay {
     val stage = java.nio.file.Files.createTempDirectory("graft_sessrestart")
     val sink = java.nio.file.Files.createTempDirectory("graft_sessrestart_sink")
     val chk = java.nio.file.Files.createTempDirectory("graft_sessrestart_chk")
-    def stageOne(df: DataFrame, idx: Int): Unit = {
-      val tmp = s"$stage/tmp_$idx"
-      df.coalesce(1).write.parquet(tmp)
-      val single = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part file staged in $tmp"))
-      val dst = new java.io.File(s"$stage/load_$idx.parquet")
-      java.nio.file.Files.move(single.toPath, dst.toPath)
-      dst.setLastModified(1700000000000L + idx * 60000L)
-      ()
-    }
+    def stageOne(df: DataFrame, idx: Int): Unit =
+      stageFile(df, stage, "load_", idx)
     val ev = graft.sources.Tables.events(spark, dir)
       .select(col("ts"), col("event_type"), col("user_id"))
     // midpoint cut on the true span: sessions straddling it prove the
@@ -369,35 +389,35 @@ object StreamReplay {
     * of the split, not of scheduling: each per-drop rollup equals the
     * batch run over base ∪ drops-so-far restricted to the drop's ids.
     */
+  private val ndStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def replayNearDupDrops(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.{MinhashIndexStore, Tables}
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    val stage = java.nio.file.Files.createTempDirectory("graft_neardup")
+    // drops and the BASE index are immutable per dataset — stage and
+    // sign once per JVM (the sign-once lifecycle the tier proves); the
+    // run-time work is the stream itself. Each run gets its own COPY
+    // of the base index because the stream appends into it.
+    val staged = ndStaged.computeIfAbsent(dir, _ => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_neardup")
+      stageFile(docs.filter(col("doc_id") % 10 === 5), stage, "drops/drop_", 0)
+      stageFile(docs.filter(col("doc_id") % 10 === 0), stage, "drops/drop_", 1)
+      MinhashIndexStore.build(
+        docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5),
+        s"$stage/mh_base")
+      stage.toString
+    })
     val sink = java.nio.file.Files.createTempDirectory("graft_neardup_sink").toString
     val chk = java.nio.file.Files.createTempDirectory("graft_neardup_chk").toString
-    val idxPath = s"$stage/mh_index"
-    def stageOne(df: DataFrame, idx: Int): Unit = {
-      val tmp = s"$stage/tmp_$idx"
-      df.coalesce(1).write.parquet(tmp)
-      val single = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet part file staged in $tmp"))
-      val dst = new java.io.File(s"$stage/drop_$idx.parquet")
-      java.nio.file.Files.move(single.toPath, dst.toPath)
-      dst.setLastModified(1700000000000L + idx * 60000L)
-      ()
-    }
-    stageOne(docs.filter(col("doc_id") % 10 === 5), 0)
-    stageOne(docs.filter(col("doc_id") % 10 === 0), 1)
-    // the already-resident corpus pays its signature pass once, before
-    // the stream starts — exactly the batch index-build lifecycle
-    MinhashIndexStore.build(
-      docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5),
-      idxPath)
-    val schema = spark.read.parquet(s"$stage/drop_0.parquet").schema
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_neardup_idx").toString + "/mh"
+    copyTree(java.nio.file.Paths.get(s"$staged/mh_base"),
+      java.nio.file.Paths.get(idxPath))
+    val schema = spark.read.parquet(s"$staged/drops/drop_0.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$stage/{drop_0.parquet,drop_1.parquet}")
+      .parquet(s"$staged/drops")
     val partsKey = "spark.sql.shuffle.partitions"
     val prev = spark.conf.getOption(partsKey)
     spark.conf.set(partsKey, "8")
@@ -407,12 +427,11 @@ object StreamReplay {
             _: Long) =>
           val b = batch.toDF().persist()
           try {
-            // text source for the exact-Jaccard verify: everything but
-            // this drop (candidate ids are ⊆ the indexed set anyway —
-            // the anti-join only keeps the union in minhashNearDupsDelta
-            // id-disjoint)
-            val others = docs.join(b.select("doc_id"), Seq("doc_id"), "left_anti")
-            graft.operators.Dedup.minhashNearDupsDelta(b, others,
+            // the FULL docs table serves the verify text fetch —
+            // minhashNearDupsDelta derives its candidate-id set from
+            // the stored band join (never containing this drop's ids),
+            // so the batch needs no complement predicate
+            graft.operators.Dedup.minhashNearDupsDelta(b, docs,
                 MinhashIndexStore.bandsTable(spark, idxPath))
               .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sink)
             // fold the drop in: the next micro-batch near-dups against it

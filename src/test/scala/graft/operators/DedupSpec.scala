@@ -197,4 +197,22 @@ class DedupSpec extends SparkSpecBase {
     assert(pinned.map(p => (p._1, p._2)).toSet.subsetOf(truth))
     assert(pinned.length.toDouble / truth.size >= 0.5)
   }
+
+  test("minhashKeep drops SHORT-doc twins too; null-text docs pass through") {
+    // the shingle law emits one partial shingle for sub-3-word docs,
+    // so 2-word byte-twins are Jaccard-1.0 near-dups and the higher id
+    // must drop (regression: an exact-collapse guard once exempted
+    // short docs); null-text docs never pair and must all survive
+    val d = Seq(
+      (1L, "hello world"),
+      (2L, "hello world"),                    // short twin: dropped
+      (3L, "alpha beta gamma delta epsilon"),
+      (4L, "alpha beta gamma delta epsilon"), // long twin: dropped
+      (5L, null.asInstanceOf[String]),
+      (6L, null.asInstanceOf[String]),        // null texts both survive
+      (7L, "completely different words here entirely")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.minhashKeep(d).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L, 6L, 7L))
+  }
 }
