@@ -882,14 +882,17 @@ object SparkEntry {
 
   /** INCREMENTAL clustering: the near-dup graph's labels are maintained
     * against a PERSISTED base labeling ([[graft.sources.CcLabelStore]])
-    * — delta edges (any pair touching vec_id % 10 == 0) re-solve only
-    * their affected components; untouched components stream from the
-    * store. Labels are component-minimum ids, so the answer equals the
-    * batch re-solve — same oracle as dedup_clusters.
+    * — delta edges re-solve only their affected components; untouched
+    * components stream from the store. The delta split keys on the
+    * CANDIDATE side (`cand_id % 7 == 0`) — every pair's probe is a
+    * vec_id % 20 == 0 row by construction, so a probe-side split would
+    * leave the base EMPTY and the gate degenerate. Labels are
+    * component-minimum ids, so the answer equals the batch re-solve —
+    * same oracle as dedup_clusters.
     */
   private def qDedupClustersIncr(s: SparkSession, dir: String): DataFrame = {
     val pairs = Dedup.embeddingNearDups(t(s, dir, "embeddings"))
-    val isDelta = col("probe_id") % 10 === 0 || col("cand_id") % 10 === 0
+    val isDelta = col("cand_id") % 7 === 0
     val base = pairs.filter(!isDelta)
     val delta = pairs.filter(isDelta)
     val path = graft.sources.CcLabelStore.defaultPath(dir)
@@ -907,6 +910,17 @@ object SparkEntry {
     Dedup.minhashKeep(t(s, dir, "documents"))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
+
+  /** STREAMING cluster maintenance: two near-dup edge drops stream
+    * through [[graft.streaming.StreamReplay.replayClusterDrops]] —
+    * each micro-batch folds into the stored labeling incrementally
+    * (blast-radius re-solve only, stored edges appended to match).
+    * Labels are component-min ids, so the streamed table equals the
+    * batch re-solve — same oracle as dedup_clusters.
+    */
+  private def qStreamClustersIncr(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.replayClusterDrops(s, dir)
+      .orderBy(col("node"))
 
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDups(t(s, dir, "documents")).orderBy(col("doc_id"))
@@ -1392,6 +1406,7 @@ object SparkEntry {
     "dedup_minhash_keep" -> (qDedupMinhashKeep _),
     "dedup_clusters" -> (qDedupClusters _),
     "dedup_clusters_incr" -> (qDedupClustersIncr _),
+    "stream_clusters_incr" -> (qStreamClustersIncr _),
     "dedup_clusters_dist" -> (qDedupClustersDist _),
     "knn_bruteforce" -> (qKnnBrute _),
     "knn_lsh" -> (qKnnLsh _),
@@ -3164,6 +3179,9 @@ object SparkEntry {
     // labels are component-minimum ids: the incremental maintenance
     // answer is definitionally the batch re-solve — same oracle
     "dedup_clusters_incr" -> dedupClustersSql,
+    // ...and drop order cannot change the min-label fixpoint, so the
+    // STREAMED maintenance lands on the identical table
+    "stream_clusters_incr" -> dedupClustersSql,
     "knn_bruteforce" ->
       (s"WITH $knnBruteCtes,\n" +
         """ sc AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk

@@ -392,6 +392,92 @@ object StreamReplay {
   private val ndStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private val ccStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** STREAMING cluster maintenance: near-dup edge drops arrive as a
+    * file stream and each micro-batch folds into the STORED
+    * connected-component labeling via [[graft.operators.Dedup
+    * .connectedComponentsIncremental]] — only the drop's blast radius
+    * re-solves, untouched components' labels carry forward, and the
+    * stored edge set grows by append so the NEXT drop's radius is
+    * computed against the graph the labels actually describe. The
+    * streaming twin of `dedup_clusters_incr`, and the shape a 100 TB
+    * dedup service runs: labels stay continuously current instead of
+    * being re-solved from scratch per day.
+    *
+    * Labels are component-minimum ids, so the final table equals the
+    * batch re-solve over ALL edges regardless of drop order — which is
+    * what lets the batch clusters oracle gate the streamed result.
+    */
+  def replayClusterDrops(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    def pairs = Dedup.embeddingNearDups(emb)
+      .select(col("probe_id").as("src"), col("cand_id").as("dst"))
+    // split on the CANDIDATE side: every pair's probe is vec_id % 20
+    // == 0 by construction, so a probe-keyed split would empty the base
+    val isDelta = col("dst") % 7 === 0
+    val isDrop1 = col("dst") % 14 === 0
+    // base labeling + base edges + drop files are immutable per
+    // dataset: solve and stage once per JVM; each run copies the
+    // edge store (it grows by append during the stream)
+    val staged = ccStaged.computeIfAbsent(dir, _ => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_ccstream")
+      val base = pairs.filter(!isDelta)
+      stageFile(pairs.filter(isDelta && isDrop1), stage, "drops/drop_", 0)
+      stageFile(pairs.filter(isDelta && !isDrop1), stage, "drops/drop_", 1)
+      base.write.parquet(s"$stage/edges")
+      Dedup.connectedComponents(base, "src", "dst")
+        .write.parquet(s"$stage/labels_base")
+      stage.toString
+    })
+    val run = java.nio.file.Files.createTempDirectory("graft_ccstream_run")
+    copyTree(java.nio.file.Paths.get(s"$staged/edges"),
+      java.nio.file.Paths.get(s"$run/edges"))
+    val labelsRef = new java.util.concurrent.atomic.AtomicReference[String](
+      s"$staged/labels_base")
+    val chk = java.nio.file.Files.createTempDirectory("graft_ccstream_chk")
+    val schema = spark.read.parquet(s"$staged/drops/drop_0.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/drops")
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(partsKey)
+    spark.conf.set(partsKey, "8")
+    try {
+      val q = src.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          val b = batch.toDF().persist()
+          try {
+            if (!b.isEmpty) {
+              val stored = spark.read.parquet(labelsRef.get)
+              val baseEdges = spark.read.parquet(s"$run/edges")
+              val next = s"$run/labels_$id"
+              Dedup.connectedComponentsIncremental(
+                  stored, baseEdges, b, "src", "dst")
+                .write.parquet(next)
+              labelsRef.set(next)
+              // the labels now describe base ∪ drops-so-far: grow the
+              // stored edge set to match before the next batch
+              b.write.mode(org.apache.spark.sql.SaveMode.Append)
+                .parquet(s"$run/edges")
+            }
+          } finally { b.unpersist(); () }
+      }
+        .option("checkpointLocation", chk.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(partsKey, v)
+      case None => spark.conf.unset(partsKey)
+    }
+    spark.read.parquet(labelsRef.get)
+  }
+
   def replayNearDupDrops(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.{MinhashIndexStore, Tables}
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))

@@ -71,9 +71,12 @@ class ComponentsSpec extends SparkSpecBase {
   test("incremental CC on the gate split equals the batch labels") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val pairs = Dedup.embeddingNearDups(emb)
-    val isDelta = $"probe_id" % 10 === 0 || $"cand_id" % 10 === 0
+    // candidate-side split (a probe-side one would empty the base:
+    // every pair's probe is a vec_id % 20 == 0 row)
+    val isDelta = $"cand_id" % 7 === 0
     val base = pairs.filter(!isDelta)
     val delta = pairs.filter(isDelta)
+    assert(base.count() > 0 && delta.count() > 0)
     val stored = Dedup.connectedComponents(base, "probe_id", "cand_id")
     val got = Dedup
       .connectedComponentsIncremental(stored, base, delta, "probe_id", "cand_id")
