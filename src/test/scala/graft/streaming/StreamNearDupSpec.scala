@@ -38,4 +38,17 @@ class StreamNearDupSpec extends SparkSpecBase {
     assert(got.exists(_._1 % 10 == 0) && got.exists(_._1 % 10 == 5))
     assert(got.exists(_._2 > 0), got.take(20))
   }
+
+  test("replay runs are isolated: a second run sees the pristine base index") {
+    // the staged base index is shared per JVM but each run appends
+    // into its OWN copy — without that isolation the second run's
+    // drops would near-dup against the first run's appended drops and
+    // over-count candidates
+    val a = StreamReplay.replayNearDupDrops(spark, sfDir)
+      .orderBy("doc_id").as[(Long, Long, Double, Boolean)].collect().toSeq
+    val b = StreamReplay.replayNearDupDrops(spark, sfDir)
+      .orderBy("doc_id").as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(a.nonEmpty)
+    assert(a == b)
+  }
 }
