@@ -51,6 +51,29 @@ object TextFunctions {
       i => concat_ws(" ", slice(w, i + 1, lit(n))))
   }
 
+  /** [[wordShingles]] over an ALREADY-MATERIALIZED words-array column.
+    * The inline form above re-evaluates the regex `split` for every
+    * shingle element (the split expression sits inside the lambda, and
+    * HOFs run interpreted) — measured ~50× the cost of the split
+    * itself on the corpus. Callers on a hot path project
+    * [[words]] into its own column first and shingle from that; the
+    * split is non-cheap and referenced twice, so CollapseProject
+    * keeps the two projections separate.
+    */
+  def shinglesFromWords(w: Column, n: Int): Column =
+    transform(
+      sequence(lit(0), greatest(size(w) - n, lit(0))),
+      i => concat_ws(" ", slice(w, i + 1, lit(n))))
+
+  /** Full MinHash signature from a words-array column via the codegen
+    * kernel [[graft.plans.MinhashSigUtil]] — one pass over the tokens,
+    * byte-identical to `minhashSigFromHashes(transform(wordShingles,
+    * md5Hash32), k)` (spec-pinned). Callers must have graft functions
+    * registered ([[graft.plans.GraftFunctions.ensureRegistered]]).
+    */
+  def minhashSigWords(w: Column, n: Int, k: Int): Column =
+    call_function("graft_minhash_sig", w, lit(n), lit(k))
+
   /** Character n-gram array. */
   def charNgrams(c: Column, n: Int): Column =
     transform(

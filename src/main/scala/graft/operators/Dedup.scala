@@ -74,20 +74,22 @@ object Dedup {
     */
   def minhashNearDupPairs(docs: DataFrame, numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
     val rows = numHashes / bands
-    // base md5 hashes in their own projection: one md5 per shingle,
-    // reused by all k affine min-hashes (see minhashSigFromHashes).
-    // LEAN signatures — shingle arrays are NOT retained past the scan
-    // stage, so the band explode, the candidate self-join, and the
-    // pair distinct all move (doc_id, band-tuple) longs only; the
-    // verify re-shingles CANDIDATE docs from a semi-join-pruned second
-    // fetch instead of dragging every document's shingle array through
-    // the exchanges (the delta path's discipline, applied to batch)
+    // ONE signature pass: the codegen minhash kernel folds shingle
+    // construction, the per-shingle md5 base hash, and all k affine
+    // minima into a single per-row call (the interpreted HOF stack it
+    // replaces re-ran the regex split per shingle — ~50× slower,
+    // measured). LEAN signatures — shingle arrays are NOT retained
+    // past the scan stage, so the band explode, the candidate
+    // self-join, and the pair distinct all move (doc_id, band-tuple)
+    // longs only; the verify re-shingles CANDIDATE docs from a
+    // semi-join-pruned second fetch instead of dragging every
+    // document's shingle array through the exchanges
     val sigs = docs
-      .select(col("doc_id"), TF.wordShingles(col("text"), 3).as("shingles"))
-      .withColumn("hs", transform(col("shingles"), TF.md5Hash32 _))
+      .select(col("doc_id"), TF.words(col("text")).as("w"))
       .select(col("doc_id"),
-        TF.minhashSigFromHashes(col("hs"), numHashes).as("sig"))
+        TF.minhashSigWords(col("w"), 3, numHashes).as("sig"))
     val banded = sigs.select(
       col("doc_id"), explode(TF.bandTuples(col("sig"), bands, rows)).as("bk"))
     val pairs = banded.alias("a")
@@ -95,14 +97,17 @@ object Dedup {
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // candidate ids from a second lean band join (ids-only — cheaper
-    // than re-deriving the distinct pair frame)
-    val candIds = banded.alias("a")
-      .join(banded.alias("b"),
-        col("a.bk") === col("b.bk") && col("a.doc_id") =!= col("b.doc_id"))
-      .select(col("a.doc_id")).distinct()
+    // candidate ids come FROM the pair frame (both orientations), so
+    // the band self-join runs once — its exchange is shared with the
+    // verify via ReusedExchange instead of a second lean band join
+    val candIds = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id")))
+      .distinct()
+    // two-step projection: materialize the words array, THEN shingle —
+    // keeps the regex split out of the per-element lambda
     val candSh = docs.join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), TF.wordShingles(col("text"), 3).as("shingles"))
+      .select(col("doc_id"), TF.words(col("text")).as("w"))
+      .select(col("doc_id"), TF.shinglesFromWords(col("w"), 3).as("shingles"))
     pairs
       .join(candSh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(candSh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
@@ -195,8 +200,9 @@ object Dedup {
       broadcastDelta: Boolean = true): DataFrame = {
     import graft.sources.MinhashIndexStore
     val keyCols = MinhashIndexStore.BandKeyCols
-    val deltaSh = delta.select(col("doc_id"),
-      TF.wordShingles(col("text"), 3).as("shingles"))
+    val deltaSh = delta
+      .select(col("doc_id"), TF.words(col("text")).as("w"))
+      .select(col("doc_id"), TF.shinglesFromWords(col("w"), 3).as("shingles"))
     val deltaBands = MinhashIndexStore.bandRows(delta)
     val deltaSide =
       if (broadcastDelta) broadcast(deltaBands) else deltaBands
@@ -231,7 +237,8 @@ object Dedup {
       .select(col("doc_id")).distinct()
       .join(delta.select(col("doc_id")), Seq("doc_id"), "left_anti")
     val corpusSh = corpus.join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), TF.wordShingles(col("text"), 3).as("shingles"))
+      .select(col("doc_id"), TF.words(col("text")).as("w"))
+      .select(col("doc_id"), TF.shinglesFromWords(col("w"), 3).as("shingles"))
     val allSh = deltaSh.unionByName(corpusSh)
     val verified = pairs
       .join(allSh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")

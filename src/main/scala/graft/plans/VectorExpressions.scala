@@ -122,6 +122,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction(GraftFunctions.dotDescriptor)
     e.injectFunction(SimHashFunctions.descriptor)
     e.injectFunction(ShingleHashFunctions.descriptor)
+    e.injectFunction(MinhashSigFunctions.descriptor)
     e.injectOptimizerRule(_ => BoundedLevenshteinRewrite)
     e.injectOptimizerRule(_ => HofDotProductRewrite)
   }
@@ -144,6 +145,10 @@ object GraftFunctions {
     }
     if (!reg.functionExists(FunctionIdentifier("graft_shingle_hash60"))) {
       val d = ShingleHashFunctions.descriptor
+      reg.registerFunction(d._1, d._2, d._3)
+    }
+    if (!reg.functionExists(FunctionIdentifier("graft_minhash_sig"))) {
+      val d = MinhashSigFunctions.descriptor
       reg.registerFunction(d._1, d._2, d._3)
     }
     // caller-provided sessions can't take injectOptimizerRule after the

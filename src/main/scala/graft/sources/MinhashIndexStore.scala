@@ -64,11 +64,11 @@ object MinhashIndexStore {
     * band explode are all per-row projections.
     */
   def bandRows(docs: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
     val sigs = docs
-      .select(col("doc_id"), TF.wordShingles(col("text"), 3).as("shingles"))
-      .withColumn("hs", transform(col("shingles"), TF.md5Hash32 _))
+      .select(col("doc_id"), TF.words(col("text")).as("w"))
       .select(col("doc_id"),
-        TF.minhashSigFromHashes(col("hs"), NumHashes).as("sig"))
+        TF.minhashSigWords(col("w"), 3, NumHashes).as("sig"))
     sigs
       .select(col("doc_id"),
         explode(TF.bandTuples(col("sig"), Bands, Rows)).as("bk"))
