@@ -200,10 +200,38 @@ object Dedup {
       broadcastDelta: Boolean = true): DataFrame = {
     import graft.sources.MinhashIndexStore
     val keyCols = MinhashIndexStore.BandKeyCols
-    val deltaSh = delta
+    // exact-collapse the drop FIRST (the minhashKeep device, applied to
+    // the micro-batch): redelivered / mirrored corpora carry heavy
+    // exact-dup rates, identical texts hold identical signatures AND
+    // identical shingle sets, so the band query and the Jaccard verify
+    // run at DISTINCT-TEXT grain and the per-member rollup is
+    // reconstructed arithmetically — value-identical, because a member
+    // x of group g pairs with (a) every candidate of g's rep at the
+    // rep's jaccard (candidacy and the verdict depend only on text;
+    // for a candidate that is itself a delta group, once per member:
+    // m_other pairs), and (b) its m−1 within-group twins at exactly
+    // Jaccard 1.0 (identical shingle sets). On a 10× replicated drop
+    // this cuts the delta-internal band join ~100× and the delta×
+    // stored join ~10× — the difference between candidate cost
+    // ∝ |distinct drop| and ∝ |drop|².
+    // one text-hash-keyed window shuffle produces the member→rep map,
+    // the group sizes, AND the rep rows (text rides the delta-sized
+    // exchange) — no groupBy-then-join round trip per micro-batch
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("gh"), col("glen"), col("gh2"))
+    val members = delta.filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"),
+        xxhash64(col("text")).as("gh"), length(col("text")).as("glen"),
+        xxhash64(lit(1), col("text")).as("gh2"))
+      .select(col("doc_id"), col("text"),
+        min(col("doc_id")).over(w).as("rep_id"),
+        count(lit(1)).over(w).as("m"))
+    val reps = members.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("text"))
+    val deltaSh = reps
       .select(col("doc_id"), TF.words(col("text")).as("w"))
       .select(col("doc_id"), TF.shinglesFromWords(col("w"), 3).as("shingles"))
-    val deltaBands = MinhashIndexStore.bandRows(delta)
+    val deltaBands = MinhashIndexStore.bandRows(reps)
     val deltaSide =
       if (broadcastDelta) broadcast(deltaBands) else deltaBands
     // delta × stored-corpus candidates: the stored side is a SCAN of
@@ -245,18 +273,42 @@ object Dedup {
       .join(allSh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-    val perDoc = verified
-      .select(col("id_a").as("doc_id"), col("jaccard"))
-      .unionByName(verified.select(col("id_b").as("doc_id"), col("jaccard")))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_candidates"),
-        max(col("jaccard")).as("best_jaccard"),
-        max(col("jaccard") >= jaccardThreshold).as("is_near_dup"))
-    // rollup keyed from the delta: corpus ids fall out, every delta
-    // doc appears even with zero candidates
+    // EXPAND the rep-grain pairs back to member grain, arithmetically:
+    // a pair contributes (other side's group size, or 1 for a stored
+    // id) candidates to each member of the rep's group; within-group
+    // twins add m−1 candidates at exactly Jaccard 1.0. Stored-id rows
+    // fall out of the rollup because `members` never contains them.
+    val sizesRaw = members.filter(col("doc_id") === col("rep_id"))
+      .select(col("rep_id"), col("m"))
+    val sizes = if (broadcastDelta) broadcast(sizesRaw) else sizesRaw
+    val contribA = verified
+      .join(sizes.select(col("rep_id").as("id_b"), col("m").as("m_b")),
+        Seq("id_b"), "left")
+      .select(col("id_a").as("rep_id"),
+        coalesce(col("m_b"), lit(1L)).as("cnt"), col("jaccard"))
+    val contribB = verified
+      .join(sizes.select(col("rep_id").as("id_a"), col("m").as("m_a")),
+        Seq("id_a"), "left")
+      .select(col("id_b").as("rep_id"),
+        coalesce(col("m_a"), lit(1L)).as("cnt"), col("jaccard"))
+    val perRep = contribA.unionByName(contribB)
+      .groupBy(col("rep_id"))
+      .agg(sum(col("cnt")).as("n_ext"), max(col("jaccard")).as("best_ext"))
+    val perMember = members
+      .join(perRep, Seq("rep_id"), "left")
+      .select(
+        col("doc_id"),
+        (coalesce(col("n_ext"), lit(0L)) + col("m") - lit(1L)).as("n_candidates"),
+        greatest(coalesce(col("best_ext"), lit(0.0)),
+          when(col("m") > 1, lit(1.0)).otherwise(lit(0.0))).as("best_jaccard"))
+      .select(col("doc_id"), col("n_candidates"), col("best_jaccard"),
+        (col("n_candidates") > 0 &&
+          col("best_jaccard") >= jaccardThreshold).as("is_near_dup"))
+    // rollup keyed from the delta: every delta doc appears even with
+    // zero candidates (NULL-text docs sign nothing and pair with
+    // nothing — they pass through with an empty rollup)
     delta.select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
+      .join(perMember, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),

@@ -450,6 +450,27 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(cells.filter(col("vec_id") % 5 === 4).count() > 0)
   }
 
+  test("minhash keep-action: one kernel signing per band-join side, shingles candidate-only") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.operators.Dedup.minhashKeep(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val fin = p.split("== Initial Plan ==").head
+    // the corpus is signed by the codegen kernel (never the interpreted
+    // HOF stack), and only on the two sides of the single band
+    // self-join — a third occurrence means a subtree re-signs
+    val sigs = "graft_minhash_sig".r.findAllIn(fin).length
+    assert(sigs >= 1 && sigs <= 2, s"sig kernel count $sigs\n$p")
+    // shingle STRINGS (concat_ws) are built only for the semi-join-
+    // pruned candidate fetch of the verify stage — two sides max; the
+    // corpus-grain signing path must not materialize them
+    val shingleBuilds = "concat_ws".r.findAllIn(fin).length
+    assert(shingleBuilds <= 2, s"shingle-string builds $shingleBuilds\n$p")
+    // the exact-collapse groupBy is computed once and reused
+    assert(fin.contains("ReusedExchange"), p)
+  }
+
   test("whole-stage codegen covers the pricing aggregation") {
     // under AQE the final plan (with codegen stages) exists only after
     // execution — run it, then inspect the adaptive executed plan

@@ -54,6 +54,45 @@ class DedupIncrementalSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("exact-twin drop: collapsed query equals the uncollapsed batch rollup") {
+    // the replicated-corpus shape (every text delivered several times
+    // in one drop): the delta query collapses to distinct-text grain
+    // internally and must still return the PER-MEMBER rollup the
+    // uncollapsed batch run produces — within-group twins at Jaccard
+    // exactly 1.0, cross-group and delta×stored candidates multiplied
+    // by the other side's group size
+    val base = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (4L, "pack my box with five dozen liquor jugs right now"),
+      (6L, "sphinx of black quartz judge my vow said the king"))
+    // delta: 3 copies of a near-dup of doc 2, 2 copies of an unrelated
+    // text, 1 singleton near-dup of the twin group itself
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (20L, "the quick brown fox jumps over the lazy dog tonight"),
+      (30L, "the quick brown fox jumps over the lazy dog tonight"),
+      (40L, "completely different words about nothing in particular here friend"),
+      (50L, "completely different words about nothing in particular here friend"),
+      (60L, "the quick brown fox jumps over the lazy dog this evening"))
+    val docs = (base ++ delta).toDF("doc_id", "text")
+    val path = freshPath("twins")
+    MinhashIndexStore.build(docs.filter(col("doc_id") < 10), path)
+    val inc = Dedup.minhashNearDupsDelta(
+        docs.filter(col("doc_id") >= 10), docs,
+        MinhashIndexStore.bandsTable(spark, path))
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    val batch = Dedup.minhashNearDups(docs)
+      .filter(col("doc_id") >= 10)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(inc == batch, s"inc=$inc\nbatch=$batch")
+    // the twin group must actually exercise the expansion arithmetic
+    val twinRow = inc.find(_._1 == 10L).get
+    assert(twinRow._2 >= 2, twinRow) // 2 twins + any verified near-dups
+    assert(twinRow._3 == 1.0, twinRow)
+  }
+
   test("empty delta returns an empty frame with the contract schema") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (3L, "one two three four five six")).toDF("doc_id", "text")
