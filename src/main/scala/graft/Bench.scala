@@ -40,20 +40,26 @@ object Bench {
         } catch { case _: Throwable => sawFailure = true }
         i += 1
       }
-      if (times.isEmpty) { failed += name; name -> -1.0 }
-      else name -> times.min
+      if (times.isEmpty) { failed += name; name -> (-1.0, -1.0) }
+      else name -> (times.min, times.max)
     }
     val ok = results.filterNot { case (k, _) => failed.contains(k) }
     // 4-dp timings: full-precision doubles balloon the line past what
     // log captures keep intact, and sub-0.1ms digits are pure noise
     def r4(v: Double): String = BigDecimal(v)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
+    val qs = ok.map { case (k, v) => s"\"" + k + "\":" + r4(v._1) }
       .mkString("{", ",", "}")
-    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    // per-query [best, worst] across reps: load noise (suite position,
+    // JIT, GC) is self-documenting instead of re-adjudicated per round —
+    // a wide spread marks a noise-sensitive entry, not a regression
+    val spread = ok.map { case (k, v) =>
+      s"\"" + k + "\":[" + r4(v._1) + "," + r4(v._2) + "]"
+    }.mkString("{", ",", "}")
+    val total = if (ok.nonEmpty) ok.values.map(_._1).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // committed-artifact escape hatch: stdout capture can truncate —
     // when asked, also write the parsed line to a file

@@ -553,7 +553,14 @@ object Relational {
     */
   def assocRules(lineitem: DataFrame, minOrders: Long = 2,
       topN: Int = 20): DataFrame = {
+    // explicit non-null filters: the pair join's null-filter INFERENCE
+    // would otherwise specialize each branch's scan differently
+    // (orderkey-only for the total, partkey-only for item counts),
+    // breaking subtree canonicalization — with the filters explicit,
+    // the item-count and total branches reuse the basket's distinct
+    // exchange instead of rescanning the fact table
     val basket = lineitem
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
       .select(col("l_orderkey"), col("l_partkey"))
       .distinct()
     val total = basket.agg(

@@ -450,6 +450,28 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(cells.filter(col("vec_id") % 5 === 4).count() > 0)
   }
 
+  test("assoc rules: basket exchange reused by pair join AND item counts, 1-row total broadcast") {
+    val df = Relational.assocRules(Tables.lineitem(spark, sfDir))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val fin = p.split("== Initial Plan ==").head
+    // the deduped basket is exchanged once; the pair self-join's b side
+    // AND the per-item count branch read it back via ReusedExchange
+    val reused = "ReusedExchange".r.findAllIn(fin).length
+    assert(reused >= 2, s"reused=$reused\n$p")
+    // ≤2 fact scans: the basket scan plus the total's single-column
+    // pruned scan (re-reading one column beats shipping the basket
+    // exchange a third time); anything more means a branch re-derives
+    val scans = fin.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 2, s"scans=$scans\n$p")
+    // the basket total N joins as a broadcast 1-row frame — never a
+    // shuffle join against the pair table
+    assert(fin.contains("BroadcastNestedLoopJoin") ||
+      fin.contains("IdentityBroadcastMode"), p)
+    // the final cut is a TakeOrdered, not a global sort
+    assert(fin.contains("TakeOrderedAndProject"), p)
+  }
+
   test("minhash keep-action: one kernel signing per band-join side, shingles candidate-only") {
     import org.apache.spark.sql.functions.col
     val df = graft.operators.Dedup.minhashKeep(
