@@ -98,6 +98,24 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Three-clause MERGE ([[MergeInto.syncDelete]]): matched rows
+    * updated, new delta keys inserted, target rows absent from the
+    * delta DELETED (WHEN NOT MATCHED BY SOURCE) — the snapshot-sync /
+    * retraction-capable load the reference's two astro-sdk modes lack.
+    */
+  private def qMergeDelete(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      col("o_totalprice"), col("o_orderdate").cast("date").as("o_orderdate"))
+    val target = o.filter(col("o_orderkey") % 2 === 0)
+    val delta = o.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+    MergeInto.syncDelete(target, delta, Seq("o_orderkey"),
+        Seq("o_orderstatus", "o_totalprice"), broadcastDelta = true)
+      .orderBy(col("o_orderkey"))
+  }
+
   private def qMergeIgnore(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
     val target = c.filter(col("c_custkey") % 2 === 0)
@@ -1307,6 +1325,7 @@ object SparkEntry {
     "f_events" -> (qFEvents _),
     "merge_upsert" -> (qMergeUpsert _),
     "merge_ignore" -> (qMergeIgnore _),
+    "merge_delete" -> (qMergeDelete _),
     "pipeline_daily" -> (qPipelineDaily _),
     "q_rolling_7d" -> (qRolling7d _),
     "q_outliers" -> (qOutliers _),
@@ -2097,6 +2116,21 @@ object SparkEntry {
         | SELECT 'view_yearly_counts', count(*)::BIGINT, count(DISTINCT period_day)::BIGINT,
         |   sum(item_views)::BIGINT, 0.0::DOUBLE FROM v1
         |) ORDER BY tbl""".stripMargin,
+    // three-clause MERGE: the result is exactly the delta's key set —
+    // matched keys carry the target's non-update columns, inserts
+    // carry the delta's; unmatched target rows are deleted
+    "merge_delete" ->
+      """WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |   CAST(o_orderdate AS DATE) AS o_orderdate FROM orders WHERE o_orderkey % 2 = 0),
+        | s AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus, o_totalprice * 1.1 AS o_totalprice,
+        |   CAST(o_orderdate AS DATE) AS o_orderdate FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT s.o_orderkey,
+        | COALESCE(t.o_custkey, s.o_custkey) AS o_custkey,
+        | s.o_orderstatus,
+        | s.o_totalprice,
+        | COALESCE(t.o_orderdate, s.o_orderdate) AS o_orderdate
+        |FROM s LEFT JOIN t ON t.o_orderkey = s.o_orderkey
+        |ORDER BY s.o_orderkey""".stripMargin,
     "merge_ignore" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_custkey % 2 = 0

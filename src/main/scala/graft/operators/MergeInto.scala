@@ -105,6 +105,77 @@ object MergeInto {
     }
   }
 
+  /** Full-sync MERGE: WHEN MATCHED update, WHEN NOT MATCHED insert,
+    * WHEN NOT MATCHED BY SOURCE delete — the snapshot-sync mode
+    * (Snowflake MERGE's three-clause form): after the merge the target
+    * holds EXACTLY the delta's key set. The retraction-capable load:
+    * a key absent from today's snapshot disappears from the warehouse.
+    *
+    * Spark-first shape: "delete the unmatched target rows" is the
+    * [[upsert]] full-outer plan restricted to delta-present rows —
+    * one keyed join, no second pass. With `broadcastDelta` it
+    * decomposes like upsert's small-delta path (matched via
+    * `target ⨝ broadcast(delta)`, inserts via a delta-sized anti
+    * join): the target is scanned once and never shuffled.
+    */
+  def syncDelete(
+      target: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      updateCols: Seq[String],
+      broadcastDelta: Boolean = false): DataFrame = {
+    val d = requireUniqueKeys(delta, keys)
+      .withColumn("__s_present", lit(true))
+    val t = target.withColumn("__t_present", lit(true)).alias("t")
+    def cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    val sHit = col("s.__s_present").isNotNull
+    if (!broadcastDelta) {
+      val s = d.alias("s")
+      val tHit = col("t.__t_present").isNotNull
+      val out = target.columns.map { c =>
+        if (keys.contains(c))
+          org.apache.spark.sql.functions.coalesce(col(s"s.$c"), col(s"t.$c")).as(c)
+        else if (updateCols.contains(c))
+          when(sHit, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)
+        else
+          when(tHit, col(s"t.$c")).otherwise(col(s"s.$c")).as(c)
+      }
+      t.join(s, cond, "full_outer")
+        .filter(sHit) // NOT MATCHED BY SOURCE → DELETE
+        .select(out.toIndexedSeq: _*)
+    } else {
+      val s = broadcast(d).alias("s")
+      val updated = t.join(s, cond, "inner").select(
+        target.columns.map { c =>
+          if (updateCols.contains(c)) col(s"s.$c").as(c)
+          else col(s"t.$c").as(c)
+        }.toIndexedSeq: _*)
+      val matchedKeys = t.join(s, cond, "left_semi")
+        .select(keys.map(k => col(k).as(s"__m_$k")): _*)
+      val antiCond = keys.map(k => col(s"i.$k") <=> col(s"__m_$k")).reduce(_ && _)
+      val inserts = delta.alias("i")
+        .join(broadcast(matchedKeys), antiCond, "left_anti")
+        .select(target.columns.map(col).toIndexedSeq: _*)
+      updated.unionByName(inserts)
+    }
+  }
+
+  /** WHEN MATCHED THEN DELETE: remove every target row whose key
+    * appears in the delta — the takedown/retraction feed (the delta is
+    * a key list, not a snapshot). Null-safe like the other modes; one
+    * anti join, delta broadcastable by the planner when small.
+    */
+  def deleteMatched(
+      target: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val s = delta.select(keys.map(col): _*).alias("s")
+    val t = target.alias("t")
+    val cond = keys.map(k => col(s"t.$k") <=> col(s"s.$k")).reduce(_ && _)
+    t.join(s, cond, "left_anti")
+      .select(target.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Insert-if-absent: keep every target row; append delta rows whose key
     * is not present in the target. Null-safe: a NULL delta key is
     * "present" if the target already stores a NULL key, so repeated

@@ -76,7 +76,8 @@ object Scd2 {
     */
   def merge(history: DataFrame, delta: DataFrame, keys: Seq[String],
       tracked: Seq[String], loadDate: Column,
-      broadcastDelta: Boolean = true): DataFrame = {
+      broadcastDelta: Boolean = true,
+      closeAbsent: Boolean = false): DataFrame = {
     val d0 = MergeInto.requireUniqueKeys(delta, keys)
       .withColumn("__s_present", lit(true))
     val d = (if (broadcastDelta) broadcast(d0) else d0).alias("s")
@@ -86,7 +87,14 @@ object Scd2 {
     // null-safe per-column compare: never NULL, so the predicates below
     // are decidable even on join misses
     val differs = tracked.map(c => !(col(s"t.$c") <=> col(s"s.$c"))).reduce(_ || _)
-    val closing = col("s.__s_present").isNotNull && differs
+    // closeAbsent = snapshot contract (the delta is the FULL current
+    // key set): a current version whose key vanished from the snapshot
+    // is closed WITHOUT a replacing open version — deletion as an SCD2
+    // event. The key re-appearing in a later load inserts a fresh open
+    // version, leaving the gap in the history (close-and-reinsert).
+    // Default (incremental contract): unmatched keys stay open.
+    val closing = (col("s.__s_present").isNotNull && differs) ||
+      (lit(closeAbsent) && col("s.__s_present").isNull)
 
     // scan 1: every current row survives — unchanged, or closed in place
     val curOut = cur.join(d, cond, "left_outer").select(

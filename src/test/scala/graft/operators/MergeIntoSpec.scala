@@ -83,6 +83,45 @@ class MergeIntoSpec extends SparkSpecBase {
     assert(twice.count() == 4)
   }
 
+  test("syncDelete: update + insert + delete-unmatched-target in one merge") {
+    val delta = Seq((2L, "B2", 99.0), (4L, "d", 40.0)).toDF("k", "name", "price")
+    val out = MergeInto.syncDelete(target, delta, Seq("k"), Seq("price"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    // 1 and 3 deleted (not in delta), 2 updated (name kept — not an
+    // updateCol), 4 inserted
+    assert(out == Seq((2L, "b", 99.0), (4L, "d", 40.0)))
+  }
+
+  test("broadcast syncDelete is equivalent to the full-outer form (incl. NULL keys)") {
+    val delta = Seq((Option(2L), "B2", 99.0), (Option.empty[Long], "N2", 1.0),
+      (Option(4L), "d", 40.0)).toDF("k", "name", "price")
+    val a = MergeInto.syncDelete(targetWithNull, delta, Seq("k"), Seq("price"))
+      .orderBy("k").collect().toSeq
+    val b = MergeInto.syncDelete(targetWithNull, delta, Seq("k"), Seq("price"),
+        broadcastDelta = true)
+      .orderBy("k").collect().toSeq
+    assert(a == b)
+    // null-safe: the NULL-key target row matched the NULL-key delta row
+    // (updated, not deleted+reinserted): name stays "n", price updates
+    assert(a.exists(r => r.isNullAt(0) && r.getString(1) == "n" &&
+      r.getDouble(2) == 1.0), a)
+  }
+
+  test("syncDelete is idempotent: syncing the same snapshot twice = once") {
+    val delta = Seq((2L, "B2", 99.0), (4L, "d", 40.0)).toDF("k", "name", "price")
+    val once = MergeInto.syncDelete(target, delta, Seq("k"), Seq("price"))
+    val twice = MergeInto.syncDelete(once, delta, Seq("k"), Seq("price"))
+    assert(twice.orderBy("k").collect().toSeq ==
+      once.orderBy("k").collect().toSeq)
+  }
+
+  test("deleteMatched removes exactly the delta's key set, null-safe") {
+    val takedown = Seq(Option(2L), Option.empty[Long]).toDF("k")
+    val out = MergeInto.deleteMatched(targetWithNull, takedown, Seq("k"))
+      .orderBy("k").collect().toSeq
+    assert(out.map(_.get(0)) == Seq(1L)) // 2 and the NULL-key row removed
+  }
+
   test("upsert raises on duplicate delta keys instead of fanning out") {
     val dup = Seq((2L, "x", 1.0), (2L, "y", 2.0)).toDF("k", "name", "price")
     val ex = intercept[Exception] {

@@ -54,6 +54,36 @@ class Scd2Spec extends SparkSpecBase {
     assert(perKey.forall(_.getLong(1) == 1L))
   }
 
+  test("closeAbsent: a retracted key closes WITHOUT a replacing version; re-appearing reopens") {
+    // load 2 is a FULL snapshot missing key 3 → its version closes at
+    // the load date with no successor (deletion as an SCD2 event)
+    val load2 = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "price")
+    val h1 = Scd2.merge(h0, load2, Seq("k"), Seq("name", "price"),
+      lit("2024-02-01"), closeAbsent = true)
+    val k3 = h1.filter($"k" === 3L)
+      .select($"effective_to".cast("string"), $"is_current")
+      .as[(Option[String], Boolean)].collect().toSeq
+    assert(k3 == Seq((Some("2024-02-01"), false)), k3)
+    assert(h1.count() == 3) // no replacement row inserted
+    // key 3 returns in load 3 → fresh open version, gap preserved
+    val load3 = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 31.0))
+      .toDF("k", "name", "price")
+    val h2 = Scd2.merge(h1, load3, Seq("k"), Seq("name", "price"),
+      lit("2024-03-01"), closeAbsent = true)
+    val k3v = h2.filter($"k" === 3L)
+      .orderBy($"effective_from")
+      .select($"price", $"effective_from".cast("string"),
+        $"effective_to".cast("string"), $"is_current")
+      .as[(Double, String, Option[String], Boolean)].collect().toSeq
+    assert(k3v == Seq(
+      (30.0, "2024-01-01", Some("2024-02-01"), false),
+      (31.0, "2024-03-01", None, true)), k3v)
+    // incremental default is unchanged: absent keys stay open
+    val hInc = Scd2.merge(h0, load2, Seq("k"), Seq("name", "price"),
+      lit("2024-02-01"))
+    assert(hInc.filter($"k" === 3L && $"is_current").count() == 1)
+  }
+
   test("NULL transitions close versions null-safely, NULL->NULL does not") {
     val base = Seq((1L, Option("a")), (2L, Option.empty[String]))
       .toDF("k", "name")
