@@ -878,6 +878,46 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Retraction lifecycle gate ([[graft.sources.MinhashIndexStore
+    * .delete]]): the index is built over the full 90% corpus, then
+    * doc_id % 10 == 5 is retracted (takedown / right-to-be-forgotten)
+    * via the tombstone list — no index rewrite. The drop
+    * (doc_id % 10 == 0) then queries the MASKED index and must see
+    * exactly what a fresh index over the shrunken corpus would serve:
+    * the oracle re-signs only the surviving docs.
+    */
+  private def qDedupIncrementalDelete(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val removed = docs.filter(col("doc_id") % 10 === 5).select(col("doc_id"))
+    val path = graft.sources.MinhashIndexStore.defaultPath(dir) + "_del"
+    graft.sources.MinhashIndexStore.ensureDeleted(corpus, removed, path)
+    Dedup.minhashNearDupsDelta(delta, docs,
+      graft.sources.MinhashIndexStore.bandsTable(s, path))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DECREMENTAL clustering ([[Dedup.connectedComponentsDecremental]]):
+    * vec_id % 10 == 4 nodes are retracted from the stored labeling —
+    * only their components re-solve on the surviving edges (a removed
+    * bridge can SPLIT a cluster), untouched labels stream from the
+    * store. Equals the batch re-solve over the shrunken edge set.
+    */
+  private def qDedupClustersDecr(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.embeddingNearDups(t(s, dir, "embeddings"))
+      .select(col("probe_id").as("src"), col("cand_id").as("dst"))
+    val path = graft.sources.CcLabelStore.defaultPath(dir) + "_decr"
+    graft.sources.CcLabelStore.ensure(pairs, "src", "dst", path)
+    val removed = t(s, dir, "embeddings")
+      .filter(col("vec_id") % 10 === 4)
+      .select(col("vec_id").as("node"))
+    Dedup.connectedComponentsDecremental(
+      graft.sources.CcLabelStore.labelsTable(s, path), pairs, removed,
+      "src", "dst")
+      .orderBy(col("node"))
+  }
+
   /** Incremental EMBEDDING near-dup: vec_id % 10 == 0 plays the new
     * drop against the persisted signature index of the other 90%
     * ([[graft.sources.EmbLshIndexStore]]). `bits` comes from the
@@ -993,12 +1033,15 @@ object SparkEntry {
 
   // recursive-CTE label propagation: shared verbatim by the local and
   // the forced-distributed cluster entries (same answer by contract)
-  private val dedupClustersSql: String =
-    """WITH RECURSIVE probe_pairs AS (
+  private def dedupClustersSqlWhere(nodeFilter: String): String =
+    s"""WITH RECURSIVE probe_pairs AS (
       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id
-      |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0) p, embeddings c
+      |  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+      |        AND ($nodeFilter)) p,
+      |       (SELECT vec_id, embedding FROM embeddings WHERE $nodeFilter) c
       |  WHERE c.vec_id <> p.vec_id
-      |   AND round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) >= 0.35),
+      |   AND round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) >= 0.35),""".stripMargin +
+    """
       | pairs AS (
       |  SELECT probe_id AS src, cand_id AS dst FROM probe_pairs
       |  UNION
@@ -1010,6 +1053,8 @@ object SparkEntry {
       |  SELECT w.start, p.dst FROM walk w JOIN pairs p ON p.src = w.node)
       |SELECT start AS node, min(node) AS component
       |FROM walk GROUP BY start ORDER BY node""".stripMargin
+
+  private lazy val dedupClustersSql: String = dedupClustersSqlWhere("1 = 1")
 
   /** The all-corpus near-dup pair graph (no probe subset): LSH-bucket
     * candidate generation + exact-cosine verify. Full value oracle —
@@ -1416,6 +1461,7 @@ object SparkEntry {
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_incremental" -> (qDedupIncremental _),
     "dedup_incremental_rollover" -> (qDedupIncrementalRollover _),
+    "dedup_incremental_delete" -> (qDedupIncrementalDelete _),
     "dedup_embedding_incremental" -> (qDedupEmbeddingIncremental _),
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_ngram" -> (qDedupNgram _),
@@ -1425,6 +1471,7 @@ object SparkEntry {
     "dedup_minhash_keep" -> (qDedupMinhashKeep _),
     "dedup_clusters" -> (qDedupClusters _),
     "dedup_clusters_incr" -> (qDedupClustersIncr _),
+    "dedup_clusters_decr" -> (qDedupClustersDecr _),
     "stream_clusters_incr" -> (qStreamClustersIncr _),
     "dedup_clusters_dist" -> (qDedupClustersDist _),
     "knn_bruteforce" -> (qKnnBrute _),
@@ -1979,12 +2026,14 @@ object SparkEntry {
        |       JOIN sh sb ON sb.doc_id = id_b)""".stripMargin
   }
 
-  private val wordShingleCte: String =
-    """SELECT doc_id, list_distinct(list_transform(
-      |   range(0, greatest(len(w)-3, 0)+1),
-      |   i -> array_to_string(w[i+1:i+3], ' '))) AS s
-      |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-      |        FROM documents)""".stripMargin
+  private def wordShingleCteWhere(where: String): String =
+    s"""SELECT doc_id, list_distinct(list_transform(
+       |   range(0, greatest(len(w)-3, 0)+1),
+       |   i -> array_to_string(w[i+1:i+3], ' '))) AS s
+       |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+       |        FROM documents WHERE $where)""".stripMargin
+
+  private val wordShingleCte: String = wordShingleCteWhere("1 = 1")
 
   private val charGramCte: String =
     """SELECT doc_id, list_distinct(list_transform(
@@ -3090,6 +3139,11 @@ object SparkEntry {
     // full candidate set equals the rollup over delta-involving pairs
     // — corpus-corpus pairs drop out in the join against the delta
     "dedup_incremental" -> deltaMinhashOracle,
+    // the masked (tombstoned) index must serve exactly what a fresh
+    // index over the shrunken corpus would: the oracle's corpus is the
+    // survivors only
+    "dedup_incremental_delete" ->
+      deltaMinhashOracleFrom(wordShingleCteWhere("doc_id % 10 <> 5")),
     // the rollover twin serves the same answer THROUGH an append:
     // build(80%) + append(10%) must be indistinguishable from a fresh
     // index over the unioned corpus
@@ -3216,6 +3270,9 @@ object SparkEntry {
     // ...and drop order cannot change the min-label fixpoint, so the
     // STREAMED maintenance lands on the identical table
     "stream_clusters_incr" -> dedupClustersSql,
+    // retraction: labels equal the batch re-solve over the edge set
+    // with every retracted node's edges removed
+    "dedup_clusters_decr" -> dedupClustersSqlWhere("vec_id % 10 <> 4"),
     "knn_bruteforce" ->
       (s"WITH $knnBruteCtes,\n" +
         """ sc AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
@@ -3668,9 +3725,11 @@ object SparkEntry {
     * step-for-step the math [[graft.operators.Pca.topComponent]] pins.
     */
   // delta-restricted minhash rollup, shared verbatim by the fresh-index
-  // incremental gate and its rollover (build + append) twin
-  private lazy val deltaMinhashOracle: String =
-    s"WITH ${minhashCtes(wordShingleCte, 32, 8, 4)}\n" +
+  // incremental gate and its rollover (build + append) twin; the
+  // retraction gate passes a shingle CTE whose corpus excludes the
+  // tombstoned docs (the index's masked serve view)
+  private def deltaMinhashOracleFrom(shingleCte: String): String =
+    s"WITH ${minhashCtes(shingleCte, 32, 8, 4)}\n" +
       """SELECT d.doc_id,
         | coalesce(p.n_candidates, 0)::BIGINT AS n_candidates,
         | coalesce(p.best_jaccard, 0.0) AS best_jaccard,
@@ -3682,6 +3741,9 @@ object SparkEntry {
         |       UNION ALL SELECT id_b AS doc_id, j FROM ver)
         | GROUP BY doc_id) p USING (doc_id)
         |ORDER BY doc_id""".stripMargin
+
+  private lazy val deltaMinhashOracle: String =
+    deltaMinhashOracleFrom(wordShingleCte)
 
   /** pipeline_corpus: all five curation laws replayed as one CTE
     * chain — Gopher flags → quality survivors → exact keep-min per

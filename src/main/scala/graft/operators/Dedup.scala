@@ -515,6 +515,41 @@ object Dedup {
       .unionByName(solved.select(col("node"), col("component")))
   }
 
+  /** DECREMENTAL connected components — the retraction dual of
+    * [[connectedComponentsIncremental]]: remove a set of NODES (and
+    * every edge incident to them) from a stored labeling without
+    * re-solving untouched components. Only the components that
+    * contained a removed node re-solve, on their surviving edges —
+    * removal can SPLIT a component (the removed doc was the bridge) or
+    * shift its minimum label, both of which the blast-radius re-solve
+    * recovers. Nodes of a touched component that lose their last edge
+    * drop out of the labeling entirely, so the result equals the batch
+    * re-solve over the surviving edge set (the oracle).
+    */
+  def connectedComponentsDecremental(storedLabels: DataFrame,
+      edges: DataFrame, removedNodes: DataFrame,
+      srcCol: String, dstCol: String): DataFrame = {
+    val removed = removedNodes.select(col("node"))
+    val touched = storedLabels.join(removed, Seq("node"), "left_semi")
+      .select(col("component")).distinct()
+    val touchedNodes = storedLabels
+      .join(touched, Seq("component"), "left_semi")
+      .select(col("node"))
+    // surviving edges of the blast radius: drop edges incident to a
+    // removed node, keep only edges whose endpoints sat in a touched
+    // component (src-side semi suffices — edges never cross components)
+    val survEdges = edges.select(col(srcCol), col(dstCol))
+      .join(removed.withColumnRenamed("node", srcCol), Seq(srcCol), "left_anti")
+      .join(removed.withColumnRenamed("node", dstCol), Seq(dstCol), "left_anti")
+    val blastEdges = survEdges
+      .join(touchedNodes.withColumnRenamed("node", srcCol),
+        Seq(srcCol), "left_semi")
+    val solved = connectedComponents(blastEdges, srcCol, dstCol)
+    storedLabels.join(touched, Seq("component"), "left_anti")
+      .select(col("node"), col("component"))
+      .unionByName(solved.select(col("node"), col("component")))
+  }
+
   /** Driver union-find over a materialized (bounded) edge list:
     * O(E α(E)), path compression + union by min — component = minimum
     * node id, matching the distributed loop's labeling exactly.

@@ -99,11 +99,79 @@ object MinhashIndexStore {
   }
 
   /** The stored band table; the partition column comes back as the
-    * directory value, cast to the written int type.
+    * directory value, cast to the written int type. Retracted docs
+    * ([[delete]]) are masked by a broadcast anti-join on the tombstone
+    * list — the serve plan never sees their band rows, without
+    * rewriting a single index file.
     */
-  def bandsTable(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/bands")
+  def bandsTable(spark: SparkSession, path: String): DataFrame = {
+    val bands = spark.read.parquet(s"$path/bands")
       .withColumn("band", col("band").cast("int"))
+    if (hasTombstones(spark, path))
+      bands.join(broadcast(tombstonesTable(spark, path)),
+        Seq("doc_id"), "left_anti")
+    else bands
+  }
+
+  private def hasTombstones(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def tombstonesTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/tombstones").select(col("doc_id")).distinct()
+
+  /** Retract documents from the index — takedowns / right-to-be-
+    * forgotten. Deletion-vector style: the doc ids append to a
+    * `tombstones/` list (O(|retraction|) write — an id per doc, never
+    * an index rewrite at serve time) and [[bandsTable]] masks them on
+    * read. The broadcast anti-join costs one hash probe per band row
+    * while tombstones are outstanding; run [[compact]] when the list
+    * grows past broadcast size.
+    */
+  def delete(docIds: DataFrame, path: String): Unit =
+    docIds.select(col("doc_id"))
+      .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+
+  /** Fold outstanding tombstones into the files: rewrite `bands/`
+    * without the retracted docs, then clear the tombstone list. After
+    * compaction [[bandsTable]] serves with zero masking overhead and
+    * the retracted rows are physically gone (the retention guarantee
+    * takedowns ultimately need). Not concurrency-safe against a racing
+    * append — production wraps the swap in a table format's
+    * transaction, like [[append]]'s caveat.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    if (!hasTombstones(spark, path)) return
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    bandsTable(spark, path)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("band")
+      .parquet(s"$path/bands_compacted")
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/bands_compacted"),
+      new org.apache.hadoop.fs.Path(s"$path/bands"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+  }
+
+  /** Memoized build-then-delete lifecycle for the retraction gate: the
+    * first caller per JVM per path indexes the full corpus and then
+    * retracts `removed` via [[delete]]; later callers serve from the
+    * masked index. Same lifecycle separation as [[ensureRolled]].
+    */
+  def ensureDeleted(corpus: DataFrame, removed: DataFrame,
+      path: String): Unit = {
+    require(!built.containsKey(s"plain:$path") &&
+      !built.containsKey(s"rolled:$path"),
+      s"$path was built by another lifecycle; use a distinct path")
+    built.computeIfAbsent(s"deleted:$path", _ => {
+      build(corpus, path)
+      delete(removed, path)
+      java.lang.Boolean.TRUE
+    })
+    ()
+  }
 
   /** Fold a vetted drop INTO the stored index: append its band rows to
     * the same partitioned layout, so tomorrow's drop near-dups against

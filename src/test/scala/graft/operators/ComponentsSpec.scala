@@ -68,6 +68,49 @@ class ComponentsSpec extends SparkSpecBase {
     assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 1L)
   }
 
+  test("decremental CC: removing a bridge SPLITS its component; untouched stay stored") {
+    // {1-2-3-4} with 3 the bridge, {10,11}, {20,21}; removing 3 splits
+    // the first component into {1,2} and {4}: 4 loses its last edge
+    // and drops out of the labeling (matches the batch re-solve over
+    // surviving edges)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("a", "b")
+    val stored = Dedup.connectedComponents(edges, "a", "b")
+    val removed = Seq(3L).toDF("node")
+    val got = Dedup.connectedComponentsDecremental(stored, edges, removed, "a", "b")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val batch = Dedup.connectedComponents(
+        edges.filter($"a" =!= 3L && $"b" =!= 3L), "a", "b")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got == batch, s"got=$got batch=$batch")
+    assert(got == Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L), (21L, 20L)))
+  }
+
+  test("decremental CC: removing the MIN node relabels the survivors") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val stored = Dedup.connectedComponents(edges, "a", "b")
+    val got = Dedup.connectedComponentsDecremental(stored, edges,
+        Seq(1L).toDF("node"), "a", "b")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    // component minimum moves from 1 to 2; untouched {10,11} keeps 10
+    assert(got == Seq((2L, 2L), (3L, 2L), (10L, 10L), (11L, 10L)))
+  }
+
+  test("decremental CC streams untouched labels from the STORE (tamper-proof)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val stored = Dedup.connectedComponents(edges, "a", "b")
+    val tampered = stored
+      .withColumn("component",
+        org.apache.spark.sql.functions.when($"component" === 10L, 999L)
+          .otherwise($"component"))
+    val got = Dedup.connectedComponentsDecremental(tampered, edges,
+        Seq(3L).toDF("node"), "a", "b")
+      .orderBy("node").as[(Long, Long)].collect().toMap
+    assert(got(10L) == 999L && got(11L) == 999L) // honored the store
+    assert(got(1L) == 1L && got(2L) == 1L)
+  }
+
   test("incremental CC on the gate split equals the batch labels") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val pairs = Dedup.embeddingNearDups(emb)

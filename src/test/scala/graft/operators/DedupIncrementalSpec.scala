@@ -54,6 +54,45 @@ class DedupIncrementalSpec extends SparkSpecBase {
     assert(a == b)
   }
 
+  test("delete masks the index like a fresh build over the shrunken corpus; compact preserves") {
+    val docs = Tables.documents(spark, sfDir)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val removed = docs.filter(col("doc_id") % 10 === 5).select(col("doc_id"))
+    // tombstoned index over the full corpus
+    val delPath = freshPath("del")
+    MinhashIndexStore.build(corpus, delPath)
+    MinhashIndexStore.delete(removed, delPath)
+    val masked = Dedup.minhashNearDupsDelta(delta, docs,
+        MinhashIndexStore.bandsTable(spark, delPath))
+      .orderBy("doc_id").as[(Long, Long, Double, Boolean)].collect().toSeq
+    // fresh index over the surviving corpus
+    val freshP = freshPath("fresh")
+    MinhashIndexStore.build(corpus.filter(col("doc_id") % 10 =!= 5), freshP)
+    val fresh = Dedup.minhashNearDupsDelta(delta, docs,
+        MinhashIndexStore.bandsTable(spark, freshP))
+      .orderBy("doc_id").as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(masked == fresh)
+    // the retraction must be observable: serving the UNMASKED index
+    // differs (otherwise this spec proves nothing on this corpus)
+    val unmasked = Dedup.minhashNearDupsDelta(delta, docs,
+        spark.read.parquet(s"$delPath/bands")
+          .withColumn("band", col("band").cast("int")))
+      .orderBy("doc_id").as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(unmasked != masked)
+    // compaction folds tombstones into the files: same serve answer,
+    // no tombstone list left behind
+    MinhashIndexStore.compact(spark, delPath)
+    assert(!new java.io.File(s"$delPath/tombstones").exists())
+    val compacted = Dedup.minhashNearDupsDelta(delta, docs,
+        MinhashIndexStore.bandsTable(spark, delPath))
+      .orderBy("doc_id").as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(compacted == fresh)
+    // and the retracted rows are physically gone
+    assert(spark.read.parquet(s"$delPath/bands")
+      .filter(col("doc_id") % 10 === 5).count() == 0L)
+  }
+
   test("exact-twin drop: collapsed query equals the uncollapsed batch rollup") {
     // the replicated-corpus shape (every text delivered several times
     // in one drop): the delta query collapses to distinct-text grain
