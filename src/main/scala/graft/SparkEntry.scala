@@ -1196,6 +1196,26 @@ object SparkEntry {
       .orderBy(col("probe_id"))
   }
 
+  /** The retrain loop ACTED ON ([[graft.sources.IvfIndexStore
+    * .ensureRetrained]]): roll the index, measure recall@5 of the
+    * frozen-quantizer serve against brute force, and — the measured
+    * drift sitting below the 0.95 trigger on this corpus (spec-pinned)
+    * — rebuild the quantizer over the union. The serve plan reads the
+    * RETRAINED index, so the oracle is the fresh-trained replay over
+    * the whole corpus (identical to knn_ivf_served's law).
+    */
+  private def qKnnIvfRetrain(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 5 =!= 4)
+    val delta = emb.filter(col("vec_id") % 5 === 4)
+    val path = graft.sources.IvfIndexStore.defaultPath(dir) + "_retrain"
+    graft.sources.IvfIndexStore.ensureRetrained(s, base, delta, path)
+    graft.sources.IvfIndexStore
+      .servedAfterRetrain(s, path, emb.filter(col("vec_id") < 8))
+      .withColumn("rnk", col("rnk").cast("bigint"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   private def qKnnPqRecall(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val path = graft.sources.IvfIndexStore.defaultPath(dir)
@@ -1512,6 +1532,7 @@ object SparkEntry {
     "text_bigram_lm" -> (qBigramLm _),
     "knn_pq_served" -> (qKnnPqServed _),
     "knn_ivf_append" -> (qKnnIvfAppend _),
+    "knn_ivf_retrain" -> (qKnnIvfRetrain _),
     "knn_pq_recall" -> (qKnnPqRecall _),
     "knn_ivf_append_recall" -> (qKnnIvfAppendRecall _)
   )
@@ -3330,6 +3351,10 @@ object SparkEntry {
     // deterministic function of the corpus — the oracle retrains in
     // SQL and lands on the identical stored tables
     "knn_ivf_served" -> ivfTrainedOracle,
+    // the retrain trigger fires on this corpus (rolled recall < 0.95,
+    // spec-pinned), so the serve reads the quantizer rebuilt over the
+    // union = the whole corpus — the fresh-trained replay verbatim
+    "knn_ivf_retrain" -> ivfTrainedOracle,
     "knn_pq_served" -> pqServedOracle,
     // recall@5 of the PQ-served cut vs exact brute force — the eval
     // loop that decides whether the d-bytes-per-candidate ADC scan is

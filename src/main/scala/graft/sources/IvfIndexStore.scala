@@ -154,6 +154,67 @@ object IvfIndexStore {
     ()
   }
 
+  /** The retrain LOOP closed as an action: roll the index (build on
+    * the base, frozen-quantizer [[append]] of the drop), MEASURE its
+    * recall@5 against brute force over the union, and when the rolled
+    * recall sits below `threshold`, rebuild the quantizer over the
+    * whole union — the "periodic retrain when recall degrades" the
+    * append contract promises. The decision (measured drift + whether
+    * the trigger fired) persists beside the indexes, so the serve path
+    * ([[servedAfterRetrain]]) is a pure read of stored state.
+    *
+    * The recall probe is a driver-side action by design: in
+    * production the number comes off the eval dashboard
+    * (`knn_ivf_append_recall`); here the loop runs it inline, bounded
+    * by the probe subset (8 query vectors × k).
+    */
+  def ensureRetrained(spark: SparkSession, base: DataFrame,
+      delta: DataFrame, path: String, threshold: Double = 0.95,
+      cells: Int = 8, iters: Int = 3): Unit = {
+    built.computeIfAbsent(s"retrain:$path", _ => {
+      import org.apache.spark.sql.functions.{avg, col}
+      build(base, s"$path/rolled", cells, iters)
+      append(spark, delta, s"$path/rolled")
+      val union = base.unionByName(delta)
+      val probes = union.filter(col("vec_id") < 8)
+      val rolledRecall = Similarity.recallOf(
+          Similarity.bruteForceTopK(union, col("vec_id") < 8),
+          servedTopK(spark, s"$path/rolled", probes), 5)
+        .agg(avg(col("recall_at_5"))).head().getDouble(0)
+      val retrain = rolledRecall < threshold
+      if (retrain) build(union, s"$path/full", cells, iters)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$path/decision.json"), true)
+      out.write(
+        s"""{"rolled_recall":$rolledRecall,"threshold":$threshold,"retrained":$retrain}"""
+          .getBytes("UTF-8"))
+      out.close()
+      java.lang.Boolean.TRUE
+    })
+    ()
+  }
+
+  /** The persisted retrain decision: (measured rolled recall, fired). */
+  def retrainDecision(spark: SparkSession, path: String): (Double, Boolean) = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$path/decision.json"))
+    val txt = scala.io.Source.fromInputStream(in).mkString
+    in.close()
+    val recall = """"rolled_recall":([0-9.eE+-]+)""".r
+      .findFirstMatchIn(txt).get.group(1).toDouble
+    (recall, txt.contains(""""retrained":true"""))
+  }
+
+  /** Serve from whichever index the retrain decision picked. */
+  def servedAfterRetrain(spark: SparkSession, path: String,
+      probeRows: DataFrame, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    val sub = if (retrainDecision(spark, path)._2) "full" else "rolled"
+    servedTopK(spark, s"$path/$sub", probeRows, k, nprobe)
+  }
+
   /** One-row (pos, mn, mx)-struct-list frame from the grid stats —
     * broadcast beside every row that quantizes or dequantizes.
     */

@@ -118,4 +118,39 @@ class IvfAppendSpec extends SparkSpecBase {
       assert(codes(id).forall(c => c >= 0 && c <= 255))
     }
   }
+
+  test("retrain loop: trigger fires on the measured drift and recall recovers") {
+    val path = freshPath("retrain")
+    IvfIndexStore.ensureRetrained(spark, base, delta, path)
+    val (rolledRecall, fired) = IvfIndexStore.retrainDecision(spark, path)
+    // the committed drift number: the frozen-quantizer roll sits below
+    // the 0.95 trigger on this corpus, so the rebuild MUST have fired —
+    // if testdata ever changes so the roll stays healthy, this surfaces
+    // it instead of the gate silently serving the rolled index
+    assert(rolledRecall < 0.95, s"rolled recall $rolledRecall")
+    assert(fired)
+    // recall recovers: the retrained serve beats the rolled serve
+    val union = base.unionByName(delta)
+    val probes = union.filter(col("vec_id") < 8)
+    def meanRecall(sub: String): Double = Similarity.recallOf(
+        Similarity.bruteForceTopK(union, col("vec_id") < 8),
+        IvfIndexStore.servedTopK(spark, s"$path/$sub", probes), 5)
+      .agg(avg(col("recall_at_5"))).head().getDouble(0)
+    val recovered = meanRecall("full")
+    assert(recovered > rolledRecall,
+      s"retrained recall $recovered vs rolled $rolledRecall")
+    // the served-after-retrain plan reads the retrained index
+    val served = IvfIndexStore.servedAfterRetrain(spark, path, probes)
+    served.collect()
+    val p = served.queryExecution.executedPlan.toString
+    assert(p.contains("full"), p.take(2000))
+    // and a healthy roll (threshold below the measured recall) keeps
+    // serving the rolled index without building a second quantizer
+    val path2 = freshPath("retrain_lo")
+    IvfIndexStore.ensureRetrained(spark, base, delta, path2,
+      threshold = rolledRecall - 0.01)
+    val (_, fired2) = IvfIndexStore.retrainDecision(spark, path2)
+    assert(!fired2)
+    assert(!new java.io.File(s"$path2/full").exists())
+  }
 }
