@@ -40,10 +40,36 @@ object Pipeline {
     obs.get("rows").asInstanceOf[Long]
   }
 
+  /** Stage names in dependency order — the public contract between
+    * [[runDaily]], the per-stage CLI ([[main]] with a stage argument),
+    * and the Airflow DAG (`dags/graft_daily_dag.py`, whose task ids a
+    * spec checks against this list).
+    */
+  val StageNames: Seq[String] = Seq(
+    "event_raw", "d_event", "d_user", "d_parameter", "d_item",
+    "f_events", "view_yearly_counts", "view_item_rank",
+    "view_top_item", "view_top_platform")
+
   /** One daily load: srcDir (raw drop) → warehouseDir (star schema +
     * views). Returns per-stage row counts and timings.
     */
-  def runDaily(spark: SparkSession, srcDir: String, warehouseDir: String): Seq[StageResult] = {
+  def runDaily(spark: SparkSession, srcDir: String, warehouseDir: String): Seq[StageResult] =
+    stages(spark, srcDir, warehouseDir).map { case (n, f) => timed(n)(f()) }
+
+  /** Run ONE stage by name — the spark-submit unit an external
+    * orchestrator (Airflow, cron, anything) schedules; stage ordering
+    * is the orchestrator's contract (see `dags/graft_daily_dag.py`).
+    */
+  def runStage(spark: SparkSession, srcDir: String, warehouseDir: String,
+      stage: String): StageResult = {
+    val all = stages(spark, srcDir, warehouseDir).toMap
+    require(all.contains(stage),
+      s"unknown stage '$stage' (expected one of ${StageNames.mkString(", ")})")
+    timed(stage)(all(stage)())
+  }
+
+  private def stages(spark: SparkSession, srcDir: String,
+      warehouseDir: String): Seq[(String, () => Long)] = {
     // NULL natural keys can't join the star schema (null-unsafe merge
     // and fact↔dim joins would silently drop them) — exclude up front;
     // Quality.notNull is the check that surfaces them to operators
@@ -55,29 +81,29 @@ object Pipeline {
     Seq(
       // raw layer: full overwrite, latest drop wins (reference:
       // etl_s3_snowflake_raw_event_ingest.py "overwrite mode")
-      timed("event_raw")(overwrite(StarSchema.rawIngest(events), s"$w/event_raw")),
+      "event_raw" -> (() => overwrite(StarSchema.rawIngest(events), s"$w/event_raw")),
       // dims keyed on their natural key, insert-if-absent with
       // surrogate ids that stay stable across incremental drops (new
       // keys continue after the stored max — never renumbered)
       // d_event is one row per EVENT — fact-sized, so don't pin the
       // returned frame in the block manager (pinResult = false); the
       // count below is its only consumer before the next load
-      timed("d_event")(Sinks.mergeDimSurrogate(spark, s"$w/d_event",
+      "d_event" -> (() => Sinks.mergeDimSurrogate(spark, s"$w/d_event",
         events.select("event_id"), "event_id", "guid_event",
         pinResult = false).count()),
-      timed("d_user")(Sinks.mergeDimSurrogate(spark, s"$w/d_user",
+      "d_user" -> (() => Sinks.mergeDimSurrogate(spark, s"$w/d_user",
         events.select("user_id"), "user_id", "guid_user").count()),
-      timed("d_parameter")(Sinks.mergeDimSurrogate(spark, s"$w/d_parameter",
+      "d_parameter" -> (() => Sinks.mergeDimSurrogate(spark, s"$w/d_parameter",
         StarSchema.parameterNames(events), "parameter_name", "guid_parameter").count()),
       // item dim: SCD-1 update on item_id
-      timed("d_item")(Sinks.mergeDim(spark, s"$w/d_item",
+      "d_item" -> (() => Sinks.mergeDim(spark, s"$w/d_item",
         StarSchema.dItem(part), Seq("item_id"),
         Seq("item_name", "item_brand", "item_type", "item_size", "item_price"),
         Sinks.Update).count()),
       // fact: SCD-1 update on the composite event/parameter key; the
       // surrogate comes from the STABLE d_event dim (merged above), so
       // fact guids are unique and never renumbered across drops
-      timed("f_events")({
+      "f_events" -> (() => {
         // d_event is one row per event — fact-sized, so this is a
         // shuffle join on the key, NOT a broadcast
         val dEvent = spark.read.parquet(s"$w/d_event")
@@ -91,13 +117,13 @@ object Pipeline {
           pinResult = false).count() // fact-sized result: no block-manager pin
       }),
       // the four analytic views, rebuilt per load
-      timed("view_yearly_counts")(
+      "view_yearly_counts" -> (() => 
         overwrite(Views.yearlyCounts(events, part), s"$w/view_yearly_counts")),
-      timed("view_item_rank")(
+      "view_item_rank" -> (() => 
         overwrite(Views.itemRankByPeriod(events, part), s"$w/view_item_rank")),
-      timed("view_top_item")(
+      "view_top_item" -> (() => 
         overwrite(Views.topItemRecentPeriod(events, part), s"$w/view_top_item")),
-      timed("view_top_platform")(
+      "view_top_platform" -> (() => 
         overwrite(Views.topPlatformByPeriod(events, part), s"$w/view_top_platform"))
     )
   }
@@ -154,13 +180,20 @@ object Pipeline {
   /** CLI: runDaily(srcDir, warehouseDir). */
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
-      System.err.println("usage: graft.Pipeline <srcDir> <warehouseDir>")
+      System.err.println(
+        "usage: graft.Pipeline <srcDir> <warehouseDir> [stage]")
       sys.exit(2)
     }
     val Array(srcDir, outDir) = args.take(2)
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
-    val results = runDaily(spark, srcDir, outDir)
+    // with a stage argument, run exactly that stage (the Airflow task
+    // unit — dags/graft_daily_dag.py passes one per task); without,
+    // the whole chain in dependency order
+    val results = args.lift(2) match {
+      case Some(stage) => Seq(runStage(spark, srcDir, outDir, stage))
+      case None => runDaily(spark, srcDir, outDir)
+    }
     results.foreach(r =>
       println(f"[pipeline] ${r.name}%-22s ${r.rows}%9d rows ${r.seconds}%7.2f s"))
     spark.stop()
