@@ -240,11 +240,9 @@ object Graph {
       .join(deg.select(col("node").as("dst"), col("degree").as("dd")), "dst")
       .select(
         when(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")),
-          struct(col("src").as("u"), col("dst").as("v"),
-            col("dd").as("dv"), col("ds").as("du")))
-          .otherwise(struct(col("dst").as("u"), col("src").as("v"),
-            col("ds").as("dv"), col("dd").as("du"))).as("o"))
-      .select(col("o.u").as("u"), col("o.v").as("v"), col("o.dv").as("dv"))
+          struct(col("src").as("u"), col("dst").as("v")))
+          .otherwise(struct(col("dst").as("u"), col("src").as("v"))).as("o"))
+      .select(col("o.u").as("u"), col("o.v").as("v"))
       .localCheckpoint()
     // EDGE-ITERATOR close: a triangle a→b, a→c, b→c is found exactly
     // once, at its orientation-minimal edge (a, b), as the out-neighbor
@@ -261,15 +259,25 @@ object Graph {
     // ue is checkpointed, so the strategy probe is a cached-RDD count;
     // the two adjacency joins alias ONE side frame, so the planner
     // reuses a single (broadcast or shuffle) exchange of the adjacency
-    // instead of materializing it twice
+    // instead of materializing it twice. Broadcast only when the
+    // adjacency's estimated BYTES fit the session's broadcast
+    // threshold (one entry per oriented edge, ~16 B with overhead) —
+    // a row-count cutoff could force-broadcast a table far past the
+    // configured limit; past the threshold the planner picks the join
+    val bcastLimit =
+      ue.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     val adjSide =
-      if (ue.count() > 5000000L) adj else broadcast(adj)
+      if (bcastLimit > 0 && ue.count() * 16L <= bcastLimit) broadcast(adj)
+      else adj
+    // typed empty for missing adjacency: derive the element type from
+    // the edge schema so non-long node ids (int, string) still analyze
+    val idType = ue.schema("src").dataType.catalogString
     val joined = oriented.select(col("u"), col("v")).alias("e")
       .join(adjSide.alias("na"), col("e.u") === col("na.u"))
       .join(adjSide.alias("nb"), col("e.v") === col("nb.u"), "left")
       .select(col("e.u").as("u"), col("e.v").as("v"),
         col("na.nbrs").as("nu"),
-        coalesce(col("nb.nbrs"), array().cast("array<long>")).as("nv"))
+        coalesce(col("nb.nbrs"), array().cast(s"array<$idType>")).as("nv"))
     val tri = joined
       .select(col("u"), col("v"), array_intersect(col("nu"), col("nv")).as("ws"))
       .filter(size(col("ws")) > 0)

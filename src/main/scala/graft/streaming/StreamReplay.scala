@@ -433,8 +433,11 @@ object StreamReplay {
       stage.toString
     })
     val run = java.nio.file.Files.createTempDirectory("graft_ccstream_run")
+    // base edges under edges/base, per-batch drops under edges/drop_<id>
+    // (batch-id-keyed so a retried micro-batch overwrites, not appends);
+    // readers use recursiveFileLookup over edges/
     copyTree(java.nio.file.Paths.get(s"$staged/edges"),
-      java.nio.file.Paths.get(s"$run/edges"))
+      java.nio.file.Paths.get(s"$run/edges/base"))
     val labelsRef = new java.util.concurrent.atomic.AtomicReference[String](
       s"$staged/labels_base")
     val chk = java.nio.file.Files.createTempDirectory("graft_ccstream_chk")
@@ -453,16 +456,27 @@ object StreamReplay {
           try {
             if (!b.isEmpty) {
               val stored = spark.read.parquet(labelsRef.get)
-              val baseEdges = spark.read.parquet(s"$run/edges")
+              val baseEdges = spark.read
+                .option("recursiveFileLookup", "true")
+                .parquet(s"$run/edges")
               val next = s"$run/labels_$id"
+              // RETRY-SAFE: the batch id is stable across Spark
+              // micro-batch retries, so Overwrite re-lands the same
+              // labels, and the batch-id-keyed edge dir re-lands the
+              // same edge files — a replayed batch can neither fail on
+              // an existing path nor double-append. Folding the same
+              // delta twice is also value-idempotent (the min-label
+              // fixpoint doesn't move), so a retry that saw a partial
+              // prior attempt still converges to the same table.
               Dedup.connectedComponentsIncremental(
                   stored, baseEdges, b, "src", "dst")
-                .write.parquet(next)
+                .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .parquet(next)
               labelsRef.set(next)
               // the labels now describe base ∪ drops-so-far: grow the
               // stored edge set to match before the next batch
-              b.write.mode(org.apache.spark.sql.SaveMode.Append)
-                .parquet(s"$run/edges")
+              b.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .parquet(s"$run/edges/drop_$id")
             }
           } finally { b.unpersist(); () }
       }
@@ -510,18 +524,33 @@ object StreamReplay {
     try {
       val q = src.writeStream.foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-            _: Long) =>
+            id: Long) =>
           val b = batch.toDF().persist()
           try {
             // the FULL docs table serves the verify text fetch —
             // minhashNearDupsDelta derives its candidate-id set from
             // the stored band join (never containing this drop's ids),
-            // so the batch needs no complement predicate
+            // so the batch needs no complement predicate.
+            // RETRY-SAFE: the per-batch rollup lands in a batch-id-
+            // keyed dir with Overwrite (a replayed batch re-lands the
+            // same rows instead of double-appending), and the index
+            // fold is guarded by a batch-id marker so a retry skips an
+            // append that already committed. The marker lands AFTER
+            // the append — a crash between the two re-appends on
+            // retry, the residual window a table format's transaction
+            // closes in production (same caveat as
+            // MinhashIndexStore.append itself).
             graft.operators.Dedup.minhashNearDupsDelta(b, docs,
                 MinhashIndexStore.bandsTable(spark, idxPath))
-              .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(sink)
-            // fold the drop in: the next micro-batch near-dups against it
-            MinhashIndexStore.append(b, idxPath)
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$sink/batch_$id")
+            val marker = java.nio.file.Paths.get(s"$idxPath/_drop_$id")
+            if (!java.nio.file.Files.exists(marker)) {
+              // fold the drop in: the next micro-batch near-dups against it
+              MinhashIndexStore.append(b, idxPath)
+              java.nio.file.Files.createFile(marker)
+              ()
+            }
           } finally { b.unpersist(); () }
       }
         .option("checkpointLocation", chk)
@@ -533,6 +562,6 @@ object StreamReplay {
       case Some(v) => spark.conf.set(partsKey, v)
       case None => spark.conf.unset(partsKey)
     }
-    spark.read.parquet(sink)
+    spark.read.option("recursiveFileLookup", "true").parquet(sink)
   }
 }

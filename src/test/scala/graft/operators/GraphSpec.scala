@@ -83,6 +83,23 @@ class GraphSpec extends SparkSpecBase {
     assert(r(4L) == (4L, 2L, 1L, 1.0))
   }
 
+  test("triangleCounts is id-type-generic: int and string node ids analyze and agree") {
+    // the missing-adjacency default derives its type from the edge
+    // schema — a hardcoded array<long> used to fail analysis here
+    val intEdges = Seq((1, 2), (1, 3), (2, 3), (2, 4), (3, 4))
+      .toDF("src", "dst")
+    val ri = Graph.triangleCounts(intEdges)
+      .select("node", "n_triangles").collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(ri == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+    val strEdges = Seq(("a", "b"), ("a", "c"), ("b", "c"))
+      .toDF("src", "dst")
+    val rs = Graph.triangleCounts(strEdges)
+      .select("node", "n_triangles").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rs == Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
   test("triangle-free graph yields no rows; hub star has no triangles") {
     val star = sym((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
     assert(Graph.triangleCounts(star).count() == 0L)
