@@ -918,6 +918,19 @@ object SparkEntry {
       .orderBy(col("node"))
   }
 
+  /** STREAMING retraction maintenance ([[graft.streaming.StreamReplay
+    * .replayRetractionDrops]]): two takedown drops (vec_id % 20 == 4,
+    * then % 20 == 14) stream through foreachBatch, each repairing the
+    * stored labeling via the decremental blast-radius re-solve while
+    * removals accumulate as an edge-store tombstone set. Removal order
+    * can't move the fixpoint, so the batch re-solve over the shrunken
+    * graph (same oracle as `dedup_clusters_decr`) gates the streamed
+    * table.
+    */
+  private def qStreamRetract(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.replayRetractionDrops(s, dir)
+      .orderBy(col("node"))
+
   /** Incremental EMBEDDING near-dup: vec_id % 10 == 0 plays the new
     * drop against the persisted signature index of the other 90%
     * ([[graft.sources.EmbLshIndexStore]]). `bits` comes from the
@@ -1492,6 +1505,7 @@ object SparkEntry {
     "dedup_clusters" -> (qDedupClusters _),
     "dedup_clusters_incr" -> (qDedupClustersIncr _),
     "dedup_clusters_decr" -> (qDedupClustersDecr _),
+    "stream_retract" -> (qStreamRetract _),
     "stream_clusters_incr" -> (qStreamClustersIncr _),
     "dedup_clusters_dist" -> (qDedupClustersDist _),
     "knn_bruteforce" -> (qKnnBrute _),
@@ -3294,6 +3308,9 @@ object SparkEntry {
     // retraction: labels equal the batch re-solve over the edge set
     // with every retracted node's edges removed
     "dedup_clusters_decr" -> dedupClustersSqlWhere("vec_id % 10 <> 4"),
+    // ...and removal order can't move the fixpoint, so the STREAMED
+    // takedown maintenance lands on the identical table
+    "stream_retract" -> dedupClustersSqlWhere("vec_id % 10 <> 4"),
     "knn_bruteforce" ->
       (s"WITH $knnBruteCtes,\n" +
         """ sc AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk

@@ -564,4 +564,102 @@ object StreamReplay {
     }
     spark.read.option("recursiveFileLookup", "true").parquet(sink)
   }
+
+  private val rtStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** STREAMING retraction maintenance — the deletion dual of
+    * [[replayClusterDrops]], and the last tier of the retraction
+    * story (batch MERGE delete → index tombstones → decremental
+    * clustering → THIS): takedown drops (node-id lists) arrive as a
+    * file stream, and each micro-batch repairs the STORED labeling via
+    * [[graft.operators.Dedup.connectedComponentsDecremental]] — only
+    * components that contained a removed node re-solve on their
+    * surviving edges. The edge store itself is immutable: removals
+    * accumulate as a tombstone set (`removed/drop_<id>`, batch-id-
+    * keyed Overwrite — the same retry-safe, deletion-vector design as
+    * [[graft.sources.MinhashIndexStore.delete]]) and every reader
+    * anti-joins it, so a retried batch is a no-op (its nodes are
+    * already out of the labels, making the blast radius empty).
+    *
+    * Removal order cannot change the final fixpoint (the surviving
+    * edge set is order-independent), so the batch re-solve over the
+    * shrunken graph gates the streamed table — the same oracle as
+    * `dedup_clusters_decr`.
+    */
+  def replayRetractionDrops(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val staged = rtStaged.computeIfAbsent(dir, _ => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_rtstream")
+      val pairs = Dedup.embeddingNearDups(emb)
+        .select(col("probe_id").as("src"), col("cand_id").as("dst"))
+      // takedown drops: vec_id % 10 == 4 retracted across two loads
+      stageFile(emb.filter(col("vec_id") % 20 === 4)
+        .select(col("vec_id").as("node")), stage, "drops/drop_", 0)
+      stageFile(emb.filter(col("vec_id") % 20 === 14)
+        .select(col("vec_id").as("node")), stage, "drops/drop_", 1)
+      pairs.write.parquet(s"$stage/edges")
+      Dedup.connectedComponents(pairs, "src", "dst")
+        .write.parquet(s"$stage/labels_base")
+      stage.toString
+    })
+    val run = java.nio.file.Files.createTempDirectory("graft_rtstream_run")
+    copyTree(java.nio.file.Paths.get(s"$staged/edges"),
+      java.nio.file.Paths.get(s"$run/edges"))
+    val labelsRef = new java.util.concurrent.atomic.AtomicReference[String](
+      s"$staged/labels_base")
+    // tombstone store seeded empty so readers never hit a missing path
+    emb.select(col("vec_id").as("node")).limit(0)
+      .write.parquet(s"$run/removed/seed")
+    val chk = java.nio.file.Files.createTempDirectory("graft_rtstream_chk")
+    val schema = spark.read.parquet(s"$staged/drops/drop_0.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/drops")
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(partsKey)
+    spark.conf.set(partsKey, "8")
+    try {
+      val q = src.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          val b = batch.toDF().persist()
+          try {
+            if (!b.isEmpty) {
+              val stored = spark.read.parquet(labelsRef.get)
+              // the graph the stored labels describe: base edges minus
+              // every PRIOR removal (this batch's tombstones land
+              // after the repair)
+              val removedSoFar = spark.read
+                .option("recursiveFileLookup", "true")
+                .parquet(s"$run/removed")
+              val edgesNow = spark.read.parquet(s"$run/edges")
+                .join(removedSoFar.withColumnRenamed("node", "src"),
+                  Seq("src"), "left_anti")
+                .join(removedSoFar.withColumnRenamed("node", "dst"),
+                  Seq("dst"), "left_anti")
+                .select(col("src"), col("dst"))
+              val next = s"$run/labels_$id"
+              Dedup.connectedComponentsDecremental(
+                  stored, edgesNow, b, "src", "dst")
+                .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .parquet(next)
+              labelsRef.set(next)
+              b.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+                .parquet(s"$run/removed/drop_$id")
+            }
+          } finally { b.unpersist(); () }
+      }
+        .option("checkpointLocation", chk.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(partsKey, v)
+      case None => spark.conf.unset(partsKey)
+    }
+    spark.read.parquet(labelsRef.get)
+  }
 }

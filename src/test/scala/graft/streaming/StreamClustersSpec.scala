@@ -35,4 +35,32 @@ class StreamClustersSpec extends SparkSpecBase {
     assert(got.nonEmpty)
     assert(got == batch)
   }
+
+  test("streamed retraction labels equal the batch re-solve over the shrunken graph") {
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = Dedup.embeddingNearDups(emb)
+      .select(col("probe_id").as("src"), col("cand_id").as("dst"))
+    // both takedown drops must actually retract labeled nodes, and the
+    // removal must be observable (labels shrink)
+    val nodes = pairs.select(col("src").as("node"))
+      .unionByName(pairs.select(col("dst").as("node"))).distinct()
+    assert(nodes.filter(col("node") % 20 === 4).count() > 0)
+    assert(nodes.filter(col("node") % 20 === 14).count() > 0)
+
+    val got = StreamReplay.replayRetractionDrops(spark, dir)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val surviving = pairs
+      .filter(col("src") % 10 =!= 4 && col("dst") % 10 =!= 4)
+    val batch = Dedup.connectedComponents(surviving, "src", "dst")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    assert(got == batch)
+    // observable retraction: fewer labeled nodes than the full graph
+    assert(got.size <
+      Dedup.connectedComponents(pairs, "src", "dst").count())
+    // replay isolation: a second run starts from the pristine base
+    val again = StreamReplay.replayRetractionDrops(spark, dir)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(again == got)
+  }
 }
