@@ -1284,6 +1284,17 @@ object SparkEntry {
     * encoder's left-to-right merge pass), per distinct word, then
     * joined back over word occurrences.
     */
+  /** DISTRIBUTED BPE training ([[graft.operators.TokenizerTrain
+    * .bpeTrain]]): the 8-round merge table learned FROM the corpus at
+    * word-type grain — pair counts weight every adjacent position by
+    * the type count, ties break lexicographically, and the oracle
+    * unrolls all 8 rounds with the double-delimited string-replace
+    * merge device (spec-pinned ≡ the in-memory trainer's mergePass).
+    */
+  private def qTextBpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TokenizerTrain.bpeTrain(t(s, dir, "documents"))
+      .orderBy(col("rank"))
+
   private def qTextTokensBpe(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       col("doc_id"),
@@ -1521,6 +1532,7 @@ object SparkEntry {
     "q_corr_stats" -> (qCorrStats _),
     "text_tokens" -> (qTextTokens _),
     "text_tokens_bpe" -> (qTextTokensBpe _),
+    "text_bpe_train" -> (qTextBpeTrain _),
     "text_quality" -> (qTextQuality _),
     "text_langid" -> (qTextLangid _),
     "text_chunk" -> (qTextChunk _),
@@ -3465,6 +3477,7 @@ object SparkEntry {
         | len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
         | len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS sub_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_bpe_train" -> bpeTrainOracleSql(8),
     "text_tokens_bpe" ->
       (s"WITH RECURSIVE $bpeCtes,\n" +
         """ docw AS (
@@ -3786,6 +3799,49 @@ object SparkEntry {
 
   private lazy val deltaMinhashOracle: String =
     deltaMinhashOracleFrom(wordShingleCte)
+
+  /** text_bpe_train oracle: the merge rounds fully unrolled. Each round
+    * counts adjacent symbol pairs at word-type grain (overlapping
+    * positions count, weighted by type count), takes the
+    * (count DESC, pair ASC) argmax, and applies the non-overlapping
+    * left-to-right merge via the double-delimited string-replace
+    * device: symbols joined as `||a||b||…||`, pattern `|a||b|` →
+    * `|ab|` — SQL replace's continue-after-replacement scan consumes
+    * exactly the tokens [[graft.functions.BpeTokenizer.mergePass]]
+    * skips, and the doubled delimiter leaves the partner `|` for the
+    * next adjacent match.
+    */
+  private def bpeTrainOracleSql(numMerges: Int): String = {
+    // AS MATERIALIZED throughout: each w_r is referenced by both p_{r+1}
+    // and w_{r+1}, and each m_r by two scalar subqueries — left to the
+    // inliner the chain re-evaluates exponentially (measured ~4 min at
+    // sf0.01; materialized it's sub-second)
+    val w0 =
+      """w0 AS MATERIALIZED (SELECT list_transform(range(1, len(w)+1), i -> w[i:i]) AS syms, cnt
+        |  FROM (SELECT w, count(*)::BIGINT AS cnt
+        |        FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |              FROM documents)
+        |        WHERE regexp_matches(w, '^[a-z]+$') GROUP BY w))""".stripMargin
+    val rounds = (1 to numMerges).map { r =>
+      val prev = s"w${r - 1}"
+      s"""p$r AS MATERIALIZED (
+         |  SELECT struct_extract(pr, 'a') AS a, struct_extract(pr, 'b') AS b,
+         |    sum(cnt)::BIGINT AS n
+         |  FROM (SELECT unnest(list_transform(range(0, len(syms)-1),
+         |          i -> {'a': syms[i+1], 'b': syms[i+2]})) AS pr, cnt FROM $prev)
+         |  GROUP BY 1, 2),
+         | m$r AS MATERIALIZED (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+         | w$r AS MATERIALIZED (SELECT list_filter(string_split(
+         |     replace('||' || array_to_string(syms, '||') || '||',
+         |             (SELECT '|'||a||'||'||b||'|' FROM m$r),
+         |             (SELECT '|'||a||b||'|' FROM m$r)),
+         |     '||'), x -> x <> '') AS syms, cnt FROM $prev)""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to numMerges).map { r =>
+      s"SELECT $r AS rank, a AS pair_a, b AS pair_b, a||b AS merged, n AS n_occurrences FROM m$r"
+    }.mkString("\nUNION ALL\n")
+    s"WITH $w0,\n$rounds\n$finals\nORDER BY rank"
+  }
 
   /** pipeline_corpus: all five curation laws replayed as one CTE
     * chain — Gopher flags → quality survivors → exact keep-min per

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.functions.{BpeTokenizer, TextFunctions => TF}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** DISTRIBUTED BPE merge-table training — learning the tokenizer FROM
+  * the corpus (the step [[graft.functions.BpeTokenizer]]'s frozen
+  * seed-text table sidesteps). Classic BPE (Sennrich, Haddow & Birch,
+  * "Neural machine translation of rare words with subword units", ACL
+  * 2016): repeatedly merge the corpus's most frequent adjacent symbol
+  * pair.
+  *
+  * Scale shape: everything runs at WORD-TYPE grain — the corpus
+  * tokenizes once into a (word, count) frame (one map-side-combined
+  * shuffle; at 100 TB the type table is millions of rows, not
+  * trillions), and each merge round is one pair-explode + partial-agg
+  * groupBy over that bounded frame plus a 1-row argmax collect (the
+  * learned merge is k rows of driver state, the k-means-centroid
+  * pattern). The merge pass itself is per-row
+  * ([[BpeTokenizer.mergePass]] — left-to-right, non-overlapping),
+  * applied under `localCheckpoint` so the per-round lineage stays
+  * flat.
+  *
+  * Determinism (the oracle contract): training text is
+  * `lower(text)` whitespace words restricted to `^[a-z]+$`; pair
+  * counts weight every adjacent position (overlap counts: "aaa"
+  * carries (a,a) twice) by the word-type count; argmax ties break on
+  * (count DESC, pair lexicographic ASC). The DuckDB replay unrolls
+  * the rounds, expressing the non-overlapping merge pass as a
+  * double-delimited string `replace` — `||a||b||…||` with pattern
+  * `|a||b|` — whose continue-after-replacement scan is exactly
+  * [[BpeTokenizer.mergePass]]'s skip-after-merge (spec-pinned against
+  * the in-memory trainer).
+  */
+object TokenizerTrain {
+
+  private val mergeUdf = udf { (syms: Seq[String], a: String, b: String) =>
+    BpeTokenizer.mergePass(syms.toList, a, b)
+  }
+
+  /** The learned merge table: one row per merge rank —
+    * (rank, pair_a, pair_b, merged, n_occurrences).
+    */
+  def bpeTrain(docs: DataFrame, numMerges: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    val typed = docs
+      .select(explode(TF.words(lower(col("text")))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("syms"),
+        col("cnt"))
+    var cur = typed.localCheckpoint()
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= numMerges && !done) {
+      val top = cur
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(
+          transform(sequence(lit(0), size(col("syms")) - 2),
+            i => struct(
+              element_at(col("syms"), i + 1).as("a"),
+              element_at(col("syms"), i + 2).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val Row(a: String, b: String, n: Long) = top(0)
+        learned += ((rank, a, b, n))
+        val prev = cur
+        cur = cur
+          .select(mergeUdf(col("syms"), lit(a), lit(b)).as("syms"), col("cnt"))
+          .localCheckpoint()
+        prev.unpersist()
+        rank += 1
+      }
+    }
+    import spark.implicits._
+    learned.toSeq
+      .toDF("rank", "pair_a", "pair_b", "n_occurrences")
+      .select(col("rank"), col("pair_a"), col("pair_b"),
+        concat(col("pair_a"), col("pair_b")).as("merged"),
+        col("n_occurrences"))
+  }
+}
