@@ -753,6 +753,16 @@ object SparkEntry {
     CorpusStats.contamination(t(s, dir, "documents"))
       .orderBy(col("doc_id"))
 
+  /** Decontamination ACTION ([[CorpusStats.decontaminate]]): the train
+    * split scrubbed of every doc sharing a 4-gram shingle with any
+    * test-split doc — shingles reduced to 60-bit keys before any
+    * exchange.
+    */
+  private def qDecontaminate(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.decontaminate(t(s, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
   private def qRepetition(s: SparkSession, dir: String): DataFrame =
     CorpusStats.repetition(t(s, dir, "documents"))
       .orderBy(col("doc_id"))
@@ -1436,6 +1446,7 @@ object SparkEntry {
     "text_split_assign" -> (qSplitAssign _),
     "text_distinct_sketch" -> (qDistinctSketch _),
     "text_contamination" -> (qContamination _),
+    "text_decontaminate" -> (qDecontaminate _),
     "text_heavy_hitters" -> (qHeavyHitters _),
     "q_fuzzy_names" -> (qFuzzyNames _),
     "view_yearly_counts" -> (qViewYearly _),
@@ -2447,6 +2458,23 @@ object SparkEntry {
         |  round(sum(CASE WHEN tr.shingle IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS contamination
         |FROM test_sh ts LEFT JOIN train_sh tr USING (shingle)
         |GROUP BY ts.doc_id ORDER BY ts.doc_id""".stripMargin,
+    // decontamination ACTION: train docs sharing a 60-bit-hashed
+    // 4-gram shingle with any test doc are removed; both engines join
+    // on the same md5-prefix keys, so even a collision replays
+    "text_decontaminate" ->
+      """WITH sp AS (SELECT doc_id, lang, source, n_chars, text,
+        |    ('0x'||substr(md5(text),1,8))::BIGINT % 100 AS bucket FROM documents),
+        | t AS (SELECT doc_id, bucket, string_split_regex(trim(text), '\s+') AS w FROM sp),
+        | sh AS (SELECT doc_id, bucket,
+        |    ('0x'||substr(md5(array_to_string(w[r.i + 1 : r.i + 4], ' ')),1,15))::BIGINT AS h
+        |   FROM t, range(0, 2000) r(i)
+        |   WHERE r.i <= greatest(len(w) - 4, 0)),
+        | test_sh AS (SELECT DISTINCT h FROM sh WHERE bucket = 99),
+        | bad AS (SELECT DISTINCT s.doc_id FROM sh s JOIN test_sh USING (h)
+        |         WHERE s.bucket < 98)
+        |SELECT doc_id, lang, source, n_chars FROM sp
+        |WHERE bucket < 98 AND doc_id NOT IN (SELECT doc_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
     "emb_quantize" ->
       """WITH dims AS (
         |  SELECT vec_id, generate_subscripts(embedding,1) AS pos, unnest(embedding) AS x FROM embeddings),

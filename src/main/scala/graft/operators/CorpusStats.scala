@@ -116,6 +116,37 @@ object CorpusStats {
           .as("contamination"))
   }
 
+  /** The decontamination ACTION behind the [[contamination]] audit:
+    * the TRAIN split with every document sharing at least one word
+    * n-gram shingle with ANY test-split document removed — the
+    * train-side benchmark-leakage scrub a training pipeline runs
+    * after measuring the audit (GPT-3 appendix C's n-gram overlap
+    * removal, run train-side).
+    *
+    * Scale shape: shingles reduce to 60-bit md5-prefix keys via the
+    * codegen `graft_shingle_hash60` kernel BEFORE the exchange —
+    * shingle strings never shuffle (the [[dupSpans]] discipline); the
+    * test-shingle set is test-split-sized (≈1% of the corpus) so the
+    * semi join broadcasts, and the final anti join is a doc-id frame.
+    */
+  def decontaminate(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 4,
+      maxShingles: Int = 2000): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
+    val keyed = docs.select(col(idCol),
+      splitBucket(col(textCol)).as("bucket"),
+      explode(call_function("graft_shingle_hash60",
+        graft.functions.TextFunctions.words(col(textCol)),
+        lit(n), lit(maxShingles))).as("h"))
+    val testSh = keyed.filter(col("bucket") === 99)
+      .select(col("h")).distinct()
+    val contaminated = keyed.filter(col("bucket") < 98)
+      .join(testSh, Seq("h"), "left_semi")
+      .select(col(idCol)).distinct()
+    docs.filter(splitBucket(col(textCol)) < 98)
+      .join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Within-document repetition signals — the Gopher-style "is this
     * page one phrase pasted fifty times" filter: the duplicate-word
     * fraction and the share of word-bigram slots taken by the single
