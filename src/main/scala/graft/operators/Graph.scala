@@ -278,8 +278,18 @@ object Graph {
       .select(col("e.u").as("u"), col("e.v").as("v"),
         col("na.nbrs").as("nu"),
         coalesce(col("nb.nbrs"), array().cast(s"array<$idType>")).as("nv"))
+    // the adjacency arrays are sorted and duplicate-free by
+    // construction, so long-id graphs intersect via the zero-allocation
+    // merge-scan kernel (array_intersect builds a hash set PER ROW —
+    // it dominated this operator's profile); other id types keep the
+    // builtin
+    graft.plans.GraftFunctions.ensureRegistered(edges.sparkSession)
+    val intersect =
+      if (ue.schema("src").dataType == org.apache.spark.sql.types.LongType)
+        call_function("graft_sorted_intersect", col("nu"), col("nv"))
+      else array_intersect(col("nu"), col("nv"))
     val tri = joined
-      .select(col("u"), col("v"), array_intersect(col("nu"), col("nv")).as("ws"))
+      .select(col("u"), col("v"), intersect.as("ws"))
       .filter(size(col("ws")) > 0)
     // per-corner credit: u and v once per closing third corner, every
     // third corner once — triangle-grain rows only

@@ -123,6 +123,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectFunction(SimHashFunctions.descriptor)
     e.injectFunction(ShingleHashFunctions.descriptor)
     e.injectFunction(MinhashSigFunctions.descriptor)
+    e.injectFunction(SortedIntersectFunctions.descriptor)
     e.injectOptimizerRule(_ => BoundedLevenshteinRewrite)
     e.injectOptimizerRule(_ => HofDotProductRewrite)
   }
@@ -149,6 +150,10 @@ object GraftFunctions {
     }
     if (!reg.functionExists(FunctionIdentifier("graft_minhash_sig"))) {
       val d = MinhashSigFunctions.descriptor
+      reg.registerFunction(d._1, d._2, d._3)
+    }
+    if (!reg.functionExists(FunctionIdentifier("graft_sorted_intersect"))) {
+      val d = SortedIntersectFunctions.descriptor
       reg.registerFunction(d._1, d._2, d._3)
     }
     // caller-provided sessions can't take injectOptimizerRule after the

@@ -83,6 +83,29 @@ class GraphSpec extends SparkSpecBase {
     assert(r(4L) == (4L, 2L, 1L, 1.0))
   }
 
+  test("sorted-intersect kernel equals array_intersect on sorted distinct arrays") {
+    import org.apache.spark.sql.functions._
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { i =>
+      def arr = (0 until rnd.nextInt(30)).map(_ => rnd.nextInt(40).toLong)
+        .distinct.sorted
+      (i.toLong, arr, arr)
+    }
+    val df = rows.toDF("id", "a", "b")
+      .select(col("id"),
+        call_function("graft_sorted_intersect", col("a"), col("b")).as("k"),
+        array_intersect(col("a"), col("b")).as("ref"))
+    assert(df.filter(col("k") =!= col("ref")).count() == 0L)
+    // empty side and disjoint side
+    val edge = Seq((1L, Seq(1L, 2L, 3L), Seq.empty[Long]),
+      (2L, Seq(1L, 3L), Seq(2L, 4L)), (3L, Seq.empty[Long], Seq.empty[Long]))
+      .toDF("id", "a", "b")
+      .select(call_function("graft_sorted_intersect", col("a"), col("b")).as("k"))
+      .as[Seq[Long]].collect().toSeq
+    assert(edge == Seq(Seq(), Seq(), Seq()))
+  }
+
   test("triangleCounts is id-type-generic: int and string node ids analyze and agree") {
     // the missing-adjacency default derives its type from the edge
     // schema — a hardcoded array<long> used to fail analysis here
