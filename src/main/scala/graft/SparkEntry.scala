@@ -992,6 +992,21 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** Near-dup keep-BEST action ([[Dedup.minhashKeepBest]]): clusters
+    * over the verified near-dup graph; within each cluster the
+    * HIGHEST-quality document (graft's composite text-quality score,
+    * ties to lowest id) survives — the canonicalization rule curation
+    * pipelines use when a mirror copy is cleaner than the original.
+    */
+  private def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val quality = docs.select(
+      col("doc_id"), qualityScoreCol(col("text")).as("quality_score"))
+    Dedup.minhashKeepBest(docs, quality)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** STREAMING cluster maintenance: two near-dup edge drops stream
     * through [[graft.streaming.StreamReplay.replayClusterDrops]] —
     * each micro-batch folds into the stored labeling incrementally
@@ -1312,6 +1327,18 @@ object SparkEntry {
       TF.bpeTokenCount(col("text")).as("bpe_tokens"))
       .orderBy(col("doc_id"))
 
+  // the composite text-quality score — one law, shared by the
+  // text_quality report and the dedup_keep_best canonicalization rule
+  private def qualityScoreCol(c: Column): Column = {
+    val punctRatio = round(
+      regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("double")
+        / length(c).cast("double"), 4)
+    val stopRatio = TF.stopRatio(c, TF.stopwordProfiles("en"))
+    val lenScore = least(lit(1.0), TF.wsTokenCount(c).cast("double") / lit(100.0))
+    round(lit(0.4) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio)
+      + lit(0.3) * lenScore, 4)
+  }
+
   private def qTextQuality(s: SparkSession, dir: String): DataFrame = {
     val c = col("text")
     val nChars = length(c).cast("bigint")
@@ -1319,15 +1346,13 @@ object SparkEntry {
     val wsTok = TF.wsTokenCount(c)
     val punctRatio = round(punct.cast("double") / nChars.cast("double"), 4)
     val stopRatio = TF.stopRatio(c, TF.stopwordProfiles("en"))
-    val lenScore = least(lit(1.0), wsTok.cast("double") / lit(100.0))
     t(s, dir, "documents").select(
       col("doc_id"),
       nChars.as("n_chars_actual"),
       wsTok.as("ws_tokens"),
       punctRatio.as("punct_ratio"),
       stopRatio.as("stop_ratio"),
-      round(lit(0.4) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio)
-        + lit(0.3) * lenScore, 4).as("quality_score"))
+      qualityScoreCol(c).as("quality_score"))
       .orderBy(col("doc_id"))
   }
 
@@ -1524,6 +1549,7 @@ object SparkEntry {
     "dedup_embedding_all" -> (qDedupEmbeddingAll _),
     "dedup_embedding_auto" -> (qDedupEmbeddingAuto _),
     "dedup_minhash_keep" -> (qDedupMinhashKeep _),
+    "dedup_keep_best" -> (qDedupKeepBest _),
     "dedup_clusters" -> (qDedupClusters _),
     "dedup_clusters_incr" -> (qDedupClustersIncr _),
     "dedup_clusters_decr" -> (qDedupClustersDecr _),
@@ -2092,6 +2118,17 @@ object SparkEntry {
        |        FROM documents WHERE $where)""".stripMargin
 
   private val wordShingleCte: String = wordShingleCteWhere("1 = 1")
+
+  // the composite text-quality score law in DuckDB form — one string,
+  // shared by the text_quality oracle and dedup_keep_best's argmax
+  private val punctRatioSql: String =
+    """round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE / length(text)::DOUBLE, 4)"""
+  private val stopRatioSql: String =
+    """round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x IN ('the','a','and','of','to','in','is','on','for','with')))::DOUBLE / len(string_split_regex(trim(text), '\s+'))::DOUBLE, 4)"""
+  private val qualityScoreSql: String =
+    s"""round(0.4::DOUBLE * $stopRatioSql
+       |   + 0.3::DOUBLE * (1.0::DOUBLE - $punctRatioSql)
+       |   + 0.3::DOUBLE * least(1.0::DOUBLE, len(string_split_regex(trim(text), '\\s+'))::DOUBLE / 100.0::DOUBLE), 4)""".stripMargin
 
   private val charGramCte: String =
     """SELECT doc_id, list_distinct(list_transform(
@@ -3563,14 +3600,12 @@ object SparkEntry {
         |   '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g') AS redacted
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         | length(text) AS n_chars_actual,
-        | len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
-        | round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE / length(text)::DOUBLE, 4) AS punct_ratio,
-        | round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x IN ('the','a','and','of','to','in','is','on','for','with')))::DOUBLE / len(string_split_regex(trim(text), '\s+'))::DOUBLE, 4) AS stop_ratio,
-        | round(0.4::DOUBLE * round(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x IN ('the','a','and','of','to','in','is','on','for','with')))::DOUBLE / len(string_split_regex(trim(text), '\s+'))::DOUBLE, 4)
-        |   + 0.3::DOUBLE * (1.0::DOUBLE - round(len(regexp_extract_all(text, '[^A-Za-z0-9\s]'))::DOUBLE / length(text)::DOUBLE, 4))
-        |   + 0.3::DOUBLE * least(1.0::DOUBLE, len(string_split_regex(trim(text), '\s+'))::DOUBLE / 100.0::DOUBLE), 4) AS quality_score
+        | len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+        | $punctRatioSql AS punct_ratio,
+        | $stopRatioSql AS stop_ratio,
+        | $qualityScoreSql AS quality_score
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frames" ->
       """WITH s AS (SELECT unnest(range(0, 4)) AS i)

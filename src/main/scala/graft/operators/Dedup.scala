@@ -151,6 +151,41 @@ object Dedup {
       Seq("doc_id"), "left_anti")
   }
 
+  /** Near-dup keep-BEST action: within every connected cluster of the
+    * verified (Jaccard ≥ threshold) near-dup graph, the single
+    * highest-quality document survives (ties broken by lowest id) —
+    * the canonicalization rule real curation pipelines use when the
+    * mirror copy is cleaner than the original, vs [[minhashKeep]]'s
+    * positional keep-lowest. `quality` is any (doc_id, quality_score)
+    * frame — the caller picks the scoring law (graft's composite
+    * text-quality score in the gated entry).
+    *
+    * 100 TB shape: candidates come from the banded
+    * [[minhashNearDupPairs]] pass (never all-pairs); the cluster solve
+    * runs on the near-dup GRAPH (a sliver of the corpus — near-dup
+    * rates are single-digit percent), the quality join and the
+    * argmax window run at clustered-node grain, and the action itself
+    * is one anti-join of a tiny id frame against the corpus. Documents
+    * outside any cluster never enter a shuffle beyond the band pass.
+    */
+  def minhashKeepBest(docs: DataFrame, quality: DataFrame,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nd = minhashNearDupPairs(docs)
+      .filter(col("jaccard") >= jaccardThreshold)
+    val comps = connectedComponents(nd, "id_a", "id_b")
+    // argmax per cluster: quality desc, id asc — the window's grain is
+    // clustered nodes (≪ corpus), its partition key the component id
+    val ranked = comps
+      .join(quality.select(col("doc_id").as("node"), col("quality_score")),
+        Seq("node"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("component"))
+          .orderBy(col("quality_score").desc, col("node"))))
+    val dropped = ranked.filter(col("rn") > 1).select(col("node").as("doc_id"))
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   /** Candidate near-dup pairs via MinHash + LSH banding over word
     * 3-gram shingles, verified with exact Jaccard. Returns one row per
     * doc: its candidate count and best match (robust output shape even
