@@ -3,7 +3,7 @@ package graft
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.operators._
 import graft.sources.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver contract: the full operator inventory of SURVEY.md §2, one
