@@ -3373,6 +3373,33 @@ object SparkEntry {
         """SELECT doc_id, lang, source, n_chars FROM documents
           |WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ver WHERE j >= 0.5)
           |ORDER BY doc_id""".stripMargin),
+    // near-dup keep-BEST action: clusters over the verified pair
+    // graph (same min-label recursion as dedup_clusters, but on the
+    // minhash `ver` edges), then the quality-law argmax per component
+    // — survivors are everything outside a cluster plus each
+    // cluster's highest-quality doc (ties to lowest id)
+    "dedup_keep_best" ->
+      (s"WITH RECURSIVE ${minhashCtes(wordShingleCte, 32, 8, 4)},\n" +
+        s""" edges AS MATERIALIZED (
+           |  SELECT id_a AS src, id_b AS dst FROM ver WHERE j >= 0.5
+           |  UNION
+           |  SELECT id_b, id_a FROM ver WHERE j >= 0.5),
+           | nodes AS (SELECT DISTINCT src AS node FROM edges),
+           | walk(start, node) AS (
+           |  SELECT node, node FROM nodes
+           |  UNION
+           |  SELECT w.start, e.dst FROM walk w JOIN edges e ON e.src = w.node),
+           | comp AS (SELECT start AS node, min(node) AS component
+           |  FROM walk GROUP BY start),
+           | q AS (SELECT doc_id, $qualityScoreSql AS quality_score
+           |  FROM documents),
+           | ranked AS (
+           |  SELECT c.node, row_number() OVER (PARTITION BY c.component
+           |    ORDER BY q.quality_score DESC, c.node) AS rn
+           |  FROM comp c JOIN q ON q.doc_id = c.node)
+           |SELECT doc_id, lang, source, n_chars FROM documents
+           |WHERE doc_id NOT IN (SELECT node FROM ranked WHERE rn > 1)
+           |ORDER BY doc_id""".stripMargin),
     "dedup_clusters" -> dedupClustersSql,
     // identical answer, distributed path forced — same oracle
     "dedup_clusters_dist" -> dedupClustersSql,

@@ -149,9 +149,18 @@ object MinhashIndexStore {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("band")
       .parquet(s"$path/bands_compacted")
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands"), true)
+    // swap via rename so EVERY intermediate state still has a complete
+    // index on disk: move the live dir aside, promote the compacted
+    // one, and only then drop the old bytes + tombstones. A crash
+    // between any two steps leaves either bands/ or bands_old/ whole
+    // (recovery = rename whichever survives back into place); the
+    // old delete-then-rename order had a window where the entire band
+    // index was gone.
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/bands"),
+      new org.apache.hadoop.fs.Path(s"$path/bands_old"))
     fs.rename(new org.apache.hadoop.fs.Path(s"$path/bands_compacted"),
       new org.apache.hadoop.fs.Path(s"$path/bands"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands_old"), true)
     fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
   }
 

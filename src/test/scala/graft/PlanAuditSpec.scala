@@ -493,6 +493,26 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(fin.contains("ReusedExchange"), p)
   }
 
+  test("keep-best action: argmax window partitions by component, never the corpus grain") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val quality = docs.select(col("doc_id"), lit(0.5).as("quality_score"))
+    val df = graft.operators.Dedup.minhashKeepBest(docs, quality)
+    df.collect()
+    val opt = df.queryExecution.optimizedPlan
+    val windows = opt.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    // exactly one window — the per-cluster argmax — and it must be
+    // keyed on the component id (clustered-node grain, a sliver of
+    // the corpus), never unpartitioned or keyed on doc/text columns
+    assert(windows.nonEmpty, opt.toString)
+    windows.foreach { w =>
+      val parts = w.partitionSpec.flatMap(_.references.toSeq.map(_.name))
+      assert(parts.exists(_.startsWith("component")),
+        s"window partitioned by $parts\n$opt")
+    }
+  }
+
   test("whole-stage codegen covers the pricing aggregation") {
     // under AQE the final plan (with codegen stages) exists only after
     // execution — run it, then inspect the adaptive executed plan

@@ -215,4 +215,29 @@ class DedupSpec extends SparkSpecBase {
     val kept = Dedup.minhashKeep(d).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L, 5L, 6L, 7L))
   }
+
+  test("minhashKeepBest keeps the HIGHEST-quality cluster member, ties to lowest id") {
+    // 1-2-3 form one near-dup cluster (2 is a byte-twin of 1, 3 one
+    // word off); the quality frame makes the HIGHER-id mirror the
+    // cleaner copy, so keep-best must invert keep-lowest's answer
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (4L, "completely different content about spark distributed query engines and parquet"),
+      (5L, "another unrelated sentence mentioning embeddings vectors and cosine scores")
+    ).toDF("doc_id", "text")
+    val quality = Seq((1L, 0.2), (2L, 0.2), (3L, 0.9), (4L, 0.1), (5L, 0.1))
+      .toDF("doc_id", "quality_score")
+    val kept = Dedup.minhashKeepBest(d, quality)
+      .select("doc_id").as[Long].collect().toSet
+    // cluster {1,2,3}: 3 wins on quality; singletons 4,5 untouched
+    assert(kept == Set(3L, 4L, 5L))
+    // tie law: equal quality everywhere -> lowest id survives (the
+    // keep-lowest answer re-emerges as the degenerate case)
+    val flat = quality.withColumn("quality_score", lit(0.5))
+    val keptFlat = Dedup.minhashKeepBest(d, flat)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptFlat == Set(1L, 4L, 5L))
+  }
 }
