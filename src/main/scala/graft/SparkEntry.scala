@@ -961,6 +961,30 @@ object SparkEntry {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** EMBEDDING index RETRACTION ([[graft.sources.EmbLshIndexStore
+    * .delete]]): vec_id % 10 == 5 vectors are taken down from the
+    * stored signature index — a deletion-vector tombstone append plus
+    * a masked serve view, never an index rewrite — and the delta
+    * (vec_id % 10 == 0) must then near-dup exactly as it would against
+    * a fresh index over the shrunken corpus. Bits stay FROZEN at the
+    * build-time catalog total (a takedown masks rows, it never
+    * re-derives the quantization). Completes the tombstone story for
+    * the second of the three index families.
+    */
+  private def qDedupEmbeddingDelete(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val n = emb.filter(col("embedding").isNotNull).count()
+    val bits = Dedup.adaptiveBits(n)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val removed = emb.filter(col("vec_id") % 10 === 5).select(col("vec_id"))
+    val path = graft.sources.EmbLshIndexStore.defaultPath(dir, bits) + "_del"
+    graft.sources.EmbLshIndexStore.ensureDeleted(corpus, removed, path, bits)
+    Dedup.embeddingNearDupsDelta(delta, emb,
+      graft.sources.EmbLshIndexStore.sigsTable(s, path), bits)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** INCREMENTAL clustering: the near-dup graph's labels are maintained
     * against a PERSISTED base labeling ([[graft.sources.CcLabelStore]])
     * — delta edges re-solve only their affected components; untouched
@@ -1162,6 +1186,27 @@ object SparkEntry {
     val emb = t(s, dir, "embeddings")
     val path = graft.sources.IvfIndexStore.defaultPath(dir)
     graft.sources.IvfIndexStore.ensure(emb, path)
+    graft.sources.IvfIndexStore
+      .servedTopK(s, path, emb.filter(col("vec_id") < 8))
+      .withColumn("rnk", col("rnk").cast("bigint"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** IVF index RETRACTION ([[graft.sources.IvfIndexStore.delete]]):
+    * vec_id % 10 == 5 vectors are taken down from the stored index —
+    * tombstones mask both the full-precision lists and the int8 codes
+    * at serve time, centroids and grid stay FROZEN (a takedown masks
+    * rows, it never moves the quantizer) — and a probe must then serve
+    * exactly what an index with those lists physically purged would.
+    * Completes the tombstone story for the third index family: all of
+    * MinHash, embedding-LSH, and IVF/PQ now add, roll over, retrain,
+    * AND retract.
+    */
+  private def qKnnIvfDelete(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val removed = emb.filter(col("vec_id") % 10 === 5).select(col("vec_id"))
+    val path = graft.sources.IvfIndexStore.defaultPath(dir) + "_del"
+    graft.sources.IvfIndexStore.ensureDeleted(emb, removed, path)
     graft.sources.IvfIndexStore
       .servedTopK(s, path, emb.filter(col("vec_id") < 8))
       .withColumn("rnk", col("rnk").cast("bigint"))
@@ -1543,6 +1588,7 @@ object SparkEntry {
     "dedup_incremental_rollover" -> (qDedupIncrementalRollover _),
     "dedup_incremental_delete" -> (qDedupIncrementalDelete _),
     "dedup_embedding_incremental" -> (qDedupEmbeddingIncremental _),
+    "dedup_embedding_delete" -> (qDedupEmbeddingDelete _),
     "dedup_simhash" -> (qDedupSimhash _),
     "dedup_ngram" -> (qDedupNgram _),
     "dedup_embedding" -> (qDedupEmbedding _),
@@ -1565,6 +1611,7 @@ object SparkEntry {
     "emb_kmeans" -> (qEmbKmeans _),
     "knn_ivf_trained" -> (qKnnIvfTrained _),
     "knn_ivf_served" -> (qKnnIvfServed _),
+    "knn_ivf_delete" -> (qKnnIvfDelete _),
     "knn_ivfpq" -> (qKnnIvfPq _),
     "q_corr_stats" -> (qCorrStats _),
     "text_tokens" -> (qTextTokens _),
@@ -1721,7 +1768,12 @@ object SparkEntry {
   // whatever bits the integer bucket-width law picks — then recomputes
   // that law in SQL and derives the operator's (table, bit) layout
   // `p = table·bits + bit` at run time.
-  private def adaptiveBitsLshCtes(numTables: Int): String = {
+  // `sigWhere` restricts which vectors hold signature rows (the
+  // masked-index replay for the retraction gate); the bits law (`nn`)
+  // ALWAYS reads the full catalog — bits are frozen at build time and
+  // a takedown masks rows, it never re-derives the quantization
+  private def adaptiveBitsLshCtes(numTables: Int,
+      sigWhere: String = "1 = 1"): String = {
     val maxBits = graft.operators.Dedup.MaxAutoBits
     val weights =
       graft.functions.VectorFunctions.planeWeights(numTables * maxBits, 64)
@@ -1745,6 +1797,7 @@ object SparkEntry {
        |   sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], w.wv) >= 0
        |     THEN (1 << w.bit) ELSE 0 END)::INT AS sig
        |  FROM embeddings e, w WHERE e.embedding IS NOT NULL
+       |   AND ($sigWhere)
        |  GROUP BY e.vec_id, w.table_id)""".stripMargin
   }
 
@@ -1995,9 +2048,13 @@ object SparkEntry {
       """SELECT probe_id, cand_id, adc_cosine, cosine, rnk FROM fr WHERE rnk <= 5
         |ORDER BY probe_id, rnk""".stripMargin
 
-  private lazy val ivfTrainedOracle: String =
+  // `candWhere` masks the candidate lists only (the retraction gate's
+  // replay): training, the stored-centroid re-derivation, and the
+  // probe set all stay on the FULL build corpus — a takedown masks
+  // list rows, it never moves the frozen quantizer
+  private def ivfTrainedOracleWhere(candWhere: String): String =
     s"WITH ${kmeansCtes(8, 3)},\n" +
-      """ p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+      s""" p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
         | lab AS (SELECT e.vec_id, e.embedding, a3.cluster AS cell
         |  FROM embeddings e JOIN a3 USING (vec_id)),
         | tc0 AS (
@@ -2016,11 +2073,13 @@ object SparkEntry {
         |   round(list_cosine_similarity(pp.embedding::DOUBLE[], e.embedding::DOUBLE[]), 4) AS cosine
         |  FROM tcells JOIN lab e ON e.cell = tcells.cell
         |       JOIN embeddings pp ON pp.vec_id = tcells.probe_id
-        |  WHERE e.vec_id <> tcells.probe_id),
+        |  WHERE e.vec_id <> tcells.probe_id AND ($candWhere)),
         | tsc AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
         |   FROM tcand WHERE cosine IS NOT NULL)
         |SELECT probe_id, cand_id, cosine, rnk FROM tsc WHERE rnk <= 5
         |ORDER BY probe_id, rnk""".stripMargin
+
+  private lazy val ivfTrainedOracle: String = ivfTrainedOracleWhere("1 = 1")
 
   /** knn_ivf_append: kmeans replay restricted to the BASE corpus (the
     * 80% the index trained on), stored centroids re-derived from the
@@ -3277,6 +3336,24 @@ object SparkEntry {
           |SELECT a_id, b_id, cosine FROM sc
           |WHERE cosine >= 0.35 AND (a_id % 10 = 0 OR b_id % 10 = 0)
           |ORDER BY a_id, b_id""".stripMargin),
+    // the masked (tombstoned) embedding index must serve the delta
+    // exactly like a fresh index over the shrunken corpus: signature
+    // rows exist only for survivors, the bits law stays on the full
+    // build-time catalog (frozen quantization)
+    "dedup_embedding_delete" ->
+      (s"WITH ${adaptiveBitsLshCtes(8, "e.vec_id % 10 <> 5")},\n" +
+        """ pr AS (
+          |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+          |  FROM sigs a JOIN sigs b ON a.table_id = b.table_id AND a.sig = b.sig
+          |  WHERE a.vec_id < b.vec_id),
+          | sc AS (
+          |  SELECT pr.a_id, pr.b_id,
+          |   round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cosine
+          |  FROM pr JOIN embeddings ea ON ea.vec_id = pr.a_id
+          |       JOIN embeddings eb ON eb.vec_id = pr.b_id)
+          |SELECT a_id, b_id, cosine FROM sc
+          |WHERE cosine >= 0.35 AND (a_id % 10 = 0 OR b_id % 10 = 0)
+          |ORDER BY a_id, b_id""".stripMargin),
     "dedup_ngram" ->
       (s"WITH ${minhashCtes(charGramCte, 16, 4, 4)}\n" +
         """SELECT d.doc_id,
@@ -3472,6 +3549,11 @@ object SparkEntry {
     // deterministic function of the corpus — the oracle retrains in
     // SQL and lands on the identical stored tables
     "knn_ivf_served" -> ivfTrainedOracle,
+    // the masked (tombstoned) IVF index must serve exactly what an
+    // index with the retracted lists physically purged would: same
+    // training replay (centroids stay frozen — training saw the full
+    // build corpus), candidate lists restricted to survivors
+    "knn_ivf_delete" -> ivfTrainedOracleWhere("e.vec_id % 10 <> 5"),
     // the retrain trigger fires on this corpus (rolled recall < 0.95,
     // spec-pinned), so the serve reads the quantizer rebuilt over the
     // union = the whole corpus — the fresh-trained replay verbatim

@@ -79,7 +79,81 @@ object EmbLshIndexStore {
       java.lang.Boolean.TRUE
     })
 
-  def sigsTable(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/sigs")
+  /** The stored signature table. Retracted vectors ([[delete]]) are
+    * masked by a broadcast anti-join on the tombstone list — the serve
+    * plan never sees their signature rows, without rewriting a single
+    * index file (the [[MinhashIndexStore.bandsTable]] discipline).
+    */
+  def sigsTable(spark: SparkSession, path: String): DataFrame = {
+    val sigs = spark.read.parquet(s"$path/sigs")
       .withColumn("table_id", col("table_id").cast("int"))
+    if (hasTombstones(spark, path))
+      sigs.join(broadcast(tombstonesTable(spark, path)),
+        Seq("vec_id"), "left_anti")
+    else sigs
+  }
+
+  private def hasTombstones(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def tombstonesTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/tombstones").select(col("vec_id")).distinct()
+
+  /** Retract vectors from the index — takedowns / right-to-be-
+    * forgotten, deletion-vector style: ids append to `tombstones/`
+    * (O(|retraction|) write, never an index rewrite at serve time) and
+    * [[sigsTable]] masks them on read. Run [[compact]] when the list
+    * outgrows broadcast size.
+    */
+  def delete(vecIds: DataFrame, path: String): Unit =
+    vecIds.select(col("vec_id"))
+      .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+
+  /** Fold outstanding tombstones into the files: rewrite `sigs/`
+    * without the retracted vectors, then clear the tombstone list —
+    * after compaction the serve pays zero masking overhead and the
+    * retracted rows are physically gone (the retention guarantee
+    * takedowns ultimately need). The swap goes via rename so EVERY
+    * intermediate state keeps a complete index on disk (crash
+    * recovery = rename whichever of sigs/ or sigs_old/ survives back
+    * into place). Not concurrency-safe against a racing append —
+    * production wraps the swap in a table format's transaction.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    if (!hasTombstones(spark, path)) return
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    sigsTable(spark, path)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("table_id")
+      .parquet(s"$path/sigs_compacted")
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/sigs"),
+      new org.apache.hadoop.fs.Path(s"$path/sigs_old"))
+    fs.rename(new org.apache.hadoop.fs.Path(s"$path/sigs_compacted"),
+      new org.apache.hadoop.fs.Path(s"$path/sigs"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/sigs_old"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+  }
+
+  /** Memoized build-then-delete lifecycle for the retraction gate:
+    * the first caller per JVM per path signs the full corpus and then
+    * retracts `removed` via [[delete]]; later callers serve from the
+    * masked index. The signature family is frozen at build (`bits`
+    * from the build-time catalog total) — a takedown masks rows, it
+    * never re-derives the quantization, exactly like the IVF frozen
+    * quantizer on append.
+    */
+  def ensureDeleted(corpus: DataFrame, removed: DataFrame, path: String,
+      bits: Int): Unit = {
+    require(!built.containsKey(path),
+      s"$path was built by ensure; use a distinct path per lifecycle")
+    built.computeIfAbsent(s"deleted:$path", _ => {
+      build(corpus, path, bits)
+      delete(removed, path)
+      java.lang.Boolean.TRUE
+    })
+    ()
+  }
 }

@@ -242,11 +242,89 @@ object IvfIndexStore {
   }
 
   /** The stored inverted lists; the partition column comes back as the
-    * directory value, cast to the trained cell id type.
+    * directory value, cast to the trained cell id type. Retracted
+    * vectors ([[delete]]) are masked by a broadcast anti-join on the
+    * tombstone list — the serve plan never sees their rows, without
+    * rewriting a single list file.
     */
   def cellsTable(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/cells")
-      .withColumn("cell", col("cell").cast("long"))
+    maskTombstones(spark, path,
+      spark.read.parquet(s"$path/cells")
+        .withColumn("cell", col("cell").cast("long")))
+
+  private def maskTombstones(spark: SparkSession, path: String,
+      rows: DataFrame): DataFrame =
+    if (hasTombstones(spark, path))
+      rows.join(broadcast(tombstonesTable(spark, path)),
+        Seq("vec_id"), "left_anti")
+    else rows
+
+  private def hasTombstones(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def tombstonesTable(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/tombstones").select(col("vec_id")).distinct()
+
+  /** Retract vectors from the index — takedowns / right-to-be-
+    * forgotten, deletion-vector style: ids append to `tombstones/`
+    * (O(|retraction|) write) and BOTH stored representations mask on
+    * read ([[cellsTable]] for full-precision lists, the `codes/` scan
+    * inside [[servedPqTopK]]). Centroids and the int8 grid stay
+    * FROZEN — a takedown masks rows, it never moves the quantizer
+    * (periodic retrains remain the recall loop's job). Run
+    * [[compact]] when the list outgrows broadcast size.
+    */
+  def delete(vecIds: DataFrame, path: String): Unit =
+    vecIds.select(col("vec_id"))
+      .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+
+  /** Fold outstanding tombstones into the files: rewrite `cells/` and
+    * `codes/` without the retracted vectors, then clear the tombstone
+    * list — zero masking overhead afterwards and the retracted rows
+    * are physically gone (the retention guarantee takedowns need).
+    * Each layer swaps via rename so every intermediate state keeps a
+    * complete index on disk. Not concurrency-safe against a racing
+    * append — production wraps the swap in a table transaction.
+    */
+  def compact(spark: SparkSession, path: String): Unit = {
+    if (!hasTombstones(spark, path)) return
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swap(layer: String, masked: DataFrame): Unit = {
+      masked.write.mode(SaveMode.Overwrite)
+        .partitionBy("cell").parquet(s"$path/${layer}_compacted")
+      fs.rename(new org.apache.hadoop.fs.Path(s"$path/$layer"),
+        new org.apache.hadoop.fs.Path(s"$path/${layer}_old"))
+      fs.rename(new org.apache.hadoop.fs.Path(s"$path/${layer}_compacted"),
+        new org.apache.hadoop.fs.Path(s"$path/$layer"))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/${layer}_old"), true)
+    }
+    swap("cells", cellsTable(spark, path))
+    swap("codes", maskTombstones(spark, path,
+      spark.read.parquet(s"$path/codes")
+        .withColumn("cell", col("cell").cast("long"))))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+  }
+
+  /** Memoized build-then-delete lifecycle for the retraction gate: the
+    * first caller per JVM per path trains + persists over the corpus
+    * and then retracts `removed` via [[delete]]; later callers serve
+    * from the masked index.
+    */
+  def ensureDeleted(corpus: DataFrame, removed: DataFrame, path: String,
+      cells: Int = 8, iters: Int = 3): Unit = {
+    require(!built.containsKey(s"plain:$path") &&
+      !built.containsKey(s"rolled:$path"),
+      s"$path was built by another lifecycle; use a distinct path")
+    built.computeIfAbsent(s"deleted:$path", _ => {
+      build(corpus, path, cells, iters)
+      delete(removed, path)
+      java.lang.Boolean.TRUE
+    })
+    ()
+  }
 
   def centroidsTable(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/centroids")
@@ -278,8 +356,9 @@ object IvfIndexStore {
     val probed = Similarity.probeCells(centroidsTable(spark, path),
       probeRows, nprobe)
     val gridRow = spark_grid(spark.read.parquet(s"$path/grid"))
-    val codes = spark.read.parquet(s"$path/codes")
-      .withColumn("cell", col("cell").cast("long"))
+    val codes = maskTombstones(spark, path,
+      spark.read.parquet(s"$path/codes")
+        .withColumn("cell", col("cell").cast("long")))
     val recon = zip_with(col("codes"), col("ms"), (c, m) => {
       val step = (m.getField("mx") - m.getField("mn")) / 255d
       when(m.getField("mx") === m.getField("mn"), m.getField("mn"))

@@ -1,0 +1,87 @@
+package graft.sources
+
+import graft.SparkSpecBase
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Tombstone retraction for the embedding-LSH and IVF/PQ index
+  * families (the MinHash twin lives in DedupIncrementalSpec): a
+  * takedown must (1) mask the serve view exactly like the equivalent
+  * physical purge, (2) be OBSERVABLE (the unmasked index answers
+  * differently on this corpus — else the spec proves nothing), and
+  * (3) compact to a physically-purged index that serves identically
+  * with the frozen quantizer untouched.
+  */
+class IndexRetractionSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def freshPath(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_retr_$tag").toString
+
+  test("embedding-LSH: delete masks like a fresh build over the shrunken corpus; compact purges") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val bits = Dedup.adaptiveBits(emb.filter(col("embedding").isNotNull).count())
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val removed = emb.filter(col("vec_id") % 10 === 5).select(col("vec_id"))
+    val delPath = freshPath("elsh_del")
+    EmbLshIndexStore.build(corpus, delPath, bits)
+    EmbLshIndexStore.delete(removed, delPath)
+    def serve(sigs: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] =
+      Dedup.embeddingNearDupsDelta(delta, emb, sigs, bits)
+        .orderBy("a_id", "b_id").as[(Long, Long, Double)].collect().toSeq
+    val masked = serve(EmbLshIndexStore.sigsTable(spark, delPath))
+    // law: masked serve == fresh index over the survivors only
+    val freshP = freshPath("elsh_fresh")
+    EmbLshIndexStore.build(corpus.filter(col("vec_id") % 10 =!= 5), freshP, bits)
+    val fresh = serve(EmbLshIndexStore.sigsTable(spark, freshP))
+    assert(masked == fresh)
+    // the retraction is observable on this corpus
+    val unmasked = serve(spark.read.parquet(s"$delPath/sigs")
+      .withColumn("table_id", col("table_id").cast("int")))
+    assert(unmasked != masked)
+    // compact: same serve answer, tombstones gone, rows physically gone
+    EmbLshIndexStore.compact(spark, delPath)
+    assert(!new java.io.File(s"$delPath/tombstones").exists())
+    assert(serve(EmbLshIndexStore.sigsTable(spark, delPath)) == fresh)
+    assert(spark.read.parquet(s"$delPath/sigs")
+      .filter(col("vec_id") % 10 === 5).count() == 0L)
+  }
+
+  test("IVF: delete masks lists and codes; compact purges with the quantizer frozen") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val removed = emb.filter(col("vec_id") % 10 === 5).select(col("vec_id"))
+    val probes = emb.filter(col("vec_id") < 8)
+    val path = freshPath("ivf_del")
+    IvfIndexStore.build(emb, path)
+    val beforeTopK = IvfIndexStore.servedTopK(spark, path, probes)
+      .orderBy("probe_id", "rnk").as[(Long, Long, Double, Int)].collect().toSeq
+    IvfIndexStore.delete(removed, path)
+    val masked = IvfIndexStore.servedTopK(spark, path, probes)
+      .orderBy("probe_id", "rnk").as[(Long, Long, Double, Int)].collect().toSeq
+    // observable: the pre-delete serve surfaced retracted candidates
+    assert(beforeTopK.exists(_._2 % 10 == 5))
+    assert(masked != beforeTopK)
+    assert(!masked.exists(_._2 % 10 == 5))
+    // the PQ serve path masks the codes scan the same way
+    val maskedPq = IvfIndexStore.servedPqTopK(spark, path, probes)
+      .select(col("probe_id"), col("cand_id"))
+      .as[(Long, Long)].collect().toSeq
+    assert(maskedPq.nonEmpty && !maskedPq.exists(_._2 % 10 == 5))
+    // compact: identical serve, frozen centroids/grid, rows purged
+    val centsBefore = IvfIndexStore.centroidsTable(spark, path)
+      .orderBy("cell").collect().toSeq
+    IvfIndexStore.compact(spark, path)
+    assert(!new java.io.File(s"$path/tombstones").exists())
+    val compacted = IvfIndexStore.servedTopK(spark, path, probes)
+      .orderBy("probe_id", "rnk").as[(Long, Long, Double, Int)].collect().toSeq
+    assert(compacted == masked)
+    val centsAfter = IvfIndexStore.centroidsTable(spark, path)
+      .orderBy("cell").collect().toSeq
+    assert(centsAfter == centsBefore)
+    assert(spark.read.parquet(s"$path/cells")
+      .filter(col("vec_id") % 10 === 5).count() == 0L)
+    assert(spark.read.parquet(s"$path/codes")
+      .filter(col("vec_id") % 10 === 5).count() == 0L)
+  }
+}
