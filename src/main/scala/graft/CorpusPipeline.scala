@@ -18,11 +18,14 @@ import org.apache.spark.sql.functions._
   *  2. `corpus_canonical` — exact dedup over the survivors: the
   *     canonical (minimum doc_id) row of every identical-text group
   *     ([[Dedup.exactKeep]]).
-  *  3. `corpus_clean` — near-dup removal: MinHash+LSH verified pairs
-  *     over the canonical corpus ([[Dedup.minhashNearDupPairs]]);
-  *     every doc with a Jaccard ≥ 0.5 partner of LOWER id is dropped
-  *     (the C4-style keep-lowest rule — deterministic, no clustering
-  *     pass needed for the keep decision).
+  *  3. `corpus_clean` — near-dup CANONICALIZATION: MinHash+LSH
+  *     verified pairs over the canonical corpus cluster into
+  *     connected components, and each cluster keeps its single
+  *     HIGHEST-quality member ([[Dedup.minhashKeepBest]] under the
+  *     shared [[CorpusStats.qualityScore]] law, ties to lowest id) —
+  *     the rule real pipelines want when a mirror copy is cleaner
+  *     than the original (vs the positional keep-lowest the
+  *     standalone `dedup_minhash_keep` entry gates).
   *  4. `corpus_split` — leakage-safe content-hash train/valid/test
   *     assignment over the clean corpus ([[CorpusStats.splitAssign]]).
   *  5. `corpus_pack` — the context-window packing manifest over the
@@ -77,10 +80,9 @@ object CorpusPipeline {
       }),
       timed("corpus_clean")({
         val canon = read("corpus_canonical")
-        val dropped = Dedup.minhashNearDupPairs(canon)
-          .filter(col("jaccard") >= 0.5)
-          .select(col("id_b").as("doc_id")).distinct()
-        overwrite(canon.join(dropped, Seq("doc_id"), "left_anti"),
+        val quality = canon.select(col("doc_id"),
+          CorpusStats.qualityScore(col("text")).as("quality_score"))
+        overwrite(Dedup.minhashKeepBest(canon, quality),
           s"$w/corpus_clean")
       }),
       timed("corpus_split")(

@@ -68,7 +68,8 @@ object SparkEntry {
   }
 
   /** The CHAINED corpus-curation pipeline ([[graft.CorpusPipeline]]):
-    * quality gate → exact dedup → near-dup removal → split → pack,
+    * quality gate → exact dedup → near-dup keep-BEST canonicalization
+    * (the `dedup_keep_best` cluster-argmax rule) → split → pack,
     * every stage a materialized table read by the next; the gate
     * checks the per-stage survivor counts / id checksums / token
     * totals, which only come out right if the whole chain composed
@@ -1373,16 +1374,10 @@ object SparkEntry {
       .orderBy(col("doc_id"))
 
   // the composite text-quality score — one law, shared by the
-  // text_quality report and the dedup_keep_best canonicalization rule
-  private def qualityScoreCol(c: Column): Column = {
-    val punctRatio = round(
-      regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("double")
-        / length(c).cast("double"), 4)
-    val stopRatio = TF.stopRatio(c, TF.stopwordProfiles("en"))
-    val lenScore = least(lit(1.0), TF.wsTokenCount(c).cast("double") / lit(100.0))
-    round(lit(0.4) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio)
-      + lit(0.3) * lenScore, 4)
-  }
+  // text_quality report, the dedup_keep_best canonicalization rule,
+  // and the corpus pipeline's clean stage (CorpusStats.qualityScore)
+  private def qualityScoreCol(c: Column): Column =
+    graft.operators.CorpusStats.qualityScore(c)
 
   private def qTextQuality(s: SparkSession, dir: String): DataFrame = {
     val c = col("text")
@@ -4030,7 +4025,7 @@ object SparkEntry {
         |   i -> array_to_string(w[i+1:i+3], ' '))) AS s
         |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
         |        FROM canon)""".stripMargin
-    s"""WITH gw AS (
+    s"""WITH RECURSIVE gw AS (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
        | gbase AS (
        |  SELECT doc_id, len(ws)::BIGINT AS n_words,
@@ -4045,9 +4040,24 @@ object SparkEntry {
        |  FROM documents d JOIN gk ON gk.doc_id = d.doc_id GROUP BY d.text),
        | canon AS (SELECT d.doc_id, d.text FROM documents d JOIN ek USING (doc_id)),
        | ${minhashCtes(canonShingleCte, 32, 8, 4)},
-       | nd AS (SELECT DISTINCT id_b AS doc_id FROM ver WHERE j >= 0.5),
+       | edges AS MATERIALIZED (
+       |  SELECT id_a AS src, id_b AS dst FROM ver WHERE j >= 0.5
+       |  UNION
+       |  SELECT id_b, id_a FROM ver WHERE j >= 0.5),
+       | cnodes AS (SELECT DISTINCT src AS node FROM edges),
+       | walk(start, node) AS (
+       |  SELECT node, node FROM cnodes
+       |  UNION
+       |  SELECT w2.start, e.dst FROM walk w2 JOIN edges e ON e.src = w2.node),
+       | comp AS (SELECT start AS node, min(node) AS component
+       |  FROM walk GROUP BY start),
+       | cq AS (SELECT doc_id, $qualityScoreSql AS quality_score FROM canon),
+       | ranked AS (
+       |  SELECT c2.node, row_number() OVER (PARTITION BY c2.component
+       |    ORDER BY cq.quality_score DESC, c2.node) AS rn
+       |  FROM comp c2 JOIN cq ON cq.doc_id = c2.node),
        | clean AS (SELECT c.doc_id, c.text FROM canon c
-       |  WHERE c.doc_id NOT IN (SELECT doc_id FROM nd)),
+       |  WHERE c.doc_id NOT IN (SELECT node FROM ranked WHERE rn > 1)),
        | spl AS (SELECT doc_id, text,
        |   CASE WHEN ('0x'||substr(md5(text),1,8))::BIGINT % 100 < 98 THEN 'train'
        |        WHEN ('0x'||substr(md5(text),1,8))::BIGINT % 100 = 98 THEN 'valid'

@@ -21,6 +21,23 @@ import org.apache.spark.sql.functions._
   */
 object CorpusStats {
 
+  /** The composite text-quality score — ONE law shared by the
+    * `text_quality` report, the `dedup_keep_best` canonicalization
+    * rule, and the corpus pipeline's clean stage: 0.4·stopword-ratio
+    * + 0.3·(1 − punctuation-ratio) + 0.3·min(1, tokens/100), rounded
+    * to 4 dp. Pure per-row projection — no shuffle, codegen-friendly.
+    */
+  def qualityScore(c: Column): Column = {
+    import graft.functions.{TextFunctions => TF}
+    val punctRatio = round(
+      regexp_count(c, lit("[^A-Za-z0-9\\s]")).cast("double")
+        / length(c).cast("double"), 4)
+    val stopRatio = TF.stopRatio(c, TF.stopwordProfiles("en"))
+    val lenScore = least(lit(1.0), TF.wsTokenCount(c).cast("double") / lit(100.0))
+    round(lit(0.4) * stopRatio + lit(0.3) * (lit(1.0) - punctRatio)
+      + lit(0.3) * lenScore, 4)
+  }
+
   /** Per-token corpus stats: in how many documents (`n_docs`) and how
     * often overall (`n_total`) each whitespace token occurs; the
     * `topN` most frequent.

@@ -117,9 +117,9 @@ object Dedup {
 
   /** The near-dup ACTION twin of [[exactKeep]]: every document with a
     * verified (Jaccard ≥ threshold) near-dup of LOWER id is dropped —
-    * the C4-style keep-lowest rule ([[graft.CorpusPipeline]] composes
-    * this same law as its third stage) — and the survivors
-    * materialize. Candidates come from the banded
+    * the C4-style keep-lowest rule ([[graft.CorpusPipeline]]'s third
+    * stage composes the quality-argmax sibling, [[minhashKeepBest]])
+    * — and the survivors materialize. Candidates come from the banded
     * [[minhashNearDupPairs]] pass (never all-pairs); the drop set is a
     * tiny id frame, so the action is one anti-join on the corpus.
     */

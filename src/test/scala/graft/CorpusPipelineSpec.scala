@@ -5,7 +5,8 @@ import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
 /** The chained corpus-curation run ([[CorpusPipeline]]): stage
-  * containment, the keep-lowest near-dup contract, prefix-sum packing
+  * containment, the keep-BEST canonicalization contract (re-derived
+  * independently with a local union-find), prefix-sum packing
   * integrity, and re-run determinism.
   */
 class CorpusPipelineSpec extends SparkSpecBase {
@@ -65,16 +66,37 @@ class CorpusPipelineSpec extends SparkSpecBase {
     assert(first == second)
   }
 
-  test("near-dup removal consumed the CANONICAL table, not the raw corpus") {
+  test("clean stage is keep-BEST over the CANONICAL table — independent re-derivation") {
     // a doc dropped by the quality gate must never influence the
-    // near-dup stage: rebuild the drop set from the staged canonical
-    // table and check it matches what corpus_clean excluded
+    // near-dup stage, and within each near-dup cluster exactly the
+    // highest-quality member (ties to lowest id) survives. Re-derive
+    // the law independently of Dedup.minhashKeepBest: verified pairs
+    // from the staged canonical table, a LOCAL union-find over them,
+    // and a Scala-side argmax under the shared quality score.
     val canon = read("corpus_canonical")
-    val wantDropped = Dedup.minhashNearDupPairs(canon)
+    val pairs = Dedup.minhashNearDupPairs(canon)
       .filter(col("jaccard") >= 0.5)
-      .select(col("id_b")).distinct().as[Long].collect().toSet
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val quality = canon.select(col("doc_id"),
+      graft.operators.CorpusStats.qualityScore(col("text")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    val clustered = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val wantDropped = clustered.groupBy(find).values.flatMap { members =>
+      val best = members.minBy(id => (-quality(id), id))
+      members.filterNot(_ == best)
+    }.toSet
     val canonIds = canon.select("doc_id").as[Long].collect().toSet
     val cleanIds = read("corpus_clean").select("doc_id").as[Long].collect().toSet
+    assert(wantDropped.nonEmpty, "gate data must exercise the cluster argmax")
     assert(canonIds -- cleanIds == wantDropped)
   }
 
