@@ -61,34 +61,43 @@ object CorpusPipeline {
     obs.get("rows").asInstanceOf[Long]
   }
 
-  /** One curation run: srcDir (raw corpus) → outDir (staged curation
-    * tables). Returns per-stage row counts and timings.
+  /** Stage names in dependency order — the public contract between
+    * [[runCuration]], the per-stage CLI ([[main]] with a stage
+    * argument), and the Airflow DAG (`dags/graft_corpus_dag.py`,
+    * whose task ids a spec checks against this list). The curation
+    * chain is strictly LINEAR (each stage reads its predecessor's
+    * materialized table), so the DAG is a chain — unlike the daily
+    * load's fan-out.
     */
-  def runCuration(spark: SparkSession, srcDir: String,
-      outDir: String): Seq[StageResult] = {
+  val StageNames: Seq[String] = Seq(
+    "corpus_quality", "corpus_canonical", "corpus_clean",
+    "corpus_split", "corpus_pack")
+
+  private def stages(spark: SparkSession, srcDir: String,
+      outDir: String): Seq[(String, () => Long)] = {
     val docs = Tables.documents(spark, srcDir)
     val w = outDir.stripSuffix("/")
     def read(t: String) = spark.read.parquet(s"$w/$t")
     Seq(
-      timed("corpus_quality")(
+      "corpus_quality" -> (() =>
         overwrite(CorpusStats.gopherQuality(docs), s"$w/corpus_quality")),
-      timed("corpus_canonical")({
+      "corpus_canonical" -> (() => {
         val kept = read("corpus_quality").filter(col("keep"))
           .select(col("doc_id"))
         overwrite(Dedup.exactKeep(docs.join(kept, Seq("doc_id"), "left_semi")),
           s"$w/corpus_canonical")
       }),
-      timed("corpus_clean")({
+      "corpus_clean" -> (() => {
         val canon = read("corpus_canonical")
         val quality = canon.select(col("doc_id"),
           CorpusStats.qualityScore(col("text")).as("quality_score"))
         overwrite(Dedup.minhashKeepBest(canon, quality),
           s"$w/corpus_clean")
       }),
-      timed("corpus_split")(
+      "corpus_split" -> (() =>
         overwrite(CorpusStats.splitAssign(read("corpus_clean")),
           s"$w/corpus_split")),
-      timed("corpus_pack")({
+      "corpus_pack" -> (() => {
         val train = read("corpus_split").filter(col("split") === "train")
           .select(col("doc_id"))
         overwrite(CorpusStats.packManifest(
@@ -96,6 +105,47 @@ object CorpusPipeline {
           s"$w/corpus_pack")
       })
     )
+  }
+
+  /** One curation run: srcDir (raw corpus) → outDir (staged curation
+    * tables). Returns per-stage row counts and timings.
+    */
+  def runCuration(spark: SparkSession, srcDir: String,
+      outDir: String): Seq[StageResult] =
+    stages(spark, srcDir, outDir).map { case (n, f) => timed(n)(f()) }
+
+  /** Run ONE stage by name — the spark-submit unit an external
+    * orchestrator schedules; stage ordering is the orchestrator's
+    * contract (see `dags/graft_corpus_dag.py`).
+    */
+  def runStage(spark: SparkSession, srcDir: String, outDir: String,
+      stage: String): StageResult = {
+    val all = stages(spark, srcDir, outDir).toMap
+    require(all.contains(stage),
+      s"unknown stage '$stage' (expected one of ${StageNames.mkString(", ")})")
+    timed(stage)(all(stage)())
+  }
+
+  /** CLI: runCuration(srcDir, outDir), or one stage with a stage
+    * argument (the Airflow task unit — dags/graft_corpus_dag.py
+    * passes one per task).
+    */
+  def main(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println(
+        "usage: graft.CorpusPipeline <srcDir> <outDir> [stage]")
+      sys.exit(2)
+    }
+    val Array(srcDir, outDir) = args.take(2)
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+    val results = args.lift(2) match {
+      case Some(stage) => Seq(runStage(spark, srcDir, outDir, stage))
+      case None => runCuration(spark, srcDir, outDir)
+    }
+    results.foreach(r =>
+      println(f"[corpus] ${r.name}%-18s ${r.rows}%9d rows ${r.seconds}%7.2f s"))
+    spark.stop()
   }
 
   /** Content summary of a curation run — one row per stage checkpoint:

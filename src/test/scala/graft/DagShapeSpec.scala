@@ -53,4 +53,41 @@ class DagShapeSpec extends AnyFunSuite {
     assert(dagSource.contains("outlets=[Dataset("))
     assert(dagSource.contains("graft://warehouse/"))
   }
+
+  // ---- the corpus-curation twin (dags/graft_corpus_dag.py) ----
+
+  private lazy val corpusDagSource: String = {
+    val p = java.nio.file.Paths.get("dags/graft_corpus_dag.py")
+    new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+  }
+
+  private lazy val corpusStages: Seq[String] =
+    """"([a-z_]+)",""".r.findAllMatchIn(
+      corpusDagSource.split("STAGES = \\[")(1).split("\\]")(0))
+      .map(_.group(1)).toSeq
+
+  private lazy val corpusEdges: Seq[(String, String)] =
+    """tasks\["([a-z_]+)"\]\s*>>\s*tasks\["([a-z_]+)"\]""".r
+      .findAllMatchIn(corpusDagSource).map(m => (m.group(1), m.group(2))).toSeq
+
+  test("corpus DAG task ids equal CorpusPipeline.StageNames exactly") {
+    assert(corpusStages == CorpusPipeline.StageNames)
+  }
+
+  test("corpus DAG submits the per-stage CorpusPipeline CLI") {
+    assert(corpusDagSource.contains("--class graft.CorpusPipeline"))
+    assert(corpusDagSource.contains("bash_command=spark_submit(stage)"))
+    assert(corpusDagSource.contains("task_id=stage"))
+  }
+
+  test("corpus DAG is the strict linear chain the data dependencies demand") {
+    val want = CorpusPipeline.StageNames.sliding(2)
+      .map(p => (p.head, p.last)).toSeq
+    assert(corpusEdges == want) // exactly the chain, no stray edges
+  }
+
+  test("corpus DAG tasks publish graft://corpus Dataset outlets") {
+    assert(corpusDagSource.contains("outlets=[Dataset("))
+    assert(corpusDagSource.contains("graft://corpus/"))
+  }
 }
