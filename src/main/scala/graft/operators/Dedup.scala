@@ -171,19 +171,54 @@ object Dedup {
   def minhashKeepBest(docs: DataFrame, quality: DataFrame,
       jaccardThreshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nd = minhashNearDupPairs(docs)
+    // exact-collapse BEFORE the banded pass ([[minhashKeep]]'s
+    // replica-density discipline) — VALUE-IDENTICAL here because the
+    // quality law is a function of the text alone: byte-twins carry
+    // equal quality, so within any exact-twin group only the minimum
+    // id can ever win the (quality DESC, id ASC) argmax — which is
+    // exactly the group's canonical. Every non-canonical twin is
+    // therefore a guaranteed drop (a J=1.0 partner with equal quality
+    // and lower id sits in its cluster), the cluster structure over
+    // canonicals is the twin-collapsed quotient of the full graph,
+    // and the overall winner of every cluster is always a canonical.
+    // On replica-heavy corpora this shrinks the pair stage by the
+    // exact-dup rate squared. NULL-text docs produce no signature and
+    // pair with nothing — they pass through unconditionally, like
+    // minhashKeep.
+    val hashable = docs.filter(col("text").isNotNull)
+    // materialize the canonical id set ONCE: three consumers (the
+    // canonical semi-join, the twin-drop anti-join, and through them
+    // the final action) would otherwise each replay the exact-dedup
+    // groupBy; the frame is ids-only, a sliver of the corpus
+    val canonIds = exact(hashable).select(col("keep_id").as("doc_id"))
+      .localCheckpoint()
+    val canonDocs = hashable.join(canonIds, Seq("doc_id"), "left_semi")
+    val nd = minhashNearDupPairs(canonDocs)
       .filter(col("jaccard") >= jaccardThreshold)
     val comps = connectedComponents(nd, "id_a", "id_b")
+    // prune the quality frame to cluster nodes with a LEFT-SEMI join
+    // before consuming it: PushDownLeftSemiAntiJoin moves the semi
+    // join below the caller's quality projection (its condition only
+    // needs doc_id), so the scoring expressions — typically a stack of
+    // regex/token ops — run over clustered nodes only, never the
+    // corpus grain. An inner join alone would not be pushed below the
+    // projection and would score every document.
+    val prunedQuality = quality
+      .join(comps.select(col("node").as("doc_id")), Seq("doc_id"), "left_semi")
     // argmax per cluster: quality desc, id asc — the window's grain is
     // clustered nodes (≪ corpus), its partition key the component id
     val ranked = comps
-      .join(quality.select(col("doc_id").as("node"), col("quality_score")),
+      .join(prunedQuality.select(col("doc_id").as("node"), col("quality_score")),
         Seq("node"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("component"))
           .orderBy(col("quality_score").desc, col("node"))))
-    val dropped = ranked.filter(col("rn") > 1).select(col("node").as("doc_id"))
-    docs.join(dropped, Seq("doc_id"), "left_anti")
+    val clusterDropped = ranked.filter(col("rn") > 1)
+      .select(col("node").as("doc_id"))
+    val twinDropped = hashable.select(col("doc_id"))
+      .join(canonIds, Seq("doc_id"), "left_anti")
+    docs.join(twinDropped.unionByName(clusterDropped).distinct(),
+      Seq("doc_id"), "left_anti")
   }
 
   /** Candidate near-dup pairs via MinHash + LSH banding over word

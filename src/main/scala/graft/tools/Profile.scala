@@ -29,15 +29,27 @@ object Profile {
 
     val emb = Tables.embeddings(spark, dir)
     time("warmup: embeddings count")(emb)
-    for (bits <- Seq(4, 6, 8, 10); tables <- Seq(8)) {
-      time(s"nearDupsAll tables=$tables bits=$bits") {
-        Dedup.embeddingNearDupsAll(emb, numTables = tables, bitsPerTable = bits)
-      }
+
+    // keep-best stage anatomy at the replica SF
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    time("warmup: docs")(docs)
+    val hashable = docs.filter(col("text").isNotNull)
+    time("exact groupBy")(Dedup.exact(hashable))
+    val canonIds = Dedup.exact(hashable)
+      .select(col("keep_id").as("doc_id")).localCheckpoint()
+    val canonDocs = hashable.join(canonIds, Seq("doc_id"), "left_semi")
+    time("nd pairs over canonicals") {
+      Dedup.minhashNearDupPairs(canonDocs).filter(col("jaccard") >= 0.5)
     }
-    time("kmeans k=8 iters=3")(Similarity.kmeansAssign(emb))
-    time("pagerank 5 rounds") {
-      Graph.pageRank(Graph.coPurchaseEdges(Tables.lineitem(spark, dir)))
-    }
+    val nd = Dedup.minhashNearDupPairs(canonDocs)
+      .filter(col("jaccard") >= 0.5)
+    time("connectedComponents")(
+      Dedup.connectedComponents(nd, "id_a", "id_b"))
+    time("minhashKeep (for comparison)")(Dedup.minhashKeep(docs))
+    val quality = docs.select(col("doc_id"),
+      CorpusStats.qualityScore(col("text")).as("quality_score"))
+    time("minhashKeepBest full")(Dedup.minhashKeepBest(docs, quality))
+    time("minhashKeepBest full (rep 2)")(Dedup.minhashKeepBest(docs, quality))
     spark.stop()
   }
 }

@@ -240,4 +240,29 @@ class DedupSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().toSet
     assert(keptFlat == Set(1L, 4L, 5L))
   }
+
+  test("minhashKeepBest: exact-collapse is value-identical under replicas") {
+    // the collapse-first discipline must not move the answer: flood
+    // the corpus with byte-twin replicas (the 100x-mirrored shape) and
+    // the survivor set must equal the un-replicated run's — every
+    // replica is a guaranteed drop (equal quality, higher id), the
+    // cluster winners are unchanged. Quality follows the REAL law (a
+    // function of the text), as the gated entry wires it.
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3L, "completely different content about spark distributed query engines and parquet"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val replicas = base.filter(col("text").isNotNull)
+      .withColumn("doc_id", col("doc_id") + 100L)
+    val flooded = base.unionByName(replicas)
+    def q(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+      graft.operators.CorpusStats.qualityScore(col("text")).as("quality_score"))
+    val keptBase = Dedup.minhashKeepBest(base, q(base))
+      .select("doc_id").as[Long].collect().toSet
+    val keptFlooded = Dedup.minhashKeepBest(flooded, q(flooded))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptFlooded == keptBase, s"base=$keptBase flooded=$keptFlooded")
+  }
 }
