@@ -1032,6 +1032,20 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** STREAMING keep-best canonicalization maintenance
+    * ([[graft.streaming.StreamReplay.replayKeepBestDrops]]): two doc
+    * drops stream through foreachBatch; each batch folds new verified
+    * edges into a maintained pair store and rebuilds the canonical
+    * table from stored state — retroactively RETRACTING an earlier
+    * survivor when a later drop delivers a cleaner mirror. Arrival
+    * order can't move the cluster/argmax fixpoint, so the batch
+    * keep-best replay gates the streamed table (same oracle as
+    * `dedup_keep_best`).
+    */
+  private def qStreamKeepBest(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.replayKeepBestDrops(s, dir)
+      .orderBy(col("doc_id"))
+
   /** STREAMING cluster maintenance: two near-dup edge drops stream
     * through [[graft.streaming.StreamReplay.replayClusterDrops]] —
     * each micro-batch folds into the stored labeling incrementally
@@ -1212,6 +1226,27 @@ object SparkEntry {
       .servedTopK(s, path, emb.filter(col("vec_id") < 8))
       .withColumn("rnk", col("rnk").cast("bigint"))
       .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  /** Recall@5 of the MASKED (tombstoned) IVF index against brute force
+    * over the SURVIVING corpus — the eval that completes the
+    * retraction contract the way `knn_ivf_append_recall` completes the
+    * append contract: a takedown must not silently degrade retrieval
+    * for the rest of the corpus, and the number proving it comes off
+    * the same recall dashboard. Probes restrict to survivors (a
+    * retracted vector has no ground-truth row).
+    */
+  private def qKnnIvfDeleteRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val survivors = emb.filter(col("vec_id") % 10 =!= 5)
+    val removed = emb.filter(col("vec_id") % 10 === 5).select(col("vec_id"))
+    val path = graft.sources.IvfIndexStore.defaultPath(dir) + "_del"
+    graft.sources.IvfIndexStore.ensureDeleted(emb, removed, path)
+    Similarity.recallOf(
+      Similarity.bruteForceTopK(survivors, col("vec_id") < 8),
+      graft.sources.IvfIndexStore
+        .servedTopK(s, path, survivors.filter(col("vec_id") < 8)), 5)
+      .orderBy(col("probe_id"))
   }
 
   /** Serve-many PQ: ADC scan over the STORED int8 codes of the trained
@@ -1591,6 +1626,7 @@ object SparkEntry {
     "dedup_embedding_auto" -> (qDedupEmbeddingAuto _),
     "dedup_minhash_keep" -> (qDedupMinhashKeep _),
     "dedup_keep_best" -> (qDedupKeepBest _),
+    "stream_keep_best" -> (qStreamKeepBest _),
     "dedup_clusters" -> (qDedupClusters _),
     "dedup_clusters_incr" -> (qDedupClustersIncr _),
     "dedup_clusters_decr" -> (qDedupClustersDecr _),
@@ -1607,6 +1643,7 @@ object SparkEntry {
     "knn_ivf_trained" -> (qKnnIvfTrained _),
     "knn_ivf_served" -> (qKnnIvfServed _),
     "knn_ivf_delete" -> (qKnnIvfDelete _),
+    "knn_ivf_delete_recall" -> (qKnnIvfDeleteRecall _),
     "knn_ivfpq" -> (qKnnIvfPq _),
     "q_corr_stats" -> (qCorrStats _),
     "text_tokens" -> (qTextTokens _),
@@ -2048,7 +2085,15 @@ object SparkEntry {
   // probe set all stay on the FULL build corpus — a takedown masks
   // list rows, it never moves the frozen quantizer
   private def ivfTrainedOracleWhere(candWhere: String): String =
-    s"WITH ${kmeansCtes(8, 3)},\n" +
+    s"WITH ${ivfTrainedCtesWhere(candWhere)}\n" +
+      """SELECT probe_id, cand_id, cosine, rnk FROM tsc WHERE rnk <= 5
+        |ORDER BY probe_id, rnk""".stripMargin
+
+  // the trained-IVF serve replay as a reusable CTE chain (through
+  // `tsc`, the ranked candidate frame) — shared by the trained/served/
+  // retrain/delete serve oracles and the delete-recall eval
+  private def ivfTrainedCtesWhere(candWhere: String): String =
+    s"${kmeansCtes(8, 3)},\n" +
       s""" p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
         | lab AS (SELECT e.vec_id, e.embedding, a3.cluster AS cell
         |  FROM embeddings e JOIN a3 USING (vec_id)),
@@ -2070,9 +2115,7 @@ object SparkEntry {
         |       JOIN embeddings pp ON pp.vec_id = tcells.probe_id
         |  WHERE e.vec_id <> tcells.probe_id AND ($candWhere)),
         | tsc AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
-        |   FROM tcand WHERE cosine IS NOT NULL)
-        |SELECT probe_id, cand_id, cosine, rnk FROM tsc WHERE rnk <= 5
-        |ORDER BY probe_id, rnk""".stripMargin
+        |   FROM tcand WHERE cosine IS NOT NULL)""".stripMargin
 
   private lazy val ivfTrainedOracle: String = ivfTrainedOracleWhere("1 = 1")
 
@@ -2183,6 +2226,33 @@ object SparkEntry {
     s"""round(0.4::DOUBLE * $stopRatioSql
        |   + 0.3::DOUBLE * (1.0::DOUBLE - $punctRatioSql)
        |   + 0.3::DOUBLE * least(1.0::DOUBLE, len(string_split_regex(trim(text), '\\s+'))::DOUBLE / 100.0::DOUBLE), 4)""".stripMargin
+
+  // keep-BEST replay, shared verbatim by the batch action and its
+  // streamed maintenance (same canonical table by contract): min-label
+  // recursion over the verified minhash pair graph + the quality-law
+  // argmax per component
+  private lazy val keepBestOracle: String =
+    s"WITH RECURSIVE ${minhashCtes(wordShingleCte, 32, 8, 4)},\n" +
+      s""" edges AS MATERIALIZED (
+         |  SELECT id_a AS src, id_b AS dst FROM ver WHERE j >= 0.5
+         |  UNION
+         |  SELECT id_b, id_a FROM ver WHERE j >= 0.5),
+         | nodes AS (SELECT DISTINCT src AS node FROM edges),
+         | walk(start, node) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT w.start, e.dst FROM walk w JOIN edges e ON e.src = w.node),
+         | comp AS (SELECT start AS node, min(node) AS component
+         |  FROM walk GROUP BY start),
+         | q AS (SELECT doc_id, $qualityScoreSql AS quality_score
+         |  FROM documents),
+         | ranked AS (
+         |  SELECT c.node, row_number() OVER (PARTITION BY c.component
+         |    ORDER BY q.quality_score DESC, c.node) AS rn
+         |  FROM comp c JOIN q ON q.doc_id = c.node)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT node FROM ranked WHERE rn > 1)
+         |ORDER BY doc_id""".stripMargin
 
   private val charGramCte: String =
     """SELECT doc_id, list_distinct(list_transform(
@@ -3450,28 +3520,12 @@ object SparkEntry {
     // minhash `ver` edges), then the quality-law argmax per component
     // — survivors are everything outside a cluster plus each
     // cluster's highest-quality doc (ties to lowest id)
-    "dedup_keep_best" ->
-      (s"WITH RECURSIVE ${minhashCtes(wordShingleCte, 32, 8, 4)},\n" +
-        s""" edges AS MATERIALIZED (
-           |  SELECT id_a AS src, id_b AS dst FROM ver WHERE j >= 0.5
-           |  UNION
-           |  SELECT id_b, id_a FROM ver WHERE j >= 0.5),
-           | nodes AS (SELECT DISTINCT src AS node FROM edges),
-           | walk(start, node) AS (
-           |  SELECT node, node FROM nodes
-           |  UNION
-           |  SELECT w.start, e.dst FROM walk w JOIN edges e ON e.src = w.node),
-           | comp AS (SELECT start AS node, min(node) AS component
-           |  FROM walk GROUP BY start),
-           | q AS (SELECT doc_id, $qualityScoreSql AS quality_score
-           |  FROM documents),
-           | ranked AS (
-           |  SELECT c.node, row_number() OVER (PARTITION BY c.component
-           |    ORDER BY q.quality_score DESC, c.node) AS rn
-           |  FROM comp c JOIN q ON q.doc_id = c.node)
-           |SELECT doc_id, lang, source, n_chars FROM documents
-           |WHERE doc_id NOT IN (SELECT node FROM ranked WHERE rn > 1)
-           |ORDER BY doc_id""".stripMargin),
+    "dedup_keep_best" -> keepBestOracle,
+    // the STREAMED maintenance lands on the identical canonical
+    // table: arrival order can't move the cluster/argmax fixpoint
+    // (cross-drop twins enter as J=1.0 edges and lose every argmax to
+    // their lower-id mirror), so the batch replay gates the stream
+    "stream_keep_best" -> keepBestOracle,
     "dedup_clusters" -> dedupClustersSql,
     // identical answer, distributed path forced — same oracle
     "dedup_clusters_dist" -> dedupClustersSql,
@@ -3549,6 +3603,24 @@ object SparkEntry {
     // training replay (centroids stay frozen — training saw the full
     // build corpus), candidate lists restricted to survivors
     "knn_ivf_delete" -> ivfTrainedOracleWhere("e.vec_id % 10 <> 5"),
+    // recall@5 of the masked serve vs brute force over survivors —
+    // probes restrict to survivors, the served side is the masked
+    // trained replay (training stays on the full build corpus)
+    "knn_ivf_delete_recall" ->
+      (s"WITH ${ivfTrainedCtesWhere("e.vec_id % 10 <> 5")},\n" +
+        """ bd AS (SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+          |   round(list_cosine_similarity(p.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cosine
+          |  FROM p, embeddings c WHERE c.vec_id <> p.vec_id
+          |   AND c.vec_id % 10 <> 5 AND p.vec_id % 10 <> 5),
+          | brute AS (SELECT probe_id, cand_id FROM (
+          |   SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, cand_id) AS rnk
+          |   FROM bd WHERE cosine IS NOT NULL) WHERE rnk <= 5),
+          | served AS (SELECT probe_id, cand_id FROM tsc WHERE rnk <= 5)
+          |SELECT b.probe_id,
+          |  count(r.cand_id)::BIGINT AS n_hits,
+          |  round(count(r.cand_id)::DOUBLE / count(*), 4) AS recall_at_5
+          |FROM brute b LEFT JOIN served r USING (probe_id, cand_id)
+          |GROUP BY b.probe_id ORDER BY b.probe_id""".stripMargin),
     // the retrain trigger fires on this corpus (rolled recall < 0.95,
     // spec-pinned), so the serve reads the quantizer rebuilt over the
     // union = the whole corpus — the fresh-trained replay verbatim

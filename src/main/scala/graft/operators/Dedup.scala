@@ -195,7 +195,23 @@ object Dedup {
     val canonDocs = hashable.join(canonIds, Seq("doc_id"), "left_semi")
     val nd = minhashNearDupPairs(canonDocs)
       .filter(col("jaccard") >= jaccardThreshold)
-    val comps = connectedComponents(nd, "id_a", "id_b")
+    val twinDropped = hashable.select(col("doc_id"))
+      .join(canonIds, Seq("doc_id"), "left_anti")
+    keepBestOverEdges(docs, quality, nd, twinDropped)
+  }
+
+  /** The keep-best SOLVE step, factored so the streamed maintenance
+    * ([[graft.streaming.StreamReplay.replayKeepBestDrops]]) applies
+    * the identical law over its ACCUMULATED edge store: components
+    * over the verified pair graph, the (quality DESC, id ASC) argmax
+    * per component, and one anti-join of the drop set (cluster losers
+    * ∪ `preDropped` — the exact-twin members that never enter the
+    * graph) against the corpus.
+    */
+  private[graft] def keepBestOverEdges(docs: DataFrame, quality: DataFrame,
+      edges: DataFrame, preDropped: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = connectedComponents(edges, "id_a", "id_b")
     // prune the quality frame to cluster nodes with a LEFT-SEMI join
     // before consuming it: PushDownLeftSemiAntiJoin moves the semi
     // join below the caller's quality projection (its condition only
@@ -215,9 +231,7 @@ object Dedup {
           .orderBy(col("quality_score").desc, col("node"))))
     val clusterDropped = ranked.filter(col("rn") > 1)
       .select(col("node").as("doc_id"))
-    val twinDropped = hashable.select(col("doc_id"))
-      .join(canonIds, Seq("doc_id"), "left_anti")
-    docs.join(twinDropped.unionByName(clusterDropped).distinct(),
+    docs.join(preDropped.unionByName(clusterDropped).distinct(),
       Seq("doc_id"), "left_anti")
   }
 
@@ -384,6 +398,56 @@ object Dedup {
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
         coalesce(col("is_near_dup"), lit(false)).as("is_near_dup"))
+  }
+
+  /** Verified near-dup PAIRS for a drop against a persisted band
+    * index, at drop-representative grain — the pair-level sibling of
+    * [[minhashNearDupsDelta]] (which rolls the same candidates up per
+    * doc): delta×stored band matches ∪ delta-internal matches, exact
+    * Jaccard on candidates only, emitted once per unordered pair. The
+    * caller owns the exact-collapse (pass distinct-text reps as
+    * `reps`) and the edge accumulation — this is the per-micro-batch
+    * edge feed of the streamed keep-best maintenance.
+    *
+    * 100 TB shape: identical to the rollup sibling — the band join
+    * moves 48-byte band rows, the drop side broadcasts, corpus text is
+    * fetched by candidate id only (semi-join-pruned).
+    */
+  private[graft] def minhashDeltaPairs(reps: DataFrame, corpus: DataFrame,
+      storedBands: DataFrame, jaccardThreshold: Double = 0.5): DataFrame = {
+    import graft.sources.MinhashIndexStore
+    val keyCols = MinhashIndexStore.BandKeyCols
+    val deltaBands = MinhashIndexStore.bandRows(reps)
+    val deltaSide = broadcast(deltaBands)
+    val candCorpus = storedBands
+      .join(deltaSide.withColumnRenamed("doc_id", "delta_id"), keyCols)
+      .filter(col("doc_id") =!= col("delta_id"))
+      .select(least(col("doc_id"), col("delta_id")).as("id_a"),
+        greatest(col("doc_id"), col("delta_id")).as("id_b"))
+    val candDelta = {
+      val cond = keyCols.map(c => col(s"a.$c") === col(s"b.$c"))
+        .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
+      deltaBands.alias("a").join(deltaSide.alias("b"), cond)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    }
+    val pairs = candCorpus.unionByName(candDelta).distinct()
+    val candIds = storedBands
+      .join(deltaSide.select(keyCols.map(col): _*), keyCols)
+      .select(col("doc_id")).distinct()
+      .join(reps.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val corpusSh = corpus.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), TF.words(col("text")).as("w"))
+      .select(col("doc_id"), TF.shinglesFromWords(col("w"), 3).as("shingles"))
+    val repSh = reps
+      .select(col("doc_id"), TF.words(col("text")).as("w"))
+      .select(col("doc_id"), TF.shinglesFromWords(col("w"), 3).as("shingles"))
+    val allSh = repSh.unionByName(corpusSh)
+    pairs
+      .join(allSh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(allSh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= jaccardThreshold)
   }
 
   /** SimHash near-dup: 64-bit signature, pigeonhole 16-bit chunk

@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Crash recovery for the tombstone-compaction rename swap shared by
+  * the three index stores ([[MinhashIndexStore]], [[EmbLshIndexStore]],
+  * [[IvfIndexStore]]).
+  *
+  * The swap sequence is: write `<layer>_compacted` → rename `<layer>`
+  * to `<layer>_old` → rename `<layer>_compacted` to `<layer>` → delete
+  * `<layer>_old` → delete `tombstones`. A crash between any two steps
+  * leaves exactly one of these states on disk, and each is recoverable
+  * to a COMPLETE serving index:
+  *
+  *  1. `<layer>` + partial/complete `<layer>_compacted` — the swap
+  *     never started; drop the staging dir (tombstones still mask).
+  *  2. `<layer>_old` + `<layer>_compacted` — mid-swap; promote the
+  *     compacted dir (it was fully written before step 2 began).
+  *  3. `<layer>` + `<layer>_old` — promoted but not cleaned; drop the
+  *     old dir (and, once every layer is clean, the tombstones — the
+  *     compacted data no longer contains the retracted rows, and the
+  *     mask is anti-join-idempotent in the meantime).
+  *
+  * Call [[recover]] before serving from a store path whose process may
+  * have died mid-compact; it is a no-op on a healthy layout. This is
+  * the single-writer recovery story — concurrent writers still need a
+  * table format's transaction, as each store's compact doc states.
+  */
+object SwapRecovery {
+
+  /** Repair one layer's swap state; returns what it did (for logs and
+    * the spec). No-op ("clean") when only `<layer>` exists.
+    */
+  def recover(spark: SparkSession, path: String, layer: String): String = {
+    val fs = new Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(s"$path/$layer")
+    val old = new Path(s"$path/${layer}_old")
+    val staged = new Path(s"$path/${layer}_compacted")
+    (fs.exists(live), fs.exists(old), fs.exists(staged)) match {
+      case (true, false, true) => // crash before the swap began
+        fs.delete(staged, true); "dropped_staging"
+      case (false, true, true) => // crash mid-swap: promote staging
+        fs.rename(staged, live); fs.delete(old, true); "promoted_staging"
+      case (true, true, false) => // crash before cleanup
+        fs.delete(old, true); "dropped_old"
+      case (false, true, false) => // staging promoted, old not cleaned
+        fs.rename(old, live); "restored_old"
+      case (true, false, false) => "clean"
+      case other =>
+        throw new IllegalStateException(
+          s"unrecoverable layout for $path/$layer: (live, old, staged) = $other")
+    }
+  }
+
+  private[sources] def fsOf(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+}

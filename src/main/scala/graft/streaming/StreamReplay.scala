@@ -565,6 +565,147 @@ object StreamReplay {
     spark.read.option("recursiveFileLookup", "true").parquet(sink)
   }
 
+  private val kbStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** STREAMING keep-best canonicalization maintenance — the streamed
+    * form of [[graft.operators.Dedup.minhashKeepBest]], and the
+    * operator that makes canonicalization RETROACTIVE: when a later
+    * drop delivers a cleaner mirror of an already-kept document, the
+    * previously-emitted survivor is retracted and the cleaner copy
+    * takes its place in the canonical table.
+    *
+    * Topology per micro-batch (all sinks batch-id-keyed Overwrite —
+    * retry-idempotent; the index fold marker-guarded like
+    * [[replayNearDupDrops]]):
+    *
+    *  1. exact-collapse the drop; non-representative twins land in the
+    *     `dropped/` store (they can never win the quality argmax —
+    *     their rep has equal quality and lower id).
+    *  2. the drop's reps query the persisted band index for verified
+    *     pairs ([[graft.operators.Dedup.minhashDeltaPairs]]) — new
+    *     EDGES, appended to the `edges/` store; then the reps fold
+    *     into the index so the next drop near-dups against them.
+    *  3. the canonical table rebuilds from stored state only
+    *     ([[graft.operators.Dedup.keepBestOverEdges]] over the
+    *     accumulated edges/dropped/seen stores — the identical solve
+    *     the batch operator runs, applied to the maintained graph).
+    *
+    * Arrival order cannot move the final answer: the accumulated edge
+    * set equals the batch pair set over canonicals (cross-drop twins
+    * enter as Jaccard-1.0 edges and lose every argmax to their
+    * lower-id mirror — the same quotient argument that makes the batch
+    * operator's exact-collapse value-identical), so the LAST batch's
+    * canonical table equals the batch keep-best over the full corpus —
+    * gated by the very same oracle as `dedup_keep_best`.
+    */
+  def replayKeepBestDrops(spark: SparkSession, dir: String): DataFrame =
+    replayKeepBestDropsWithWork(spark, dir)._2
+
+  /** [[replayKeepBestDrops]] plus the run's work dir, so the spec can
+    * read the per-batch canonical-table snapshots (`survivors/
+    * batch_<id>`) and pin the retroactive-retraction behavior.
+    */
+  private[graft] def replayKeepBestDropsWithWork(spark: SparkSession,
+      dir: String): (String, DataFrame) = {
+    import graft.operators.{CorpusStats, Dedup}
+    import graft.sources.{MinhashIndexStore, Tables}
+    val docs = Tables.documents(spark, dir)
+    val slim = docs.select(col("doc_id"), col("text"))
+    val staged = kbStaged.computeIfAbsent(dir, _ => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_kbstream")
+      stageFile(slim.filter(col("doc_id") % 10 === 5), stage, "drops/drop_", 0)
+      stageFile(slim.filter(col("doc_id") % 10 === 0), stage, "drops/drop_", 1)
+      val base = slim.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+      val hashable = base.filter(col("text").isNotNull)
+      val canonIds = Dedup.exact(hashable)
+        .select(col("keep_id").as("doc_id")).localCheckpoint()
+      val canonDocs = hashable.join(canonIds, Seq("doc_id"), "left_semi")
+      MinhashIndexStore.build(canonDocs, s"$stage/mh_base")
+      Dedup.minhashNearDupPairs(canonDocs).filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+        .write.parquet(s"$stage/edges_base")
+      hashable.select(col("doc_id"))
+        .join(canonIds, Seq("doc_id"), "left_anti")
+        .write.parquet(s"$stage/dropped_base")
+      base.select(col("doc_id")).write.parquet(s"$stage/seen_base")
+      stage.toString
+    })
+    val work = java.nio.file.Files.createTempDirectory("graft_kb_work").toString
+    val idxPath = s"$work/mh"
+    copyTree(java.nio.file.Paths.get(s"$staged/mh_base"),
+      java.nio.file.Paths.get(idxPath))
+    copyTree(java.nio.file.Paths.get(s"$staged/edges_base"),
+      java.nio.file.Paths.get(s"$work/edges/base"))
+    copyTree(java.nio.file.Paths.get(s"$staged/dropped_base"),
+      java.nio.file.Paths.get(s"$work/dropped/base"))
+    copyTree(java.nio.file.Paths.get(s"$staged/seen_base"),
+      java.nio.file.Paths.get(s"$work/seen/base"))
+    val chk = java.nio.file.Files.createTempDirectory("graft_kb_chk").toString
+    val schema = spark.read.parquet(s"$staged/drops/drop_0.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/drops")
+    def store(tag: String) = spark.read
+      .option("recursiveFileLookup", "true").parquet(s"$work/$tag")
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(partsKey)
+    spark.conf.set(partsKey, "8")
+    try {
+      val q = src.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          val b = batch.toDF().persist()
+          try {
+            val ow = org.apache.spark.sql.SaveMode.Overwrite
+            val hash = b.filter(col("text").isNotNull)
+            val repIds = Dedup.exact(hash)
+              .select(col("keep_id").as("doc_id")).localCheckpoint()
+            val repDocs = hash.join(repIds, Seq("doc_id"), "left_semi")
+            hash.select(col("doc_id"))
+              .join(repIds, Seq("doc_id"), "left_anti")
+              .write.mode(ow).parquet(s"$work/dropped/batch_$id")
+            Dedup.minhashDeltaPairs(repDocs, slim,
+                MinhashIndexStore.bandsTable(spark, idxPath))
+              .select(col("id_a"), col("id_b"))
+              .write.mode(ow).parquet(s"$work/edges/batch_$id")
+            b.select(col("doc_id")).write.mode(ow)
+              .parquet(s"$work/seen/batch_$id")
+            val marker = java.nio.file.Paths.get(s"$idxPath/_drop_$id")
+            if (!java.nio.file.Files.exists(marker)) {
+              MinhashIndexStore.append(repDocs, idxPath)
+              java.nio.file.Files.createFile(marker)
+              ()
+            }
+            // rebuild the canonical table from STORED state only —
+            // the same solve the batch operator runs, over the
+            // maintained graph; restricted to documents seen so far
+            val seenDocs = docs
+              .join(store("seen"), Seq("doc_id"), "left_semi")
+            val quality = seenDocs.select(col("doc_id"),
+              CorpusStats.qualityScore(col("text")).as("quality_score"))
+            Dedup.keepBestOverEdges(seenDocs, quality,
+                store("edges"), store("dropped"))
+              .select(col("doc_id"), col("lang"), col("source"),
+                col("n_chars"))
+              .write.mode(ow).parquet(s"$work/survivors/batch_$id")
+          } finally { b.unpersist(); () }
+      }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(partsKey, v)
+      case None => spark.conf.unset(partsKey)
+    }
+    val lastBatch = new java.io.File(s"$work/survivors").listFiles()
+      .map(_.getName).filter(_.startsWith("batch_"))
+      .map(_.stripPrefix("batch_").toLong).max
+    (work, spark.read.parquet(s"$work/survivors/batch_$lastBatch"))
+  }
+
   private val rtStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
