@@ -1032,6 +1032,40 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup cluster-size DATASHEET: how many duplicate clusters of
+    * each size the corpus holds — the audit number a curation run
+    * reports next to its dedup action (a heavy tail of giant clusters
+    * means boilerplate/mirror infestation; all-2 clusters mean benign
+    * twins). One groupBy over the component labels (cluster-node
+    * grain, ≪ corpus) then a groupBy over sizes (≤ max-cluster-size
+    * rows) — nothing at data grain beyond the banded pair pass.
+    */
+  private def qDedupClusterStats(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.embeddingNearDups(t(s, dir, "embeddings")),
+        "probe_id", "cand_id")
+      .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+
+  /** Tokenizer COMPRESSION eval per corpus slice: chars-per-BPE-token
+    * for every (lang, source) — the drift dashboard that tells a
+    * training pipeline when its frozen merge table stops fitting the
+    * incoming mix (compression collapsing toward 1 char/token on a
+    * new slice = the tokenizer fragments it). One map-side-combined
+    * aggregate over the corpus; the BPE count is the per-row codegen
+    * path `text_tokens_bpe` gates.
+    */
+  private def qTextBpeEval(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").filter(col("text").isNotNull)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("n_chars"),
+        sum(TF.bpeTokenCount(col("text"))).cast("long").as("bpe_tokens"),
+        round(sum(length(col("text"))).cast("double")
+          / sum(TF.bpeTokenCount(col("text"))), 4).as("chars_per_token"))
+      .orderBy(col("lang"), col("source"))
+
   /** STREAMING keep-best canonicalization maintenance
     * ([[graft.streaming.StreamReplay.replayKeepBestDrops]]): two doc
     * drops stream through foreachBatch; each batch folds new verified
@@ -1628,6 +1662,7 @@ object SparkEntry {
     "dedup_keep_best" -> (qDedupKeepBest _),
     "stream_keep_best" -> (qStreamKeepBest _),
     "dedup_clusters" -> (qDedupClusters _),
+    "dedup_cluster_stats" -> (qDedupClusterStats _),
     "dedup_clusters_incr" -> (qDedupClustersIncr _),
     "dedup_clusters_decr" -> (qDedupClustersDecr _),
     "stream_retract" -> (qStreamRetract _),
@@ -1648,6 +1683,7 @@ object SparkEntry {
     "q_corr_stats" -> (qCorrStats _),
     "text_tokens" -> (qTextTokens _),
     "text_tokens_bpe" -> (qTextTokensBpe _),
+    "text_bpe_eval" -> (qTextBpeEval _),
     "text_bpe_train" -> (qTextBpeTrain _),
     "text_quality" -> (qTextQuality _),
     "text_langid" -> (qTextLangid _),
@@ -3527,6 +3563,13 @@ object SparkEntry {
     // their lower-id mirror), so the batch replay gates the stream
     "stream_keep_best" -> keepBestOracle,
     "dedup_clusters" -> dedupClustersSql,
+    // cluster-size histogram over the same component labels: wrap the
+    // recursive label solve as a subquery and fold twice
+    "dedup_cluster_stats" ->
+      s"""SELECT cluster_size, count(*)::BIGINT AS n_clusters
+         |FROM (SELECT component, count(*)::BIGINT AS cluster_size
+         |      FROM ($dedupClustersSql) GROUP BY component)
+         |GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     // identical answer, distributed path forced — same oracle
     "dedup_clusters_dist" -> dedupClustersSql,
     // labels are component-minimum ids: the incremental maintenance
@@ -3719,6 +3762,26 @@ object SparkEntry {
         | len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS sub_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_bpe_train" -> bpeTrainOracleSql(8),
+    // per-slice compression: the same frozen-merge-table BPE replay as
+    // text_tokens_bpe, aggregated to (lang, source)
+    "text_bpe_eval" ->
+      (s"WITH RECURSIVE $bpeCtes,\n" +
+        """ docw AS (
+          |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+          |  FROM documents WHERE text IS NOT NULL),
+          | dt AS (SELECT docw.doc_id, sum(t.n_tok)::BIGINT AS bpe
+          |  FROM docw JOIN wtok t USING (w) WHERE docw.w <> ''
+          |  GROUP BY docw.doc_id),
+          | per AS (SELECT d.doc_id, d.lang, d.source,
+          |   length(d.text)::BIGINT AS n_chars,
+          |   coalesce(dt.bpe, 0)::BIGINT AS bpe
+          |  FROM documents d LEFT JOIN dt USING (doc_id)
+          |  WHERE d.text IS NOT NULL)
+          |SELECT lang, source, count(*)::BIGINT AS n_docs,
+          | sum(n_chars)::BIGINT AS n_chars,
+          | sum(bpe)::BIGINT AS bpe_tokens,
+          | round(sum(n_chars)::DOUBLE / sum(bpe), 4) AS chars_per_token
+          |FROM per GROUP BY lang, source ORDER BY lang, source""".stripMargin),
     "text_tokens_bpe" ->
       (s"WITH RECURSIVE $bpeCtes,\n" +
         """ docw AS (

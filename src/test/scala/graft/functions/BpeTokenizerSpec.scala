@@ -85,4 +85,26 @@ class BpeTokenizerSpec extends SparkSpecBase {
     assert(got(2L).contains(0L))
     assert(got(3L).isEmpty)
   }
+
+  test("per-slice compression eval equals the per-doc counts aggregated by hand") {
+    import org.apache.spark.sql.functions.{col, length, round, sum}
+    // the text_bpe_eval law: chars-per-BPE-token per (lang, source)
+    // must equal summing the per-doc counts the direct encoder gives
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+    val slices = docs
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(length(col("text"))).cast("long").as("n_chars"),
+        sum(TextFunctions.bpeTokenCount(col("text"))).cast("long")
+          .as("bpe_tokens"))
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    val byHand = docs.select(col("lang"), col("source"), col("text"))
+      .as[(String, String, String)].collect()
+      .groupBy(r => (r._1, r._2))
+      .map { case (k, rows) =>
+        k -> (rows.map(_._3.length.toLong).sum,
+          rows.map(r => BpeTokenizer.countTokens(r._3)).sum) }
+    assert(slices.nonEmpty && slices == byHand)
+  }
 }

@@ -18,6 +18,19 @@ class ComponentsSpec extends SparkSpecBase {
       (20L, 20L), (21L, 20L)))
   }
 
+  test("cluster-size histogram folds the labels twice (the datasheet shape)") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // components {1,2,3,4} (size 4), {10,11} and {20,21} (two of size
+    // 2) -> histogram rows (2, 2) and (4, 1)
+    val edges = Seq((2L, 1L), (3L, 2L), (4L, 3L), (11L, 10L), (20L, 21L))
+      .toDF("a", "b")
+    val hist = Dedup.connectedComponents(edges, "a", "b")
+      .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size").as[(Long, Long)].collect().toSeq
+    assert(hist == Seq((2L, 2L), (4L, 1L)))
+  }
+
   test("a long path converges within the iteration budget") {
     val edges = (1 until 15).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
     val out = Dedup.connectedComponents(edges, "a", "b")
