@@ -282,8 +282,6 @@ object Dedup {
   def minhashNearDupsDelta(delta: DataFrame, corpus: DataFrame,
       storedBands: DataFrame, jaccardThreshold: Double = 0.5,
       broadcastDelta: Boolean = true): DataFrame = {
-    import graft.sources.MinhashIndexStore
-    val keyCols = MinhashIndexStore.BandKeyCols
     // exact-collapse the drop FIRST (the minhashKeep device, applied to
     // the micro-batch): redelivered / mirrored corpora carry heavy
     // exact-dup rates, identical texts hold identical signatures AND
@@ -312,51 +310,8 @@ object Dedup {
         count(lit(1)).over(w).as("m"))
     val reps = members.filter(col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("text"))
-    val deltaSh = reps
-      .select(col("doc_id"), TF.words(col("text")).as("w"))
-      .select(col("doc_id"), TF.shinglesFromWords(col("w"), 3).as("shingles"))
-    val deltaBands = MinhashIndexStore.bandRows(reps)
-    val deltaSide =
-      if (broadcastDelta) broadcast(deltaBands) else deltaBands
-    // delta × stored-corpus candidates: the stored side is a SCAN of
-    // the index, the delta side the only signature computation in the
-    // plan (defensive self-pair filter — caller contract is disjoint)
-    val candCorpus = storedBands
-      .join(deltaSide.withColumnRenamed("doc_id", "delta_id"), keyCols)
-      .filter(col("doc_id") =!= col("delta_id"))
-      .select(least(col("doc_id"), col("delta_id")).as("id_a"),
-        greatest(col("doc_id"), col("delta_id")).as("id_b"))
-    // delta-internal candidates: the drop against itself. The b side
-    // reuses the SAME broadcast as the stored-index join (one
-    // broadcast exchange, one signing pass for both candidate sources)
-    val candDelta = {
-      val cond = keyCols.map(c => col(s"a.$c") === col(s"b.$c"))
-        .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
-      deltaBands.alias("a").join(deltaSide.alias("b"), cond)
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-    }
-    val pairs = candCorpus.unionByName(candDelta).distinct()
-    // exact-Jaccard verify: corpus text fetched by candidate id only.
-    // The id set comes straight from the delta×stored band join (the
-    // non-delta side of every candidate pair is by construction a
-    // stored-index id), NOT from re-deriving the full pair frame — one
-    // index-scan subtree instead of two — and delta ids never enter
-    // it, so callers may pass the FULL docs table as `corpus` without
-    // a corpus-wide anti-join (a streaming micro-batch doesn't know
-    // its complement's predicate)
-    val candIds = storedBands
-      .join(deltaSide.select(keyCols.map(col): _*), keyCols)
-      .select(col("doc_id")).distinct()
-      .join(delta.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    val corpusSh = corpus.join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), TF.words(col("text")).as("w"))
-      .select(col("doc_id"), TF.shinglesFromWords(col("w"), 3).as("shingles"))
-    val allSh = deltaSh.unionByName(corpusSh)
-    val verified = pairs
-      .join(allSh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(allSh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    val verified = minhashDeltaVerified(reps, delta.select(col("doc_id")),
+      corpus, storedBands, broadcastDelta)
     // EXPAND the rep-grain pairs back to member grain, arithmetically:
     // a pair contributes (other side's group size, or 1 for a stored
     // id) candidates to each member of the rep's group; within-group
@@ -414,16 +369,43 @@ object Dedup {
     * fetched by candidate id only (semi-join-pruned).
     */
   private[graft] def minhashDeltaPairs(reps: DataFrame, corpus: DataFrame,
-      storedBands: DataFrame, jaccardThreshold: Double = 0.5): DataFrame = {
+      storedBands: DataFrame, jaccardThreshold: Double = 0.5): DataFrame =
+    minhashDeltaVerified(reps, reps.select(col("doc_id")), corpus,
+      storedBands, broadcastDelta = true)
+      .filter(col("jaccard") >= jaccardThreshold)
+
+  /** The shared delta-vs-index core: banded candidates + exact-Jaccard
+    * verify for a drop's distinct-text reps against a persisted band
+    * index. `dropIds` is the full drop id set, anti-joined out of the
+    * corpus-side text fetch (the rollup passes all member ids
+    * defensively; the pair feed passes its reps — equivalent under
+    * the caller contract that the drop is disjoint from the index).
+    * Emits (id_a, id_b, jaccard) once per unordered candidate pair,
+    * unthresholded — [[minhashNearDupsDelta]] rolls it up per member,
+    * [[minhashDeltaPairs]] filters it into an edge feed.
+    */
+  private def minhashDeltaVerified(reps: DataFrame, dropIds: DataFrame,
+      corpus: DataFrame, storedBands: DataFrame,
+      broadcastDelta: Boolean): DataFrame = {
     import graft.sources.MinhashIndexStore
     val keyCols = MinhashIndexStore.BandKeyCols
+    val repSh = reps
+      .select(col("doc_id"), TF.words(col("text")).as("w"))
+      .select(col("doc_id"), TF.shinglesFromWords(col("w"), 3).as("shingles"))
     val deltaBands = MinhashIndexStore.bandRows(reps)
-    val deltaSide = broadcast(deltaBands)
+    val deltaSide =
+      if (broadcastDelta) broadcast(deltaBands) else deltaBands
+    // delta × stored-corpus candidates: the stored side is a SCAN of
+    // the index, the delta side the only signature computation in the
+    // plan (defensive self-pair filter — caller contract is disjoint)
     val candCorpus = storedBands
       .join(deltaSide.withColumnRenamed("doc_id", "delta_id"), keyCols)
       .filter(col("doc_id") =!= col("delta_id"))
       .select(least(col("doc_id"), col("delta_id")).as("id_a"),
         greatest(col("doc_id"), col("delta_id")).as("id_b"))
+    // delta-internal candidates: the drop against itself. The b side
+    // reuses the SAME broadcast as the stored-index join (one
+    // broadcast exchange, one signing pass for both candidate sources)
     val candDelta = {
       val cond = keyCols.map(c => col(s"a.$c") === col(s"b.$c"))
         .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
@@ -431,14 +413,19 @@ object Dedup {
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
     }
     val pairs = candCorpus.unionByName(candDelta).distinct()
+    // exact-Jaccard verify: corpus text fetched by candidate id only.
+    // The id set comes straight from the delta×stored band join (the
+    // non-delta side of every candidate pair is by construction a
+    // stored-index id), NOT from re-deriving the full pair frame — one
+    // index-scan subtree instead of two — and delta ids never enter
+    // it, so callers may pass the FULL docs table as `corpus` without
+    // a corpus-wide anti-join (a streaming micro-batch doesn't know
+    // its complement's predicate)
     val candIds = storedBands
       .join(deltaSide.select(keyCols.map(col): _*), keyCols)
       .select(col("doc_id")).distinct()
-      .join(reps.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(dropIds, Seq("doc_id"), "left_anti")
     val corpusSh = corpus.join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), TF.words(col("text")).as("w"))
-      .select(col("doc_id"), TF.shinglesFromWords(col("w"), 3).as("shingles"))
-    val repSh = reps
       .select(col("doc_id"), TF.words(col("text")).as("w"))
       .select(col("doc_id"), TF.shinglesFromWords(col("w"), 3).as("shingles"))
     val allSh = repSh.unionByName(corpusSh)
@@ -447,7 +434,6 @@ object Dedup {
       .join(allSh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= jaccardThreshold)
   }
 
   /** SimHash near-dup: 64-bit signature, pigeonhole 16-bit chunk
