@@ -1182,6 +1182,24 @@ object SparkEntry {
     Dedup.embeddingNearDupsAll(t(s, dir, "embeddings"))
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Embedding near-dup keep-lowest ACTION — the `dedup_minhash_keep`
+    * twin for the vector family, completing the action matrix (both
+    * near-dup families now have detection AND a materialized keep):
+    * every vector with a verified cosine ≥ 0.35 partner of LOWER id
+    * drops; the drop set is the b-side of the all-corpus pair graph
+    * (`a_id < b_id` by construction), so the action is one anti-join
+    * of a tiny id frame against the catalog — candidates stay banded,
+    * never all-pairs.
+    */
+  private def qDedupEmbeddingKeep(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val dropped = Dedup.embeddingNearDupsAll(emb)
+      .select(col("b_id").as("vec_id")).distinct()
+    emb.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
   private def qDedupEmbeddingAuto(s: SparkSession, dir: String): DataFrame =
     // nothing pinned: bits from the integer bucket-width law (count
     // probe), tables from the recall coupling — the oracle replays
@@ -1282,6 +1300,19 @@ object SparkEntry {
         .servedTopK(s, path, survivors.filter(col("vec_id") < 8)), 5)
       .orderBy(col("probe_id"))
   }
+
+  /** STREAMING index takedown ([[graft.streaming.StreamReplay
+    * .replayIndexDeleteDrops]]): two retraction drops stream through
+    * foreachBatch, each appending to the stored IVF index's tombstone
+    * list; the masked serve after both drops must equal the
+    * physically-purged replay — same oracle as `knn_ivf_delete` (the
+    * drops partition its retraction set; takedown order can't change
+    * a mask).
+    */
+  private def qStreamIndexDelete(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.replayIndexDeleteDrops(s, dir)
+      .withColumn("rnk", col("rnk").cast("bigint"))
+      .orderBy(col("probe_id"), col("rnk"))
 
   /** Serve-many PQ: ADC scan over the STORED int8 codes of the trained
     * cells, exact re-rank from the stored full-precision lists — no
@@ -1657,6 +1688,7 @@ object SparkEntry {
     "dedup_ngram" -> (qDedupNgram _),
     "dedup_embedding" -> (qDedupEmbedding _),
     "dedup_embedding_all" -> (qDedupEmbeddingAll _),
+    "dedup_embedding_keep" -> (qDedupEmbeddingKeep _),
     "dedup_embedding_auto" -> (qDedupEmbeddingAuto _),
     "dedup_minhash_keep" -> (qDedupMinhashKeep _),
     "dedup_keep_best" -> (qDedupKeepBest _),
@@ -1679,6 +1711,7 @@ object SparkEntry {
     "knn_ivf_served" -> (qKnnIvfServed _),
     "knn_ivf_delete" -> (qKnnIvfDelete _),
     "knn_ivf_delete_recall" -> (qKnnIvfDeleteRecall _),
+    "stream_index_delete" -> (qStreamIndexDelete _),
     "knn_ivfpq" -> (qKnnIvfPq _),
     "q_corr_stats" -> (qCorrStats _),
     "text_tokens" -> (qTextTokens _),
@@ -3531,6 +3564,24 @@ object SparkEntry {
           |       JOIN embeddings eb ON eb.vec_id = pr.b_id)
           |SELECT a_id, b_id, cosine FROM sc WHERE cosine >= 0.35
           |ORDER BY a_id, b_id""".stripMargin),
+    // keep-lowest action over the all-corpus pair graph: survivors
+    // are the catalog minus every verified higher-id partner (b-side
+    // of the a<b pair frame); NULL-embedding rows never pair and pass
+    // through
+    "dedup_embedding_keep" ->
+      (s"WITH ${adaptiveBitsLshCtes(8)},\n" +
+        """ pr AS (
+          |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+          |  FROM sigs a JOIN sigs b ON a.table_id = b.table_id AND a.sig = b.sig
+          |  WHERE a.vec_id < b.vec_id),
+          | sc AS (
+          |  SELECT pr.a_id, pr.b_id,
+          |   round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cosine
+          |  FROM pr JOIN embeddings ea ON ea.vec_id = pr.a_id
+          |       JOIN embeddings eb ON eb.vec_id = pr.b_id)
+          |SELECT vec_id FROM embeddings
+          |WHERE vec_id NOT IN (SELECT DISTINCT b_id FROM sc WHERE cosine >= 0.35)
+          |ORDER BY vec_id""".stripMargin),
     "dedup_embedding_auto" ->
       (s"WITH ${autoLshCtes(0.35, 0.9, 32)},\n" +
         """ pr AS (
@@ -3646,6 +3697,10 @@ object SparkEntry {
     // training replay (centroids stay frozen — training saw the full
     // build corpus), candidate lists restricted to survivors
     "knn_ivf_delete" -> ivfTrainedOracleWhere("e.vec_id % 10 <> 5"),
+    // the STREAMED takedown lands on the identical masked serve: the
+    // two drops partition the same retraction set and order can't
+    // change a mask
+    "stream_index_delete" -> ivfTrainedOracleWhere("e.vec_id % 10 <> 5"),
     // recall@5 of the masked serve vs brute force over survivors —
     // probes restrict to survivors, the served side is the masked
     // trained replay (training stays on the full build corpus)

@@ -565,6 +565,65 @@ object StreamReplay {
     spark.read.option("recursiveFileLookup", "true").parquet(sink)
   }
 
+  private val idxDelStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** STREAMING index takedown — the deletion-vector tier driven by a
+    * live feed: vec-id retraction drops arrive as a file stream, each
+    * micro-batch appends its ids to the stored IVF index's tombstone
+    * list ([[graft.sources.IvfIndexStore.delete]] — O(|batch|) write,
+    * no index rewrite) and the masked serve view reflects the
+    * takedown immediately. Retry-idempotent BY CONSTRUCTION: the
+    * serve view reads the tombstone list through `distinct()`, so a
+    * redelivered batch re-appends ids that already mask — no marker
+    * needed. After both drops the masked index must serve exactly
+    * what an index with the retracted lists physically purged would —
+    * the same oracle as the batch `knn_ivf_delete` gate (the two
+    * drops partition its retraction set, and takedown order cannot
+    * change a mask).
+    */
+  def replayIndexDeleteDrops(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IvfIndexStore, Tables}
+    val emb = Tables.embeddings(spark, dir)
+    val staged = idxDelStaged.computeIfAbsent(dir, _ => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_idxdel")
+      stageFile(emb.filter(col("vec_id") % 20 === 5)
+        .select(col("vec_id")), stage, "drops/drop_", 0)
+      stageFile(emb.filter(col("vec_id") % 20 === 15)
+        .select(col("vec_id")), stage, "drops/drop_", 1)
+      IvfIndexStore.build(emb, s"$stage/ivf_base")
+      stage.toString
+    })
+    val work = java.nio.file.Files.createTempDirectory("graft_idxdel_work")
+    val idxPath = s"$work/ivf"
+    copyTree(java.nio.file.Paths.get(s"$staged/ivf_base"),
+      java.nio.file.Paths.get(idxPath))
+    val chk = java.nio.file.Files.createTempDirectory("graft_idxdel_chk").toString
+    val schema = spark.read.parquet(s"$staged/drops/drop_0.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/drops")
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(partsKey)
+    spark.conf.set(partsKey, "8")
+    try {
+      val q = src.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          IvfIndexStore.delete(batch.toDF(), idxPath)
+      }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(partsKey, v)
+      case None => spark.conf.unset(partsKey)
+    }
+    IvfIndexStore.servedTopK(spark, idxPath, emb.filter(col("vec_id") < 8))
+  }
+
   private val kbStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

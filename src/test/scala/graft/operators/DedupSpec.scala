@@ -241,6 +241,22 @@ class DedupSpec extends SparkSpecBase {
     assert(keptFlat == Set(1L, 4L, 5L))
   }
 
+  test("embedding keep-lowest action leaves no verified pair intact") {
+    // the b-side drop law: any surviving pair (a, b) would mean b kept
+    // a lower verified partner — impossible. Checked on the real
+    // all-corpus graph at gate SF.
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val pairs = Dedup.embeddingNearDupsAll(emb)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "gate data must exercise the pair graph")
+    val dropped = pairs.map(_._2).toSet
+    val kept = emb.select("vec_id").as[Long].collect().toSet -- dropped
+    pairs.foreach { case (a, b) =>
+      assert(!(kept(a) && kept(b)), s"surviving pair ($a, $b)") }
+    // and survivors are exactly the catalog minus the b-side
+    assert(kept.nonEmpty && (kept & dropped).isEmpty)
+  }
+
   test("minhashKeepBest: exact-collapse is value-identical under replicas") {
     // the collapse-first discipline must not move the answer: flood
     // the corpus with byte-twin replicas (the 100x-mirrored shape) and

@@ -84,4 +84,23 @@ class IndexRetractionSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$path/codes")
       .filter(col("vec_id") % 10 === 5).count() == 0L)
   }
+
+  test("IVF takedown redelivery is a no-op (the streamed-feed retry contract)") {
+    // the streamed takedown gate (stream_index_delete) relies on
+    // delete being idempotent by construction: the serve view reads
+    // tombstones through distinct(), so a redelivered batch re-appends
+    // ids that already mask
+    val emb = Tables.embeddings(spark, sfDir)
+    val removed = emb.filter(col("vec_id") % 10 === 5).select(col("vec_id"))
+    val probes = emb.filter(col("vec_id") < 8)
+    val path = freshPath("ivf_redeliver")
+    IvfIndexStore.build(emb, path)
+    IvfIndexStore.delete(removed, path)
+    val once = IvfIndexStore.servedTopK(spark, path, probes)
+      .orderBy("probe_id", "rnk").as[(Long, Long, Double, Int)].collect().toSeq
+    IvfIndexStore.delete(removed, path) // redelivery
+    val twice = IvfIndexStore.servedTopK(spark, path, probes)
+      .orderBy("probe_id", "rnk").as[(Long, Long, Double, Int)].collect().toSeq
+    assert(twice == once)
+  }
 }
