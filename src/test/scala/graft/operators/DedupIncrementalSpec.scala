@@ -234,4 +234,37 @@ class DedupIncrementalSpec extends SparkSpecBase {
       .as[(Long, Long, Double, Boolean)].collect().toSeq
     assert(inc == deltaOnly)
   }
+
+  test("stored SIG index is the embedding corpus side: tampering it changes the answer") {
+    // the embedding-LSH twin of the band-store tamper proof: serve the
+    // delta against a decoy signature store — if the plan re-signed
+    // the corpus from the embeddings table the decoy would be ignored;
+    // with the store honored, only delta-internal pairs remain
+    import graft.sources.EmbLshIndexStore
+    val emb = Tables.embeddings(spark, sfDir)
+    val n = emb.filter(col("embedding").isNotNull).count()
+    val bits = Dedup.adaptiveBits(n)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val honest = java.nio.file.Files
+      .createTempDirectory("graft_elsh_honest").toString
+    EmbLshIndexStore.build(corpus, honest, bits)
+    val full = Dedup.embeddingNearDupsDelta(delta, emb,
+        EmbLshIndexStore.sigsTable(spark, honest), bits)
+      .orderBy("a_id", "b_id").as[(Long, Long, Double)].collect().toSeq
+    // decoy: one unreachable vector id with an impossible signature
+    val decoy = java.nio.file.Files
+      .createTempDirectory("graft_elsh_decoy").toString
+    Seq((999999999L, 0, -1))
+      .toDF("vec_id", "table_id", "sig")
+      .write.partitionBy("table_id").parquet(s"$decoy/sigs")
+    val tampered = Dedup.embeddingNearDupsDelta(delta, emb,
+        EmbLshIndexStore.sigsTable(spark, decoy), bits)
+      .orderBy("a_id", "b_id").as[(Long, Long, Double)].collect().toSeq
+    assert(full != tampered, "store tamper must be observable")
+    // with the store emptied of real vectors, every surviving pair is
+    // delta-internal — the functional proof the corpus side is a SCAN
+    tampered.foreach { case (a, b, _) =>
+      assert(a % 10 == 0 && b % 10 == 0, s"pair ($a, $b)") }
+  }
 }
