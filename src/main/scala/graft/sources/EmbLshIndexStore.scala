@@ -108,34 +108,43 @@ object EmbLshIndexStore {
     * outgrows broadcast size.
     */
   def delete(vecIds: DataFrame, path: String): Unit =
-    vecIds.select(col("vec_id"))
-      .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+    IndexLease.withLease(vecIds.sparkSession, path, "elsh-delete") {
+      vecIds.select(col("vec_id"))
+        .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+    }
 
   /** Fold outstanding tombstones into the files: rewrite `sigs/`
     * without the retracted vectors, then clear the tombstone list —
     * after compaction the serve pays zero masking overhead and the
     * retracted rows are physically gone (the retention guarantee
-    * takedowns ultimately need). The swap goes via rename so EVERY
-    * intermediate state keeps a complete index on disk (crash
-    * recovery = rename whichever of sigs/ or sigs_old/ survives back
-    * into place). Not concurrency-safe against a racing append —
-    * production wraps the swap in a table format's transaction.
+    * takedowns ultimately need). Runs under the store's single-writer
+    * [[IndexLease]] and repairs any stranded crash layout via
+    * [[SwapRecovery.recover]] BEFORE starting; each swap rename is
+    * checked so a failure aborts before the tombstone delete
+    * ([[MinhashIndexStore.compact]]'s discipline).
     */
-  def compact(spark: SparkSession, path: String): Unit = {
-    if (!hasTombstones(spark, path)) return
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    sigsTable(spark, path)
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("table_id")
-      .parquet(s"$path/sigs_compacted")
-    fs.rename(new org.apache.hadoop.fs.Path(s"$path/sigs"),
-      new org.apache.hadoop.fs.Path(s"$path/sigs_old"))
-    fs.rename(new org.apache.hadoop.fs.Path(s"$path/sigs_compacted"),
-      new org.apache.hadoop.fs.Path(s"$path/sigs"))
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/sigs_old"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
-  }
+  def compact(spark: SparkSession, path: String): Unit =
+    IndexLease.withLease(spark, path, "elsh-compact") {
+      // tombstones are deleted LAST, so every strandable crash layout
+      // still has them — no tombstones means nothing to repair or fold
+      if (hasTombstones(spark, path)) {
+        SwapRecovery.recover(spark, path, "sigs")
+        val fs = SwapRecovery.fsOf(spark, path)
+        sigsTable(spark, path)
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("table_id")
+          .parquet(s"$path/sigs_compacted")
+        SwapRecovery.renameOrThrow(fs,
+          new org.apache.hadoop.fs.Path(s"$path/sigs"),
+          new org.apache.hadoop.fs.Path(s"$path/sigs_old"))
+        SwapRecovery.renameOrThrow(fs,
+          new org.apache.hadoop.fs.Path(s"$path/sigs_compacted"),
+          new org.apache.hadoop.fs.Path(s"$path/sigs"))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/sigs_old"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+        ()
+      }
+    }
 
   /** Memoized build-then-delete lifecycle for the retraction gate:
     * the first caller per JVM per path signs the full corpus and then

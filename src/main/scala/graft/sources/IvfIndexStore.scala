@@ -129,14 +129,15 @@ object IvfIndexStore {
     * recall) are a fresh [[build]]; the recall eval loop
     * (`knn_recall`) is the drift detector.
     */
-  def append(spark: SparkSession, delta: DataFrame, path: String): Unit = {
-    val labeled = assignStored(delta, centroidsTable(spark, path))
-      .select(col("vec_id"), col("embedding"), col("cell"))
-    labeled.write.mode(SaveMode.Append)
-      .partitionBy("cell").parquet(s"$path/cells")
-    writeCodes(labeled, spark.read.parquet(s"$path/grid"), path,
-      SaveMode.Append)
-  }
+  def append(spark: SparkSession, delta: DataFrame, path: String): Unit =
+    IndexLease.withLease(spark, path, "ivf-append") {
+      val labeled = assignStored(delta, centroidsTable(spark, path))
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      labeled.write.mode(SaveMode.Append)
+        .partitionBy("cell").parquet(s"$path/cells")
+      writeCodes(labeled, spark.read.parquet(s"$path/grid"), path,
+        SaveMode.Append)
+    }
 
   /** Memoized build-then-append lifecycle for the rollover gate: train
     * on the base corpus once per JVM per path, fold the drop in via
@@ -277,36 +278,49 @@ object IvfIndexStore {
     * [[compact]] when the list outgrows broadcast size.
     */
   def delete(vecIds: DataFrame, path: String): Unit =
-    vecIds.select(col("vec_id"))
-      .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+    IndexLease.withLease(vecIds.sparkSession, path, "ivf-delete") {
+      vecIds.select(col("vec_id"))
+        .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+    }
 
   /** Fold outstanding tombstones into the files: rewrite `cells/` and
     * `codes/` without the retracted vectors, then clear the tombstone
     * list — zero masking overhead afterwards and the retracted rows
     * are physically gone (the retention guarantee takedowns need).
-    * Each layer swaps via rename so every intermediate state keeps a
-    * complete index on disk. Not concurrency-safe against a racing
-    * append — production wraps the swap in a table transaction.
+    * Runs under the store's single-writer [[IndexLease]] (a racing
+    * [[append]] serializes against the two-layer swap) and repairs any
+    * stranded crash layout via [[SwapRecovery.recover]] per layer
+    * BEFORE starting; each rename is checked so a failure aborts
+    * before anything destructive.
     */
-  def compact(spark: SparkSession, path: String): Unit = {
-    if (!hasTombstones(spark, path)) return
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def swap(layer: String, masked: DataFrame): Unit = {
-      masked.write.mode(SaveMode.Overwrite)
-        .partitionBy("cell").parquet(s"$path/${layer}_compacted")
-      fs.rename(new org.apache.hadoop.fs.Path(s"$path/$layer"),
-        new org.apache.hadoop.fs.Path(s"$path/${layer}_old"))
-      fs.rename(new org.apache.hadoop.fs.Path(s"$path/${layer}_compacted"),
-        new org.apache.hadoop.fs.Path(s"$path/$layer"))
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/${layer}_old"), true)
+  def compact(spark: SparkSession, path: String): Unit =
+    IndexLease.withLease(spark, path, "ivf-compact") {
+      // tombstones are deleted LAST, so every strandable crash layout
+      // still has them — no tombstones means nothing to repair or fold
+      if (hasTombstones(spark, path)) {
+        SwapRecovery.recover(spark, path, "cells")
+        SwapRecovery.recover(spark, path, "codes")
+        val fs = SwapRecovery.fsOf(spark, path)
+        def swap(layer: String, masked: DataFrame): Unit = {
+          masked.write.mode(SaveMode.Overwrite)
+            .partitionBy("cell").parquet(s"$path/${layer}_compacted")
+          SwapRecovery.renameOrThrow(fs,
+            new org.apache.hadoop.fs.Path(s"$path/$layer"),
+            new org.apache.hadoop.fs.Path(s"$path/${layer}_old"))
+          SwapRecovery.renameOrThrow(fs,
+            new org.apache.hadoop.fs.Path(s"$path/${layer}_compacted"),
+            new org.apache.hadoop.fs.Path(s"$path/$layer"))
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/${layer}_old"), true)
+          ()
+        }
+        swap("cells", cellsTable(spark, path))
+        swap("codes", maskTombstones(spark, path,
+          spark.read.parquet(s"$path/codes")
+            .withColumn("cell", col("cell").cast("long"))))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+        ()
+      }
     }
-    swap("cells", cellsTable(spark, path))
-    swap("codes", maskTombstones(spark, path,
-      spark.read.parquet(s"$path/codes")
-        .withColumn("cell", col("cell").cast("long"))))
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
-  }
 
   /** Memoized build-then-delete lifecycle for the retraction gate: the
     * first caller per JVM per path trains + persists over the corpus

@@ -130,39 +130,49 @@ object MinhashIndexStore {
     * grows past broadcast size.
     */
   def delete(docIds: DataFrame, path: String): Unit =
-    docIds.select(col("doc_id"))
-      .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+    IndexLease.withLease(docIds.sparkSession, path, "minhash-delete") {
+      docIds.select(col("doc_id"))
+        .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+    }
 
   /** Fold outstanding tombstones into the files: rewrite `bands/`
     * without the retracted docs, then clear the tombstone list. After
     * compaction [[bandsTable]] serves with zero masking overhead and
     * the retracted rows are physically gone (the retention guarantee
-    * takedowns ultimately need). Not concurrency-safe against a racing
-    * append — production wraps the swap in a table format's
-    * transaction, like [[append]]'s caveat.
+    * takedowns ultimately need). Runs under the store's single-writer
+    * [[IndexLease]] (a racing [[append]] blocks until the swap lands —
+    * no appended row can slip into the doomed pre-swap dir), and
+    * repairs any stranded crash layout via [[SwapRecovery.recover]]
+    * BEFORE starting, so the renames always begin from a clean state.
     */
-  def compact(spark: SparkSession, path: String): Unit = {
-    if (!hasTombstones(spark, path)) return
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    bandsTable(spark, path)
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("band")
-      .parquet(s"$path/bands_compacted")
-    // swap via rename so EVERY intermediate state still has a complete
-    // index on disk: move the live dir aside, promote the compacted
-    // one, and only then drop the old bytes + tombstones. A crash
-    // between any two steps leaves either bands/ or bands_old/ whole
-    // (recovery = rename whichever survives back into place); the
-    // old delete-then-rename order had a window where the entire band
-    // index was gone.
-    fs.rename(new org.apache.hadoop.fs.Path(s"$path/bands"),
-      new org.apache.hadoop.fs.Path(s"$path/bands_old"))
-    fs.rename(new org.apache.hadoop.fs.Path(s"$path/bands_compacted"),
-      new org.apache.hadoop.fs.Path(s"$path/bands"))
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands_old"), true)
-    fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
-  }
+  def compact(spark: SparkSession, path: String): Unit =
+    IndexLease.withLease(spark, path, "minhash-compact") {
+      // tombstones are deleted LAST, so every strandable crash layout
+      // still has them — no tombstones means nothing to repair or fold
+      if (hasTombstones(spark, path)) {
+        SwapRecovery.recover(spark, path, "bands")
+        val fs = SwapRecovery.fsOf(spark, path)
+        bandsTable(spark, path)
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("band")
+          .parquet(s"$path/bands_compacted")
+        // swap via rename so EVERY intermediate state still has a
+        // complete index on disk: move the live dir aside, promote the
+        // compacted one, and only then drop the old bytes + tombstones.
+        // Each rename is CHECKED — a failed rename aborts before any
+        // destructive step (falling through to the tombstone delete
+        // would leave the stale layer serving unmasked).
+        SwapRecovery.renameOrThrow(fs,
+          new org.apache.hadoop.fs.Path(s"$path/bands"),
+          new org.apache.hadoop.fs.Path(s"$path/bands_old"))
+        SwapRecovery.renameOrThrow(fs,
+          new org.apache.hadoop.fs.Path(s"$path/bands_compacted"),
+          new org.apache.hadoop.fs.Path(s"$path/bands"))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands_old"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+        ()
+      }
+    }
 
   /** Memoized build-then-delete lifecycle for the retraction gate: the
     * first caller per JVM per path indexes the full corpus and then
@@ -187,15 +197,18 @@ object MinhashIndexStore {
     * today's. Signatures are deterministic and per-doc independent, so
     * append ≡ rebuild from the unioned corpus (spec-pinned) — the
     * index never needs a full re-sign, which is the whole point of the
-    * incremental tier. Parquet append is per-file atomic; a production
-    * deployment wraps it in the staging-swap of [[Sinks]] or a table
-    * format's transaction when drops race.
+    * incremental tier. Runs under the store's single-writer
+    * [[IndexLease]], so an append can never interleave with
+    * [[compact]]'s snapshot-rewrite-swap and lose its rows; racing
+    * appends against each other serialize on the same lease.
     */
   def append(delta: DataFrame, path: String): Unit =
-    bandRows(delta)
-      .write.mode(SaveMode.Append)
-      .partitionBy("band")
-      .parquet(s"$path/bands")
+    IndexLease.withLease(delta.sparkSession, path, "minhash-append") {
+      bandRows(delta)
+        .write.mode(SaveMode.Append)
+        .partitionBy("band")
+        .parquet(s"$path/bands")
+    }
 
   /** Memoized build-then-append lifecycle for the rollover gate: the
     * first caller per JVM per path indexes the base corpus and folds

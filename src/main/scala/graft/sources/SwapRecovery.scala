@@ -23,9 +23,12 @@ import org.apache.spark.sql.SparkSession
   *     mask is anti-join-idempotent in the meantime).
   *
   * Call [[recover]] before serving from a store path whose process may
-  * have died mid-compact; it is a no-op on a healthy layout. This is
-  * the single-writer recovery story — concurrent writers still need a
-  * table format's transaction, as each store's compact doc states.
+  * have died mid-compact; each store's compact() also calls it at
+  * ENTRY, so compaction never starts from a stranded layout (a rename
+  * onto an existing destination would fail FS-dependently). It is a
+  * no-op on a healthy layout. Mutual exclusion between live writers is
+  * [[IndexLease]]'s job — this object only repairs what a DEAD one
+  * left behind.
   */
 object SwapRecovery {
 
@@ -45,14 +48,38 @@ object SwapRecovery {
         fs.rename(staged, live); fs.delete(old, true); "promoted_staging"
       case (true, true, false) => // crash before cleanup
         fs.delete(old, true); "dropped_old"
-      case (false, true, false) => // staging promoted, old not cleaned
-        fs.rename(old, live); "restored_old"
+      case (false, true, false) =>
+        // UNREACHABLE from the documented five-step sequence: once the
+        // live dir was renamed aside (step 2), staging exists until it
+        // is promoted (step 3), and after promotion live exists. Only
+        // out-of-band surgery produces this layout, and restoring _old
+        // as live would be safe ONLY while the tombstone mask is still
+        // present — an invariant this code cannot verify — so treat it
+        // as unrecoverable like the catch-all instead of guessing.
+        throw new IllegalStateException(
+          s"unexpected layout for $path/$layer: only ${layer}_old exists — " +
+            "not a state the swap sequence can strand; restore by hand " +
+            "after confirming the tombstone list still masks it")
       case (true, false, false) => "clean"
       case other =>
         throw new IllegalStateException(
           s"unrecoverable layout for $path/$layer: (live, old, staged) = $other")
     }
   }
+
+  /** Rename that REFUSES to be ignored: `FileSystem.rename` reports
+    * failure as a Boolean (FS-dependently, e.g. when the destination
+    * already exists on a stranded layout), and a compact that falls
+    * through a failed rename to its tombstone delete would leave the
+    * stale uncompacted layer serving UNMASKED — resurrecting retracted
+    * rows. Throwing aborts the swap before any destructive step.
+    */
+  private[sources] def renameOrThrow(fs: FileSystem, from: Path,
+      to: Path): Unit =
+    if (!fs.rename(from, to))
+      throw new IllegalStateException(
+        s"rename $from -> $to failed (stranded layout?); aborting the " +
+          "swap before the tombstone delete — run recover() and retry")
 
   private[sources] def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -76,6 +76,51 @@ class SwapRecoverySpec extends SparkSpecBase {
     assert(!new java.io.File(s"$p/bands_old").exists())
   }
 
+  test("only <layer>_old on disk is unreachable — recover refuses to guess") {
+    // the five-step sequence can never strand this state (once live is
+    // renamed aside, staging exists until promoted; after promotion
+    // live exists) — restoring _old blind would be safe only while the
+    // tombstone mask is guaranteed present, which recover can't verify
+    val (p, fs) = stagedIndex("s5")
+    fs.rename(hp(s"$p/bands"), hp(s"$p/bands_old"))
+    fs.delete(hp(s"$p/bands_compacted"), true)
+    intercept[IllegalStateException] {
+      SwapRecovery.recover(spark, p, "bands")
+    }
+  }
+
+  test("compact on an unrecoverable stranded layout aborts before the tombstone delete") {
+    // strand all three dirs at once (out-of-band surgery): the
+    // entry-recover refuses, compact throws, and the tombstone mask
+    // MUST survive — falling through would resurrect retracted rows
+    val (p, fs) = stagedIndex("s6")
+    fs.mkdirs(hp(s"$p/bands_old"))
+    intercept[IllegalStateException] {
+      MinhashIndexStore.compact(spark, p)
+    }
+    assert(new java.io.File(s"$p/tombstones").exists(),
+      "tombstones must outlive an aborted compact")
+    assert(serve(p) == freshAnswer, "the mask must still serve")
+  }
+
+  test("renameOrThrow surfaces a failed rename instead of falling through") {
+    // the local FS masks every false-return case (its rename falls
+    // back to a parent-creating copy, and renaming onto an existing
+    // dir NESTS — the FS-dependent hazards that make the entry-recover
+    // + checked-rename pairing necessary), so pin the contract against
+    // an FS that reports failure the way HDFS does: a Boolean false
+    val refusing = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def rename(src: org.apache.hadoop.fs.Path,
+          dst: org.apache.hadoop.fs.Path): Boolean = false
+    }
+    refusing.initialize(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val err = intercept[IllegalStateException] {
+      SwapRecovery.renameOrThrow(refusing, hp("/tmp/a"), hp("/tmp/b"))
+    }
+    assert(err.getMessage.contains("aborting"))
+  }
+
   test("healthy layout is a no-op; completed compact still serves") {
     val (p, _) = stagedIndex("s4")
     // run the real compact to completion, then recover — nothing to do
