@@ -156,9 +156,21 @@ object Dedup {
     * highest-quality document survives (ties broken by lowest id) —
     * the canonicalization rule real curation pipelines use when the
     * mirror copy is cleaner than the original, vs [[minhashKeep]]'s
-    * positional keep-lowest. `quality` is any (doc_id, quality_score)
-    * frame — the caller picks the scoring law (graft's composite
-    * text-quality score in the gated entry).
+    * positional keep-lowest. `quality` is a (doc_id, quality_score)
+    * frame whose score MUST be a pure function of the document TEXT
+    * (byte-equal twins carry byte-equal scores) — graft's composite
+    * text-quality score in the gated entry is one. The requirement is
+    * load-bearing, not stylistic: this operator exact-collapses
+    * byte-twin groups to their minimum id BEFORE the banded pass (the
+    * replica-density discipline), which is value-identical only
+    * because an equal-scoring twin group's minimum id is the only
+    * member that can win the (quality DESC, id ASC) argmax. An id- or
+    * metadata-dependent score breaks that equivalence — a higher-id
+    * twin holding the cluster's top score would be silently pre-
+    * dropped. For such scoring laws, rank the UNcollapsed graph
+    * instead: feed [[minhashNearDupPairs]] over the full corpus to
+    * [[keepBestOverEdges]] directly (correct, but pays the full pair
+    * stage on mirrored corpora).
     *
     * 100 TB shape: candidates come from the banded
     * [[minhashNearDupPairs]] pass (never all-pairs); the cluster solve
@@ -186,12 +198,16 @@ object Dedup {
     // pair with nothing — they pass through unconditionally, like
     // minhashKeep.
     val hashable = docs.filter(col("text").isNotNull)
-    // materialize the canonical id set ONCE: three consumers (the
-    // canonical semi-join, the twin-drop anti-join, and through them
-    // the final action) would otherwise each replay the exact-dedup
-    // groupBy; the frame is ids-only, a sliver of the corpus
+    // cache the canonical id set ONCE: three consumers (the canonical
+    // semi-join, the twin-drop anti-join, and through them the final
+    // action) would otherwise each replay the exact-dedup groupBy; the
+    // frame is ids-only, a sliver of the corpus. persist — NOT
+    // localCheckpoint — so the frame stays lazily RECOMPUTABLE from
+    // lineage: a truncated-lineage executor-local checkpoint would
+    // fail the downstream job on executor loss, the wrong trade at
+    // 100 TB where losing an executor mid-join is routine.
     val canonIds = exact(hashable).select(col("keep_id").as("doc_id"))
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val canonDocs = hashable.join(canonIds, Seq("doc_id"), "left_semi")
     val nd = minhashNearDupPairs(canonDocs)
       .filter(col("jaccard") >= jaccardThreshold)
@@ -616,6 +632,27 @@ object Dedup {
   def connectedComponentsIncremental(storedLabels: DataFrame,
       baseEdges: DataFrame, deltaEdges: DataFrame,
       srcCol: String, dstCol: String): DataFrame = {
+    val (affected, solved) = connectedComponentsDelta(storedLabels,
+      baseEdges, deltaEdges, srcCol, dstCol)
+    storedLabels.join(affected, Seq("component"), "left_anti")
+      .select(col("node"), col("component"))
+      .unionByName(solved.select(col("node"), col("component")))
+  }
+
+  /** The blast-radius core of [[connectedComponentsIncremental]],
+    * exposed as a pair so DELTA consumers (the streamed keep-best
+    * maintenance) can keep their per-batch writes region-sized:
+    * `(affected stored components, re-solved labels for exactly the
+    * touched region)`. The re-solved frame covers every node of every
+    * touched component plus the delta's brand-new nodes — i.e. the
+    * complete membership of every component whose answer can change —
+    * and NOTHING else, so an operator that re-ranks per component
+    * (cluster argmax) may re-rank only these rows and trust every
+    * other component's stored answer.
+    */
+  private[graft] def connectedComponentsDelta(storedLabels: DataFrame,
+      baseEdges: DataFrame, deltaEdges: DataFrame,
+      srcCol: String, dstCol: String): (DataFrame, DataFrame) = {
     val deltaNodes = deltaEdges.select(col(srcCol).as("node"))
       .unionByName(deltaEdges.select(col(dstCol).as("node"))).distinct()
     val affected = storedLabels.join(deltaNodes, Seq("node"), "left_semi")
@@ -630,9 +667,7 @@ object Dedup {
     val solved = connectedComponents(
       subBase.unionByName(deltaEdges.select(col(srcCol), col(dstCol))),
       srcCol, dstCol)
-    storedLabels.join(affected, Seq("component"), "left_anti")
-      .select(col("node"), col("component"))
-      .unionByName(solved.select(col("node"), col("component")))
+    (affected, solved)
   }
 
   /** DECREMENTAL connected components — the retraction dual of

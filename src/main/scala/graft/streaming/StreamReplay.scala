@@ -627,6 +627,74 @@ object StreamReplay {
   private val kbStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Layered-store plumbing for the keep-best maintenance: every store
+    * under the run's work dir is a set of immutable layers (`base` +
+    * `batch_<id>`), and a reader names the batch horizon it may see —
+    * layers AFTER the horizon (e.g. a failed attempt's own write, on
+    * retry) are invisible, which is what makes every per-batch read
+    * deterministic under foreachBatch redelivery.
+    */
+  private def kbLayers(root: String, uptoBatch: Long): Seq[(String, Long)] = {
+    val d = new java.io.File(root)
+    if (!d.exists()) Seq.empty
+    else d.listFiles().toSeq.flatMap { f =>
+      f.getName match {
+        case "base" => Some((f.getAbsolutePath, -1L))
+        case n if n.startsWith("batch_") =>
+          val id = n.stripPrefix("batch_").toLong
+          if (id <= uptoBatch) Some((f.getAbsolutePath, id)) else None
+        case _ => None
+      }
+    }
+  }
+
+  private def kbRead(spark: SparkSession, root: String,
+      uptoBatch: Long): DataFrame =
+    kbLayers(root, uptoBatch).map(l => spark.read.parquet(l._1))
+      .reduce(_ unionByName _)
+
+  /** Latest-wins read of the layered component labeling: a blast-
+    * radius re-solve rewrites ENTIRE touched components into its own
+    * layer, so the newest layer holding a node carries that node's
+    * current label. The frame is near-dup-graph-sized (a sliver of the
+    * corpus), never corpus-sized.
+    */
+  private def kbLabelsAsOf(spark: SparkSession, root: String,
+      uptoBatch: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    kbLayers(root, uptoBatch)
+      .map { case (p, l) =>
+        spark.read.parquet(p).withColumn("layer", lit(l)) }
+      .reduce(_ unionByName _)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("node")).orderBy(col("layer").desc)))
+      .filter(col("rn") === 1)
+      .select(col("node"), col("component"))
+  }
+
+  /** Fold the canonical table's upsert/retract delta layers into the
+    * snapshot as of `uptoBatch` — MERGE semantics ((base ∪ upserts)
+    * WHEN MATCHED BY a retract THEN DELETE) collapsed into one
+    * anti-join, valid because the maintenance law is MONOTONE: a
+    * document that ever loses a (quality DESC, id ASC) argmax can
+    * never win a later one (components only grow under edge arrival,
+    * and its conqueror never leaves), so no id is ever upserted after
+    * being retracted and the retract set may be applied last
+    * regardless of batch interleaving. Re-upserts of a standing winner
+    * are identical rows — the doc_id dedup keeps one.
+    *
+    * This fold is the SERVE/snapshot path, run once per cut a reader
+    * asks for — never inside the per-batch maintenance, whose writes
+    * stay blast-radius-sized. On a lakehouse table format the delta
+    * layers are exactly the rows a MERGE would apply per batch.
+    */
+  private[graft] def keepBestSnapshot(spark: SparkSession, work: String,
+      uptoBatch: Long): DataFrame =
+    kbRead(spark, s"$work/canon_upserts", uptoBatch)
+      .join(kbRead(spark, s"$work/canon_retracts", uptoBatch),
+        Seq("doc_id"), "left_anti")
+      .dropDuplicates("doc_id")
+
   /** STREAMING keep-best canonicalization maintenance — the streamed
     * form of [[graft.operators.Dedup.minhashKeepBest]], and the
     * operator that makes canonicalization RETROACTIVE: when a later
@@ -636,46 +704,70 @@ object StreamReplay {
     *
     * Topology per micro-batch (all sinks batch-id-keyed Overwrite —
     * retry-idempotent; the index fold marker-guarded like
-    * [[replayNearDupDrops]]):
+    * [[replayNearDupDrops]]; every read horizon-bounded to layers
+    * BEFORE this batch):
     *
     *  1. exact-collapse the drop; non-representative twins land in the
     *     `dropped/` store (they can never win the quality argmax —
-    *     their rep has equal quality and lower id).
+    *     their rep has equal quality and lower id) and emit RETRACTS
+    *     (a fold no-op unless the id was ever canonical).
     *  2. the drop's reps query the persisted band index for verified
     *     pairs ([[graft.operators.Dedup.minhashDeltaPairs]]) — new
     *     EDGES, appended to the `edges/` store; then the reps fold
     *     into the index so the next drop near-dups against them.
-    *  3. the canonical table rebuilds from stored state only
-    *     ([[graft.operators.Dedup.keepBestOverEdges]] over the
-    *     accumulated edges/dropped/seen stores — the identical solve
-    *     the batch operator runs, applied to the maintained graph).
+    *  3. BLAST-RADIUS maintenance, not a rebuild
+    *     ([[graft.operators.Dedup.connectedComponentsDelta]]): the new
+    *     edges name the touched stored components; exactly those
+    *     components (plus the drop's new nodes) re-solve and re-rank —
+    *     quality is scored for REGION nodes only, the (quality DESC,
+    *     id ASC) argmax window runs over region components only — and
+    *     the winners/losers emit as upsert/retract DELTA layers for
+    *     the canonical table. Drop docs outside any component upsert
+    *     directly (new singletons). Untouched components are never
+    *     read, scored, or rewritten.
+    *
+    * Per-batch work therefore tracks the drop's duplicate blast radius
+    * (|drop| + touched-component membership), NOT the prefix corpus —
+    * the 100 TB shape: an hourly drop whose near-dups touch a handful
+    * of clusters pays for those clusters, while the old form re-ran
+    * the full cluster solve + corpus-grain quality scoring + a whole-
+    * table write every batch. Work counters land in `metrics/` per
+    * batch (region vs prefix sizes — spec-asserted and committed in
+    * SURVEY §6).
     *
     * Arrival order cannot move the final answer: the accumulated edge
     * set equals the batch pair set over canonicals (cross-drop twins
     * enter as Jaccard-1.0 edges and lose every argmax to their
     * lower-id mirror — the same quotient argument that makes the batch
-    * operator's exact-collapse value-identical), so the LAST batch's
-    * canonical table equals the batch keep-best over the full corpus —
-    * gated by the very same oracle as `dedup_keep_best`.
+    * operator's exact-collapse value-identical), and the fold law is
+    * monotone ([[keepBestSnapshot]]), so the folded table after the
+    * LAST batch equals the batch keep-best over the full corpus —
+    * gated by the very same oracle as `dedup_keep_best`, and the spec
+    * pins every prefix snapshot to the batch operator over its prefix
+    * corpus.
     */
   def replayKeepBestDrops(spark: SparkSession, dir: String): DataFrame =
     replayKeepBestDropsWithWork(spark, dir)._2
 
   /** [[replayKeepBestDrops]] plus the run's work dir, so the spec can
-    * read the per-batch canonical-table snapshots (`survivors/
-    * batch_<id>`) and pin the retroactive-retraction behavior.
+    * fold the per-batch delta layers ([[keepBestSnapshot]]) against
+    * the batch operator per prefix and read the `metrics/` counters
+    * that prove per-batch work is blast-radius-shaped.
     */
   private[graft] def replayKeepBestDropsWithWork(spark: SparkSession,
       dir: String): (String, DataFrame) = {
     import graft.operators.{CorpusStats, Dedup}
     import graft.sources.{MinhashIndexStore, Tables}
+    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val slim = docs.select(col("doc_id"), col("text"))
     val staged = kbStaged.computeIfAbsent(dir, _ => {
       val stage = java.nio.file.Files.createTempDirectory("graft_kbstream")
       stageFile(slim.filter(col("doc_id") % 10 === 5), stage, "drops/drop_", 0)
       stageFile(slim.filter(col("doc_id") % 10 === 0), stage, "drops/drop_", 1)
-      val base = slim.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+      val baseFull = docs
+        .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+      val base = baseFull.select(col("doc_id"), col("text"))
       val hashable = base.filter(col("text").isNotNull)
       val canonIds = Dedup.exact(hashable)
         .select(col("keep_id").as("doc_id")).localCheckpoint()
@@ -684,10 +776,21 @@ object StreamReplay {
       Dedup.minhashNearDupPairs(canonDocs).filter(col("jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"))
         .write.parquet(s"$stage/edges_base")
-      hashable.select(col("doc_id"))
+      val baseDropped = hashable.select(col("doc_id"))
         .join(canonIds, Seq("doc_id"), "left_anti")
-        .write.parquet(s"$stage/dropped_base")
+      baseDropped.write.parquet(s"$stage/dropped_base")
       base.select(col("doc_id")).write.parquet(s"$stage/seen_base")
+      // the base run of the BATCH operator, stored as the canonical
+      // table's base layer + the base labeling the first drop's blast
+      // radius is computed against
+      val baseEdges = spark.read.parquet(s"$stage/edges_base")
+      Dedup.connectedComponents(baseEdges, "id_a", "id_b")
+        .write.parquet(s"$stage/labels_base")
+      val baseQuality = base.select(col("doc_id"),
+        CorpusStats.qualityScore(col("text")).as("quality_score"))
+      Dedup.keepBestOverEdges(baseFull, baseQuality, baseEdges, baseDropped)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .write.parquet(s"$stage/canon_base")
       stage.toString
     })
     val work = java.nio.file.Files.createTempDirectory("graft_kb_work").toString
@@ -700,13 +803,18 @@ object StreamReplay {
       java.nio.file.Paths.get(s"$work/dropped/base"))
     copyTree(java.nio.file.Paths.get(s"$staged/seen_base"),
       java.nio.file.Paths.get(s"$work/seen/base"))
+    copyTree(java.nio.file.Paths.get(s"$staged/labels_base"),
+      java.nio.file.Paths.get(s"$work/labels/base"))
+    copyTree(java.nio.file.Paths.get(s"$staged/canon_base"),
+      java.nio.file.Paths.get(s"$work/canon_upserts/base"))
+    // retract store seeded empty so horizon reads never hit a missing path
+    slim.select(col("doc_id")).limit(0)
+      .write.parquet(s"$work/canon_retracts/base")
     val chk = java.nio.file.Files.createTempDirectory("graft_kb_chk").toString
     val schema = spark.read.parquet(s"$staged/drops/drop_0.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$staged/drops")
-    def store(tag: String) = spark.read
-      .option("recursiveFileLookup", "true").parquet(s"$work/$tag")
     val partsKey = "spark.sql.shuffle.partitions"
     val prev = spark.conf.getOption(partsKey)
     spark.conf.set(partsKey, "8")
@@ -721,13 +829,14 @@ object StreamReplay {
             val repIds = Dedup.exact(hash)
               .select(col("keep_id").as("doc_id")).localCheckpoint()
             val repDocs = hash.join(repIds, Seq("doc_id"), "left_semi")
-            hash.select(col("doc_id"))
+            val twinDropped = hash.select(col("doc_id"))
               .join(repIds, Seq("doc_id"), "left_anti")
-              .write.mode(ow).parquet(s"$work/dropped/batch_$id")
+            twinDropped.write.mode(ow).parquet(s"$work/dropped/batch_$id")
             Dedup.minhashDeltaPairs(repDocs, slim,
                 MinhashIndexStore.bandsTable(spark, idxPath))
               .select(col("id_a"), col("id_b"))
               .write.mode(ow).parquet(s"$work/edges/batch_$id")
+            val newEdges = spark.read.parquet(s"$work/edges/batch_$id")
             b.select(col("doc_id")).write.mode(ow)
               .parquet(s"$work/seen/batch_$id")
             val marker = java.nio.file.Paths.get(s"$idxPath/_drop_$id")
@@ -736,18 +845,57 @@ object StreamReplay {
               java.nio.file.Files.createFile(marker)
               ()
             }
-            // rebuild the canonical table from STORED state only —
-            // the same solve the batch operator runs, over the
-            // maintained graph; restricted to documents seen so far
-            val seenDocs = docs
-              .join(store("seen"), Seq("doc_id"), "left_semi")
-            val quality = seenDocs.select(col("doc_id"),
-              CorpusStats.qualityScore(col("text")).as("quality_score"))
-            Dedup.keepBestOverEdges(seenDocs, quality,
-                store("edges"), store("dropped"))
+            // BLAST RADIUS: stored components touched by the new edges
+            // (plus brand-new nodes) re-solve and re-rank; every read
+            // horizon-bounded to layers before this batch (retry-safe)
+            val stored = kbLabelsAsOf(spark, s"$work/labels", id - 1)
+            val priorEdges = kbRead(spark, s"$work/edges", id - 1)
+            val (_, solved) = Dedup.connectedComponentsDelta(stored,
+              priorEdges, newEdges, "id_a", "id_b")
+            solved.select(col("node"), col("component"))
+              .write.mode(ow).parquet(s"$work/labels/batch_$id")
+            val region = spark.read.parquet(s"$work/labels/batch_$id")
+            val regionIds = region.select(col("node").as("doc_id"))
+            // quality scored at REGION grain only — never the corpus
+            val regionQuality = docs
+              .join(regionIds, Seq("doc_id"), "left_semi")
+              .select(col("doc_id"),
+                CorpusStats.qualityScore(col("text")).as("quality_score"))
+            val ranked = region
+              .join(regionQuality
+                .select(col("doc_id").as("node"), col("quality_score")),
+                Seq("node"))
+              .withColumn("rn", row_number().over(
+                Window.partitionBy(col("component"))
+                  .orderBy(col("quality_score").desc, col("node"))))
+            val winners = ranked.filter(col("rn") === 1)
+              .select(col("node").as("doc_id"))
+            val losers = ranked.filter(col("rn") > 1)
+              .select(col("node").as("doc_id"))
+            // retract DELTA: region losers + this batch's exact twins
+            // (retracting a never-canonical id is a fold no-op)
+            losers.unionByName(twinDropped).distinct()
+              .write.mode(ow).parquet(s"$work/canon_retracts/batch_$id")
+            // upsert DELTA: region winners + the drop's new singletons
+            // (no twin, no edge — includes NULL-text pass-throughs)
+            val singles = b.select(col("doc_id"))
+              .join(twinDropped, Seq("doc_id"), "left_anti")
+              .join(regionIds, Seq("doc_id"), "left_anti")
+            val upsertIds = winners.unionByName(singles).distinct()
+            docs.join(upsertIds, Seq("doc_id"), "left_semi")
               .select(col("doc_id"), col("lang"), col("source"),
                 col("n_chars"))
-              .write.mode(ow).parquet(s"$work/survivors/batch_$id")
+              .write.mode(ow).parquet(s"$work/canon_upserts/batch_$id")
+            // work counters: the blast-radius evidence
+            import spark.implicits._
+            Seq((id, b.count(),
+                newEdges.count(), region.count(),
+                spark.read.parquet(s"$work/canon_upserts/batch_$id").count(),
+                spark.read.parquet(s"$work/canon_retracts/batch_$id").count(),
+                kbRead(spark, s"$work/seen", id).count()))
+              .toDF("batch", "batch_docs", "new_edges", "region_nodes",
+                "n_upserts", "n_retracts", "prefix_docs")
+              .write.mode(ow).parquet(s"$work/metrics/batch_$id")
           } finally { b.unpersist(); () }
       }
         .option("checkpointLocation", chk)
@@ -759,10 +907,10 @@ object StreamReplay {
       case Some(v) => spark.conf.set(partsKey, v)
       case None => spark.conf.unset(partsKey)
     }
-    val lastBatch = new java.io.File(s"$work/survivors").listFiles()
+    val lastBatch = new java.io.File(s"$work/canon_upserts").listFiles()
       .map(_.getName).filter(_.startsWith("batch_"))
       .map(_.stripPrefix("batch_").toLong).max
-    (work, spark.read.parquet(s"$work/survivors/batch_$lastBatch"))
+    (work, keepBestSnapshot(spark, work, lastBatch))
   }
 
   private val rtStaged =

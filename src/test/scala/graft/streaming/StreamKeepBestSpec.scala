@@ -7,11 +7,14 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The streamed keep-best canonicalization maintenance
-  * ([[StreamReplay.replayKeepBestDrops]]): every per-batch snapshot
-  * must equal the BATCH operator over the prefix corpus (the law is
-  * arrival-order-free at every cut, not just at the end), and the
+  * ([[StreamReplay.replayKeepBestDrops]]): every per-batch snapshot —
+  * now a FOLD of the upsert/retract delta layers, not a materialized
+  * table — must equal the BATCH operator over the prefix corpus (the
+  * law is arrival-order-free at every cut, not just at the end), the
   * maintained table must retract a previously-kept document when its
-  * cluster's winner changes.
+  * cluster's winner changes, and the per-batch work counters must show
+  * the maintenance is BLAST-RADIUS-shaped (region ≪ prefix), which is
+  * the whole point of the delta design.
   */
 class StreamKeepBestSpec extends SparkSpecBase {
   import spark.implicits._
@@ -28,15 +31,15 @@ class StreamKeepBestSpec extends SparkSpecBase {
     StreamReplay.replayKeepBestDropsWithWork(spark, sfDir)
 
   private def snapshot(batch: Long): Set[Long] =
-    spark.read.parquet(s"${run._1}/survivors/batch_$batch")
+    StreamReplay.keepBestSnapshot(spark, run._1, batch)
       .select("doc_id").as[Long].collect().toSet
 
-  test("final canonical table equals the batch keep-best over the full corpus") {
+  test("final canonical fold equals the batch keep-best over the full corpus") {
     val docs = Tables.documents(spark, sfDir)
     assert(run._2.select("doc_id").as[Long].collect().toSet == keepBest(docs))
   }
 
-  test("every micro-batch snapshot equals the batch operator over its prefix corpus") {
+  test("every micro-batch delta fold equals the batch operator over its prefix corpus") {
     val docs = Tables.documents(spark, sfDir)
     val afterDrop0 = docs.filter(col("doc_id") % 10 =!= 0)
     assert(snapshot(0L) == keepBest(afterDrop0))
@@ -55,5 +58,43 @@ class StreamKeepBestSpec extends SparkSpecBase {
     // converged to the batch law, not past it)
     val finalKeep = keepBest(Tables.documents(spark, sfDir))
     retracted.foreach(id => assert(!finalKeep.contains(id), s"doc $id"))
+  }
+
+  test("per-batch maintenance work is blast-radius-shaped, not prefix-shaped") {
+    val m = spark.read.option("recursiveFileLookup", "true")
+      .parquet(s"${run._1}/metrics")
+      .orderBy("batch").collect()
+    assert(m.length == 2)
+    m.foreach { r =>
+      val batchDocs = r.getAs[Long]("batch_docs")
+      val region = r.getAs[Long]("region_nodes")
+      val upserts = r.getAs[Long]("n_upserts")
+      val retracts = r.getAs[Long]("n_retracts")
+      val prefix = r.getAs[Long]("prefix_docs")
+      // the per-batch footprint (re-solved region + emitted deltas) is
+      // bounded by the drop and its duplicate blast radius — strictly
+      // below the prefix corpus the old design re-ranked and rewrote
+      val footprint = region.max(upserts).max(retracts)
+      assert(footprint < prefix / 2,
+        s"batch ${r.getAs[Long]("batch")}: footprint $footprint vs prefix " +
+          s"$prefix — maintenance re-ranked too much")
+      // the emitted deltas track the drop size, not the corpus: every
+      // upsert is a drop doc or a touched-cluster winner, every
+      // retract a touched-cluster loser or a drop twin
+      assert(upserts <= batchDocs + region,
+        s"upserts $upserts exceed drop + region")
+      assert(retracts <= batchDocs + region,
+        s"retracts $retracts exceed drop + region")
+    }
+  }
+
+  test("delta layers stay silent for untouched components (no corpus-grain rewrite)") {
+    // batch 1's upsert layer must NOT re-emit the prefix corpus: the
+    // base layer holds ~80% of docs, and a prefix-shaped write here is
+    // exactly the regression this design removes
+    val up1 = spark.read.parquet(s"${run._1}/canon_upserts/batch_1").count()
+    val base = spark.read.parquet(s"${run._1}/canon_upserts/base").count()
+    assert(up1 < base,
+      s"batch-1 upsert layer ($up1 rows) is corpus-shaped (base $base)")
   }
 }
