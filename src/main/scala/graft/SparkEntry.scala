@@ -300,6 +300,28 @@ object SparkEntry {
     Multimodal.nearDupFrames(Multimodal.asMedia(t(s, dir, "documents")))
       .orderBy(col("doc_a"), col("doc_b"), col("frame_idx"))
 
+  /** Incremental MULTIMODAL near-dup: a new asset drop's frames signed
+    * once and joined against the persisted frame-signature band index
+    * ([[graft.sources.FrameSigIndexStore]]) — the corpus media is
+    * never re-decoded or re-signed. Completes the index lifecycle for
+    * the last near-dup family (text-minhash / embedding-LSH / IVF-PQ /
+    * NOW frames): build / append / tombstone delete / compact, all
+    * lease-guarded. Oracle: the batch all-pairs replay filtered to
+    * pairs that touch the drop (candidate sets are identical by
+    * construction — pigeonhole-lossless banding at Hamming ≤ 3).
+    */
+  private def qMmPhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FrameSigIndexStore
+    val docs = t(s, dir, "documents")
+    val base = Multimodal.asMedia(docs.filter(col("doc_id") % 10 =!= 0))
+    val drop = Multimodal.asMedia(docs.filter(col("doc_id") % 10 === 0))
+    val path = FrameSigIndexStore.defaultPath(dir)
+    FrameSigIndexStore.ensure(base, path)
+    FrameSigIndexStore.deltaPairs(drop,
+        FrameSigIndexStore.bandsTable(s, path))
+      .orderBy(col("doc_a"), col("doc_b"), col("frame_idx"))
+  }
+
   /** Cross-corpus duplicated-span audit: per-doc share of word 4-gram
     * shingles that occur in at least one other document.
     */
@@ -1732,6 +1754,7 @@ object SparkEntry {
     "stream_neardup" -> (qStreamNearDup _),
     "pipeline_corpus" -> (qPipelineCorpus _),
     "mm_phash" -> (qMmPhash _),
+    "mm_phash_incremental" -> (qMmPhashIncremental _),
     "mm_scenes" -> (qMmScenes _),
     "text_dup_spans" -> (qDupSpans _),
     "stream_incr_agg" -> (qStreamIncrAgg _),
@@ -3957,6 +3980,19 @@ object SparkEntry {
         |  FROM bits a JOIN bits b
         |    ON a.doc_id < b.doc_id AND a.frame_idx = b.frame_idx)
         |WHERE hamming <= 3
+        |ORDER BY doc_a, doc_b, frame_idx""".stripMargin),
+    // mm_phash_incremental: the same all-pairs ground truth filtered
+    // to pairs that touch the doc_id % 10 == 0 drop — exactly the
+    // delta×stored ∪ delta-internal candidate set the index serves
+    "mm_phash_incremental" ->
+      (s"WITH $mmBitsCtes\n" +
+      """SELECT doc_a, doc_b, frame_idx, hamming FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.frame_idx,
+        |   (bit_count(xor(a.sig_lo, b.sig_lo))
+        |    + bit_count(xor(a.sig_hi, b.sig_hi)))::INT AS hamming
+        |  FROM bits a JOIN bits b
+        |    ON a.doc_id < b.doc_id AND a.frame_idx = b.frame_idx)
+        |WHERE hamming <= 3 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)
         |ORDER BY doc_a, doc_b, frame_idx""".stripMargin),
     // scene boundaries: same frame-signature replay, then the lag +
     // islands grouping with the 24-bit cut law

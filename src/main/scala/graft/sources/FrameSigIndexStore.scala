@@ -1,0 +1,202 @@
+package graft.sources
+
+import graft.operators.{MMRecord, Multimodal}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sign-once / query-many persistence for the MULTIMODAL frame
+  * near-dup index — the [[MinhashIndexStore]] pattern applied to the
+  * perceptual-hash family of
+  * [[graft.operators.Multimodal.nearDupFrames]]: the corpus media pays
+  * the decode + frame-sample + block-hash pass once; each new asset
+  * drop signs only itself and joins the stored band table. This gives
+  * the LAST near-dup family (after text-minhash, embedding-LSH and
+  * IVF/PQ) the full index lifecycle: build / [[append]] (rollover) /
+  * [[delete]] (tombstone retraction) / [[compact]] (crash-safe swap),
+  * all mutations under the single-writer [[IndexLease]].
+  *
+  * Layout under `path`:
+  *
+  *  - `bands/` — (doc_id, frame_idx, sig_lo, sig_hi, band, bv) parquet
+  *    PARTITIONED BY band: one row per (frame, 16-bit signature band),
+  *    4 rows ≈ 160 bytes per frame REGARDLESS of media size — at
+  *    100 TB of video the index is a vanishing fraction of the corpus,
+  *    and the per-band subtrees let a constrained replay process the
+  *    candidate join band-by-band. The sig halves ride ON the band row
+  *    so the Hamming verify needs no second fetch — unlike text
+  *    near-dup, the verdict is pure signature arithmetic (media bytes
+  *    are never re-read for the verify).
+  *  - `tombstones/` — retracted doc ids ([[delete]]), masked on read.
+  *
+  * Determinism: the aHash-style block signature is integer math over
+  * the frame bytes ([[Multimodal.frameSignatures]]), so a rebuilt
+  * index is byte-identical and the delta query keeps a full
+  * value-level oracle (the batch all-pairs SQL filtered to pairs that
+  * touch the drop).
+  */
+object FrameSigIndexStore {
+
+  /** Pigeonhole bound: 4×16-bit banding is lossless only to Hamming 3
+    * — the same contract as the batch operator.
+    */
+  val MaxHamming: Int = 3
+
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Deterministic per-dataset index location under the JVM temp dir. */
+  def defaultPath(datasetDir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(datasetDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .take(12)
+    s"${sys.props("java.io.tmpdir")}/graft_framesig_$key"
+  }
+
+  /** Banded signature rows for any media frame set — the join-ready
+    * layout shared by the stored corpus side and the in-plan delta
+    * side. Zero shuffle: decode → frame-sample → block-hash → band
+    * explode are all per-row map work; the media bytes never leave it.
+    */
+  def bandRows(media: Dataset[MMRecord]): DataFrame = {
+    val sigs = Multimodal.frameSignatures(Multimodal.frameSample(media))
+    val mask = lit(0xffffL)
+    sigs.select(col("doc_id"), col("frame_idx"),
+      col("sig_lo"), col("sig_hi"),
+      posexplode(array(
+        col("sig_lo").bitwiseAND(mask),
+        shiftright(col("sig_lo"), 16).bitwiseAND(mask),
+        col("sig_hi").bitwiseAND(mask),
+        shiftright(col("sig_hi"), 16).bitwiseAND(mask))).as(Seq("band", "bv")))
+  }
+
+  /** Sign the corpus media once and persist the band table. */
+  def build(corpus: Dataset[MMRecord], path: String): Unit =
+    bandRows(corpus)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("band")
+      .parquet(s"$path/bands")
+
+  /** [[build]] at most once per JVM per path (the
+    * [[MinhashIndexStore.ensure]] memo contract).
+    */
+  def ensure(corpus: Dataset[MMRecord], path: String): Unit = {
+    built.computeIfAbsent(s"plain:$path", _ => {
+      build(corpus, path)
+      java.lang.Boolean.TRUE
+    })
+    ()
+  }
+
+  /** The stored band table; retracted assets are masked by a broadcast
+    * anti-join on the tombstone list — no index file rewritten.
+    */
+  def bandsTable(spark: SparkSession, path: String): DataFrame = {
+    val bands = spark.read.parquet(s"$path/bands")
+      .withColumn("band", col("band").cast("int"))
+    if (hasTombstones(spark, path))
+      bands.join(broadcast(spark.read.parquet(s"$path/tombstones")
+          .select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_anti")
+    else bands
+  }
+
+  private def hasTombstones(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Fold a vetted asset drop INTO the stored index. Signatures are
+    * deterministic and per-frame independent, so append ≡ rebuild over
+    * the unioned corpus (spec-pinned). Lease-guarded like every
+    * mutation.
+    */
+  def append(delta: Dataset[MMRecord], path: String): Unit =
+    IndexLease.withLease(delta.sparkSession, path, "framesig-append") {
+      bandRows(delta)
+        .write.mode(SaveMode.Append)
+        .partitionBy("band")
+        .parquet(s"$path/bands")
+    }
+
+  /** Retract assets — takedowns, deletion-vector style: O(|retraction|)
+    * id append, masked on read by [[bandsTable]]; the quantization-free
+    * signature family means there is nothing to freeze.
+    */
+  def delete(docIds: DataFrame, path: String): Unit =
+    IndexLease.withLease(docIds.sparkSession, path, "framesig-delete") {
+      docIds.select(col("doc_id"))
+        .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+    }
+
+  /** Fold outstanding tombstones into the files — same lease + entry-
+    * recover + checked-rename swap as [[MinhashIndexStore.compact]].
+    */
+  def compact(spark: SparkSession, path: String): Unit =
+    IndexLease.withLease(spark, path, "framesig-compact") {
+      // tombstones are deleted LAST, so every strandable crash layout
+      // still has them — no tombstones means nothing to repair or fold
+      if (hasTombstones(spark, path)) {
+        SwapRecovery.recover(spark, path, "bands")
+        val fs = SwapRecovery.fsOf(spark, path)
+        bandsTable(spark, path)
+          .write.mode(SaveMode.Overwrite)
+          .partitionBy("band")
+          .parquet(s"$path/bands_compacted")
+        SwapRecovery.renameOrThrow(fs,
+          new org.apache.hadoop.fs.Path(s"$path/bands"),
+          new org.apache.hadoop.fs.Path(s"$path/bands_old"))
+        SwapRecovery.renameOrThrow(fs,
+          new org.apache.hadoop.fs.Path(s"$path/bands_compacted"),
+          new org.apache.hadoop.fs.Path(s"$path/bands"))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands_old"), true)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+        ()
+      }
+    }
+
+  /** Incremental near-dup FRAME pairs: a new asset drop against the
+    * persisted band index — the daily-drop form of
+    * [[Multimodal.nearDupFrames]]. Candidates = drop×stored band
+    * matches ∪ drop-internal matches, so a drop frame's pair set is
+    * IDENTICAL to the batch run's (the oracle: the all-pairs replay
+    * filtered to pairs touching the drop). The corpus media is never
+    * re-decoded or re-signed.
+    *
+    * 100 TB shape: the drop's band rows broadcast (a daily drop ≪ the
+    * corpus), so the stored index scans without ANY exchange; the
+    * Hamming verify is pure arithmetic on the band rows' sig halves —
+    * no media bytes move at any stage.
+    */
+  def deltaPairs(drop: Dataset[MMRecord], storedBands: DataFrame,
+      maxHamming: Int = MaxHamming): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= MaxHamming,
+      s"4x16-bit banding is only lossless up to Hamming $MaxHamming, " +
+        s"got $maxHamming")
+    val dBands = bandRows(drop)
+    val dSide = broadcast(dBands)
+    def ham(a: String, b: String) =
+      (bit_count(col(s"$a.sig_lo").bitwiseXOR(col(s"$b.sig_lo"))) +
+        bit_count(col(s"$a.sig_hi").bitwiseXOR(col(s"$b.sig_hi"))))
+        .cast("int").as("hamming")
+    val onCols = (a: String, b: String) =>
+      col(s"$a.frame_idx") === col(s"$b.frame_idx") &&
+        col(s"$a.band") === col(s"$b.band") && col(s"$a.bv") === col(s"$b.bv")
+    // drop × stored (either orientation — hamming is symmetric, the
+    // pair key normalizes); reuses the one broadcast of the drop side
+    val cross = storedBands.alias("s")
+      .join(dSide.alias("d"),
+        onCols("s", "d") && col("s.doc_id") =!= col("d.doc_id"))
+      .select(least(col("s.doc_id"), col("d.doc_id")).as("doc_a"),
+        greatest(col("s.doc_id"), col("d.doc_id")).as("doc_b"),
+        col("s.frame_idx").as("frame_idx"), ham("s", "d"))
+    // drop-internal: the drop also near-dups against itself
+    val internal = dBands.alias("a")
+      .join(dSide.alias("b"),
+        onCols("a", "b") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.frame_idx").as("frame_idx"), ham("a", "b"))
+    cross.unionByName(internal)
+      .distinct() // several agreeing bands -> one candidate
+      .filter(col("hamming") <= maxHamming)
+  }
+}
