@@ -1488,6 +1488,17 @@ object SparkEntry {
     graft.operators.TokenizerTrain.bpeTrain(t(s, dir, "documents"))
       .orderBy(col("rank"))
 
+  /** The tokenizer-drift loop ACTED ON (the text_bpe_eval dashboard's
+    * act half, mirroring knn_ivf_retrain): worst-slice compression
+    * under the frozen table below the trigger → retrain the merge
+    * table over the current mix and serve it; healthy corpus → serve
+    * the frozen table unchanged (spec-pinned no-op). Oracle replays
+    * the trigger arithmetic and BOTH branches behind it.
+    */
+  private def qTextBpeRetrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TokenizerTrain.bpeRetrainServe(t(s, dir, "documents"))
+      .orderBy(col("rank"))
+
   private def qTextTokensBpe(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(
       col("doc_id"),
@@ -1740,6 +1751,7 @@ object SparkEntry {
     "text_tokens_bpe" -> (qTextTokensBpe _),
     "text_bpe_eval" -> (qTextBpeEval _),
     "text_bpe_train" -> (qTextBpeTrain _),
+    "text_bpe_retrain" -> (qTextBpeRetrain _),
     "text_quality" -> (qTextQuality _),
     "text_langid" -> (qTextLangid _),
     "text_chunk" -> (qTextChunk _),
@@ -3840,6 +3852,7 @@ object SparkEntry {
         | len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS sub_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_bpe_train" -> bpeTrainOracleSql(8),
+    "text_bpe_retrain" -> bpeRetrainOracleSql(3.8, 8),
     // per-slice compression: the same frozen-merge-table BPE replay as
     // text_tokens_bpe, aggregated to (lang, source)
     "text_bpe_eval" ->
@@ -4205,6 +4218,16 @@ object SparkEntry {
     * next adjacent match.
     */
   private def bpeTrainOracleSql(numMerges: Int): String = {
+    val finals = (1 to numMerges).map { r =>
+      s"SELECT $r AS rank, a AS pair_a, b AS pair_b, a||b AS merged, n AS n_occurrences FROM m$r"
+    }.mkString("\nUNION ALL\n")
+    s"WITH ${bpeTrainCtes(numMerges)}\n$finals\nORDER BY rank"
+  }
+
+  /** The train oracle's CTE chain (w0 + per-round p/m/w), shared with
+    * the branching text_bpe_retrain oracle.
+    */
+  private def bpeTrainCtes(numMerges: Int): String = {
     // AS MATERIALIZED throughout: each w_r is referenced by both p_{r+1}
     // and w_{r+1}, and each m_r by two scalar subqueries — left to the
     // inliner the chain re-evaluates exponentially (measured ~4 min at
@@ -4230,10 +4253,50 @@ object SparkEntry {
          |             (SELECT '|'||a||b||'|' FROM m$r)),
          |     '||'), x -> x <> '') AS syms, cnt FROM $prev)""".stripMargin
     }.mkString(",\n")
-    val finals = (1 to numMerges).map { r =>
-      s"SELECT $r AS rank, a AS pair_a, b AS pair_b, a||b AS merged, n AS n_occurrences FROM m$r"
-    }.mkString("\nUNION ALL\n")
-    s"WITH $w0,\n$rounds\n$finals\nORDER BY rank"
+    s"$w0,\n$rounds"
+  }
+
+  /** text_bpe_retrain oracle: the drift trigger (worst-slice
+    * chars-per-token under the FROZEN table, the text_bpe_eval law)
+    * gates WHICH branch emits — the fully-unrolled retrain chain when
+    * it fires, the frozen VALUES table when it doesn't. Both branches
+    * carry the decision columns, so the served table is a pure
+    * function of the corpus either way.
+    */
+  private def bpeRetrainOracleSql(threshold: Double,
+      numMerges: Int): String = {
+    val ctes = bpeTrainCtes(numMerges)
+    val fire = s"(SELECT mc FROM trig) < $threshold"
+    val trainedBranch = (1 to numMerges).map { r =>
+      s"  SELECT $r AS rank, a AS pair_a, b AS pair_b, a||b AS merged " +
+        s"FROM m$r WHERE $fire"
+    }.mkString("\n  UNION ALL\n")
+    s"WITH RECURSIVE $bpeCtes,\n" +
+      """ docw AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        | dt AS (SELECT docw.doc_id, sum(t.n_tok)::BIGINT AS bpe
+        |  FROM docw JOIN wtok t USING (w) WHERE docw.w <> ''
+        |  GROUP BY docw.doc_id),
+        | per AS (SELECT d.doc_id, d.lang, d.source,
+        |   length(d.text)::BIGINT AS n_chars,
+        |   coalesce(dt.bpe, 0)::BIGINT AS bpe
+        |  FROM documents d LEFT JOIN dt USING (doc_id)
+        |  WHERE d.text IS NOT NULL),
+        | ev AS (SELECT round(sum(n_chars)::DOUBLE / sum(bpe), 4) AS cpt
+        |  FROM per GROUP BY lang, source),
+        | trig AS (SELECT min(cpt) AS mc FROM ev),
+        |""".stripMargin +
+      s" $ctes\n" +
+      s"""SELECT rank, pair_a, pair_b, merged,
+         | $fire AS retrained,
+         | (SELECT mc FROM trig) AS trigger_cpt
+         |FROM (
+         |$trainedBranch
+         |  UNION ALL
+         |  SELECT rank + 1 AS rank, a AS pair_a, b AS pair_b,
+         |   a||b AS merged FROM m WHERE NOT ($fire))
+         |ORDER BY rank""".stripMargin
   }
 
   /** pipeline_corpus: all five curation laws replayed as one CTE

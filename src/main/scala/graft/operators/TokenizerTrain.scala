@@ -88,4 +88,50 @@ object TokenizerTrain {
         concat(col("pair_a"), col("pair_b")).as("merged"),
         col("n_occurrences"))
   }
+
+  /** The tokenizer-drift loop ACTED ON — the `text_bpe_eval` dashboard
+    * turned into maintenance, exactly as
+    * [[graft.sources.IvfIndexStore.ensureRetrained]] acts on recall
+    * drift: measure per-slice compression (chars per BPE token) under
+    * the FROZEN production merge table, and when the WORST slice falls
+    * below `threshold` (the tokenizer fragments that slice — its
+    * compression collapses toward 1 char/token), retrain the merge
+    * table over the current mix via [[bpeTrain]] and serve the
+    * retrained table; a healthy corpus skips the rebuild and keeps
+    * serving the frozen table (spec-pinned no-op).
+    *
+    * The drift probe is a driver-side scalar BY DESIGN (the
+    * k-means-centroid pattern — in production the number comes off the
+    * `text_bpe_eval` dashboard); everything else is the word-type-grain
+    * training of [[bpeTrain]]. Output: the SERVED merge table
+    * (rank, pair_a, pair_b, merged) with the decision columns
+    * (`retrained`, `trigger_cpt`) riding along — a pure function of
+    * the corpus, fully replayable by the oracle's branching CTE.
+    */
+  def bpeRetrainServe(docs: DataFrame, threshold: Double = 3.8,
+      numMerges: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // per-slice compression under the frozen table — text_bpe_eval's
+    // exact law (4dp like the dashboard, so both engines see the same
+    // trigger arithmetic)
+    val minCpt = docs.filter(col("text").isNotNull)
+      .groupBy(col("lang"), col("source"))
+      .agg(round(sum(length(col("text"))).cast("double")
+        / sum(TF.bpeTokenCount(col("text"))), 4).as("cpt"))
+      .agg(min(col("cpt"))).head().getDouble(0)
+    val fire = minCpt < threshold
+    val served =
+      if (fire)
+        bpeTrain(docs, numMerges)
+          .select(col("rank"), col("pair_a"), col("pair_b"), col("merged"))
+      else
+        BpeTokenizer.merges.zipWithIndex
+          .map { case ((a, b), i) => (i + 1, a, b, a + b) }.toSeq
+          .toDF("rank", "pair_a", "pair_b", "merged")
+    served
+      .withColumn("retrained", lit(fire))
+      // already 4dp — the min of the slice-rounded dashboard values
+      .withColumn("trigger_cpt", lit(minCpt))
+  }
 }

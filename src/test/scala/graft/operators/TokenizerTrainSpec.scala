@@ -49,6 +49,73 @@ class TokenizerTrainSpec extends SparkSpecBase {
     assert(!syms.exists(_.exists(_.isUpper)))
   }
 
+  // --- the drift loop acted on: TokenizerTrain.bpeRetrainServe ---
+
+  /** Token count of `w` under a LEARNED merge table: apply each merge
+    * in rank order with the production mergePass (the same replay the
+    * trainer uses between rounds).
+    */
+  private def tokensUnder(merges: Seq[(String, String)], w: String): Int = {
+    var syms = w.map(_.toString).toList
+    merges.foreach { case (a, b) =>
+      syms = graft.functions.BpeTokenizer.mergePass(syms, a, b)
+    }
+    syms.length
+  }
+
+  private def cpt(docs: org.apache.spark.sql.DataFrame,
+      merges: Seq[(String, String)]): Double = {
+    val rows = docs.select("text").as[String].collect()
+    val chars = rows.map(_.length.toLong).sum
+    val toks = rows.map(_.trim.split("\\s+")
+      .map(w => tokensUnder(merges, w).toLong).sum).sum
+    chars.toDouble / toks
+  }
+
+  /** A corpus the FROZEN (English-seed) table fragments: words made of
+    * rare-bigram consonants collapse to ~1 char/token under it.
+    */
+  private lazy val drifted = (1L to 40L)
+    .map(i => (i, Seq.fill(12)("zqxjkw").mkString(" "), "xx", s"src${i % 2}"))
+    .toDF("doc_id", "text", "lang", "source")
+
+  test("retrain trigger fires on a drifted mix and the served table recovers compression") {
+    val served = TokenizerTrain.bpeRetrainServe(drifted, threshold = 3.8)
+    assert(served.select("retrained").distinct().as[Boolean].collect()
+      .toSeq == Seq(true))
+    val trigCpt = served.select("trigger_cpt").distinct()
+      .as[Double].head()
+    assert(trigCpt < 3.8, s"frozen table must fragment the mix ($trigCpt)")
+    // served table == a fresh train over the same mix (the act half)
+    val fresh = TokenizerTrain.bpeTrain(drifted, 8)
+      .select("rank", "pair_a", "pair_b", "merged")
+      .as[(Int, String, String, String)].collect().toSeq
+    val got = served.select("rank", "pair_a", "pair_b", "merged")
+      .orderBy("rank").as[(Int, String, String, String)].collect().toSeq
+    assert(got == fresh.sortBy(_._1))
+    // DRIFT RECOVERS: compression under the retrained table beats the
+    // frozen table on the very mix that triggered
+    val learned = got.map(m => (m._2, m._3))
+    val frozenCpt = cpt(drifted, graft.functions.BpeTokenizer.merges)
+    val retrainedCpt = cpt(drifted, learned)
+    assert(retrainedCpt > frozenCpt * 2,
+      s"retrain must recover compression: frozen $frozenCpt, " +
+        s"retrained $retrainedCpt")
+  }
+
+  test("a healthy corpus skips the rebuild and keeps serving the frozen table") {
+    // threshold 0 is unreachable (compression is >= 1 by construction),
+    // so ANY corpus reads as healthy — the no-op contract
+    val served = TokenizerTrain.bpeRetrainServe(drifted, threshold = 0.0)
+    assert(served.select("retrained").distinct().as[Boolean].collect()
+      .toSeq == Seq(false))
+    val got = served.select("rank", "pair_a", "pair_b", "merged")
+      .orderBy("rank").as[(Int, String, String, String)].collect().toSeq
+    val frozen = graft.functions.BpeTokenizer.merges.zipWithIndex
+      .map { case ((a, b), i) => (i + 1, a, b, a + b) }
+    assert(got == frozen)
+  }
+
   test("word-TYPE weighting: duplicate docs multiply counts, not merges") {
     val one = Seq((1L, "hello world")).toDF("doc_id", "text")
     val ten = (1L to 10L).map(i => (i, "hello world")).toDF("doc_id", "text")
