@@ -755,18 +755,34 @@ object StreamReplay {
     * that prove per-batch work is blast-radius-shaped.
     */
   private[graft] def replayKeepBestDropsWithWork(spark: SparkSession,
-      dir: String): (String, DataFrame) = {
+      dir: String): (String, DataFrame) =
+    replayKeepBestN(spark, dir, numDrops = 2)
+
+  /** The N-drop generalization — the gate is the `numDrops = 2` case
+    * (its drops are exactly the historical doc_id%10==5 then %10==0
+    * slices); the drop-count bench ([[graft.tools.KeepBestDropBench]])
+    * runs 8-16 drops at ~sf1 to commit the flat per-batch cost curve
+    * the delta design promises. Drops are `numDrops` disjoint residue
+    * slices of doc_id % (5·numDrops) (20% of the corpus in total), the
+    * base corpus the remaining 80%.
+    */
+  private[graft] def replayKeepBestN(spark: SparkSession,
+      dir: String, numDrops: Int): (String, DataFrame) = {
     import graft.operators.{CorpusStats, Dedup}
     import graft.sources.{MinhashIndexStore, Tables}
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val slim = docs.select(col("doc_id"), col("text"))
-    val staged = kbStaged.computeIfAbsent(dir, _ => {
+    val m = 5 * numDrops
+    val dropRes = (0 until numDrops).map(i => ((i + 1) * 5) % m)
+    val staged = kbStaged.computeIfAbsent(s"$dir#$numDrops", _ => {
       val stage = java.nio.file.Files.createTempDirectory("graft_kbstream")
-      stageFile(slim.filter(col("doc_id") % 10 === 5), stage, "drops/drop_", 0)
-      stageFile(slim.filter(col("doc_id") % 10 === 0), stage, "drops/drop_", 1)
+      dropRes.zipWithIndex.foreach { case (r, i) =>
+        stageFile(slim.filter(col("doc_id") % m === r), stage,
+          "drops/drop_", i)
+      }
       val baseFull = docs
-        .filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)
+        .filter(!(col("doc_id") % m).isin(dropRes.map(_.toLong): _*))
       val base = baseFull.select(col("doc_id"), col("text"))
       val hashable = base.filter(col("text").isNotNull)
       val canonIds = Dedup.exact(hashable)
@@ -823,6 +839,7 @@ object StreamReplay {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
             id: Long) =>
           val b = batch.toDF().persist()
+          val t0 = System.nanoTime()
           try {
             val ow = org.apache.spark.sql.SaveMode.Overwrite
             val hash = b.filter(col("text").isNotNull)
@@ -886,15 +903,17 @@ object StreamReplay {
               .select(col("doc_id"), col("lang"), col("source"),
                 col("n_chars"))
               .write.mode(ow).parquet(s"$work/canon_upserts/batch_$id")
-            // work counters: the blast-radius evidence
+            // work counters: the blast-radius evidence (wall_ms spans
+            // the maintenance proper, not these audit counts)
+            val wallMs = (System.nanoTime() - t0) / 1000000L
             import spark.implicits._
             Seq((id, b.count(),
                 newEdges.count(), region.count(),
                 spark.read.parquet(s"$work/canon_upserts/batch_$id").count(),
                 spark.read.parquet(s"$work/canon_retracts/batch_$id").count(),
-                kbRead(spark, s"$work/seen", id).count()))
+                kbRead(spark, s"$work/seen", id).count(), wallMs))
               .toDF("batch", "batch_docs", "new_edges", "region_nodes",
-                "n_upserts", "n_retracts", "prefix_docs")
+                "n_upserts", "n_retracts", "prefix_docs", "wall_ms")
               .write.mode(ow).parquet(s"$work/metrics/batch_$id")
           } finally { b.unpersist(); () }
       }
