@@ -54,7 +54,19 @@ object Pipeline {
     * views). Returns per-stage row counts and timings.
     */
   def runDaily(spark: SparkSession, srcDir: String, warehouseDir: String): Seq[StageResult] =
-    stages(spark, srcDir, warehouseDir).map { case (n, f) => timed(n)(f()) }
+    runDailyLoad(spark, Tables.events(spark, srcDir),
+      Tables.part(spark, srcDir), warehouseDir)
+
+  /** [[runDaily]] over in-plan source frames instead of a source dir —
+    * the entry point for PARTIAL drops (an incremental or LATE slice
+    * of the day's events): the MERGE stages fold the slice into the
+    * stored warehouse, the raw/view overwrite stages reflect the drop
+    * (the reference's latest-drop-wins layer).
+    */
+  def runDailyLoad(spark: SparkSession, eventsRaw: DataFrame,
+      part: DataFrame, warehouseDir: String): Seq[StageResult] =
+    stages(spark, eventsRaw, part, warehouseDir)
+      .map { case (n, f) => timed(n)(f()) }
 
   /** Run ONE stage by name — the spark-submit unit an external
     * orchestrator (Airflow, cron, anything) schedules; stage ordering
@@ -62,20 +74,20 @@ object Pipeline {
     */
   def runStage(spark: SparkSession, srcDir: String, warehouseDir: String,
       stage: String): StageResult = {
-    val all = stages(spark, srcDir, warehouseDir).toMap
+    val all = stages(spark, Tables.events(spark, srcDir),
+      Tables.part(spark, srcDir), warehouseDir).toMap
     require(all.contains(stage),
       s"unknown stage '$stage' (expected one of ${StageNames.mkString(", ")})")
     timed(stage)(all(stage)())
   }
 
-  private def stages(spark: SparkSession, srcDir: String,
-      warehouseDir: String): Seq[(String, () => Long)] = {
+  private def stages(spark: SparkSession, eventsRaw: DataFrame,
+      part: DataFrame, warehouseDir: String): Seq[(String, () => Long)] = {
     // NULL natural keys can't join the star schema (null-unsafe merge
     // and fact↔dim joins would silently drop them) — exclude up front;
     // Quality.notNull is the check that surfaces them to operators
-    val events = Tables.events(spark, srcDir)
+    val events = eventsRaw
       .filter(org.apache.spark.sql.functions.col("event_id").isNotNull)
-    val part = Tables.part(spark, srcDir)
     val w = warehouseDir.stripSuffix("/")
 
     Seq(

@@ -47,6 +47,57 @@ class PipelineSpec extends SparkSpecBase {
     assert(dUser.select("guid_user").distinct().count() == dUser.count())
   }
 
+  test("a LATE event drop merges idempotently into the loaded warehouse") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val events = graft.sources.Tables.events(spark, sfDir)
+    val part = graft.sources.Tables.part(spark, sfDir)
+    val onTime = events.filter(col("event_id") % 5 =!= 0)
+    val late = events.filter(col("event_id") % 5 === 0)
+    // the drop IS late: every one of its events precedes the maximum
+    // event_time already loaded (the reference's daily-overwrite layer
+    // would accept it by discarding the loaded day)
+    val loadedMax = onTime.agg(max(col("ts"))).head().getTimestamp(0)
+    val lateMax = late.agg(max(col("ts"))).head().getTimestamp(0)
+    assert(lateMax.before(loadedMax),
+      s"gate data must make the drop genuinely late ($lateMax vs $loadedMax)")
+    val stage = Files.createTempDirectory("graft_late").toString
+    val w = s"$stage/wh"
+    Pipeline.runDailyLoad(spark, onTime, part, w)
+    Pipeline.runDailyLoad(spark, late, part, w)
+    // single-full-load reference warehouse
+    val wFull = s"$stage/wh_full"
+    Pipeline.runDailyLoad(spark, events, part, wFull)
+    // every MERGE table equals the single-load answer VALUE-FOR-VALUE:
+    // the late event upserted — never dropped, duplicated or renumbered.
+    // (d_event/f_events surrogates depend on arrival order by design;
+    // their key SETS and fact payloads must still match.)
+    def rows(p: String, cols: String*) =
+      spark.read.parquet(p).select(cols.map(col): _*)
+        .collect().map(_.toSeq).toSet
+    assert(rows(s"$w/d_user", "user_id", "guid_user") ==
+      rows(s"$wFull/d_user", "user_id", "guid_user"))
+    assert(rows(s"$w/d_parameter", "parameter_name") ==
+      rows(s"$wFull/d_parameter", "parameter_name"))
+    assert(rows(s"$w/d_item", "item_id", "item_price") ==
+      rows(s"$wFull/d_item", "item_id", "item_price"))
+    assert(rows(s"$w/d_event", "event_id") ==
+      rows(s"$wFull/d_event", "event_id"))
+    assert(rows(s"$w/f_events", "event_id", "event_time", "event_value") ==
+      rows(s"$wFull/f_events", "event_id", "event_time", "event_value"))
+    // surrogates stay dense 1..n in both (no renumbering, no gaps)
+    def guidSum(p: String, c: String) = spark.read.parquet(p)
+      .agg(sum(col(c))).head().getLong(0)
+    val n = spark.read.parquet(s"$w/d_event").count()
+    assert(guidSum(s"$w/d_event", "guid_event") == n * (n + 1) / 2)
+    // RE-DELIVERING the late drop is a no-op (at-least-once safety)
+    Pipeline.runDailyLoad(spark, late, part, w)
+    assert(rows(s"$w/f_events", "event_id", "event_time", "event_value") ==
+      rows(s"$wFull/f_events", "event_id", "event_time", "event_value"))
+    assert(guidSum(s"$w/d_user", "guid_user") ==
+      guidSum(s"$wFull/d_user", "guid_user"))
+  }
+
   test("surrogate keys stay stable and unique across incremental drops") {
     import spark.implicits._
     val path = Files.createTempDirectory("graft_sur").toString + "/d"
