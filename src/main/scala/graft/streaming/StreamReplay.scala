@@ -707,10 +707,11 @@ object StreamReplay {
     * [[replayNearDupDrops]]; every read horizon-bounded to layers
     * BEFORE this batch):
     *
-    *  1. exact-collapse the drop; non-representative twins land in the
-    *     `dropped/` store (they can never win the quality argmax —
-    *     their rep has equal quality and lower id) and emit RETRACTS
-    *     (a fold no-op unless the id was ever canonical).
+    *  1. exact-collapse the drop; non-representative twins (which can
+    *     never win the quality argmax — their rep has equal quality
+    *     and lower id) emit straight as RETRACTS (a fold no-op unless
+    *     the id was ever canonical), so no separate dropped store is
+    *     maintained.
     *  2. the drop's reps query the persisted band index for verified
     *     pairs ([[graft.operators.Dedup.minhashDeltaPairs]]) — new
     *     EDGES, appended to the `edges/` store; then the reps fold
@@ -815,8 +816,6 @@ object StreamReplay {
       java.nio.file.Paths.get(idxPath))
     copyTree(java.nio.file.Paths.get(s"$staged/edges_base"),
       java.nio.file.Paths.get(s"$work/edges/base"))
-    copyTree(java.nio.file.Paths.get(s"$staged/dropped_base"),
-      java.nio.file.Paths.get(s"$work/dropped/base"))
     copyTree(java.nio.file.Paths.get(s"$staged/seen_base"),
       java.nio.file.Paths.get(s"$work/seen/base"))
     copyTree(java.nio.file.Paths.get(s"$staged/labels_base"),
@@ -842,20 +841,31 @@ object StreamReplay {
           val t0 = System.nanoTime()
           try {
             val ow = org.apache.spark.sql.SaveMode.Overwrite
+            // work counters ride on the writes via observe() — zero
+            // extra jobs for the blast-radius evidence
+            def observedWrite(df: DataFrame, path: String): Long = {
+              val obs = org.apache.spark.sql.Observation()
+              df.observe(obs, count(lit(1)).as("rows"))
+                .write.mode(ow).parquet(path)
+              obs.get("rows").asInstanceOf[Long]
+            }
             val hash = b.filter(col("text").isNotNull)
             val repIds = Dedup.exact(hash)
               .select(col("keep_id").as("doc_id")).localCheckpoint()
             val repDocs = hash.join(repIds, Seq("doc_id"), "left_semi")
+            // exact twins never reach the canonical table: they emit as
+            // retracts below (a fold no-op unless ever canonical), so
+            // no separate dropped/ store is maintained
             val twinDropped = hash.select(col("doc_id"))
               .join(repIds, Seq("doc_id"), "left_anti")
-            twinDropped.write.mode(ow).parquet(s"$work/dropped/batch_$id")
-            Dedup.minhashDeltaPairs(repDocs, slim,
-                MinhashIndexStore.bandsTable(spark, idxPath))
-              .select(col("id_a"), col("id_b"))
-              .write.mode(ow).parquet(s"$work/edges/batch_$id")
+            val nEdges = observedWrite(
+              Dedup.minhashDeltaPairs(repDocs, slim,
+                  MinhashIndexStore.bandsTable(spark, idxPath))
+                .select(col("id_a"), col("id_b")),
+              s"$work/edges/batch_$id")
             val newEdges = spark.read.parquet(s"$work/edges/batch_$id")
-            b.select(col("doc_id")).write.mode(ow)
-              .parquet(s"$work/seen/batch_$id")
+            val nBatch = observedWrite(b.select(col("doc_id")),
+              s"$work/seen/batch_$id")
             val marker = java.nio.file.Paths.get(s"$idxPath/_drop_$id")
             if (!java.nio.file.Files.exists(marker)) {
               MinhashIndexStore.append(repDocs, idxPath)
@@ -869,8 +879,9 @@ object StreamReplay {
             val priorEdges = kbRead(spark, s"$work/edges", id - 1)
             val (_, solved) = Dedup.connectedComponentsDelta(stored,
               priorEdges, newEdges, "id_a", "id_b")
-            solved.select(col("node"), col("component"))
-              .write.mode(ow).parquet(s"$work/labels/batch_$id")
+            val nRegion = observedWrite(
+              solved.select(col("node"), col("component")),
+              s"$work/labels/batch_$id")
             val region = spark.read.parquet(s"$work/labels/batch_$id")
             val regionIds = region.select(col("node").as("doc_id"))
             // quality scored at REGION grain only — never the corpus
@@ -891,27 +902,25 @@ object StreamReplay {
               .select(col("node").as("doc_id"))
             // retract DELTA: region losers + this batch's exact twins
             // (retracting a never-canonical id is a fold no-op)
-            losers.unionByName(twinDropped).distinct()
-              .write.mode(ow).parquet(s"$work/canon_retracts/batch_$id")
+            val nRetracts = observedWrite(
+              losers.unionByName(twinDropped).distinct(),
+              s"$work/canon_retracts/batch_$id")
             // upsert DELTA: region winners + the drop's new singletons
             // (no twin, no edge — includes NULL-text pass-throughs)
             val singles = b.select(col("doc_id"))
               .join(twinDropped, Seq("doc_id"), "left_anti")
               .join(regionIds, Seq("doc_id"), "left_anti")
             val upsertIds = winners.unionByName(singles).distinct()
-            docs.join(upsertIds, Seq("doc_id"), "left_semi")
-              .select(col("doc_id"), col("lang"), col("source"),
-                col("n_chars"))
-              .write.mode(ow).parquet(s"$work/canon_upserts/batch_$id")
-            // work counters: the blast-radius evidence (wall_ms spans
-            // the maintenance proper, not these audit counts)
+            val nUpserts = observedWrite(
+              docs.join(upsertIds, Seq("doc_id"), "left_semi")
+                .select(col("doc_id"), col("lang"), col("source"),
+                  col("n_chars")),
+              s"$work/canon_upserts/batch_$id")
+            val prefix = kbRead(spark, s"$work/seen", id).count()
             val wallMs = (System.nanoTime() - t0) / 1000000L
             import spark.implicits._
-            Seq((id, b.count(),
-                newEdges.count(), region.count(),
-                spark.read.parquet(s"$work/canon_upserts/batch_$id").count(),
-                spark.read.parquet(s"$work/canon_retracts/batch_$id").count(),
-                kbRead(spark, s"$work/seen", id).count(), wallMs))
+            Seq((id, nBatch, nEdges, nRegion, nUpserts, nRetracts,
+                prefix, wallMs))
               .toDF("batch", "batch_docs", "new_edges", "region_nodes",
                 "n_upserts", "n_retracts", "prefix_docs", "wall_ms")
               .write.mode(ow).parquet(s"$work/metrics/batch_$id")
