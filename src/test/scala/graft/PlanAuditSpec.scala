@@ -384,6 +384,31 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(exchanges.forall(l => !l.contains("frame_bytes") && !l.contains("content")), p)
   }
 
+  test("mm_phash_incremental: drop side broadcasts — the stored index scans with NO exchange") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val base = graft.operators.Multimodal.asMedia(docs.filter(col("doc_id") % 10 =!= 0))
+    val drop = graft.operators.Multimodal.asMedia(docs.filter(col("doc_id") % 10 === 0))
+    val path = java.nio.file.Files.createTempDirectory("graft_fsig_audit").toString
+    graft.sources.FrameSigIndexStore.build(base, path)
+    val df = graft.sources.FrameSigIndexStore.deltaPairs(drop,
+      graft.sources.FrameSigIndexStore.bandsTable(spark, path))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // both candidate joins ride the one broadcast of the drop's band
+    // rows; the corpus index never hash-shuffles, media bytes never
+    // appear in any exchange
+    assert(finalSection.contains("BroadcastHashJoin"), p)
+    assert(!finalSection.contains("SortMergeJoin"), p)
+    assert(!finalSection.contains("CartesianProduct"), p)
+    val hashExchanges = finalSection.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashExchanges.forall(l => !l.contains("sig_") && !l.contains("bv")),
+      p) // no shuffle keyed on the stored index's band rows
+    assert(!finalSection.contains("content"), p)
+  }
+
   test("text_dup_spans: exchanges carry the 60-bit key, never the shingle string") {
     val df = graft.operators.CorpusStats.dupSpans(Tables.documents(spark, sfDir))
     df.collect()
