@@ -354,6 +354,29 @@ object SparkEntry {
       .orderBy(col("doc_a"), col("doc_b"), col("frame_idx"))
   }
 
+  /** Frame-sig index RETRACTION under the gate (the
+    * `dedup_incremental_delete` twin for the multimodal family):
+    * takedown ids land as an O(|retraction|) tombstone append, the
+    * serve masks them with a broadcast anti-join — pairs involving a
+    * retracted asset vanish from the drop's candidate set without a
+    * single index file rewritten. Oracle = the all-pairs replay
+    * filtered to pairs touching the drop, survivors only.
+    */
+  private def qMmPhashDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FrameSigIndexStore
+    val docs = t(s, dir, "documents")
+    val base = Multimodal.asMedia(docs.filter(col("doc_id") % 10 =!= 0))
+    val drop = Multimodal.asMedia(docs.filter(col("doc_id") % 10 === 0))
+    // residue 2 holds stored-side partners of gate pairs, so the mask
+    // provably BITES at the gate SF (rows drop vs the unmasked serve)
+    val removed = docs.filter(col("doc_id") % 10 === 2).select(col("doc_id"))
+    val path = FrameSigIndexStore.defaultPath(dir) + "_del"
+    FrameSigIndexStore.ensureDeleted(base, removed, path)
+    FrameSigIndexStore.deltaPairs(drop,
+        FrameSigIndexStore.bandsTable(s, path))
+      .orderBy(col("doc_a"), col("doc_b"), col("frame_idx"))
+  }
+
   /** Cross-corpus duplicated-span audit: per-doc share of word 4-gram
     * shingles that occur in at least one other document.
     */
@@ -1800,6 +1823,7 @@ object SparkEntry {
     "pipeline_corpus" -> (qPipelineCorpus _),
     "mm_phash" -> (qMmPhash _),
     "mm_phash_incremental" -> (qMmPhashIncremental _),
+    "mm_phash_delete" -> (qMmPhashDelete _),
     "mm_scenes" -> (qMmScenes _),
     "text_dup_spans" -> (qDupSpans _),
     "stream_incr_agg" -> (qStreamIncrAgg _),
@@ -4100,6 +4124,21 @@ object SparkEntry {
         |  FROM bits a JOIN bits b
         |    ON a.doc_id < b.doc_id AND a.frame_idx = b.frame_idx)
         |WHERE hamming <= 3 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)
+        |ORDER BY doc_a, doc_b, frame_idx""".stripMargin),
+    // mm_phash_delete: the same drop-restricted ground truth minus
+    // every pair touching a retracted (doc_id % 10 == 2) asset — the
+    // tombstone mask replayed by value (residue 2 intersects the gate
+    // pairs, so the masked answer provably differs from the unmasked)
+    "mm_phash_delete" ->
+      (s"WITH $mmBitsCtes\n" +
+      """SELECT doc_a, doc_b, frame_idx, hamming FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.frame_idx,
+        |   (bit_count(xor(a.sig_lo, b.sig_lo))
+        |    + bit_count(xor(a.sig_hi, b.sig_hi)))::INT AS hamming
+        |  FROM bits a JOIN bits b
+        |    ON a.doc_id < b.doc_id AND a.frame_idx = b.frame_idx)
+        |WHERE hamming <= 3 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)
+        |  AND doc_a % 10 <> 2 AND doc_b % 10 <> 2
         |ORDER BY doc_a, doc_b, frame_idx""".stripMargin),
     // scene boundaries: same frame-signature replay, then the lag +
     // islands grouping with the 24-bit cut law

@@ -154,6 +154,23 @@ object FrameSigIndexStore {
       }
     }
 
+  /** Memoized build-then-delete lifecycle for the retraction gate
+    * (the [[MinhashIndexStore.ensureDeleted]] contract): the first
+    * caller per JVM per path signs the corpus and retracts `removed`;
+    * later callers serve from the masked index.
+    */
+  def ensureDeleted(corpus: Dataset[MMRecord], removed: DataFrame,
+      path: String): Unit = {
+    require(!built.containsKey(s"plain:$path"),
+      s"$path was built by ensure; use a distinct path per lifecycle")
+    built.computeIfAbsent(s"deleted:$path", _ => {
+      build(corpus, path)
+      delete(removed, path)
+      java.lang.Boolean.TRUE
+    })
+    ()
+  }
+
   /** Incremental near-dup FRAME pairs: a new asset drop against the
     * persisted band index — the daily-drop form of
     * [[Multimodal.nearDupFrames]]. Candidates = drop×stored band

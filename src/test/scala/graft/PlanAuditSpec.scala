@@ -499,6 +499,14 @@ class PlanAuditSpec extends SparkSpecBase {
 
   test("minhash keep-action: one kernel signing per band-join side, shingles candidate-only") {
     import org.apache.spark.sql.functions.col
+    // canonical plan environment: an earlier suite's minhashKeepBest
+    // run persists the exact-collapse id set, and the CacheManager
+    // would substitute that fragment here — the cached relation prints
+    // a NESTED AdaptiveSparkPlan whose "== Initial Plan ==" marker
+    // breaks the section cut, and stage-reuse printing duplicates
+    // subtrees past any occurrence bound. The audit is about THIS
+    // operator's plan shape, so clear session cache state first.
+    spark.sharedState.cacheManager.clearCache()
     val df = graft.operators.Dedup.minhashKeep(
       Tables.documents(spark, sfDir).select(col("doc_id"), col("text")))
     df.collect()

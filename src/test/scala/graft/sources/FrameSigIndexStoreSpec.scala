@@ -63,19 +63,25 @@ class FrameSigIndexStoreSpec extends SparkSpecBase {
   test("tombstone delete masks retracted assets; compact purges, mask holds") {
     val p = freshPath("del")
     FrameSigIndexStore.build(base, p)
-    val removedIds = docs.filter(col("doc_id") % 10 === 5).select(col("doc_id"))
-    FrameSigIndexStore.delete(removedIds, p)
-    val removed = removedIds.as[Long].collect().toSet
+    val unmasked = pairs(FrameSigIndexStore.deltaPairs(drop,
+      FrameSigIndexStore.bandsTable(spark, p)))
+    assert(unmasked.nonEmpty)
+    // retract stored-side PARTNERS of served pairs, so the mask is
+    // provably non-vacuous: the masked answer must differ
+    val removed: Set[Long] = unmasked.toSeq
+      .flatMap(t => Seq(t._1, t._2)).filter(_ % 10 != 0).take(2).toSet
+    assert(removed.nonEmpty)
+    FrameSigIndexStore.delete(removed.toSeq.toDF("doc_id"), p)
     val servedMasked = pairs(FrameSigIndexStore.deltaPairs(drop,
       FrameSigIndexStore.bandsTable(spark, p)))
-    val expected = batchAll.filter(t =>
-      (t._1 % 10 == 0 || t._2 % 10 == 0) &&
-        !removed.contains(t._1) && !removed.contains(t._2))
+    val expected = unmasked.filter(t =>
+      !removed.contains(t._1) && !removed.contains(t._2))
     assert(servedMasked == expected)
+    assert(servedMasked != unmasked, "the mask must bite on gate data")
     // physical purge: compacted files no longer hold the retracted rows
     FrameSigIndexStore.compact(spark, p)
     assert(spark.read.parquet(s"$p/bands")
-      .filter(col("doc_id") % 10 === 5).count() == 0L)
+      .filter(col("doc_id").isin(removed.toSeq: _*)).count() == 0L)
     assert(!new java.io.File(s"$p/tombstones").exists())
     assert(pairs(FrameSigIndexStore.deltaPairs(drop,
       FrameSigIndexStore.bandsTable(spark, p))) == expected)
