@@ -88,6 +88,18 @@ class StreamKeepBestSpec extends SparkSpecBase {
     }
   }
 
+  test("the fold is drop-PARTITION-free: a 4-drop run of the same corpus lands on the batch answer") {
+    // numDrops=4 delivers the IDENTICAL drop set (residues {0,5} mod 10
+    // == {0,5,10,15} mod 20) in twice as many, half-sized batches —
+    // different blast radii, different layer stacks, same monotone
+    // fold: the final canonical table must still equal the batch
+    // operator (partition/arrival freedom through the real machinery,
+    // not a simulation)
+    val (_, final4) = StreamReplay.replayKeepBestN(spark, sfDir, 4)
+    assert(final4.select("doc_id").as[Long].collect().toSet ==
+      keepBest(Tables.documents(spark, sfDir)))
+  }
+
   test("delta layers stay silent for untouched components (no corpus-grain rewrite)") {
     // batch 1's upsert layer must NOT re-emit the prefix corpus: the
     // base layer holds ~80% of docs, and a prefix-shaped write here is
