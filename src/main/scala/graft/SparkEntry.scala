@@ -99,6 +99,17 @@ object SparkEntry {
     graft.Pipeline.warehouseSummary(s, wh).orderBy(col("tbl"))
   }
 
+  /** The STREAMED twin of [[qPipelineLate]]
+    * ([[graft.streaming.StreamReplay.replayLateEventDrops]]): the
+    * on-time and late drops arrive as a real file stream, each
+    * micro-batch runs the daily chain over its drop into one shared
+    * warehouse, and the final summary must equal the batch late-load
+    * gate — same oracle.
+    */
+  private def qStreamLateEvents(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.replayLateEventDrops(s, dir)
+      .orderBy(col("tbl"))
+
   /** The CHAINED corpus-curation pipeline ([[graft.CorpusPipeline]]):
     * quality gate → exact dedup → near-dup keep-BEST canonicalization
     * (the `dedup_keep_best` cluster-argmax rule) → split → pack,
@@ -1680,6 +1691,7 @@ object SparkEntry {
     "merge_delete" -> (qMergeDelete _),
     "pipeline_daily" -> (qPipelineDaily _),
     "pipeline_late" -> (qPipelineLate _),
+    "stream_late_events" -> (qStreamLateEvents _),
     "q_rolling_7d" -> (qRolling7d _),
     "q_outliers" -> (qOutliers _),
     "q_incr_agg" -> (qIncrAgg _),
@@ -2550,62 +2562,10 @@ object SparkEntry {
     // split-invariant (dense surrogate sums are 1..n regardless of
     // arrival order), the latest-drop-wins layers are not, and the
     // summary pins both behaviors
-    "pipeline_late" ->
-      """WITH ev AS (SELECT * FROM events WHERE event_id IS NOT NULL),
-        | evl AS (SELECT * FROM ev WHERE event_id % 5 = 0),
-        | de AS (SELECT DISTINCT event_id FROM ev),
-        | du AS (SELECT DISTINCT user_id FROM ev),
-        | dp AS (SELECT DISTINCT unnest(json_keys(props)) AS parameter_name FROM ev),
-        | gde AS (SELECT event_id, row_number() OVER (ORDER BY event_id) AS guid FROM de),
-        | fe AS (SELECT e.event_id, CAST(e.value AS DECIMAL(18,6)) AS ev_val, g.guid
-        |   FROM ev e JOIN gde g USING (event_id)),
-        | vf AS (SELECT CAST(ts AS DATE) AS period_day,
-        |   json_extract_string(props, '$.k')::BIGINT AS item_key FROM evl
-        |   WHERE event_type = 'view'),
-        | vj AS (SELECT vf.period_day, d.p_name AS item_name
-        |   FROM vf JOIN part d ON vf.item_key = d.p_partkey),
-        | v1 AS (SELECT period_day, count(*)::BIGINT AS item_views FROM vj GROUP BY 1),
-        | ic AS (SELECT period_day, item_name, count(*)::BIGINT AS item_views
-        |   FROM vj GROUP BY 1, 2),
-        | v2 AS (SELECT ic.*, dense_rank() OVER (PARTITION BY period_day
-        |     ORDER BY item_views DESC)::BIGINT AS item_view_rank FROM ic),
-        | v3 AS (SELECT * FROM ic WHERE period_day = (SELECT max(period_day) FROM ic)
-        |   ORDER BY item_views DESC, item_name LIMIT 1)
-        |SELECT * FROM (
-        | SELECT 'event_raw' AS tbl, count(*)::BIGINT AS n_rows,
-        |   count(DISTINCT event_id)::BIGINT AS n_keys,
-        |   ((count(*)::BIGINT * (count(*)::BIGINT + 1)) // 2)::BIGINT AS key_sum,
-        |   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS val_sum FROM evl
-        | UNION ALL
-        | SELECT 'd_event', count(*)::BIGINT, count(*)::BIGINT,
-        |   ((count(*)::BIGINT * (count(*)::BIGINT + 1)) // 2)::BIGINT, 0.0::DOUBLE FROM de
-        | UNION ALL
-        | SELECT 'd_user', count(*)::BIGINT, count(*)::BIGINT,
-        |   ((count(*)::BIGINT * (count(*)::BIGINT + 1)) // 2)::BIGINT, 0.0::DOUBLE FROM du
-        | UNION ALL
-        | SELECT 'd_parameter', count(*)::BIGINT, count(*)::BIGINT,
-        |   ((count(*)::BIGINT * (count(*)::BIGINT + 1)) // 2)::BIGINT, 0.0::DOUBLE FROM dp
-        | UNION ALL
-        | SELECT 'd_item', count(*)::BIGINT, count(DISTINCT p_partkey)::BIGINT,
-        |   sum(p_partkey)::BIGINT,
-        |   round(CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DECIMAL(18,2))) AS DOUBLE), 4)
-        |   FROM part
-        | UNION ALL
-        | SELECT 'f_events', count(*)::BIGINT, count(DISTINCT event_id)::BIGINT,
-        |   sum(guid)::BIGINT, round(CAST(sum(ev_val) AS DOUBLE), 4) FROM fe
-        | UNION ALL
-        | SELECT 'view_item_rank', count(*)::BIGINT, count(DISTINCT item_name)::BIGINT,
-        |   sum(item_views * item_view_rank)::BIGINT, 0.0::DOUBLE FROM v2
-        | UNION ALL
-        | SELECT 'view_top_item', count(*)::BIGINT, count(DISTINCT item_name)::BIGINT,
-        |   sum(item_views)::BIGINT, 0.0::DOUBLE FROM v3
-        | UNION ALL
-        | SELECT 'view_top_platform', count(*)::BIGINT, count(DISTINCT period_day)::BIGINT,
-        |   sum(item_views)::BIGINT, 0.0::DOUBLE FROM v1
-        | UNION ALL
-        | SELECT 'view_yearly_counts', count(*)::BIGINT, count(DISTINCT period_day)::BIGINT,
-        |   sum(item_views)::BIGINT, 0.0::DOUBLE FROM v1
-        |) ORDER BY tbl""".stripMargin,
+    "pipeline_late" -> pipelineLateOracle,
+    // the STREAMED late load must land the identical warehouse — the
+    // same oracle gates the foreachBatch merge path
+    "stream_late_events" -> pipelineLateOracle,
     // three-clause MERGE: the result is exactly the delta's key set —
     // matched keys carry the target's non-update columns, inserts
     // carry the delta's; unmatched target rows are deleted
@@ -4388,6 +4348,71 @@ object SparkEntry {
     }.mkString(",\n")
     s"$w0,\n$rounds"
   }
+
+  /** pipeline_late / stream_late_events oracle: the single-load
+    * replay with the OVERWRITE layers (raw + views) pointed at the
+    * LATE slice only — merge tables are split-invariant (dense
+    * surrogate sums are 1..n regardless of arrival order), the
+    * latest-drop-wins layers are not, and the summary pins both
+    * behaviors. Shared verbatim by the batch and streamed late loads:
+    * the streamed path must land the identical warehouse.
+    */
+  private lazy val pipelineLateOracle: String =
+    """WITH ev AS (SELECT * FROM events WHERE event_id IS NOT NULL),
+      | evl AS (SELECT * FROM ev WHERE event_id % 5 = 0),
+      | de AS (SELECT DISTINCT event_id FROM ev),
+      | du AS (SELECT DISTINCT user_id FROM ev),
+      | dp AS (SELECT DISTINCT unnest(json_keys(props)) AS parameter_name FROM ev),
+      | gde AS (SELECT event_id, row_number() OVER (ORDER BY event_id) AS guid FROM de),
+      | fe AS (SELECT e.event_id, CAST(e.value AS DECIMAL(18,6)) AS ev_val, g.guid
+      |   FROM ev e JOIN gde g USING (event_id)),
+      | vf AS (SELECT CAST(ts AS DATE) AS period_day,
+      |   json_extract_string(props, '$.k')::BIGINT AS item_key FROM evl
+      |   WHERE event_type = 'view'),
+      | vj AS (SELECT vf.period_day, d.p_name AS item_name
+      |   FROM vf JOIN part d ON vf.item_key = d.p_partkey),
+      | v1 AS (SELECT period_day, count(*)::BIGINT AS item_views FROM vj GROUP BY 1),
+      | ic AS (SELECT period_day, item_name, count(*)::BIGINT AS item_views
+      |   FROM vj GROUP BY 1, 2),
+      | v2 AS (SELECT ic.*, dense_rank() OVER (PARTITION BY period_day
+      |     ORDER BY item_views DESC)::BIGINT AS item_view_rank FROM ic),
+      | v3 AS (SELECT * FROM ic WHERE period_day = (SELECT max(period_day) FROM ic)
+      |   ORDER BY item_views DESC, item_name LIMIT 1)
+      |SELECT * FROM (
+      | SELECT 'event_raw' AS tbl, count(*)::BIGINT AS n_rows,
+      |   count(DISTINCT event_id)::BIGINT AS n_keys,
+      |   ((count(*)::BIGINT * (count(*)::BIGINT + 1)) // 2)::BIGINT AS key_sum,
+      |   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS val_sum FROM evl
+      | UNION ALL
+      | SELECT 'd_event', count(*)::BIGINT, count(*)::BIGINT,
+      |   ((count(*)::BIGINT * (count(*)::BIGINT + 1)) // 2)::BIGINT, 0.0::DOUBLE FROM de
+      | UNION ALL
+      | SELECT 'd_user', count(*)::BIGINT, count(*)::BIGINT,
+      |   ((count(*)::BIGINT * (count(*)::BIGINT + 1)) // 2)::BIGINT, 0.0::DOUBLE FROM du
+      | UNION ALL
+      | SELECT 'd_parameter', count(*)::BIGINT, count(*)::BIGINT,
+      |   ((count(*)::BIGINT * (count(*)::BIGINT + 1)) // 2)::BIGINT, 0.0::DOUBLE FROM dp
+      | UNION ALL
+      | SELECT 'd_item', count(*)::BIGINT, count(DISTINCT p_partkey)::BIGINT,
+      |   sum(p_partkey)::BIGINT,
+      |   round(CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DECIMAL(18,2))) AS DOUBLE), 4)
+      |   FROM part
+      | UNION ALL
+      | SELECT 'f_events', count(*)::BIGINT, count(DISTINCT event_id)::BIGINT,
+      |   sum(guid)::BIGINT, round(CAST(sum(ev_val) AS DOUBLE), 4) FROM fe
+      | UNION ALL
+      | SELECT 'view_item_rank', count(*)::BIGINT, count(DISTINCT item_name)::BIGINT,
+      |   sum(item_views * item_view_rank)::BIGINT, 0.0::DOUBLE FROM v2
+      | UNION ALL
+      | SELECT 'view_top_item', count(*)::BIGINT, count(DISTINCT item_name)::BIGINT,
+      |   sum(item_views)::BIGINT, 0.0::DOUBLE FROM v3
+      | UNION ALL
+      | SELECT 'view_top_platform', count(*)::BIGINT, count(DISTINCT period_day)::BIGINT,
+      |   sum(item_views)::BIGINT, 0.0::DOUBLE FROM v1
+      | UNION ALL
+      | SELECT 'view_yearly_counts', count(*)::BIGINT, count(DISTINCT period_day)::BIGINT,
+      |   sum(item_views)::BIGINT, 0.0::DOUBLE FROM v1
+      |) ORDER BY tbl""".stripMargin
 
   /** text_bpe_retrain oracle: the drift trigger (worst-slice
     * chars-per-token under the FROZEN table, the text_bpe_eval law)

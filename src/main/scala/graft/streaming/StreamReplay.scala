@@ -941,6 +941,64 @@ object StreamReplay {
     (work, keepBestSnapshot(spark, work, lastBatch))
   }
 
+  private val lateStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** STREAMING late-data ingest for the reference warehouse — the
+    * streamed twin of the batch `pipeline_late` gate: the day's events
+    * arrive as a FILE STREAM in two mtime-ordered drops (the on-time
+    * 80%, then the LATE slice whose every event_time precedes the
+    * loaded maximum), and each micro-batch runs the full daily chain
+    * over its drop ([[graft.Pipeline.runDailyLoad]] inside
+    * foreachBatch) against one shared warehouse. The MERGE stages fold
+    * each drop in idempotently (late events upsert — never dropped,
+    * duplicated, or renumbered; PipelineSpec separately proves a
+    * redelivered drop is a no-op, which is what makes the foreachBatch
+    * at-least-once contract safe here), while the raw/view overwrite
+    * stages land on the LAST drop — the reference's documented
+    * latest-drop-wins layer. The final warehouse summary is gated by
+    * the very same oracle as `pipeline_late`: the streamed path must
+    * land the identical warehouse.
+    */
+  def replayLateEventDrops(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Tables
+    val ev = Tables.events(spark, dir)
+    val staged = lateStaged.computeIfAbsent(dir, _ => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_latestream")
+      stageFile(ev.filter(col("event_id") % 5 =!= 0), stage, "drops/drop_", 0)
+      stageFile(ev.filter(col("event_id") % 5 === 0), stage, "drops/drop_", 1)
+      stage.toString
+    })
+    val wh = java.nio.file.Files.createTempDirectory("graft_latestream_wh")
+      .toString + "/wh"
+    val chk = java.nio.file.Files.createTempDirectory("graft_latestream_chk")
+    val part = Tables.part(spark, dir)
+    val schema = spark.read.parquet(s"$staged/drops/drop_0.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/drops")
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(partsKey)
+    spark.conf.set(partsKey, "8")
+    try {
+      val q = src.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          graft.Pipeline.runDailyLoad(spark, batch.toDF(), part, wh)
+          ()
+      }
+        .option("checkpointLocation", chk.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(partsKey, v)
+      case None => spark.conf.unset(partsKey)
+    }
+    graft.Pipeline.warehouseSummary(spark, wh)
+  }
+
   private val rtStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
