@@ -864,6 +864,38 @@ object SparkEntry {
     CorpusStats.tfidf(t(s, dir, "documents"))
       .orderBy(col("doc_id"), col("rnk"))
 
+  /** Weak labels for the classifier family: the Gopher rule gate's keep
+    * flag — the CCNet pattern of distilling a high-precision heuristic
+    * into a statistical model that generalizes it.
+    */
+  private def clfLabels(docs: DataFrame): DataFrame =
+    CorpusStats.gopherQuality(docs)
+      .select(col("doc_id"), col("keep").as("label"))
+
+  private def qClfTrain(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Classifier.nbTrain(docs, clfLabels(docs)).orderBy(col("token"))
+  }
+
+  private def qClfScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val labels = clfLabels(docs)
+    Classifier
+      .nbScore(docs, Classifier.nbTrain(docs, labels), Classifier.nbPrior(labels))
+      .join(labels, Seq("doc_id"))
+      .withColumn("agree", col("pred") === col("label"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def qClfEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val labels = clfLabels(docs)
+    val scored = Classifier
+      .nbScore(docs, Classifier.nbTrain(docs, labels), Classifier.nbPrior(labels))
+    Classifier.nbConfusion(scored, labels)
+      .orderBy(col("label"), col("pred"))
+  }
+
   private def qEmbQuantize(s: SparkSession, dir: String): DataFrame =
     Quantize.scalarCodes(t(s, dir, "embeddings"))
       .orderBy(col("vec_id"))
@@ -1704,6 +1736,9 @@ object SparkEntry {
     "text_gopher" -> (qGopher _),
     "text_tfidf" -> (qTfidf _),
     "text_lm_score" -> (qLmScore _),
+    "text_clf_train" -> (qClfTrain _),
+    "text_clf_score" -> (qClfScore _),
+    "text_clf_eval" -> (qClfEval _),
     "emb_quantize" -> (qEmbQuantize _),
     "emb_norm" -> (qEmbNorm _),
     "emb_project" -> (qEmbProject _),
@@ -2762,6 +2797,123 @@ object SparkEntry {
         | round(sum(CASE WHEN v.c IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS oov_ratio
         |FROM tk LEFT JOIN vocab v USING (token) CROSS JOIN tot t
         |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin,
+    // Naive Bayes distilled from the Gopher gate: top-256 vocab by total
+    // count (token tie-break), Laplace smoothing over the vocab event
+    // space, llr as a 1e-4-scaled BIGINT (integer score sums are
+    // association-order-free; the round(ln*1e4) is the SURVEY §5 ulp
+    // discipline). MATERIALIZED pins the shared CTEs to one evaluation.
+    "text_clf_train" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        | lab AS MATERIALIZED (
+        |  SELECT doc_id,
+        |   ((len(ws)::BIGINT >= 30 AND len(ws)::BIGINT <= 80)
+        |    AND (list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / len(ws) >= 4.0
+        |     AND list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / len(ws) <= 5.0)
+        |    AND len(list_intersect(list_distinct(ws),
+        |         ['the','a','and','of','to','in','is','on','for','with']))::BIGINT >= 2) AS label
+        |  FROM w),
+        | tk AS MATERIALIZED (
+        |  SELECT doc_id, unnest(ws) AS token FROM w),
+        | counts AS (
+        |  SELECT tk.token,
+        |   sum(CASE WHEN lab.label THEN 1 ELSE 0 END)::BIGINT AS cnt_pos,
+        |   sum(CASE WHEN lab.label THEN 0 ELSE 1 END)::BIGINT AS cnt_neg
+        |  FROM tk JOIN lab USING (doc_id) WHERE tk.token <> '' GROUP BY 1),
+        | vocab AS (SELECT * FROM counts
+        |  ORDER BY (cnt_pos + cnt_neg) DESC, token LIMIT 256),
+        | tot AS (SELECT sum(cnt_pos)::BIGINT AS tot_pos,
+        |   sum(cnt_neg)::BIGINT AS tot_neg, count(*)::BIGINT AS v_n FROM vocab)
+        |SELECT token, cnt_pos, cnt_neg,
+        | round((ln((cnt_pos + 1.0) / (tot_pos + v_n))
+        |      - ln((cnt_neg + 1.0) / (tot_neg + v_n))) * 10000)::BIGINT AS llr_e4
+        |FROM vocab, tot ORDER BY token""".stripMargin,
+    "text_clf_score" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        | lab AS MATERIALIZED (
+        |  SELECT doc_id,
+        |   ((len(ws)::BIGINT >= 30 AND len(ws)::BIGINT <= 80)
+        |    AND (list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / len(ws) >= 4.0
+        |     AND list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / len(ws) <= 5.0)
+        |    AND len(list_intersect(list_distinct(ws),
+        |         ['the','a','and','of','to','in','is','on','for','with']))::BIGINT >= 2) AS label
+        |  FROM w),
+        | tk AS MATERIALIZED (
+        |  SELECT doc_id, unnest(ws) AS token FROM w),
+        | counts AS (
+        |  SELECT tk.token,
+        |   sum(CASE WHEN lab.label THEN 1 ELSE 0 END)::BIGINT AS cnt_pos,
+        |   sum(CASE WHEN lab.label THEN 0 ELSE 1 END)::BIGINT AS cnt_neg
+        |  FROM tk JOIN lab USING (doc_id) WHERE tk.token <> '' GROUP BY 1),
+        | vocab AS (SELECT * FROM counts
+        |  ORDER BY (cnt_pos + cnt_neg) DESC, token LIMIT 256),
+        | tot AS (SELECT sum(cnt_pos)::BIGINT AS tot_pos,
+        |   sum(cnt_neg)::BIGINT AS tot_neg, count(*)::BIGINT AS v_n FROM vocab),
+        | model AS MATERIALIZED (
+        |  SELECT token,
+        |   round((ln((cnt_pos + 1.0) / (tot_pos + v_n))
+        |        - ln((cnt_neg + 1.0) / (tot_neg + v_n))) * 10000)::BIGINT AS llr_e4
+        |  FROM vocab, tot),
+        | prior AS (SELECT round(ln(
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE
+        |    / sum(CASE WHEN label THEN 0 ELSE 1 END)) * 10000)::BIGINT AS prior_e4
+        |  FROM lab),
+        | contrib AS (
+        |  SELECT tk.doc_id, sum(m.llr_e4)::BIGINT AS tok_e4
+        |  FROM tk JOIN model m USING (token) WHERE tk.token <> '' GROUP BY 1)
+        |SELECT w.doc_id, len(w.ws)::BIGINT AS n_words,
+        | (prior.prior_e4 + coalesce(c.tok_e4, 0))::BIGINT AS score_e4,
+        | (prior.prior_e4 + coalesce(c.tok_e4, 0)) > 0 AS pred,
+        | lab.label,
+        | ((prior.prior_e4 + coalesce(c.tok_e4, 0)) > 0) = lab.label AS agree
+        |FROM w LEFT JOIN contrib c USING (doc_id)
+        |JOIN lab USING (doc_id) CROSS JOIN prior
+        |ORDER BY doc_id""".stripMargin,
+    "text_clf_eval" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        | lab AS MATERIALIZED (
+        |  SELECT doc_id,
+        |   ((len(ws)::BIGINT >= 30 AND len(ws)::BIGINT <= 80)
+        |    AND (list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / len(ws) >= 4.0
+        |     AND list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / len(ws) <= 5.0)
+        |    AND len(list_intersect(list_distinct(ws),
+        |         ['the','a','and','of','to','in','is','on','for','with']))::BIGINT >= 2) AS label
+        |  FROM w),
+        | tk AS MATERIALIZED (
+        |  SELECT doc_id, unnest(ws) AS token FROM w),
+        | counts AS (
+        |  SELECT tk.token,
+        |   sum(CASE WHEN lab.label THEN 1 ELSE 0 END)::BIGINT AS cnt_pos,
+        |   sum(CASE WHEN lab.label THEN 0 ELSE 1 END)::BIGINT AS cnt_neg
+        |  FROM tk JOIN lab USING (doc_id) WHERE tk.token <> '' GROUP BY 1),
+        | vocab AS (SELECT * FROM counts
+        |  ORDER BY (cnt_pos + cnt_neg) DESC, token LIMIT 256),
+        | tot AS (SELECT sum(cnt_pos)::BIGINT AS tot_pos,
+        |   sum(cnt_neg)::BIGINT AS tot_neg, count(*)::BIGINT AS v_n FROM vocab),
+        | model AS MATERIALIZED (
+        |  SELECT token,
+        |   round((ln((cnt_pos + 1.0) / (tot_pos + v_n))
+        |        - ln((cnt_neg + 1.0) / (tot_neg + v_n))) * 10000)::BIGINT AS llr_e4
+        |  FROM vocab, tot),
+        | prior AS (SELECT round(ln(
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE
+        |    / sum(CASE WHEN label THEN 0 ELSE 1 END)) * 10000)::BIGINT AS prior_e4
+        |  FROM lab),
+        | contrib AS (
+        |  SELECT tk.doc_id, sum(m.llr_e4)::BIGINT AS tok_e4
+        |  FROM tk JOIN model m USING (token) WHERE tk.token <> '' GROUP BY 1),
+        | scored AS (
+        |  SELECT w.doc_id,
+        |   (prior.prior_e4 + coalesce(c.tok_e4, 0)) > 0 AS pred
+        |  FROM w LEFT JOIN contrib c USING (doc_id) CROSS JOIN prior),
+        | conf AS (
+        |  SELECT lab.label, s.pred, count(*)::BIGINT AS n
+        |  FROM scored s JOIN lab USING (doc_id) GROUP BY 1, 2),
+        | totn AS (SELECT sum(n)::BIGINT AS n_total FROM conf)
+        |SELECT label, pred, n, n::DOUBLE / n_total AS share
+        |FROM conf, totn ORDER BY label, pred""".stripMargin,
     // feature hashing: dim = low 4 bits of the md5-prefix token hash,
     // sign = bit 4 (1 - 2*bit); integer vote sums, 6dp L2 normalize
     "text_doc_embed" ->

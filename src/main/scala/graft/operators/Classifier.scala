@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering — the classifier stage real pretraining
+  * pipelines put AFTER the rule gates: a statistical model distilled from
+  * weak labels (here the Gopher rule gate, the CCNet/fastText pattern of
+  * training a cheap classifier on a high-precision signal and using its
+  * score as the corpus-wide keep law). The reference has no model stage —
+  * this extends its quality surface the way the brief's LLM-pipeline
+  * mandate asks (reference quality contract:
+  * astro-sdk-tutorial/dags/etl_s3_snowflake_f_events.py:50-62 declares
+  * only NOT NULL/key checks).
+  *
+  * The model is two-class Naive Bayes over whitespace tokens with
+  * Laplace smoothing and a bounded vocabulary: per-token class counts,
+  * the top-`vocabSize` tokens by total count (ties on the token) as the
+  * event space, and the per-token log-likelihood ratio
+  * `ln((c_pos+1)/(tot_pos+V)) - ln((c_neg+1)/(tot_neg+V))` stored as a
+  * 1e-4-scaled BIGINT (`llr_e4`). Scaled-integer weights are
+  * load-bearing for the correctness gate: per-document scores are SUMS
+  * of weights, and double summation is association-order-dependent —
+  * summing exact integers makes the score independent of partitioning
+  * and engine (the `round(ln(..)*1e4)` rounding itself is the SURVEY §5
+  * `ln`-ulp discipline, same as TF-IDF's 4dp scores).
+  *
+  * 100 TB shape: training is ONE token-grain aggregate with map-side
+  * combine (the corpus never shuffles at token-occurrence grain), the
+  * vocabulary cut is a global top-V (`TakeOrderedAndProject`: per-
+  * partition heaps, V rows to the driver-side merge — never a window
+  * over the token universe), totals ride along as a broadcast 1-row
+  * aggregate. Scoring broadcasts the V-row model, joins it to the
+  * exploded token stream (inner join: out-of-vocabulary tokens
+  * contribute 0 by omission), and partial aggregation collapses each
+  * document's contributions to one row BEFORE the doc-grain exchange —
+  * a document's tokens all sit in the partition that exploded it, so
+  * the shuffle moves ~one 16-byte row per document regardless of
+  * document length. Everything stays whole-stage codegen; no UDFs, no
+  * driver-side model collect (the model stays a plan fragment).
+  */
+object Classifier {
+
+  /** The (token, cnt_pos, cnt_neg, llr_e4) model table. `labels` is a
+    * (`idCol`, label BOOLEAN) frame — any weak-supervision law works;
+    * the gated entry uses [[CorpusStats.gopherQuality]]'s keep flag.
+    */
+  def nbTrain(docs: DataFrame, labels: DataFrame, vocabSize: Int = 256,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = graft.functions.TextFunctions
+      .explodedTokens(docs, textCol, Seq(idCol))
+      .join(labels.select(col(idCol), col("label")), Seq(idCol))
+    val counts = toks.groupBy(col("token")).agg(
+      sum(when(col("label"), 1L).otherwise(0L)).as("cnt_pos"),
+      sum(when(col("label"), 0L).otherwise(1L)).as("cnt_neg"))
+    val vocab = counts
+      .orderBy((col("cnt_pos") + col("cnt_neg")).desc, col("token").asc)
+      .limit(vocabSize)
+    val tot = vocab.agg(
+      sum(col("cnt_pos")).as("tot_pos"),
+      sum(col("cnt_neg")).as("tot_neg"),
+      count(lit(1)).as("v_n"))
+    vocab.crossJoin(broadcast(tot))
+      .select(
+        col("token"), col("cnt_pos"), col("cnt_neg"),
+        round(
+          (log((col("cnt_pos") + lit(1.0)) / (col("tot_pos") + col("v_n"))) -
+            log((col("cnt_neg") + lit(1.0)) / (col("tot_neg") + col("v_n"))))
+            * lit(10000.0))
+          .cast("bigint").as("llr_e4"))
+  }
+
+  /** The 1e-4-scaled log prior-odds `round(ln(n_pos / n_neg) * 1e4)` as
+    * a broadcast-able 1-row frame (column `prior_e4`). In-plan — no
+    * driver collect; both classes must be non-empty (a single-class
+    * labels frame has no odds to learn).
+    */
+  def nbPrior(labels: DataFrame): DataFrame =
+    labels.agg(
+      round(log(
+        sum(when(col("label"), 1L).otherwise(0L)).cast("double") /
+          sum(when(col("label"), 0L).otherwise(1L))) * lit(10000.0))
+        .cast("bigint").as("prior_e4"))
+
+  /** Score every document under a trained model: `score_e4` = prior +
+    * Σ llr_e4 over in-vocabulary token OCCURRENCES (multiplicity
+    * counts, OOV contributes 0), `pred` = score_e4 > 0. Output grain is
+    * the corpus (`idCol`, n_words, score_e4, pred); `model` and `prior`
+    * are broadcast — the corpus-side work is one explode + broadcast
+    * join + doc-grain partial-agg exchange.
+    */
+  def nbScore(docs: DataFrame, model: DataFrame, prior: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val contrib = graft.functions.TextFunctions
+      .explodedTokens(docs, textCol, Seq(idCol))
+      .join(broadcast(model.select(col("token"), col("llr_e4"))), Seq("token"))
+      .groupBy(col(idCol))
+      .agg(sum(col("llr_e4")).as("tok_e4"))
+    docs.select(col(idCol),
+        graft.functions.TextFunctions.wsTokenCount(col(textCol)).as("n_words"))
+      .join(contrib, Seq(idCol), "left")
+      .crossJoin(broadcast(prior))
+      .select(
+        col(idCol), col("n_words"),
+        (col("prior_e4") + coalesce(col("tok_e4"), lit(0L))).as("score_e4"))
+      .withColumn("pred", col("score_e4") > 0)
+  }
+
+  /** Distillation audit: the 2×2 confusion between the weak label and
+    * the model's prediction, with each cell's share of the corpus —
+    * "did the student learn the teacher" as four numbers. Input is
+    * [[nbScore]]'s output joined back to the labels.
+    */
+  def nbConfusion(scored: DataFrame, labels: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val joined = scored.join(labels.select(col(idCol), col("label")), Seq(idCol))
+    val total = joined.agg(count(lit(1)).as("n_total"))
+    joined.groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("label"), col("pred"), col("n"),
+        (col("n").cast("double") / col("n_total")).as("share"))
+  }
+}
