@@ -896,6 +896,11 @@ object SparkEntry {
       .orderBy(col("label"), col("pred"))
   }
 
+  private def qClfRetrain(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Classifier.nbRetrainServe(docs, clfLabels(docs)).orderBy(col("token"))
+  }
+
   private def qEmbQuantize(s: SparkSession, dir: String): DataFrame =
     Quantize.scalarCodes(t(s, dir, "embeddings"))
       .orderBy(col("vec_id"))
@@ -1739,6 +1744,7 @@ object SparkEntry {
     "text_clf_train" -> (qClfTrain _),
     "text_clf_score" -> (qClfScore _),
     "text_clf_eval" -> (qClfEval _),
+    "text_clf_retrain" -> (qClfRetrain _),
     "emb_quantize" -> (qEmbQuantize _),
     "emb_norm" -> (qEmbNorm _),
     "emb_project" -> (qEmbProject _),
@@ -4083,6 +4089,7 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_bpe_train" -> bpeTrainOracleSql(8),
     "text_bpe_retrain" -> bpeRetrainOracleSql(3.8, 8),
+    "text_clf_retrain" -> clfRetrainOracleSql(0.7),
     // per-slice compression: the same frozen-merge-table BPE replay as
     // text_tokens_bpe, aggregated to (lang, source)
     "text_bpe_eval" ->
@@ -4607,6 +4614,65 @@ object SparkEntry {
          |  SELECT rank + 1 AS rank, a AS pair_a, b AS pair_b,
          |   a||b AS merged FROM m WHERE NOT ($fire))
          |ORDER BY rank""".stripMargin
+  }
+
+  /** text_clf_retrain oracle: the drift trigger (frozen-model
+    * agreement with the current weak labels, 4dp) gates WHICH branch
+    * emits — the full Naive Bayes train chain when it fires, the
+    * frozen VALUES weights when it doesn't. Frozen weights/prior are
+    * interpolated from [[graft.operators.Classifier.frozenWeights]] so
+    * code and oracle can never drift apart.
+    */
+  private def clfRetrainOracleSql(threshold: Double): String = {
+    val frozenRows = graft.operators.Classifier.frozenWeights
+      .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+    val priorE4 = graft.operators.Classifier.frozenPriorE4
+    val fire = s"(SELECT agree FROM trig) < $threshold"
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
+       | lab AS MATERIALIZED (
+       |  SELECT doc_id,
+       |   ((len(ws)::BIGINT >= 30 AND len(ws)::BIGINT <= 80)
+       |    AND (list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / len(ws) >= 4.0
+       |     AND list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / len(ws) <= 5.0)
+       |    AND len(list_intersect(list_distinct(ws),
+       |         ['the','a','and','of','to','in','is','on','for','with']))::BIGINT >= 2) AS label
+       |  FROM w),
+       | tk AS MATERIALIZED (
+       |  SELECT doc_id, unnest(ws) AS token FROM w),
+       | frozen(token, llr_e4) AS (SELECT * FROM (VALUES $frozenRows)),
+       | fcontrib AS (
+       |  SELECT tk.doc_id, sum(f.llr_e4)::BIGINT AS tok_e4
+       |  FROM tk JOIN frozen f USING (token) WHERE tk.token <> '' GROUP BY 1),
+       | fscored AS (
+       |  SELECT w.doc_id, ($priorE4 + coalesce(c.tok_e4, 0)) > 0 AS pred
+       |  FROM w LEFT JOIN fcontrib c USING (doc_id)),
+       | trig AS (
+       |  SELECT round(sum(CASE WHEN s.pred = lab.label THEN 1 ELSE 0 END)::DOUBLE
+       |    / count(*), 4) AS agree
+       |  FROM fscored s JOIN lab USING (doc_id)),
+       | counts AS (
+       |  SELECT tk.token,
+       |   sum(CASE WHEN lab.label THEN 1 ELSE 0 END)::BIGINT AS cnt_pos,
+       |   sum(CASE WHEN lab.label THEN 0 ELSE 1 END)::BIGINT AS cnt_neg
+       |  FROM tk JOIN lab USING (doc_id) WHERE tk.token <> '' GROUP BY 1),
+       | vocab AS (SELECT * FROM counts
+       |  ORDER BY (cnt_pos + cnt_neg) DESC, token LIMIT 256),
+       | tot AS (SELECT sum(cnt_pos)::BIGINT AS tot_pos,
+       |   sum(cnt_neg)::BIGINT AS tot_neg, count(*)::BIGINT AS v_n FROM vocab),
+       | model AS (
+       |  SELECT token,
+       |   round((ln((cnt_pos + 1.0) / (tot_pos + v_n))
+       |        - ln((cnt_neg + 1.0) / (tot_neg + v_n))) * 10000)::BIGINT AS llr_e4
+       |  FROM vocab, tot)
+       |SELECT token, llr_e4,
+       | $fire AS retrained,
+       | (SELECT agree FROM trig) AS trigger_agree
+       |FROM (
+       |  SELECT token, llr_e4 FROM model WHERE $fire
+       |  UNION ALL
+       |  SELECT token, llr_e4::BIGINT FROM frozen WHERE NOT ($fire))
+       |ORDER BY token""".stripMargin
   }
 
   /** pipeline_corpus: all five curation laws replayed as one CTE

@@ -106,6 +106,63 @@ object Classifier {
       .withColumn("pred", col("score_e4") > 0)
   }
 
+  /** The FROZEN production model — the classifier twin of
+    * [[graft.functions.BpeTokenizer.merges]]: weights a past corpus
+    * learned, pinned in code (and as a VALUES table in the oracle) so
+    * the drift trigger is a pure function of the current corpus.
+    */
+  val frozenWeights: Seq[(String, Long)] =
+    Seq("table" -> 900L, "join" -> -1200L, "spark" -> 1500L,
+      "slow" -> -2000L)
+
+  /** The frozen model's log prior-odds (1e-4-scaled), pinned with it. */
+  val frozenPriorE4: Long = 4055L
+
+  private def frozenModel(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    frozenWeights.toDF("token", "llr_e4")
+  }
+
+  /** The classifier-drift loop ACTED ON — [[nbConfusion]]'s dashboard
+    * turned into maintenance, mirroring
+    * [[TokenizerTrain.bpeRetrainServe]] and the IVF recall-retrain:
+    * score the CURRENT corpus under the FROZEN production model,
+    * measure agreement with the current weak labels (4dp, the
+    * dashboard's arithmetic), and when agreement falls below
+    * `threshold` (the rule gate and the model have drifted apart —
+    * the corpus mix changed under the model), retrain via [[nbTrain]]
+    * over the current mix and serve the new weights; a healthy corpus
+    * keeps serving the frozen table untouched (spec-pinned no-op).
+    *
+    * The drift probe is a driver-side scalar BY DESIGN (the dashboard
+    * read — the k-means-centroid pattern); training itself stays the
+    * one token-grain aggregate + bounded top-V cut. Output: the SERVED
+    * (token, llr_e4) table with the decision columns riding along —
+    * a pure function of the corpus, replayable by the oracle's
+    * branching CTE.
+    */
+  def nbRetrainServe(docs: DataFrame, labels: DataFrame,
+      threshold: Double = 0.7, vocabSize: Int = 256,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prior = Seq(frozenPriorE4).toDF("prior_e4")
+    val agree = nbScore(docs, frozenModel(spark), prior, textCol, idCol)
+      .join(labels.select(col(idCol), col("label")), Seq(idCol))
+      .agg(round(
+        avg(when(col("pred") === col("label"), 1.0).otherwise(0.0)), 4))
+      .head().getDouble(0)
+    val fire = agree < threshold
+    val served =
+      if (fire)
+        nbTrain(docs, labels, vocabSize, textCol, idCol)
+          .select(col("token"), col("llr_e4"))
+      else frozenModel(spark)
+    served
+      .withColumn("retrained", lit(fire))
+      .withColumn("trigger_agree", lit(agree))
+  }
+
   /** Distillation audit: the 2×2 confusion between the weak label and
     * the model's prediction, with each cell's share of the corpus —
     * "did the student learn the teacher" as four numbers. Input is

@@ -79,6 +79,35 @@ class ClassifierSpec extends SparkSpecBase {
     assert(math.abs(conf.map(_.getDouble(3)).sum - 1.0) < 1e-12)
   }
 
+  test("nbRetrainServe: healthy corpus keeps serving the frozen table") {
+    // labels that AGREE with the frozen model's own predictions:
+    // "spark table" scores 4055+1500+900 > 0 → pos; "slow join slow"
+    // scores 4055-2000-1200-2000 < 0 → neg
+    val d = Seq((1L, "spark table"), (2L, "slow join slow")).toDF("doc_id", "text")
+    val l = Seq((1L, true), (2L, false)).toDF("doc_id", "label")
+    val served = Classifier.nbRetrainServe(d, l).collect()
+    assert(served.forall(!_.getBoolean(2)), served.mkString("\n")) // no fire
+    assert(served.head.getDouble(3) == 1.0)
+    val w = served.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(w == Classifier.frozenWeights.toMap, w) // bytes of the frozen table
+  }
+
+  test("nbRetrainServe: drift fires the trigger and the retrain recovers") {
+    // same docs, INVERTED labels — the frozen model now disagrees on
+    // every doc (agreement 0.0 < 0.7) → retrain over the current mix
+    val d = Seq((1L, "spark table"), (2L, "slow join slow")).toDF("doc_id", "text")
+    val l = Seq((1L, false), (2L, true)).toDF("doc_id", "label")
+    val served = Classifier.nbRetrainServe(d, l)
+    val rows = served.collect()
+    assert(rows.forall(_.getBoolean(2)), rows.mkString("\n")) // fired
+    assert(rows.head.getDouble(3) == 0.0)
+    // the retrained weights must now agree with the drifted labels
+    val model = served.select(col("token"), col("llr_e4"))
+    val rescored = Classifier.nbScore(d, model, Classifier.nbPrior(l))
+      .join(l, Seq("doc_id"))
+    assert(rescored.filter(col("pred") === col("label")).count() == 2L)
+  }
+
   test("nbScore plan: model joins as broadcast, no corpus-grain sort") {
     val model = Classifier.nbTrain(docs, labels, vocabSize = 8)
     val scored = Classifier.nbScore(docs, model, Classifier.nbPrior(labels))
