@@ -901,6 +901,20 @@ object SparkEntry {
     Classifier.nbRetrainServe(docs, clfLabels(docs)).orderBy(col("token"))
   }
 
+  // the filtering ACTION: the corpus with model-rejected docs dropped —
+  // one left-semi join of the predicted-keep id sliver against the
+  // corpus (the text never rides through the scoring shuffle)
+  private def qClfKeep(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val labels = clfLabels(docs)
+    val scored = Classifier
+      .nbScore(docs, Classifier.nbTrain(docs, labels), Classifier.nbPrior(labels))
+    docs.join(scored.filter(col("pred")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   private def qEmbQuantize(s: SparkSession, dir: String): DataFrame =
     Quantize.scalarCodes(t(s, dir, "embeddings"))
       .orderBy(col("vec_id"))
@@ -1745,6 +1759,7 @@ object SparkEntry {
     "text_clf_score" -> (qClfScore _),
     "text_clf_eval" -> (qClfEval _),
     "text_clf_retrain" -> (qClfRetrain _),
+    "text_clf_keep" -> (qClfKeep _),
     "emb_quantize" -> (qEmbQuantize _),
     "emb_norm" -> (qEmbNorm _),
     "emb_project" -> (qEmbProject _),
@@ -2920,6 +2935,47 @@ object SparkEntry {
         | totn AS (SELECT sum(n)::BIGINT AS n_total FROM conf)
         |SELECT label, pred, n, n::DOUBLE / n_total AS share
         |FROM conf, totn ORDER BY label, pred""".stripMargin,
+    "text_clf_keep" ->
+      """WITH w AS MATERIALIZED (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+        | lab AS MATERIALIZED (
+        |  SELECT doc_id,
+        |   ((len(ws)::BIGINT >= 30 AND len(ws)::BIGINT <= 80)
+        |    AND (list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / len(ws) >= 4.0
+        |     AND list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / len(ws) <= 5.0)
+        |    AND len(list_intersect(list_distinct(ws),
+        |         ['the','a','and','of','to','in','is','on','for','with']))::BIGINT >= 2) AS label
+        |  FROM w),
+        | tk AS MATERIALIZED (
+        |  SELECT doc_id, unnest(ws) AS token FROM w),
+        | counts AS (
+        |  SELECT tk.token,
+        |   sum(CASE WHEN lab.label THEN 1 ELSE 0 END)::BIGINT AS cnt_pos,
+        |   sum(CASE WHEN lab.label THEN 0 ELSE 1 END)::BIGINT AS cnt_neg
+        |  FROM tk JOIN lab USING (doc_id) WHERE tk.token <> '' GROUP BY 1),
+        | vocab AS (SELECT * FROM counts
+        |  ORDER BY (cnt_pos + cnt_neg) DESC, token LIMIT 256),
+        | tot AS (SELECT sum(cnt_pos)::BIGINT AS tot_pos,
+        |   sum(cnt_neg)::BIGINT AS tot_neg, count(*)::BIGINT AS v_n FROM vocab),
+        | model AS MATERIALIZED (
+        |  SELECT token,
+        |   round((ln((cnt_pos + 1.0) / (tot_pos + v_n))
+        |        - ln((cnt_neg + 1.0) / (tot_neg + v_n))) * 10000)::BIGINT AS llr_e4
+        |  FROM vocab, tot),
+        | prior AS (SELECT round(ln(
+        |    sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE
+        |    / sum(CASE WHEN label THEN 0 ELSE 1 END)) * 10000)::BIGINT AS prior_e4
+        |  FROM lab),
+        | contrib AS (
+        |  SELECT tk.doc_id, sum(m.llr_e4)::BIGINT AS tok_e4
+        |  FROM tk JOIN model m USING (token) WHERE tk.token <> '' GROUP BY 1),
+        | kept AS (
+        |  SELECT w.doc_id
+        |  FROM w LEFT JOIN contrib c USING (doc_id) CROSS JOIN prior
+        |  WHERE (prior.prior_e4 + coalesce(c.tok_e4, 0)) > 0)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars
+        |FROM documents d JOIN kept USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // feature hashing: dim = low 4 bits of the md5-prefix token hash,
     // sign = bit 4 (1 - 2*bit); integer vote sums, 6dp L2 normalize
     "text_doc_embed" ->
