@@ -901,6 +901,36 @@ object SparkEntry {
     Classifier.nbRetrainServe(docs, clfLabels(docs)).orderBy(col("token"))
   }
 
+  // model LIFECYCLE: rollover — the stored sufficient statistics fold
+  // an 20% drop in via count deltas; the served model must be
+  // indistinguishable from a fresh train over the union (the oracle IS
+  // the full-corpus train chain)
+  private def qClfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val drop = docs.filter(col("doc_id") % 5 === 0)
+    val path = graft.sources.NbModelStore.defaultPath(dir, "roll")
+    graft.sources.NbModelStore.ensureRolled(
+      base, clfLabels(base), drop, clfLabels(drop), path)
+    graft.sources.NbModelStore.model(s, path)
+      .crossJoin(broadcast(graft.sources.NbModelStore.prior(s, path)))
+      .orderBy(col("token"))
+  }
+
+  // model LIFECYCLE: retraction — takedown of one source slice as an
+  // EXACT count subtraction (abelian deltas, no tombstone mask); the
+  // served model must equal a fresh train over the survivors
+  private def qClfDelete(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val removed = docs.filter(col("source") === "src0")
+    val path = graft.sources.NbModelStore.defaultPath(dir, "del")
+    graft.sources.NbModelStore.ensureDeleted(
+      docs, clfLabels(docs), removed, clfLabels(removed), path)
+    graft.sources.NbModelStore.model(s, path)
+      .crossJoin(broadcast(graft.sources.NbModelStore.prior(s, path)))
+      .orderBy(col("token"))
+  }
+
   // the filtering ACTION: the corpus with model-rejected docs dropped —
   // one left-semi join of the predicted-keep id sliver against the
   // corpus (the text never rides through the scoring shuffle)
@@ -1760,6 +1790,8 @@ object SparkEntry {
     "text_clf_eval" -> (qClfEval _),
     "text_clf_retrain" -> (qClfRetrain _),
     "text_clf_keep" -> (qClfKeep _),
+    "text_clf_incremental" -> (qClfIncremental _),
+    "text_clf_delete" -> (qClfDelete _),
     "emb_quantize" -> (qEmbQuantize _),
     "emb_norm" -> (qEmbNorm _),
     "emb_project" -> (qEmbProject _),
@@ -4146,6 +4178,8 @@ object SparkEntry {
     "text_bpe_train" -> bpeTrainOracleSql(8),
     "text_bpe_retrain" -> bpeRetrainOracleSql(3.8, 8),
     "text_clf_retrain" -> clfRetrainOracleSql(0.7),
+    "text_clf_incremental" -> clfModelOracleSql(""),
+    "text_clf_delete" -> clfModelOracleSql("WHERE source <> 'src0'"),
     // per-slice compression: the same frozen-merge-table BPE replay as
     // text_tokens_bpe, aggregated to (lang, source)
     "text_bpe_eval" ->
@@ -4671,6 +4705,44 @@ object SparkEntry {
          |   a||b AS merged FROM m WHERE NOT ($fire))
          |ORDER BY rank""".stripMargin
   }
+
+  /** Shared oracle for the classifier lifecycle gates: the full Naive
+    * Bayes train chain (plus the prior) over `documents` restricted by
+    * `where` — the rolled store must land on the union's fresh train,
+    * the retracted store on the survivors'.
+    */
+  private def clfModelOracleSql(where: String): String =
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM documents $where),
+       | lab AS MATERIALIZED (
+       |  SELECT doc_id,
+       |   ((len(ws)::BIGINT >= 30 AND len(ws)::BIGINT <= 80)
+       |    AND (list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / len(ws) >= 4.0
+       |     AND list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / len(ws) <= 5.0)
+       |    AND len(list_intersect(list_distinct(ws),
+       |         ['the','a','and','of','to','in','is','on','for','with']))::BIGINT >= 2) AS label
+       |  FROM w),
+       | tk AS MATERIALIZED (
+       |  SELECT doc_id, unnest(ws) AS token FROM w),
+       | counts AS (
+       |  SELECT tk.token,
+       |   sum(CASE WHEN lab.label THEN 1 ELSE 0 END)::BIGINT AS cnt_pos,
+       |   sum(CASE WHEN lab.label THEN 0 ELSE 1 END)::BIGINT AS cnt_neg
+       |  FROM tk JOIN lab USING (doc_id) WHERE tk.token <> '' GROUP BY 1),
+       | vocab AS (SELECT * FROM counts
+       |  ORDER BY (cnt_pos + cnt_neg) DESC, token LIMIT 256),
+       | tot AS (SELECT sum(cnt_pos)::BIGINT AS tot_pos,
+       |   sum(cnt_neg)::BIGINT AS tot_neg, count(*)::BIGINT AS v_n FROM vocab),
+       | prior AS (SELECT round(ln(
+       |    sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE
+       |    / sum(CASE WHEN label THEN 0 ELSE 1 END)) * 10000)::BIGINT AS prior_e4
+       |  FROM lab)
+       |SELECT token, cnt_pos, cnt_neg,
+       | round((ln((cnt_pos + 1.0) / (tot_pos + v_n))
+       |      - ln((cnt_neg + 1.0) / (tot_neg + v_n))) * 10000)::BIGINT AS llr_e4,
+       | (SELECT prior_e4 FROM prior) AS prior_e4
+       |FROM vocab, tot ORDER BY token""".stripMargin
 
   /** text_clf_retrain oracle: the drift trigger (frozen-model
     * agreement with the current weak labels, 4dp) gates WHICH branch

@@ -41,18 +41,29 @@ import org.apache.spark.sql.functions._
   */
 object Classifier {
 
-  /** The (token, cnt_pos, cnt_neg, llr_e4) model table. `labels` is a
-    * (`idCol`, label BOOLEAN) frame — any weak-supervision law works;
-    * the gated entry uses [[CorpusStats.gopherQuality]]'s keep flag.
+  /** The model's SUFFICIENT STATISTICS for a labeled corpus slice: one
+    * row per token with signed per-class occurrence counts. `sign` = -1
+    * emits a retraction delta — counts form an abelian group, so a
+    * takedown is an EXACT subtraction, not a mask
+    * ([[graft.sources.NbModelStore]] builds its layered store from
+    * these). One token-grain aggregate with map-side combine; the
+    * corpus never shuffles at occurrence grain.
     */
-  def nbTrain(docs: DataFrame, labels: DataFrame, vocabSize: Int = 256,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val toks = graft.functions.TextFunctions
+  def tokenClassCounts(docs: DataFrame, labels: DataFrame, sign: Int = 1,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    graft.functions.TextFunctions
       .explodedTokens(docs, textCol, Seq(idCol))
       .join(labels.select(col(idCol), col("label")), Seq(idCol))
-    val counts = toks.groupBy(col("token")).agg(
-      sum(when(col("label"), 1L).otherwise(0L)).as("cnt_pos"),
-      sum(when(col("label"), 0L).otherwise(1L)).as("cnt_neg"))
+      .groupBy(col("token")).agg(
+        sum(when(col("label"), sign.toLong).otherwise(0L)).as("cnt_pos"),
+        sum(when(col("label"), 0L).otherwise(sign.toLong)).as("cnt_neg"))
+
+  /** The counts→weights tail shared by [[nbTrain]] and the persisted
+    * store's serve path: top-`vocabSize` vocabulary by total count
+    * (token tie-break) via a global `TakeOrderedAndProject`, Laplace
+    * smoothing over the vocab event space, llr as a 1e-4-scaled BIGINT.
+    */
+  def modelFromCounts(counts: DataFrame, vocabSize: Int = 256): DataFrame = {
     val vocab = counts
       .orderBy((col("cnt_pos") + col("cnt_neg")).desc, col("token").asc)
       .limit(vocabSize)
@@ -69,6 +80,15 @@ object Classifier {
             * lit(10000.0))
           .cast("bigint").as("llr_e4"))
   }
+
+  /** The (token, cnt_pos, cnt_neg, llr_e4) model table. `labels` is a
+    * (`idCol`, label BOOLEAN) frame — any weak-supervision law works;
+    * the gated entry uses [[CorpusStats.gopherQuality]]'s keep flag.
+    */
+  def nbTrain(docs: DataFrame, labels: DataFrame, vocabSize: Int = 256,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    modelFromCounts(
+      tokenClassCounts(docs, labels, 1, textCol, idCol), vocabSize)
 
   /** The 1e-4-scaled log prior-odds `round(ln(n_pos / n_neg) * 1e4)` as
     * a broadcast-able 1-row frame (column `prior_e4`). In-plan — no
