@@ -1792,6 +1792,9 @@ object SparkEntry {
     "text_clf_keep" -> (qClfKeep _),
     "text_clf_incremental" -> (qClfIncremental _),
     "text_clf_delete" -> (qClfDelete _),
+    "stream_clf_update" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamReplay.replayClfDrops(s, dir)
+        .orderBy(col("token"))),
     "emb_quantize" -> (qEmbQuantize _),
     "emb_norm" -> (qEmbNorm _),
     "emb_project" -> (qEmbProject _),
@@ -4180,6 +4183,7 @@ object SparkEntry {
     "text_clf_retrain" -> clfRetrainOracleSql(0.7),
     "text_clf_incremental" -> clfModelOracleSql(""),
     "text_clf_delete" -> clfModelOracleSql("WHERE source <> 'src0'"),
+    "stream_clf_update" -> clfModelOracleSql(""),
     // per-slice compression: the same frozen-merge-table BPE replay as
     // text_tokens_bpe, aggregated to (lang, source)
     "text_bpe_eval" ->

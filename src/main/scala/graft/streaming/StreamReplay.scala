@@ -565,6 +565,78 @@ object StreamReplay {
     spark.read.option("recursiveFileLookup", "true").parquet(sink)
   }
 
+  private val clfStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** STREAMING model maintenance — the learned-model twin of
+    * [[replayNearDupDrops]]: labeled doc drops arrive as a file stream
+    * (mtime-ordered, one file per trigger), and each micro-batch folds
+    * ITS OWN token counts into the persisted
+    * [[graft.sources.NbModelStore]] (weak labels computed per drop —
+    * the Gopher law is per-doc, so labeling commutes with the split).
+    * Because the store's state is abelian count deltas, the fold is
+    * drop-order-free and append ≡ rebuild: after the last drop the
+    * served model (+prior) must be indistinguishable from a fresh
+    * batch train over the whole corpus — the gate reuses the
+    * `text_clf_train` oracle chain verbatim. Retry-safe like the
+    * near-dup fold: a batch-id marker guards the append, so a replayed
+    * batch skips a fold that already committed (marker lands after the
+    * append — the residual crash window a table format's transaction
+    * closes in production).
+    */
+  def replayClfDrops(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{NbModelStore, Tables}
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val staged = clfStaged.computeIfAbsent(dir, _ => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_clf")
+      (0 to 2).foreach { i =>
+        stageFile(docs.filter(col("doc_id") % 3 === i), stage,
+          "drops/drop_", i)
+      }
+      stage.toString
+    })
+    val storePath = java.nio.file.Files
+      .createTempDirectory("graft_clf_store").toString + "/nbm"
+    // the first append takes the store lease before any layer exists —
+    // the lease marker needs the store dir to be there
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storePath))
+    val chk = java.nio.file.Files.createTempDirectory("graft_clf_chk").toString
+    val schema = spark.read.parquet(s"$staged/drops/drop_0.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/drops")
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(partsKey)
+    spark.conf.set(partsKey, "8")
+    try {
+      val q = src.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          val b = batch.toDF().persist()
+          try {
+            val marker = java.nio.file.Paths.get(s"$storePath/_drop_$id")
+            if (!java.nio.file.Files.exists(marker)) {
+              val labels = graft.operators.CorpusStats.gopherQuality(b)
+                .select(col("doc_id"), col("keep").as("label"))
+              NbModelStore.append(b, labels, storePath)
+              java.nio.file.Files.createFile(marker)
+              ()
+            }
+          } finally { b.unpersist(); () }
+      }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(partsKey, v)
+      case None => spark.conf.unset(partsKey)
+    }
+    NbModelStore.model(spark, storePath)
+      .crossJoin(broadcast(NbModelStore.prior(spark, storePath)))
+  }
+
   private val idxDelStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
