@@ -334,6 +334,10 @@ object SparkEntry {
     Pca.topComponent(t(s, dir, "embeddings"))
       .orderBy(col("vec_id"))
 
+  private def qEmbPcaTopk(s: SparkSession, dir: String): DataFrame =
+    Pca.topComponents2(t(s, dir, "embeddings"))
+      .orderBy(col("vec_id"))
+
   /** Perceptual-style near-dup FRAME pairs across media assets:
     * integer block-hash signatures per sampled frame, 4×16-bit banded
     * candidate join, Hamming verify ≤ 3 (banding lossless at that
@@ -1920,6 +1924,7 @@ object SparkEntry {
     "mm_frames" -> (qMmFrames _),
     "mm_decode" -> (qMmDecode _),
     "emb_pca" -> (qEmbPca _),
+    "emb_pca_topk" -> (qEmbPcaTopk _),
     "stream_dedup" -> (qStreamDedup _),
     "stream_dedup_amortized" -> (qStreamDedupAmortized _),
     "stream_neardup" -> (qStreamNearDup _),
@@ -4311,6 +4316,7 @@ object SparkEntry {
     "stream_neardup" -> streamNearDupOracle,
     "pipeline_corpus" -> pipelineCorpusOracle,
     "emb_pca" -> pcaOracle,
+    "emb_pca_topk" -> pca2Oracle,
     // mm_phash: all-pairs ground truth — the banded Spark path must
     // land on it exactly (pigeonhole lossless at Hamming <= 3). The
     // corpus is ASCII, so char positions/codes equal byte
@@ -4936,15 +4942,22 @@ object SparkEntry {
       |FROM g GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
-  private lazy val pcaOracle: String = {
-    val iterCtes = (1 to 3).map { k =>
-      val pv = s"v${k - 1}"
-      s""" w$k AS (SELECT gi AS i, round(sum(gv * vv), 6) AS wv
-         |  FROM g JOIN $pv ON gj = $pv.i GROUP BY gi),
-         | s$k AS (SELECT max(abs(wv)) AS s FROM w$k),
-         | v$k AS (SELECT i, CASE WHEN (SELECT s FROM s$k) = 0 THEN wv
-         |   ELSE round(wv / (SELECT s FROM s$k), 6) END AS vv FROM w$k)""".stripMargin
+  /** One rounded max-norm power-iteration chain over Gram CTE `gram`,
+    * CTE names suffixed with `sfx` — shared by the dominant-component
+    * oracle and the deflated second chain of [[pca2Oracle]].
+    */
+  private def pcaIterCtes(gram: String, sfx: String): String =
+    (1 to 3).map { k =>
+      val pv = s"v${k - 1}$sfx"
+      s""" w$k$sfx AS MATERIALIZED (SELECT gi AS i, round(sum(gv * vv), 6) AS wv
+         |  FROM $gram JOIN $pv ON gj = $pv.i GROUP BY gi),
+         | s$k$sfx AS MATERIALIZED (SELECT max(abs(wv)) AS s FROM w$k$sfx),
+         | v$k$sfx AS MATERIALIZED (SELECT i, CASE WHEN (SELECT s FROM s$k$sfx) = 0 THEN wv
+         |   ELSE round(wv / (SELECT s FROM s$k$sfx), 6) END AS vv FROM w$k$sfx)""".stripMargin
     }.mkString(",\n")
+
+  private lazy val pcaOracle: String = {
+    val iterCtes = pcaIterCtes("g", "")
     s"""WITH e AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
        |   unnest(embedding)::DOUBLE AS v
        |  FROM embeddings WHERE embedding IS NOT NULL),
@@ -4959,6 +4972,50 @@ object SparkEntry {
        | round(sum(c.cv * v3.vv), 4) AS pc1_score,
        | round((SELECT s FROM s3), 4) AS ev_scale
        |FROM c JOIN v3 USING (i)
+       |GROUP BY c.vec_id ORDER BY vec_id""".stripMargin
+  }
+
+  /** emb_pca_topk oracle: the [[pcaOracle]] chain, then Hotelling
+    * deflation (Rayleigh λ over the converged direction, the rank-1
+    * update rounded cell-for-cell with the Spark side's exact operator
+    * order `λ·vᵢ·vⱼ/vᵀv`), then the SAME rounded iteration over the
+    * residual Gram, and both projections plus the orthogonality audit
+    * in the final scan.
+    */
+  private lazy val pca2Oracle: String = {
+    val chain1 = pcaIterCtes("g", "")
+    val chain2 = pcaIterCtes("g2", "b")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+       |   unnest(embedding)::DOUBLE AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       | m AS MATERIALIZED (SELECT i, round(sum(v) / count(*), 6) AS mv FROM e GROUP BY i),
+       | c AS MATERIALIZED (SELECT e.vec_id, e.label, e.i, e.v - m.mv AS cv
+       |  FROM e JOIN m USING (i)),
+       | g AS MATERIALIZED (SELECT a.i AS gi, b.i AS gj, round(sum(a.cv * b.cv), 6) AS gv
+       |  FROM c a JOIN c b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+       | v0 AS (SELECT i, 1.0::DOUBLE AS vv FROM m),
+       |$chain1,
+       | vtv AS MATERIALIZED (SELECT round(sum(vv * vv), 6) AS t FROM v3),
+       | lamn AS (SELECT sum(a.vv * g.gv * b.vv) AS num
+       |  FROM g JOIN v3 a ON g.gi = a.i JOIN v3 b ON g.gj = b.i),
+       | lam AS (SELECT CASE WHEN (SELECT t FROM vtv) = 0 THEN 0.0
+       |   ELSE round((SELECT num FROM lamn) / (SELECT t FROM vtv), 6) END AS l),
+       | g2 AS MATERIALIZED (SELECT g.gi, g.gj,
+       |   CASE WHEN (SELECT t FROM vtv) = 0 THEN g.gv
+       |    ELSE round(g.gv - (SELECT l FROM lam) * a.vv * b.vv
+       |          / (SELECT t FROM vtv), 6) END AS gv
+       |  FROM g JOIN v3 a ON g.gi = a.i JOIN v3 b ON g.gj = b.i),
+       | v0b AS (SELECT i, 1.0::DOUBLE AS vv FROM m),
+       |$chain2,
+       | pcdot AS (SELECT round(sum(a.vv * b.vv), 6) AS d
+       |  FROM v3 a JOIN v3b b ON a.i = b.i)
+       |SELECT c.vec_id, any_value(c.label) AS label,
+       | round(sum(c.cv * v3.vv), 4) AS pc1_score,
+       | round(sum(c.cv * v3b.vv), 4) AS pc2_score,
+       | round((SELECT s FROM s3), 4) AS ev1_scale,
+       | round((SELECT s FROM s3b), 4) AS ev2_scale,
+       | round((SELECT d FROM pcdot), 4) AS pc_dot
+       |FROM c JOIN v3 ON c.i = v3.i JOIN v3b ON c.i = v3b.i
        |GROUP BY c.vec_id ORDER BY vec_id""".stripMargin
   }
 }

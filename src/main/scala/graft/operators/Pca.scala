@@ -34,6 +34,58 @@ object Pca {
   private def r6(x: Double): Double =
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** The rounded max-norm power iteration from the all-ones start —
+    * shared by the dominant component and the deflated second one.
+    * Returns (direction, last round's max|G·v|).
+    */
+  private def powerIterate(g: Array[Array[Double]], dim: Int,
+      iters: Int): (Array[Double], Double) = {
+    var v = Array.fill(dim)(1.0)
+    var evScale = 0.0
+    var it = 0
+    while (it < iters && (it == 0 || evScale != 0.0)) {
+      val w = Array.tabulate(dim) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += g(i)(j) * v(j); j += 1 }
+        r6(acc)
+      }
+      evScale = w.map(math.abs).max
+      v = if (evScale == 0.0) w else w.map(x => r6(x / evScale))
+      it += 1
+    }
+    (v, evScale)
+  }
+
+  /** Hotelling deflation on the rounded Gram: `G − λ v vᵀ / (vᵀv)`
+    * with the Rayleigh quotient λ = vᵀGv / vᵀv, every scalar and cell
+    * rounded to 6 dp exactly like the oracle's replay. A degenerate
+    * direction (vᵀv = 0 — all vectors identical) deflates nothing.
+    */
+  private def deflate(g: Array[Array[Double]], v: Array[Double],
+      dim: Int): (Array[Array[Double]], Double) = {
+    var vtv = 0.0
+    var i = 0
+    while (i < dim) { vtv += v(i) * v(i); i += 1 }
+    vtv = r6(vtv)
+    if (vtv == 0.0) (g, 0.0)
+    else {
+      var num = 0.0
+      i = 0
+      while (i < dim) {
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += g(i)(j) * v(j); j += 1 }
+        num += v(i) * acc
+        i += 1
+      }
+      val lam = r6(num / vtv)
+      val g2 = Array.tabulate(dim, dim)((a, b) =>
+        r6(g(a)(b) - lam * v(a) * v(b) / vtv))
+      (g2, lam)
+    }
+  }
+
   /** Per-vector projection onto the dominant principal component after
     * `iters` unrolled power-iteration rounds from the all-ones start
     * vector. Emits (vec_id, label, pc1_score, ev_scale): `ev_scale` is
@@ -74,23 +126,11 @@ object Pca {
       .head().getSeq[Double](0)
     val g = Array.tabulate(dim, dim)((i, j) => r6(cells(i * dim + j)))
 
-    // 3. driver-side power iteration, every step rounded like the oracle
-    var v = Array.fill(dim)(1.0)
-    var evScale = 0.0
-    var it = 0
-    while (it < iters && (it == 0 || evScale != 0.0)) {
-      val w = Array.tabulate(dim) { i =>
-        var acc = 0.0
-        var j = 0
-        while (j < dim) { acc += g(i)(j) * v(j); j += 1 }
-        r6(acc)
-      }
-      evScale = w.map(math.abs).max
-      // a zero matvec (all vectors identical -> zero Gram) has no
-      // dominant direction: stop with the zero vector instead of 0/0
-      v = if (evScale == 0.0) w else w.map(x => r6(x / evScale))
-      it += 1
-    }
+    // 3. driver-side power iteration, every step rounded like the
+    // oracle (a zero matvec — all vectors identical, zero Gram — has
+    // no dominant direction: the shared helper stops with the zero
+    // vector instead of 0/0)
+    val (v, evScale) = powerIterate(g, dim, iters)
 
     // 4. score pass: centered projection onto the component
     val score = aggregate(
@@ -104,6 +144,66 @@ object Pca {
     // the source through the filter/cast projection — a single cheap
     // scan, deliberately preferred over holding corpus-sized blocks
     // pinned until an unknowable caller action
+    pts.unpersist()
+    out
+  }
+
+  /** Top-TWO principal components via Hotelling deflation — the
+    * whitening-prep subspace the single-direction pass can't give:
+    * after the dominant component converges, the Gram deflates by the
+    * Rayleigh-quotient rank-1 update (`G − λ v vᵀ / vᵀv`, every scalar
+    * 6-dp-rounded so the oracle replays it cell-for-cell) and the SAME
+    * rounded iteration runs again on the residual. Emits per vector
+    * both projections plus the two eigenvalue-scale estimates and the
+    * components' raw dot product (`pc_dot`, 4 dp) — the orthogonality
+    * audit that proves the deflation removed the first direction
+    * rather than re-finding it.
+    *
+    * Scale shape is [[topComponent]]'s: the ONLY data-sized passes are
+    * the means/Gram reduction (one d²-double buffer per partition in
+    * the exchange) and the final two-projection scan; both iterations
+    * and the deflation are d×d driver arithmetic, data-size
+    * independent.
+    */
+  def topComponents2(emb: DataFrame, iters: Int = 3,
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    require(iters >= 1, s"topComponents2 needs iters >= 1, got $iters")
+    val dim = Similarity.embeddingDim(emb)
+    val pts = emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col("label"),
+        graft.functions.VectorFunctions.asDouble(col(vecCol)).as("x"))
+      .persist()
+    val means: Array[Double] = {
+      val rows = pts
+        .select(posexplode(col("x")).as(Seq("pos", "v")))
+        .groupBy(col("pos"))
+        .agg(round(sum(col("v")) / count(lit(1)), 6).as("m"))
+        .collect()
+      val a = new Array[Double](dim)
+      rows.foreach(r => a(r.getInt(0)) = r.getDouble(1))
+      a
+    }
+    val centered: Column = zip_with(col("x"), typedlit(means), (v, m) => v - m)
+    val gramAgg = udaf(new graft.functions.GramAggregator(dim))
+    val cells = pts.select(centered.as("cx"))
+      .agg(gramAgg(col("cx")).as("g"))
+      .head().getSeq[Double](0)
+    val g = Array.tabulate(dim, dim)((i, j) => r6(cells(i * dim + j)))
+
+    val (v1, ev1) = powerIterate(g, dim, iters)
+    val (g2, _) = deflate(g, v1, dim)
+    val (v2, ev2) = powerIterate(g2, dim, iters)
+    val pcDot = r6(v1.zip(v2).map { case (a, b) => a * b }.sum)
+
+    def score(dir: Array[Double]): Column = aggregate(
+      zip_with(centered, typedlit(dir), (c, w) => c * w),
+      lit(0.0), (acc, x) => acc + x)
+    val out = pts.select(col(idCol), col("label"),
+      round(score(v1), 4).as("pc1_score"),
+      round(score(v2), 4).as("pc2_score"),
+      round(lit(ev1), 4).as("ev1_scale"),
+      round(lit(ev2), 4).as("ev2_scale"),
+      round(lit(pcDot), 4).as("pc_dot"))
     pts.unpersist()
     out
   }

@@ -78,4 +78,40 @@ class PcaSpec extends SparkSpecBase {
     assert(scoreEnergy >= dimStats * 0.95,
       s"PC1 energy $scoreEnergy should dominate best axis $dimStats")
   }
+
+  test("topComponents2: deflation finds the second axis, orthogonal to the first") {
+    // x-axis variance 10, y-axis variance 4 — pc1 = x, pc2 = y, and
+    // the two directions are orthogonal (pc_dot = 0)
+    val df = emb(Seq(
+      (1L, Seq(1f, 1f), 0), (2L, Seq(-1f, -1f), 0),
+      (3L, Seq(2f, -1f), 0), (4L, Seq(-2f, 1f), 0)))
+    // 8 rounds: the orthogonality claim needs a CONVERGED first
+    // direction (Hotelling deflation with a half-converged v1 leaves
+    // its residue in the second component by construction — the gate's
+    // 3-round default trades that tail for a fixed replayable law)
+    val out = Pca.topComponents2(df, iters = 8).orderBy("vec_id").collect()
+    val pc1 = out.map(_.getDouble(2)).toSeq
+    val pc2 = out.map(_.getDouble(3)).toSeq
+    val ev1 = out.head.getDouble(4)
+    val ev2 = out.head.getDouble(5)
+    val dot = out.head.getDouble(6)
+    // pc1 is the x-dominant direction, pc2 the residual one; the
+    // deflated eigen-scale must be strictly smaller
+    assert(ev1 > ev2 && ev2 > 0, (ev1, ev2))
+    assert(math.abs(dot) < 0.01, s"components not orthogonal: $dot")
+    // the two projections decorrelate: sample covariance of
+    // (pc1, pc2) scores is ~0
+    val cov = pc1.zip(pc2).map { case (a, b) => a * b }.sum / pc1.length
+    assert(math.abs(cov) < 0.05, s"scores correlated: $cov")
+  }
+
+  test("topComponents2: degenerate corpus yields zeros on both components") {
+    val df = emb(Seq(
+      (1L, Seq(2f, 3f), 0), (2L, Seq(2f, 3f), 0)))
+    val out = Pca.topComponents2(df).collect()
+    out.foreach { r =>
+      (2 to 6).foreach(i =>
+        assert(!r.getDouble(i).isNaN && r.getDouble(i) === 0.0, r))
+    }
+  }
 }
