@@ -1858,6 +1858,9 @@ object SparkEntry {
     "q_triangles" -> (qTriangles _),
     "text_doc_embed" -> (qDocEmbed _),
     "mm_dedup" -> (qMmDedup _),
+    "stream_mm_dedup" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamReplay.replayMmDedupRedelivered(s, dir)
+        .orderBy(col("content_md5"))),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_grouping_sets" -> (qGroupingSets _),
@@ -3338,6 +3341,12 @@ object SparkEntry {
         |   / (CAST(cum_users AS DOUBLE) / CAST(t_users AS DOUBLE)), 4) AS lift
         |FROM c ORDER BY decile""".stripMargin,
     "mm_dedup" ->
+      """SELECT md5(text) AS content_md5, octet_length(encode(text))::BIGINT AS byte_len,
+        | count(*)::BIGINT AS n_copies, min(doc_id) AS canonical_id
+        |FROM documents GROUP BY 1, 2 ORDER BY content_md5""".stripMargin,
+    // the streamed twin lands on the same catalog summary: exactly-once
+    // ingest makes the double delivery invisible
+    "stream_mm_dedup" ->
       """SELECT md5(text) AS content_md5, octet_length(encode(text))::BIGINT AS byte_len,
         | count(*)::BIGINT AS n_copies, min(doc_id) AS canonical_id
         |FROM documents GROUP BY 1, 2 ORDER BY content_md5""".stripMargin,

@@ -565,6 +565,58 @@ object StreamReplay {
     spark.read.option("recursiveFileLookup", "true").parquet(sink)
   }
 
+  /** STREAMING multimodal ingest over an at-least-once channel — the
+    * binary-asset twin of the events `stream_dedup` gate: the media
+    * catalog is delivered TWICE as a file stream, each asset's payload
+    * is hashed IN THE MAP (the constant-width `(md5, octet_length)`
+    * identity — bytes never enter the state store or any exchange,
+    * the same discipline as the batch [[graft.operators.Multimodal
+    * .dedupAssets]]), redelivery collapses through a `dropDuplicates`
+    * on the asset id, and the surviving catalog aggregates to the
+    * exact `mm_dedup` summary. State is one row per asset id —
+    * catalog-sized, payload-free; a production feed would bound it
+    * with an ingest-time watermark (`dropDuplicatesWithinWatermark`),
+    * which the asset table here has no timestamp to drive.
+    */
+  def replayMmDedupRedelivered(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    import graft.sources.Tables
+    val media = Multimodal.asMedia(
+      Tables.documents(spark, dir)).toDF()
+      .select(col("doc_id"),
+        md5(col("content")).as("content_md5"),
+        octet_length(col("content")).cast("long").as("byte_len"))
+    val stage = java.nio.file.Files.createTempDirectory("graft_mm_dedup")
+    (0 to 1).foreach { i =>
+      stageFile(media, stage, "drops/delivery_", i)
+    }
+    val schema = spark.read.parquet(s"$stage/drops/delivery_0.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stage/drops")
+    val deduped = src.dropDuplicates("doc_id")
+    val name = s"graft_replay_${runId.incrementAndGet()}"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(partsKey)
+    spark.conf.set(partsKey, "8")
+    try {
+      val q = deduped.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(partsKey, v)
+      case None => spark.conf.unset(partsKey)
+    }
+    spark.table(name)
+      .groupBy(col("content_md5"), col("byte_len"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+  }
+
   private val clfStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
