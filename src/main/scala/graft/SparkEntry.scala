@@ -338,6 +338,31 @@ object SparkEntry {
     Pca.topComponents2(t(s, dir, "embeddings"))
       .orderBy(col("vec_id"))
 
+  // PCA LIFECYCLE, rollover: the persisted raw moments (GramStore)
+  // fold a 20% drop in as an O(d²) delta; the served component over
+  // the union must match the moment-law oracle over the same corpus
+  private def qEmbPcaIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val drop = emb.filter(col("vec_id") % 5 === 0)
+    val path = graft.sources.GramStore.defaultPath(dir, "roll")
+    graft.sources.GramStore.ensureRolled(base, drop, path)
+    val (n, sv, ss) = graft.sources.GramStore.moments(s, path)
+    Pca.fromMoments(emb, n, sv, ss).orderBy(col("vec_id"))
+  }
+
+  // PCA LIFECYCLE, retraction: a takedown slice leaves as NEGATED
+  // moments; the served component must match the oracle over survivors
+  private def qEmbPcaDelete(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val removed = emb.filter(col("vec_id") % 7 === 3)
+    val path = graft.sources.GramStore.defaultPath(dir, "del")
+    graft.sources.GramStore.ensureDeleted(emb, removed, path)
+    val (n, sv, ss) = graft.sources.GramStore.moments(s, path)
+    Pca.fromMoments(emb.filter(col("vec_id") % 7 =!= 3), n, sv, ss)
+      .orderBy(col("vec_id"))
+  }
+
   /** Perceptual-style near-dup FRAME pairs across media assets:
     * integer block-hash signatures per sampled frame, 4×16-bit banded
     * candidate join, Hamming verify ≤ 3 (banding lossless at that
@@ -1928,6 +1953,8 @@ object SparkEntry {
     "mm_decode" -> (qMmDecode _),
     "emb_pca" -> (qEmbPca _),
     "emb_pca_topk" -> (qEmbPcaTopk _),
+    "emb_pca_incremental" -> (qEmbPcaIncremental _),
+    "emb_pca_delete" -> (qEmbPcaDelete _),
     "stream_dedup" -> (qStreamDedup _),
     "stream_dedup_amortized" -> (qStreamDedupAmortized _),
     "stream_neardup" -> (qStreamNearDup _),
@@ -4326,6 +4353,8 @@ object SparkEntry {
     "pipeline_corpus" -> pipelineCorpusOracle,
     "emb_pca" -> pcaOracle,
     "emb_pca_topk" -> pca2Oracle,
+    "emb_pca_incremental" -> pcaMomentOracleSql(""),
+    "emb_pca_delete" -> pcaMomentOracleSql("AND vec_id % 7 <> 3"),
     // mm_phash: all-pairs ground truth — the banded Spark path must
     // land on it exactly (pigeonhole lossless at Hamming <= 3). The
     // corpus is ASCII, so char positions/codes equal byte
@@ -4977,6 +5006,44 @@ object SparkEntry {
        |  FROM c a JOIN c b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
        | v0 AS (SELECT i, 1.0::DOUBLE AS vv FROM m),
        |$iterCtes
+       |SELECT c.vec_id, any_value(c.label) AS label,
+       | round(sum(c.cv * v3.vv), 4) AS pc1_score,
+       | round((SELECT s FROM s3), 4) AS ev_scale
+       |FROM c JOIN v3 USING (i)
+       |GROUP BY c.vec_id ORDER BY vec_id""".stripMargin
+  }
+
+  /** Shared oracle for the PCA lifecycle gates: the dominant component
+    * derived through the MOMENT IDENTITY — raw sums (n, Σx, Σxxᵀ) over
+    * `embeddings` restricted by `extraWhere`, means `round(s/n, 6)`,
+    * Gram cells `round(S − m·sᵀ − s·mᵀ + n·m·mᵀ, 6)` with the Spark
+    * side's exact operand order, then the standard rounded iteration
+    * and projection. The rolled store must land on the union's moment
+    * law, the retracted store on the survivors'.
+    */
+  private def pcaMomentOracleSql(extraWhere: String): String = {
+    val chain = pcaIterCtes("g", "")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+       |   unnest(embedding)::DOUBLE AS v
+       |  FROM embeddings WHERE embedding IS NOT NULL $extraWhere),
+       | nn AS (SELECT count(DISTINCT vec_id)::BIGINT AS n FROM e),
+       | m AS MATERIALIZED (
+       |  SELECT i, sum(v) AS sv,
+       |   round(sum(v) / (SELECT n FROM nn), 6) AS mv
+       |  FROM e GROUP BY i),
+       | ssm AS MATERIALIZED (
+       |  SELECT a.i AS gi, b.i AS gj, sum(a.v * b.v) AS ssv
+       |  FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       | g AS MATERIALIZED (
+       |  SELECT gi, gj,
+       |   round(ssv - ma.mv * mb.sv - mb.mv * ma.sv
+       |         + (SELECT n FROM nn) * ma.mv * mb.mv, 6) AS gv
+       |  FROM ssm JOIN m ma ON gi = ma.i JOIN m mb ON gj = mb.i),
+       | v0 AS (SELECT i, 1.0::DOUBLE AS vv FROM m),
+       |$chain,
+       | c AS MATERIALIZED (SELECT e.vec_id, e.label, e.i, e.v - m.mv AS cv
+       |  FROM e JOIN m USING (i))
        |SELECT c.vec_id, any_value(c.label) AS label,
        | round(sum(c.cv * v3.vv), 4) AS pc1_score,
        | round((SELECT s FROM s3), 4) AS ev_scale

@@ -148,6 +148,41 @@ object Pca {
     out
   }
 
+  /** The dominant component served from PERSISTED raw moments
+    * ([[graft.sources.GramStore]]) instead of a fresh corpus scan: the
+    * centered Gram comes from the moment identity
+    * `G_ij = S_ij − m_i·s_j − m_j·s_i + n·m_i·m_j` (means
+    * `m = r6(s/n)`, every cell 6-dp-rounded — the identical rounding
+    * law [[topComponent]] applies to its per-row Gram, and the 6-dp
+    * grid is what absorbs the FP distance between the identity and the
+    * per-row sum), then the same rounded power iteration and the same
+    * per-vector projection pass over `scoreOver`. The ONLY data-sized
+    * work is that final scoring scan — maintaining the component after
+    * a drop or takedown costs the store's O(d²) fold, never a corpus
+    * rescan.
+    */
+  def fromMoments(scoreOver: DataFrame, n: Long, s: Array[Double],
+      ss: Array[Double], iters: Int = 3, vecCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(n > 0, s"fromMoments needs a positive vector count, got $n")
+    val dim = s.length
+    require(ss.length == dim * dim, "ss must be d² row-major")
+    val m = Array.tabulate(dim)(i => r6(s(i) / n))
+    val g = Array.tabulate(dim, dim)((i, j) =>
+      r6(ss(i * dim + j) - m(i) * s(j) - m(j) * s(i) + n * m(i) * m(j)))
+    val (v, evScale) = powerIterate(g, dim, iters)
+    val centered: Column = zip_with(
+      graft.functions.VectorFunctions.asDouble(col(vecCol)),
+      typedlit(m), (x, mm) => x - mm)
+    val score = aggregate(
+      zip_with(centered, typedlit(v), (c, w) => c * w),
+      lit(0.0), (acc, x) => acc + x)
+    scoreOver.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col("label"),
+        round(score, 4).as("pc1_score"),
+        round(lit(evScale), 4).as("ev_scale"))
+  }
+
   /** Top-TWO principal components via Hotelling deflation — the
     * whitening-prep subspace the single-direction pass can't give:
     * after the dominant component converges, the Gram deflates by the

@@ -1,0 +1,152 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scan-once / serve-many persistence for the PCA sufficient
+  * statistics — the SIXTH persisted store, and the second whose state
+  * is an abelian group (with [[NbModelStore]]): a corpus drop
+  * contributes `(n, Σx, Σxxᵀ)` raw moments, appends are positive
+  * deltas, takedowns append NEGATED moments, and the serve path folds
+  * the layers by plain summation. The centered Gram the power
+  * iteration needs comes from the moment identity
+  * `G = S − μ sᵀ − s μᵀ + n μ μᵀ` — so the corpus is NEVER re-scanned
+  * to refresh a principal component after a drop lands or a takedown
+  * retracts one.
+  *
+  * Retraction caveat vs the integer-count store: moments are DOUBLES,
+  * so fold-after-retract equals the survivors' fresh scan only to FP
+  * summation order (~1e-12 relative) — which the operator's 6-dp Gram
+  * rounding absorbs (the same tolerance class as the cross-engine
+  * oracle itself, SURVEY §5). Layout under `path`: `moments/` — one
+  * row per delta write: (n BIGINT, s ARRAY<DOUBLE> d, ss ARRAY<DOUBLE>
+  * d² row-major). Mutations run under the single-writer [[IndexLease]];
+  * [[compact]] folds the layers to one row via the checked rename-swap.
+  */
+object GramStore {
+
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  def defaultPath(datasetDir: String, tag: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(datasetDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .take(12)
+    s"${sys.props("java.io.tmpdir")}/graft_gram_${key}_$tag"
+  }
+
+  /** One (n, s, ss) moment row for an embedding slice — a single
+    * corpus-sized pass: the count/Σx aggregate and the
+    * [[graft.functions.GramAggregator]] raw outer-product fold (one
+    * d²-double buffer per partition in the exchange). `sign` = -1
+    * emits the retraction delta.
+    */
+  private def momentRows(emb: DataFrame, sign: Int, vecCol: String): DataFrame = {
+    val dim = graft.operators.Similarity.embeddingDim(emb)
+    val pts = emb.filter(col(vecCol).isNotNull)
+      .select(graft.functions.VectorFunctions.asDouble(col(vecCol)).as("x"))
+    val gramAgg = udaf(new graft.functions.GramAggregator(dim))
+    val nSs = pts.agg(
+      count(lit(1)).as("n"),
+      gramAgg(col("x")).as("ss"))
+    // Σx per dimension: posexplode + groupBy(pos) — d bounded rows,
+    // re-packed in position order
+    val sums = pts.select(posexplode(col("x")).as(Seq("pos", "v")))
+      .groupBy(col("pos")).agg(sum(col("v")).as("sv"))
+      .select(struct(col("pos"), col("sv")).as("ps"))
+      .agg(array_sort(collect_list(col("ps"))).as("pss"))
+      .select(transform(col("pss"), p => p.getField("sv")).as("s"))
+    nSs.crossJoin(sums)
+      .select(
+        (col("n") * sign).as("n"),
+        transform(col("s"), v => v * sign).as("s"),
+        transform(col("ss"), v => v * sign).as("ss"))
+  }
+
+  def build(emb: DataFrame, path: String,
+      vecCol: String = "embedding"): Unit =
+    momentRows(emb, 1, vecCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/moments")
+
+  /** Fold a drop's moments in — O(d²) bytes per write, no rescan. */
+  def append(emb: DataFrame, path: String,
+      vecCol: String = "embedding"): Unit =
+    IndexLease.withLease(emb.sparkSession, path, "gram-append") {
+      momentRows(emb, 1, vecCol)
+        .write.mode(SaveMode.Append).parquet(s"$path/moments")
+    }
+
+  /** Retract vectors — append NEGATED moments for the removed slice. */
+  def delete(emb: DataFrame, path: String,
+      vecCol: String = "embedding"): Unit =
+    IndexLease.withLease(emb.sparkSession, path, "gram-delete") {
+      momentRows(emb, -1, vecCol)
+        .write.mode(SaveMode.Append).parquet(s"$path/moments")
+    }
+
+  /** The folded statistics, driver-pinned: layers are one row each
+    * (bounded by mutation count; [[compact]] returns it to one), and
+    * the payload is d + d² doubles — data-size independent.
+    */
+  def moments(spark: SparkSession, path: String): (Long, Array[Double], Array[Double]) = {
+    val rows = spark.read.parquet(s"$path/moments")
+      .select(col("n"), col("s"), col("ss")).collect()
+    require(rows.nonEmpty, s"empty gram store at $path")
+    val d = rows.head.getSeq[Double](1).length
+    val n = rows.map(_.getLong(0)).sum
+    val s = new Array[Double](d)
+    val ss = new Array[Double](d * d)
+    rows.foreach { r =>
+      val rs = r.getSeq[Double](1); val rss = r.getSeq[Double](2)
+      var i = 0
+      while (i < d) { s(i) += rs(i); i += 1 }
+      i = 0
+      while (i < d * d) { ss(i) += rss(i); i += 1 }
+    }
+    (n, s, ss)
+  }
+
+  /** Fold the delta layers into one row via the checked rename-swap. */
+  def compact(spark: SparkSession, path: String): Unit =
+    IndexLease.withLease(spark, path, "gram-compact") {
+      SwapRecovery.recover(spark, path, "moments")
+      val (n, s, ss) = moments(spark, path)
+      import spark.implicits._
+      Seq((n, s.toSeq, ss.toSeq)).toDF("n", "s", "ss")
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/moments_compacted")
+      val fs = SwapRecovery.fsOf(spark, path)
+      SwapRecovery.renameOrThrow(fs,
+        new org.apache.hadoop.fs.Path(s"$path/moments"),
+        new org.apache.hadoop.fs.Path(s"$path/moments_old"))
+      SwapRecovery.renameOrThrow(fs,
+        new org.apache.hadoop.fs.Path(s"$path/moments_compacted"),
+        new org.apache.hadoop.fs.Path(s"$path/moments"))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/moments_old"), true)
+      ()
+    }
+
+  /** Memoized build-then-append lifecycle for the rollover gate. */
+  def ensureRolled(base: DataFrame, drop: DataFrame, path: String): Unit = {
+    require(!built.containsKey(s"deleted:$path"),
+      s"$path was built by ensureDeleted; use a distinct path per lifecycle")
+    built.computeIfAbsent(s"rolled:$path", _ => {
+      build(base, path)
+      append(drop, path)
+      java.lang.Boolean.TRUE
+    })
+    ()
+  }
+
+  /** Memoized build-then-delete lifecycle for the retraction gate. */
+  def ensureDeleted(corpus: DataFrame, removed: DataFrame,
+      path: String): Unit = {
+    require(!built.containsKey(s"rolled:$path"),
+      s"$path was built by ensureRolled; use a distinct path per lifecycle")
+    built.computeIfAbsent(s"deleted:$path", _ => {
+      build(corpus, path)
+      delete(removed, path)
+      java.lang.Boolean.TRUE
+    })
+    ()
+  }
+}
