@@ -1955,6 +1955,9 @@ object SparkEntry {
     "emb_pca_topk" -> (qEmbPcaTopk _),
     "emb_pca_incremental" -> (qEmbPcaIncremental _),
     "emb_pca_delete" -> (qEmbPcaDelete _),
+    "stream_pca_update" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamReplay.replayPcaDrops(s, dir)
+        .orderBy(col("vec_id"))),
     "stream_dedup" -> (qStreamDedup _),
     "stream_dedup_amortized" -> (qStreamDedupAmortized _),
     "stream_neardup" -> (qStreamNearDup _),
@@ -4355,6 +4358,7 @@ object SparkEntry {
     "emb_pca_topk" -> pca2Oracle,
     "emb_pca_incremental" -> pcaMomentOracleSql(""),
     "emb_pca_delete" -> pcaMomentOracleSql("AND vec_id % 7 <> 3"),
+    "stream_pca_update" -> pcaMomentOracleSql(""),
     // mm_phash: all-pairs ground truth — the banded Spark path must
     // land on it exactly (pigeonhole lossless at Hamming <= 3). The
     // corpus is ASCII, so char positions/codes equal byte

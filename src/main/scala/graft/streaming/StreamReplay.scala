@@ -617,6 +617,70 @@ object StreamReplay {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
   }
 
+  private val pcaStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** STREAMING PCA maintenance — the moment-store twin of
+    * [[replayClfDrops]]: embedding drops arrive as a file stream and
+    * each micro-batch folds its raw `(n, Σx, Σxxᵀ)` moments into the
+    * persisted [[graft.sources.GramStore]] (batch-id-marker-guarded
+    * append — an O(d²) write per drop, the corpus is never rescanned).
+    * Abelian moments make the fold drop-order-free, so the component
+    * served after the last drop must match the batch moment-law oracle
+    * over the whole corpus. The serve-side scoring scan reads the full
+    * table once at the end — exactly the production topology: moments
+    * stay continuously current while the expensive projection runs on
+    * demand.
+    */
+  def replayPcaDrops(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{GramStore, Tables}
+    val emb = Tables.embeddings(spark, dir)
+    val staged = pcaStaged.computeIfAbsent(dir, _ => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_pca")
+      (0 to 2).foreach { i =>
+        stageFile(emb.filter(col("vec_id") % 3 === i), stage,
+          "drops/drop_", i)
+      }
+      stage.toString
+    })
+    val storePath = java.nio.file.Files
+      .createTempDirectory("graft_pca_store").toString + "/gram"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storePath))
+    val chk = java.nio.file.Files.createTempDirectory("graft_pca_chk").toString
+    val schema = spark.read.parquet(s"$staged/drops/drop_0.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/drops")
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(partsKey)
+    spark.conf.set(partsKey, "8")
+    try {
+      val q = src.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          val b = batch.toDF().persist()
+          try {
+            val marker = java.nio.file.Paths.get(s"$storePath/_drop_$id")
+            if (!java.nio.file.Files.exists(marker)) {
+              GramStore.append(b, storePath)
+              java.nio.file.Files.createFile(marker)
+              ()
+            }
+          } finally { b.unpersist(); () }
+      }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(partsKey, v)
+      case None => spark.conf.unset(partsKey)
+    }
+    val (n, s, ss) = GramStore.moments(spark, storePath)
+    graft.operators.Pca.fromMoments(emb, n, s, ss)
+  }
+
   private val clfStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
