@@ -363,6 +363,22 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  // PCA-STORE MONITORING, the measure face: per-dim drift of a fresh
+  // drop's mean against the REFERENCE mean served from the same rolled
+  // moment store the lifecycle maintains — the reference corpus is
+  // never rescanned; the label-3 slice visibly drifts on some dims
+  // and not others at gate SF (threshold 0.01 splits 40/24)
+  private def qEmbDrift(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val drop = emb.filter(col("vec_id") % 5 === 0)
+    val path = graft.sources.GramStore.defaultPath(dir, "roll")
+    graft.sources.GramStore.ensureRolled(base, drop, path)
+    val (n, sv, _) = graft.sources.GramStore.moments(s, path)
+    Pca.driftAgainstMoments(emb.filter(col("label") === 3), n, sv,
+      threshold = 0.01).orderBy(col("dim_idx"))
+  }
+
   /** Perceptual-style near-dup FRAME pairs across media assets:
     * integer block-hash signatures per sampled frame, 4×16-bit banded
     * candidate join, Hamming verify ≤ 3 (banding lossless at that
@@ -1958,6 +1974,7 @@ object SparkEntry {
     "stream_pca_update" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamReplay.replayPcaDrops(s, dir)
         .orderBy(col("vec_id"))),
+    "emb_drift" -> (qEmbDrift _),
     "stream_dedup" -> (qStreamDedup _),
     "stream_dedup_amortized" -> (qStreamDedupAmortized _),
     "stream_neardup" -> (qStreamNearDup _),
@@ -4359,6 +4376,24 @@ object SparkEntry {
     "emb_pca_incremental" -> pcaMomentOracleSql(""),
     "emb_pca_delete" -> pcaMomentOracleSql("AND vec_id % 7 <> 3"),
     "stream_pca_update" -> pcaMomentOracleSql(""),
+    // emb_drift: reference means replayed from raw sums over the whole
+    // corpus (the rolled store's content), current means fresh over the
+    // label-3 slice, 6-dp shift, threshold 0.01 (nearest shift sits
+    // 1.1e-4 away — no boundary flips); dim_idx is 0-based like
+    // posexplode, cast to INTEGER to match the Spark int
+    "emb_drift" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT label, generate_subscripts(embedding, 1) AS i,
+        |   unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        | ref AS (SELECT i, round(sum(v) / count(*), 6) AS mean_ref
+        |  FROM e GROUP BY i),
+        | cur AS (SELECT i, round(sum(v) / count(*), 6) AS mean_cur
+        |  FROM e WHERE label = 3 GROUP BY i)
+        |SELECT (i - 1)::INTEGER AS dim_idx, mean_ref, mean_cur,
+        | round(abs(mean_cur - mean_ref), 6) AS abs_shift,
+        | round(abs(mean_cur - mean_ref), 6) > 0.01 AS drifted
+        |FROM ref JOIN cur USING (i) ORDER BY dim_idx""".stripMargin,
     // mm_phash: all-pairs ground truth — the banded Spark path must
     // land on it exactly (pigeonhole lossless at Hamming <= 3). The
     // corpus is ASCII, so char positions/codes equal byte

@@ -183,6 +183,37 @@ object Pca {
         round(lit(evScale), 4).as("ev_scale"))
   }
 
+  /** Embedding-distribution drift datasheet — the MONITORING face of
+    * the persisted moment store (the measure half whose act half is
+    * the IVF recall-retrain loop): per dimension, the REFERENCE mean
+    * served from stored `(n, Σx)` moments against the CURRENT drop's
+    * fresh mean, the 6-dp absolute shift, and a threshold flag. d
+    * output rows; the only data-sized work is the drop's one mean
+    * aggregate — the reference corpus is never rescanned (that is the
+    * point of storing the moments).
+    */
+  def driftAgainstMoments(current: DataFrame, refN: Long,
+      refS: Array[Double], threshold: Double = 0.05,
+      vecCol: String = "embedding"): DataFrame = {
+    require(refN > 0, s"drift needs a positive reference count, got $refN")
+    val dim = refS.length
+    val refMeans = Array.tabulate(dim)(i => r6(refS(i) / refN))
+    val spark = current.sparkSession
+    import spark.implicits._
+    val ref = refMeans.toSeq.zipWithIndex
+      .map { case (m, i) => (i, m) }.toDF("dim_idx", "mean_ref")
+    val cur = current.filter(col(vecCol).isNotNull)
+      .select(posexplode(
+        graft.functions.VectorFunctions.asDouble(col(vecCol)))
+        .as(Seq("dim_idx", "v")))
+      .groupBy(col("dim_idx"))
+      .agg(round(sum(col("v")) / count(lit(1)), 6).as("mean_cur"))
+    ref.join(cur, Seq("dim_idx"))
+      .select(col("dim_idx"), col("mean_ref"), col("mean_cur"),
+        round(abs(col("mean_cur") - col("mean_ref")), 6).as("abs_shift"))
+      .withColumn("drifted", col("abs_shift") > threshold)
+  }
+
   /** Top-TWO principal components via Hotelling deflation — the
     * whitening-prep subspace the single-direction pass can't give:
     * after the dominant component converges, the Gram deflates by the

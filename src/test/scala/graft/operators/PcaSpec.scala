@@ -105,6 +105,59 @@ class PcaSpec extends SparkSpecBase {
     assert(math.abs(cov) < 0.05, s"scores correlated: $cov")
   }
 
+  test("driftAgainstMoments: a shifted dim drifts, an unshifted one does not") {
+    // reference moments: 4 vectors, dim-0 mean 0.0, dim-1 mean 1.0
+    val refN = 4L
+    val refS = Array(0.0, 4.0)
+    // current drop: dim-0 mean 0.5 (shift 0.5 > 0.1), dim-1 mean 1.0
+    val cur = emb(Seq(
+      (1L, Seq(0.5f, 1f), 0), (2L, Seq(0.5f, 1f), 0)))
+    val out = Pca.driftAgainstMoments(cur, refN, refS, threshold = 0.1)
+      .orderBy("dim_idx").collect()
+    assert(out.length === 2)
+    assert(out(0).getDouble(1) === 0.0 && out(0).getDouble(2) === 0.5)
+    assert(out(0).getDouble(3) === 0.5 && out(0).getBoolean(4))
+    assert(out(1).getDouble(1) === 1.0 && out(1).getDouble(2) === 1.0)
+    assert(out(1).getDouble(3) === 0.0 && !out(1).getBoolean(4))
+  }
+
+  test("driftAgainstMoments: a drop drawn from the reference shows zero drift") {
+    val df = graft.sources.Tables.embeddings(spark, sfDir)
+    val pts = df.filter(col("embedding").isNotNull)
+      .select(graft.functions.VectorFunctions.asDouble(col("embedding")).as("x"))
+    val n = pts.count()
+    val dim = Similarity.embeddingDim(df)
+    val sums = pts.select(posexplode(col("x")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(sum(col("v")).as("sv")).collect()
+    val s = new Array[Double](dim)
+    sums.foreach(r => s(r.getInt(0)) = r.getDouble(1))
+    // current == the reference corpus itself: every per-dim shift is a
+    // pure rounding residue (two 6-dp roundings of the same mean)
+    val out = Pca.driftAgainstMoments(df, n, s, threshold = 0.01).collect()
+    assert(out.length === dim)
+    out.foreach { r =>
+      assert(r.getDouble(3) <= 1e-6, r)
+      assert(!r.getBoolean(4), r)
+    }
+  }
+
+  test("driftAgainstMoments: the gate slice bites both ways at threshold 0.01") {
+    val df = graft.sources.Tables.embeddings(spark, sfDir)
+    val pts = df.filter(col("embedding").isNotNull)
+      .select(graft.functions.VectorFunctions.asDouble(col("embedding")).as("x"))
+    val n = pts.count()
+    val dim = Similarity.embeddingDim(df)
+    val sums = pts.select(posexplode(col("x")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(sum(col("v")).as("sv")).collect()
+    val s = new Array[Double](dim)
+    sums.foreach(r => s(r.getInt(0)) = r.getDouble(1))
+    val out = Pca.driftAgainstMoments(
+      df.filter(col("label") === 3), n, s, threshold = 0.01).collect()
+    val drifted = out.count(_.getBoolean(4))
+    assert(drifted > 0, "no dim drifted — the gate flag is vacuous")
+    assert(drifted < out.length, "every dim drifted — the flag cannot split")
+  }
+
   test("topComponents2: degenerate corpus yields zeros on both components") {
     val df = emb(Seq(
       (1L, Seq(2f, 3f), 0), (2L, Seq(2f, 3f), 0)))
