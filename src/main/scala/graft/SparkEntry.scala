@@ -617,6 +617,32 @@ object SparkEntry {
     CorpusStats.mixture(t(s, dir, "documents"))
       .orderBy(col("lang"), col("source"))
 
+  // DATASHEET LIFECYCLE, rollover: the persisted per-slice counts
+  // (MixtureStore) fold a 20% drop in with one pass over the drop;
+  // the served datasheet must be bit-identical to the batch mixture
+  // over the union (integer counts — exactness, not a rounding class)
+  private def qMixtureIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val drop = docs.filter(col("doc_id") % 5 === 0)
+    val path = graft.sources.MixtureStore.defaultPath(dir, "roll")
+    graft.sources.MixtureStore.ensureRolled(base, drop, path)
+    graft.sources.MixtureStore.served(s, path)
+      .orderBy(col("lang"), col("source"))
+  }
+
+  // DATASHEET LIFECYCLE, retraction: a takedown slice leaves as
+  // NEGATED counts; the served datasheet must equal the batch mixture
+  // over the survivors exactly — every count and share visibly moves
+  private def qMixtureDelete(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val removed = docs.filter(col("doc_id") % 7 === 3)
+    val path = graft.sources.MixtureStore.defaultPath(dir, "del")
+    graft.sources.MixtureStore.ensureDeleted(docs, removed, path)
+    graft.sources.MixtureStore.served(s, path)
+      .orderBy(col("lang"), col("source"))
+  }
+
   private def qPack(s: SparkSession, dir: String): DataFrame =
     CorpusStats.packManifest(t(s, dir, "documents"))
       .orderBy(col("doc_id"))
@@ -1888,6 +1914,11 @@ object SparkEntry {
     "q_rfm" -> (qRfm _),
     "q_event_paths" -> (qEventPaths _),
     "text_mixture" -> (qMixture _),
+    "text_mixture_incremental" -> (qMixtureIncremental _),
+    "text_mixture_delete" -> (qMixtureDelete _),
+    "stream_mixture_update" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamReplay.replayMixtureDrops(s, dir)
+        .orderBy(col("lang"), col("source"))),
     "text_pack" -> (qPack _),
     "text_pack_bpe" -> (qPackBpe _),
     "text_mixture_sample" -> (qMixtureSample _),
@@ -3624,18 +3655,15 @@ object SparkEntry {
         | count(*)::BIGINT AS n_orders,
         | CAST(sum(price) AS DOUBLE) AS revenue
         |FROM o GROUP BY 1, 2 ORDER BY order_year, cohort""".stripMargin,
-    "text_mixture" ->
-      """WITH slices AS (
-        |  SELECT lang, source, count(*)::BIGINT AS n_docs,
-        |   sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS n_tokens
-        |  FROM documents GROUP BY 1, 2),
-        | totals AS (
-        |  SELECT sum(n_docs)::BIGINT AS t_docs, sum(n_tokens)::BIGINT AS t_tokens
-        |  FROM slices)
-        |SELECT s.lang, s.source, s.n_docs, s.n_tokens,
-        | s.n_docs::DOUBLE / t.t_docs AS doc_share,
-        | s.n_tokens::DOUBLE / t.t_tokens AS token_share
-        |FROM slices s, totals t ORDER BY s.lang, s.source""".stripMargin,
+    "text_mixture" -> mixtureOracleSql(""),
+    // the rolled store serves the union == the plain datasheet; the
+    // streamed fold is drop-order-free (integer abelian counts) so it
+    // shares the same full-corpus oracle
+    "text_mixture_incremental" -> mixtureOracleSql(""),
+    "stream_mixture_update" -> mixtureOracleSql(""),
+    // retraction: the store after the takedown must equal the batch
+    // datasheet over the SURVIVORS, bit-exactly (integer counts)
+    "text_mixture_delete" -> mixtureOracleSql("WHERE doc_id % 7 <> 3"),
     "text_pack" ->
       """WITH sized AS (
         |  SELECT doc_id, len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens
@@ -5060,6 +5088,23 @@ object SparkEntry {
     * and projection. The rolled store must land on the union's moment
     * law, the retracted store on the survivors'.
     */
+  /** The mixture-datasheet replay, parameterized by the survivor
+    * predicate so the plain query, the rolled/streamed stores (full
+    * corpus), and the retraction gate (survivors only) share one law.
+    */
+  private def mixtureOracleSql(where: String): String =
+    s"""WITH slices AS (
+       |  SELECT lang, source, count(*)::BIGINT AS n_docs,
+       |   sum(len(string_split_regex(trim(text), '\\s+')))::BIGINT AS n_tokens
+       |  FROM documents $where GROUP BY 1, 2),
+       | totals AS (
+       |  SELECT sum(n_docs)::BIGINT AS t_docs, sum(n_tokens)::BIGINT AS t_tokens
+       |  FROM slices)
+       |SELECT s.lang, s.source, s.n_docs, s.n_tokens,
+       | s.n_docs::DOUBLE / t.t_docs AS doc_share,
+       | s.n_tokens::DOUBLE / t.t_tokens AS token_share
+       |FROM slices s, totals t ORDER BY s.lang, s.source""".stripMargin
+
   private def pcaMomentOracleSql(extraWhere: String): String = {
     val chain = pcaIterCtes("g", "")
     s"""WITH e AS MATERIALIZED (

@@ -388,13 +388,31 @@ object CorpusStats {
     * integer counts — bit-identical across engines.
     */
   def mixture(docs: DataFrame, textCol: String = "text",
-      langCol: String = "lang", sourceCol: String = "source"): DataFrame = {
-    val slices = docs
-      .groupBy(col(langCol), col(sourceCol))
+      langCol: String = "lang", sourceCol: String = "source"): DataFrame =
+    mixtureFromSlices(sliceCounts(docs, 1, textCol, langCol, sourceCol),
+      langCol, sourceCol)
+
+  /** The datasheet's per-slice count feed — one map-side-combined
+    * aggregate over the docs, SIGNED so the frame doubles as the
+    * [[graft.sources.MixtureStore]] delta layer (sign = -1 emits the
+    * retraction delta; counts are integers, so the group is exact).
+    */
+  def sliceCounts(docs: DataFrame, sign: Int = 1, textCol: String = "text",
+      langCol: String = "lang", sourceCol: String = "source"): DataFrame =
+    docs.groupBy(col(langCol), col(sourceCol))
       .agg(
-        count(lit(1)).as("n_docs"),
-        sum(graft.functions.TextFunctions.wsTokenCount(col(textCol)))
-          .cast("long").as("n_tokens"))
+        (count(lit(1)) * sign).as("n_docs"),
+        (sum(graft.functions.TextFunctions.wsTokenCount(col(textCol)))
+          .cast("long") * sign).as("n_tokens"))
+
+  /** The share law over a slice-count frame — shared verbatim by the
+    * fresh-scan path and the store-served path, so "served datasheet ==
+    * fresh datasheet" reduces to the folded counts being equal. The
+    * corpus totals are a broadcast 1-row aggregate OF THE SLICE FRAME
+    * (never a second corpus scan).
+    */
+  def mixtureFromSlices(slices: DataFrame, langCol: String = "lang",
+      sourceCol: String = "source"): DataFrame = {
     val totals = slices.agg(
       sum(col("n_docs")).cast("long").as("t_docs"),
       sum(col("n_tokens")).cast("long").as("t_tokens"))

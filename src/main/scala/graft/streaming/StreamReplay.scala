@@ -681,6 +681,69 @@ object StreamReplay {
     graft.operators.Pca.fromMoments(emb, n, s, ss)
   }
 
+  private val mixtureStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** STREAMING datasheet maintenance — the mixture-store twin of
+    * [[replayPcaDrops]]: doc drops arrive as a file stream and each
+    * micro-batch folds its per-(lang, source) count deltas into the
+    * persisted [[graft.sources.MixtureStore]] (batch-id-marker-guarded
+    * append — one pass over the drop, O(|slices|) bytes written, the
+    * corpus is never rescanned). Counts are an INTEGER abelian group,
+    * so the fold is drop-order-free and the datasheet served after the
+    * last drop is bit-identical to the batch [[CorpusStats.mixture]]
+    * oracle over the whole corpus — exactness, not a rounding-class
+    * match. Production topology: the data card stays continuously
+    * current; no training-mix decision ever waits on a corpus scan.
+    */
+  def replayMixtureDrops(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{MixtureStore, Tables}
+    val docs = Tables.documents(spark, dir)
+    val staged = mixtureStaged.computeIfAbsent(dir, _ => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_mixture")
+      (0 to 2).foreach { i =>
+        stageFile(docs.filter(col("doc_id") % 3 === i), stage,
+          "drops/drop_", i)
+      }
+      stage.toString
+    })
+    val storePath = java.nio.file.Files
+      .createTempDirectory("graft_mixture_store").toString + "/mix"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storePath))
+    val chk = java.nio.file.Files.createTempDirectory("graft_mix_chk").toString
+    val schema = spark.read.parquet(s"$staged/drops/drop_0.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/drops")
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(partsKey)
+    spark.conf.set(partsKey, "8")
+    try {
+      val q = src.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          val b = batch.toDF().persist()
+          try {
+            val marker = java.nio.file.Paths.get(s"$storePath/_drop_$id")
+            if (!java.nio.file.Files.exists(marker)) {
+              MixtureStore.append(b, storePath)
+              java.nio.file.Files.createFile(marker)
+              ()
+            }
+          } finally { b.unpersist(); () }
+      }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(partsKey, v)
+      case None => spark.conf.unset(partsKey)
+    }
+    MixtureStore.served(spark, storePath)
+  }
+
   private val clfStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
