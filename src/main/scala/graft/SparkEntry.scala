@@ -338,6 +338,13 @@ object SparkEntry {
     Pca.topComponents2(t(s, dir, "embeddings"))
       .orderBy(col("vec_id"))
 
+  // embedding-space outlier curation gate: distance-to-own-centroid
+  // beyond mean + 2σ per label — flags 9/500 at gate SF, nearest
+  // distance ~1e-3 off the threshold (no boundary flips)
+  private def qEmbOutliers(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingOutliers(t(s, dir, "embeddings"))
+      .orderBy(col("vec_id"))
+
   // PCA LIFECYCLE, rollover: the persisted raw moments (GramStore)
   // fold a 20% drop in as an O(d²) delta; the served component over
   // the union must match the moment-law oracle over the same corpus
@@ -2006,6 +2013,7 @@ object SparkEntry {
       graft.streaming.StreamReplay.replayPcaDrops(s, dir)
         .orderBy(col("vec_id"))),
     "emb_drift" -> (qEmbDrift _),
+    "emb_outliers" -> (qEmbOutliers _),
     "stream_dedup" -> (qStreamDedup _),
     "stream_dedup_amortized" -> (qStreamDedupAmortized _),
     "stream_neardup" -> (qStreamNearDup _),
@@ -4404,6 +4412,33 @@ object SparkEntry {
     "emb_pca_incremental" -> pcaMomentOracleSql(""),
     "emb_pca_delete" -> pcaMomentOracleSql("AND vec_id % 7 <> 3"),
     "stream_pca_update" -> pcaMomentOracleSql(""),
+    // emb_outliers: centroids, ordered per-row distance folds, and the
+    // mean+2σ threshold law all replayed at the operator's 6-dp grid
+    "emb_outliers" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |   unnest(embedding)::DOUBLE AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        | c AS MATERIALIZED (
+        |  SELECT label, i, round(sum(v) / count(*), 6) AS cv
+        |  FROM e GROUP BY label, i),
+        | d AS MATERIALIZED (
+        |  SELECT e.vec_id, e.label,
+        |   round(sum((e.v - c.cv) * (e.v - c.cv)), 6) AS dist2
+        |  FROM e JOIN c ON e.label = c.label AND e.i = c.i
+        |  GROUP BY e.vec_id, e.label),
+        | st AS (
+        |  SELECT label, round(sum(dist2) / count(*), 6) AS mean_dist2,
+        |   round(sum(dist2 * dist2) / count(*), 6) AS ex2
+        |  FROM d GROUP BY label),
+        | th AS (
+        |  SELECT label, mean_dist2,
+        |   round(mean_dist2 + 2 * sqrt(greatest(
+        |     ex2 - mean_dist2 * mean_dist2, 0)), 6) AS thresh
+        |  FROM st)
+        |SELECT d.vec_id, d.label, d.dist2, th.mean_dist2, th.thresh,
+        | d.dist2 > th.thresh AS is_outlier
+        |FROM d JOIN th USING (label) ORDER BY d.vec_id""".stripMargin,
     // emb_drift: reference means replayed from raw sums over the whole
     // corpus (the rolled store's content), current means fresh over the
     // label-3 slice, 6-dp shift, threshold 0.01 (nearest shift sits

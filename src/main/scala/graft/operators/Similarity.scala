@@ -395,6 +395,58 @@ object Similarity {
     assign
   }
 
+  /** Embedding-space OUTLIER filter — the vector-side curation gate
+    * (the CLIP-filtering shape: drop points far from their own
+    * cluster): per vector, the squared L2 distance to its own-label
+    * centroid, flagged when it exceeds the label's mean + `sigmas`·σ
+    * of that distance. Emits the full audit row (distance, label mean,
+    * threshold, flag), not just the survivors — the action is one
+    * filter on `is_outlier`.
+    *
+    * Scale shape: two corpus scans and nothing else data-sized — the
+    * centroid pass is a (labels × d)-bounded aggregate (map-side
+    * combined, broadcast back as k rows), the distance pass computes
+    * each row's fold in array order (oracle-identical FP sequence),
+    * and the per-label moment stats are a labels-bounded aggregate
+    * broadcast back. No window over the corpus, no shuffle beyond the
+    * two bounded aggregates.
+    *
+    * Determinism: centroid cells and distances round to 6 dp; the
+    * threshold `mean + sigmas·sqrt(max(E[d²²]−mean², 0))` rounds to
+    * 6 dp (sqrt of an identical double is identical IEEE); the flag
+    * compares rounded values, and the gate slice keeps every distance
+    * ≥ 1e-4 off the threshold.
+    */
+  def embeddingOutliers(emb: DataFrame, sigmas: Double = 2.0): DataFrame = {
+    val pts = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("label"),
+        VF.asDouble(col("embedding")).as("x"))
+    val cent = pts
+      .select(col("label"), posexplode(col("x")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(sum(col("v")) / count(lit(1)), 6).as("cv"))
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("ms"))
+      .select(col("label"), transform(col("ms"), m => m.getField("cv")).as("c"))
+    val d2 = pts.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(aggregate(
+          zip_with(col("x"), col("c"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, v) => acc + v), 6).as("dist2"))
+    val st = d2.groupBy(col("label"))
+      .agg(
+        round(sum(col("dist2")) / count(lit(1)), 6).as("mean_dist2"),
+        round(sum(col("dist2") * col("dist2")) / count(lit(1)), 6).as("ex2"))
+      .select(col("label"), col("mean_dist2"),
+        round(col("mean_dist2") + lit(sigmas) * sqrt(greatest(
+          col("ex2") - col("mean_dist2") * col("mean_dist2"),
+          lit(0.0))), 6).as("thresh"))
+    d2.join(broadcast(st), Seq("label"))
+      .select(col("vec_id"), col("label"), col("dist2"),
+        col("mean_dist2"), col("thresh"),
+        (col("dist2") > col("thresh")).as("is_outlier"))
+  }
+
   /** Shared recall evaluation: |approx ∩ truth| / |truth| per probe.
     * The join is top-k × top-k per probe (tiny); the heavy lifting is
     * inside the two index scans feeding it.

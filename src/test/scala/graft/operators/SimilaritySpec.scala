@@ -182,4 +182,53 @@ class SimilaritySpec extends SparkSpecBase {
         r == math.round(h.toDouble / n * 1e4) / 1e4
     })
   }
+
+  private def outlierEmb(rows: Seq[(Long, Seq[Float], Int)]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, v, l) =>
+        org.apache.spark.sql.Row(id, v, l)
+      }, 2),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType), nullable = true),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
+
+  test("embeddingOutliers: a far-from-centroid spike is flagged, the tight mass is not") {
+    // label 0: eight points hugging (0,0) plus one spike at (10,10);
+    // label 1: a tight pair — zero outliers by construction
+    val df = outlierEmb(
+      (1L to 8L).map(i => (i, Seq(if (i % 2 == 0) 0.1f else -0.1f, 0f), 0)) ++
+        Seq((9L, Seq(10f, 10f), 0), (10L, Seq(5f, 5f), 1), (11L, Seq(5f, 5f), 1)))
+    val out = Similarity.embeddingOutliers(df).orderBy("vec_id").collect()
+    assert(out.length == 11)
+    val flagged = out.filter(_.getBoolean(5)).map(_.getLong(0)).toSeq
+    assert(flagged == Seq(9L), s"expected only the spike, got $flagged")
+  }
+
+  test("embeddingOutliers: zero-variance labels flag nothing (no NaN)") {
+    val df = outlierEmb(Seq(
+      (1L, Seq(2f, 3f), 0), (2L, Seq(2f, 3f), 0), (3L, Seq(2f, 3f), 0)))
+    val out = Similarity.embeddingOutliers(df).collect()
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(!r.getDouble(2).isNaN && !r.getDouble(4).isNaN)
+      assert(!r.getBoolean(5))
+    }
+  }
+
+  test("embeddingOutliers: gate corpus bites both ways; stats joins broadcast") {
+    val df = Tables.embeddings(spark, sfDir)
+    val out = Similarity.embeddingOutliers(df)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"centroid/stats joins not broadcast:\n$plan")
+    val rows = out.collect()
+    val n = rows.count(_.getBoolean(5))
+    assert(n > 0, "no outlier flagged — the gate flag is vacuous")
+    assert(n < rows.length / 10, s"$n/${rows.length} flagged — not a tail")
+  }
 }
