@@ -638,6 +638,22 @@ object SparkEntry {
       .orderBy(col("lang"), col("source"))
   }
 
+  // DATASHEET MONITORING, the measure face: per-language doc-share
+  // drift of a fresh drop against the reference served from the SAME
+  // rolled count store the lifecycle maintains; threshold 0.02 splits
+  // the doc_id%9 drop 3 drifted / 2 not at gate SF (margin ≥1e-3)
+  private def qMixtureDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val drop = docs.filter(col("doc_id") % 5 === 0)
+    val path = graft.sources.MixtureStore.defaultPath(dir, "roll")
+    graft.sources.MixtureStore.ensureRolled(base, drop, path)
+    CorpusStats.mixtureDrift(
+      graft.sources.MixtureStore.slices(s, path),
+      docs.filter(col("doc_id") % 9 === 0))
+      .orderBy(col("lang"))
+  }
+
   // DATASHEET LIFECYCLE, retraction: a takedown slice leaves as
   // NEGATED counts; the served datasheet must equal the batch mixture
   // over the survivors exactly — every count and share visibly moves
@@ -1923,6 +1939,7 @@ object SparkEntry {
     "text_mixture" -> (qMixture _),
     "text_mixture_incremental" -> (qMixtureIncremental _),
     "text_mixture_delete" -> (qMixtureDelete _),
+    "text_mixture_drift" -> (qMixtureDrift _),
     "stream_mixture_update" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamReplay.replayMixtureDrops(s, dir)
         .orderBy(col("lang"), col("source"))),
@@ -3672,6 +3689,26 @@ object SparkEntry {
     // retraction: the store after the takedown must equal the batch
     // datasheet over the SURVIVORS, bit-exactly (integer counts)
     "text_mixture_delete" -> mixtureOracleSql("WHERE doc_id % 7 <> 3"),
+    // drift dashboard: reference shares replayed from full-corpus
+    // counts (the rolled store's content), current from the doc_id%9
+    // drop; shares divide exact integers — bit-identical doubles
+    "text_mixture_drift" ->
+      """WITH ref AS (
+        |  SELECT lang, count(*)::BIGINT AS nd FROM documents GROUP BY lang),
+        | tot AS (SELECT sum(nd)::BIGINT AS td FROM ref),
+        | cur AS (
+        |  SELECT lang, count(*)::BIGINT AS nc FROM documents
+        |  WHERE doc_id % 9 = 0 GROUP BY lang),
+        | ctot AS (SELECT sum(nc)::BIGINT AS tc FROM cur)
+        |SELECT r.lang, r.nd::DOUBLE / t.td AS share_ref,
+        | coalesce(c.nc::DOUBLE / ct.tc, 0.0) AS share_cur,
+        | round(abs(coalesce(c.nc::DOUBLE / ct.tc, 0.0)
+        |   - r.nd::DOUBLE / t.td), 6) AS abs_shift,
+        | round(abs(coalesce(c.nc::DOUBLE / ct.tc, 0.0)
+        |   - r.nd::DOUBLE / t.td), 6) > 0.02 AS drifted
+        |FROM ref r CROSS JOIN tot t CROSS JOIN ctot ct
+        |LEFT JOIN cur c ON r.lang = c.lang
+        |ORDER BY r.lang""".stripMargin,
     "text_pack" ->
       """WITH sized AS (
         |  SELECT doc_id, len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens

@@ -422,6 +422,38 @@ object CorpusStats {
         (col("n_tokens").cast("double") / col("t_tokens")).as("token_share"))
   }
 
+  /** Mixture DRIFT dashboard — the datasheet twin of the PCA store's
+    * drift monitor: per language, the REFERENCE doc share served from
+    * a persisted slice-count frame ([[graft.sources.MixtureStore]]
+    * fold — the reference corpus is never rescanned) against a fresh
+    * drop's share, the 6-dp absolute shift, and a threshold flag.
+    * Langs-bounded output; the only data-sized work is the drop's one
+    * count aggregate. Shares divide exact integer counts, so both
+    * engines compare bit-identical doubles against the threshold.
+    */
+  def mixtureDrift(refSlices: DataFrame, current: DataFrame,
+      threshold: Double = 0.02, langCol: String = "lang"): DataFrame = {
+    val ref = refSlices.groupBy(col(langCol))
+      .agg(sum(col("n_docs")).as("nd"))
+    val tot = ref.agg(sum(col("nd")).cast("long").as("td"))
+    val refSh = ref.crossJoin(broadcast(tot))
+      .select(col(langCol),
+        (col("nd").cast("double") / col("td")).as("share_ref"))
+    val cur = current.groupBy(col(langCol)).agg(count(lit(1)).as("nc"))
+    val ctot = cur.agg(sum(col("nc")).cast("long").as("tc"))
+    val curSh = cur.crossJoin(broadcast(ctot))
+      .select(col(langCol),
+        (col("nc").cast("double") / col("tc")).as("share_cur"))
+    // left join: a language absent from the drop reads as share 0 —
+    // the "your drop lost a language" alarm, the loudest drift of all
+    refSh.join(curSh, Seq(langCol), "left")
+      .select(col(langCol), col("share_ref"),
+        coalesce(col("share_cur"), lit(0.0)).as("share_cur"))
+      .withColumn("abs_shift",
+        round(abs(col("share_cur") - col("share_ref")), 6))
+      .withColumn("drifted", col("abs_shift") > threshold)
+  }
+
   /** Token-stream packing manifest: concatenate the corpus in doc-id
     * order and cut it into fixed-capacity context windows — the
     * GPT-style pre-training packing layout. Emits, per document, its

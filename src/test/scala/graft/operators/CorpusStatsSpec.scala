@@ -297,4 +297,46 @@ class CorpusStatsSpec extends SparkSpecBase {
     // the gate must exercise real removal on this corpus
     assert(dropped.count() > 0L)
   }
+
+  private def mixDocs(rows: Seq[(Long, String, String, String)]) =
+    rows.toDF("doc_id", "text", "lang", "source")
+
+  test("mixtureDrift: a lost language reads share 0 and alarms") {
+    val ref = CorpusStats.sliceCounts(mixDocs(Seq(
+      (1L, "a", "en", "web"), (2L, "b", "en", "web"),
+      (3L, "c", "de", "web"), (4L, "d", "de", "web"))))
+    // the drop lost German entirely and is all-English
+    val cur = mixDocs(Seq((5L, "e", "en", "web"), (6L, "f", "en", "web")))
+    val out = CorpusStats.mixtureDrift(ref, cur, threshold = 0.1)
+      .orderBy("lang").collect()
+    assert(out.length == 2)
+    val de = out(0); val en = out(1)
+    assert(de.getString(0) == "de" && de.getDouble(2) == 0.0 &&
+      de.getDouble(3) == 0.5 && de.getBoolean(4))
+    assert(en.getString(0) == "en" && en.getDouble(1) == 0.5 &&
+      en.getDouble(2) == 1.0 && en.getBoolean(4))
+  }
+
+  test("mixtureDrift: a drop mirroring the reference mix shows zero drift") {
+    val corpus = mixDocs(Seq(
+      (1L, "a", "en", "web"), (2L, "b", "de", "web"),
+      (3L, "c", "en", "web"), (4L, "d", "de", "web")))
+    val ref = CorpusStats.sliceCounts(corpus)
+    val out = CorpusStats.mixtureDrift(ref, corpus, threshold = 0.02)
+      .collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getDouble(3) == 0.0 && !r.getBoolean(4), r)
+    }
+  }
+
+  test("mixtureDrift: the gate slice bites both ways at threshold 0.02") {
+    val corpus = graft.sources.Tables.documents(spark, sfDir)
+    val ref = CorpusStats.sliceCounts(corpus)
+    val out = CorpusStats.mixtureDrift(
+      ref, corpus.filter(col("doc_id") % 9 === 0)).collect()
+    val drifted = out.count(_.getBoolean(4))
+    assert(drifted > 0, "no language drifted — the flag is vacuous")
+    assert(drifted < out.length, "every language drifted — cannot split")
+  }
 }
