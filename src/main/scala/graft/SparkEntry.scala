@@ -932,6 +932,20 @@ object SparkEntry {
     CorpusStats.kmvDistinct(t(s, dir, "documents"), k = 64)
       .orderBy(col("lang"))
 
+  // SKETCH LIFECYCLE, rollover: the persisted k-min state (SketchStore,
+  // semilattice — no inverse, so no delete path exists BY DESIGN) folds
+  // a 20% drop in with a sketch over the drop alone; k-min-of-union
+  // equals the whole-corpus sketch bit-exactly (every global k-min hash
+  // is within its own slice's k minima), so the batch oracle replays it
+  private def qDistinctIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val drop = docs.filter(col("doc_id") % 5 === 0)
+    val path = graft.sources.SketchStore.defaultPath(dir, "roll")
+    graft.sources.SketchStore.ensureRolled(base, drop, path)
+    graft.sources.SketchStore.served(s, path).orderBy(col("lang"))
+  }
+
   private def qContamination(s: SparkSession, dir: String): DataFrame =
     CorpusStats.contamination(t(s, dir, "documents"))
       .orderBy(col("doc_id"))
@@ -1896,6 +1910,10 @@ object SparkEntry {
     "q_attribution_multitouch" -> (qMultiTouch _),
     "text_split_assign" -> (qSplitAssign _),
     "text_distinct_sketch" -> (qDistinctSketch _),
+    "text_distinct_incremental" -> (qDistinctIncremental _),
+    "stream_kmv_update" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamReplay.replayKmvDrops(s, dir)
+        .orderBy(col("lang"))),
     "text_contamination" -> (qContamination _),
     "text_decontaminate" -> (qDecontaminate _),
     "text_heavy_hitters" -> (qHeavyHitters _),
@@ -2889,6 +2907,11 @@ object SparkEntry {
         |        ELSE 63 * 4294967296.0 / agg.kth_hash END, 4) AS est_distinct,
         |  agg.nd AS n_distinct_exact
         |FROM st JOIN agg USING (lang) ORDER BY lang""".stripMargin,
+    // the served sketch store (rolled or streamed): k-min-of-union ==
+    // whole-corpus sketch, replayed value-exactly (no exact column —
+    // a served sketch cannot answer it, that is what the sketch is for)
+    "text_distinct_incremental" -> kmvServedOracleSql,
+    "stream_kmv_update" -> kmvServedOracleSql,
     "text_term_freq" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents
@@ -5160,6 +5183,27 @@ object SparkEntry {
     * and projection. The rolled store must land on the union's moment
     * law, the retracted store on the survivors'.
     */
+  /** The served-KMV replay: the batch sketch law over the whole corpus
+    * (the store's fold is bit-identical to it), minus the exact-count
+    * column a served sketch cannot answer.
+    */
+  private lazy val kmvServedOracleSql: String =
+    """WITH b AS (
+      |  SELECT lang, ('0x'||substr(md5(text),1,8))::BIGINT AS h
+      |  FROM documents WHERE text IS NOT NULL),
+      | st AS (SELECT lang, count(*)::BIGINT AS n_rows FROM b GROUP BY lang),
+      | d AS (SELECT DISTINCT lang, h FROM b),
+      | r AS (SELECT lang, h,
+      |   row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM d),
+      | agg AS (SELECT lang, count(*)::BIGINT AS nd,
+      |   count(*) FILTER (rn <= 64)::BIGINT AS n_kept,
+      |   max(h) FILTER (rn <= 64) AS kth_hash FROM r GROUP BY lang)
+      |SELECT st.lang, st.n_rows, agg.n_kept, agg.kth_hash,
+      |  round(CASE WHEN agg.nd < 64 THEN agg.nd::DOUBLE
+      |        WHEN agg.kth_hash = 0 THEN agg.n_kept::DOUBLE
+      |        ELSE 63 * 4294967296.0 / agg.kth_hash END, 4) AS est_distinct
+      |FROM st JOIN agg USING (lang) ORDER BY lang""".stripMargin
+
   /** The mixture-datasheet replay, parameterized by the survivor
     * predicate so the plain query, the rolled/streamed stores (full
     * corpus), and the retraction gate (survivors only) share one law.

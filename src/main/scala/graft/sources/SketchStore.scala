@@ -1,0 +1,150 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scan-once / serve-many persistence for the KMV distinct-count
+  * sketch — the EIGHTH persisted store, and the first whose state is a
+  * SEMILATTICE rather than a group: per language the kept state is the
+  * k smallest distinct text hashes (plus an additive row count), and
+  * folding layers is union-then-keep-k-minima — idempotent,
+  * commutative, associative, but with NO inverse. The fold is EXACT,
+  * not approximate-on-approximate: every hash in the corpus-wide k-min
+  * set is also within its own slice's k minima (at most k−1 hashes are
+  * globally smaller), so the union of per-drop sketches contains the
+  * global k-min set and the folded sketch is bit-identical to one
+  * built over the whole corpus — the gate pins that.
+  *
+  * At 100 TB the point: the distinct-count dashboard refreshes after a
+  * drop by sketching ONLY the drop (bounded O(langs × k) write, map-
+  * side-combined k-long buffers in the one exchange) — never a rescan,
+  * and unlike `count(DISTINCT)` never a distinct-value-sized shuffle.
+  *
+  * NO RETRACTION, by design: a lossy sketch cannot subtract (the
+  * semilattice has no inverse — removing a hash cannot recover the
+  * k+1-th minimum it displaced). [[delete]] throws; takedowns REBUILD
+  * from the survivors ([[build]] is the rebuild). This is the honest
+  * contrast to the two abelian stores ([[NbModelStore]], [[GramStore]],
+  * [[MixtureStore]]): exact-state stores retract in O(|takedown|),
+  * sketch stores pay a survivor pass — which is why exact sufficient
+  * statistics are preferred wherever they stay bounded.
+  *
+  * Layout under `path`: `sketch/` — (lang, n_rows, hs ARRAY<BIGINT>)
+  * layers, one row per (mutation, lang). Mutations run under the
+  * single-writer [[IndexLease]]; [[compact]] folds to one row per lang
+  * via the checked rename-swap.
+  */
+object SketchStore {
+
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  def defaultPath(datasetDir: String, tag: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(datasetDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .take(12)
+    s"${sys.props("java.io.tmpdir")}/graft_kmv_${key}_$tag"
+  }
+
+  /** One sketch row per language for a doc slice: the slice's k-min
+    * hash set (typed-Aggregator fold, ≤ k longs per partition in the
+    * exchange) plus its exact row count.
+    */
+  private def sketchRows(docs: DataFrame, k: Int): DataFrame = {
+    val kmvh = udaf(new graft.functions.KmvHashesAggregator(k))
+    docs.filter(col("text").isNotNull)
+      .select(col("lang"),
+        graft.functions.TextFunctions.md5Hash32(col("text")).as("h"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"), kmvh(col("h")).as("hs"))
+  }
+
+  /** Sketch the base corpus once and persist the state. */
+  def build(docs: DataFrame, path: String, k: Int = 64): Unit =
+    sketchRows(docs, k)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/sketch")
+
+  /** Fold a drop in: sketch ONLY the drop, append its layer. The
+    * semilattice fold makes append ≡ rebuild over the union
+    * (gate-pinned bit-identical).
+    */
+  def append(docs: DataFrame, path: String, k: Int = 64): Unit =
+    IndexLease.withLease(docs.sparkSession, path, "kmv-append") {
+      sketchRows(docs, k)
+        .write.mode(SaveMode.Append).parquet(s"$path/sketch")
+    }
+
+  /** Lossy sketch state has no group inverse — a takedown CANNOT be
+    * folded in (removing a hash cannot recover the k+1-th minimum it
+    * displaced when the sketch filled). Throws; rebuild from the
+    * survivors with [[build]] instead.
+    */
+  def delete(docs: DataFrame, path: String): Unit =
+    throw new UnsupportedOperationException(
+      "KMV sketch state is a semilattice (no inverse): takedowns must " +
+        s"rebuild from the survivors — call build(survivors, $path)")
+
+  /** The folded per-lang sketch state: union of the layers' kept
+    * hashes, re-cut to the k minima, plus the summed row counts. All
+    * work is (layers × langs × k)-bounded — data-size independent.
+    */
+  def folded(spark: SparkSession, path: String, k: Int = 64): DataFrame = {
+    val layers = spark.read.parquet(s"$path/sketch")
+    val union = layers
+      .select(col("lang"), explode(col("hs")).as("h")).distinct()
+    val w = Window.partitionBy(col("lang")).orderBy(col("h"))
+    val kept = union
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+    val rows = layers.groupBy(col("lang"))
+      .agg(sum(col("n_rows")).as("n_rows"))
+    kept.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash"),
+        sort_array(collect_list(col("h"))).as("hs"))
+      .join(rows, Seq("lang"))
+  }
+
+  /** The served distinct-count dashboard — [[KmvAggregator]]'s finish
+    * law over the folded state (n < k ⇒ the count is exact; kth = 0
+    * guard mirrored), rounded like the batch oracle.
+    */
+  def served(spark: SparkSession, path: String, k: Int = 64): DataFrame =
+    folded(spark, path, k)
+      .select(col("lang"), col("n_rows"), col("n_kept"), col("kth_hash"),
+        round(
+          when(col("n_kept") < k, col("n_kept").cast("double"))
+            .when(col("kth_hash") === 0L, col("n_kept").cast("double"))
+            .otherwise(lit((k - 1).toDouble * 4294967296.0) /
+              col("kth_hash").cast("double")), 4).as("est_distinct"))
+
+  /** Fold the layers to one row per lang via the checked rename-swap.
+    * Exact for the sketch: the k-min-of-union IS the semilattice state.
+    */
+  def compact(spark: SparkSession, path: String, k: Int = 64): Unit =
+    IndexLease.withLease(spark, path, "kmv-compact") {
+      SwapRecovery.recover(spark, path, "sketch")
+      folded(spark, path, k)
+        .select(col("lang"), col("n_rows"), col("hs"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$path/sketch_compacted")
+      val fs = SwapRecovery.fsOf(spark, path)
+      SwapRecovery.renameOrThrow(fs,
+        new org.apache.hadoop.fs.Path(s"$path/sketch"),
+        new org.apache.hadoop.fs.Path(s"$path/sketch_old"))
+      SwapRecovery.renameOrThrow(fs,
+        new org.apache.hadoop.fs.Path(s"$path/sketch_compacted"),
+        new org.apache.hadoop.fs.Path(s"$path/sketch"))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/sketch_old"), true)
+      ()
+    }
+
+  /** Memoized build-then-append lifecycle for the rollover gate. */
+  def ensureRolled(base: DataFrame, drop: DataFrame, path: String,
+      k: Int = 64): Unit = {
+    built.computeIfAbsent(s"rolled:$path", _ => {
+      build(base, path, k)
+      append(drop, path, k)
+      java.lang.Boolean.TRUE
+    })
+    ()
+  }
+}

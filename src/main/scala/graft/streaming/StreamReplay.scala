@@ -744,6 +744,69 @@ object StreamReplay {
     MixtureStore.served(spark, storePath)
   }
 
+  private val kmvStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** STREAMING sketch maintenance — the semilattice-store twin of
+    * [[replayMixtureDrops]]: doc drops arrive as a file stream and
+    * each micro-batch sketches ONLY ITSELF, appending its per-lang
+    * k-min layer to the persisted [[graft.sources.SketchStore]]
+    * (batch-id-marker-guarded, an O(langs × k) write — never a rescan,
+    * never a distinct-value-sized shuffle). The k-min fold is
+    * idempotent/commutative/associative, so the served distinct-count
+    * dashboard after the last drop is bit-identical to a sketch built
+    * over the whole corpus — the batch oracle replays it value-exactly
+    * (the sketch is approximate about the WORLD, but deterministic
+    * about the DATA).
+    */
+  def replayKmvDrops(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{SketchStore, Tables}
+    val docs = Tables.documents(spark, dir)
+    val staged = kmvStaged.computeIfAbsent(dir, _ => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_kmv")
+      (0 to 2).foreach { i =>
+        stageFile(docs.filter(col("doc_id") % 3 === i), stage,
+          "drops/drop_", i)
+      }
+      stage.toString
+    })
+    val storePath = java.nio.file.Files
+      .createTempDirectory("graft_kmv_store").toString + "/kmv"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storePath))
+    val chk = java.nio.file.Files.createTempDirectory("graft_kmv_chk").toString
+    val schema = spark.read.parquet(s"$staged/drops/drop_0.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/drops")
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(partsKey)
+    spark.conf.set(partsKey, "8")
+    try {
+      val q = src.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          val b = batch.toDF().persist()
+          try {
+            val marker = java.nio.file.Paths.get(s"$storePath/_drop_$id")
+            if (!java.nio.file.Files.exists(marker)) {
+              SketchStore.append(b, storePath)
+              java.nio.file.Files.createFile(marker)
+              ()
+            }
+          } finally { b.unpersist(); () }
+      }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(partsKey, v)
+      case None => spark.conf.unset(partsKey)
+    }
+    SketchStore.served(spark, storePath)
+  }
+
   private val clfStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
