@@ -654,6 +654,21 @@ object SparkEntry {
       .orderBy(col("lang"))
   }
 
+  // DATASHEET MONITORING, the act face: the drifted drop thinned back
+  // toward the stored reference mix (downsample-only, content-hash
+  // kept) — overrepresented langs lose docs, underrepresented keep all
+  private def qMixtureRebalance(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val drop = docs.filter(col("doc_id") % 5 === 0)
+    val path = graft.sources.MixtureStore.defaultPath(dir, "roll")
+    graft.sources.MixtureStore.ensureRolled(base, drop, path)
+    CorpusStats.mixtureRebalance(
+      graft.sources.MixtureStore.slices(s, path),
+      docs.filter(col("doc_id") % 9 === 0))
+      .orderBy(col("doc_id"))
+  }
+
   // DATASHEET LIFECYCLE, retraction: a takedown slice leaves as
   // NEGATED counts; the served datasheet must equal the batch mixture
   // over the survivors exactly — every count and share visibly moves
@@ -1958,6 +1973,7 @@ object SparkEntry {
     "text_mixture_incremental" -> (qMixtureIncremental _),
     "text_mixture_delete" -> (qMixtureDelete _),
     "text_mixture_drift" -> (qMixtureDrift _),
+    "text_mixture_rebalance" -> (qMixtureRebalance _),
     "stream_mixture_update" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamReplay.replayMixtureDrops(s, dir)
         .orderBy(col("lang"), col("source"))),
@@ -3732,6 +3748,28 @@ object SparkEntry {
         |FROM ref r CROSS JOIN tot t CROSS JOIN ctot ct
         |LEFT JOIN cur c ON r.lang = c.lang
         |ORDER BY r.lang""".stripMargin,
+    // rebalance act: keep rate min(1, share_ref/share_cur) per lang
+    // (exact-integer-count shares), kept iff md5_32(text) clears the
+    // rate cut — the mixtureSample hash law, integer-exact
+    "text_mixture_rebalance" ->
+      """WITH ref AS (
+        |  SELECT lang, count(*)::BIGINT AS nd FROM documents GROUP BY lang),
+        | cur AS (
+        |  SELECT lang, count(*)::BIGINT AS nc FROM documents
+        |  WHERE doc_id % 9 = 0 GROUP BY lang),
+        | rates AS (
+        |  SELECT c.lang,
+        |   round(least(1.0,
+        |     coalesce(r.nd::DOUBLE / (SELECT sum(nd)::BIGINT FROM ref), 0.0)
+        |     / (c.nc::DOUBLE / (SELECT sum(nc)::BIGINT FROM cur))), 6)
+        |     AS keep_rate
+        |  FROM cur c LEFT JOIN ref r ON c.lang IS NOT DISTINCT FROM r.lang)
+        |SELECT d.doc_id, d.lang, rt.keep_rate
+        |FROM documents d JOIN rates rt ON d.lang IS NOT DISTINCT FROM rt.lang
+        |WHERE d.doc_id % 9 = 0
+        |  AND ('0x'||substr(md5(d.text),1,8))::BIGINT
+        |      < floor(rt.keep_rate * 4294967296.0)::BIGINT
+        |ORDER BY d.doc_id""".stripMargin,
     "text_pack" ->
       """WITH sized AS (
         |  SELECT doc_id, len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens

@@ -454,6 +454,48 @@ object CorpusStats {
       .withColumn("drifted", col("abs_shift") > threshold)
   }
 
+  /** Mixture REBALANCE — the ACT half of [[mixtureDrift]] (the way
+    * `knn_ivf_retrain` acts on recall drift and `text_bpe_retrain` on
+    * compression drift): thin the CURRENT drop back toward the
+    * REFERENCE language mix served from the persisted count store.
+    * Per language the keep rate is `min(1, share_ref / share_cur)` —
+    * downsample-only normalization (overrepresented languages thin,
+    * underrepresented ones keep everything; upsampling would replicate
+    * rows, a policy decision left upstream), and a language ABSENT
+    * from the reference keeps nothing (rate 0 — it is not in the mix).
+    * Kept-vs-dropped is the content-hash law [[mixtureSample]] uses:
+    * `md5_32(text) < floor(rate · 2³²)` — deterministic, replayable,
+    * and stable under re-runs (the same doc always makes the same
+    * cut). Rates divide exact integer counts, so both engines compare
+    * bit-identical doubles; the hash cut is integer-exact.
+    *
+    * Scale shape: two langs-bounded count aggregates, a broadcast
+    * rate join, one filter — a single data-sized pass over the drop.
+    */
+  def mixtureRebalance(refSlices: DataFrame, current: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      langCol: String = "lang"): DataFrame = {
+    val ref = refSlices.groupBy(col(langCol)).agg(sum(col("n_docs")).as("nd"))
+    val tot = ref.agg(sum(col("nd")).cast("long").as("td"))
+    val refSh = ref.crossJoin(broadcast(tot))
+      .select(col(langCol).as("r_lang"),
+        (col("nd").cast("double") / col("td")).as("share_ref"))
+    val cur = current.groupBy(col(langCol)).agg(count(lit(1)).as("nc"))
+    val ctot = cur.agg(sum(col("nc")).cast("long").as("tc"))
+    val curSh = cur.crossJoin(broadcast(ctot))
+      .select(col(langCol).as("c_lang"),
+        (col("nc").cast("double") / col("tc")).as("share_cur"))
+    val rates = curSh.join(refSh, col("c_lang") <=> col("r_lang"), "left")
+      .select(col("c_lang"),
+        round(least(lit(1.0),
+          coalesce(col("share_ref"), lit(0.0)) / col("share_cur")), 6)
+          .as("keep_rate"))
+    current.join(broadcast(rates), col(langCol) <=> col("c_lang"))
+      .filter(contentHash32(col(textCol)) <
+        floor(col("keep_rate") * lit(4294967296.0)))
+      .select(col(idCol), col(langCol), col("keep_rate"))
+  }
+
   /** Token-stream packing manifest: concatenate the corpus in doc-id
     * order and cut it into fixed-capacity context windows — the
     * GPT-style pre-training packing layout. Emits, per document, its

@@ -330,6 +330,49 @@ class CorpusStatsSpec extends SparkSpecBase {
     }
   }
 
+  test("mixtureRebalance: underrepresented keeps all, absent-from-ref drops all") {
+    // reference: 3 en / 1 de; drop: 1 en / 2 de / 1 fr (fr not in ref)
+    val ref = CorpusStats.sliceCounts(mixDocs(Seq(
+      (1L, "a", "en", "web"), (2L, "b", "en", "web"),
+      (3L, "c", "en", "web"), (4L, "d", "de", "web"))))
+    val drop = mixDocs(Seq(
+      (5L, "e", "en", "web"), (6L, "f", "de", "web"),
+      (7L, "g", "de", "web"), (8L, "h", "fr", "web")))
+    val out = CorpusStats.mixtureRebalance(ref, drop)
+      .orderBy("doc_id").collect()
+    // en: share_ref .75 vs share_cur .25 → rate 1, doc 5 kept
+    val en = out.filter(_.getString(1) == "en")
+    assert(en.map(_.getLong(0)).toSeq == Seq(5L) &&
+      en.head.getDouble(2) == 1.0)
+    // fr: absent from the reference → rate 0, dropped entirely
+    assert(!out.exists(_.getString(1) == "fr"))
+    // de: share_ref .25 vs share_cur .5 → rate 0.5 on any kept row
+    out.filter(_.getString(1) == "de")
+      .foreach(r => assert(r.getDouble(2) == 0.5))
+  }
+
+  test("mixtureRebalance: the gate drop thins without emptying") {
+    val corpus = graft.sources.Tables.documents(spark, sfDir)
+    val ref = CorpusStats.sliceCounts(corpus)
+    val drop = corpus.filter(col("doc_id") % 9 === 0)
+    val out = CorpusStats.mixtureRebalance(ref, drop)
+    val kept = out.count()
+    assert(kept > 0L && kept < drop.count(),
+      s"rebalance must thin the drop, kept $kept")
+    // every thinned language had keep_rate < 1; rate-1 langs keep all
+    val counts = drop.groupBy("lang").count()
+      .withColumnRenamed("count", "n_in")
+      .join(out.groupBy("lang")
+        .agg(count(lit(1)).as("n_out"), first(col("keep_rate")).as("kr")),
+        Seq("lang"))
+      .collect()
+    counts.foreach { r =>
+      if (r.getDouble(3) == 1.0)
+        assert(r.getLong(1) == r.getLong(2), r)
+      else assert(r.getLong(2) <= r.getLong(1), r)
+    }
+  }
+
   test("mixtureDrift: the gate slice bites both ways at threshold 0.02") {
     val corpus = graft.sources.Tables.documents(spark, sfDir)
     val ref = CorpusStats.sliceCounts(corpus)
