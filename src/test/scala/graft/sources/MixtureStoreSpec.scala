@@ -102,6 +102,16 @@ class MixtureStoreSpec extends SparkSpecBase {
     assert(served(path) != honest)
   }
 
+  test("the serve path reads only the store — the corpus is never rescanned") {
+    val corpus = Tables.documents(spark, sfDir)
+    val path = freshPath("serveplan")
+    MixtureStore.build(corpus, path)
+    val plan = MixtureStore.served(spark, path)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"serve plan rescans the corpus:\n$plan")
+  }
+
   test("gate slices: store over the sf corpus equals the fresh datasheet") {
     val corpus = Tables.documents(spark, sfDir)
     val path = freshPath("sf")

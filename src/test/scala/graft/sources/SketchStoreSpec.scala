@@ -84,6 +84,16 @@ class SketchStoreSpec extends SparkSpecBase {
     assert(layers.count() == layers.select("lang").distinct().count())
   }
 
+  test("the serve path reads only the store — the corpus is never rescanned") {
+    val corpus = Tables.documents(spark, sfDir)
+    val path = freshPath("serveplan")
+    SketchStore.build(corpus, path)
+    val plan = SketchStore.served(spark, path)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"serve plan rescans the corpus:\n$plan")
+  }
+
   test("tamper: a forged layer changes the served estimate") {
     import org.apache.spark.sql.functions._
     val corpus = Tables.documents(spark, sfDir)
