@@ -2906,28 +2906,12 @@ object SparkEntry {
     // replay as a row_number cut over distinct hashes; the estimator
     // (k-1)·2^32/h_(k) is exact-integer-fed double arithmetic, so the
     // approximate sketch is still HASH-exact across engines.
-    "text_distinct_sketch" ->
-      """WITH b AS (
-        |  SELECT lang, ('0x'||substr(md5(text),1,8))::BIGINT AS h
-        |  FROM documents WHERE text IS NOT NULL),
-        | st AS (SELECT lang, count(*)::BIGINT AS n_rows FROM b GROUP BY lang),
-        | d AS (SELECT DISTINCT lang, h FROM b),
-        | r AS (SELECT lang, h,
-        |   row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM d),
-        | agg AS (SELECT lang, count(*)::BIGINT AS nd,
-        |   count(*) FILTER (rn <= 64)::BIGINT AS n_kept,
-        |   max(h) FILTER (rn <= 64) AS kth_hash FROM r GROUP BY lang)
-        |SELECT st.lang, st.n_rows, agg.n_kept, agg.kth_hash,
-        |  round(CASE WHEN agg.nd < 64 THEN agg.nd::DOUBLE
-        |        WHEN agg.kth_hash = 0 THEN agg.n_kept::DOUBLE
-        |        ELSE 63 * 4294967296.0 / agg.kth_hash END, 4) AS est_distinct,
-        |  agg.nd AS n_distinct_exact
-        |FROM st JOIN agg USING (lang) ORDER BY lang""".stripMargin,
+    "text_distinct_sketch" -> kmvOracleSql(withExact = true),
     // the served sketch store (rolled or streamed): k-min-of-union ==
     // whole-corpus sketch, replayed value-exactly (no exact column —
     // a served sketch cannot answer it, that is what the sketch is for)
-    "text_distinct_incremental" -> kmvServedOracleSql,
-    "stream_kmv_update" -> kmvServedOracleSql,
+    "text_distinct_incremental" -> kmvOracleSql(withExact = false),
+    "stream_kmv_update" -> kmvOracleSql(withExact = false),
     "text_term_freq" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents
@@ -3738,16 +3722,17 @@ object SparkEntry {
         | cur AS (
         |  SELECT lang, count(*)::BIGINT AS nc FROM documents
         |  WHERE doc_id % 9 = 0 GROUP BY lang),
-        | ctot AS (SELECT sum(nc)::BIGINT AS tc FROM cur)
-        |SELECT r.lang, r.nd::DOUBLE / t.td AS share_ref,
-        | coalesce(c.nc::DOUBLE / ct.tc, 0.0) AS share_cur,
-        | round(abs(coalesce(c.nc::DOUBLE / ct.tc, 0.0)
-        |   - r.nd::DOUBLE / t.td), 6) AS abs_shift,
-        | round(abs(coalesce(c.nc::DOUBLE / ct.tc, 0.0)
-        |   - r.nd::DOUBLE / t.td), 6) > 0.02 AS drifted
-        |FROM ref r CROSS JOIN tot t CROSS JOIN ctot ct
-        |LEFT JOIN cur c ON r.lang = c.lang
-        |ORDER BY r.lang""".stripMargin,
+        | ctot AS (SELECT sum(nc)::BIGINT AS tc FROM cur),
+        | j AS (
+        |  SELECT coalesce(r.lang, c.lang) AS lang,
+        |   coalesce(r.nd::DOUBLE / t.td, 0.0) AS share_ref,
+        |   coalesce(c.nc::DOUBLE / ct.tc, 0.0) AS share_cur
+        |  FROM ref r FULL JOIN cur c ON r.lang IS NOT DISTINCT FROM c.lang
+        |  CROSS JOIN tot t CROSS JOIN ctot ct)
+        |SELECT lang, share_ref, share_cur,
+        | round(abs(share_cur - share_ref), 6) AS abs_shift,
+        | round(abs(share_cur - share_ref), 6) > 0.02 AS drifted
+        |FROM j ORDER BY lang""".stripMargin,
     // rebalance act: keep rate min(1, share_ref/share_cur) per lang
     // (exact-integer-count shares), kept iff md5_32(text) clears the
     // rate cut — the mixtureSample hash law, integer-exact
@@ -4551,10 +4536,12 @@ object SparkEntry {
         |  FROM e GROUP BY i),
         | cur AS (SELECT i, round(sum(v) / count(*), 6) AS mean_cur
         |  FROM e WHERE label = 3 GROUP BY i)
-        |SELECT (i - 1)::INTEGER AS dim_idx, mean_ref, mean_cur,
+        |SELECT (ref.i - 1)::INTEGER AS dim_idx, mean_ref, mean_cur,
         | round(abs(mean_cur - mean_ref), 6) AS abs_shift,
-        | round(abs(mean_cur - mean_ref), 6) > 0.01 AS drifted
-        |FROM ref JOIN cur USING (i) ORDER BY dim_idx""".stripMargin,
+        | CASE WHEN mean_cur IS NULL THEN true
+        |  ELSE round(abs(mean_cur - mean_ref), 6) > 0.01 END AS drifted
+        |FROM ref LEFT JOIN cur ON ref.i = cur.i
+        |ORDER BY dim_idx""".stripMargin,
     // mm_phash: all-pairs ground truth — the banded Spark path must
     // land on it exactly (pigeonhole lossless at Hamming <= 3). The
     // corpus is ASCII, so char positions/codes equal byte
@@ -5221,26 +5208,31 @@ object SparkEntry {
     * and projection. The rolled store must land on the union's moment
     * law, the retracted store on the survivors'.
     */
-  /** The served-KMV replay: the batch sketch law over the whole corpus
-    * (the store's fold is bit-identical to it), minus the exact-count
-    * column a served sketch cannot answer.
+  /** The KMV sketch replay, parameterized: the batch query emits the
+    * exact-distinct eval column alongside the sketch; the served-store
+    * gates (rolled, streamed — the store's fold is bit-identical to a
+    * whole-corpus sketch) omit it, because a served sketch cannot
+    * answer it. One CTE chain, so the hash law and the estimator
+    * formula live in exactly one place.
     */
-  private lazy val kmvServedOracleSql: String =
-    """WITH b AS (
-      |  SELECT lang, ('0x'||substr(md5(text),1,8))::BIGINT AS h
-      |  FROM documents WHERE text IS NOT NULL),
-      | st AS (SELECT lang, count(*)::BIGINT AS n_rows FROM b GROUP BY lang),
-      | d AS (SELECT DISTINCT lang, h FROM b),
-      | r AS (SELECT lang, h,
-      |   row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM d),
-      | agg AS (SELECT lang, count(*)::BIGINT AS nd,
-      |   count(*) FILTER (rn <= 64)::BIGINT AS n_kept,
-      |   max(h) FILTER (rn <= 64) AS kth_hash FROM r GROUP BY lang)
-      |SELECT st.lang, st.n_rows, agg.n_kept, agg.kth_hash,
-      |  round(CASE WHEN agg.nd < 64 THEN agg.nd::DOUBLE
-      |        WHEN agg.kth_hash = 0 THEN agg.n_kept::DOUBLE
-      |        ELSE 63 * 4294967296.0 / agg.kth_hash END, 4) AS est_distinct
-      |FROM st JOIN agg USING (lang) ORDER BY lang""".stripMargin
+  private def kmvOracleSql(withExact: Boolean): String = {
+    val exactCol = if (withExact) ",\n  agg.nd AS n_distinct_exact" else ""
+    s"""WITH b AS (
+       |  SELECT lang, ('0x'||substr(md5(text),1,8))::BIGINT AS h
+       |  FROM documents WHERE text IS NOT NULL),
+       | st AS (SELECT lang, count(*)::BIGINT AS n_rows FROM b GROUP BY lang),
+       | d AS (SELECT DISTINCT lang, h FROM b),
+       | r AS (SELECT lang, h,
+       |   row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM d),
+       | agg AS (SELECT lang, count(*)::BIGINT AS nd,
+       |   count(*) FILTER (rn <= 64)::BIGINT AS n_kept,
+       |   max(h) FILTER (rn <= 64) AS kth_hash FROM r GROUP BY lang)
+       |SELECT st.lang, st.n_rows, agg.n_kept, agg.kth_hash,
+       |  round(CASE WHEN agg.nd < 64 THEN agg.nd::DOUBLE
+       |        WHEN agg.kth_hash = 0 THEN agg.n_kept::DOUBLE
+       |        ELSE 63 * 4294967296.0 / agg.kth_hash END, 4) AS est_distinct$exactCol
+       |FROM st JOIN agg USING (lang) ORDER BY lang""".stripMargin
+  }
 
   /** The mixture-datasheet replay, parameterized by the survivor
     * predicate so the plain query, the rolled/streamed stores (full

@@ -444,10 +444,17 @@ object CorpusStats {
     val curSh = cur.crossJoin(broadcast(ctot))
       .select(col(langCol),
         (col("nc").cast("double") / col("tc")).as("share_cur"))
-    // left join: a language absent from the drop reads as share 0 —
-    // the "your drop lost a language" alarm, the loudest drift of all
-    refSh.join(curSh, Seq(langCol), "left")
-      .select(col(langCol), col("share_ref"),
+    // FULL outer join (null-safe on the key, like every lang join
+    // here): a language absent from the drop reads share_cur 0 (the
+    // "your drop lost a language" alarm) AND a language absent from
+    // the reference reads share_ref 0 (the "novel language arrived"
+    // alarm) — both directions of the loudest drift must surface as
+    // rows, never vanish from the dashboard
+    refSh.withColumnRenamed(langCol, "r_lang")
+      .join(curSh.withColumnRenamed(langCol, "c_lang"),
+        col("r_lang") <=> col("c_lang"), "full")
+      .select(coalesce(col("r_lang"), col("c_lang")).as(langCol),
+        coalesce(col("share_ref"), lit(0.0)).as("share_ref"),
         coalesce(col("share_cur"), lit(0.0)).as("share_cur"))
       .withColumn("abs_shift",
         round(abs(col("share_cur") - col("share_ref")), 6))

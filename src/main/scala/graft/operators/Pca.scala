@@ -191,6 +191,12 @@ object Pca {
     * output rows; the only data-sized work is the drop's one mean
     * aggregate — the reference corpus is never rescanned (that is the
     * point of storing the moments).
+    *
+    * A monitor must FAIL CLOSED: if the monitored slice is empty (no
+    * rows, or every embedding NULL), there is no current mean — every
+    * dimension row still emits, with `mean_cur`/`abs_shift` NULL and
+    * `drifted = true` (no data is the loudest drift of all), instead
+    * of silently returning an empty dashboard.
     */
   def driftAgainstMoments(current: DataFrame, refN: Long,
       refS: Array[Double], threshold: Double = 0.05,
@@ -208,10 +214,12 @@ object Pca {
         .as(Seq("dim_idx", "v")))
       .groupBy(col("dim_idx"))
       .agg(round(sum(col("v")) / count(lit(1)), 6).as("mean_cur"))
-    ref.join(cur, Seq("dim_idx"))
+    ref.join(cur, Seq("dim_idx"), "left")
       .select(col("dim_idx"), col("mean_ref"), col("mean_cur"),
         round(abs(col("mean_cur") - col("mean_ref")), 6).as("abs_shift"))
-      .withColumn("drifted", col("abs_shift") > threshold)
+      .withColumn("drifted",
+        when(col("mean_cur").isNull, lit(true))
+          .otherwise(col("abs_shift") > threshold))
   }
 
   /** Top-TWO principal components via Hotelling deflation — the

@@ -403,13 +403,18 @@ object Similarity {
     * threshold, flag), not just the survivors — the action is one
     * filter on `is_outlier`.
     *
-    * Scale shape: two corpus scans and nothing else data-sized — the
-    * centroid pass is a (labels × d)-bounded aggregate (map-side
-    * combined, broadcast back as k rows), the distance pass computes
-    * each row's fold in array order (oracle-identical FP sequence),
-    * and the per-label moment stats are a labels-bounded aggregate
-    * broadcast back. No window over the corpus, no shuffle beyond the
-    * two bounded aggregates.
+    * Scale shape: THREE corpus scans and nothing else data-sized —
+    * the centroid pass is a (labels × d)-bounded aggregate (map-side
+    * combined, broadcast back as k rows); the distance fold (each
+    * row's zip_with fold in array order — the oracle replays the
+    * identical FP sequence) then runs twice, once under the
+    * labels-bounded moment-stats aggregate and once in the output
+    * pass, because the `dist2` frame is deliberately NOT cached: a
+    * corpus-sized persist would pin executor memory and (in this
+    * engine's shared session) register a globally-substitutable plan
+    * fragment, and the fold is cheap arithmetic per row — recompute
+    * beats cache for it. No window over the corpus, no shuffle beyond
+    * the bounded aggregates.
     *
     * Determinism: centroid cells and distances round to 6 dp; the
     * threshold `mean + sigmas·sqrt(max(E[d²²]−mean², 0))` rounds to

@@ -106,23 +106,16 @@ object GramStore {
     (n, s, ss)
   }
 
-  /** Fold the delta layers into one row via the checked rename-swap. */
+  /** Fold the delta layers into one row via the shared checked
+    * rename-swap ([[SwapRecovery.compactSwap]]).
+    */
   def compact(spark: SparkSession, path: String): Unit =
     IndexLease.withLease(spark, path, "gram-compact") {
-      SwapRecovery.recover(spark, path, "moments")
-      val (n, s, ss) = moments(spark, path)
-      import spark.implicits._
-      Seq((n, s.toSeq, ss.toSeq)).toDF("n", "s", "ss")
-        .write.mode(SaveMode.Overwrite).parquet(s"$path/moments_compacted")
-      val fs = SwapRecovery.fsOf(spark, path)
-      SwapRecovery.renameOrThrow(fs,
-        new org.apache.hadoop.fs.Path(s"$path/moments"),
-        new org.apache.hadoop.fs.Path(s"$path/moments_old"))
-      SwapRecovery.renameOrThrow(fs,
-        new org.apache.hadoop.fs.Path(s"$path/moments_compacted"),
-        new org.apache.hadoop.fs.Path(s"$path/moments"))
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/moments_old"), true)
-      ()
+      SwapRecovery.compactSwap(spark, path, "moments") {
+        val (n, s, ss) = moments(spark, path)
+        import spark.implicits._
+        Seq((n, s.toSeq, ss.toSeq)).toDF("n", "s", "ss")
+      }
     }
 
   /** Memoized build-then-append lifecycle for the rollover gate. */

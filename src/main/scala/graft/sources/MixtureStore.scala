@@ -89,20 +89,9 @@ object MixtureStore {
     */
   def compact(spark: SparkSession, path: String): Unit =
     IndexLease.withLease(spark, path, "mixture-compact") {
-      SwapRecovery.recover(spark, path, "slices")
       // keep zero-count slices out of the compacted layer too — byte
       // parity with a store that never saw the retraction
-      slices(spark, path)
-        .write.mode(SaveMode.Overwrite).parquet(s"$path/slices_compacted")
-      val fs = SwapRecovery.fsOf(spark, path)
-      SwapRecovery.renameOrThrow(fs,
-        new org.apache.hadoop.fs.Path(s"$path/slices"),
-        new org.apache.hadoop.fs.Path(s"$path/slices_old"))
-      SwapRecovery.renameOrThrow(fs,
-        new org.apache.hadoop.fs.Path(s"$path/slices_compacted"),
-        new org.apache.hadoop.fs.Path(s"$path/slices"))
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/slices_old"), true)
-      ()
+      SwapRecovery.compactSwap(spark, path, "slices")(slices(spark, path))
     }
 
   /** Memoized build-then-append lifecycle for the rollover gate. */

@@ -122,28 +122,13 @@ object NbModelStore {
     */
   def compact(spark: SparkSession, path: String): Unit =
     IndexLease.withLease(spark, path, "nbmodel-compact") {
-      val fs = SwapRecovery.fsOf(spark, path)
-      for (layer <- Seq("counts", "doccounts")) {
-        SwapRecovery.recover(spark, path, layer)
-        val folded =
-          if (layer == "counts")
-            // keep zero-total rows out of the compacted layer too —
-            // byte-parity with a store that never saw the retraction
-            counts(spark, path)
-          else
-            spark.read.parquet(s"$path/doccounts")
-              .agg(sum(col("n_pos")).as("n_pos"),
-                sum(col("n_neg")).as("n_neg"))
-        folded.write.mode(SaveMode.Overwrite)
-          .parquet(s"$path/${layer}_compacted")
-        SwapRecovery.renameOrThrow(fs,
-          new org.apache.hadoop.fs.Path(s"$path/$layer"),
-          new org.apache.hadoop.fs.Path(s"$path/${layer}_old"))
-        SwapRecovery.renameOrThrow(fs,
-          new org.apache.hadoop.fs.Path(s"$path/${layer}_compacted"),
-          new org.apache.hadoop.fs.Path(s"$path/$layer"))
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/${layer}_old"), true)
-      }
+      // keep zero-total rows out of the compacted counts layer too —
+      // byte-parity with a store that never saw the retraction
+      SwapRecovery.compactSwap(spark, path, "counts")(counts(spark, path))
+      SwapRecovery.compactSwap(spark, path, "doccounts")(
+        spark.read.parquet(s"$path/doccounts")
+          .agg(sum(col("n_pos")).as("n_pos"),
+            sum(col("n_neg")).as("n_neg")))
     }
 
   /** Memoized build-then-append lifecycle for the rollover gate. */

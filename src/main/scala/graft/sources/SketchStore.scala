@@ -122,19 +122,9 @@ object SketchStore {
     */
   def compact(spark: SparkSession, path: String, k: Int = 64): Unit =
     IndexLease.withLease(spark, path, "kmv-compact") {
-      SwapRecovery.recover(spark, path, "sketch")
-      folded(spark, path, k)
-        .select(col("lang"), col("n_rows"), col("hs"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$path/sketch_compacted")
-      val fs = SwapRecovery.fsOf(spark, path)
-      SwapRecovery.renameOrThrow(fs,
-        new org.apache.hadoop.fs.Path(s"$path/sketch"),
-        new org.apache.hadoop.fs.Path(s"$path/sketch_old"))
-      SwapRecovery.renameOrThrow(fs,
-        new org.apache.hadoop.fs.Path(s"$path/sketch_compacted"),
-        new org.apache.hadoop.fs.Path(s"$path/sketch"))
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/sketch_old"), true)
-      ()
+      SwapRecovery.compactSwap(spark, path, "sketch")(
+        folded(spark, path, k)
+          .select(col("lang"), col("n_rows"), col("hs")))
     }
 
   /** Memoized build-then-append lifecycle for the rollover gate. */

@@ -83,4 +83,27 @@ object SwapRecovery {
 
   private[sources] def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The checked compact swap every SINGLE-LAYER store shares
+    * ([[GramStore]], [[MixtureStore]], [[SketchStore]], and each of
+    * [[NbModelStore]]'s two layers): repair any stranded layout, write
+    * the caller's folded frame to `<layer>_compacted`, rename the live
+    * layer aside, promote staging, drop the old bytes. `folded` is
+    * by-name so it reads the PRE-swap layer; every rename is CHECKED
+    * (a failure aborts before anything destructive). Callers hold the
+    * store's [[IndexLease]] — this helper does not take it.
+    */
+  private[sources] def compactSwap(spark: SparkSession, path: String,
+      layer: String)(folded: => org.apache.spark.sql.DataFrame): Unit = {
+    recover(spark, path, layer)
+    folded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$path/${layer}_compacted")
+    val fs = fsOf(spark, path)
+    renameOrThrow(fs, new Path(s"$path/$layer"),
+      new Path(s"$path/${layer}_old"))
+    renameOrThrow(fs, new Path(s"$path/${layer}_compacted"),
+      new Path(s"$path/$layer"))
+    fs.delete(new Path(s"$path/${layer}_old"), true)
+    ()
+  }
 }

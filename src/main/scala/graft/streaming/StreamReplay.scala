@@ -617,194 +617,133 @@ object StreamReplay {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
   }
 
-  private val pcaStaged =
+  private val storeDropStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Shared scaffold for the streamed STORE-MAINTENANCE twins
+    * ([[replayPcaDrops]], [[replayMixtureDrops]], [[replayKmvDrops]]):
+    * the source table split into three drops staged as mtime-ordered
+    * files, replayed one file per trigger; each micro-batch folds ONLY
+    * ITSELF into a per-run store via `append` under a batch-id marker
+    * guard, and `serve` reads the folded state once at the end —
+    * exactly the production topology (state stays continuously
+    * current; the expensive read runs on demand).
+    *
+    * Delivery contract, stated honestly: the store append and the
+    * marker creation are TWO filesystem steps, so a crash between them
+    * would replay the batch on restart — at-least-once for that
+    * window, the same residue as every marker-guarded fold in this
+    * file ([[replayClfDrops]], the index folds). The AvailableNow gate
+    * replays never hit the window (no crash is injected mid-batch);
+    * a production deployment keys each layer by batch id so a replay
+    * OVERWRITES instead of double-appending. Idempotent-state stores
+    * (the k-min sketch's hash set) shrink the damage but do not
+    * eliminate it — additive columns (row counts, moments) double.
+    */
+  private def replayStoreDrops(spark: SparkSession, dir: String,
+      tag: String, table: DataFrame, splitCol: String,
+      append: (DataFrame, String) => Unit,
+      serve: String => DataFrame): DataFrame = {
+    val staged = storeDropStaged.computeIfAbsent(s"$tag:$dir", _ => {
+      val stage = java.nio.file.Files.createTempDirectory(s"graft_$tag")
+      (0 to 2).foreach { i =>
+        stageFile(table.filter(col(splitCol) % 3 === i), stage,
+          "drops/drop_", i)
+      }
+      stage.toString
+    })
+    val storePath = java.nio.file.Files
+      .createTempDirectory(s"graft_${tag}_store").toString + "/store"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(storePath))
+    val chk = java.nio.file.Files
+      .createTempDirectory(s"graft_${tag}_chk").toString
+    val schema = spark.read.parquet(s"$staged/drops/drop_0.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/drops")
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(partsKey)
+    spark.conf.set(partsKey, "8")
+    try {
+      val q = src.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          val b = batch.toDF().persist()
+          try {
+            val marker = java.nio.file.Paths.get(s"$storePath/_drop_$id")
+            if (!java.nio.file.Files.exists(marker)) {
+              append(b, storePath)
+              java.nio.file.Files.createFile(marker)
+              ()
+            }
+          } finally { b.unpersist(); () }
+      }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(partsKey, v)
+      case None => spark.conf.unset(partsKey)
+    }
+    serve(storePath)
+  }
+
   /** STREAMING PCA maintenance — the moment-store twin of
-    * [[replayClfDrops]]: embedding drops arrive as a file stream and
-    * each micro-batch folds its raw `(n, Σx, Σxxᵀ)` moments into the
-    * persisted [[graft.sources.GramStore]] (batch-id-marker-guarded
-    * append — an O(d²) write per drop, the corpus is never rescanned).
-    * Abelian moments make the fold drop-order-free, so the component
-    * served after the last drop must match the batch moment-law oracle
-    * over the whole corpus. The serve-side scoring scan reads the full
-    * table once at the end — exactly the production topology: moments
-    * stay continuously current while the expensive projection runs on
-    * demand.
+    * [[replayClfDrops]]: embedding drops fold their raw
+    * `(n, Σx, Σxxᵀ)` moments into the persisted
+    * [[graft.sources.GramStore]] (an O(d²) write per drop, the corpus
+    * is never rescanned). Abelian moments make the fold
+    * drop-order-free, so the component served after the last drop must
+    * match the batch moment-law oracle over the whole corpus. The
+    * serve-side scoring scan reads the full table once at the end.
     */
   def replayPcaDrops(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.{GramStore, Tables}
     val emb = Tables.embeddings(spark, dir)
-    val staged = pcaStaged.computeIfAbsent(dir, _ => {
-      val stage = java.nio.file.Files.createTempDirectory("graft_pca")
-      (0 to 2).foreach { i =>
-        stageFile(emb.filter(col("vec_id") % 3 === i), stage,
-          "drops/drop_", i)
-      }
-      stage.toString
-    })
-    val storePath = java.nio.file.Files
-      .createTempDirectory("graft_pca_store").toString + "/gram"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storePath))
-    val chk = java.nio.file.Files.createTempDirectory("graft_pca_chk").toString
-    val schema = spark.read.parquet(s"$staged/drops/drop_0.parquet").schema
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$staged/drops")
-    val partsKey = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.getOption(partsKey)
-    spark.conf.set(partsKey, "8")
-    try {
-      val q = src.writeStream.foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-            id: Long) =>
-          val b = batch.toDF().persist()
-          try {
-            val marker = java.nio.file.Paths.get(s"$storePath/_drop_$id")
-            if (!java.nio.file.Files.exists(marker)) {
-              GramStore.append(b, storePath)
-              java.nio.file.Files.createFile(marker)
-              ()
-            }
-          } finally { b.unpersist(); () }
-      }
-        .option("checkpointLocation", chk)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally q.stop()
-    } finally prev match {
-      case Some(v) => spark.conf.set(partsKey, v)
-      case None => spark.conf.unset(partsKey)
-    }
-    val (n, s, ss) = GramStore.moments(spark, storePath)
-    graft.operators.Pca.fromMoments(emb, n, s, ss)
+    replayStoreDrops(spark, dir, "pca", emb, "vec_id",
+      GramStore.append(_, _),
+      p => {
+        val (n, s, ss) = GramStore.moments(spark, p)
+        graft.operators.Pca.fromMoments(emb, n, s, ss)
+      })
   }
 
-  private val mixtureStaged =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** STREAMING datasheet maintenance — the mixture-store twin of
-    * [[replayPcaDrops]]: doc drops arrive as a file stream and each
-    * micro-batch folds its per-(lang, source) count deltas into the
-    * persisted [[graft.sources.MixtureStore]] (batch-id-marker-guarded
-    * append — one pass over the drop, O(|slices|) bytes written, the
-    * corpus is never rescanned). Counts are an INTEGER abelian group,
-    * so the fold is drop-order-free and the datasheet served after the
-    * last drop is bit-identical to the batch [[CorpusStats.mixture]]
-    * oracle over the whole corpus — exactness, not a rounding-class
-    * match. Production topology: the data card stays continuously
-    * current; no training-mix decision ever waits on a corpus scan.
+    * [[replayPcaDrops]]: doc drops fold their per-(lang, source) count
+    * deltas into the persisted [[graft.sources.MixtureStore]] (one
+    * pass over the drop, O(|slices|) bytes written, the corpus is
+    * never rescanned). Counts are an INTEGER abelian group, so the
+    * fold is drop-order-free and the datasheet served after the last
+    * drop is bit-identical to the batch [[CorpusStats.mixture]] oracle
+    * over the whole corpus — exactness, not a rounding-class match.
     */
   def replayMixtureDrops(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.{MixtureStore, Tables}
-    val docs = Tables.documents(spark, dir)
-    val staged = mixtureStaged.computeIfAbsent(dir, _ => {
-      val stage = java.nio.file.Files.createTempDirectory("graft_mixture")
-      (0 to 2).foreach { i =>
-        stageFile(docs.filter(col("doc_id") % 3 === i), stage,
-          "drops/drop_", i)
-      }
-      stage.toString
-    })
-    val storePath = java.nio.file.Files
-      .createTempDirectory("graft_mixture_store").toString + "/mix"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storePath))
-    val chk = java.nio.file.Files.createTempDirectory("graft_mix_chk").toString
-    val schema = spark.read.parquet(s"$staged/drops/drop_0.parquet").schema
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$staged/drops")
-    val partsKey = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.getOption(partsKey)
-    spark.conf.set(partsKey, "8")
-    try {
-      val q = src.writeStream.foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-            id: Long) =>
-          val b = batch.toDF().persist()
-          try {
-            val marker = java.nio.file.Paths.get(s"$storePath/_drop_$id")
-            if (!java.nio.file.Files.exists(marker)) {
-              MixtureStore.append(b, storePath)
-              java.nio.file.Files.createFile(marker)
-              ()
-            }
-          } finally { b.unpersist(); () }
-      }
-        .option("checkpointLocation", chk)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally q.stop()
-    } finally prev match {
-      case Some(v) => spark.conf.set(partsKey, v)
-      case None => spark.conf.unset(partsKey)
-    }
-    MixtureStore.served(spark, storePath)
+    replayStoreDrops(spark, dir, "mixture",
+      Tables.documents(spark, dir), "doc_id",
+      MixtureStore.append(_, _),
+      MixtureStore.served(spark, _))
   }
 
-  private val kmvStaged =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** STREAMING sketch maintenance — the semilattice-store twin of
-    * [[replayMixtureDrops]]: doc drops arrive as a file stream and
-    * each micro-batch sketches ONLY ITSELF, appending its per-lang
-    * k-min layer to the persisted [[graft.sources.SketchStore]]
-    * (batch-id-marker-guarded, an O(langs × k) write — never a rescan,
-    * never a distinct-value-sized shuffle). The k-min fold is
-    * idempotent/commutative/associative, so the served distinct-count
-    * dashboard after the last drop is bit-identical to a sketch built
-    * over the whole corpus — the batch oracle replays it value-exactly
-    * (the sketch is approximate about the WORLD, but deterministic
-    * about the DATA).
+    * [[replayMixtureDrops]]: each doc drop sketches ONLY ITSELF and
+    * appends its per-lang k-min layer to the persisted
+    * [[graft.sources.SketchStore]] (an O(langs × k) write — never a
+    * rescan, never a distinct-value-sized shuffle). The k-min fold is
+    * idempotent/commutative/associative, so the served dashboard after
+    * the last drop is bit-identical to a sketch built over the whole
+    * corpus in one pass — the batch oracle replays it value-exactly
+    * (approximate about the WORLD, deterministic about the DATA).
     */
   def replayKmvDrops(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.{SketchStore, Tables}
-    val docs = Tables.documents(spark, dir)
-    val staged = kmvStaged.computeIfAbsent(dir, _ => {
-      val stage = java.nio.file.Files.createTempDirectory("graft_kmv")
-      (0 to 2).foreach { i =>
-        stageFile(docs.filter(col("doc_id") % 3 === i), stage,
-          "drops/drop_", i)
-      }
-      stage.toString
-    })
-    val storePath = java.nio.file.Files
-      .createTempDirectory("graft_kmv_store").toString + "/kmv"
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(storePath))
-    val chk = java.nio.file.Files.createTempDirectory("graft_kmv_chk").toString
-    val schema = spark.read.parquet(s"$staged/drops/drop_0.parquet").schema
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(s"$staged/drops")
-    val partsKey = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.getOption(partsKey)
-    spark.conf.set(partsKey, "8")
-    try {
-      val q = src.writeStream.foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-            id: Long) =>
-          val b = batch.toDF().persist()
-          try {
-            val marker = java.nio.file.Paths.get(s"$storePath/_drop_$id")
-            if (!java.nio.file.Files.exists(marker)) {
-              SketchStore.append(b, storePath)
-              java.nio.file.Files.createFile(marker)
-              ()
-            }
-          } finally { b.unpersist(); () }
-      }
-        .option("checkpointLocation", chk)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination()
-      finally q.stop()
-    } finally prev match {
-      case Some(v) => spark.conf.set(partsKey, v)
-      case None => spark.conf.unset(partsKey)
-    }
-    SketchStore.served(spark, storePath)
+    replayStoreDrops(spark, dir, "kmv",
+      Tables.documents(spark, dir), "doc_id",
+      SketchStore.append(_, _),
+      SketchStore.served(spark, _))
   }
 
   private val clfStaged =

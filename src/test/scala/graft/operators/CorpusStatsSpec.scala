@@ -330,6 +330,25 @@ class CorpusStatsSpec extends SparkSpecBase {
     }
   }
 
+  test("mixtureDrift: a NOVEL language in the drop surfaces and alarms") {
+    // reference is all-English; the drop is 40% German — a language
+    // the reference has never seen must appear as a row with
+    // share_ref 0, not silently vanish from the dashboard
+    val ref = CorpusStats.sliceCounts(mixDocs(Seq(
+      (1L, "a", "en", "web"), (2L, "b", "en", "web"),
+      (3L, "c", "en", "web"))))
+    val cur = mixDocs(Seq(
+      (4L, "d", "en", "web"), (5L, "e", "en", "web"),
+      (6L, "f", "en", "web"), (7L, "g", "de", "web"),
+      (8L, "h", "de", "web")))
+    val out = CorpusStats.mixtureDrift(ref, cur, threshold = 0.1)
+      .orderBy("lang").collect()
+    assert(out.length == 2)
+    val de = out(0)
+    assert(de.getString(0) == "de" && de.getDouble(1) == 0.0 &&
+      de.getDouble(2) == 0.4 && de.getBoolean(4))
+  }
+
   test("mixtureRebalance: underrepresented keeps all, absent-from-ref drops all") {
     // reference: 3 en / 1 de; drop: 1 en / 2 de / 1 fr (fr not in ref)
     val ref = CorpusStats.sliceCounts(mixDocs(Seq(

@@ -141,6 +141,19 @@ class PcaSpec extends SparkSpecBase {
     }
   }
 
+  test("driftAgainstMoments fails CLOSED: an empty slice alarms every dim") {
+    // the monitored slice vanished (filter matches nothing) — the
+    // dashboard must still emit every dimension, flagged, not return
+    // an empty frame that reads as "no drift"
+    val cur = emb(Seq((1L, Seq(1f, 2f), 0))).filter("vec_id < 0")
+    val out = Pca.driftAgainstMoments(cur, 4L, Array(0.0, 4.0))
+      .orderBy("dim_idx").collect()
+    assert(out.length === 2)
+    out.foreach { r =>
+      assert(r.isNullAt(2) && r.isNullAt(3) && r.getBoolean(4), r)
+    }
+  }
+
   test("driftAgainstMoments: the gate slice bites both ways at threshold 0.01") {
     val df = graft.sources.Tables.embeddings(spark, sfDir)
     val pts = df.filter(col("embedding").isNotNull)

@@ -33,9 +33,12 @@ class StreamKmvSpec extends SparkSpecBase {
       .orderBy("lang").collect().toSeq
     val b = StreamReplay.replayKmvDrops(spark, sfDir)
       .orderBy("lang").collect().toSeq
-    // per-run stores keep the runs independent; and even a doubled
-    // layer could not change a k-min fold (idempotent union) — both
-    // properties land on the same equality
+    // per-run stores keep the runs independent. (Idempotence caveat,
+    // scoped honestly: a doubled layer cannot change the k-min SKETCH
+    // state — union is idempotent — but the additive n_rows column
+    // WOULD double; the batch-id marker guards that, with the same
+    // two-step crash window every marker-guarded fold shares, see
+    // StreamReplay.replayStoreDrops.)
     assert(a == b)
   }
 }
