@@ -1977,6 +1977,9 @@ object SparkEntry {
     "stream_mixture_update" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamReplay.replayMixtureDrops(s, dir)
         .orderBy(col("lang"), col("source"))),
+    "stream_mixture_retract" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamReplay.replayMixtureRetractions(s, dir)
+        .orderBy(col("lang"), col("source"))),
     "text_pack" -> (qPack _),
     "text_pack_bpe" -> (qPackBpe _),
     "text_mixture_sample" -> (qMixtureSample _),
@@ -3710,8 +3713,11 @@ object SparkEntry {
     "text_mixture_incremental" -> mixtureOracleSql(""),
     "stream_mixture_update" -> mixtureOracleSql(""),
     // retraction: the store after the takedown must equal the batch
-    // datasheet over the SURVIVORS, bit-exactly (integer counts)
+    // datasheet over the SURVIVORS, bit-exactly (integer counts) —
+    // and the STREAMED takedown (negated folds per drop) lands on the
+    // identical survivor answer
     "text_mixture_delete" -> mixtureOracleSql("WHERE doc_id % 7 <> 3"),
+    "stream_mixture_retract" -> mixtureOracleSql("WHERE doc_id % 7 <> 3"),
     // drift dashboard: reference shares replayed from full-corpus
     // counts (the rolled store's content), current from the doc_id%9
     // drop; shares divide exact integers — bit-identical doubles

@@ -643,7 +643,8 @@ object StreamReplay {
   private def replayStoreDrops(spark: SparkSession, dir: String,
       tag: String, table: DataFrame, splitCol: String,
       append: (DataFrame, String) => Unit,
-      serve: String => DataFrame): DataFrame = {
+      serve: String => DataFrame,
+      prepare: String => Unit = _ => ()): DataFrame = {
     val staged = storeDropStaged.computeIfAbsent(s"$tag:$dir", _ => {
       val stage = java.nio.file.Files.createTempDirectory(s"graft_$tag")
       (0 to 2).foreach { i =>
@@ -656,6 +657,9 @@ object StreamReplay {
       .createTempDirectory(s"graft_${tag}_store").toString + "/store"
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(storePath))
+    // retraction replays fold takedown drops into a PRE-BUILT store;
+    // ingest replays start empty (the default no-op)
+    prepare(storePath)
     val chk = java.nio.file.Files
       .createTempDirectory(s"graft_${tag}_chk").toString
     val schema = spark.read.parquet(s"$staged/drops/drop_0.parquet").schema
@@ -744,6 +748,27 @@ object StreamReplay {
       Tables.documents(spark, dir), "doc_id",
       SketchStore.append(_, _),
       SketchStore.served(spark, _))
+  }
+
+  /** STREAMING datasheet RETRACTION — the takedown topology takedowns
+    * actually arrive in (right-to-be-forgotten feeds are streams, not
+    * batch jobs): the store is PRE-BUILT over the full corpus, then
+    * takedown drops (doc slices) stream through foreachBatch and each
+    * micro-batch folds its NEGATED per-slice counts in — an exact
+    * integer group inverse, so after the last drop the served
+    * datasheet is bit-identical to the batch operator over the
+    * SURVIVORS (the same oracle `text_mixture_delete` passes). Each
+    * fold costs one pass over the takedown drop plus an O(|slices|)
+    * write — the store is never rebuilt, the corpus never rescanned.
+    */
+  def replayMixtureRetractions(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{MixtureStore, Tables}
+    val docs = Tables.documents(spark, dir)
+    replayStoreDrops(spark, dir, "mixretract",
+      docs.filter(col("doc_id") % 7 === 3), "doc_id",
+      MixtureStore.delete(_, _),
+      MixtureStore.served(spark, _),
+      prepare = p => MixtureStore.build(docs, p))
   }
 
   private val clfStaged =

@@ -37,4 +37,19 @@ class StreamMixtureSpec extends SparkSpecBase {
     // a shared store would double every count on the second run
     assert(a == b)
   }
+
+  test("streamed takedown lands bit-exactly on the survivor datasheet, and bites") {
+    val docs = Tables.documents(spark, sfDir)
+    def fresh(corpus: org.apache.spark.sql.DataFrame) = {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_mix_surv").toString + "/mix"
+      MixtureStore.build(corpus, path)
+      MixtureStore.served(spark, path).orderBy("lang", "source")
+        .collect().toSeq
+    }
+    val got = StreamReplay.replayMixtureRetractions(spark, sfDir)
+      .orderBy("lang", "source").collect().toSeq
+    assert(got == fresh(docs.filter("doc_id % 7 <> 3")))
+    assert(got != fresh(docs), "the streamed takedown must visibly bite")
+  }
 }
