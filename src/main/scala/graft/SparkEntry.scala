@@ -1980,6 +1980,12 @@ object SparkEntry {
     "stream_mixture_retract" -> ((s: SparkSession, dir: String) =>
       graft.streaming.StreamReplay.replayMixtureRetractions(s, dir)
         .orderBy(col("lang"), col("source"))),
+    "stream_pca_retract" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamReplay.replayPcaRetractions(s, dir)
+        .orderBy(col("vec_id"))),
+    "stream_clf_retract" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.StreamReplay.replayClfRetractions(s, dir)
+        .orderBy(col("token"))),
     "text_pack" -> (qPack _),
     "text_pack_bpe" -> (qPackBpe _),
     "text_mixture_sample" -> (qMixtureSample _),
@@ -3718,6 +3724,11 @@ object SparkEntry {
     // identical survivor answer
     "text_mixture_delete" -> mixtureOracleSql("WHERE doc_id % 7 <> 3"),
     "stream_mixture_retract" -> mixtureOracleSql("WHERE doc_id % 7 <> 3"),
+    // the streamed takedown twins for the other two abelian stores
+    // share their batch-delete oracles (drops partition the retraction
+    // set; abelian folds are order-free)
+    "stream_pca_retract" -> pcaMomentOracleSql("AND vec_id % 7 <> 3"),
+    "stream_clf_retract" -> clfModelOracleSql("WHERE source <> 'src0'"),
     // drift dashboard: reference shares replayed from full-corpus
     // counts (the rolled store's content), current from the doc_id%9
     // drop; shares divide exact integers — bit-identical doubles

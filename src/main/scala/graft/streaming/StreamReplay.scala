@@ -771,6 +771,52 @@ object StreamReplay {
       prepare = p => MixtureStore.build(docs, p))
   }
 
+  /** STREAMING PCA RETRACTION — [[replayMixtureRetractions]]'s twin
+    * for the FP moment store: takedown vector drops stream in and each
+    * micro-batch folds NEGATED `(n, Σx, Σxxᵀ)` moments into the
+    * pre-built [[graft.sources.GramStore]] (an O(d²) write per drop —
+    * the component refreshes without a corpus rescan); the served
+    * component over the survivors must match the batch moment-law
+    * oracle over the survivors (the `emb_pca_delete` oracle — the
+    * drops partition its retraction set, and abelian folds are
+    * order-free).
+    */
+  def replayPcaRetractions(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{GramStore, Tables}
+    val emb = Tables.embeddings(spark, dir)
+    replayStoreDrops(spark, dir, "pcaretract",
+      emb.filter(col("vec_id") % 7 === 3), "vec_id",
+      GramStore.delete(_, _),
+      p => {
+        val (n, s, ss) = GramStore.moments(spark, p)
+        graft.operators.Pca.fromMoments(
+          emb.filter(col("vec_id") % 7 =!= 3), n, s, ss)
+      },
+      prepare = p => GramStore.build(emb, p))
+  }
+
+  /** STREAMING MODEL RETRACTION — the learned-model takedown: doc
+    * drops to forget stream in and each micro-batch folds NEGATIVE
+    * token/doc count deltas into the pre-built
+    * [[graft.sources.NbModelStore]] (weak labels computed per drop —
+    * the Gopher law is per-doc, so labeling commutes with the split);
+    * counts are an exact abelian group, so the served model after the
+    * last drop is bit-identical to a fresh train over the survivors
+    * (the `text_clf_delete` oracle).
+    */
+  def replayClfRetractions(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{NbModelStore, Tables}
+    val docs = Tables.documents(spark, dir)
+    def labels(d: DataFrame) = graft.operators.CorpusStats.gopherQuality(d)
+      .select(col("doc_id"), col("keep").as("label"))
+    replayStoreDrops(spark, dir, "clfretract",
+      docs.filter(col("source") === "src0"), "doc_id",
+      (b, p) => NbModelStore.delete(b, labels(b), p),
+      p => NbModelStore.model(spark, p)
+        .crossJoin(broadcast(NbModelStore.prior(spark, p))),
+      prepare = p => NbModelStore.build(docs, labels(docs), p))
+  }
+
   private val clfStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 

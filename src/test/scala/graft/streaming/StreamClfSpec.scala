@@ -40,4 +40,21 @@ class StreamClfSpec extends SparkSpecBase {
     // a shared store would double every count on the second run
     assert(a == b)
   }
+
+  test("streamed retraction serves the survivors' fresh-train model, and bites") {
+    val docs = Tables.documents(spark, sfDir)
+    def fresh(corpus: org.apache.spark.sql.DataFrame) = {
+      val labels = CorpusStats.gopherQuality(corpus)
+        .select(col("doc_id"), col("keep").as("label"))
+      Classifier.nbTrain(corpus, labels)
+        .crossJoin(broadcast(Classifier.nbPrior(labels)))
+        .orderBy("token")
+        .as[(String, Long, Long, Long, Long)].collect().toSeq
+    }
+    val got = StreamReplay.replayClfRetractions(spark, sfDir)
+      .orderBy("token").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == fresh(docs.filter("source <> 'src0'")))
+    assert(got != fresh(docs),
+      "the streamed takedown must visibly move the served model")
+  }
 }

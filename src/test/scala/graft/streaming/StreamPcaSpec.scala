@@ -40,4 +40,23 @@ class StreamPcaSpec extends SparkSpecBase {
     // a shared store would double every moment on the second run
     assert(a == b)
   }
+
+  test("streamed retraction serves the survivors' component, and bites") {
+    val emb = Tables.embeddings(spark, sfDir)
+    def fresh(corpus: org.apache.spark.sql.DataFrame,
+        scoreOver: org.apache.spark.sql.DataFrame) = {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_pca_surv").toString + "/gram"
+      GramStore.build(corpus, path)
+      val (n, s, ss) = GramStore.moments(spark, path)
+      Pca.fromMoments(scoreOver, n, s, ss).orderBy("vec_id")
+        .as[(Long, Int, Double, Double)].collect().toSeq
+    }
+    val survivors = emb.filter("vec_id % 7 <> 3")
+    val got = StreamReplay.replayPcaRetractions(spark, sfDir)
+      .orderBy("vec_id").as[(Long, Int, Double, Double)].collect().toSeq
+    assert(got == fresh(survivors, survivors))
+    assert(got != fresh(emb, survivors),
+      "the streamed takedown must visibly move the served component")
+  }
 }
