@@ -56,9 +56,7 @@ object SparkEntry {
   // the hash; the per-stage entries (d_event, f_events, view_*) only
   // ever gate each stage in isolation.
   private def qPipelineDaily(s: SparkSession, dir: String): DataFrame = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val wh = s"${sys.props("java.io.tmpdir")}/graft_wh_$key"
+    val wh = graft.sources.StorePaths.keyedTmp("wh", dir)
     val p = new org.apache.hadoop.fs.Path(wh)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true) // gate from EMPTY, always
@@ -84,9 +82,7 @@ object SparkEntry {
     * slice.
     */
   private def qPipelineLate(s: SparkSession, dir: String): DataFrame = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val wh = s"${sys.props("java.io.tmpdir")}/graft_whlate_$key"
+    val wh = graft.sources.StorePaths.keyedTmp("whlate", dir)
     val p = new org.apache.hadoop.fs.Path(wh)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true) // gate from EMPTY, always
@@ -119,9 +115,7 @@ object SparkEntry {
     * correctly. The oracle replays all five laws as one CTE chain.
     */
   private def qPipelineCorpus(s: SparkSession, dir: String): DataFrame = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val wh = s"${sys.props("java.io.tmpdir")}/graft_corpus_$key"
+    val wh = graft.sources.StorePaths.keyedTmp("corpus", dir)
     val p = new org.apache.hadoop.fs.Path(wh)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true) // gate from EMPTY, always
@@ -3002,158 +2996,42 @@ object SparkEntry {
     // association-order-free; the round(ln*1e4) is the SURVEY §5 ulp
     // discipline). MATERIALIZED pins the shared CTEs to one evaluation.
     "text_clf_train" ->
-      """WITH w AS MATERIALIZED (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
-        | lab AS MATERIALIZED (
-        |  SELECT doc_id,
-        |   ((len(ws)::BIGINT >= 30 AND len(ws)::BIGINT <= 80)
-        |    AND (list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / len(ws) >= 4.0
-        |     AND list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / len(ws) <= 5.0)
-        |    AND len(list_intersect(list_distinct(ws),
-        |         ['the','a','and','of','to','in','is','on','for','with']))::BIGINT >= 2) AS label
-        |  FROM w),
-        | tk AS MATERIALIZED (
-        |  SELECT doc_id, unnest(ws) AS token FROM w),
-        | counts AS (
-        |  SELECT tk.token,
-        |   sum(CASE WHEN lab.label THEN 1 ELSE 0 END)::BIGINT AS cnt_pos,
-        |   sum(CASE WHEN lab.label THEN 0 ELSE 1 END)::BIGINT AS cnt_neg
-        |  FROM tk JOIN lab USING (doc_id) WHERE tk.token <> '' GROUP BY 1),
-        | vocab AS (SELECT * FROM counts
-        |  ORDER BY (cnt_pos + cnt_neg) DESC, token LIMIT 256),
-        | tot AS (SELECT sum(cnt_pos)::BIGINT AS tot_pos,
-        |   sum(cnt_neg)::BIGINT AS tot_neg, count(*)::BIGINT AS v_n FROM vocab)
-        |SELECT token, cnt_pos, cnt_neg,
-        | round((ln((cnt_pos + 1.0) / (tot_pos + v_n))
-        |      - ln((cnt_neg + 1.0) / (tot_neg + v_n))) * 10000)::BIGINT AS llr_e4
-        |FROM vocab, tot ORDER BY token""".stripMargin,
+      (s"WITH ${clfTokenCtes("")},\n $clfCountCtes\n" +
+        """SELECT token, cnt_pos, cnt_neg,
+          | round((ln((cnt_pos + 1.0) / (tot_pos + v_n))
+          |      - ln((cnt_neg + 1.0) / (tot_neg + v_n))) * 10000)::BIGINT AS llr_e4
+          |FROM vocab, tot ORDER BY token""".stripMargin),
     "text_clf_score" ->
-      """WITH w AS MATERIALIZED (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
-        | lab AS MATERIALIZED (
-        |  SELECT doc_id,
-        |   ((len(ws)::BIGINT >= 30 AND len(ws)::BIGINT <= 80)
-        |    AND (list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / len(ws) >= 4.0
-        |     AND list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / len(ws) <= 5.0)
-        |    AND len(list_intersect(list_distinct(ws),
-        |         ['the','a','and','of','to','in','is','on','for','with']))::BIGINT >= 2) AS label
-        |  FROM w),
-        | tk AS MATERIALIZED (
-        |  SELECT doc_id, unnest(ws) AS token FROM w),
-        | counts AS (
-        |  SELECT tk.token,
-        |   sum(CASE WHEN lab.label THEN 1 ELSE 0 END)::BIGINT AS cnt_pos,
-        |   sum(CASE WHEN lab.label THEN 0 ELSE 1 END)::BIGINT AS cnt_neg
-        |  FROM tk JOIN lab USING (doc_id) WHERE tk.token <> '' GROUP BY 1),
-        | vocab AS (SELECT * FROM counts
-        |  ORDER BY (cnt_pos + cnt_neg) DESC, token LIMIT 256),
-        | tot AS (SELECT sum(cnt_pos)::BIGINT AS tot_pos,
-        |   sum(cnt_neg)::BIGINT AS tot_neg, count(*)::BIGINT AS v_n FROM vocab),
-        | model AS MATERIALIZED (
-        |  SELECT token,
-        |   round((ln((cnt_pos + 1.0) / (tot_pos + v_n))
-        |        - ln((cnt_neg + 1.0) / (tot_neg + v_n))) * 10000)::BIGINT AS llr_e4
-        |  FROM vocab, tot),
-        | prior AS (SELECT round(ln(
-        |    sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE
-        |    / sum(CASE WHEN label THEN 0 ELSE 1 END)) * 10000)::BIGINT AS prior_e4
-        |  FROM lab),
-        | contrib AS (
-        |  SELECT tk.doc_id, sum(m.llr_e4)::BIGINT AS tok_e4
-        |  FROM tk JOIN model m USING (token) WHERE tk.token <> '' GROUP BY 1)
-        |SELECT w.doc_id, len(w.ws)::BIGINT AS n_words,
-        | (prior.prior_e4 + coalesce(c.tok_e4, 0))::BIGINT AS score_e4,
-        | (prior.prior_e4 + coalesce(c.tok_e4, 0)) > 0 AS pred,
-        | lab.label,
-        | ((prior.prior_e4 + coalesce(c.tok_e4, 0)) > 0) = lab.label AS agree
-        |FROM w LEFT JOIN contrib c USING (doc_id)
-        |JOIN lab USING (doc_id) CROSS JOIN prior
-        |ORDER BY doc_id""".stripMargin,
+      (s"WITH ${clfTokenCtes("")},\n $clfCountCtes,\n $clfScoreCtes\n" +
+        """SELECT w.doc_id, len(w.ws)::BIGINT AS n_words,
+          | (prior.prior_e4 + coalesce(c.tok_e4, 0))::BIGINT AS score_e4,
+          | (prior.prior_e4 + coalesce(c.tok_e4, 0)) > 0 AS pred,
+          | lab.label,
+          | ((prior.prior_e4 + coalesce(c.tok_e4, 0)) > 0) = lab.label AS agree
+          |FROM w LEFT JOIN contrib c USING (doc_id)
+          |JOIN lab USING (doc_id) CROSS JOIN prior
+          |ORDER BY doc_id""".stripMargin),
     "text_clf_eval" ->
-      """WITH w AS MATERIALIZED (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
-        | lab AS MATERIALIZED (
-        |  SELECT doc_id,
-        |   ((len(ws)::BIGINT >= 30 AND len(ws)::BIGINT <= 80)
-        |    AND (list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / len(ws) >= 4.0
-        |     AND list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / len(ws) <= 5.0)
-        |    AND len(list_intersect(list_distinct(ws),
-        |         ['the','a','and','of','to','in','is','on','for','with']))::BIGINT >= 2) AS label
-        |  FROM w),
-        | tk AS MATERIALIZED (
-        |  SELECT doc_id, unnest(ws) AS token FROM w),
-        | counts AS (
-        |  SELECT tk.token,
-        |   sum(CASE WHEN lab.label THEN 1 ELSE 0 END)::BIGINT AS cnt_pos,
-        |   sum(CASE WHEN lab.label THEN 0 ELSE 1 END)::BIGINT AS cnt_neg
-        |  FROM tk JOIN lab USING (doc_id) WHERE tk.token <> '' GROUP BY 1),
-        | vocab AS (SELECT * FROM counts
-        |  ORDER BY (cnt_pos + cnt_neg) DESC, token LIMIT 256),
-        | tot AS (SELECT sum(cnt_pos)::BIGINT AS tot_pos,
-        |   sum(cnt_neg)::BIGINT AS tot_neg, count(*)::BIGINT AS v_n FROM vocab),
-        | model AS MATERIALIZED (
-        |  SELECT token,
-        |   round((ln((cnt_pos + 1.0) / (tot_pos + v_n))
-        |        - ln((cnt_neg + 1.0) / (tot_neg + v_n))) * 10000)::BIGINT AS llr_e4
-        |  FROM vocab, tot),
-        | prior AS (SELECT round(ln(
-        |    sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE
-        |    / sum(CASE WHEN label THEN 0 ELSE 1 END)) * 10000)::BIGINT AS prior_e4
-        |  FROM lab),
-        | contrib AS (
-        |  SELECT tk.doc_id, sum(m.llr_e4)::BIGINT AS tok_e4
-        |  FROM tk JOIN model m USING (token) WHERE tk.token <> '' GROUP BY 1),
-        | scored AS (
-        |  SELECT w.doc_id,
-        |   (prior.prior_e4 + coalesce(c.tok_e4, 0)) > 0 AS pred
-        |  FROM w LEFT JOIN contrib c USING (doc_id) CROSS JOIN prior),
-        | conf AS (
-        |  SELECT lab.label, s.pred, count(*)::BIGINT AS n
-        |  FROM scored s JOIN lab USING (doc_id) GROUP BY 1, 2),
-        | totn AS (SELECT sum(n)::BIGINT AS n_total FROM conf)
-        |SELECT label, pred, n, n::DOUBLE / n_total AS share
-        |FROM conf, totn ORDER BY label, pred""".stripMargin,
+      (s"WITH ${clfTokenCtes("")},\n $clfCountCtes,\n $clfScoreCtes,\n" +
+        """ scored AS (
+          |  SELECT w.doc_id,
+          |   (prior.prior_e4 + coalesce(c.tok_e4, 0)) > 0 AS pred
+          |  FROM w LEFT JOIN contrib c USING (doc_id) CROSS JOIN prior),
+          | conf AS (
+          |  SELECT lab.label, s.pred, count(*)::BIGINT AS n
+          |  FROM scored s JOIN lab USING (doc_id) GROUP BY 1, 2),
+          | totn AS (SELECT sum(n)::BIGINT AS n_total FROM conf)
+          |SELECT label, pred, n, n::DOUBLE / n_total AS share
+          |FROM conf, totn ORDER BY label, pred""".stripMargin),
     "text_clf_keep" ->
-      """WITH w AS MATERIALIZED (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
-        | lab AS MATERIALIZED (
-        |  SELECT doc_id,
-        |   ((len(ws)::BIGINT >= 30 AND len(ws)::BIGINT <= 80)
-        |    AND (list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / len(ws) >= 4.0
-        |     AND list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / len(ws) <= 5.0)
-        |    AND len(list_intersect(list_distinct(ws),
-        |         ['the','a','and','of','to','in','is','on','for','with']))::BIGINT >= 2) AS label
-        |  FROM w),
-        | tk AS MATERIALIZED (
-        |  SELECT doc_id, unnest(ws) AS token FROM w),
-        | counts AS (
-        |  SELECT tk.token,
-        |   sum(CASE WHEN lab.label THEN 1 ELSE 0 END)::BIGINT AS cnt_pos,
-        |   sum(CASE WHEN lab.label THEN 0 ELSE 1 END)::BIGINT AS cnt_neg
-        |  FROM tk JOIN lab USING (doc_id) WHERE tk.token <> '' GROUP BY 1),
-        | vocab AS (SELECT * FROM counts
-        |  ORDER BY (cnt_pos + cnt_neg) DESC, token LIMIT 256),
-        | tot AS (SELECT sum(cnt_pos)::BIGINT AS tot_pos,
-        |   sum(cnt_neg)::BIGINT AS tot_neg, count(*)::BIGINT AS v_n FROM vocab),
-        | model AS MATERIALIZED (
-        |  SELECT token,
-        |   round((ln((cnt_pos + 1.0) / (tot_pos + v_n))
-        |        - ln((cnt_neg + 1.0) / (tot_neg + v_n))) * 10000)::BIGINT AS llr_e4
-        |  FROM vocab, tot),
-        | prior AS (SELECT round(ln(
-        |    sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE
-        |    / sum(CASE WHEN label THEN 0 ELSE 1 END)) * 10000)::BIGINT AS prior_e4
-        |  FROM lab),
-        | contrib AS (
-        |  SELECT tk.doc_id, sum(m.llr_e4)::BIGINT AS tok_e4
-        |  FROM tk JOIN model m USING (token) WHERE tk.token <> '' GROUP BY 1),
-        | kept AS (
-        |  SELECT w.doc_id
-        |  FROM w LEFT JOIN contrib c USING (doc_id) CROSS JOIN prior
-        |  WHERE (prior.prior_e4 + coalesce(c.tok_e4, 0)) > 0)
-        |SELECT d.doc_id, d.lang, d.source, d.n_chars
-        |FROM documents d JOIN kept USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+      (s"WITH ${clfTokenCtes("")},\n $clfCountCtes,\n $clfScoreCtes,\n" +
+        """ kept AS (
+          |  SELECT w.doc_id
+          |  FROM w LEFT JOIN contrib c USING (doc_id) CROSS JOIN prior
+          |  WHERE (prior.prior_e4 + coalesce(c.tok_e4, 0)) > 0)
+          |SELECT d.doc_id, d.lang, d.source, d.n_chars
+          |FROM documents d JOIN kept USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin),
     // feature hashing: dim = low 4 bits of the md5-prefix token hash,
     // sign = bit 4 (1 - 2*bit); integer vote sums, 6dp L2 normalize
     "text_doc_embed" ->
@@ -4963,8 +4841,16 @@ object SparkEntry {
     * `where` — the rolled store must land on the union's fresh train,
     * the retracted store on the survivors'.
     */
-  private def clfModelOracleSql(where: String): String =
-    s"""WITH w AS MATERIALIZED (
+  /** The Naive-Bayes oracle CTE chain, in ONE place (previously pasted
+    * six times — a fork between copies would silently split the oracle
+    * from the Spark label law): tokenize → Gopher weak label → token
+    * stream ([[clfTokenCtes]], parameterized by the corpus predicate);
+    * token class counts → top-256 vocab → totals ([[clfCountCtes]]);
+    * the llr model cell ([[clfModelCte]]); and the prior + per-doc
+    * scoring chain ([[clfScoreCtes]]).
+    */
+  private def clfTokenCtes(where: String): String =
+    s"""w AS MATERIALIZED (
        |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
        |  FROM documents $where),
        | lab AS MATERIALIZED (
@@ -4976,16 +4862,39 @@ object SparkEntry {
        |         ['the','a','and','of','to','in','is','on','for','with']))::BIGINT >= 2) AS label
        |  FROM w),
        | tk AS MATERIALIZED (
-       |  SELECT doc_id, unnest(ws) AS token FROM w),
-       | counts AS (
-       |  SELECT tk.token,
-       |   sum(CASE WHEN lab.label THEN 1 ELSE 0 END)::BIGINT AS cnt_pos,
-       |   sum(CASE WHEN lab.label THEN 0 ELSE 1 END)::BIGINT AS cnt_neg
-       |  FROM tk JOIN lab USING (doc_id) WHERE tk.token <> '' GROUP BY 1),
-       | vocab AS (SELECT * FROM counts
-       |  ORDER BY (cnt_pos + cnt_neg) DESC, token LIMIT 256),
-       | tot AS (SELECT sum(cnt_pos)::BIGINT AS tot_pos,
-       |   sum(cnt_neg)::BIGINT AS tot_neg, count(*)::BIGINT AS v_n FROM vocab),
+       |  SELECT doc_id, unnest(ws) AS token FROM w)""".stripMargin
+
+  private val clfCountCtes: String =
+    """counts AS (
+      |  SELECT tk.token,
+      |   sum(CASE WHEN lab.label THEN 1 ELSE 0 END)::BIGINT AS cnt_pos,
+      |   sum(CASE WHEN lab.label THEN 0 ELSE 1 END)::BIGINT AS cnt_neg
+      |  FROM tk JOIN lab USING (doc_id) WHERE tk.token <> '' GROUP BY 1),
+      | vocab AS (SELECT * FROM counts
+      |  ORDER BY (cnt_pos + cnt_neg) DESC, token LIMIT 256),
+      | tot AS (SELECT sum(cnt_pos)::BIGINT AS tot_pos,
+      |   sum(cnt_neg)::BIGINT AS tot_neg, count(*)::BIGINT AS v_n FROM vocab)""".stripMargin
+
+  private val clfModelCte: String =
+    """model AS MATERIALIZED (
+      |  SELECT token,
+      |   round((ln((cnt_pos + 1.0) / (tot_pos + v_n))
+      |        - ln((cnt_neg + 1.0) / (tot_neg + v_n))) * 10000)::BIGINT AS llr_e4
+      |  FROM vocab, tot)""".stripMargin
+
+  private val clfScoreCtes: String =
+    s"""$clfModelCte,
+       | prior AS (SELECT round(ln(
+       |    sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE
+       |    / sum(CASE WHEN label THEN 0 ELSE 1 END)) * 10000)::BIGINT AS prior_e4
+       |  FROM lab),
+       | contrib AS (
+       |  SELECT tk.doc_id, sum(m.llr_e4)::BIGINT AS tok_e4
+       |  FROM tk JOIN model m USING (token) WHERE tk.token <> '' GROUP BY 1)""".stripMargin
+
+  private def clfModelOracleSql(where: String): String =
+    s"""WITH ${clfTokenCtes(where)},
+       | $clfCountCtes,
        | prior AS (SELECT round(ln(
        |    sum(CASE WHEN label THEN 1 ELSE 0 END)::DOUBLE
        |    / sum(CASE WHEN label THEN 0 ELSE 1 END)) * 10000)::BIGINT AS prior_e4
@@ -5008,18 +4917,7 @@ object SparkEntry {
       .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
     val priorE4 = graft.operators.Classifier.frozenPriorE4
     val fire = s"(SELECT agree FROM trig) < $threshold"
-    s"""WITH w AS MATERIALIZED (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents),
-       | lab AS MATERIALIZED (
-       |  SELECT doc_id,
-       |   ((len(ws)::BIGINT >= 30 AND len(ws)::BIGINT <= 80)
-       |    AND (list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / len(ws) >= 4.0
-       |     AND list_aggregate(list_transform(ws, x -> length(x)), 'sum')::DOUBLE / len(ws) <= 5.0)
-       |    AND len(list_intersect(list_distinct(ws),
-       |         ['the','a','and','of','to','in','is','on','for','with']))::BIGINT >= 2) AS label
-       |  FROM w),
-       | tk AS MATERIALIZED (
-       |  SELECT doc_id, unnest(ws) AS token FROM w),
+    s"""WITH ${clfTokenCtes("")},
        | frozen(token, llr_e4) AS (SELECT * FROM (VALUES $frozenRows)),
        | fcontrib AS (
        |  SELECT tk.doc_id, sum(f.llr_e4)::BIGINT AS tok_e4
@@ -5031,20 +4929,8 @@ object SparkEntry {
        |  SELECT round(sum(CASE WHEN s.pred = lab.label THEN 1 ELSE 0 END)::DOUBLE
        |    / count(*), 4) AS agree
        |  FROM fscored s JOIN lab USING (doc_id)),
-       | counts AS (
-       |  SELECT tk.token,
-       |   sum(CASE WHEN lab.label THEN 1 ELSE 0 END)::BIGINT AS cnt_pos,
-       |   sum(CASE WHEN lab.label THEN 0 ELSE 1 END)::BIGINT AS cnt_neg
-       |  FROM tk JOIN lab USING (doc_id) WHERE tk.token <> '' GROUP BY 1),
-       | vocab AS (SELECT * FROM counts
-       |  ORDER BY (cnt_pos + cnt_neg) DESC, token LIMIT 256),
-       | tot AS (SELECT sum(cnt_pos)::BIGINT AS tot_pos,
-       |   sum(cnt_neg)::BIGINT AS tot_neg, count(*)::BIGINT AS v_n FROM vocab),
-       | model AS (
-       |  SELECT token,
-       |   round((ln((cnt_pos + 1.0) / (tot_pos + v_n))
-       |        - ln((cnt_neg + 1.0) / (tot_neg + v_n))) * 10000)::BIGINT AS llr_e4
-       |  FROM vocab, tot)
+       | $clfCountCtes,
+       | $clfModelCte
        |SELECT token, llr_e4,
        | $fire AS retrained,
        | (SELECT agree FROM trig) AS trigger_agree

@@ -167,11 +167,15 @@ object Classifier {
     val spark = docs.sparkSession
     import spark.implicits._
     val prior = Seq(frozenPriorE4).toDF("prior_e4")
-    val agree = nbScore(docs, frozenModel(spark), prior, textCol, idCol)
+    val agreeRow = nbScore(docs, frozenModel(spark), prior, textCol, idCol)
       .join(labels.select(col(idCol), col("label")), Seq(idCol))
       .agg(round(
         avg(when(col("pred") === col("label"), 1.0).otherwise(0.0)), 4))
-      .head().getDouble(0)
+      .head()
+    // an EMPTY corpus yields a NULL avg — no evidence of drift, so the
+    // monitor must take the healthy no-op branch (serve the frozen
+    // model), not crash reading the null
+    val agree = if (agreeRow.isNullAt(0)) 1.0 else agreeRow.getDouble(0)
     val fire = agree < threshold
     val served =
       if (fire)

@@ -143,18 +143,30 @@ object Multimodal {
     * 4·2^16 · frames values; Hamming runs on candidates only. Same
     * discipline as the text simhash path (Dedup.scala).
     */
-  def nearDupFrames(media: Dataset[MMRecord], maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"4x16-bit banding is only lossless up to Hamming 3, got $maxHamming")
+  /** The 4×16-bit banding law in ONE place — the mask/shift layout the
+    * Hamming-3 pigeonhole argument depends on, shared by the in-plan
+    * all-pairs path below and the persisted
+    * [[graft.sources.FrameSigIndexStore]] (a fork between the two
+    * copies would silently break batch-vs-incremental oracle
+    * equivalence). Zero shuffle: decode → frame-sample → block-hash →
+    * band explode are all per-row map work.
+    */
+  private[graft] def frameBandRows(media: Dataset[MMRecord]): DataFrame = {
     val sigs = frameSignatures(frameSample(media))
     val mask = lit(0xffffL)
-    val bands = sigs.select(col("doc_id"), col("frame_idx"),
+    sigs.select(col("doc_id"), col("frame_idx"),
       col("sig_lo"), col("sig_hi"),
       posexplode(array(
         col("sig_lo").bitwiseAND(mask),
         shiftright(col("sig_lo"), 16).bitwiseAND(mask),
         col("sig_hi").bitwiseAND(mask),
         shiftright(col("sig_hi"), 16).bitwiseAND(mask))).as(Seq("band", "bv")))
+  }
+
+  def nearDupFrames(media: Dataset[MMRecord], maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit banding is only lossless up to Hamming 3, got $maxHamming")
+    val bands = frameBandRows(media)
     val a = bands.alias("a")
     val b = bands.alias("b")
     val cand = a.join(b,

@@ -115,11 +115,16 @@ object TokenizerTrain {
     // per-slice compression under the frozen table — text_bpe_eval's
     // exact law (4dp like the dashboard, so both engines see the same
     // trigger arithmetic)
-    val minCpt = docs.filter(col("text").isNotNull)
+    val minCptRow = docs.filter(col("text").isNotNull)
       .groupBy(col("lang"), col("source"))
       .agg(round(sum(length(col("text"))).cast("double")
         / sum(TF.bpeTokenCount(col("text"))), 4).as("cpt"))
-      .agg(min(col("cpt"))).head().getDouble(0)
+      .agg(min(col("cpt"))).head()
+    // an EMPTY corpus (or all-null text) yields a NULL min — no drift
+    // evidence, so serve the frozen table (healthy no-op) rather than
+    // crash reading the null
+    val minCpt =
+      if (minCptRow.isNullAt(0)) Double.MaxValue else minCptRow.getDouble(0)
     val fire = minCpt < threshold
     val served =
       if (fire)

@@ -16,12 +16,8 @@ object CcLabelStore {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Deterministic per-dataset label location under the JVM temp dir. */
-  def defaultPath(datasetDir: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(datasetDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      .take(12)
-    s"${sys.props("java.io.tmpdir")}/graft_cc_$key"
-  }
+  def defaultPath(datasetDir: String): String =
+    StorePaths.keyedTmp("cc", datasetDir)
 
   /** Solve the base graph once and persist its labeling. */
   def build(baseEdges: DataFrame, srcCol: String, dstCol: String,

@@ -37,12 +37,8 @@ object EmbLshIndexStore {
   private val built =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  def defaultPath(datasetDir: String, bits: Int): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(datasetDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      .take(12)
-    s"${sys.props("java.io.tmpdir")}/graft_elsh_${key}_t${NumTables}_b$bits"
-  }
+  def defaultPath(datasetDir: String, bits: Int): String =
+    StorePaths.keyedTmp("elsh", datasetDir, s"_t${NumTables}_b$bits")
 
   /** Per-(vector, table) signature rows for any (vec_id, embedding)
     * frame — the join-ready layout shared by the stored corpus side

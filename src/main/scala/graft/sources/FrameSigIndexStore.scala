@@ -45,29 +45,16 @@ object FrameSigIndexStore {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Deterministic per-dataset index location under the JVM temp dir. */
-  def defaultPath(datasetDir: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(datasetDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      .take(12)
-    s"${sys.props("java.io.tmpdir")}/graft_framesig_$key"
-  }
+  def defaultPath(datasetDir: String): String =
+    StorePaths.keyedTmp("framesig", datasetDir)
 
   /** Banded signature rows for any media frame set — the join-ready
     * layout shared by the stored corpus side and the in-plan delta
     * side. Zero shuffle: decode → frame-sample → block-hash → band
     * explode are all per-row map work; the media bytes never leave it.
     */
-  def bandRows(media: Dataset[MMRecord]): DataFrame = {
-    val sigs = Multimodal.frameSignatures(Multimodal.frameSample(media))
-    val mask = lit(0xffffL)
-    sigs.select(col("doc_id"), col("frame_idx"),
-      col("sig_lo"), col("sig_hi"),
-      posexplode(array(
-        col("sig_lo").bitwiseAND(mask),
-        shiftright(col("sig_lo"), 16).bitwiseAND(mask),
-        col("sig_hi").bitwiseAND(mask),
-        shiftright(col("sig_hi"), 16).bitwiseAND(mask))).as(Seq("band", "bv")))
-  }
+  def bandRows(media: Dataset[MMRecord]): DataFrame =
+    Multimodal.frameBandRows(media)
 
   /** Sign the corpus media once and persist the band table. */
   def build(corpus: Dataset[MMRecord], path: String): Unit =

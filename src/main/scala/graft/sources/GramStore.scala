@@ -28,12 +28,8 @@ object GramStore {
   private val built =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  def defaultPath(datasetDir: String, tag: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(datasetDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      .take(12)
-    s"${sys.props("java.io.tmpdir")}/graft_gram_${key}_$tag"
-  }
+  def defaultPath(datasetDir: String, tag: String): String =
+    StorePaths.keyedTmp("gram", datasetDir, s"_$tag")
 
   /** One (n, s, ss) moment row for an embedding slice — a single
     * corpus-sized pass: the count/Σx aggregate and the
@@ -42,9 +38,15 @@ object GramStore {
     * emits the retraction delta.
     */
   private def momentRows(emb: DataFrame, sign: Int, vecCol: String): DataFrame = {
-    val dim = graft.operators.Similarity.embeddingDim(emb)
     val pts = emb.filter(col(vecCol).isNotNull)
       .select(graft.functions.VectorFunctions.asDouble(col(vecCol)).as("x"))
+    // dimension from the PROJECTED vector column (honoring vecCol —
+    // Similarity.embeddingDim hardcodes "embedding"); 64 only sizes
+    // the aggregator buffer for a slice with no vectors, whose lone
+    // malformed row the n != 0 filter below drops anyway
+    val dim = pts.select(size(col("x")).as("d"))
+      .filter(col("d").isNotNull).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(64)
     val gramAgg = udaf(new graft.functions.GramAggregator(dim))
     val nSs = pts.agg(
       count(lit(1)).as("n"),
@@ -61,6 +63,10 @@ object GramStore {
         (col("n") * sign).as("n"),
         transform(col("s"), v => v * sign).as("s"),
         transform(col("ss"), v => v * sign).as("ss"))
+      // an empty (or all-null-vector) slice contributes the group
+      // IDENTITY — write no layer at all, instead of a malformed row
+      // whose s=[] disagrees with ss in dimension and corrupts folds
+      .filter(col("n") =!= 0L)
   }
 
   def build(emb: DataFrame, path: String,

@@ -46,29 +46,61 @@ object IndexLease {
         case _: java.nio.file.FileAlreadyExistsException => false
       }
     } else {
-      try {
-        val out = fs.create(lease, false)
-        try out.write(who.getBytes("UTF-8")) finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+      // two failure classes must not be conflated: create(overwrite =
+      // false) failing means SOMEONE ELSE holds the lease (return
+      // false and spin), but a failure writing/closing the diagnostic
+      // tag AFTER our create succeeded means WE hold a marker we are
+      // about to disown — delete it before reporting failure, or the
+      // caller spins against its own orphaned lease until timeout and
+      // every later mutator is locked out until hand-repair
+      val created =
+        try Some(fs.create(lease, false))
+        catch { case _: java.io.IOException => None }
+      created match {
+        case None => false
+        case Some(out) =>
+          try {
+            try out.write(who.getBytes("UTF-8")) finally out.close()
+            true
+          } catch {
+            case e: java.io.IOException =>
+              try fs.delete(lease, false)
+              catch { case _: java.io.IOException => () }
+              throw e
+          }
+      }
     }
+
+  /** Default acquisition timeout; overridable per-JVM via the
+    * `graft.lease.timeoutMs` system property — compact() holds the
+    * lease across a full layer rewrite, so deployments with large
+    * indexes should size this to their compaction time rather than
+    * deleting a LIVE holder's marker (the timeout message's recovery
+    * instructions apply only to a holder that is verifiably dead).
+    */
+  private def defaultTimeoutMs: Long =
+    sys.props.get("graft.lease.timeoutMs").map(_.toLong).getOrElse(120000L)
 
   /** Run `body` holding the store's single-writer lease. `who` is a
     * diagnostic tag written into the marker (which operation, for the
     * timeout message of whoever waits on a crashed holder).
     */
   def withLease[T](spark: SparkSession, path: String, who: String,
-      timeoutMs: Long = 120000L)(body: => T): T = {
+      timeoutMs: Long = -1L)(body: => T): T = {
+    val effectiveTimeoutMs =
+      if (timeoutMs >= 0L) timeoutMs else defaultTimeoutMs
     val fs = SwapRecovery.fsOf(spark, path)
     fs.mkdirs(new Path(path))
     val lease = new Path(s"$path/_lease")
-    val deadline = System.currentTimeMillis() + timeoutMs
+    val deadline = System.currentTimeMillis() + effectiveTimeoutMs
     while (!tryAcquire(fs, lease, who)) {
       if (System.currentTimeMillis() > deadline)
         throw new IllegalStateException(
           s"could not acquire index lease $lease (wanted by: $who) within " +
-            s"${timeoutMs}ms — a crashed holder leaves the marker; verify no " +
-            "writer is live, run SwapRecovery.recover, then delete the marker")
+            s"${effectiveTimeoutMs}ms. A crashed holder leaves the marker — " +
+            "but so does a LIVE long compaction: verify no writer is live " +
+            "(or raise -Dgraft.lease.timeoutMs) BEFORE recovering; if the " +
+            "holder is dead, run SwapRecovery.recover, then delete the marker")
       Thread.sleep(25)
     }
     try body finally { fs.delete(lease, false); () }

@@ -40,12 +40,8 @@ object IvfIndexStore {
   /** Deterministic per-(dataset, params) index location under the JVM
     * temp dir.
     */
-  def defaultPath(datasetDir: String, cells: Int = 8, iters: Int = 3): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(datasetDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      .take(12)
-    s"${sys.props("java.io.tmpdir")}/graft_ivf_${key}_c${cells}_i$iters"
-  }
+  def defaultPath(datasetDir: String, cells: Int = 8, iters: Int = 3): String =
+    StorePaths.keyedTmp("ivf", datasetDir, s"_c${cells}_i$iters")
 
   /** Train the coarse quantizer and persist (centroids, cell lists) —
     * plus the PQ layer: `grid/` (the per-dimension int8 min/max law)

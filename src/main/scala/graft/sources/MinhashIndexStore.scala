@@ -44,12 +44,8 @@ object MinhashIndexStore {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Deterministic per-dataset index location under the JVM temp dir. */
-  def defaultPath(datasetDir: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(datasetDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      .take(12)
-    s"${sys.props("java.io.tmpdir")}/graft_minhash_${key}_k${NumHashes}_b$Bands"
-  }
+  def defaultPath(datasetDir: String): String =
+    StorePaths.keyedTmp("minhash", datasetDir, s"_k${NumHashes}_b$Bands")
 
   /** Columns that form the LSH bucket key: the band index plus the
     * band's `Rows` signature values — exact tuple equality, no hashed

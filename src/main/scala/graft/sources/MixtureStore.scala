@@ -34,12 +34,8 @@ object MixtureStore {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Deterministic per-dataset store location under the JVM temp dir. */
-  def defaultPath(datasetDir: String, tag: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(datasetDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      .take(12)
-    s"${sys.props("java.io.tmpdir")}/graft_mixture_${key}_$tag"
-  }
+  def defaultPath(datasetDir: String, tag: String): String =
+    StorePaths.keyedTmp("mixture", datasetDir, s"_$tag")
 
   /** Count the base corpus once and persist the per-slice statistics. */
   def build(docs: DataFrame, path: String): Unit =

@@ -41,12 +41,8 @@ object NbModelStore {
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Deterministic per-dataset store location under the JVM temp dir. */
-  def defaultPath(datasetDir: String, tag: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(datasetDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      .take(12)
-    s"${sys.props("java.io.tmpdir")}/graft_nbmodel_${key}_$tag"
-  }
+  def defaultPath(datasetDir: String, tag: String): String =
+    StorePaths.keyedTmp("nbmodel", datasetDir, s"_$tag")
 
   private def docCountRows(labels: DataFrame, sign: Int): DataFrame =
     labels.agg(

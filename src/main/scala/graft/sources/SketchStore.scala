@@ -40,12 +40,8 @@ object SketchStore {
   private val built =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  def defaultPath(datasetDir: String, tag: String): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(datasetDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      .take(12)
-    s"${sys.props("java.io.tmpdir")}/graft_kmv_${key}_$tag"
-  }
+  def defaultPath(datasetDir: String, tag: String): String =
+    StorePaths.keyedTmp("kmv", datasetDir, s"_$tag")
 
   /** One sketch row per language for a doc slice: the slice's k-min
     * hash set (typed-Aggregator fold, ≤ k longs per partition in the

@@ -1119,7 +1119,6 @@ object StreamReplay {
         .write.parquet(s"$stage/edges_base")
       val baseDropped = hashable.select(col("doc_id"))
         .join(canonIds, Seq("doc_id"), "left_anti")
-      baseDropped.write.parquet(s"$stage/dropped_base")
       base.select(col("doc_id")).write.parquet(s"$stage/seen_base")
       // the base run of the BATCH operator, stored as the canonical
       // table's base layer + the base labeling the first drop's blast
@@ -1240,8 +1239,14 @@ object StreamReplay {
                 .select(col("doc_id"), col("lang"), col("source"),
                   col("n_chars")),
               s"$work/canon_upserts/batch_$id")
-            val prefix = kbRead(spark, s"$work/seen", id).count()
+            // wall_ms is the per-batch MAINTENANCE cost — stop the
+            // clock BEFORE the prefix-size diagnostic count, which is
+            // an O(prefix) scan that exists only to label the curve's
+            // x-axis; timing it would smuggle a prefix-growing term
+            // into the very flatness evidence the metric exists to
+            // prove
             val wallMs = (System.nanoTime() - t0) / 1000000L
+            val prefix = kbRead(spark, s"$work/seen", id).count()
             import spark.implicits._
             Seq((id, nBatch, nEdges, nRegion, nUpserts, nRetracts,
                 prefix, wallMs))
