@@ -85,4 +85,25 @@ class IndexLeaseSpec extends SparkSpecBase {
     assert(spark.read.parquet(s"$p/bands").count() ==
       MinhashIndexStore.bandRows(base.unionByName(delta)).count())
   }
+
+  test("the default timeout honors -Dgraft.lease.timeoutMs") {
+    val p = freshIndex("knob")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$p/_lease"),
+      "dead-writer".getBytes("UTF-8"))
+    sys.props("graft.lease.timeoutMs") = "200"
+    try {
+      val t0 = System.nanoTime()
+      intercept[IllegalStateException] {
+        // NO explicit timeout — the sys-prop default must govern
+        IndexLease.withLease(spark, p, "append") { () }
+      }
+      val ms = (System.nanoTime() - t0) / 1000000L
+      // well under the built-in 120s default, a little over the knob
+      assert(ms < 10000L, s"sys-prop timeout not honored: waited ${ms}ms")
+    } finally {
+      sys.props.remove("graft.lease.timeoutMs")
+      java.nio.file.Files.delete(java.nio.file.Paths.get(s"$p/_lease"))
+      ()
+    }
+  }
 }
