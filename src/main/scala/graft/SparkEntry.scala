@@ -4822,7 +4822,11 @@ object SparkEntry {
         |  WHERE d.text IS NOT NULL),
         | ev AS (SELECT round(sum(n_chars)::DOUBLE / sum(bpe), 4) AS cpt
         |  FROM per GROUP BY lang, source),
-        | trig AS (SELECT min(cpt) AS mc FROM ev),
+        | trig AS (
+        |  -- empty/all-null corpus: no evidence of drift — mirror the
+        |  -- engine's healthy-branch fallback (Double.MaxValue) so both
+        |  -- sides serve the frozen table with the same trigger scalar
+        |  SELECT coalesce(min(cpt), 1.7976931348623157E308) AS mc FROM ev),
         |""".stripMargin +
       s" $ctes\n" +
       s"""SELECT rank, pair_a, pair_b, merged,
@@ -4926,8 +4930,12 @@ object SparkEntry {
        |  SELECT w.doc_id, ($priorE4 + coalesce(c.tok_e4, 0)) > 0 AS pred
        |  FROM w LEFT JOIN fcontrib c USING (doc_id)),
        | trig AS (
-       |  SELECT round(sum(CASE WHEN s.pred = lab.label THEN 1 ELSE 0 END)::DOUBLE
-       |    / count(*), 4) AS agree
+       |  -- empty/all-null corpus: no evidence of drift — mirror the
+       |  -- engine's healthy-branch fallback (agree = 1.0) so both
+       |  -- sides serve the frozen weights with the same trigger scalar
+       |  SELECT coalesce(round(
+       |    sum(CASE WHEN s.pred = lab.label THEN 1 ELSE 0 END)::DOUBLE
+       |    / count(*), 4), 1.0) AS agree
        |  FROM fscored s JOIN lab USING (doc_id)),
        | $clfCountCtes,
        | $clfModelCte

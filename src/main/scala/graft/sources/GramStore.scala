@@ -32,37 +32,22 @@ object GramStore {
     StorePaths.keyedTmp("gram", datasetDir, s"_$tag")
 
   /** One (n, s, ss) moment row for an embedding slice — a single
-    * corpus-sized pass: the count/Σx aggregate and the
-    * [[graft.functions.GramAggregator]] raw outer-product fold (one
-    * d²-double buffer per partition in the exchange). `sign` = -1
-    * emits the retraction delta.
+    * corpus-sized pass, literally one job: the
+    * [[graft.functions.MomentsAggregator]] folds the count, Σx, and the
+    * raw outer-product Σxxᵀ in one buffer (d + d² + 1 doubles per
+    * partition in the exchange) and discovers d from the data itself —
+    * no driver-side `limit(1)` dimension probe, no second Σx pass.
+    * `sign` = -1 emits the retraction delta.
     */
   private def momentRows(emb: DataFrame, sign: Int, vecCol: String): DataFrame = {
     val pts = emb.filter(col(vecCol).isNotNull)
       .select(graft.functions.VectorFunctions.asDouble(col(vecCol)).as("x"))
-    // dimension from the PROJECTED vector column (honoring vecCol —
-    // Similarity.embeddingDim hardcodes "embedding"); 64 only sizes
-    // the aggregator buffer for a slice with no vectors, whose lone
-    // malformed row the n != 0 filter below drops anyway
-    val dim = pts.select(size(col("x")).as("d"))
-      .filter(col("d").isNotNull).limit(1).collect()
-      .headOption.map(_.getInt(0)).getOrElse(64)
-    val gramAgg = udaf(new graft.functions.GramAggregator(dim))
-    val nSs = pts.agg(
-      count(lit(1)).as("n"),
-      gramAgg(col("x")).as("ss"))
-    // Σx per dimension: posexplode + groupBy(pos) — d bounded rows,
-    // re-packed in position order
-    val sums = pts.select(posexplode(col("x")).as(Seq("pos", "v")))
-      .groupBy(col("pos")).agg(sum(col("v")).as("sv"))
-      .select(struct(col("pos"), col("sv")).as("ps"))
-      .agg(array_sort(collect_list(col("ps"))).as("pss"))
-      .select(transform(col("pss"), p => p.getField("sv")).as("s"))
-    nSs.crossJoin(sums)
+    val magg = udaf(new graft.functions.MomentsAggregator())
+    pts.agg(magg(col("x")).as("m"))
       .select(
-        (col("n") * sign).as("n"),
-        transform(col("s"), v => v * sign).as("s"),
-        transform(col("ss"), v => v * sign).as("ss"))
+        (col("m.n") * sign).as("n"),
+        transform(col("m.s"), v => v * sign).as("s"),
+        transform(col("m.ss"), v => v * sign).as("ss"))
       // an empty (or all-null-vector) slice contributes the group
       // IDENTITY — write no layer at all, instead of a malformed row
       // whose s=[] disagrees with ss in dimension and corrupts folds

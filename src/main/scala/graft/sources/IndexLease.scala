@@ -16,51 +16,84 @@ import org.apache.spark.sql.SparkSession
   *
   * Mechanics: an atomically-created `_lease` marker file under the
   * store path (underscore-prefixed, so table readers treat it as
-  * hidden). Acquisition spins with a bounded timeout; release deletes
-  * the marker in a `finally`. On `file:` paths the create goes through
+  * hidden) carrying the holder's diagnostic tag and a unique holder
+  * id. Acquisition spins with a bounded timeout; release deletes the
+  * marker in a `finally`. On `file:` paths the create goes through
   * `java.nio` `createFile` (true O_EXCL atomicity — Hadoop's local FS
   * check-then-create has a race window); on HDFS `create(overwrite =
   * false)` is atomic at the NameNode. Object stores WITHOUT atomic
   * create-if-absent still need a table format's transaction log — the
   * production caveat lives here now, not inside each store's swap.
   *
-  * Crash story: a holder that dies leaves the marker, and the next
-  * mutator times out with an actionable message rather than running
-  * into a half-mutated layout; [[SwapRecovery.recover]] (called at
-  * compact entry) repairs whatever the dead holder stranded before the
-  * operator clears the marker. Reads never take the lease — serving
-  * stays lock-free because every intermediate compact state keeps a
-  * complete layer on disk (the rename-swap invariant).
+  * Liveness — a crashed holder is DETECTED and taken over, not paged
+  * on: while the lease is held a daemon heartbeat refreshes the
+  * marker's mtime every `graft.lease.heartbeatMs`; a waiter that finds
+  * the heartbeat older than `graft.lease.staleMs` declares the holder
+  * dead, atomically renames the stale marker to a private tombstone
+  * (so exactly ONE contender wins the takeover race), runs
+  * [[SwapRecovery.recoverAll]] to repair whatever the dead holder
+  * stranded mid-swap, and re-enters the normal atomic-create path.
+  * Reaching the acquisition timeout therefore means the holder is
+  * (or was until very recently) LIVE — the error says so instead of
+  * prescribing 3 a.m. marker surgery.
+  *
+  * Fencing — a paused-not-dead holder must not be allowed to report a
+  * successful mutation after it was deposed: each acquisition bumps a
+  * monotone generation token (`_lease_gen`), and [[withLease]] checks
+  * marker ownership + generation AFTER the body completes, throwing
+  * `lease lost` instead of returning if a takeover happened while the
+  * holder was paused (the takeover's recoverAll has already repaired
+  * the layout; the loud failure tells the deposed writer its mutation
+  * may be torn and must be retried). The heartbeat makes deposition of
+  * a live holder effectively impossible — only a pause longer than the
+  * staleness threshold (sized >> GC pauses) can trigger it.
+  *
+  * Reads never take the lease — serving stays lock-free because every
+  * intermediate compact state keeps a complete layer on disk (the
+  * rename-swap invariant).
   */
 object IndexLease {
 
+  private def isFileScheme(fs: org.apache.hadoop.fs.FileSystem): Boolean =
+    fs.getScheme == "file"
+
   private def tryAcquire(fs: org.apache.hadoop.fs.FileSystem,
-      lease: Path, who: String): Boolean =
-    if (fs.getScheme == "file") {
+      lease: Path, content: String): Boolean =
+    if (isFileScheme(fs)) {
       try {
         val p = java.nio.file.Paths.get(lease.toUri.getPath)
-        java.nio.file.Files.write(p, who.getBytes("UTF-8"),
+        java.nio.file.Files.write(p, content.getBytes("UTF-8"),
           java.nio.file.StandardOpenOption.CREATE_NEW)
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
       }
     } else {
-      // two failure classes must not be conflated: create(overwrite =
-      // false) failing means SOMEONE ELSE holds the lease (return
-      // false and spin), but a failure writing/closing the diagnostic
-      // tag AFTER our create succeeded means WE hold a marker we are
-      // about to disown — delete it before reporting failure, or the
-      // caller spins against its own orphaned lease until timeout and
-      // every later mutator is locked out until hand-repair
+      // contention and FAULT must not be conflated: only the failure
+      // classes that MEAN "someone else holds the marker" may return
+      // false-and-spin. Any other IOException (safe-mode, connectivity,
+      // permissions) is rethrown immediately — spinning on it would
+      // burn the full timeout and then misdiagnose a transient fault
+      // as a crashed holder.
       val created =
         try Some(fs.create(lease, false))
-        catch { case _: java.io.IOException => None }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
+          case re: org.apache.hadoop.ipc.RemoteException
+              if re.getClassName != null &&
+                (re.getClassName.endsWith("AlreadyBeingCreatedException") ||
+                  re.getClassName.endsWith("FileAlreadyExistsException")) =>
+            None
+        }
       created match {
         case None => false
         case Some(out) =>
+          // a failure writing/closing the tag AFTER our create succeeded
+          // means WE hold a marker we are about to disown — delete it
+          // before reporting failure, or the caller spins against its
+          // own orphaned lease until timeout
           try {
-            try out.write(who.getBytes("UTF-8")) finally out.close()
+            try out.write(content.getBytes("UTF-8")) finally out.close()
             true
           } catch {
             case e: java.io.IOException =>
@@ -74,35 +107,160 @@ object IndexLease {
   /** Default acquisition timeout; overridable per-JVM via the
     * `graft.lease.timeoutMs` system property — compact() holds the
     * lease across a full layer rewrite, so deployments with large
-    * indexes should size this to their compaction time rather than
-    * deleting a LIVE holder's marker (the timeout message's recovery
-    * instructions apply only to a holder that is verifiably dead).
+    * indexes should size this to their compaction time (the heartbeat
+    * keeps a live compaction from ever reading as stale, however long
+    * it runs).
     */
   private def defaultTimeoutMs: Long =
     sys.props.get("graft.lease.timeoutMs").map(_.toLong).getOrElse(120000L)
 
+  /** Heartbeat age beyond which a holder is declared dead and taken
+    * over. Must be sized well above worst-case GC/scheduling pauses —
+    * a live holder heartbeats every [[heartbeatMs]], so only a pause
+    * longer than this threshold can depose one (and the generation
+    * fence turns that into a loud `lease lost` on the deposed side,
+    * never a silent double-writer).
+    */
+  private def staleMs: Long =
+    sys.props.get("graft.lease.staleMs").map(_.toLong).getOrElse(60000L)
+
+  /** Interval between marker-mtime refreshes while the lease is held. */
+  private def heartbeatMs: Long =
+    sys.props.get("graft.lease.heartbeatMs").map(_.toLong)
+      .getOrElse(math.max(1000L, staleMs / 6))
+
+  private def touch(fs: org.apache.hadoop.fs.FileSystem, lease: Path): Unit =
+    if (isFileScheme(fs))
+      // java.nio keeps millisecond precision where File.setLastModified
+      // may truncate — the staleness clock needs the real resolution
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(lease.toUri.getPath),
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    else fs.setTimes(lease, System.currentTimeMillis(), -1L)
+
+  private def readAll(fs: org.apache.hadoop.fs.FileSystem,
+      p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  /** The holder id recorded in the marker, if the marker is readable. */
+  private def markerHolder(fs: org.apache.hadoop.fs.FileSystem,
+      lease: Path): Option[String] =
+    try readAll(fs, lease).linesIterator
+      .find(_.startsWith("holder=")).map(_.stripPrefix("holder="))
+    catch { case _: java.io.IOException => None }
+
+  private def readGen(fs: org.apache.hadoop.fs.FileSystem,
+      gen: Path): Long =
+    try readAll(fs, gen).trim.toLong
+    catch {
+      // absent (first acquisition) or torn (crash mid-write) both read
+      // as 0 — the next write restores monotonicity from there, and a
+      // paused holder carrying a HIGHER gen still fails its fence check
+      case _: java.io.IOException => 0L
+      case _: NumberFormatException => 0L
+    }
+
+  private def writeGen(fs: org.apache.hadoop.fs.FileSystem, gen: Path,
+      value: Long): Unit = {
+    val out = fs.create(gen, true)
+    try out.write(value.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Run `body` holding the store's single-writer lease. `who` is a
     * diagnostic tag written into the marker (which operation, for the
-    * timeout message of whoever waits on a crashed holder).
+    * timeout message of whoever waits on the holder).
     */
   def withLease[T](spark: SparkSession, path: String, who: String,
       timeoutMs: Long = -1L)(body: => T): T = {
     val effectiveTimeoutMs =
       if (timeoutMs >= 0L) timeoutMs else defaultTimeoutMs
+    val effectiveStaleMs = staleMs
     val fs = SwapRecovery.fsOf(spark, path)
     fs.mkdirs(new Path(path))
     val lease = new Path(s"$path/_lease")
+    val genPath = new Path(s"$path/_lease_gen")
+    val holderId = java.util.UUID.randomUUID().toString
+    val content = s"$who\nholder=$holderId"
     val deadline = System.currentTimeMillis() + effectiveTimeoutMs
-    while (!tryAcquire(fs, lease, who)) {
-      if (System.currentTimeMillis() > deadline)
-        throw new IllegalStateException(
-          s"could not acquire index lease $lease (wanted by: $who) within " +
-            s"${effectiveTimeoutMs}ms. A crashed holder leaves the marker — " +
-            "but so does a LIVE long compaction: verify no writer is live " +
-            "(or raise -Dgraft.lease.timeoutMs) BEFORE recovering; if the " +
-            "holder is dead, run SwapRecovery.recover, then delete the marker")
-      Thread.sleep(25)
+    while (!tryAcquire(fs, lease, content)) {
+      // dead-holder detection: heartbeat older than the staleness
+      // threshold ⇒ take over. The rename is the takeover election —
+      // atomic, so exactly one contender repairs and proceeds.
+      val heartbeatAge =
+        try Some(System.currentTimeMillis() -
+          fs.getFileStatus(lease).getModificationTime)
+        catch { case _: java.io.FileNotFoundException => None }
+      heartbeatAge match {
+        case Some(age) if age > effectiveStaleMs =>
+          val tomb = new Path(s"$path/_lease_stale_$holderId")
+          if (fs.rename(lease, tomb)) {
+            SwapRecovery.recoverAll(spark, path)
+            fs.delete(tomb, false)
+            ()
+          }
+        case _ =>
+          if (System.currentTimeMillis() > deadline)
+            throw new IllegalStateException(
+              s"could not acquire index lease $lease (wanted by: $who) " +
+                s"within ${effectiveTimeoutMs}ms. The holder appears LIVE " +
+                s"(marker heartbeat ${heartbeatAge.getOrElse(0L)}ms old, " +
+                s"staleness threshold ${effectiveStaleMs}ms) — a crashed " +
+                "holder's marker goes stale and is taken over " +
+                "automatically after SwapRecovery repair. Raise " +
+                "-Dgraft.lease.timeoutMs to outwait a long live " +
+                "compaction, or lower -Dgraft.lease.staleMs if the " +
+                "holder cannot be heartbeating")
+          Thread.sleep(25)
+      }
     }
-    try body finally { fs.delete(lease, false); () }
+    // held. Bump the generation fence, then heartbeat until release.
+    val myGen = readGen(fs, genPath) + 1
+    writeGen(fs, genPath, myGen)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val beat = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          Thread.sleep(heartbeatMs)
+          if (!stop.get() && markerHolder(fs, lease).contains(holderId))
+            touch(fs, lease)
+        } catch {
+          case _: InterruptedException => stop.set(true)
+          case _: java.io.IOException => () // transient; next beat retries
+        }
+      }
+    }, s"graft-lease-heartbeat-$holderId")
+    beat.setDaemon(true)
+    beat.start()
+    try {
+      val result = body
+      // the fence: a holder paused past the staleness threshold may
+      // have been deposed and its store repaired — its late success
+      // must be REJECTED loudly, not returned as if committed
+      if (!markerHolder(fs, lease).contains(holderId) ||
+          readGen(fs, genPath) != myGen)
+        throw new IllegalStateException(
+          s"index lease $lease lost by $who (holder $holderId, " +
+            s"generation $myGen): a contender declared this holder dead " +
+            "and took over — this mutation may be torn; run " +
+            "SwapRecovery.recoverAll and retry it")
+      result
+    } finally {
+      stop.set(true)
+      beat.interrupt()
+      // delete only OUR marker — after a takeover it belongs to the
+      // new holder (or a newer generation entirely)
+      if (markerHolder(fs, lease).contains(holderId)) {
+        fs.delete(lease, false)
+        ()
+      }
+    }
   }
 }

@@ -67,6 +67,29 @@ object SwapRecovery {
     }
   }
 
+  /** Repair EVERY stranded layer under a store path, discovering the
+    * layer names from the `<layer>_old` / `<layer>_compacted` debris a
+    * dead writer left behind — the store-agnostic entry point
+    * [[IndexLease]]'s dead-holder takeover uses (the lease layer does
+    * not know which store layout it guards). A healthy path has no
+    * debris and this is a no-op; returns the repaired layer → action
+    * map for logs and the spec.
+    */
+  def recoverAll(spark: SparkSession, path: String): Map[String, String] = {
+    val fs = fsOf(spark, path)
+    val children =
+      try fs.listStatus(new Path(path)).toSeq
+      catch { case _: java.io.FileNotFoundException => Seq.empty }
+    val layers = children.map(_.getPath.getName)
+      .collect {
+        case n if n.endsWith("_old") => n.stripSuffix("_old")
+        case n if n.endsWith("_compacted") => n.stripSuffix("_compacted")
+      }
+      .filterNot(_.startsWith("_")) // lease machinery, not store layers
+      .distinct
+    layers.map(l => l -> recover(spark, path, l)).toMap
+  }
+
   /** Rename that REFUSES to be ignored: `FileSystem.rename` reports
     * failure as a Boolean (FS-dependently, e.g. when the destination
     * already exists on a stranded layout), and a compact that falls

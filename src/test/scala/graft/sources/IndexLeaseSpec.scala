@@ -71,19 +71,120 @@ class IndexLeaseSpec extends SparkSpecBase {
       "the lease must be released after every mutation")
   }
 
-  test("a crashed holder's marker times out with an actionable error") {
+  test("a recently-crashed holder's fresh marker times out (not yet provably dead)") {
     val p = freshIndex("crash")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$p/_lease"),
-      "dead-writer".getBytes("UTF-8"))
+      "dead-writer\nholder=ghost".getBytes("UTF-8"))
+    // marker mtime is NOW — within the staleness threshold the waiter
+    // cannot distinguish a crash from a live holder, so it must wait
     val err = intercept[IllegalStateException] {
       IndexLease.withLease(spark, p, "append", timeoutMs = 300L) { () }
     }
-    assert(err.getMessage.contains("crashed holder"))
-    // operator intervention: clear the marker, mutation proceeds
+    assert(err.getMessage.contains("taken over"),
+      s"timeout message must explain the takeover path: ${err.getMessage}")
     java.nio.file.Files.delete(java.nio.file.Paths.get(s"$p/_lease"))
     MinhashIndexStore.append(delta, p)
     assert(spark.read.parquet(s"$p/bands").count() ==
       MinhashIndexStore.bandRows(base.unionByName(delta)).count())
+  }
+
+  test("a DEAD holder (stale heartbeat) is taken over after SwapRecovery repair") {
+    val p = freshIndex("dead")
+    // the dead holder stranded a mid-swap layout: bands renamed aside,
+    // fully-written staging not yet promoted (SwapRecovery state 2)
+    val fs = SwapRecovery.fsOf(spark, p)
+    val bands = new org.apache.hadoop.fs.Path(s"$p/bands")
+    spark.read.parquet(s"$p/bands").write
+      .partitionBy("band").parquet(s"$p/bands_compacted")
+    SwapRecovery.renameOrThrow(fs, bands,
+      new org.apache.hadoop.fs.Path(s"$p/bands_old"))
+    // ...and its lease marker, heartbeat long gone
+    val marker = java.nio.file.Paths.get(s"$p/_lease")
+    java.nio.file.Files.write(marker,
+      "dead-compact\nholder=ghost".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(marker,
+      java.nio.file.attribute.FileTime
+        .fromMillis(System.currentTimeMillis() - 60000L))
+    sys.props("graft.lease.staleMs") = "400"
+    try {
+      // NO operator intervention: the waiter detects the stale
+      // heartbeat, repairs the stranded swap, and proceeds
+      MinhashIndexStore.append(delta, p)
+    } finally { sys.props.remove("graft.lease.staleMs"); () }
+    assert(!new java.io.File(s"$p/_lease").exists(),
+      "the takeover's lease must be released like any other")
+    assert(!new java.io.File(s"$p/bands_old").exists() &&
+      !new java.io.File(s"$p/bands_compacted").exists(),
+      "the stranded swap must be repaired before the takeover mutates")
+    assert(spark.read.parquet(s"$p/bands").count() ==
+      MinhashIndexStore.bandRows(base.unionByName(delta)).count())
+  }
+
+  test("a LIVE slow holder (heartbeating) is NOT deposed — takeover refused") {
+    val p = freshIndex("slow")
+    val marker = java.nio.file.Paths.get(s"$p/_lease")
+    java.nio.file.Files.write(marker,
+      "slow-compact\nholder=tortoise".getBytes("UTF-8"))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val beat = new Thread(() => {
+      while (!stop.get()) {
+        java.nio.file.Files.setLastModifiedTime(marker,
+          java.nio.file.attribute.FileTime
+            .fromMillis(System.currentTimeMillis()))
+        Thread.sleep(50)
+      }
+    })
+    beat.setDaemon(true); beat.start()
+    sys.props("graft.lease.staleMs") = "400"
+    try {
+      val err = intercept[IllegalStateException] {
+        // staleness window elapses MANY times within the timeout, but
+        // the heartbeat keeps refreshing — the holder must survive
+        IndexLease.withLease(spark, p, "append", timeoutMs = 1500L) { () }
+      }
+      assert(err.getMessage.contains("LIVE"),
+        s"refusal must say the holder looks live: ${err.getMessage}")
+      assert(java.nio.file.Files.exists(marker),
+        "the live holder's marker must not be stolen")
+    } finally {
+      sys.props.remove("graft.lease.staleMs")
+      stop.set(true); beat.join()
+      java.nio.file.Files.delete(marker)
+      ()
+    }
+  }
+
+  test("generation fence: a paused-past-stale holder's late success is REJECTED") {
+    val p = freshIndex("fence")
+    // holder A cannot heartbeat (interval pushed past the test) and
+    // will pause in its body longer than the staleness threshold
+    sys.props("graft.lease.staleMs") = "300"
+    sys.props("graft.lease.heartbeatMs") = "3600000"
+    val aIn = new java.util.concurrent.CountDownLatch(1)
+    val aGo = new java.util.concurrent.CountDownLatch(1)
+    @volatile var aErr: Throwable = null
+    val a = new Thread(() =>
+      try IndexLease.withLease(spark, p, "paused-writer") {
+        aIn.countDown()
+        aGo.await() // the "GC pause"
+      } catch { case t: Throwable => aErr = t })
+    try {
+      a.start()
+      assert(aIn.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      Thread.sleep(500) // let A's heartbeat go stale
+      // contender B declares A dead, takes over, completes, releases
+      IndexLease.withLease(spark, p, "contender", timeoutMs = 10000L) { () }
+      // A wakes from its pause: its completion must throw, not return
+      aGo.countDown()
+      a.join(30000)
+      assert(aErr != null && aErr.getMessage.contains("lease lost"),
+        s"deposed holder must fail loudly, got: $aErr")
+    } finally {
+      sys.props.remove("graft.lease.staleMs")
+      sys.props.remove("graft.lease.heartbeatMs")
+      aGo.countDown()
+      ()
+    }
   }
 
   test("the default timeout honors -Dgraft.lease.timeoutMs") {
