@@ -63,6 +63,8 @@ object GramStore {
   def append(emb: DataFrame, path: String,
       vecCol: String = "embedding"): Unit =
     IndexLease.withLease(emb.sparkSession, path, "gram-append") {
+      StoreLayout.assertWritable(emb.sparkSession, path, "moments",
+        keyed = false)
       momentRows(emb, 1, vecCol)
         .write.mode(SaveMode.Append).parquet(s"$path/moments")
     }
@@ -74,6 +76,34 @@ object GramStore {
       momentRows(emb, -1, vecCol)
         .write.mode(SaveMode.Append).parquet(s"$path/moments")
     }
+
+  private def foldBatch(emb: DataFrame, path: String, batchId: Long,
+      sign: Int, who: String, vecCol: String): Unit =
+    IndexLease.withLease(emb.sparkSession, path, who) {
+      StoreLayout.assertWritable(emb.sparkSession, path, "moments",
+        keyed = true)
+      momentRows(emb, sign, vecCol)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(StoreLayout.batchDir(path, "moments", batchId))
+    }
+
+  /** [[append]] for STREAMED maintenance: the drop's moment layer is
+    * keyed by micro-batch id and written with Overwrite, so a
+    * crash-redelivered batch RE-LANDS its own layer instead of
+    * double-appending — for abelian FP moments a double fold silently
+    * corrupts every downstream component, which is why the streamed
+    * path gets layout-level idempotence rather than a marker-file
+    * guard (whose append→marker window re-appends on replay).
+    * `batchId = -1` is the convention for a pre-built base layer.
+    */
+  def appendBatch(emb: DataFrame, path: String, batchId: Long,
+      vecCol: String = "embedding"): Unit =
+    foldBatch(emb, path, batchId, 1, "gram-append-batch", vecCol)
+
+  /** [[delete]]'s batch-keyed twin for streamed takedown feeds. */
+  def deleteBatch(emb: DataFrame, path: String, batchId: Long,
+      vecCol: String = "embedding"): Unit =
+    foldBatch(emb, path, batchId, -1, "gram-delete-batch", vecCol)
 
   /** The folded statistics, driver-pinned: layers are one row each
     * (bounded by mutation count; [[compact]] returns it to one), and

@@ -101,7 +101,10 @@ object MinhashIndexStore {
     * rewriting a single index file.
     */
   def bandsTable(spark: SparkSession, path: String): DataFrame = {
+    // a batch-keyed store ([[appendBatch]]) exposes its layer key as a
+    // `batch` partition column — serve-side consumers never need it
     val bands = spark.read.parquet(s"$path/bands")
+      .drop("batch")
       .withColumn("band", col("band").cast("int"))
     if (hasTombstones(spark, path))
       bands.join(broadcast(tombstonesTable(spark, path)),
@@ -200,11 +203,41 @@ object MinhashIndexStore {
     */
   def append(delta: DataFrame, path: String): Unit =
     IndexLease.withLease(delta.sparkSession, path, "minhash-append") {
+      StoreLayout.assertWritable(delta.sparkSession, path, "bands",
+        keyed = false)
       bandRows(delta)
         .write.mode(SaveMode.Append)
         .partitionBy("band")
         .parquet(s"$path/bands")
     }
+
+  /** [[append]] for STREAMED maintenance: the drop's band rows land
+    * under `bands/batch=<id>/band=<n>` with Overwrite, so a
+    * crash-redelivered batch RE-LANDS its own layer instead of
+    * double-appending duplicate band rows (which would duplicate every
+    * candidate pair the drop participates in). Per-band partition
+    * pruning still works — discovery exposes both `batch` and `band`.
+    * `batchId = -1` is the convention for the pre-built base layer
+    * ([[buildKeyed]]); note [[compact]] folds the batch keying away
+    * (its rewrite is flat), after which a further appendBatch refuses
+    * loudly — re-key with buildKeyed before resuming a stream.
+    */
+  def appendBatch(delta: DataFrame, path: String, batchId: Long): Unit =
+    IndexLease.withLease(delta.sparkSession, path, "minhash-append-batch") {
+      StoreLayout.assertWritable(delta.sparkSession, path, "bands",
+        keyed = true)
+      bandRows(delta)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("band")
+        .parquet(StoreLayout.batchDir(path, "bands", batchId))
+    }
+
+  /** [[build]] in the batch-keyed layout (base layer at `batch=-1`) —
+    * the starting point for a store that will be maintained by a
+    * stream of [[appendBatch]] folds.
+    */
+  def buildKeyed(corpus: DataFrame, path: String): Unit =
+    appendBatch(corpus, path, -1L)
 
   /** Memoized build-then-append lifecycle for the rollover gate: the
     * first caller per JVM per path indexes the base corpus and folds

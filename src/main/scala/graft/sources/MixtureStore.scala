@@ -48,9 +48,35 @@ object MixtureStore {
     */
   def append(docs: DataFrame, path: String): Unit =
     IndexLease.withLease(docs.sparkSession, path, "mixture-append") {
+      StoreLayout.assertWritable(docs.sparkSession, path, "slices",
+        keyed = false)
       CorpusStats.sliceCounts(docs, 1)
         .write.mode(SaveMode.Append).parquet(s"$path/slices")
     }
+
+  private def foldBatch(docs: DataFrame, path: String, batchId: Long,
+      sign: Int, who: String): Unit =
+    IndexLease.withLease(docs.sparkSession, path, who) {
+      StoreLayout.assertWritable(docs.sparkSession, path, "slices",
+        keyed = true)
+      CorpusStats.sliceCounts(docs, sign)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(StoreLayout.batchDir(path, "slices", batchId))
+    }
+
+  /** [[append]] for STREAMED maintenance: the drop's count layer is
+    * keyed by micro-batch id and written with Overwrite, so a
+    * crash-redelivered batch RE-LANDS its own layer instead of
+    * double-appending — integer counts double silently under a replay,
+    * so idempotence comes from the layout, not a marker guard.
+    * `batchId = -1` is the convention for a pre-built base layer.
+    */
+  def appendBatch(docs: DataFrame, path: String, batchId: Long): Unit =
+    foldBatch(docs, path, batchId, 1, "mixture-append-batch")
+
+  /** [[delete]]'s batch-keyed twin for streamed takedown feeds. */
+  def deleteBatch(docs: DataFrame, path: String, batchId: Long): Unit =
+    foldBatch(docs, path, batchId, -1, "mixture-delete-batch")
 
   /** Retract documents — the takedown path: append NEGATED counts for
     * the removed docs. Integer group inverse, so the served datasheet

@@ -68,8 +68,39 @@ object NbModelStore {
     */
   def append(docs: DataFrame, labels: DataFrame, path: String): Unit =
     IndexLease.withLease(docs.sparkSession, path, "nbmodel-append") {
+      StoreLayout.assertWritable(docs.sparkSession, path, "counts",
+        keyed = false)
       writeDeltas(docs, labels, 1, path, SaveMode.Append)
     }
+
+  private def foldBatch(docs: DataFrame, labels: DataFrame, path: String,
+      batchId: Long, sign: Int, who: String): Unit =
+    IndexLease.withLease(docs.sparkSession, path, who) {
+      StoreLayout.assertWritable(docs.sparkSession, path, "counts",
+        keyed = true)
+      Classifier.tokenClassCounts(docs, labels, sign)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(StoreLayout.batchDir(path, "counts", batchId))
+      docCountRows(labels, sign)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(StoreLayout.batchDir(path, "doccounts", batchId))
+    }
+
+  /** [[append]] for STREAMED maintenance: both count layers are keyed
+    * by micro-batch id and written with Overwrite, so a
+    * crash-redelivered batch RE-LANDS its own layers instead of
+    * double-appending (abelian counts double silently under a replay —
+    * the layout carries the idempotence a marker guard can't).
+    * `batchId = -1` is the convention for a pre-built base layer.
+    */
+  def appendBatch(docs: DataFrame, labels: DataFrame, path: String,
+      batchId: Long): Unit =
+    foldBatch(docs, labels, path, batchId, 1, "nbmodel-append-batch")
+
+  /** [[delete]]'s batch-keyed twin for streamed takedown feeds. */
+  def deleteBatch(docs: DataFrame, labels: DataFrame, path: String,
+      batchId: Long): Unit =
+    foldBatch(docs, labels, path, batchId, -1, "nbmodel-delete-batch")
 
   /** Retract documents from the model — the takedown path. Appends
     * NEGATIVE count deltas for the retracted docs' tokens

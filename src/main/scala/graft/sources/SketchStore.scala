@@ -111,8 +111,29 @@ object SketchStore {
     */
   def append(docs: DataFrame, path: String, k: Int = -1): Unit =
     IndexLease.withLease(docs.sparkSession, path, "kmv-append") {
+      StoreLayout.assertWritable(docs.sparkSession, path, "sketch",
+        keyed = false)
       sketchRows(docs, resolveK(docs.sparkSession, path, k))
         .write.mode(SaveMode.Append).parquet(s"$path/sketch")
+    }
+
+  /** [[append]] for STREAMED maintenance: the drop's sketch layer is
+    * keyed by micro-batch id and written with Overwrite, so a
+    * crash-redelivered batch RE-LANDS its own layer instead of
+    * double-appending. The k-min fold is idempotent, so for the hash
+    * sets a double append is harmless — but the additive `n_rows`
+    * column doubles, which is why the sketch store gets the same
+    * layout-level idempotence as the abelian stores.
+    * `batchId = -1` is the convention for a pre-built base layer.
+    */
+  def appendBatch(docs: DataFrame, path: String, batchId: Long,
+      k: Int = -1): Unit =
+    IndexLease.withLease(docs.sparkSession, path, "kmv-append-batch") {
+      StoreLayout.assertWritable(docs.sparkSession, path, "sketch",
+        keyed = true)
+      sketchRows(docs, resolveK(docs.sparkSession, path, k))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(StoreLayout.batchDir(path, "sketch", batchId))
     }
 
   /** Lossy sketch state has no group inverse — a takedown CANNOT be

@@ -119,7 +119,17 @@ object SwapRecovery {
   private[sources] def compactSwap(spark: SparkSession, path: String,
       layer: String)(folded: => org.apache.spark.sql.DataFrame): Unit = {
     recover(spark, path, layer)
-    folded.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    // a batch-keyed layer (streamed maintenance) stays keyed across
+    // compaction — the folded row lands at batch=-1 — so the stream
+    // can keep folding batch layers in afterwards; a flat/keyed mix
+    // would be silently lossy to read (StoreLayout's invariant)
+    val keyed = StoreLayout.isKeyed(spark, path, layer)
+    val staged =
+      if (keyed)
+        folded.withColumn("batch", org.apache.spark.sql.functions.lit(-1L))
+          .write.partitionBy("batch")
+      else folded.write
+    staged.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$path/${layer}_compacted")
     val fs = fsOf(spark, path)
     renameOrThrow(fs, new Path(s"$path/$layer"),

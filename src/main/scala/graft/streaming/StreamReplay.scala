@@ -32,7 +32,7 @@ object StreamReplay {
     * stream replays the loads in staging order. Shared by every
     * file-replay gate in this object.
     */
-  private def stageFile(df: DataFrame, stage: java.nio.file.Path,
+  private[graft] def stageFile(df: DataFrame, stage: java.nio.file.Path,
       name: String, idx: Int): Unit = {
     val tmp = s"$stage/tmp_${name.replace('/', '_')}$idx"
     df.coalesce(1).write.parquet(tmp)
@@ -503,7 +503,9 @@ object StreamReplay {
       val stage = java.nio.file.Files.createTempDirectory("graft_neardup")
       stageFile(docs.filter(col("doc_id") % 10 === 5), stage, "drops/drop_", 0)
       stageFile(docs.filter(col("doc_id") % 10 === 0), stage, "drops/drop_", 1)
-      MinhashIndexStore.build(
+      // keyed base layer: the stream's folds are batch-id-keyed, and
+      // flat + keyed must never mix in one bands layer
+      MinhashIndexStore.buildKeyed(
         docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5),
         s"$stage/mh_base")
       stage.toString
@@ -531,26 +533,16 @@ object StreamReplay {
             // minhashNearDupsDelta derives its candidate-id set from
             // the stored band join (never containing this drop's ids),
             // so the batch needs no complement predicate.
-            // RETRY-SAFE: the per-batch rollup lands in a batch-id-
-            // keyed dir with Overwrite (a replayed batch re-lands the
-            // same rows instead of double-appending), and the index
-            // fold is guarded by a batch-id marker so a retry skips an
-            // append that already committed. The marker lands AFTER
-            // the append — a crash between the two re-appends on
-            // retry, the residual window a table format's transaction
-            // closes in production (same caveat as
-            // MinhashIndexStore.append itself).
+            // RETRY-SAFE BY LAYOUT: the per-batch rollup AND the index
+            // fold both land in batch-id-keyed dirs with Overwrite, so
+            // a crash-redelivered batch re-lands its own layers — no
+            // marker file, no append→marker window.
             graft.operators.Dedup.minhashNearDupsDelta(b, docs,
                 MinhashIndexStore.bandsTable(spark, idxPath))
               .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
               .parquet(s"$sink/batch_$id")
-            val marker = java.nio.file.Paths.get(s"$idxPath/_drop_$id")
-            if (!java.nio.file.Files.exists(marker)) {
-              // fold the drop in: the next micro-batch near-dups against it
-              MinhashIndexStore.append(b, idxPath)
-              java.nio.file.Files.createFile(marker)
-              ()
-            }
+            // fold the drop in: the next micro-batch near-dups against it
+            MinhashIndexStore.appendBatch(b, idxPath, id)
           } finally { b.unpersist(); () }
       }
         .option("checkpointLocation", chk)
@@ -624,25 +616,26 @@ object StreamReplay {
     * ([[replayPcaDrops]], [[replayMixtureDrops]], [[replayKmvDrops]]):
     * the source table split into three drops staged as mtime-ordered
     * files, replayed one file per trigger; each micro-batch folds ONLY
-    * ITSELF into a per-run store via `append` under a batch-id marker
-    * guard, and `serve` reads the folded state once at the end —
+    * ITSELF into a per-run store via its batch-id-keyed `appendBatch`,
+    * and `serve` reads the folded state once at the end —
     * exactly the production topology (state stays continuously
     * current; the expensive read runs on demand).
     *
-    * Delivery contract, stated honestly: the store append and the
-    * marker creation are TWO filesystem steps, so a crash between them
-    * would replay the batch on restart — at-least-once for that
-    * window, the same residue as every marker-guarded fold in this
-    * file ([[replayClfDrops]], the index folds). The AvailableNow gate
-    * replays never hit the window (no crash is injected mid-batch);
-    * a production deployment keys each layer by batch id so a replay
-    * OVERWRITES instead of double-appending. Idempotent-state stores
-    * (the k-min sketch's hash set) shrink the damage but do not
-    * eliminate it — additive columns (row counts, moments) double.
+    * Delivery contract: each fold goes through the store's
+    * `appendBatch`/`deleteBatch` — the batch's layer is KEYED BY BATCH
+    * ID and written with Overwrite, so a crash anywhere inside the
+    * batch leaves either no layer or a partial one that the
+    * checkpoint-driven redelivery OVERWRITES wholesale. There is no
+    * marker file and therefore no append→marker crash window: replay
+    * idempotence is a property of the layout itself (exactly-once
+    * folds over an at-least-once channel), which matters most for the
+    * abelian stores where a double fold silently corrupts counts
+    * rather than just duplicating rows. [[StreamCrashRecoverySpec]]
+    * injects the crash and asserts the redelivered fold lands exact.
     */
   private def replayStoreDrops(spark: SparkSession, dir: String,
       tag: String, table: DataFrame, splitCol: String,
-      append: (DataFrame, String) => Unit,
+      append: (DataFrame, String, Long) => Unit,
       serve: String => DataFrame,
       prepare: String => Unit = _ => ()): DataFrame = {
     val staged = storeDropStaged.computeIfAbsent(s"$tag:$dir", _ => {
@@ -662,10 +655,33 @@ object StreamReplay {
     prepare(storePath)
     val chk = java.nio.file.Files
       .createTempDirectory(s"graft_${tag}_chk").toString
-    val schema = spark.read.parquet(s"$staged/drops/drop_0.parquet").schema
+    runStoreDropStream(spark, s"$staged/drops", storePath, chk, append)
+    serve(storePath)
+  }
+
+  /** TEST HOOK — crash injection for the store-fold crash-recovery
+    * spec: called with the batch id AFTER the batch's store fold lands
+    * but BEFORE the checkpoint commits it. A hook that throws kills
+    * the stream in the window where the fold is durable but
+    * uncommitted — the window where a marker-file guard double-folds
+    * on restart, and the batch-id-keyed Overwrite layout must instead
+    * re-land the layer exactly. No-op outside tests.
+    */
+  @volatile private[graft] var storeFoldFault: Long => Unit = _ => ()
+
+  /** Run (or RESUME from its checkpoint) a store-maintenance drop
+    * stream: one staged file per trigger, each micro-batch folded by
+    * `append(batch, storePath, batchId)`.
+    */
+  private[graft] def runStoreDropStream(spark: SparkSession,
+      dropsDir: String, storePath: String, chk: String,
+      append: (DataFrame, String, Long) => Unit): Unit = {
+    val schema = spark.read.parquet(
+      new java.io.File(dropsDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.toString).min).schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"$staged/drops")
+      .parquet(dropsDir)
     val partsKey = "spark.sql.shuffle.partitions"
     val prev = spark.conf.getOption(partsKey)
     spark.conf.set(partsKey, "8")
@@ -675,12 +691,8 @@ object StreamReplay {
             id: Long) =>
           val b = batch.toDF().persist()
           try {
-            val marker = java.nio.file.Paths.get(s"$storePath/_drop_$id")
-            if (!java.nio.file.Files.exists(marker)) {
-              append(b, storePath)
-              java.nio.file.Files.createFile(marker)
-              ()
-            }
+            append(b, storePath, id)
+            storeFoldFault(id)
           } finally { b.unpersist(); () }
       }
         .option("checkpointLocation", chk)
@@ -692,7 +704,6 @@ object StreamReplay {
       case Some(v) => spark.conf.set(partsKey, v)
       case None => spark.conf.unset(partsKey)
     }
-    serve(storePath)
   }
 
   /** STREAMING PCA maintenance — the moment-store twin of
@@ -708,7 +719,7 @@ object StreamReplay {
     import graft.sources.{GramStore, Tables}
     val emb = Tables.embeddings(spark, dir)
     replayStoreDrops(spark, dir, "pca", emb, "vec_id",
-      GramStore.append(_, _),
+      GramStore.appendBatch(_, _, _),
       p => {
         val (n, s, ss) = GramStore.moments(spark, p)
         graft.operators.Pca.fromMoments(emb, n, s, ss)
@@ -728,7 +739,7 @@ object StreamReplay {
     import graft.sources.{MixtureStore, Tables}
     replayStoreDrops(spark, dir, "mixture",
       Tables.documents(spark, dir), "doc_id",
-      MixtureStore.append(_, _),
+      MixtureStore.appendBatch(_, _, _),
       MixtureStore.served(spark, _))
   }
 
@@ -746,7 +757,7 @@ object StreamReplay {
     import graft.sources.{SketchStore, Tables}
     replayStoreDrops(spark, dir, "kmv",
       Tables.documents(spark, dir), "doc_id",
-      SketchStore.append(_, _),
+      SketchStore.appendBatch(_, _, _),
       SketchStore.served(spark, _))
   }
 
@@ -766,9 +777,11 @@ object StreamReplay {
     val docs = Tables.documents(spark, dir)
     replayStoreDrops(spark, dir, "mixretract",
       docs.filter(col("doc_id") % 7 === 3), "doc_id",
-      MixtureStore.delete(_, _),
+      MixtureStore.deleteBatch(_, _, _),
       MixtureStore.served(spark, _),
-      prepare = p => MixtureStore.build(docs, p))
+      // keyed base layer (batch=-1): the takedown folds are keyed, and
+      // flat + keyed must never mix in one layer
+      prepare = p => MixtureStore.appendBatch(docs, p, -1L))
   }
 
   /** STREAMING PCA RETRACTION — [[replayMixtureRetractions]]'s twin
@@ -786,13 +799,13 @@ object StreamReplay {
     val emb = Tables.embeddings(spark, dir)
     replayStoreDrops(spark, dir, "pcaretract",
       emb.filter(col("vec_id") % 7 === 3), "vec_id",
-      GramStore.delete(_, _),
+      GramStore.deleteBatch(_, _, _),
       p => {
         val (n, s, ss) = GramStore.moments(spark, p)
         graft.operators.Pca.fromMoments(
           emb.filter(col("vec_id") % 7 =!= 3), n, s, ss)
       },
-      prepare = p => GramStore.build(emb, p))
+      prepare = p => GramStore.appendBatch(emb, p, -1L))
   }
 
   /** STREAMING MODEL RETRACTION — the learned-model takedown: doc
@@ -811,10 +824,10 @@ object StreamReplay {
       .select(col("doc_id"), col("keep").as("label"))
     replayStoreDrops(spark, dir, "clfretract",
       docs.filter(col("source") === "src0"), "doc_id",
-      (b, p) => NbModelStore.delete(b, labels(b), p),
+      (b, p, id) => NbModelStore.deleteBatch(b, labels(b), p, id),
       p => NbModelStore.model(spark, p)
         .crossJoin(broadcast(NbModelStore.prior(spark, p))),
-      prepare = p => NbModelStore.build(docs, labels(docs), p))
+      prepare = p => NbModelStore.appendBatch(docs, labels(docs), p, -1L))
   }
 
   private val clfStaged =
@@ -830,11 +843,11 @@ object StreamReplay {
     * drop-order-free and append ≡ rebuild: after the last drop the
     * served model (+prior) must be indistinguishable from a fresh
     * batch train over the whole corpus — the gate reuses the
-    * `text_clf_train` oracle chain verbatim. Retry-safe like the
-    * near-dup fold: a batch-id marker guards the append, so a replayed
-    * batch skips a fold that already committed (marker lands after the
-    * append — the residual crash window a table format's transaction
-    * closes in production).
+    * `text_clf_train` oracle chain verbatim. Retry-safe BY LAYOUT like
+    * the near-dup fold: both count layers are batch-id-keyed Overwrite
+    * writes ([[graft.sources.NbModelStore.appendBatch]]), so a
+    * crash-redelivered batch re-lands its own layers — no marker file,
+    * no append→marker crash window.
     */
   def replayClfDrops(spark: SparkSession, dir: String): DataFrame = {
     import graft.sources.{NbModelStore, Tables}
@@ -866,14 +879,11 @@ object StreamReplay {
             id: Long) =>
           val b = batch.toDF().persist()
           try {
-            val marker = java.nio.file.Paths.get(s"$storePath/_drop_$id")
-            if (!java.nio.file.Files.exists(marker)) {
-              val labels = graft.operators.CorpusStats.gopherQuality(b)
-                .select(col("doc_id"), col("keep").as("label"))
-              NbModelStore.append(b, labels, storePath)
-              java.nio.file.Files.createFile(marker)
-              ()
-            }
+            val labels = graft.operators.CorpusStats.gopherQuality(b)
+              .select(col("doc_id"), col("keep").as("label"))
+            // batch-id-keyed Overwrite: a crash-redelivered batch
+            // RE-LANDS its own count layers instead of double-folding
+            NbModelStore.appendBatch(b, labels, storePath, id)
           } finally { b.unpersist(); () }
       }
         .option("checkpointLocation", chk)
@@ -1026,10 +1036,10 @@ object StreamReplay {
     * previously-emitted survivor is retracted and the cleaner copy
     * takes its place in the canonical table.
     *
-    * Topology per micro-batch (all sinks batch-id-keyed Overwrite —
-    * retry-idempotent; the index fold marker-guarded like
-    * [[replayNearDupDrops]]; every read horizon-bounded to layers
-    * BEFORE this batch):
+    * Topology per micro-batch (ALL writes — delta layers AND the index
+    * fold — batch-id-keyed Overwrite, so a crash-redelivered batch
+    * re-lands its own layers wholesale; every read horizon-bounded to
+    * layers BEFORE this batch):
     *
     *  1. exact-collapse the drop; non-representative twins (which can
     *     never win the quality argmax — their rep has equal quality
@@ -1091,11 +1101,36 @@ object StreamReplay {
     * slices of doc_id % (5·numDrops) (20% of the corpus in total), the
     * base corpus the remaining 80%.
     */
+  /** TEST HOOK — deterministic fault injection for the crash-recovery
+    * spec: called as `(batchId, writesDone)` after EACH of the
+    * keep-best micro-batch's persistent writes (1 = edges, 2 = seen,
+    * 3 = index fold, 4 = labels, 5 = retract delta, 6 = upsert delta,
+    * 7 = metrics). A hook that throws kills the batch at that exact
+    * write boundary; the stream fails, and a restart from the SAME
+    * checkpoint redelivers the batch — which must land exactly,
+    * because every write is batch-id-keyed Overwrite. No-op outside
+    * tests.
+    */
+  @volatile private[graft] var kbWriteFault: (Long, Int) => Unit =
+    (_, _) => ()
+
   private[graft] def replayKeepBestN(spark: SparkSession,
       dir: String, numDrops: Int): (String, DataFrame) = {
+    val (staged, work, chk) = kbPrepareRun(spark, dir, numDrops)
+    kbRunStream(spark, dir, staged, work, chk)
+    (work, kbFold(spark, work))
+  }
+
+  /** Stage the drops + batch-operator base layers (memoized per
+    * dataset) and seed a fresh per-run work dir + checkpoint — the
+    * stream itself runs in [[kbRunStream]], separately so the
+    * crash-recovery spec can fail a run mid-batch and RESTART it
+    * against the same work dir and checkpoint.
+    */
+  private[graft] def kbPrepareRun(spark: SparkSession, dir: String,
+      numDrops: Int): (String, String, String) = {
     import graft.operators.{CorpusStats, Dedup}
     import graft.sources.{MinhashIndexStore, Tables}
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val slim = docs.select(col("doc_id"), col("text"))
     val m = 5 * numDrops
@@ -1113,7 +1148,7 @@ object StreamReplay {
       val canonIds = Dedup.exact(hashable)
         .select(col("keep_id").as("doc_id")).localCheckpoint()
       val canonDocs = hashable.join(canonIds, Seq("doc_id"), "left_semi")
-      MinhashIndexStore.build(canonDocs, s"$stage/mh_base")
+      MinhashIndexStore.buildKeyed(canonDocs, s"$stage/mh_base")
       Dedup.minhashNearDupPairs(canonDocs).filter(col("jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"))
         .write.parquet(s"$stage/edges_base")
@@ -1149,6 +1184,20 @@ object StreamReplay {
     slim.select(col("doc_id")).limit(0)
       .write.parquet(s"$work/canon_retracts/base")
     val chk = java.nio.file.Files.createTempDirectory("graft_kb_chk").toString
+    (staged, work, chk)
+  }
+
+  /** Run (or RESUME, if the checkpoint has committed batches) the
+    * keep-best maintenance stream against a prepared work dir.
+    */
+  private[graft] def kbRunStream(spark: SparkSession, dir: String,
+      staged: String, work: String, chk: String): Unit = {
+    import graft.operators.{CorpusStats, Dedup}
+    import graft.sources.{MinhashIndexStore, Tables}
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val slim = docs.select(col("doc_id"), col("text"))
+    val idxPath = s"$work/mh"
     val schema = spark.read.parquet(s"$staged/drops/drop_0.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
@@ -1186,15 +1235,16 @@ object StreamReplay {
                   MinhashIndexStore.bandsTable(spark, idxPath))
                 .select(col("id_a"), col("id_b")),
               s"$work/edges/batch_$id")
+            kbWriteFault(id, 1)
             val newEdges = spark.read.parquet(s"$work/edges/batch_$id")
             val nBatch = observedWrite(b.select(col("doc_id")),
               s"$work/seen/batch_$id")
-            val marker = java.nio.file.Paths.get(s"$idxPath/_drop_$id")
-            if (!java.nio.file.Files.exists(marker)) {
-              MinhashIndexStore.append(repDocs, idxPath)
-              java.nio.file.Files.createFile(marker)
-              ()
-            }
+            kbWriteFault(id, 2)
+            // batch-id-keyed Overwrite (same law as the delta layers
+            // below): a crash-redelivered batch re-lands its own band
+            // layer instead of double-appending
+            MinhashIndexStore.appendBatch(repDocs, idxPath, id)
+            kbWriteFault(id, 3)
             // BLAST RADIUS: stored components touched by the new edges
             // (plus brand-new nodes) re-solve and re-rank; every read
             // horizon-bounded to layers before this batch (retry-safe)
@@ -1205,6 +1255,7 @@ object StreamReplay {
             val nRegion = observedWrite(
               solved.select(col("node"), col("component")),
               s"$work/labels/batch_$id")
+            kbWriteFault(id, 4)
             val region = spark.read.parquet(s"$work/labels/batch_$id")
             val regionIds = region.select(col("node").as("doc_id"))
             // quality scored at REGION grain only — never the corpus
@@ -1228,6 +1279,7 @@ object StreamReplay {
             val nRetracts = observedWrite(
               losers.unionByName(twinDropped).distinct(),
               s"$work/canon_retracts/batch_$id")
+            kbWriteFault(id, 5)
             // upsert DELTA: region winners + the drop's new singletons
             // (no twin, no edge — includes NULL-text pass-throughs)
             val singles = b.select(col("doc_id"))
@@ -1239,6 +1291,7 @@ object StreamReplay {
                 .select(col("doc_id"), col("lang"), col("source"),
                   col("n_chars")),
               s"$work/canon_upserts/batch_$id")
+            kbWriteFault(id, 6)
             // wall_ms is the per-batch MAINTENANCE cost — stop the
             // clock BEFORE the prefix-size diagnostic count, which is
             // an O(prefix) scan that exists only to label the curve's
@@ -1264,10 +1317,16 @@ object StreamReplay {
       case Some(v) => spark.conf.set(partsKey, v)
       case None => spark.conf.unset(partsKey)
     }
+  }
+
+  /** Fold the canonical table as of the work dir's last completed
+    * batch ([[keepBestSnapshot]]).
+    */
+  private[graft] def kbFold(spark: SparkSession, work: String): DataFrame = {
     val lastBatch = new java.io.File(s"$work/canon_upserts").listFiles()
       .map(_.getName).filter(_.startsWith("batch_"))
       .map(_.stripPrefix("batch_").toLong).max
-    (work, keepBestSnapshot(spark, work, lastBatch))
+    keepBestSnapshot(spark, work, lastBatch)
   }
 
   private val lateStaged =

@@ -33,12 +33,13 @@ class StreamKmvSpec extends SparkSpecBase {
       .orderBy("lang").collect().toSeq
     val b = StreamReplay.replayKmvDrops(spark, sfDir)
       .orderBy("lang").collect().toSeq
-    // per-run stores keep the runs independent. (Idempotence caveat,
-    // scoped honestly: a doubled layer cannot change the k-min SKETCH
-    // state — union is idempotent — but the additive n_rows column
-    // WOULD double; the batch-id marker guards that, with the same
-    // two-step crash window every marker-guarded fold shares, see
-    // StreamReplay.replayStoreDrops.)
+    // per-run stores keep the runs independent. (Idempotence: a
+    // doubled layer cannot change the k-min SKETCH state — union is
+    // idempotent — and the additive n_rows column is protected by the
+    // batch-id-KEYED Overwrite layout: a redelivered batch re-lands
+    // its own layer instead of double-appending, with no marker-file
+    // crash window. See StreamReplay.replayStoreDrops and
+    // StreamCrashRecoverySpec.)
     assert(a == b)
   }
 }
