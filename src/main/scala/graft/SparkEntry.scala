@@ -178,6 +178,31 @@ object SparkEntry {
     Views.topPlatformByPeriod(t(s, dir, "events"), t(s, dir, "part"))
       .orderBy(col("period_day"), col("platform"))
 
+  /** The spark.sql façade twins ([[graft.operators.SqlFacade]]): the
+    * reference's views registered as TEMP VIEWS and served through the
+    * SQL front door — gated against the SAME oracles as the DataFrame
+    * twins above, proving the Catalyst plans are reachable from SQL.
+    */
+  private def sqlFacade(s: SparkSession, dir: String, view: String): DataFrame = {
+    graft.operators.SqlFacade.registerViews(s,
+      t(s, dir, "events"), t(s, dir, "part"))
+    s.sql(s"SELECT * FROM $view")
+  }
+
+  private def qSqlViewYearly(s: SparkSession, dir: String): DataFrame =
+    sqlFacade(s, dir, "yearly_item_view_count").orderBy(col("period_day"))
+
+  private def qSqlViewItemRank(s: SparkSession, dir: String): DataFrame =
+    sqlFacade(s, dir, "item_view_based_on_particular_year")
+      .orderBy(col("period_day"), col("item_view_rank"), col("item_name"))
+
+  private def qSqlViewTopItem(s: SparkSession, dir: String): DataFrame =
+    sqlFacade(s, dir, "most_viewed_item_based_on_most_recent_year")
+
+  private def qSqlViewTopPlatform(s: SparkSession, dir: String): DataFrame =
+    sqlFacade(s, dir, "most_used_platform_in_particular_year")
+      .orderBy(col("period_day"), col("platform"))
+
   // --------------------------------------------------------- relational
 
   private def qPricing(s: SparkSession, dir: String): DataFrame =
@@ -410,6 +435,19 @@ object SparkEntry {
         FrameSigIndexStore.bandsTable(s, path))
       .orderBy(col("doc_a"), col("doc_b"), col("frame_idx"))
   }
+
+  /** STREAMED frame-sig ingest under the gate
+    * ([[graft.streaming.StreamReplay.replayMmPhashDrops]]): two asset
+    * drops arrive as a real file stream, each signs only itself
+    * against the stored band index and folds itself in batch-id-keyed;
+    * the union of per-batch pair sets must equal the batch all-pairs
+    * ground truth restricted to pairs touching any drop (cross-drop
+    * pairs land once, on the later drop's batch — the `stream_neardup`
+    * arrival-order law applied to the multimodal family).
+    */
+  private def qStreamMmPhash(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.replayMmPhashDrops(s, dir)
+      .orderBy(col("doc_a"), col("doc_b"), col("frame_idx"))
 
   /** Frame-sig index RETRACTION under the gate (the
     * `dedup_incremental_delete` twin for the multimodal family):
@@ -1931,6 +1969,10 @@ object SparkEntry {
     "view_item_rank_by_year" -> (qViewItemRank _),
     "view_top_item_recent_year" -> (qViewTopItem _),
     "view_top_platform_by_year" -> (qViewTopPlatform _),
+    "sql_view_yearly_counts" -> (qSqlViewYearly _),
+    "sql_view_item_rank_by_year" -> (qSqlViewItemRank _),
+    "sql_view_top_item_recent_year" -> (qSqlViewTopItem _),
+    "sql_view_top_platform_by_year" -> (qSqlViewTopPlatform _),
     "q1_pricing_summary" -> (qPricing _),
     "q3_shipping_priority" -> (qShipping _),
     "q_window_running" -> (qRunning _),
@@ -2074,6 +2116,7 @@ object SparkEntry {
     "pipeline_corpus" -> (qPipelineCorpus _),
     "mm_phash" -> (qMmPhash _),
     "mm_phash_incremental" -> (qMmPhashIncremental _),
+    "stream_mm_phash" -> (qStreamMmPhash _),
     "mm_phash_delete" -> (qMmPhashDelete _),
     "mm_scenes" -> (qMmScenes _),
     "text_dup_spans" -> (qDupSpans _),
@@ -3151,43 +3194,16 @@ object SparkEntry {
         |FROM b a JOIN b c ON a.blk = c.blk AND a.p_name < c.p_name
         |WHERE levenshtein(a.p_name, c.p_name) <= 2
         |ORDER BY name_a, name_b""".stripMargin,
-    "view_yearly_counts" ->
-      """WITH fe AS (SELECT CAST(ts AS DATE) AS period_day,
-        |   json_extract_string(props, '$.k')::BIGINT AS item_key
-        | FROM events WHERE event_type = 'view')
-        |SELECT period_day, count(*) AS item_views
-        |FROM fe JOIN part d ON fe.item_key = d.p_partkey
-        |GROUP BY period_day ORDER BY period_day""".stripMargin,
-    "view_item_rank_by_year" ->
-      """WITH fe AS (SELECT CAST(ts AS DATE) AS period_day,
-        |   json_extract_string(props, '$.k')::BIGINT AS item_key
-        | FROM events WHERE event_type = 'view'),
-        | c AS (SELECT period_day, d.p_name AS item_name, count(*) AS item_views
-        |   FROM fe JOIN part d ON fe.item_key = d.p_partkey
-        |   GROUP BY period_day, d.p_name)
-        |SELECT period_day, item_name, item_views,
-        | CAST(dense_rank() OVER (PARTITION BY period_day ORDER BY item_views DESC) AS BIGINT) AS item_view_rank
-        |FROM c ORDER BY period_day, item_view_rank, item_name""".stripMargin,
-    "view_top_item_recent_year" ->
-      """WITH fe AS (SELECT CAST(ts AS DATE) AS period_day,
-        |   json_extract_string(props, '$.k')::BIGINT AS item_key
-        | FROM events WHERE event_type = 'view'),
-        | c AS (SELECT period_day, d.p_name AS item_name, count(*) AS item_views
-        |   FROM fe JOIN part d ON fe.item_key = d.p_partkey
-        |   GROUP BY period_day, d.p_name)
-        |SELECT period_day, item_name, item_views FROM c
-        |WHERE period_day = (SELECT max(period_day) FROM c)
-        |ORDER BY item_views DESC, item_name LIMIT 1""".stripMargin,
-    "view_top_platform_by_year" ->
-      """WITH fact AS (SELECT CAST(ts AS DATE) AS period_day, event_type AS platform,
-        |   json_extract_string(props, '$.k')::BIGINT AS item_key FROM events
-        |   WHERE event_type = 'view'),
-        | c AS (SELECT period_day, platform, count(*) AS platform_views
-        |   FROM fact JOIN part d ON fact.item_key = d.p_partkey
-        |   GROUP BY period_day, platform),
-        | r AS (SELECT *, CAST(dense_rank() OVER (PARTITION BY period_day ORDER BY platform_views DESC) AS BIGINT) AS platform_rank FROM c)
-        |SELECT period_day, platform, platform_views, platform_rank
-        |FROM r WHERE platform_rank = 1 ORDER BY period_day, platform""".stripMargin,
+    "view_yearly_counts" -> viewYearlyOracle,
+    "view_item_rank_by_year" -> viewItemRankOracle,
+    "view_top_item_recent_year" -> viewTopItemOracle,
+    "view_top_platform_by_year" -> viewTopPlatformOracle,
+    // the spark.sql façade twins share the DataFrame twins' oracles
+    // VERBATIM — one ground truth, two front doors
+    "sql_view_yearly_counts" -> viewYearlyOracle,
+    "sql_view_item_rank_by_year" -> viewItemRankOracle,
+    "sql_view_top_item_recent_year" -> viewTopItemOracle,
+    "sql_view_top_platform_by_year" -> viewTopPlatformOracle,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
@@ -4464,6 +4480,21 @@ object SparkEntry {
         |    ON a.doc_id < b.doc_id AND a.frame_idx = b.frame_idx)
         |WHERE hamming <= 3 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)
         |ORDER BY doc_a, doc_b, frame_idx""".stripMargin),
+    // stream_mm_phash: the streamed two-drop ingest — the same ground
+    // truth widened to pairs touching EITHER drop (doc_id % 10 in
+    // {5, 0}); each pair lands exactly once across the micro-batches
+    // (cross-drop pairs on the later drop's batch)
+    "stream_mm_phash" ->
+      (s"WITH $mmBitsCtes\n" +
+      """SELECT doc_a, doc_b, frame_idx, hamming FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.frame_idx,
+        |   (bit_count(xor(a.sig_lo, b.sig_lo))
+        |    + bit_count(xor(a.sig_hi, b.sig_hi)))::INT AS hamming
+        |  FROM bits a JOIN bits b
+        |    ON a.doc_id < b.doc_id AND a.frame_idx = b.frame_idx)
+        |WHERE hamming <= 3 AND (doc_a % 10 = 0 OR doc_b % 10 = 0
+        |  OR doc_a % 10 = 5 OR doc_b % 10 = 5)
+        |ORDER BY doc_a, doc_b, frame_idx""".stripMargin),
     // mm_phash_delete: the same drop-restricted ground truth minus
     // every pair touching a retracted (doc_id % 10 == 2) asset — the
     // tombstone mask replayed by value (residue 2 intersects the gate
@@ -4792,6 +4823,51 @@ object SparkEntry {
       | SELECT 'view_yearly_counts', count(*)::BIGINT, count(DISTINCT period_day)::BIGINT,
       |   sum(item_views)::BIGINT, 0.0::DOUBLE FROM v1
       |) ORDER BY tbl""".stripMargin
+
+  /** The four reference-view oracles — shared verbatim by the
+    * DataFrame twins (`view_*`) and the spark.sql façade twins
+    * (`sql_view_*`, [[graft.operators.SqlFacade]]).
+    */
+  private lazy val viewYearlyOracle: String =
+    """WITH fe AS (SELECT CAST(ts AS DATE) AS period_day,
+      |   json_extract_string(props, '$.k')::BIGINT AS item_key
+      | FROM events WHERE event_type = 'view')
+      |SELECT period_day, count(*) AS item_views
+      |FROM fe JOIN part d ON fe.item_key = d.p_partkey
+      |GROUP BY period_day ORDER BY period_day""".stripMargin
+
+  private lazy val viewItemRankOracle: String =
+    """WITH fe AS (SELECT CAST(ts AS DATE) AS period_day,
+      |   json_extract_string(props, '$.k')::BIGINT AS item_key
+      | FROM events WHERE event_type = 'view'),
+      | c AS (SELECT period_day, d.p_name AS item_name, count(*) AS item_views
+      |   FROM fe JOIN part d ON fe.item_key = d.p_partkey
+      |   GROUP BY period_day, d.p_name)
+      |SELECT period_day, item_name, item_views,
+      | CAST(dense_rank() OVER (PARTITION BY period_day ORDER BY item_views DESC) AS BIGINT) AS item_view_rank
+      |FROM c ORDER BY period_day, item_view_rank, item_name""".stripMargin
+
+  private lazy val viewTopItemOracle: String =
+    """WITH fe AS (SELECT CAST(ts AS DATE) AS period_day,
+      |   json_extract_string(props, '$.k')::BIGINT AS item_key
+      | FROM events WHERE event_type = 'view'),
+      | c AS (SELECT period_day, d.p_name AS item_name, count(*) AS item_views
+      |   FROM fe JOIN part d ON fe.item_key = d.p_partkey
+      |   GROUP BY period_day, d.p_name)
+      |SELECT period_day, item_name, item_views FROM c
+      |WHERE period_day = (SELECT max(period_day) FROM c)
+      |ORDER BY item_views DESC, item_name LIMIT 1""".stripMargin
+
+  private lazy val viewTopPlatformOracle: String =
+    """WITH fact AS (SELECT CAST(ts AS DATE) AS period_day, event_type AS platform,
+      |   json_extract_string(props, '$.k')::BIGINT AS item_key FROM events
+      |   WHERE event_type = 'view'),
+      | c AS (SELECT period_day, platform, count(*) AS platform_views
+      |   FROM fact JOIN part d ON fact.item_key = d.p_partkey
+      |   GROUP BY period_day, platform),
+      | r AS (SELECT *, CAST(dense_rank() OVER (PARTITION BY period_day ORDER BY platform_views DESC) AS BIGINT) AS platform_rank FROM c)
+      |SELECT period_day, platform, platform_views, platform_rank
+      |FROM r WHERE platform_rank = 1 ORDER BY period_day, platform""".stripMargin
 
   /** text_bpe_retrain oracle: the drift trigger (worst-slice
     * chars-per-token under the FROZEN table, the text_bpe_eval law)

@@ -78,7 +78,10 @@ object FrameSigIndexStore {
     * anti-join on the tombstone list — no index file rewritten.
     */
   def bandsTable(spark: SparkSession, path: String): DataFrame = {
+    // a batch-keyed store ([[appendBatch]]) exposes its layer key as a
+    // `batch` partition column — serve-side consumers never need it
     val bands = spark.read.parquet(s"$path/bands")
+      .drop("batch")
       .withColumn("band", col("band").cast("int"))
     if (hasTombstones(spark, path))
       bands.join(broadcast(spark.read.parquet(s"$path/tombstones")
@@ -99,11 +102,38 @@ object FrameSigIndexStore {
     */
   def append(delta: Dataset[MMRecord], path: String): Unit =
     IndexLease.withLease(delta.sparkSession, path, "framesig-append") {
+      StoreLayout.assertWritable(delta.sparkSession, path, "bands",
+        keyed = false)
       bandRows(delta)
         .write.mode(SaveMode.Append)
         .partitionBy("band")
         .parquet(s"$path/bands")
     }
+
+  /** [[append]] for STREAMED maintenance (the
+    * [[MinhashIndexStore.appendBatch]] law): the drop's band rows land
+    * under `bands/batch=<id>/band=<n>` with Overwrite, so a
+    * crash-redelivered batch RE-LANDS its own layer instead of
+    * double-appending duplicate band rows. `batchId = -1` is the
+    * pre-built base layer ([[buildKeyed]]).
+    */
+  def appendBatch(delta: Dataset[MMRecord], path: String,
+      batchId: Long): Unit =
+    IndexLease.withLease(delta.sparkSession, path, "framesig-append-batch") {
+      StoreLayout.assertWritable(delta.sparkSession, path, "bands",
+        keyed = true)
+      bandRows(delta)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("band")
+        .parquet(StoreLayout.batchDir(path, "bands", batchId))
+    }
+
+  /** [[build]] in the batch-keyed layout (base layer at `batch=-1`) —
+    * the starting point for a store maintained by a stream of
+    * [[appendBatch]] folds.
+    */
+  def buildKeyed(corpus: Dataset[MMRecord], path: String): Unit =
+    appendBatch(corpus, path, -1L)
 
   /** Retract assets — takedowns, deletion-vector style: O(|retraction|)
     * id append, masked on read by [[bandsTable]]; the quantization-free

@@ -557,6 +557,98 @@ object StreamReplay {
     spark.read.option("recursiveFileLookup", "true").parquet(sink)
   }
 
+  private val mmPhashStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** STREAMING frame-signature ingest — the MULTIMODAL twin of
+    * [[replayNearDupDrops]], closing the last lifecycle asymmetry in
+    * the near-dup index family (text MinHash and IVF both had streamed
+    * ingest/takedown twins; the frame-sig index was batch-delta only):
+    * asset drops arrive as a file stream (mtime-ordered, one file per
+    * trigger), each micro-batch signs ONLY ITSELF
+    * ([[graft.sources.FrameSigIndexStore.deltaPairs]] against the
+    * stored band table — the corpus media is never re-decoded), lands
+    * its near-dup frame pairs in a batch-id-keyed sink, and folds its
+    * own band rows into the index via the batch-id-keyed
+    * [[graft.sources.FrameSigIndexStore.appendBatch]] so the NEXT drop
+    * near-dups against it. Retry-safe BY LAYOUT (no marker window).
+    *
+    * Arrival-order law (the `stream_neardup` law): a cross-drop pair
+    * lands exactly once, on the LATER drop's batch — by construction
+    * the earlier drop is in the stored bands when the later one signs.
+    * The union of per-batch pair sets therefore equals the batch
+    * all-pairs ground truth restricted to pairs touching any drop —
+    * the `mm_phash_incremental` oracle family, widened to both drops.
+    */
+  def replayMmPhashDrops(spark: SparkSession, dir: String): DataFrame =
+    replayMmPhashDropsWithSink(spark, dir)._2
+
+  /** [[replayMmPhashDrops]] plus the per-batch sink dir, so the spec
+    * can assert the arrival-order law batch by batch.
+    */
+  private[graft] def replayMmPhashDropsWithSink(spark: SparkSession,
+      dir: String): (String, DataFrame) = {
+    import graft.operators.Multimodal
+    import graft.sources.{FrameSigIndexStore, Tables}
+    val docs = Tables.documents(spark, dir)
+    val staged = mmPhashStaged.computeIfAbsent(dir, _ => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_mmphash")
+      stageFile(docs.filter(col("doc_id") % 10 === 5), stage,
+        "drops/drop_", 0)
+      stageFile(docs.filter(col("doc_id") % 10 === 0), stage,
+        "drops/drop_", 1)
+      // keyed base layer: the stream's folds are batch-id-keyed
+      FrameSigIndexStore.buildKeyed(
+        Multimodal.asMedia(
+          docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)),
+        s"$stage/fs_base")
+      stage.toString
+    })
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_mmphash_sink").toString
+    val chk = java.nio.file.Files
+      .createTempDirectory("graft_mmphash_chk").toString
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_mmphash_idx").toString + "/fs"
+    copyTree(java.nio.file.Paths.get(s"$staged/fs_base"),
+      java.nio.file.Paths.get(idxPath))
+    val schema = spark.read.parquet(s"$staged/drops/drop_0.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/drops")
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(partsKey)
+    spark.conf.set(partsKey, "8")
+    try {
+      val q = src.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          val b = batch.toDF().persist()
+          try {
+            val media = Multimodal.asMedia(b)
+            // RETRY-SAFE BY LAYOUT: pair sink and index fold both land
+            // in batch-id-keyed dirs with Overwrite
+            FrameSigIndexStore.deltaPairs(media,
+                FrameSigIndexStore.bandsTable(spark, idxPath))
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$sink/batch_$id")
+            // fold the drop in: the next drop near-dups against it
+            FrameSigIndexStore.appendBatch(media, idxPath, id)
+          } finally { b.unpersist(); () }
+      }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(partsKey, v)
+      case None => spark.conf.unset(partsKey)
+    }
+    (sink,
+      spark.read.option("recursiveFileLookup", "true").parquet(sink))
+  }
+
   /** STREAMING multimodal ingest over an at-least-once channel — the
     * binary-asset twin of the events `stream_dedup` gate: the media
     * catalog is delivered TWICE as a file stream, each asset's payload
