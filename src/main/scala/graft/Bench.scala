@@ -1,9 +1,26 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, struct, xxhash64}
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // evaluation-forcing instrument: "hash" (default) folds xxhash64
+    // over EVERY output column — the device the verify gate
+    // effectively uses — so no query's cost is hidden by column
+    // pruning; "count" keeps the historical count()-based timing,
+    // which SILENTLY PRUNES rollup-only plans (a plan whose output
+    // feeds only count(*) drops its projections — action entries pay
+    // full cost while their rollup twins look free). SURVEY §6 records
+    // the instrument deltas once.
+    val forceMode = sys.env.getOrElse("SPARK_GRAFT_FORCE", "hash")
+    def force(df: DataFrame): Unit = {
+      if (forceMode == "hash")
+        df.select(xxhash64(struct(col("*"))).as("h"))
+          .agg(org.apache.spark.sql.functions.expr("bit_xor(h)")).collect()
+      else df.count()
+      ()
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -35,7 +52,7 @@ object Bench {
       while (i < reps && !sawFailure) {
         val t0 = System.nanoTime()
         try {
-          fn(spark, sfDir).count()
+          force(fn(spark, sfDir))
           times += (System.nanoTime() - t0) / 1e9
         } catch { case _: Throwable => sawFailure = true }
         i += 1
@@ -59,7 +76,7 @@ object Bench {
     val total = if (ok.nonEmpty) ok.values.map(_._1).sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r4(total)},"unit":"sec","queries":$qs,"spread":$spread,"reps":$reps,"force":"$forceMode","failed":$failedJson,"sf":"$sfDir"}"""
     println(line)
     // committed-artifact escape hatch: stdout capture can truncate —
     // when asked, also write the parsed line to a file
