@@ -2709,10 +2709,16 @@ object SparkEntry {
          |WHERE doc_id NOT IN (SELECT node FROM ranked WHERE rn > 1)
          |ORDER BY doc_id""".stripMargin
 
+  // char-5-grams: the gram width that separates on real AND synthetic
+  // corpora — 3-gram sets from a small word vocabulary saturate (the
+  // driver's template texts measure ~0.9 pairwise 3-gram Jaccard for
+  // long docs, so EVERY long pair was a "near-dup"), while 5-gram
+  // random-pair Jaccard tops out ~0.29 here (and lower on natural
+  // text), the standard dedup-literature choice
   private val charGramCte: String =
     """SELECT doc_id, list_distinct(list_transform(
-      |   range(1, greatest(length(text)-2, 1)+1),
-      |   i -> text[i:i+2])) AS s
+      |   range(1, greatest(length(text)-4, 1)+1),
+      |   i -> text[i:i+4])) AS s
       |  FROM documents""".stripMargin
 
   // SimHash replay: per-token 64-bit hash = the first 16 hex chars of
@@ -3942,7 +3948,7 @@ object SparkEntry {
           |WHERE cosine >= 0.35 AND (a_id % 10 = 0 OR b_id % 10 = 0)
           |ORDER BY a_id, b_id""".stripMargin),
     "dedup_ngram" ->
-      (s"WITH ${minhashCtes(charGramCte, 16, 4, 4)}\n" +
+      (s"WITH ${minhashCtes(charGramCte, 64, 4, 16)}\n" +
         """SELECT d.doc_id,
           | coalesce(p.n_candidates, 0)::BIGINT AS n_candidates,
           | coalesce(p.best_gram_jaccard, 0.0) AS best_gram_jaccard

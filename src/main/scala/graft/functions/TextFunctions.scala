@@ -127,6 +127,15 @@ object TextFunctions {
   def minhashSig(shingles: Column, k: Int): Column =
     minhashSigFromHashes(transform(shingles, md5Hash32 _), k)
 
+  /** MinHash signature over CHARACTER n-gram windows via the codegen
+    * kernel (`graft_char_minhash_sig`) — value-identical to
+    * `minhashSig(charNgrams(text, n), k)` but one tight pass instead
+    * of the interpreted HOF stack. Requires
+    * [[graft.plans.GraftFunctions.ensureRegistered]].
+    */
+  def minhashSigChars(text: Column, n: Int, k: Int): Column =
+    call_function("graft_char_minhash_sig", text, lit(n), lit(k))
+
   /** LSH band tuples for a minhash signature: b bands of r rows each,
     * band key = the struct (band, sig[b*r+1..b*r+r]) itself — exact
     * tuple equality instead of a hashed key, so bucketing is

@@ -41,7 +41,7 @@ object MinhashSigUtil {
   private val params =
     new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]()
 
-  private def paramsFor(k: Int): Array[Long] =
+  private[plans] def paramsFor(k: Int): Array[Long] =
     params.computeIfAbsent(k, _ => {
       val ps = graft.functions.TextFunctions.minhashParams(k)
       val out = new Array[Long](2 * k)
@@ -129,4 +129,100 @@ object MinhashSigFunctions {
     new ExpressionInfo(classOf[MinhashSigExpr].getName, "graft_minhash_sig"),
     (children: Seq[Expression]) =>
       MinhashSigExpr(children(0), children(1), children(2)))
+}
+
+/** The CHAR-gram sibling of [[MinhashSigUtil]]: one pass over the text
+  * computing every n-CHARACTER window, its md5-prefix base hash, and
+  * all k affine minima — replacing the interpreted
+  * `transform(charNgrams(text), md5)` + HOF-minima stack (measured 20×
+  * slower for 1.5M grams at sf0.1). Windows index by UNICODE CODE
+  * POINT, matching `substr` semantics on StringType (the HOF path and
+  * the DuckDB oracle's `text[i:i+n-1]` both count characters, and the
+  * corpus includes multi-byte scripts). Value contract: identical to
+  * `minhashSigFromHashes(transform(charNgrams(text, n), md5Hash32), k)`
+  * — short texts yield ONE (short) window, duplicates cannot move a
+  * minimum.
+  */
+object CharMinhashSigUtil {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def sig(text: org.apache.spark.unsafe.types.UTF8String, n: Int,
+      k: Int): ArrayData = {
+    val s = text.toString
+    // code-point offset index: window i spans code points [i, i+n)
+    val cpCount = s.codePointCount(0, s.length)
+    val offs = new Array[Int](cpCount + 1)
+    var u = 0
+    var c = 0
+    while (c < cpCount) {
+      offs(c) = u
+      u = s.offsetByCodePoints(u, 1)
+      c += 1
+    }
+    offs(cpCount) = s.length
+    val total = math.max(cpCount - n + 1, 1)
+    val ab = MinhashSigUtil.paramsFor(k)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val md = digest.get()
+    var i = 0
+    while (i < total) {
+      val end = math.min(i + n, cpCount)
+      val w = s.substring(offs(i), offs(end))
+      md.reset()
+      val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      var q = 0
+      while (q < k) {
+        val v = (h * ab(2 * q) + ab(2 * q + 1)) % MinhashSigUtil.Prime
+        if (v < mins(q)) mins(q) = v
+        q += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** `graft_char_minhash_sig(text, n, k)` → `array<long>` of the k
+  * affine MinHash minima over character n-gram windows. Codegen emits
+  * a static call — stays inside whole-stage codegen.
+  */
+case class CharMinhashSigExpr(first: Expression, second: Expression,
+    third: Expression) extends TernaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_char_minhash_sig"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = first.dataType == StringType &&
+      second.dataType == IntegerType && third.dataType == IntegerType
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (string, int, int)")
+  }
+
+  override protected def nullSafeEval(t: Any, n: Any, k: Any): Any =
+    CharMinhashSigUtil.sig(
+      t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      n.asInstanceOf[Int], k.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n, k) =>
+      s"graft.plans.CharMinhashSigUtil.sig($t, $n, $k)")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): CharMinhashSigExpr = copy(first = f, second = s, third = t)
+}
+
+object CharMinhashSigFunctions {
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_char_minhash_sig"),
+    new ExpressionInfo(classOf[CharMinhashSigExpr].getName,
+      "graft_char_minhash_sig"),
+    (children: Seq[Expression]) =>
+      CharMinhashSigExpr(children(0), children(1), children(2)))
 }

@@ -78,3 +78,72 @@ object SortedIntersectFunctions {
     (children: Seq[Expression]) =>
       SortedIntersectExpr(children(0), children(1)))
 }
+
+/** The STRING-set sibling: `graft_sorted_common_count(a, b)` → INT
+  * count of common elements of two SORTED, DISTINCT, null-free
+  * `array<string>` columns — the exact-Jaccard verify shape of
+  * [[graft.operators.Dedup.ngramNearDups]] (|A∩B| by two-pointer
+  * merge; |A∪B| = |A|+|B|−|A∩B| downstream). The builtin
+  * `array_intersect`+`array_union` pair allocates and fills TWO hash
+  * sets of hundreds of strings per pair row (measured 0.37 ms/pair —
+  * 18 s for 48k verifies at sf0.1); the merge scan compares
+  * UTF8Strings in place with zero allocation. Comparator is
+  * UTF8String's binary order — exactly `sort_array`'s order on
+  * StringType, so inputs prepared with
+  * `sort_array(array_distinct(...))` satisfy the precondition, and
+  * the count equals `size(array_intersect(a, b))` EXACTLY (no
+  * hashing, no collision risk — the value-level oracle survives).
+  */
+object SortedCommonCountUtil {
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var k = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { k += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    k
+  }
+}
+
+case class SortedCommonCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_sorted_common_count"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def isStrArray(t: DataType) = t match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) => true
+      case _ => false
+    }
+    if (isStrArray(left.dataType) && isStrArray(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects (array<string>, array<string>)")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedCommonCountUtil.count(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.SortedCommonCountUtil.count($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): SortedCommonCountExpr = copy(left = l, right = r)
+}
+
+object SortedCommonCountFunctions {
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_sorted_common_count"),
+    new ExpressionInfo(classOf[SortedCommonCountExpr].getName,
+      "graft_sorted_common_count"),
+    (children: Seq[Expression]) =>
+      SortedCommonCountExpr(children(0), children(1)))
+}

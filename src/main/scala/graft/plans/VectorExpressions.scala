@@ -152,8 +152,16 @@ object GraftFunctions {
       val d = MinhashSigFunctions.descriptor
       reg.registerFunction(d._1, d._2, d._3)
     }
+    if (!reg.functionExists(FunctionIdentifier("graft_char_minhash_sig"))) {
+      val d = CharMinhashSigFunctions.descriptor
+      reg.registerFunction(d._1, d._2, d._3)
+    }
     if (!reg.functionExists(FunctionIdentifier("graft_sorted_intersect"))) {
       val d = SortedIntersectFunctions.descriptor
+      reg.registerFunction(d._1, d._2, d._3)
+    }
+    if (!reg.functionExists(FunctionIdentifier("graft_sorted_common_count"))) {
+      val d = SortedCommonCountFunctions.descriptor
       reg.registerFunction(d._1, d._2, d._3)
     }
     // caller-provided sessions can't take injectOptimizerRule after the

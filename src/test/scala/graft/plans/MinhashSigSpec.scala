@@ -55,4 +55,52 @@ class MinhashSigSpec extends SparkSpecBase {
     assert(kernel(docs, 3, 8).filter(col("doc_id") === 2L)
       .head().isNullAt(1) === true)
   }
+
+  test("char-gram kernel equals the HOF charNgrams pipeline, incl. multi-byte text") {
+    GraftFunctions.ensureRegistered(spark)
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "abcdefgh"), (2L, "ab"), (3L, ""),
+      (4L, "数据流处理引擎与批处理"), // multi-byte: windows must count CHARS
+      (5L, "mixed 中文 and ascii text"),
+      (6L, "aaaaaaaaaa")).toDF("doc_id", "text")
+    for ((n, k) <- Seq((3, 16), (5, 64))) {
+      val hof = docs.select(col("doc_id"),
+        TF.minhashSig(TF.charNgrams(col("text"), n), k).as("sig"))
+      val kern = docs.select(col("doc_id"),
+        TF.minhashSigChars(col("text"), n, k).as("sig"))
+      assert(hof.exceptAll(kern).count() === 0, s"n=$n k=$k hof-only rows")
+      assert(kern.exceptAll(hof).count() === 0, s"n=$n k=$k kernel-only rows")
+    }
+  }
+
+  test("char-gram kernel equals the HOF pipeline on the corpus") {
+    GraftFunctions.ensureRegistered(spark)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+    val hof = docs.select(col("doc_id"),
+      TF.minhashSig(TF.charNgrams(col("text"), 5), 64).as("sig"))
+    val kern = docs.select(col("doc_id"),
+      TF.minhashSigChars(col("text"), 5, 64).as("sig"))
+    assert(hof.exceptAll(kern).count() === 0)
+    assert(kern.exceptAll(hof).count() === 0)
+  }
+
+  test("sorted-common-count equals size(array_intersect) on sorted distinct string sets") {
+    GraftFunctions.ensureRegistered(spark)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+    val sets = docs.select(col("doc_id"),
+      sort_array(array_distinct(TF.charNgrams(col("text"), 5))).as("g"))
+    val pairs = sets.alias("a").join(sets.alias("b"),
+        col("a.doc_id") % 17 === col("b.doc_id") % 17 &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.g").as("ga"), col("b.g").as("gb"))
+    val diff = pairs.select(
+        call_function("graft_sorted_common_count", col("ga"), col("gb"))
+          .as("merge"),
+        size(array_intersect(col("ga"), col("gb"))).as("builtin"))
+      .filter(col("merge") =!= col("builtin"))
+    assert(diff.count() === 0)
+  }
 }

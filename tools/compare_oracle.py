@@ -162,8 +162,8 @@ _WORD_SHINGLES = r"""
 # windows, clipped at the end, minimum one window).
 _CHAR_GRAMS = """
   SELECT doc_id, list_distinct(list_transform(
-    range(1, greatest(length(text)-2, 1)+1),
-    i -> text[i:i+2])) AS s
+    range(1, greatest(length(text)-4, 1)+1),
+    i -> text[i:i+4])) AS s
   FROM documents
 """
 
@@ -222,7 +222,7 @@ PROPERTY_CHECKS = {
     ],
     "dedup_ngram": [
         ("emitted best_gram_jaccard matches a real pair's exact "
-         "char-3-gram Jaccard and never exceeds the true max",
+         "char-5-gram Jaccard and never exceeds the true max",
          f"WITH sh_all AS ({_CHAR_GRAMS}), {_JACCARD_PERDOC}"
          f"""
          SELECT
