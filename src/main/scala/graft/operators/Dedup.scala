@@ -816,21 +816,58 @@ object Dedup {
   def embeddingNearDups(emb: DataFrame, probeMod: Int = 20,
       threshold: Double = 0.35): DataFrame = {
     graft.plans.GraftFunctions.ensureRegistered(emb.sparkSession)
-    // norms once per row (not per pair); pairwise work = ONE codegen'd dot
-    val scored = emb.select(col("vec_id"), col("embedding"),
+    // DISTINCT-VECTOR COLLAPSE (the text operators' r11 exact-collapse
+    // law, applied to the vector family): cosine is a pure function of
+    // the two embeddings, so the probe × candidate dot stage runs at
+    // DISTINCT-EMBEDDING grain and the pair set re-expands by
+    // twin-group membership afterwards — row-identical output (every
+    // (probe_id, cand_id) pair of the uncollapsed form, same rounded
+    // cosine), but the quadratic dot work divides by the square of the
+    // replica rate. Measured at the 100× replica (~sf10): the
+    // uncollapsed form ran 500k cands × 25k broadcast probes = 12.5G
+    // dots; collapsed it is 5k × 250 = 1.25M. NULL embeddings produced
+    // NULL cosines and were threshold-filtered before; excluding them
+    // up front is value-identical.
+    val vecs = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        (col("vec_id") % probeMod === 0).as("is_probe"))
+    val reps = vecs.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("rep"))
+    val members = vecs.join(reps, Seq("embedding"))
+      .select(col("vec_id"), col("is_probe"), col("rep"))
+    // norms once per DISTINCT vector (not per row, not per pair)
+    val repsScored = reps.select(col("rep"), col("embedding"),
       VF.normNative(col("embedding")).as("nrm"))
-    val probes = scored.filter(col("vec_id") % probeMod === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_emb"),
+    // a group is on the probe side iff ANY member id is a probe (with
+    // replica-offset ids preserving residues, whole groups are probe
+    // or non-probe; mixed groups are still handled exactly)
+    val probeRepIds = members.filter(col("is_probe"))
+      .select(col("rep")).distinct()
+    val probeReps = repsScored.join(probeRepIds, Seq("rep"))
+      .select(col("rep").as("p_rep"), col("embedding").as("probe_emb"),
         col("nrm").as("probe_nrm"))
-    scored
-      .select(col("vec_id").as("cand_id"), col("embedding").as("cand_emb"),
+    // rep-grain pairs INCLUDING p_rep == c_rep: the self pair carries
+    // the intra-group twin edges (cosine exactly 1.0 ≥ threshold)
+    val repPairs = repsScored
+      .select(col("rep").as("c_rep"), col("embedding").as("cand_emb"),
         col("nrm").as("cand_nrm"))
-      .join(broadcast(probes), col("probe_id") =!= col("cand_id"))
-      .select(
-        col("probe_id"), col("cand_id"),
+      .crossJoin(broadcast(probeReps))
+      .select(col("p_rep"), col("c_rep"),
         round(VF.dotNative(col("probe_emb"), col("cand_emb"))
           / (col("probe_nrm") * col("cand_nrm")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
+    // re-expand: every probe id of the probe-side group × every member
+    // id of the candidate-side group, self pairs excluded — exactly
+    // the uncollapsed pair set
+    val probeIds = members.filter(col("is_probe"))
+      .select(col("rep").as("p_rep"), col("vec_id").as("probe_id"))
+    val memberIds = members
+      .select(col("rep").as("c_rep"), col("vec_id").as("cand_id"))
+    repPairs
+      .join(probeIds, Seq("p_rep"))
+      .join(memberIds, Seq("c_rep"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"), col("cosine"))
   }
 
   /** ALL-corpus embedding near-dup pairs — the query a training
