@@ -73,6 +73,8 @@ object GramStore {
   def delete(emb: DataFrame, path: String,
       vecCol: String = "embedding"): Unit =
     IndexLease.withLease(emb.sparkSession, path, "gram-delete") {
+      StoreLayout.assertWritable(emb.sparkSession, path, "moments",
+        keyed = false)
       momentRows(emb, -1, vecCol)
         .write.mode(SaveMode.Append).parquet(s"$path/moments")
     }

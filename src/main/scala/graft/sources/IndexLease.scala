@@ -30,12 +30,15 @@ import org.apache.spark.sql.SparkSession
   * marker's mtime every `graft.lease.heartbeatMs`; a waiter that finds
   * the heartbeat older than `graft.lease.staleMs` declares the holder
   * dead, atomically renames the stale marker to a private tombstone
-  * (so exactly ONE contender wins the takeover race), runs
-  * [[SwapRecovery.recoverAll]] to repair whatever the dead holder
-  * stranded mid-swap, and re-enters the normal atomic-create path.
-  * Reaching the acquisition timeout therefore means the holder is
-  * (or was until very recently) LIVE — the error says so instead of
-  * prescribing 3 a.m. marker surgery.
+  * (so exactly ONE contender wins the takeover race) and immediately
+  * re-creates the marker as its own — and EVERY acquisition (takeover
+  * or not) then runs [[SwapRecovery.recoverAll]] under the lease
+  * before its body, so whatever a dead holder stranded mid-swap is
+  * repaired inside mutual exclusion (a healthy layout costs one
+  * listStatus), even by a writer that slipped into the takeover's
+  * rename→create gap. Reaching the acquisition timeout therefore
+  * means the holder is (or was until very recently) LIVE — the error
+  * says so instead of prescribing 3 a.m. marker surgery.
   *
   * Fencing — a paused-not-dead holder must not be allowed to report a
   * successful mutation after it was deposed: each acquisition bumps a
@@ -190,38 +193,72 @@ object IndexLease {
     val holderId = java.util.UUID.randomUUID().toString
     val content = s"$who\nholder=$holderId"
     val deadline = System.currentTimeMillis() + effectiveTimeoutMs
-    while (!tryAcquire(fs, lease, content)) {
-      // dead-holder detection: heartbeat older than the staleness
-      // threshold ⇒ take over. The rename is the takeover election —
-      // atomic, so exactly one contender repairs and proceeds.
-      val heartbeatAge =
-        try Some(System.currentTimeMillis() -
-          fs.getFileStatus(lease).getModificationTime)
-        catch { case _: java.io.FileNotFoundException => None }
-      heartbeatAge match {
-        case Some(age) if age > effectiveStaleMs =>
-          val tomb = new Path(s"$path/_lease_stale_$holderId")
-          if (fs.rename(lease, tomb)) {
-            SwapRecovery.recoverAll(spark, path)
-            fs.delete(tomb, false)
-            ()
-          }
-        case _ =>
-          if (System.currentTimeMillis() > deadline)
+    var held = false
+    while (!held) {
+      held = tryAcquire(fs, lease, content)
+      if (!held) {
+        // dead-holder detection: heartbeat older than the staleness
+        // threshold ⇒ take over. The rename is the takeover election —
+        // atomic, so exactly one contender wins it — and the winner
+        // RE-CREATES the marker as its own IMMEDIATELY, so the
+        // stranded-layout repair below runs UNDER the lease like any
+        // other acquisition, never in an unleased window a concurrent
+        // writer could mutate into mid-repair.
+        val heartbeatAge =
+          try Some(System.currentTimeMillis() -
+            fs.getFileStatus(lease).getModificationTime)
+          catch { case _: java.io.FileNotFoundException => None }
+        heartbeatAge match {
+          case Some(age) if age > effectiveStaleMs =>
+            val tomb = new Path(s"$path/_lease_stale_$holderId")
+            if (fs.rename(lease, tomb)) {
+              // held = false here means a writer slipped in between
+              // the rename and our create: IT now owns the lease and
+              // repairs at its own entry (every acquisition repairs) —
+              // back to waiting.
+              held = tryAcquire(fs, lease, content)
+              fs.delete(tomb, false)
+              ()
+            }
+          case _ => ()
+        }
+        if (!held) {
+          // the deadline governs EVERY waiting path — including a
+          // stale marker whose takeover election keeps failing (e.g. a
+          // filesystem whose rename reports false), which previously
+          // busy-spun past the timeout forever
+          if (System.currentTimeMillis() > deadline) {
+            val holderState = heartbeatAge match {
+              case Some(age) if age > effectiveStaleMs =>
+                s"The marker IS stale (heartbeat ${age}ms old) but the " +
+                  "takeover election keeps failing — another contender " +
+                  "or writer is active, or this filesystem's rename " +
+                  "cannot win it"
+              case _ =>
+                s"The holder appears LIVE (marker heartbeat " +
+                  s"${heartbeatAge.getOrElse(0L)}ms old, staleness " +
+                  s"threshold ${effectiveStaleMs}ms)"
+            }
             throw new IllegalStateException(
               s"could not acquire index lease $lease (wanted by: $who) " +
-                s"within ${effectiveTimeoutMs}ms. The holder appears LIVE " +
-                s"(marker heartbeat ${heartbeatAge.getOrElse(0L)}ms old, " +
-                s"staleness threshold ${effectiveStaleMs}ms) — a crashed " +
+                s"within ${effectiveTimeoutMs}ms. $holderState — a crashed " +
                 "holder's marker goes stale and is taken over " +
                 "automatically after SwapRecovery repair. Raise " +
                 "-Dgraft.lease.timeoutMs to outwait a long live " +
                 "compaction, or lower -Dgraft.lease.staleMs if the " +
                 "holder cannot be heartbeating")
+          }
           Thread.sleep(25)
+        }
       }
     }
-    // held. Bump the generation fence, then heartbeat until release.
+    // held. FIRST repair anything a dead holder stranded — under the
+    // lease, so no writer can interleave with the repair. Running this
+    // on every acquisition (one listStatus when the layout is healthy)
+    // is what closes the takeover's rename→create gap: whichever
+    // writer wins the lease inside that gap repairs before mutating.
+    SwapRecovery.recoverAll(spark, path)
+    // Bump the generation fence, then heartbeat until release.
     val myGen = readGen(fs, genPath) + 1
     writeGen(fs, genPath, myGen)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)

@@ -85,6 +85,8 @@ object MixtureStore {
     */
   def delete(docs: DataFrame, path: String): Unit =
     IndexLease.withLease(docs.sparkSession, path, "mixture-delete") {
+      StoreLayout.assertWritable(docs.sparkSession, path, "slices",
+        keyed = false)
       CorpusStats.sliceCounts(docs, -1)
         .write.mode(SaveMode.Append).parquet(s"$path/slices")
     }

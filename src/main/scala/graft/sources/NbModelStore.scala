@@ -51,6 +51,16 @@ object NbModelStore {
 
   private def writeDeltas(docs: DataFrame, labels: DataFrame, sign: Int,
       path: String, mode: SaveMode): Unit = {
+    if (mode == SaveMode.Append) {
+      // BOTH layers: a flat delta appended into a batch-keyed layer is
+      // silently invisible to partition discovery (StoreLayout's
+      // measured failure mode) — and a takedown that lands invisibly
+      // is the worst kind of wrong
+      StoreLayout.assertWritable(docs.sparkSession, path, "counts",
+        keyed = false)
+      StoreLayout.assertWritable(docs.sparkSession, path, "doccounts",
+        keyed = false)
+    }
     Classifier.tokenClassCounts(docs, labels, sign)
       .write.mode(mode).parquet(s"$path/counts")
     docCountRows(labels, sign)
@@ -68,8 +78,6 @@ object NbModelStore {
     */
   def append(docs: DataFrame, labels: DataFrame, path: String): Unit =
     IndexLease.withLease(docs.sparkSession, path, "nbmodel-append") {
-      StoreLayout.assertWritable(docs.sparkSession, path, "counts",
-        keyed = false)
       writeDeltas(docs, labels, 1, path, SaveMode.Append)
     }
 

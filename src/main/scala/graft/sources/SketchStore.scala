@@ -152,8 +152,16 @@ object SketchStore {
     * independent. k < 0 (the default) reads the stored k; an explicit
     * k is validated against it.
     */
-  def folded(spark: SparkSession, path: String, k: Int = -1): DataFrame = {
-    val kk = resolveK(spark, path, k)
+  def folded(spark: SparkSession, path: String, k: Int = -1): DataFrame =
+    foldedAt(spark, path, resolveK(spark, path, k))
+
+  /** [[folded]] with k ALREADY resolved/validated — the private form
+    * the public entry points share so k resolution (a scan of the
+    * layers' k column) happens once per call, not once per layer of
+    * composition.
+    */
+  private def foldedAt(spark: SparkSession, path: String,
+      kk: Int): DataFrame = {
     val layers = spark.read.parquet(s"$path/sketch")
     val union = layers
       .select(col("lang"), explode(col("hs")).as("h")).distinct()
@@ -176,7 +184,7 @@ object SketchStore {
     */
   def served(spark: SparkSession, path: String, k: Int = -1): DataFrame = {
     val kk = resolveK(spark, path, k)
-    folded(spark, path, kk)
+    foldedAt(spark, path, kk)
       .select(col("lang"), col("n_rows"), col("n_kept"), col("kth_hash"),
         round(
           when(col("n_kept") < kk, col("n_kept").cast("double"))

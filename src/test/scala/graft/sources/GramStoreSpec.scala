@@ -95,4 +95,21 @@ class GramStoreSpec extends SparkSpecBase {
       new org.apache.hadoop.fs.Path(s"$path/moments"))
     assert(served(all, path) != honest)
   }
+
+  test("flat delete against a batch-keyed store throws, never lands invisibly") {
+    // negated moments appended flat into a keyed layer would be
+    // dropped by partition discovery: the served component would keep
+    // the retracted vectors' contribution silently
+    val path = freshPath("keyedguard")
+    GramStore.appendBatch(all, path, batchId = 0L)
+    val err = intercept[IllegalStateException] {
+      GramStore.delete(all.filter("vec_id in (5, 6)"), path)
+    }
+    assert(err.getMessage.contains("batch-keyed"))
+    // the keyed twin is the supported takedown, and it bites (the
+    // component flips from y to x once 5/6 leave)
+    GramStore.deleteBatch(all.filter("vec_id in (5, 6)"), path, 1L)
+    val survivors = all.filter("vec_id < 5")
+    assert(served(survivors, path) == fresh(survivors))
+  }
 }

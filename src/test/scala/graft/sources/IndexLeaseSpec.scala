@@ -207,4 +207,25 @@ class IndexLeaseSpec extends SparkSpecBase {
       ()
     }
   }
+
+  test("ANY acquisition repairs stranded debris under the lease, before its body") {
+    // the repair-under-mutual-exclusion invariant: whoever wins the
+    // lease over a stranded layout fixes it before mutating — this is
+    // what makes the takeover's rename→create gap harmless (a writer
+    // slipping into that gap inherits exactly this on-disk view: swap
+    // debris, no marker)
+    val p = freshIndex("entryrepair")
+    val fs = SwapRecovery.fsOf(spark, p)
+    spark.read.parquet(s"$p/bands").write
+      .partitionBy("band").parquet(s"$p/bands_compacted")
+    SwapRecovery.renameOrThrow(fs,
+      new org.apache.hadoop.fs.Path(s"$p/bands"),
+      new org.apache.hadoop.fs.Path(s"$p/bands_old"))
+    IndexLease.withLease(spark, p, "entry-repair-probe") {
+      assert(!new java.io.File(s"$p/bands_old").exists() &&
+        !new java.io.File(s"$p/bands_compacted").exists() &&
+        new java.io.File(s"$p/bands").exists(),
+        "the stranded swap must already be repaired when the body runs")
+    }
+  }
 }

@@ -119,4 +119,23 @@ class MixtureStoreSpec extends SparkSpecBase {
     MixtureStore.append(corpus.filter("doc_id % 5 = 0"), path)
     assert(served(path) == fresh(corpus))
   }
+
+  test("flat delete against a batch-keyed store throws, never lands invisibly") {
+    // a streamed (batch-keyed) store must reject the flat takedown
+    // path: its negated counts would land as root files that partition
+    // discovery silently drops — the served datasheet would keep
+    // counting the retracted docs with no error anywhere
+    val path = freshPath("keyedguard")
+    MixtureStore.appendBatch(all, path, batchId = 0L)
+    val before = served(path)
+    val err = intercept[IllegalStateException] {
+      MixtureStore.delete(all.filter("doc_id = 5"), path)
+    }
+    assert(err.getMessage.contains("batch-keyed"))
+    assert(served(path) == before,
+      "the refused takedown must not half-land")
+    // the keyed twin is the supported path, and it bites
+    MixtureStore.deleteBatch(all.filter("doc_id in (5, 6)"), path, 1L)
+    assert(served(path) == fresh(all.filter("doc_id < 5")))
+  }
 }

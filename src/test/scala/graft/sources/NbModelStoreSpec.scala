@@ -117,4 +117,26 @@ class NbModelStoreSpec extends SparkSpecBase {
         labels.filter(col("doc_id") === 6L), path)
     }
   }
+
+  test("flat delete against a batch-keyed store throws, never lands invisibly") {
+    // a takedown's negative count deltas appended flat into a keyed
+    // layer would vanish to partition discovery — the served model
+    // would keep the forgotten docs' tokens silently
+    val path = freshPath("keyedguard")
+    NbModelStore.appendBatch(docs, labels, path, batchId = 0L)
+    val before = modelRows(NbModelStore.model(spark, path))
+    val err = intercept[IllegalStateException] {
+      NbModelStore.delete(docs.filter(col("doc_id") === 6L),
+        labels.filter(col("doc_id") === 6L), path)
+    }
+    assert(err.getMessage.contains("batch-keyed"))
+    assert(modelRows(NbModelStore.model(spark, path)) == before,
+      "the refused takedown must not half-land")
+    // the keyed twin is the supported path, and it bites
+    NbModelStore.deleteBatch(docs.filter(col("doc_id") === 6L),
+      labels.filter(col("doc_id") === 6L), path, 1L)
+    assert(modelRows(NbModelStore.model(spark, path)) ==
+      modelRows(Classifier.nbTrain(
+        docs.filter(col("doc_id") < 6), labels.filter(col("doc_id") < 6))))
+  }
 }
