@@ -1365,9 +1365,11 @@ object SparkEntry {
     * rows) — nothing at data grain beyond the banded pair pass.
     */
   private def qDedupClusterStats(s: SparkSession, dir: String): DataFrame =
+    // spanning edge feed (see qDedupClusters): component node sets are
+    // identical, so the size histogram is too
     Dedup.connectedComponents(
-        Dedup.embeddingNearDups(t(s, dir, "embeddings")),
-        "probe_id", "cand_id")
+        Dedup.embeddingNearDupSpanningEdges(t(s, dir, "embeddings")),
+        "src", "dst")
       .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
       .orderBy(col("cluster_size"))
@@ -1426,8 +1428,14 @@ object SparkEntry {
       .orderBy(col("probe_id"), col("cand_id"))
 
   private def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    // clustering consumes the SPANNING edge form, not the pair-grain
+    // re-expansion: components (and component-min labels, hence the
+    // pair-grain oracle) are identical, but the edge volume is
+    // O(members + rep pairs) instead of quadratic in twin-group size —
+    // the 1000×-replica decade OOMed the pair-grain materialization
     Dedup.connectedComponents(
-      Dedup.embeddingNearDups(t(s, dir, "embeddings")), "probe_id", "cand_id")
+      Dedup.embeddingNearDupSpanningEdges(t(s, dir, "embeddings")),
+      "src", "dst")
       .orderBy(col("node"))
 
   private def qDedupClustersDist(s: SparkSession, dir: String): DataFrame =
@@ -1436,7 +1444,8 @@ object SparkEntry {
     // graph takes at scale — to produce the gated result; without this
     // entry the gate only ever exercises the driver union-find
     Dedup.connectedComponents(
-      Dedup.embeddingNearDups(t(s, dir, "embeddings")), "probe_id", "cand_id",
+      Dedup.embeddingNearDupSpanningEdges(t(s, dir, "embeddings")),
+      "src", "dst",
       localThreshold = 0L)
       .orderBy(col("node"))
 

@@ -815,19 +815,41 @@ object Dedup {
     */
   def embeddingNearDups(emb: DataFrame, probeMod: Int = 20,
       threshold: Double = 0.35): DataFrame = {
+    val (members, repPairs) = embeddingRepPairs(emb, probeMod, threshold)
+    // re-expand: every probe id of the probe-side group × every member
+    // id of the candidate-side group, self pairs excluded — exactly
+    // the uncollapsed pair set
+    val probeIds = members.filter(col("is_probe"))
+      .select(col("rep").as("p_rep"), col("vec_id").as("probe_id"))
+    val memberIds = members
+      .select(col("rep").as("c_rep"), col("vec_id").as("cand_id"))
+    repPairs
+      .join(probeIds, Seq("p_rep"))
+      .join(memberIds, Seq("c_rep"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"), col("cosine"))
+  }
+
+  /** The rep-grain core [[embeddingNearDups]] and
+    * [[embeddingNearDupSpanningEdges]] share — the DISTINCT-VECTOR
+    * COLLAPSE (the text operators' r11 exact-collapse law, applied to
+    * the vector family): cosine is a pure function of the two
+    * embeddings, so the probe × candidate dot stage runs at
+    * DISTINCT-EMBEDDING grain; callers re-expand by twin-group
+    * membership. The quadratic dot work divides by the square of the
+    * replica rate: measured at the 100× replica (~sf10), the
+    * uncollapsed form ran 500k cands × 25k broadcast probes = 12.5G
+    * dots; collapsed it is 5k × 250 = 1.25M. NULL embeddings produced
+    * NULL cosines and were threshold-filtered before; excluding them
+    * up front is value-identical. Returns (members, repPairs):
+    * members = (vec_id, is_probe, rep) with rep the group's MIN
+    * member id; repPairs = (p_rep, c_rep, cosine ≥ threshold) at
+    * rep grain, INCLUDING the p_rep == c_rep self pair that carries
+    * intra-group twin connectivity (cosine exactly 1.0).
+    */
+  private def embeddingRepPairs(emb: DataFrame, probeMod: Int,
+      threshold: Double): (DataFrame, DataFrame) = {
     graft.plans.GraftFunctions.ensureRegistered(emb.sparkSession)
-    // DISTINCT-VECTOR COLLAPSE (the text operators' r11 exact-collapse
-    // law, applied to the vector family): cosine is a pure function of
-    // the two embeddings, so the probe × candidate dot stage runs at
-    // DISTINCT-EMBEDDING grain and the pair set re-expands by
-    // twin-group membership afterwards — row-identical output (every
-    // (probe_id, cand_id) pair of the uncollapsed form, same rounded
-    // cosine), but the quadratic dot work divides by the square of the
-    // replica rate. Measured at the 100× replica (~sf10): the
-    // uncollapsed form ran 500k cands × 25k broadcast probes = 12.5G
-    // dots; collapsed it is 5k × 250 = 1.25M. NULL embeddings produced
-    // NULL cosines and were threshold-filtered before; excluding them
-    // up front is value-identical.
     val vecs = emb.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"),
         (col("vec_id") % probeMod === 0).as("is_probe"))
@@ -846,8 +868,6 @@ object Dedup {
     val probeReps = repsScored.join(probeRepIds, Seq("rep"))
       .select(col("rep").as("p_rep"), col("embedding").as("probe_emb"),
         col("nrm").as("probe_nrm"))
-    // rep-grain pairs INCLUDING p_rep == c_rep: the self pair carries
-    // the intra-group twin edges (cosine exactly 1.0 ≥ threshold)
     val repPairs = repsScored
       .select(col("rep").as("c_rep"), col("embedding").as("cand_emb"),
         col("nrm").as("cand_nrm"))
@@ -856,18 +876,44 @@ object Dedup {
         round(VF.dotNative(col("probe_emb"), col("cand_emb"))
           / (col("probe_nrm") * col("cand_nrm")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
-    // re-expand: every probe id of the probe-side group × every member
-    // id of the candidate-side group, self pairs excluded — exactly
-    // the uncollapsed pair set
-    val probeIds = members.filter(col("is_probe"))
-      .select(col("rep").as("p_rep"), col("vec_id").as("probe_id"))
-    val memberIds = members
-      .select(col("rep").as("c_rep"), col("vec_id").as("cand_id"))
-    repPairs
-      .join(probeIds, Seq("p_rep"))
-      .join(memberIds, Seq("c_rep"))
-      .filter(col("probe_id") =!= col("cand_id"))
-      .select(col("probe_id"), col("cand_id"), col("cosine"))
+    (members, repPairs)
+  }
+
+  /** COMPONENT-PRESERVING spanning edges for clustering consumers —
+    * the fix for the quadratic the 1000× replica decade exposed: the
+    * pair-grain re-expansion of [[embeddingNearDups]] materializes
+    * |probes(g)| × |members(h)| rows per near-dup group pair, which is
+    * quadratic in twin-group size (at ~sf100, 2k groups × 1000 twins
+    * ⇒ ~10⁸⁺ pair rows — the edge materialization OOMed before the
+    * solve began; one 1M-member boilerplate cluster at 100 TB would be
+    * 10¹² pair edges). Connected components never needed the cliques —
+    * any spanning subgraph on the SAME node set with the SAME
+    * transitive closure yields identical components, and labels are
+    * component-min ids, so the [[connectedComponents]] answer (and the
+    * pair-grain DuckDB oracle) is unchanged row-for-row.
+    *
+    * Construction, O(|members| + |rep pairs|) edges: (a) a STAR
+    * (rep → member) inside every group that appears in any rep pair —
+    * the self rep pair (always present for probe groups, cosine 1.0)
+    * is what makes probe-group stars legal, and a candidate-only group
+    * star substitutes for the probe→every-member edges of the full
+    * form; (b) one LINK (p_rep → c_rep) per cross rep pair. Node-set
+    * parity holds at the edges too: a singleton probe group with no
+    * cross pair contributes nothing in either form (the full form
+    * excludes self pairs; the star of a singleton is empty).
+    */
+  def embeddingNearDupSpanningEdges(emb: DataFrame, probeMod: Int = 20,
+      threshold: Double = 0.35): DataFrame = {
+    val (members, repPairs) = embeddingRepPairs(emb, probeMod, threshold)
+    val involved = repPairs.select(col("p_rep").as("rep"))
+      .unionByName(repPairs.select(col("c_rep").as("rep")))
+      .distinct()
+    val stars = members.join(involved, Seq("rep"))
+      .filter(col("vec_id") =!= col("rep"))
+      .select(col("rep").as("src"), col("vec_id").as("dst"))
+    val links = repPairs.filter(col("p_rep") =!= col("c_rep"))
+      .select(col("p_rep").as("src"), col("c_rep").as("dst"))
+    stars.unionByName(links)
   }
 
   /** ALL-corpus embedding near-dup pairs — the query a training

@@ -142,4 +142,49 @@ class ComponentsSpec extends SparkSpecBase {
     assert(got.nonEmpty)
     assert(got == batch)
   }
+
+  test("spanning edges label IDENTICALLY to the pair-grain feed (gate corpus)") {
+    // the clustering consumers' contract: embeddingNearDupSpanningEdges
+    // replaces each bipartite probe×member clique with a star + link
+    // spanning structure — same node set, same transitive closure, so
+    // connectedComponents (labels = component-min id) must agree
+    // row-for-row with the pair-grain feed the DuckDB oracle replays
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val viaPairs = Dedup.connectedComponents(
+        Dedup.embeddingNearDups(emb), "probe_id", "cand_id")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val viaSpan = Dedup.connectedComponents(
+        Dedup.embeddingNearDupSpanningEdges(emb), "src", "dst")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(viaPairs.nonEmpty)
+    assert(viaSpan == viaPairs)
+  }
+
+  test("spanning edges: twin groups, probe-less groups, and singletons") {
+    // crafted geometry, probeMod = 20 (vec_id % 20 == 0 is a probe):
+    //  - group A = {20, 21, 22}: probe group of twins (star expected)
+    //  - group B = {41, 42}: NO probe, near A -> reachable only via the
+    //    cross link, internally connected by its own star
+    //  - group C = {63}: no probe, orthogonal to A -> no edges, absent
+    //  - group D = {80}: singleton PROBE, orthogonal -> absent (the
+    //    pair-grain form excludes self pairs; the empty star matches)
+    val rows = Seq(
+      (20L, Seq(1f, 0f)), (21L, Seq(1f, 0f)), (22L, Seq(1f, 0f)),
+      (41L, Seq(0.9f, 0.1f)), (42L, Seq(0.9f, 0.1f)),
+      (63L, Seq(-1f, 0.2f)),
+      (80L, Seq(0.2f, -1f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val viaPairs = Dedup.connectedComponents(
+        Dedup.embeddingNearDups(emb), "probe_id", "cand_id")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val viaSpan = Dedup.connectedComponents(
+        Dedup.embeddingNearDupSpanningEdges(emb), "src", "dst")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(viaPairs ==
+      Seq((20L, 20L), (21L, 20L), (22L, 20L), (41L, 20L), (42L, 20L)))
+    assert(viaSpan == viaPairs)
+    // and the spanning edge count is members + cross links, not the
+    // probe×member clique: A star (2) + B star (1) + one A->B link
+    assert(Dedup.embeddingNearDupSpanningEdges(emb).count() == 4L)
+  }
 }
