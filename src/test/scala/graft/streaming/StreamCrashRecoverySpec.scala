@@ -108,4 +108,46 @@ class StreamCrashRecoverySpec extends SparkSpecBase {
     assert(got._2.toSeq == want._2.toSeq)
     assert(got._3.toSeq == want._3.toSeq)
   }
+
+  test("semilattice store fold: crash after the sketch fold lands, redelivery re-lands it") {
+    // the third state class (k-min sets + an ADDITIVE n_rows counter):
+    // the hash sets are fold-idempotent, so the column a double fold
+    // would silently corrupt is n_rows — exactly what the keyed
+    // Overwrite layout protects. Same injection as the Gram twin:
+    // batch 1's layer is durable when the stream dies, the checkpoint
+    // never committed it, the restart must re-land not re-add.
+    val docs = Tables.documents(spark, sfDir)
+    val stage = java.nio.file.Files.createTempDirectory("graft_crash_kmvdrops")
+    (0 to 2).foreach { i =>
+      StreamReplay.stageFile(docs.filter(col("doc_id") % 3 === i),
+        stage, "drop_", i)
+    }
+    val drops = stage.toString
+    def freshStore(tag: String): (String, String) = (
+      java.nio.file.Files.createTempDirectory(s"graft_crash_$tag").toString
+        + "/store",
+      java.nio.file.Files.createTempDirectory(s"graft_crash_chk_$tag").toString)
+
+    val (ctlStore, ctlChk) = freshStore("kmvctl")
+    StreamReplay.runStoreDropStream(spark, drops, ctlStore, ctlChk,
+      graft.sources.SketchStore.appendBatch(_, _, _))
+    val want = graft.sources.SketchStore.served(spark, ctlStore)
+      .orderBy("lang").collect().toSeq
+
+    val (store, chk) = freshStore("kmvcrash")
+    StreamReplay.storeFoldFault = id =>
+      if (id == 1L) throw new RuntimeException("injected-crash-post-fold")
+    try intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamReplay.runStoreDropStream(spark, drops, store, chk,
+        graft.sources.SketchStore.appendBatch(_, _, _))
+    } finally StreamReplay.storeFoldFault = _ => ()
+    assert(new java.io.File(s"$store/sketch/batch=1").exists(),
+      "the injected crash must land AFTER the fold is durable")
+    StreamReplay.runStoreDropStream(spark, drops, store, chk,
+      graft.sources.SketchStore.appendBatch(_, _, _))
+    val got = graft.sources.SketchStore.served(spark, store)
+      .orderBy("lang").collect().toSeq
+    assert(got == want,
+      "crash+restart must serve the no-crash dashboard (n_rows not doubled)")
+  }
 }
