@@ -65,6 +65,45 @@ object Dedup {
     docs.join(keep, Seq("doc_id"), "left_semi")
   }
 
+  /** THE exact-collapse grouping-key convention, in one place: two
+    * INDEPENDENT 64-bit text hashes plus the length (the [[exact]]
+    * collision analysis — a primary-hash collision splits instead of
+    * merging; false merge needs a simultaneous 128-bit collision).
+    * Every member→rep election in the near-dup family keys on exactly
+    * these three columns, whether it runs as a groupBy-then-join
+    * ([[textRepElection]]) or as the one-shuffle window form a
+    * micro-batch prefers ([[minhashNearDupsDelta]]).
+    */
+  private[graft] def textGroupKeys(text: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.Column] =
+    Seq(xxhash64(text).as("gh"), length(text).as("glen"),
+      xxhash64(lit(1), text).as("gh2"))
+
+  private[graft] val TextGroupKeyNames: Seq[String] = Seq("gh", "glen", "gh2")
+
+  /** Shared member→rep election for the exact-collapse law (the r13
+    * review finding: three independent copies of this existed — the
+    * batch near-dup rollups now all call here). Returns
+    * `(docRep, sizes)`: `docRep` = (doc_id, rep, n_copies) mapping
+    * every NON-NULL-text doc to its twin group's minimum id and group
+    * size; `sizes` = (rep, n_copies), one row per distinct text.
+    *
+    * 100 TB shape: the election is a groupBy-then-join over the
+    * 24-byte [[textGroupKeys]] — the document body never enters either
+    * exchange (the window form would shuffle full rows; a corpus-grain
+    * batch pass wants the hash-only shuffles, a delta-sized micro-batch
+    * wants the single window shuffle — both key on [[textGroupKeys]]).
+    */
+  private[graft] def textRepElection(docs: DataFrame): (DataFrame, DataFrame) = {
+    val withH = docs.filter(col("text").isNotNull)
+      .select(col("doc_id") +: textGroupKeys(col("text")): _*)
+    val grp = withH.groupBy(TextGroupKeyNames.map(col): _*)
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_copies"))
+    val docRep = withH.join(grp, TextGroupKeyNames)
+      .select(col("doc_id"), col("rep"), col("n_copies"))
+    (docRep, grp.select(col("rep"), col("n_copies")))
+  }
+
   /** The verified near-dup PAIR frame behind [[minhashNearDups]]:
     * MinHash + LSH banded candidates over word 3-gram shingles,
     * exact-Jaccard verified — `(id_a < id_b, jaccard)`, one row per
@@ -258,22 +297,53 @@ object Dedup {
     */
   def minhashNearDups(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
       jaccardThreshold: Double = 0.5): DataFrame = {
-    val verified = minhashNearDupPairs(docs, numHashes, bands)
-    val perDocA = verified.select(col("id_a").as("doc_id"), col("id_b").as("other"), col("jaccard"))
-    val perDocB = verified.select(col("id_b").as("doc_id"), col("id_a").as("other"), col("jaccard"))
-    val perDoc = perDocA.unionByName(perDocB)
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).as("n_candidates"),
-        max(col("jaccard")).as("best_jaccard"),
-        max(col("jaccard") >= jaccardThreshold).as("is_near_dup"))
+    // DOC-GRAIN LAW, evaluated at DISTINCT-TEXT grain (the
+    // [[ngramNearDups]] decomposition, applied to the word-shingle
+    // family): signatures, band collisions, and exact Jaccard are pure
+    // functions of the text, so a doc in a twin group of size c has
+    // exactly (c−1) twin candidates at Jaccard 1.0 (identical shingle
+    // sets; the shingle law emits ≥1 shingle per non-NULL text, so
+    // twins always collide in every band) plus, for each colliding
+    // OTHER text group of size c', c' cross candidates at that
+    // rep-pair's Jaccard. The banded self-join therefore runs over
+    // distinct texts only — the raw-grain form self-joined every
+    // band key of a c-member twin group into c·(c−1)/2 candidate
+    // pairs, quadratic in twin-group size on replica-dense corpora
+    // (19.8 s at ~sf1, the r13 weak item; the ~sf100 decade OOMed
+    // this exact shape elsewhere) — and the replica term becomes
+    // arithmetic on group sizes. Value-identical by construction;
+    // the oracle stays doc-grain and untouched.
+    val (docRep, sizes) = textRepElection(docs)
+    val repDocs = docs
+      .join(sizes.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    val verified = minhashNearDupPairs(repDocs, numHashes, bands)
+    // rep-grain neighbor stats carrying the PARTNER group's size — the
+    // multiplicity the doc-grain law assigns to each cross candidate
+    val withSizes = verified
+      .join(sizes.select(col("rep").as("id_a"), col("n_copies").as("c_a")), "id_a")
+      .join(sizes.select(col("rep").as("id_b"), col("n_copies").as("c_b")), "id_b")
+    val perRep = withSizes
+      .select(col("id_a").as("rep"), col("c_b").as("c_other"), col("jaccard"))
+      .unionByName(withSizes
+        .select(col("id_b").as("rep"), col("c_a").as("c_other"), col("jaccard")))
+      .groupBy(col("rep"))
+      .agg(sum(col("c_other")).as("cross_cands"),
+        max(col("jaccard")).as("cross_best"))
     docs.select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
+      .join(docRep, Seq("doc_id"), "left")
+      .join(perRep, Seq("rep"), "left")
       .select(
         col("doc_id"),
-        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
-        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
-        coalesce(col("is_near_dup"), lit(false)).as("is_near_dup"))
+        (coalesce(col("cross_cands"), lit(0L)) +
+          when(col("n_copies") > 1, col("n_copies") - 1).otherwise(lit(0L)))
+          .cast("long").as("n_candidates"),
+        greatest(
+          coalesce(col("cross_best"), lit(0.0)),
+          when(col("n_copies") > 1, lit(1.0)).otherwise(lit(0.0)))
+          .as("best_jaccard"))
+      .select(col("doc_id"), col("n_candidates"), col("best_jaccard"),
+        (col("n_candidates") > 0 &&
+          col("best_jaccard") >= jaccardThreshold).as("is_near_dup"))
   }
 
   /** Incremental near-dup: a NEW drop (`delta`) against a PERSISTED
@@ -316,11 +386,9 @@ object Dedup {
     // the group sizes, AND the rep rows (text rides the delta-sized
     // exchange) — no groupBy-then-join round trip per micro-batch
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("gh"), col("glen"), col("gh2"))
+      .partitionBy(TextGroupKeyNames.map(col): _*)
     val members = delta.filter(col("text").isNotNull)
-      .select(col("doc_id"), col("text"),
-        xxhash64(col("text")).as("gh"), length(col("text")).as("glen"),
-        xxhash64(lit(1), col("text")).as("gh2"))
+      .select(Seq(col("doc_id"), col("text")) ++ textGroupKeys(col("text")): _*)
       .select(col("doc_id"), col("text"),
         min(col("doc_id")).over(w).as("rep_id"),
         count(lit(1)).over(w).as("m"))
@@ -454,10 +522,24 @@ object Dedup {
 
   /** SimHash near-dup: 64-bit signature, pigeonhole 16-bit chunk
     * blocking, Hamming verify via `bit_count(a^b)`. One row per doc.
+    *
+    * Evaluated at DISTINCT-TEXT grain like [[minhashNearDups]]: the
+    * signature is a pure function of the text, so byte-equal twins
+    * hold identical simhashes — they collide in every chunk and verify
+    * at Hamming 0 (≤ any maxHamming ≥ 0) — and a member of a twin
+    * group of size c gets (c−1) twin neighbors at Hamming 0 plus c'
+    * cross neighbors per colliding-and-verified partner group of size
+    * c'. The pigeonhole self-join runs over distinct texts only; the
+    * raw-grain form was quadratic in twin-group size on replica-dense
+    * corpora for a doc-grain rollup output. Value-identical; the
+    * oracle stays doc-grain and untouched.
     */
   def simhashNearDups(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val sigs = docs.select(
+    val (docRep, sizes) = textRepElection(docs)
+    val repDocs = docs
+      .join(sizes.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    val sigs = repDocs.select(
       col("doc_id"),
       call_function("graft_simhash64", TF.words(col("text"))).as("simhash"))
     val chunked = sigs.select(
@@ -474,16 +556,34 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-    val perDoc = pairs.select(col("id_a").as("doc_id"), col("hamming"))
-      .unionByName(pairs.select(col("id_b").as("doc_id"), col("hamming")))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_near"), min(col("hamming")).as("min_hamming"))
-    sigs
-      .join(perDoc, Seq("doc_id"), "left")
+    // rep-grain neighbor stats carrying the partner group's size
+    val withSizes = pairs
+      .join(sizes.select(col("rep").as("id_a"), col("n_copies").as("c_a")), "id_a")
+      .join(sizes.select(col("rep").as("id_b"), col("n_copies").as("c_b")), "id_b")
+    val perRep = withSizes
+      .select(col("id_a").as("rep"), col("c_b").as("c_other"), col("hamming"))
+      .unionByName(withSizes
+        .select(col("id_b").as("rep"), col("c_a").as("c_other"), col("hamming")))
+      .groupBy(col("rep"))
+      .agg(sum(col("c_other")).as("cross_near"),
+        min(col("hamming")).as("cross_min"))
+    // doc universe and per-doc simhash come from the rep map: members
+    // share their rep's signature (pure function of text); NULL-text
+    // docs keep the raw-grain behavior (NULL simhash, empty rollup)
+    docs.select(col("doc_id"))
+      .join(docRep, Seq("doc_id"), "left")
+      .join(sigs.select(col("doc_id").as("rep"), col("simhash")), Seq("rep"), "left")
+      .join(perRep, Seq("rep"), "left")
       .select(
         col("doc_id"), col("simhash"),
-        coalesce(col("n_near"), lit(0L)).as("n_near"),
-        coalesce(col("min_hamming"), lit(64)).as("min_hamming"))
+        (coalesce(col("cross_near"), lit(0L)) +
+          when(col("n_copies") > 1 && lit(maxHamming) >= 0,
+            col("n_copies") - 1).otherwise(lit(0L)))
+          .cast("long").as("n_near"),
+        least(
+          coalesce(col("cross_min"), lit(64)),
+          when(col("n_copies") > 1 && lit(maxHamming) >= 0, lit(0))
+            .otherwise(lit(64))).as("min_hamming"))
   }
 
   /** Character n-gram Jaccard near-dup: MinHash-banded candidates (cheap
@@ -517,18 +617,11 @@ object Dedup {
     * size.
     */
   def ngramNearDups(docs: DataFrame, n: Int = 5): DataFrame = {
-    val hashable = docs.filter(col("text").isNotNull)
-    // text-group election inline (the exact() law, keeping the group
-    // key so docs can be mapped back to their representative)
-    val withH = hashable.select(col("doc_id"),
-      xxhash64(col("text")).as("h"), length(col("text")).as("len"),
-      xxhash64(lit(1), col("text")).as("h2"))
-    val grp = withH.groupBy(col("h"), col("len"), col("h2"))
-      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_copies"))
-    val docRep = withH.join(grp, Seq("h", "len", "h2"))
-      .select(col("doc_id"), col("rep"), col("n_copies"))
-    val repDocs = hashable
-      .join(grp.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    // shared member→rep election ([[textRepElection]] — the exact()
+    // law, keeping the group map so docs fold back to their rep)
+    val (docRep, grpSizes) = textRepElection(docs)
+    val repDocs = docs.filter(col("text").isNotNull)
+      .join(grpSizes.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
     graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
     // gram SETS (sorted distinct — the merge-scan verify's shape) +
     // signature in ONE materialized pass: the sig rides the codegen
@@ -566,10 +659,9 @@ object Dedup {
           .otherwise(round(interCnt / unionCnt, 4)).as("gram_jaccard"))
     // rep-grain neighbor stats carrying the PARTNER group's size — the
     // multiplicity the doc-grain law assigns to each cross candidate
-    val sizes = grp.select(col("rep"), col("n_copies"))
     val withSizes = verified
-      .join(sizes.select(col("rep").as("id_a"), col("n_copies").as("c_a")), "id_a")
-      .join(sizes.select(col("rep").as("id_b"), col("n_copies").as("c_b")), "id_b")
+      .join(grpSizes.select(col("rep").as("id_a"), col("n_copies").as("c_a")), "id_a")
+      .join(grpSizes.select(col("rep").as("id_b"), col("n_copies").as("c_b")), "id_b")
     val perRep = withSizes
       .select(col("id_a").as("rep"), col("c_b").as("c_other"), col("gram_jaccard"))
       .unionByName(withSizes

@@ -281,4 +281,92 @@ class DedupSpec extends SparkSpecBase {
       .select("doc_id").as[Long].collect().toSet
     assert(keptFlooded == keptBase, s"base=$keptBase flooded=$keptFlooded")
   }
+
+  test("minhash rollup exact-collapse is value-identical to the raw-grain form on a replica-heavy corpus") {
+    // twin groups of size 1..4 (incl. a near-dup pair split across two
+    // groups) + a NULL-text doc: the collapsed rollup must reproduce
+    // the raw-grain per-doc law — (c−1) twins at J=1.0 plus c' cross
+    // candidates per colliding partner group — row for row
+    val base = docs.filter(col("text").isNotNull)
+    val corpus = base
+      .unionByName(base.filter(col("doc_id") <= 3)
+        .withColumn("doc_id", col("doc_id") + 100L))
+      .unionByName(base.filter(col("doc_id") <= 2)
+        .withColumn("doc_id", col("doc_id") + 200L))
+      .unionByName(base.filter(col("doc_id") === 1)
+        .withColumn("doc_id", col("doc_id") + 300L))
+      .unionByName(Seq((999L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    // raw-grain reference: the pre-collapse rollup over ALL rows
+    val verified = Dedup.minhashNearDupPairs(corpus)
+    val perDoc = verified.select(col("id_a").as("doc_id"), col("jaccard"))
+      .unionByName(verified.select(col("id_b").as("doc_id"), col("jaccard")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"), max(col("jaccard")).as("best_jaccard"),
+        max(col("jaccard") >= 0.5).as("is_near_dup"))
+    val raw = corpus.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+        coalesce(col("is_near_dup"), lit(false)).as("is_near_dup"))
+      .orderBy("doc_id").collect().toSeq
+    val collapsed = Dedup.minhashNearDups(corpus)
+      .orderBy("doc_id").collect().toSeq
+    assert(collapsed == raw)
+  }
+
+  test("simhash rollup exact-collapse is value-identical to the raw-grain form on a replica-heavy corpus") {
+    val base = docs.filter(col("text").isNotNull)
+    val corpus = base
+      .unionByName(base.filter(col("doc_id") <= 3)
+        .withColumn("doc_id", col("doc_id") + 100L))
+      .unionByName(base.filter(col("doc_id") === 1)
+        .withColumn("doc_id", col("doc_id") + 300L))
+    // raw-grain reference: sign every row, pigeonhole self-join, roll up
+    graft.plans.GraftFunctions.ensureRegistered(spark)
+    val sigs = corpus.select(col("doc_id"),
+      call_function("graft_simhash64",
+        graft.functions.TextFunctions.words(col("text"))).as("simhash"))
+    val chunked = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(graft.functions.TextFunctions.simhashChunks(col("simhash"))))
+      .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk"))
+    val pairs = chunked.alias("a")
+      .join(chunked.alias("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct().filter(col("hamming") <= 3)
+    val perDoc = pairs.select(col("id_a").as("doc_id"), col("hamming"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"), col("hamming")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_near"), min(col("hamming")).as("min_hamming"))
+    val raw = sigs.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("simhash"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        coalesce(col("min_hamming"), lit(64)).as("min_hamming"))
+      .orderBy("doc_id").collect().toSeq
+    val collapsed = Dedup.simhashNearDups(corpus)
+      .orderBy("doc_id").collect().toSeq
+    assert(collapsed == raw)
+  }
+
+  test("minhash/simhash rollups band-join at distinct-text grain (plan audit)") {
+    // the banded/pigeonhole self-join inputs carry the exact-collapse
+    // semi join: the raw corpus relation must not feed the explode
+    // side directly. Proxy: the optimized plan contains the election
+    // aggregate (min(doc_id) over the text-hash group keys) and a
+    // LeftSemi join pruning the signature pass
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    for (plan <- Seq(
+        Dedup.minhashNearDups(docs).queryExecution.optimizedPlan,
+        Dedup.simhashNearDups(docs).queryExecution.optimizedPlan)) {
+      val semis = plan.collect {
+        case j: Join if j.joinType.sql == "LEFT SEMI" => j }
+      assert(semis.nonEmpty, plan)
+      val electionAggs = plan.collect {
+        case a: Aggregate if a.aggregateExpressions.exists(
+          _.find { case x => x.sql.contains("min(doc_id") }.isDefined) => a }
+      assert(electionAggs.nonEmpty, plan)
+    }
+  }
 }
