@@ -615,6 +615,17 @@ object Dedup {
     * 16-row band collides with probability 4·0.29¹⁶ ≈ 10⁻⁸: the pair
     * stage emits only true high-overlap candidates, at ANY corpus
     * size.
+    *
+    * API notes (behavior changes vs the pre-r13 form, for external
+    * callers): (1) the default gram width moved 3 → 5 with 64-hash
+    * 4×16 banding — callers that relied on the old 3-gram default
+    * should pin `n = 3` explicitly (the repo's oracle moved in
+    * lockstep); (2) constructing the returned DataFrame EAGERLY runs
+    * Spark jobs: the distinct-text gram/signature frame is
+    * `localCheckpoint()`ed at build time so the banded self-join and
+    * the two verify joins don't re-evaluate the projection — callers
+    * composing plans lazily should call this at execution time, not
+    * plan-assembly time.
     */
   def ngramNearDups(docs: DataFrame, n: Int = 5): DataFrame = {
     // shared member→rep election ([[textRepElection]] — the exact()

@@ -155,9 +155,15 @@ object FrameSigIndexStore {
       if (hasTombstones(spark, path)) {
         SwapRecovery.recover(spark, path, "bands")
         val fs = SwapRecovery.fsOf(spark, path)
-        bandsTable(spark, path)
-          .write.mode(SaveMode.Overwrite)
-          .partitionBy("band")
+        // keyed layers stay keyed across compaction (batch=-1, the
+        // compactSwap convention) so streamed maintenance survives it
+        val keyed = StoreLayout.isKeyed(spark, path, "bands")
+        val staged =
+          if (keyed)
+            bandsTable(spark, path).withColumn("batch", lit(-1L))
+              .write.partitionBy("batch", "band")
+          else bandsTable(spark, path).write.partitionBy("band")
+        staged.mode(SaveMode.Overwrite)
           .parquet(s"$path/bands_compacted")
         SwapRecovery.renameOrThrow(fs,
           new org.apache.hadoop.fs.Path(s"$path/bands"),

@@ -46,10 +46,16 @@ import org.apache.spark.sql.SparkSession
   * marker ownership + generation AFTER the body completes, throwing
   * `lease lost` instead of returning if a takeover happened while the
   * holder was paused (the takeover's recoverAll has already repaired
-  * the layout; the loud failure tells the deposed writer its mutation
-  * may be torn and must be retried). The heartbeat makes deposition of
-  * a live holder effectively impossible — only a pause longer than the
-  * staleness threshold (sized >> GC pauses) can trigger it.
+  * the layout). The fence DETECTS the deposed writer's mutation; it
+  * does not prevent it — the check runs after the body, so a flat
+  * `SaveMode.Append` layer may already be durably committed when
+  * `lease lost` throws. Retry guidance is therefore conditional:
+  * batch-keyed Overwrite folds are idempotent and safe to retry; a
+  * flat append must be verified against the layer first (a blind
+  * re-apply double-folds an abelian store). The heartbeat makes
+  * deposition of a live holder effectively impossible — only a pause
+  * longer than the staleness threshold (sized >> GC pauses) can
+  * trigger it.
   *
   * Reads never take the lease — serving stays lock-free because every
   * intermediate compact state keeps a complete layer on disk (the
@@ -167,9 +173,39 @@ object IndexLease {
       // absent (first acquisition) or torn (crash mid-write) both read
       // as 0 — the next write restores monotonicity from there, and a
       // paused holder carrying a HIGHER gen still fails its fence check
-      case _: java.io.IOException => 0L
+      case _: java.io.FileNotFoundException => 0L
       case _: NumberFormatException => 0L
     }
+
+  /** [[readGen]] for the POST-BODY fence check, where a transient read
+    * fault must not masquerade as a takeover: only a MISSING gen file
+    * legitimately reads 0; any other IOException is retried briefly and
+    * then surfaces as a distinct `fence unverifiable` error — which
+    * deliberately does NOT advise retrying the mutation, because the
+    * mutation very likely committed and a blind re-apply of a flat
+    * append double-folds an abelian store.
+    */
+  private def readGenChecked(fs: org.apache.hadoop.fs.FileSystem,
+      gen: Path, lease: Path, who: String): Long = {
+    var attempt = 0
+    while (true) {
+      try return readGen(fs, gen)
+      catch {
+        case e: java.io.IOException =>
+          attempt += 1
+          if (attempt >= 3)
+            throw new IllegalStateException(
+              s"index lease fence for $lease unverifiable by $who: the " +
+                "generation file could not be read after the mutation " +
+                s"completed (${e.getMessage}). The mutation itself most " +
+                "likely committed — do NOT blindly retry a flat append; " +
+                "verify the store contents (or the batch layer) first",
+              e)
+          Thread.sleep(50)
+      }
+    }
+    0L // unreachable
+  }
 
   private def writeGen(fs: org.apache.hadoop.fs.FileSystem, gen: Path,
       value: Long): Unit = {
@@ -252,15 +288,11 @@ object IndexLease {
         }
       }
     }
-    // held. FIRST repair anything a dead holder stranded — under the
-    // lease, so no writer can interleave with the repair. Running this
-    // on every acquisition (one listStatus when the layout is healthy)
-    // is what closes the takeover's rename→create gap: whichever
-    // writer wins the lease inside that gap repairs before mutating.
-    SwapRecovery.recoverAll(spark, path)
-    // Bump the generation fence, then heartbeat until release.
-    val myGen = readGen(fs, genPath) + 1
-    writeGen(fs, genPath, myGen)
+    // held. Start the heartbeat FIRST: the entry repair below can be
+    // slow (a stranded <layer>_old recursive delete on an object
+    // store), and without a beating marker a repair longer than
+    // staleMs would read as a dead holder — a contender would depose
+    // the REPAIRING holder and two repairers would race on one layout.
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val beat = new Thread(() => {
       while (!stop.get()) {
@@ -277,17 +309,34 @@ object IndexLease {
     beat.setDaemon(true)
     beat.start()
     try {
+      // repair anything a dead holder stranded — under the lease (and
+      // under the heartbeat), so no writer can interleave with the
+      // repair. Running this on every acquisition (one listStatus when
+      // the layout is healthy) is what closes the takeover's
+      // rename→create gap: whichever writer wins the lease inside that
+      // gap repairs before mutating.
+      SwapRecovery.recoverAll(spark, path)
+      // Bump the generation fence.
+      val myGen = readGen(fs, genPath) + 1
+      writeGen(fs, genPath, myGen)
       val result = body
       // the fence: a holder paused past the staleness threshold may
       // have been deposed and its store repaired — its late success
-      // must be REJECTED loudly, not returned as if committed
+      // must be REJECTED loudly, not returned as if committed. NOTE
+      // the fence fires AFTER the body, so the body's terminal write
+      // may already be durably committed when this throws: retry
+      // guidance is therefore CONDITIONAL on the mutation's shape.
       if (!markerHolder(fs, lease).contains(holderId) ||
-          readGen(fs, genPath) != myGen)
+          readGenChecked(fs, genPath, lease, who) != myGen)
         throw new IllegalStateException(
           s"index lease $lease lost by $who (holder $holderId, " +
             s"generation $myGen): a contender declared this holder dead " +
-            "and took over — this mutation may be torn; run " +
-            "SwapRecovery.recoverAll and retry it")
+            "and took over while it was paused. The mutation may be " +
+            "torn OR may have fully committed before the takeover. " +
+            "Retry ONLY if it is idempotent (a batch-keyed Overwrite " +
+            "fold re-lands its own layer); a FLAT append may already " +
+            "be applied — verify the layer contents before re-applying, " +
+            "or a blind retry double-folds an abelian store")
       result
     } finally {
       stop.set(true)

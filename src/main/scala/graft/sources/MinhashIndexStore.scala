@@ -151,9 +151,18 @@ object MinhashIndexStore {
       if (hasTombstones(spark, path)) {
         SwapRecovery.recover(spark, path, "bands")
         val fs = SwapRecovery.fsOf(spark, path)
-        bandsTable(spark, path)
-          .write.mode(SaveMode.Overwrite)
-          .partitionBy("band")
+        // a batch-keyed layer (streamed maintenance) stays keyed across
+        // compaction — the folded rewrite lands at batch=-1 (the
+        // compactSwap convention) — so a checkpoint-resumed stream's
+        // next appendBatch still sees a keyed layout instead of dying
+        // on StoreLayout's flat/keyed-mix guard
+        val keyed = StoreLayout.isKeyed(spark, path, "bands")
+        val staged =
+          if (keyed)
+            bandsTable(spark, path).withColumn("batch", lit(-1L))
+              .write.partitionBy("batch", "band")
+          else bandsTable(spark, path).write.partitionBy("band")
+        staged.mode(SaveMode.Overwrite)
           .parquet(s"$path/bands_compacted")
         // swap via rename so EVERY intermediate state still has a
         // complete index on disk: move the live dir aside, promote the
@@ -218,9 +227,9 @@ object MinhashIndexStore {
     * candidate pair the drop participates in). Per-band partition
     * pruning still works — discovery exposes both `batch` and `band`.
     * `batchId = -1` is the convention for the pre-built base layer
-    * ([[buildKeyed]]); note [[compact]] folds the batch keying away
-    * (its rewrite is flat), after which a further appendBatch refuses
-    * loudly — re-key with buildKeyed before resuming a stream.
+    * ([[buildKeyed]]); [[compact]] preserves the keying (its rewrite
+    * lands at batch=-1, the [[SwapRecovery.compactSwap]] convention),
+    * so a stream can keep folding batch layers after a compaction.
     */
   def appendBatch(delta: DataFrame, path: String, batchId: Long): Unit =
     IndexLease.withLease(delta.sparkSession, path, "minhash-append-batch") {

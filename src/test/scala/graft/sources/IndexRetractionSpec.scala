@@ -103,4 +103,46 @@ class IndexRetractionSpec extends SparkSpecBase {
       .orderBy("probe_id", "rnk").as[(Long, Long, Double, Int)].collect().toSeq
     assert(twice == once)
   }
+
+  test("keyed minhash store: compact preserves the batch keying; streamed maintenance survives it") {
+    val p = freshPath("mh_keyed")
+    val docs = Tables.documents(spark, sfDir)
+    MinhashIndexStore.buildKeyed(docs.filter(col("doc_id") % 10 =!= 0), p)
+    MinhashIndexStore.appendBatch(docs.filter(col("doc_id") % 20 === 0), p, 0L)
+    // takedown + compact: the rewrite must land KEYED (batch=-1), not
+    // flat — a flat rewrite killed the stream at its next appendBatch
+    MinhashIndexStore.delete(
+      docs.filter(col("doc_id") % 30 === 0).select(col("doc_id")), p)
+    MinhashIndexStore.compact(spark, p)
+    assert(StoreLayout.isKeyed(spark, p, "bands"),
+      "compact flattened a batch-keyed bands layer")
+    // the next micro-batch folds in without StoreLayout's mix guard firing
+    MinhashIndexStore.appendBatch(docs.filter(col("doc_id") % 20 === 10), p, 1L)
+    // the served rows equal a fresh flat build over the same survivors
+    // (batch 1 lands AFTER the purge, so its %30==0 members are back in)
+    val fresh = freshPath("mh_keyed_fresh")
+    MinhashIndexStore.build(
+      docs.filter(col("doc_id") % 30 =!= 0 || col("doc_id") % 20 === 10), fresh)
+    def rows(path: String) = MinhashIndexStore.bandsTable(spark, path)
+      .select("doc_id", "band", "s0", "s1", "s2", "s3")
+      .as[(Long, Int, Long, Long, Long, Long)].collect().toSet
+    assert(rows(p) == rows(fresh))
+  }
+
+  test("keyed framesig store: compact preserves the batch keying") {
+    val p = freshPath("fsig_keyed")
+    val docs = Tables.documents(spark, sfDir)
+    val media = graft.operators.Multimodal.asMedia(docs)
+    FrameSigIndexStore.buildKeyed(
+      media.filter(col("doc_id") % 10 =!= 0), p)
+    FrameSigIndexStore.appendBatch(
+      media.filter(col("doc_id") % 20 === 0), p, 0L)
+    FrameSigIndexStore.delete(
+      docs.filter(col("doc_id") % 30 === 0).select(col("doc_id")), p)
+    FrameSigIndexStore.compact(spark, p)
+    assert(StoreLayout.isKeyed(spark, p, "bands"),
+      "compact flattened a batch-keyed bands layer")
+    FrameSigIndexStore.appendBatch(
+      media.filter(col("doc_id") % 20 === 10), p, 1L)
+  }
 }
