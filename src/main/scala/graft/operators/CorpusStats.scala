@@ -201,24 +201,42 @@ object CorpusStats {
       idCol: String = "doc_id", n: Int = 4,
       maxShingles: Int = 2000): DataFrame = {
     graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
+    // DISTINCT-TEXT collapse (the exact-collapse law): shingle sets are
+    // pure functions of the text, so the explode, the spread aggregate,
+    // and the per-doc rollup all run at distinct-text grain; the TRUE
+    // doc-spread of a shingle is the sum of the holding groups' sizes,
+    // and every member inherits its rep's rollup row verbatim (all four
+    // output columns depend only on the text and the corpus spread).
+    // On a replica-dense corpus this keeps the exploded shingle volume
+    // ∝ distinct texts instead of ∝ corpus rows — value-identical.
+    val named = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val (docRep, sizes) = Dedup.textRepElection(named)
+    val repDocs = named
+      .join(sizes.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
     // the codegen'd kernel hashes each shingle in one pass over the
     // token array (never materializing shingle strings in the row) —
     // element i is the first 60 bits of md5 of the i-th n-gram, the
     // exact value the oracle's substr(md5(shingle),1,15) computes
-    val sh = docs
-      .select(col(idCol), explode(call_function("graft_shingle_hash60",
-        graft.functions.TextFunctions.words(col(textCol)),
-        lit(n), lit(maxShingles))).as("h"))
+    val sh = repDocs
+      .select(col("doc_id").as("rep"),
+        explode(call_function("graft_shingle_hash60",
+          graft.functions.TextFunctions.words(col("text")),
+          lit(n), lit(maxShingles))).as("h"))
       .distinct()
-    val spread = sh.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
-    sh.join(spread, Seq("h"))
-      .groupBy(col(idCol))
+    val spread = sh.join(sizes, Seq("rep"))
+      .groupBy(col("h")).agg(sum(col("n_copies")).as("n_docs"))
+    val perRep = sh.join(spread, Seq("h"))
+      .groupBy(col("rep"))
       .agg(
         count(lit(1)).as("n_shingles"),
         sum(when(col("n_docs") >= 2, 1).otherwise(0)).cast("long").as("n_dup"),
         round(sum(when(col("n_docs") >= 2, 1).otherwise(0)).cast("double")
           / count(lit(1)), 4).as("dup_frac"),
         max(col("n_docs")).as("max_span_docs"))
+    docRep.join(perRep, Seq("rep"))
+      .select(col("doc_id").as(idCol), col("n_shingles"), col("n_dup"),
+        col("dup_frac"), col("max_span_docs"))
   }
 
   /** The MATERIALIZING twin of [[dupSpans]] — C4's span-level dedup
@@ -239,15 +257,31 @@ object CorpusStats {
       idCol: String = "doc_id", n: Int = 4,
       maxShingles: Int = 2000): DataFrame = {
     graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
-    val w = graft.functions.TextFunctions.words(col(textCol))
-    val base = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), w.as("w"),
+    // DISTINCT-TEXT collapse. The canonical-occurrence law decomposes
+    // exactly: canon(h) = min doc_id holding h = min REP over the
+    // groups holding h (every group's min id is its rep), and the true
+    // spread is the sum of holding-group sizes. So the position-grain
+    // pipeline (posexplode, spread join, window-coverage explode) runs
+    // over distinct texts only, and the member rows reconstruct
+    // arithmetically: a NON-rep member of a twin group (c ≥ 2) has
+    // every shingle corpus-duplicated (its twin holds it) and is never
+    // the canon (canons are reps) — every word is covered, the clean
+    // text is empty. A rep keeps exactly the windows whose canon is
+    // itself. Value-identical; the doc-grain oracle is untouched.
+    val named = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val (docRep, sizes) = Dedup.textRepElection(named)
+    val w = graft.functions.TextFunctions.words(col("text"))
+    val base = named
+      .join(sizes.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as(idCol), w.as("w"),
         call_function("graft_shingle_hash60", w, lit(n), lit(maxShingles)).as("hs"))
     val pos = base.select(col(idCol), size(col("w")).as("nw"),
       posexplode(col("hs")).as(Seq("i", "h")))
-    val spread = pos.select(col(idCol), col("h")).distinct()
+    val spread = pos.select(col(idCol).as("rep"), col("h")).distinct()
+      .join(sizes, Seq("rep"))
       .groupBy(col("h"))
-      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canon"))
+      .agg(sum(col("n_copies")).as("n_docs"), min(col("rep")).as("canon"))
     val removed = pos.join(spread, Seq("h"))
       .filter(col("n_docs") >= 2 && col(idCol) =!= col("canon"))
       // window i covers words [i, min(i+n, nw)) — the tail clamp only
@@ -256,7 +290,7 @@ object CorpusStats {
         least(col("i") + lit(n - 1), col("nw") - 1))).as("p"))
       .distinct()
       .groupBy(col(idCol)).agg(collect_set(col("p")).as("rm"))
-    base.join(removed, Seq(idCol), "left")
+    val repOut = base.join(removed, Seq(idCol), "left")
       .select(col(idCol), col("w"),
         coalesce(col("rm"), array().cast("array<int>")).as("rm"))
       .select(col(idCol),
@@ -265,6 +299,22 @@ object CorpusStats {
       .select(col(idCol), col("n_words"),
         (col("n_words") - size(col("kept"))).cast("long").as("n_removed"),
         concat_ws(" ", col("kept")).as("clean_text"))
+    // non-rep members: every capped window is removed, so coverage is
+    // words [0, min(nw, maxShingles+n-1)) — full removal unless the doc
+    // out-runs the maxShingles cap, in which case the uncovered tail
+    // survives exactly as it does in the raw-grain form
+    val covLen = lit(maxShingles + n - 1)
+    val memberOut = docRep.filter(col("doc_id") =!= col("rep"))
+      .join(base.select(col(idCol).as("rep"), col("w")), Seq("rep"))
+      .select(col("doc_id").as(idCol),
+        size(col("w")).as("n_words"), col("w"))
+      .select(col(idCol), col("n_words"),
+        least(col("n_words"), covLen).cast("long").as("n_removed"),
+        when(col("n_words") <= covLen, lit(""))
+          .otherwise(concat_ws(" ",
+            slice(col("w"), covLen + 1, col("n_words") - covLen)))
+          .as("clean_text"))
+    repOut.unionByName(memberOut)
   }
 
   def repetition(docs: DataFrame, textCol: String = "text",

@@ -34,6 +34,57 @@ class DupSpansCleanSpec extends SparkSpecBase {
     assert(out(1).getString(3) === "m n o")
   }
 
+  test("exact-collapse is value-identical to the raw-grain form, including past the maxShingles cap") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{call_function, posexplode}
+    // maxShingles = 5 with 12-word docs makes the cap BITE: a non-rep
+    // twin's coverage stops at word maxShingles+n-2 = 8, so its tail
+    // words survive — the member-reconstruction law must reproduce that
+    val base = Seq(
+      (1L, "p q r s x y z w t0 t1 t2 t3"),
+      (2L, "a b c d p q r s u0 u1 u2 u3"),
+      (3L, "k l m n o u v t"))
+      .toDF("doc_id", "text")
+    val corpus = base
+      .unionByName(base.withColumn("doc_id", col("doc_id") + 100L))
+      .unionByName(base.filter(col("doc_id") <= 1)
+        .withColumn("doc_id", col("doc_id") + 200L))
+    val n = 4
+    val cap = 5
+    // raw-grain reference: the pre-collapse implementation inline
+    val w = graft.functions.TextFunctions.words(col("text"))
+    val baseRaw = corpus
+      .select(col("doc_id"), w.as("w"),
+        call_function("graft_shingle_hash60", w, lit(n), lit(cap)).as("hs"))
+    val pos = baseRaw.select(col("doc_id"), size(col("w")).as("nw"),
+      posexplode(col("hs")).as(Seq("i", "h")))
+    val spread = pos.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canon"))
+    val removed = pos.join(spread, Seq("h"))
+      .filter(col("n_docs") >= 2 && col("doc_id") =!= col("canon"))
+      .select(col("doc_id"), explode(sequence(col("i"),
+        least(col("i") + lit(n - 1), col("nw") - 1))).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("rm"))
+    val raw = baseRaw.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"),
+        coalesce(col("rm"), array().cast("array<int>")).as("rm"))
+      .select(col("doc_id"),
+        size(col("w")).as("n_words"),
+        filter(col("w"), (_, i) => !array_contains(col("rm"), i)).as("kept"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ", col("kept")).as("clean_text"))
+      .orderBy("doc_id").collect().toSeq
+    val collapsed = CorpusStats.dupSpansClean(corpus, n = n, maxShingles = cap)
+      .orderBy("doc_id").collect().toSeq
+    assert(collapsed == raw)
+    // the cap must actually bite on this corpus: some twin keeps a tail
+    assert(raw.exists(r => r.getLong(0) > 100L && r.getLong(2) > 0 &&
+      r.getString(3).nonEmpty))
+  }
+
   test("removal counts agree with the dupSpans audit on the corpus") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val clean = CorpusStats.dupSpansClean(docs)

@@ -34,6 +34,41 @@ class DupSpansSpec extends SparkSpecBase {
     assert(out.forall(_.getLong(4) == 1L))
   }
 
+  test("exact-collapse is value-identical to the raw-grain form on a replica-heavy corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.call_function
+    val base = Seq(
+      (1L, "p q r s x y z w"),
+      (2L, "a b c d p q r s"),
+      (3L, "k l m n o u v t"),
+      (4L, "x y z w x y z w x y z w"))
+      .toDF("doc_id", "text")
+    val corpus = base
+      .unionByName(base.filter(col("doc_id") <= 3)
+        .withColumn("doc_id", col("doc_id") + 100L))
+      .unionByName(base.filter(col("doc_id") <= 1)
+        .withColumn("doc_id", col("doc_id") + 200L))
+    // raw-grain reference: the pre-collapse implementation inline
+    val sh = corpus
+      .select(col("doc_id"), explode(call_function("graft_shingle_hash60",
+        graft.functions.TextFunctions.words(col("text")),
+        lit(4), lit(2000))).as("h"))
+      .distinct()
+    val spread = sh.groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+    val raw = sh.join(spread, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("n_docs") >= 2, 1).otherwise(0)).cast("long").as("n_dup"),
+        round(sum(when(col("n_docs") >= 2, 1).otherwise(0)).cast("double")
+          / count(lit(1)), 4).as("dup_frac"),
+        max(col("n_docs")).as("max_span_docs"))
+      .orderBy("doc_id").collect().toSeq
+    val collapsed = CorpusStats.dupSpans(corpus)
+      .orderBy("doc_id").collect().toSeq
+    assert(collapsed == raw)
+  }
+
   test("corpus run is deterministic and fractions are consistent") {
     val docs = graft.sources.Tables.documents(spark, sfDir)
     val a = CorpusStats.dupSpans(docs).orderBy("doc_id").collect()

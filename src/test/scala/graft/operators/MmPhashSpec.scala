@@ -45,6 +45,40 @@ class MmPhashSpec extends SparkSpecBase {
     }
   }
 
+  test("distinct-asset collapse is value-identical to all-pairs on a replica-heavy corpus") {
+    // byte-twin groups of size 1..4: the collapsed form must reproduce
+    // the raw all-pairs answer — within-group pairs at Hamming 0 for
+    // every frame, cross pairs at the rep pair's verdict — row for row
+    val base = Tables.documents(spark, sfDir).filter(col("doc_id") < 20)
+    val corpus = base
+      .unionByName(base.filter(col("doc_id") < 15)
+        .withColumn("doc_id", col("doc_id") + 1000L))
+      .unionByName(base.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 2000L))
+      .unionByName(base.filter(col("doc_id") < 5)
+        .withColumn("doc_id", col("doc_id") + 3000L))
+    val m = Multimodal.asMedia(corpus)
+    val sigs = Multimodal.frameSignatures(Multimodal.frameSample(m))
+    val a = sigs.alias("a")
+    val b = sigs.alias("b")
+    val brute = a.join(b,
+        col("a.doc_id") < col("b.doc_id") &&
+          col("a.frame_idx") === col("b.frame_idx"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.frame_idx").as("frame_idx"),
+        (bit_count(col("a.sig_lo").bitwiseXOR(col("b.sig_lo"))) +
+          bit_count(col("a.sig_hi").bitwiseXOR(col("b.sig_hi"))))
+          .cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+    val collapsed = Multimodal.nearDupFrames(m)
+    import spark.implicits._
+    val bs = brute.as[(Long, Long, Int, Int)].collect().toSet
+    val cs = collapsed.as[(Long, Long, Int, Int)].collect().toSet
+    assert(cs == bs)
+    // the replica corpus must actually exercise the within-group path
+    assert(bs.exists { case (x, y, _, h) => h == 0 && y - x >= 1000 })
+  }
+
   test("sceneSegments: identical frames group, a hard cut opens a scene") {
     import spark.implicits._
     // frames are 256-byte windows: two identical ramp frames (Hamming
