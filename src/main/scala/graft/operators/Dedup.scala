@@ -97,8 +97,16 @@ object Dedup {
   private[graft] def textRepElection(docs: DataFrame): (DataFrame, DataFrame) = {
     val withH = docs.filter(col("text").isNotNull)
       .select(col("doc_id") +: textGroupKeys(col("text")): _*)
+    // materialize the rep-grain election ONCE (eager, like
+    // ngramNearDups' gram frame): the group table is distinct-text
+    // grain — the collapsed corpus the whole family is built around —
+    // and every caller consumes it 3-4 times (semi-join prune, two
+    // partner-size joins, the member expansion). Without this each
+    // consumer re-runs the corpus-grain aggregation: profiled at ~sf100
+    // (5M docs) the re-aggregations were ~2.6 s × 3 of a ~13 s entry.
     val grp = withH.groupBy(TextGroupKeyNames.map(col): _*)
       .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_copies"))
+      .localCheckpoint()
     val docRep = withH.join(grp, TextGroupKeyNames)
       .select(col("doc_id"), col("rep"), col("n_copies"))
     (docRep, grp.select(col("rep"), col("n_copies")))
@@ -316,7 +324,12 @@ object Dedup {
     val (docRep, sizes) = textRepElection(docs)
     val repDocs = docs
       .join(sizes.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    // rep-grain and consumed twice (both unpivot orientations below) —
+    // materialize once or each consumer re-runs the whole band join
+    // and its corpus semi-scans (profiled: the duplicated subtree was
+    // most of the entry's ~sf100 wall)
     val verified = minhashNearDupPairs(repDocs, numHashes, bands)
+      .localCheckpoint()
     // rep-grain neighbor stats carrying the PARTNER group's size — the
     // multiplicity the doc-grain law assigns to each cross candidate
     val withSizes = verified
@@ -329,8 +342,12 @@ object Dedup {
       .groupBy(col("rep"))
       .agg(sum(col("c_other")).as("cross_cands"),
         max(col("jaccard")).as("cross_best"))
-    docs.select(col("doc_id"))
-      .join(docRep, Seq("doc_id"), "left")
+    // doc universe WITHOUT a corpus×corpus join: docRep already holds
+    // one row per non-NULL-text doc, perRep broadcasts at rep grain,
+    // and NULL-text docs re-admit through a pushed-filter scan — the
+    // earlier left join from docs.select(doc_id) was a 2-shuffle
+    // sort-merge join at full corpus grain for rows docRep already had
+    val scored = docRep
       .join(perRep, Seq("rep"), "left")
       .select(
         col("doc_id"),
@@ -344,6 +361,10 @@ object Dedup {
       .select(col("doc_id"), col("n_candidates"), col("best_jaccard"),
         (col("n_candidates") > 0 &&
           col("best_jaccard") >= jaccardThreshold).as("is_near_dup"))
+    val nullDocs = docs.filter(col("text").isNull)
+      .select(col("doc_id"), lit(0L).as("n_candidates"),
+        lit(0.0).as("best_jaccard"), lit(false).as("is_near_dup"))
+    scored.unionByName(nullDocs)
   }
 
   /** Incremental near-dup: a NEW drop (`delta`) against a PERSISTED
@@ -539,9 +560,12 @@ object Dedup {
     val (docRep, sizes) = textRepElection(docs)
     val repDocs = docs
       .join(sizes.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+    // rep-grain and multiply consumed (chunk join a/b sides + the
+    // final signature join) — materialize once
     val sigs = repDocs.select(
       col("doc_id"),
       call_function("graft_simhash64", TF.words(col("text"))).as("simhash"))
+      .localCheckpoint()
     val chunked = sigs.select(
       col("doc_id"), col("simhash"),
       posexplode(TF.simhashChunks(col("simhash"))))
@@ -556,6 +580,8 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+      // rep-grain, consumed twice below — materialize once
+      .localCheckpoint()
     // rep-grain neighbor stats carrying the partner group's size
     val withSizes = pairs
       .join(sizes.select(col("rep").as("id_a"), col("n_copies").as("c_a")), "id_a")
@@ -568,10 +594,12 @@ object Dedup {
       .agg(sum(col("c_other")).as("cross_near"),
         min(col("hamming")).as("cross_min"))
     // doc universe and per-doc simhash come from the rep map: members
-    // share their rep's signature (pure function of text); NULL-text
-    // docs keep the raw-grain behavior (NULL simhash, empty rollup)
-    docs.select(col("doc_id"))
-      .join(docRep, Seq("doc_id"), "left")
+    // share their rep's signature (pure function of text). No
+    // corpus×corpus join — docRep has every non-NULL-text doc, the
+    // rep-grain sig/rollup frames broadcast, and NULL-text docs
+    // re-admit through a pushed-filter scan with the raw-grain
+    // behavior (NULL simhash, empty rollup)
+    val scored = docRep
       .join(sigs.select(col("doc_id").as("rep"), col("simhash")), Seq("rep"), "left")
       .join(perRep, Seq("rep"), "left")
       .select(
@@ -584,6 +612,10 @@ object Dedup {
           coalesce(col("cross_min"), lit(64)),
           when(col("n_copies") > 1 && lit(maxHamming) >= 0, lit(0))
             .otherwise(lit(64))).as("min_hamming"))
+    val nullDocs = docs.filter(col("text").isNull)
+      .select(col("doc_id"), lit(null).cast("long").as("simhash"),
+        lit(0L).as("n_near"), lit(64).as("min_hamming"))
+    scored.unionByName(nullDocs)
   }
 
   /** Character n-gram Jaccard near-dup: MinHash-banded candidates (cheap
@@ -668,6 +700,8 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         when(unionCnt === 0.0, lit(0.0))
           .otherwise(round(interCnt / unionCnt, 4)).as("gram_jaccard"))
+      // rep-grain, consumed twice below — materialize once
+      .localCheckpoint()
     // rep-grain neighbor stats carrying the PARTNER group's size — the
     // multiplicity the doc-grain law assigns to each cross candidate
     val withSizes = verified
@@ -680,9 +714,10 @@ object Dedup {
       .groupBy(col("rep"))
       .agg(sum(col("c_other")).as("cross_cands"),
         max(col("gram_jaccard")).as("cross_best"))
-    docs.select(col("doc_id"))
-      .join(docRep.select(col("doc_id"), col("rep"), col("n_copies")),
-        Seq("doc_id"), "left")
+    // doc universe without a corpus×corpus join (the minhash rollup's
+    // device): docRep covers every non-NULL-text doc, NULL-text docs
+    // re-admit through a pushed-filter scan with an empty rollup
+    val scored = docRep
       .join(perRep, Seq("rep"), "left")
       .select(
         col("doc_id"),
@@ -693,6 +728,10 @@ object Dedup {
           coalesce(col("cross_best"), lit(0.0)),
           when(col("n_copies") > 1, lit(1.0)).otherwise(0.0))
           .as("best_gram_jaccard"))
+    val nullDocs = docs.filter(col("text").isNull)
+      .select(col("doc_id"), lit(0L).as("n_candidates"),
+        lit(0.0).as("best_gram_jaccard"))
+    scored.unionByName(nullDocs)
   }
 
   /** Connected components over a near-dup pair graph: each node labeled

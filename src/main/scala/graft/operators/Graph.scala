@@ -19,16 +19,25 @@ object Graph {
     * Shape: one groupBy(order) with a map-side-combined `collect_set`
     * builds each basket (dedup within the basket happens IN the
     * partial aggregate, so the raw lineitem is never shuffled twice),
-    * the pair fan-out is two generators over the basket array (no
-    * self-join — the quadratic blow-up happens per ROW, bounded by
-    * basket size), and one distinct collapses cross-order repeats.
-    * Two shuffles total: basket-build on the order key, distinct on
-    * the pair.
+    * then baskets COLLAPSE TO DISTINCT ITEM SETS before the pair
+    * fan-out (sort_array canonicalizes the set order) — the
+    * exact-collapse law applied at basket grain: the edge set is a
+    * pure function of the distinct baskets, so the quadratic per-row
+    * blow-up and the pair distinct run once per distinct basket, not
+    * once per order. On a replica-dense corpus this is the difference
+    * between a pair stream ∝ orders and one ∝ distinct baskets (the
+    * r14 density audit measured the graph CONSTANT across three
+    * replica decades while the pre-collapse pair stream grew 1000× —
+    * bench/density/). Three shuffles total — basket-build on the
+    * order key, the basket distinct (map-side-combined, array-keyed),
+    * the pair distinct — with the two distincts carrying collapsed
+    * volume.
     */
   def coPurchaseEdges(lineitem: DataFrame): DataFrame =
     lineitem
       .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("l_partkey")).as("items"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+      .select(col("items")).distinct()
       .select(explode(col("items")).as("src"), col("items"))
       .select(col("src"), explode(col("items")).as("dst"))
       .filter(col("src") =!= col("dst"))

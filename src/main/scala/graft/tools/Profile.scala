@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Scratch profiler: times labeled plan variants to find bottlenecks.
-  * Current probe set: the all-corpus near-dup bucket-width scaling
-  * story (candidates ∝ numTables × N² / 2^bits, so `bitsPerTable`
-  * must grow with log2 N — measured here at the ~sf1 replica).
+  * Current probe set: the doc-grain rollup anatomy at the replica
+  * decades — where do the ~10 s the three collapsed rollups
+  * (minhash/simhash/ngram) share at ~sf100 actually go? Stages are
+  * timed under the HASH-FORCE instrument (count() prunes rollup
+  * columns — the r13 lesson).
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -23,33 +25,38 @@ object Profile {
 
     def time(label: String)(df: => DataFrame): Unit = {
       val t0 = System.nanoTime()
-      val n = df.count()
-      println(f"[prof] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+      df.select(xxhash64(struct(col("*"))).as("h"))
+        .agg(expr("bit_xor(h)")).collect()
+      println(f"[prof] $label%-40s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
 
-    val emb = Tables.embeddings(spark, dir)
-    time("warmup: embeddings count")(emb)
-
-    // keep-best stage anatomy at the replica SF
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    time("warmup: docs")(docs)
-    val hashable = docs.filter(col("text").isNotNull)
-    time("exact groupBy")(Dedup.exact(hashable))
-    val canonIds = Dedup.exact(hashable)
-      .select(col("keep_id").as("doc_id")).localCheckpoint()
-    val canonDocs = hashable.join(canonIds, Seq("doc_id"), "left_semi")
-    time("nd pairs over canonicals") {
-      Dedup.minhashNearDupPairs(canonDocs).filter(col("jaccard") >= 0.5)
-    }
-    val nd = Dedup.minhashNearDupPairs(canonDocs)
-      .filter(col("jaccard") >= 0.5)
-    time("connectedComponents")(
-      Dedup.connectedComponents(nd, "id_a", "id_b"))
-    time("minhashKeep (for comparison)")(Dedup.minhashKeep(docs))
-    val quality = docs.select(col("doc_id"),
-      CorpusStats.qualityScore(col("text")).as("quality_score"))
-    time("minhashKeepBest full")(Dedup.minhashKeepBest(docs, quality))
-    time("minhashKeepBest full (rep 2)")(Dedup.minhashKeepBest(docs, quality))
+    time("warmup/floor: docs scan+hash")(docs)
+    time("floor rep 2: docs scan+hash")(docs)
+    time("ids only: doc_id scan+hash")(docs.select(col("doc_id")))
+    val withH = docs.filter(col("text").isNotNull)
+      .select(col("doc_id") +: Dedup.textGroupKeys(col("text")): _*)
+    time("election keys: withH projection")(withH)
+    val grp = withH.groupBy(Dedup.TextGroupKeyNames.map(col): _*)
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_copies"))
+    time("election agg: grp")(grp)
+    val docRep = withH.join(grp, Dedup.TextGroupKeyNames)
+      .select(col("doc_id"), col("rep"), col("n_copies"))
+    time("election join-back: docRep")(docRep)
+    time("full dedup_minhash")(Dedup.minhashNearDups(docs))
+    time("full dedup_simhash")(Dedup.simhashNearDups(docs))
+    time("full dedup_simhash rep 2")(Dedup.simhashNearDups(docs))
+    // final-plan anatomy of the laggard: where do its exchanges sit?
+    val sh = Dedup.simhashNearDups(docs)
+    sh.select(xxhash64(struct(col("*"))).as("h"))
+      .agg(expr("bit_xor(h)")).collect()
+    val p = sh.queryExecution.executedPlan.toString
+    println("[prof] simhash final-plan exchanges/joins/scans:")
+    p.split("== Initial Plan ==").head.linesIterator
+      .filter(l => l.contains("Exchange") || l.contains("Join") ||
+        l.contains("Scan parquet") || l.contains("HashAggregate") ||
+        l.contains("Window"))
+      .foreach(l => println("[prof]   " + l.trim.take(150)))
     spark.stop()
   }
 }

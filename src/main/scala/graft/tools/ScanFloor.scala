@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** The irreducible corpus-pass floor for doc-grain entries: wall time
+  * of ONE hash-forced scan of the documents table (read every text,
+  * fold xxhash64(struct(*)) — exactly the Bench instrument applied to
+  * the raw table). A doc-grain rollup whose decade ratio tracks this
+  * floor is corpus-pass-bound — its collapse is working and the
+  * residual growth is the data, not the plan. Best-of-N (default 3),
+  * one JSON line.
+  */
+object ScanFloor {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0)
+      else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    val spark = graft.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    spark.sparkContext.setLogLevel("WARN")
+    val times = (0 until reps).map { _ =>
+      val t0 = System.nanoTime()
+      graft.sources.Tables.documents(spark, sfDir)
+        .select(xxhash64(struct(col("*"))).as("h"))
+        .agg(expr("bit_xor(h)")).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def r4(v: Double) = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val line = s"""{"metric":"scan_floor","sf":"$sfDir",""" +
+      s""""value":${r4(times.min)},"spread":[${r4(times.min)},${r4(times.max)}],""" +
+      s""""reps":$reps,"unit":"sec"}"""
+    println(line)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (line + "\n").getBytes("UTF-8"))
+    }
+    spark.stop()
+  }
+}
