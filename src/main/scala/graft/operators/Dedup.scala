@@ -112,6 +112,29 @@ object Dedup {
     (docRep, grp.select(col("rep"), col("n_copies")))
   }
 
+  /** The multiplicity half of the doc-grain decomposition law, in one
+    * place (shared by the minhash/simhash/ngram rollups): attach each
+    * rep pair's PARTNER group size, unpivot both orientations, and
+    * aggregate per rep — `(rep, cross_cnt = Σ partner sizes,
+    * cross_stat = statAgg(metric))`. A doc then inherits its rep's row
+    * plus the (c−1) within-group twins its caller adds arithmetically.
+    */
+  private def crossPartnerStats(pairs: DataFrame, sizes: DataFrame,
+      metric: String,
+      statAgg: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : DataFrame = {
+    val withSizes = pairs
+      .join(sizes.select(col("rep").as("id_a"), col("n_copies").as("c_a")), "id_a")
+      .join(sizes.select(col("rep").as("id_b"), col("n_copies").as("c_b")), "id_b")
+    withSizes
+      .select(col("id_a").as("rep"), col("c_b").as("c_other"), col(metric))
+      .unionByName(withSizes
+        .select(col("id_b").as("rep"), col("c_a").as("c_other"), col(metric)))
+      .groupBy(col("rep"))
+      .agg(sum(col("c_other")).as("cross_cnt"),
+        statAgg(col(metric)).as("cross_stat"))
+  }
+
   /** The verified near-dup PAIR frame behind [[minhashNearDups]]:
     * MinHash + LSH banded candidates over word 3-gram shingles,
     * exact-Jaccard verified — `(id_a < id_b, jaccard)`, one row per
@@ -332,16 +355,9 @@ object Dedup {
       .localCheckpoint()
     // rep-grain neighbor stats carrying the PARTNER group's size — the
     // multiplicity the doc-grain law assigns to each cross candidate
-    val withSizes = verified
-      .join(sizes.select(col("rep").as("id_a"), col("n_copies").as("c_a")), "id_a")
-      .join(sizes.select(col("rep").as("id_b"), col("n_copies").as("c_b")), "id_b")
-    val perRep = withSizes
-      .select(col("id_a").as("rep"), col("c_b").as("c_other"), col("jaccard"))
-      .unionByName(withSizes
-        .select(col("id_b").as("rep"), col("c_a").as("c_other"), col("jaccard")))
-      .groupBy(col("rep"))
-      .agg(sum(col("c_other")).as("cross_cands"),
-        max(col("jaccard")).as("cross_best"))
+    val perRep = crossPartnerStats(verified, sizes, "jaccard", max)
+      .select(col("rep"), col("cross_cnt").as("cross_cands"),
+        col("cross_stat").as("cross_best"))
     // doc universe WITHOUT a corpus×corpus join: docRep already holds
     // one row per non-NULL-text doc, perRep broadcasts at rep grain,
     // and NULL-text docs re-admit through a pushed-filter scan — the
@@ -583,16 +599,9 @@ object Dedup {
       // rep-grain, consumed twice below — materialize once
       .localCheckpoint()
     // rep-grain neighbor stats carrying the partner group's size
-    val withSizes = pairs
-      .join(sizes.select(col("rep").as("id_a"), col("n_copies").as("c_a")), "id_a")
-      .join(sizes.select(col("rep").as("id_b"), col("n_copies").as("c_b")), "id_b")
-    val perRep = withSizes
-      .select(col("id_a").as("rep"), col("c_b").as("c_other"), col("hamming"))
-      .unionByName(withSizes
-        .select(col("id_b").as("rep"), col("c_a").as("c_other"), col("hamming")))
-      .groupBy(col("rep"))
-      .agg(sum(col("c_other")).as("cross_near"),
-        min(col("hamming")).as("cross_min"))
+    val perRep = crossPartnerStats(pairs, sizes, "hamming", min)
+      .select(col("rep"), col("cross_cnt").as("cross_near"),
+        col("cross_stat").as("cross_min"))
     // doc universe and per-doc simhash come from the rep map: members
     // share their rep's signature (pure function of text). No
     // corpus×corpus join — docRep has every non-NULL-text doc, the
@@ -704,16 +713,9 @@ object Dedup {
       .localCheckpoint()
     // rep-grain neighbor stats carrying the PARTNER group's size — the
     // multiplicity the doc-grain law assigns to each cross candidate
-    val withSizes = verified
-      .join(grpSizes.select(col("rep").as("id_a"), col("n_copies").as("c_a")), "id_a")
-      .join(grpSizes.select(col("rep").as("id_b"), col("n_copies").as("c_b")), "id_b")
-    val perRep = withSizes
-      .select(col("id_a").as("rep"), col("c_b").as("c_other"), col("gram_jaccard"))
-      .unionByName(withSizes
-        .select(col("id_b").as("rep"), col("c_a").as("c_other"), col("gram_jaccard")))
-      .groupBy(col("rep"))
-      .agg(sum(col("c_other")).as("cross_cands"),
-        max(col("gram_jaccard")).as("cross_best"))
+    val perRep = crossPartnerStats(verified, grpSizes, "gram_jaccard", max)
+      .select(col("rep"), col("cross_cnt").as("cross_cands"),
+        col("cross_stat").as("cross_best"))
     // doc universe without a corpus×corpus join (the minhash rollup's
     // device): docRep covers every non-NULL-text doc, NULL-text docs
     // re-admit through a pushed-filter scan with an empty rollup

@@ -84,12 +84,42 @@ object Multimodal {
     * minimum doc_id as the deterministic canonical.
     */
   def dedupAssets(media: Dataset[MMRecord]): DataFrame =
+    assetGroups(media)
+      .select(col("kh").as("content_md5"), col("klen").as("byte_len"),
+        col("n_copies"), col("rep").as("canonical_id"))
+
+  /** THE content-keyed grouping law of the binary family, in one place
+    * (the [[graft.operators.Dedup.textGroupKeys]] twin): one row per
+    * distinct content with `(kh = md5(content), klen = octet_length,
+    * rep = min doc_id, n_copies)`. [[dedupAssets]] is its public
+    * projection; [[assetRepElection]] builds the member→rep map on it.
+    */
+  private def assetGroups(media: Dataset[MMRecord]): DataFrame =
     media.toDF()
-      .select(md5(col("content")).as("content_md5"),
-        octet_length(col("content")).cast("long").as("byte_len"),
-        col("doc_id"))
-      .groupBy(col("content_md5"), col("byte_len"))
-      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("canonical_id"))
+      .select(col("doc_id"), md5(col("content")).as("kh"),
+        octet_length(col("content")).cast("long").as("klen"))
+      .groupBy(col("kh"), col("klen"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_copies"))
+
+  /** Shared member→rep election for byte-identical assets — the
+    * binary-family [[graft.operators.Dedup.textRepElection]]. Returns
+    * `(docRep = (doc_id, rep), sizes = (rep, n_copies))`, both
+    * materialized eagerly: the group table is distinct-content grain
+    * and the member map one slim row per asset, while every consumer
+    * replaying them lazily would re-run the corpus-grain md5 scan —
+    * the most expensive election key in the engine.
+    */
+  private[graft] def assetRepElection(media: Dataset[MMRecord])
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val grp = assetGroups(media).localCheckpoint()
+    val keyed = media.toDF().select(col("doc_id"),
+      md5(col("content")).as("kh"),
+      octet_length(col("content")).cast("long").as("klen"))
+    val docRep = keyed.join(grp, Seq("kh", "klen"))
+      .select(col("doc_id"), col("rep"))
+      .localCheckpoint()
+    (docRep, grp.select(col("rep"), col("n_copies")))
+  }
 
   /** Per-frame 64-bit block hash — the aHash structure: the frame's
     * bytes split into 64 equal ranges, bit b set when block b's mean
@@ -181,20 +211,17 @@ object Multimodal {
     // frame) — that is the gated answer, not overhead; cross pairs
     // carry the verified rep-pair Hamming, within-group pairs are
     // Hamming 0 at every frame of the asset.
-    val keyed = media.toDF().select(col("doc_id"),
-      md5(col("content")).as("kh"),
-      octet_length(col("content")).cast("long").as("klen"))
-    val grp = keyed.groupBy(col("kh"), col("klen"))
-      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("c"))
-    val docRep = keyed.join(grp, Seq("kh", "klen"))
-      .select(col("doc_id"), col("rep"))
+    val (docRep, sizes) = assetRepElection(media)
     val repMedia = {
       import media.sparkSession.implicits._
       media.toDF()
-        .join(grp.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+        .join(sizes.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
         .as[MMRecord]
     }
-    val bands = frameBandRows(repMedia)
+    // rep-grain and consumed three times (both self-join sides + the
+    // within-group frame list) — materialize once, or each consumer
+    // replays the corpus semi-scan and the signature pass
+    val bands = frameBandRows(repMedia).localCheckpoint()
     val a = bands.alias("a")
     val b = bands.alias("b")
     val cross = a.join(b,

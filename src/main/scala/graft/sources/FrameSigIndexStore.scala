@@ -155,16 +155,28 @@ object FrameSigIndexStore {
       if (hasTombstones(spark, path)) {
         SwapRecovery.recover(spark, path, "bands")
         val fs = SwapRecovery.fsOf(spark, path)
-        // keyed layers stay keyed across compaction (batch=-1, the
-        // compactSwap convention) so streamed maintenance survives it
+        // keyed layers stay keyed across compaction WITH BATCH VALUES
+        // PRESERVED, and keep the tombstone mask — the redelivery
+        // guard (see MinhashIndexStore.compact): folding to batch=-1
+        // would make a crash-redelivered pre-compact batch land beside
+        // its folded copy (duplicate band rows), and clearing the mask
+        // would let a redelivered batch resurrect a takedown
         val keyed = StoreLayout.isKeyed(spark, path, "bands")
-        val staged =
-          if (keyed)
-            bandsTable(spark, path).withColumn("batch", lit(-1L))
-              .write.partitionBy("batch", "band")
-          else bandsTable(spark, path).write.partitionBy("band")
-        staged.mode(SaveMode.Overwrite)
-          .parquet(s"$path/bands_compacted")
+        if (keyed) {
+          spark.read.parquet(s"$path/bands")
+            .withColumn("band", col("band").cast("int"))
+            .join(broadcast(spark.read.parquet(s"$path/tombstones")
+                .select(col("doc_id")).distinct()),
+              Seq("doc_id"), "left_anti")
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy("batch", "band")
+            .parquet(s"$path/bands_compacted")
+        } else {
+          bandsTable(spark, path)
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy("band")
+            .parquet(s"$path/bands_compacted")
+        }
         SwapRecovery.renameOrThrow(fs,
           new org.apache.hadoop.fs.Path(s"$path/bands"),
           new org.apache.hadoop.fs.Path(s"$path/bands_old"))
@@ -172,8 +184,10 @@ object FrameSigIndexStore {
           new org.apache.hadoop.fs.Path(s"$path/bands_compacted"),
           new org.apache.hadoop.fs.Path(s"$path/bands"))
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands_old"), true)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
-        ()
+        if (!keyed) {
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+          ()
+        }
       }
     }
 

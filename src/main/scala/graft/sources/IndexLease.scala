@@ -166,6 +166,38 @@ object IndexLease {
       .find(_.startsWith("holder=")).map(_.stripPrefix("holder="))
     catch { case _: java.io.IOException => None }
 
+  /** [[markerHolder]] for the POST-BODY fence check, where a transient
+    * read fault must not masquerade as a takeover (the lenient form
+    * maps ANY IOException to None, which the fence would read as
+    * "marker lost" and throw a spurious `lease lost`). A genuinely
+    * MISSING marker reads as None (that IS a lost lease); any other
+    * IOException retries briefly and then surfaces as the distinct
+    * `fence unverifiable` error, which does not advise blind retry.
+    */
+  private def markerHolderChecked(fs: org.apache.hadoop.fs.FileSystem,
+      lease: Path, who: String): Option[String] = {
+    var attempt = 0
+    while (true) {
+      try return readAll(fs, lease).linesIterator
+        .find(_.startsWith("holder=")).map(_.stripPrefix("holder="))
+      catch {
+        case _: java.io.FileNotFoundException => return None
+        case e: java.io.IOException =>
+          attempt += 1
+          if (attempt >= 3)
+            throw new IllegalStateException(
+              s"index lease fence for $lease unverifiable by $who: the " +
+                "lease marker could not be read after the mutation " +
+                s"completed (${e.getMessage}). The mutation itself most " +
+                "likely committed — do NOT blindly retry a flat append; " +
+                "verify the store contents (or the batch layer) first",
+              e)
+          Thread.sleep(50)
+      }
+    }
+    None // unreachable
+  }
+
   private def readGen(fs: org.apache.hadoop.fs.FileSystem,
       gen: Path): Long =
     try readAll(fs, gen).trim.toLong
@@ -176,6 +208,30 @@ object IndexLease {
       case _: java.io.FileNotFoundException => 0L
       case _: NumberFormatException => 0L
     }
+
+  /** [[readGen]] for the ACQUISITION-side bump, where the lease is
+    * already held: a persistently unreadable gen file (crash mid-write
+    * leaving e.g. an HDFS block under recovery — a non-FNF IOException)
+    * must SELF-HEAL, not brick the store for every future writer.
+    * Transient faults retry; a persistent one falls back to 0 and the
+    * immediate `writeGen` overwrite repairs the file. The fence stays
+    * safe under a gen reset because it compares by EQUALITY — a
+    * deposed holder's stale gen never equals the healed value, and its
+    * marker-ownership check fails first anyway.
+    */
+  private def readGenForBump(fs: org.apache.hadoop.fs.FileSystem,
+      gen: Path): Long = {
+    var attempt = 0
+    while (attempt < 3) {
+      try return readGen(fs, gen)
+      catch {
+        case _: java.io.IOException =>
+          attempt += 1
+          if (attempt < 3) Thread.sleep(50)
+      }
+    }
+    0L
+  }
 
   /** [[readGen]] for the POST-BODY fence check, where a transient read
     * fault must not masquerade as a takeover: only a MISSING gen file
@@ -316,8 +372,9 @@ object IndexLease {
       // rename→create gap: whichever writer wins the lease inside that
       // gap repairs before mutating.
       SwapRecovery.recoverAll(spark, path)
-      // Bump the generation fence.
-      val myGen = readGen(fs, genPath) + 1
+      // Bump the generation fence (self-healing read: the overwrite
+      // below repairs an unreadable gen file).
+      val myGen = readGenForBump(fs, genPath) + 1
       writeGen(fs, genPath, myGen)
       val result = body
       // the fence: a holder paused past the staleness threshold may
@@ -326,7 +383,7 @@ object IndexLease {
       // the fence fires AFTER the body, so the body's terminal write
       // may already be durably committed when this throws: retry
       // guidance is therefore CONDITIONAL on the mutation's shape.
-      if (!markerHolder(fs, lease).contains(holderId) ||
+      if (!markerHolderChecked(fs, lease, who).contains(holderId) ||
           readGenChecked(fs, genPath, lease, who) != myGen)
         throw new IllegalStateException(
           s"index lease $lease lost by $who (holder $holderId, " +

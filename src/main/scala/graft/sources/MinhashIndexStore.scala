@@ -152,18 +152,32 @@ object MinhashIndexStore {
         SwapRecovery.recover(spark, path, "bands")
         val fs = SwapRecovery.fsOf(spark, path)
         // a batch-keyed layer (streamed maintenance) stays keyed across
-        // compaction — the folded rewrite lands at batch=-1 (the
-        // compactSwap convention) — so a checkpoint-resumed stream's
-        // next appendBatch still sees a keyed layout instead of dying
-        // on StoreLayout's flat/keyed-mix guard
+        // compaction WITH ITS BATCH VALUES PRESERVED — folding layers
+        // into batch=-1 would silently break appendBatch's
+        // crash-redelivery idempotency (a batch folded away and then
+        // redelivered re-lands beside its folded copy and duplicates
+        // every band row). Each surviving batch layer is rewritten
+        // minus the retracted docs, and the tombstone list is KEPT on
+        // keyed stores: a redelivered pre-compact batch re-lands its
+        // full rows (including retracted docs), and only the retained
+        // mask keeps a takedown from resurrecting — the physical purge
+        // happens, the serve-side anti-join stays. Flat stores keep
+        // the zero-masking contract (rewrite + clear).
         val keyed = StoreLayout.isKeyed(spark, path, "bands")
-        val staged =
-          if (keyed)
-            bandsTable(spark, path).withColumn("batch", lit(-1L))
-              .write.partitionBy("batch", "band")
-          else bandsTable(spark, path).write.partitionBy("band")
-        staged.mode(SaveMode.Overwrite)
-          .parquet(s"$path/bands_compacted")
+        if (keyed) {
+          val raw = spark.read.parquet(s"$path/bands")
+            .withColumn("band", col("band").cast("int"))
+            .join(broadcast(tombstonesTable(spark, path)),
+              Seq("doc_id"), "left_anti")
+          raw.write.mode(SaveMode.Overwrite)
+            .partitionBy("batch", "band")
+            .parquet(s"$path/bands_compacted")
+        } else {
+          bandsTable(spark, path)
+            .write.mode(SaveMode.Overwrite)
+            .partitionBy("band")
+            .parquet(s"$path/bands_compacted")
+        }
         // swap via rename so EVERY intermediate state still has a
         // complete index on disk: move the live dir aside, promote the
         // compacted one, and only then drop the old bytes + tombstones.
@@ -177,8 +191,12 @@ object MinhashIndexStore {
           new org.apache.hadoop.fs.Path(s"$path/bands_compacted"),
           new org.apache.hadoop.fs.Path(s"$path/bands"))
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands_old"), true)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
-        ()
+        // keyed stores RETAIN the tombstone mask (redelivery guard,
+        // see above); flat stores clear it for zero-masking serve
+        if (!keyed) {
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
+          ()
+        }
       }
     }
 
@@ -227,9 +245,12 @@ object MinhashIndexStore {
     * candidate pair the drop participates in). Per-band partition
     * pruning still works — discovery exposes both `batch` and `band`.
     * `batchId = -1` is the convention for the pre-built base layer
-    * ([[buildKeyed]]); [[compact]] preserves the keying (its rewrite
-    * lands at batch=-1, the [[SwapRecovery.compactSwap]] convention),
-    * so a stream can keep folding batch layers after a compaction.
+    * ([[buildKeyed]]); [[compact]] preserves the keying WITH batch
+    * values intact and retains the tombstone mask, so a stream can
+    * keep folding batch layers after a compaction AND a
+    * crash-redelivered pre-compact batch stays idempotent (it
+    * re-lands its own layer; the retained mask keeps retracted docs
+    * from resurfacing).
     */
   def appendBatch(delta: DataFrame, path: String, batchId: Long): Unit =
     IndexLease.withLease(delta.sparkSession, path, "minhash-append-batch") {

@@ -45,14 +45,16 @@ object GraphDensity {
         when(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")),
           col("src")).otherwise(col("dst")).as("u"))
       .groupBy(col("u")).agg(count(lit(1)).as("od"))
-    // C(d,2) in pure integer arithmetic (d·(d−1) is always even)
+    // C(d,2) in pure integer arithmetic (d·(d−1) is always even);
+    // coalesce(0) so an empty/edgeless graph reports zeros instead of
+    // NPE-ing on NULL sums
     val stats = deg.agg(
       count(lit(1)).as("nodes"),
-      sum(col("degree") * (col("degree") - 1)).as("w2"),
-      max(col("degree")).as("max_deg")).collect()(0)
+      coalesce(sum(col("degree") * (col("degree") - 1)), lit(0L)).as("w2"),
+      coalesce(max(col("degree")), lit(0L)).as("max_deg")).collect()(0)
     val ostats = outdeg.agg(
-      sum(col("od") * (col("od") - 1)).as("w2"),
-      max(col("od")).as("max_outdeg")).collect()(0)
+      coalesce(sum(col("od") * (col("od") - 1)), lit(0L)).as("w2"),
+      coalesce(max(col("od")), lit(0L)).as("max_outdeg")).collect()(0)
     val wedgesId = stats.getLong(1) / 2
     val wedgesOriented = ostats.getLong(0) / 2
     val line =

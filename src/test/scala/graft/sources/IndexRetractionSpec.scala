@@ -104,28 +104,36 @@ class IndexRetractionSpec extends SparkSpecBase {
     assert(twice == once)
   }
 
-  test("keyed minhash store: compact preserves the batch keying; streamed maintenance survives it") {
+  test("keyed minhash store: compact preserves batch keying AND redelivery idempotency") {
     val p = freshPath("mh_keyed")
     val docs = Tables.documents(spark, sfDir)
     MinhashIndexStore.buildKeyed(docs.filter(col("doc_id") % 10 =!= 0), p)
-    MinhashIndexStore.appendBatch(docs.filter(col("doc_id") % 20 === 0), p, 0L)
-    // takedown + compact: the rewrite must land KEYED (batch=-1), not
-    // flat — a flat rewrite killed the stream at its next appendBatch
+    val batch0 = docs.filter(col("doc_id") % 20 === 0)
+    MinhashIndexStore.appendBatch(batch0, p, 0L)
+    // takedown + compact: the rewrite must land KEYED with batch
+    // values PRESERVED (a flat rewrite killed the stream at its next
+    // appendBatch; a batch=-1 fold broke redelivery idempotency)
     MinhashIndexStore.delete(
       docs.filter(col("doc_id") % 30 === 0).select(col("doc_id")), p)
     MinhashIndexStore.compact(spark, p)
     assert(StoreLayout.isKeyed(spark, p, "bands"),
       "compact flattened a batch-keyed bands layer")
-    // the next micro-batch folds in without StoreLayout's mix guard firing
-    MinhashIndexStore.appendBatch(docs.filter(col("doc_id") % 20 === 10), p, 1L)
-    // the served rows equal a fresh flat build over the same survivors
-    // (batch 1 lands AFTER the purge, so its %30==0 members are back in)
-    val fresh = freshPath("mh_keyed_fresh")
-    MinhashIndexStore.build(
-      docs.filter(col("doc_id") % 30 =!= 0 || col("doc_id") % 20 === 10), fresh)
     def rows(path: String) = MinhashIndexStore.bandsTable(spark, path)
       .select("doc_id", "band", "s0", "s1", "s2", "s3")
       .as[(Long, Int, Long, Long, Long, Long)].collect().toSet
+    // crash-redelivery of the PRE-compact batch is a no-op: it
+    // re-lands its own (rewritten) layer, and the retained tombstone
+    // mask keeps the takedown from resurfacing
+    val afterCompact = rows(p)
+    MinhashIndexStore.appendBatch(batch0, p, 0L)
+    assert(rows(p) == afterCompact, "redelivered batch changed the serve set")
+    // the next NEW micro-batch folds in without the mix guard firing,
+    // and the serve set equals a fresh masked build over the union
+    // (the retained mask also applies to the new batch's rows — a
+    // takedown is permanent)
+    MinhashIndexStore.appendBatch(docs.filter(col("doc_id") % 20 === 10), p, 1L)
+    val fresh = freshPath("mh_keyed_fresh")
+    MinhashIndexStore.build(docs.filter(col("doc_id") % 30 =!= 0), fresh)
     assert(rows(p) == rows(fresh))
   }
 
