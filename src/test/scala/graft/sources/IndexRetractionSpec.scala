@@ -137,20 +137,33 @@ class IndexRetractionSpec extends SparkSpecBase {
     assert(rows(p) == rows(fresh))
   }
 
-  test("keyed framesig store: compact preserves the batch keying") {
+  test("keyed framesig store: compact preserves batch keying AND redelivery idempotency") {
     val p = freshPath("fsig_keyed")
     val docs = Tables.documents(spark, sfDir)
     val media = graft.operators.Multimodal.asMedia(docs)
     FrameSigIndexStore.buildKeyed(
       media.filter(col("doc_id") % 10 =!= 0), p)
-    FrameSigIndexStore.appendBatch(
-      media.filter(col("doc_id") % 20 === 0), p, 0L)
+    val batch0 = media.filter(col("doc_id") % 20 === 0)
+    FrameSigIndexStore.appendBatch(batch0, p, 0L)
     FrameSigIndexStore.delete(
       docs.filter(col("doc_id") % 30 === 0).select(col("doc_id")), p)
     FrameSigIndexStore.compact(spark, p)
     assert(StoreLayout.isKeyed(spark, p, "bands"),
       "compact flattened a batch-keyed bands layer")
+    def rows(path: String) = FrameSigIndexStore.bandsTable(spark, path)
+      .select("doc_id", "frame_idx", "band", "bv")
+      .as[(Long, Int, Int, Long)].collect().toSet
+    // crash-redelivery of the PRE-compact batch is a no-op: the batch
+    // re-lands its own layer, the retained tombstone mask keeps the
+    // takedown from resurfacing
+    val afterCompact = rows(p)
+    assert(!afterCompact.exists(_._1 % 30 == 0), "takedown must bite")
+    FrameSigIndexStore.appendBatch(batch0, p, 0L)
+    assert(rows(p) == afterCompact, "redelivered batch changed the serve set")
+    // the next NEW micro-batch folds in without the mix guard firing
     FrameSigIndexStore.appendBatch(
       media.filter(col("doc_id") % 20 === 10), p, 1L)
+    assert(!rows(p).exists(_._1 % 30 == 0),
+      "retained mask must keep masking new batches")
   }
 }
