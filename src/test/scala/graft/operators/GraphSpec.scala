@@ -68,6 +68,21 @@ class GraphSpec extends SparkSpecBase {
     assert(e.forall { case (s, d) => set.contains((d, s)) })
   }
 
+  test("coPurchaseEdges is replica-invariant: duplicated baskets add no edges") {
+    // the basket collapse (the r14 density-audit fix): replicating
+    // every order under fresh order keys — byte-equal baskets, the
+    // ScaleSmoke geometry — must leave the distinct edge set IDENTICAL
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val replicated = li.unionByName(
+      li.withColumn("l_orderkey", col("l_orderkey") + 100000000L))
+    val base = Graph.coPurchaseEdges(li).as[(Long, Long)].collect().toSet
+    val dup = Graph.coPurchaseEdges(replicated)
+      .as[(Long, Long)].collect().toSet
+    assert(dup == base)
+  }
+
   private def sym(pairs: (Long, Long)*) =
     (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
 

@@ -228,4 +228,23 @@ class IndexLeaseSpec extends SparkSpecBase {
         "the stranded swap must already be repaired when the body runs")
     }
   }
+
+  test("a torn generation file self-heals at acquisition instead of bricking the store") {
+    // crash mid-writeGen leaves a gen file the fence arithmetic cannot
+    // parse; the next acquisition must read it as 0, overwrite it, and
+    // run its mutation — not throw on every future withLease
+    val p = freshIndex("genheal")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$p/_lease_gen"),
+      "garbage-not-a-number".getBytes("UTF-8"))
+    MinhashIndexStore.append(delta, p) // must succeed (acquire → heal → fence)
+    assert(spark.read.parquet(s"$p/bands").count() ==
+      MinhashIndexStore.bandRows(base.unionByName(delta)).count())
+    val healed = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$p/_lease_gen")), "UTF-8").trim
+    assert(healed == "1", s"gen file must be rewritten numeric, got: $healed")
+    // and the fence keeps working from the healed value
+    MinhashIndexStore.append(docs.filter(col("doc_id") % 20 === 10), p)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$p/_lease_gen")), "UTF-8").trim == "2")
+  }
 }
