@@ -273,13 +273,13 @@ object CorpusStats {
     val (docRep, sizes) = Dedup.textRepElection(named)
     val w = graft.functions.TextFunctions.words(col("text"))
     // rep-grain and consumed three times (position explode, the rep
-    // rebuild, the member expansion) — materialize once or each
-    // consumer replays the corpus semi-scan and the shingle kernel
-    val base = named
+    // rebuild, the member expansion) — materialize once
+    // (pinRecomputable: eager + executor-loss-safe) or each consumer
+    // replays the corpus semi-scan and the shingle kernel
+    val base = org.apache.spark.sql.GraftInternal.pinRecomputable(named
       .join(sizes.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id").as(idCol), w.as("w"),
-        call_function("graft_shingle_hash60", w, lit(n), lit(maxShingles)).as("hs"))
-      .localCheckpoint()
+        call_function("graft_shingle_hash60", w, lit(n), lit(maxShingles)).as("hs")))
     val pos = base.select(col(idCol), size(col("w")).as("nw"),
       posexplode(col("hs")).as(Seq("i", "h")))
     val spread = pos.select(col(idCol).as("rep"), col("h")).distinct()

@@ -93,6 +93,16 @@ object Dedup {
     * exchange (the window form would shuffle full rows; a corpus-grain
     * batch pass wants the hash-only shuffles, a delta-sized micro-batch
     * wants the single window shuffle — both key on [[textGroupKeys]]).
+    *
+    * THE FAMILY-WIDE MATERIALIZATION CONTRACT (applies to every
+    * operator that calls this — the minhash/simhash/ngram rollups,
+    * the span auditor, and their multimodal twins): construction
+    * EAGERLY runs Spark jobs, because the rep-grain frames are pinned
+    * once instead of re-evaluated 3-4× per consuming plan. The pin is
+    * [[org.apache.spark.sql.GraftInternal.pinRecomputable]] — persisted
+    * MEMORY_AND_DISK with lineage INTACT, so an executor loss degrades
+    * to block recompute, never to a failed downstream job (the
+    * minhashKeepBest trade, now uniform across the family).
     */
   private[graft] def textRepElection(docs: DataFrame): (DataFrame, DataFrame) = {
     val withH = docs.filter(col("text").isNotNull)
@@ -104,9 +114,13 @@ object Dedup {
     // partner-size joins, the member expansion). Without this each
     // consumer re-runs the corpus-grain aggregation: profiled at ~sf100
     // (5M docs) the re-aggregations were ~2.6 s × 3 of a ~13 s entry.
-    val grp = withH.groupBy(TextGroupKeyNames.map(col): _*)
-      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_copies"))
-      .localCheckpoint()
+    // pinRecomputable, NOT localCheckpoint: same eager job and plan
+    // shape, but lineage stays intact so an executor loss recomputes
+    // the lost blocks instead of failing every downstream join (the
+    // minhashKeepBest trade, applied family-wide — r14 review finding).
+    val grp = org.apache.spark.sql.GraftInternal.pinRecomputable(
+      withH.groupBy(TextGroupKeyNames.map(col): _*)
+        .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_copies")))
     val docRep = withH.join(grp, TextGroupKeyNames)
       .select(col("doc_id"), col("rep"), col("n_copies"))
     (docRep, grp.select(col("rep"), col("n_copies")))
@@ -324,7 +338,9 @@ object Dedup {
   /** Candidate near-dup pairs via MinHash + LSH banding over word
     * 3-gram shingles, verified with exact Jaccard. Returns one row per
     * doc: its candidate count and best match (robust output shape even
-    * on corpora with no near-dups).
+    * on corpora with no near-dups). Construction EAGERLY runs Spark
+    * jobs ([[textRepElection]]'s materialization contract — pinned
+    * rep-grain frames, recomputable on executor loss).
     */
   def minhashNearDups(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
       jaccardThreshold: Double = 0.5): DataFrame = {
@@ -348,11 +364,12 @@ object Dedup {
     val repDocs = docs
       .join(sizes.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
     // rep-grain and consumed twice (both unpivot orientations below) —
-    // materialize once or each consumer re-runs the whole band join
-    // and its corpus semi-scans (profiled: the duplicated subtree was
-    // most of the entry's ~sf100 wall)
-    val verified = minhashNearDupPairs(repDocs, numHashes, bands)
-      .localCheckpoint()
+    // materialize once (pinRecomputable: eager + executor-loss-safe)
+    // or each consumer re-runs the whole band join and its corpus
+    // semi-scans (profiled: the duplicated subtree was most of the
+    // entry's ~sf100 wall)
+    val verified = org.apache.spark.sql.GraftInternal.pinRecomputable(
+      minhashNearDupPairs(repDocs, numHashes, bands))
     // rep-grain neighbor stats carrying the PARTNER group's size — the
     // multiplicity the doc-grain law assigns to each cross candidate
     val perRep = crossPartnerStats(verified, sizes, "jaccard", max)
@@ -559,6 +576,9 @@ object Dedup {
 
   /** SimHash near-dup: 64-bit signature, pigeonhole 16-bit chunk
     * blocking, Hamming verify via `bit_count(a^b)`. One row per doc.
+    * Construction EAGERLY runs Spark jobs ([[textRepElection]]'s
+    * materialization contract — pinned rep-grain frames, recomputable
+    * on executor loss).
     *
     * Evaluated at DISTINCT-TEXT grain like [[minhashNearDups]]: the
     * signature is a pure function of the text, so byte-equal twins
@@ -577,27 +597,29 @@ object Dedup {
     val repDocs = docs
       .join(sizes.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
     // rep-grain and multiply consumed (chunk join a/b sides + the
-    // final signature join) — materialize once
-    val sigs = repDocs.select(
-      col("doc_id"),
-      call_function("graft_simhash64", TF.words(col("text"))).as("simhash"))
-      .localCheckpoint()
+    // final signature join) — materialize once (pinRecomputable:
+    // eager + executor-loss-safe)
+    val sigs = org.apache.spark.sql.GraftInternal.pinRecomputable(
+      repDocs.select(
+        col("doc_id"),
+        call_function("graft_simhash64", TF.words(col("text"))).as("simhash")))
     val chunked = sigs.select(
       col("doc_id"), col("simhash"),
       posexplode(TF.simhashChunks(col("simhash"))))
       .withColumnsRenamed(Map("pos" -> "chunk_idx", "col" -> "chunk"))
-    val pairs = chunked.alias("a")
-      .join(chunked.alias("b"),
-        col("a.chunk_idx") === col("b.chunk_idx") &&
-          col("a.chunk") === col("b.chunk") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
-      // rep-grain, consumed twice below — materialize once
-      .localCheckpoint()
+    val pairs = org.apache.spark.sql.GraftInternal.pinRecomputable(
+      chunked.alias("a")
+        .join(chunked.alias("b"),
+          col("a.chunk_idx") === col("b.chunk_idx") &&
+            col("a.chunk") === col("b.chunk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(
+          col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= maxHamming))
+      // rep-grain, consumed twice below — materialized once (eager +
+      // executor-loss-safe)
     // rep-grain neighbor stats carrying the partner group's size
     val perRep = crossPartnerStats(pairs, sizes, "hamming", min)
       .select(col("rep"), col("cross_cnt").as("cross_near"),
@@ -662,11 +684,13 @@ object Dedup {
     * 4×16 banding — callers that relied on the old 3-gram default
     * should pin `n = 3` explicitly (the repo's oracle moved in
     * lockstep); (2) constructing the returned DataFrame EAGERLY runs
-    * Spark jobs: the distinct-text gram/signature frame is
-    * `localCheckpoint()`ed at build time so the banded self-join and
-    * the two verify joins don't re-evaluate the projection — callers
-    * composing plans lazily should call this at execution time, not
-    * plan-assembly time.
+    * Spark jobs (the family-wide materialization contract — see
+    * [[textRepElection]]): the distinct-text gram/signature frame is
+    * pinned at build time so the banded self-join and the two verify
+    * joins don't re-evaluate the projection — callers composing plans
+    * lazily should call this at execution time, not plan-assembly
+    * time. The pinned blocks stay recomputable from lineage, so an
+    * executor loss degrades to recompute, never to job failure.
     */
   def ngramNearDups(docs: DataFrame, n: Int = 5): DataFrame = {
     // shared member→rep election ([[textRepElection]] — the exact()
@@ -678,15 +702,15 @@ object Dedup {
     // gram SETS (sorted distinct — the merge-scan verify's shape) +
     // signature in ONE materialized pass: the sig rides the codegen
     // char-gram kernel (the interpreted HOF stack was 20× slower), and
-    // the localCheckpoint stops the banded self-join and the two
-    // verify joins from re-evaluating the projection — the frame is
+    // the eager pin stops the banded self-join and the two verify
+    // joins from re-evaluating the projection — the frame is
     // distinct-text-grain, bounded
-    val grams = repDocs
-      .select(col("doc_id"),
-        sort_array(array_distinct(TF.charNgrams(col("text"), n)))
-          .as("grams"),
-        TF.minhashSigChars(col("text"), n, 64).as("sig"))
-      .localCheckpoint()
+    val grams = org.apache.spark.sql.GraftInternal.pinRecomputable(
+      repDocs
+        .select(col("doc_id"),
+          sort_array(array_distinct(TF.charNgrams(col("text"), n)))
+            .as("grams"),
+          TF.minhashSigChars(col("text"), n, 64).as("sig")))
     val banded = grams.select(
       col("doc_id"), explode(TF.bandTuples(col("sig"), 4, 16)).as("bk"))
     val pairs = banded.alias("a")
@@ -703,14 +727,15 @@ object Dedup {
       .cast("double")
     val unionCnt =
       (size(col("g_a")) + size(col("g_b"))).cast("double") - interCnt
-    val verified = pairs
-      .join(grams.select(col("doc_id").as("id_a"), col("grams").as("g_a")), "id_a")
-      .join(grams.select(col("doc_id").as("id_b"), col("grams").as("g_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        when(unionCnt === 0.0, lit(0.0))
-          .otherwise(round(interCnt / unionCnt, 4)).as("gram_jaccard"))
-      // rep-grain, consumed twice below — materialize once
-      .localCheckpoint()
+    // rep-grain, consumed twice below — materialize once (eager +
+    // executor-loss-safe)
+    val verified = org.apache.spark.sql.GraftInternal.pinRecomputable(
+      pairs
+        .join(grams.select(col("doc_id").as("id_a"), col("grams").as("g_a")), "id_a")
+        .join(grams.select(col("doc_id").as("id_b"), col("grams").as("g_b")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          when(unionCnt === 0.0, lit(0.0))
+            .otherwise(round(interCnt / unionCnt, 4)).as("gram_jaccard")))
     // rep-grain neighbor stats carrying the PARTNER group's size — the
     // multiplicity the doc-grain law assigns to each cross candidate
     val perRep = crossPartnerStats(verified, grpSizes, "gram_jaccard", max)

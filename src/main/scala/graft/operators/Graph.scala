@@ -232,10 +232,12 @@ object Graph {
     // materialize the unique undirected pairs ONCE — three consumers
     // (degree aggregate, wedge build, closing-edge lookup) would
     // otherwise each recompute the possibly-expensive upstream edge
-    // generation (same rule as connectedComponents' edge checkpoint)
-    val ue = edges.filter(col("src") < col("dst"))
-      .select(col("src"), col("dst"))
-      .localCheckpoint()
+    // generation (same rule as connectedComponents' edge checkpoint).
+    // pinRecomputable: eager like localCheckpoint, but lineage stays
+    // intact so executor loss recomputes instead of failing the job
+    val ue = org.apache.spark.sql.GraftInternal.pinRecomputable(
+      edges.filter(col("src") < col("dst"))
+        .select(col("src"), col("dst")))
     // neighbor count per node from both endpoints of the unique pairs
     val deg = ue.select(col("src").as("node"))
       .unionByName(ue.select(col("dst").as("node")))
@@ -244,15 +246,14 @@ object Graph {
     // degree-orientation: (u → v) with (deg, id)(u) < (deg, id)(v);
     // carry v's key for the wedge order. Materialized once — the wedge
     // self-join and the closing lookup both read it.
-    val oriented = ue
+    val oriented = org.apache.spark.sql.GraftInternal.pinRecomputable(ue
       .join(deg.select(col("node").as("src"), col("degree").as("ds")), "src")
       .join(deg.select(col("node").as("dst"), col("degree").as("dd")), "dst")
       .select(
         when(struct(col("ds"), col("src")) < struct(col("dd"), col("dst")),
           struct(col("src").as("u"), col("dst").as("v")))
           .otherwise(struct(col("dst").as("u"), col("src").as("v"))).as("o"))
-      .select(col("o.u").as("u"), col("o.v").as("v"))
-      .localCheckpoint()
+      .select(col("o.u").as("u"), col("o.v").as("v")))
     // EDGE-ITERATOR close: a triangle a→b, a→c, b→c is found exactly
     // once, at its orientation-minimal edge (a, b), as the out-neighbor
     // intersection N+(a) ∩ N+(b). The wedge stream (Σ C(outdeg, 2)
@@ -265,7 +266,7 @@ object Graph {
     // than √m either way).
     val adj = oriented.groupBy(col("u"))
       .agg(sort_array(collect_list(col("v"))).as("nbrs"))
-    // ue is checkpointed, so the strategy probe is a cached-RDD count;
+    // ue is pinned, so the strategy probe is a cached-RDD count;
     // the two adjacency joins alias ONE side frame, so the planner
     // reuses a single (broadcast or shuffle) exchange of the adjacency
     // instead of materializing it twice. Broadcast only when the

@@ -107,17 +107,20 @@ object Multimodal {
     * materialized eagerly: the group table is distinct-content grain
     * and the member map one slim row per asset, while every consumer
     * replaying them lazily would re-run the corpus-grain md5 scan —
-    * the most expensive election key in the engine.
+    * the most expensive election key in the engine. The pin is
+    * [[org.apache.spark.sql.GraftInternal.pinRecomputable]] (the
+    * family-wide contract): blocks persisted with lineage INTACT, so
+    * an executor loss recomputes instead of failing downstream joins.
     */
   private[graft] def assetRepElection(media: Dataset[MMRecord])
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val grp = assetGroups(media).localCheckpoint()
+    import org.apache.spark.sql.GraftInternal.pinRecomputable
+    val grp = pinRecomputable(assetGroups(media))
     val keyed = media.toDF().select(col("doc_id"),
       md5(col("content")).as("kh"),
       octet_length(col("content")).cast("long").as("klen"))
-    val docRep = keyed.join(grp, Seq("kh", "klen"))
-      .select(col("doc_id"), col("rep"))
-      .localCheckpoint()
+    val docRep = pinRecomputable(keyed.join(grp, Seq("kh", "klen"))
+      .select(col("doc_id"), col("rep")))
     (docRep, grp.select(col("rep"), col("n_copies")))
   }
 
@@ -219,9 +222,11 @@ object Multimodal {
         .as[MMRecord]
     }
     // rep-grain and consumed three times (both self-join sides + the
-    // within-group frame list) — materialize once, or each consumer
-    // replays the corpus semi-scan and the signature pass
-    val bands = frameBandRows(repMedia).localCheckpoint()
+    // within-group frame list) — materialize once (pinRecomputable:
+    // eager + executor-loss-safe), or each consumer replays the corpus
+    // semi-scan and the signature pass
+    val bands = org.apache.spark.sql.GraftInternal.pinRecomputable(
+      frameBandRows(repMedia))
     val a = bands.alias("a")
     val b = bands.alias("b")
     val cross = a.join(b,

@@ -29,4 +29,37 @@ object GraftInternal {
 
   def expressionOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Eagerly materialize `df` into a MEMORY_AND_DISK-persisted
+    * InternalRow RDD wrapped back as a [[org.apache.spark.sql.execution.LogicalRDD]]
+    * — `Dataset.localCheckpoint(eager = true)` minus the lineage
+    * truncation. Same construction-time job, same persisted blocks,
+    * same LogicalRDD plan shape (partitioning/ordering carried through
+    * `LogicalRDD.fromDataset`, so downstream joins keep the layout) —
+    * but the RDD's lineage is NOT cut, so a block lost to executor
+    * failure RECOMPUTES from the upstream plan instead of failing
+    * every downstream job that reads it. This is the materialization
+    * convention for the bounded rep-grain frames the near-dup family
+    * reuses 3-4× per plan (election groups, verified pair frames,
+    * signature frames): at 100 TB losing an executor mid-join is
+    * routine, and `localCheckpoint`'s non-recomputable executor-local
+    * blocks would turn each loss into a job failure. (The row copy
+    * before persisting mirrors `Dataset.checkpoint` — the upstream
+    * iterator reuses UnsafeRow buffers.)
+    *
+    * NOT a substitute for `localCheckpoint` where the truncation
+    * itself is load-bearing: read-then-overwrite swaps
+    * ([[graft.sources.Sinks]]) must never recompute from an
+    * overwritten source, and iterative loops cut lineage depth on
+    * purpose.
+    */
+  def pinRecomputable(df: DataFrame): DataFrame = {
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count()
+    ofRows(df.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(rdd,
+        df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]],
+        isStreaming = false))
+  }
 }
