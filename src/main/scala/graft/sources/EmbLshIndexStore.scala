@@ -89,13 +89,11 @@ object EmbLshIndexStore {
     else sigs
   }
 
-  private def hasTombstones(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def hasTombstones(spark: SparkSession, path: String): Boolean =
+    Tombstones.exists(spark, path)
 
   private def tombstonesTable(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/tombstones").select(col("vec_id")).distinct()
+    Tombstones.liveMask(spark, path, "vec_id")
 
   /** Retract vectors from the index — takedowns / right-to-be-
     * forgotten, deletion-vector style: ids append to `tombstones/`
@@ -137,8 +135,7 @@ object EmbLshIndexStore {
           new org.apache.hadoop.fs.Path(s"$path/sigs_compacted"),
           new org.apache.hadoop.fs.Path(s"$path/sigs"))
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/sigs_old"), true)
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
-        ()
+        Tombstones.clear(spark, path)
       }
     }
 

@@ -84,16 +84,21 @@ object FrameSigIndexStore {
       .drop("batch")
       .withColumn("band", col("band").cast("int"))
     if (hasTombstones(spark, path))
-      bands.join(broadcast(spark.read.parquet(s"$path/tombstones")
-          .select(col("doc_id")).distinct()),
+      bands.join(broadcast(tombstonesTable(spark, path)),
         Seq("doc_id"), "left_anti")
     else bands
   }
 
-  private def hasTombstones(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def hasTombstones(spark: SparkSession, path: String): Boolean =
+    Tombstones.exists(spark, path)
+
+  /** The LIVE serve mask (shared [[Tombstones]] layer — the serve side
+    * and the compact paths read one definition, so a schema change
+    * cannot silently diverge between them): outstanding tombstones
+    * minus the expired ledger ([[expireTombstones]]).
+    */
+  private def tombstonesTable(spark: SparkSession, path: String): DataFrame =
+    Tombstones.liveMask(spark, path, "doc_id")
 
   /** Fold a vetted asset drop INTO the stored index. Signatures are
     * deterministic and per-frame independent, so append ≡ rebuild over
@@ -162,32 +167,55 @@ object FrameSigIndexStore {
         // its folded copy (duplicate band rows), and clearing the mask
         // would let a redelivered batch resurrect a takedown
         val keyed = StoreLayout.isKeyed(spark, path, "bands")
-        if (keyed) {
-          spark.read.parquet(s"$path/bands")
-            .withColumn("band", col("band").cast("int"))
-            .join(broadcast(spark.read.parquet(s"$path/tombstones")
-                .select(col("doc_id")).distinct()),
-              Seq("doc_id"), "left_anti")
-            .write.mode(SaveMode.Overwrite)
-            .partitionBy("batch", "band")
-            .parquet(s"$path/bands_compacted")
-        } else {
-          bandsTable(spark, path)
-            .write.mode(SaveMode.Overwrite)
-            .partitionBy("band")
-            .parquet(s"$path/bands_compacted")
+        // repeat-compact no-op probe (see MinhashIndexStore.compact):
+        // skip the full rewrite+swap when no live band row carries a
+        // tombstoned id — exact even under batch redelivery
+        val purgeSet = Tombstones.all(spark, path, "doc_id")
+        val anyMasked = !spark.read.parquet(s"$path/bands")
+          .select(col("doc_id"))
+          .join(broadcast(purgeSet), Seq("doc_id"), "left_semi")
+          .isEmpty
+        if (anyMasked) {
+          if (keyed) {
+            spark.read.parquet(s"$path/bands")
+              .withColumn("band", col("band").cast("int"))
+              .join(broadcast(purgeSet), Seq("doc_id"), "left_anti")
+              .write.mode(SaveMode.Overwrite)
+              .partitionBy("batch", "band")
+              .parquet(s"$path/bands_compacted")
+          } else {
+            bandsTable(spark, path)
+              .write.mode(SaveMode.Overwrite)
+              .partitionBy("band")
+              .parquet(s"$path/bands_compacted")
+          }
+          SwapRecovery.renameOrThrow(fs,
+            new org.apache.hadoop.fs.Path(s"$path/bands"),
+            new org.apache.hadoop.fs.Path(s"$path/bands_old"))
+          SwapRecovery.renameOrThrow(fs,
+            new org.apache.hadoop.fs.Path(s"$path/bands_compacted"),
+            new org.apache.hadoop.fs.Path(s"$path/bands"))
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands_old"), true)
         }
-        SwapRecovery.renameOrThrow(fs,
-          new org.apache.hadoop.fs.Path(s"$path/bands"),
-          new org.apache.hadoop.fs.Path(s"$path/bands_old"))
-        SwapRecovery.renameOrThrow(fs,
-          new org.apache.hadoop.fs.Path(s"$path/bands_compacted"),
-          new org.apache.hadoop.fs.Path(s"$path/bands"))
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands_old"), true)
-        if (!keyed) {
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
-          ()
-        }
+        if (!keyed) Tombstones.clear(spark, path)
+      }
+    }
+
+  /** Release the redelivery guard for physically-purged takedowns —
+    * the [[MinhashIndexStore.expireTombstones]] contract applied to
+    * the frame-sig store: caller asserts no pre-compact batch can be
+    * redelivered anymore; every tombstoned id with no live band row
+    * moves to the expired ledger and leaves the serve-side broadcast
+    * mask. Append-only ledgers, so any crash state under-expires.
+    */
+  def expireTombstones(spark: SparkSession, path: String): Unit =
+    IndexLease.withLease(spark, path, "framesig-expire") {
+      if (hasTombstones(spark, path)) {
+        SwapRecovery.recover(spark, path, "bands")
+        val gone = tombstonesTable(spark, path)
+          .join(spark.read.parquet(s"$path/bands").select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+        Tombstones.appendExpired(gone, path, "doc_id")
       }
     }
 

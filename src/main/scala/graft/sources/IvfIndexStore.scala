@@ -256,13 +256,11 @@ object IvfIndexStore {
         Seq("vec_id"), "left_anti")
     else rows
 
-  private def hasTombstones(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def hasTombstones(spark: SparkSession, path: String): Boolean =
+    Tombstones.exists(spark, path)
 
   private def tombstonesTable(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/tombstones").select(col("vec_id")).distinct()
+    Tombstones.liveMask(spark, path, "vec_id")
 
   /** Retract vectors from the index — takedowns / right-to-be-
     * forgotten, deletion-vector style: ids append to `tombstones/`
@@ -313,8 +311,7 @@ object IvfIndexStore {
         swap("codes", maskTombstones(spark, path,
           spark.read.parquet(s"$path/codes")
             .withColumn("cell", col("cell").cast("long"))))
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
-        ()
+        Tombstones.clear(spark, path)
       }
     }
 

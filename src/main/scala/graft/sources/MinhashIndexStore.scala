@@ -112,21 +112,25 @@ object MinhashIndexStore {
     else bands
   }
 
-  private def hasTombstones(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  private def hasTombstones(spark: SparkSession, path: String): Boolean =
+    Tombstones.exists(spark, path)
 
+  /** The LIVE serve mask: outstanding tombstones minus the expired
+    * ledger ([[expireTombstones]]) — the broadcast the serve-side
+    * anti-join carries stays bounded by UNEXPIRED takedowns instead of
+    * growing monotonically across the store's whole life.
+    */
   private def tombstonesTable(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/tombstones").select(col("doc_id")).distinct()
+    Tombstones.liveMask(spark, path, "doc_id")
 
   /** Retract documents from the index — takedowns / right-to-be-
     * forgotten. Deletion-vector style: the doc ids append to a
     * `tombstones/` list (O(|retraction|) write — an id per doc, never
     * an index rewrite at serve time) and [[bandsTable]] masks them on
     * read. The broadcast anti-join costs one hash probe per band row
-    * while tombstones are outstanding; run [[compact]] when the list
-    * grows past broadcast size.
+    * while tombstones are outstanding; run [[compact]] to purge
+    * physically, then [[expireTombstones]] (keyed stores, once the
+    * redelivery horizon passes) to shrink the mask itself.
     */
   def delete(docIds: DataFrame, path: String): Unit =
     IndexLease.withLease(docIds.sparkSession, path, "minhash-delete") {
@@ -164,39 +168,85 @@ object MinhashIndexStore {
         // happens, the serve-side anti-join stays. Flat stores keep
         // the zero-masking contract (rewrite + clear).
         val keyed = StoreLayout.isKeyed(spark, path, "bands")
-        if (keyed) {
-          val raw = spark.read.parquet(s"$path/bands")
-            .withColumn("band", col("band").cast("int"))
-            .join(broadcast(tombstonesTable(spark, path)),
-              Seq("doc_id"), "left_anti")
-          raw.write.mode(SaveMode.Overwrite)
-            .partitionBy("batch", "band")
-            .parquet(s"$path/bands_compacted")
-        } else {
-          bandsTable(spark, path)
-            .write.mode(SaveMode.Overwrite)
-            .partitionBy("band")
-            .parquet(s"$path/bands_compacted")
+        // REPEAT-COMPACT NO-OP PROBE (r14 review finding: keyed stores
+        // retain the mask, so hasTombstones is true forever after the
+        // first takedown and every later compact paid a full rewrite
+        // for nothing). The exact condition for "the rewrite would be
+        // byte-identical" is "no live band row carries a tombstoned
+        // id" — one early-exiting broadcast semi probe, which also
+        // stays correct under batch redelivery (a redelivered
+        // pre-compact layer re-lands retracted rows; the probe sees
+        // them and the rewrite runs). A high-water marker could not:
+        // it would no-op on re-landed rows it never saw.
+        val purgeSet = Tombstones.all(spark, path, "doc_id")
+        val anyMasked = !spark.read.parquet(s"$path/bands")
+          .select(col("doc_id"))
+          .join(broadcast(purgeSet), Seq("doc_id"), "left_semi")
+          .isEmpty
+        if (anyMasked) {
+          if (keyed) {
+            // physical purge folds EVERY id ever tombstoned (the full
+            // list, not the live serve mask — an expired id should
+            // never have live rows, but if one does the purge is the
+            // self-heal, not a resurrection)
+            val raw = spark.read.parquet(s"$path/bands")
+              .withColumn("band", col("band").cast("int"))
+              .join(broadcast(purgeSet), Seq("doc_id"), "left_anti")
+            raw.write.mode(SaveMode.Overwrite)
+              .partitionBy("batch", "band")
+              .parquet(s"$path/bands_compacted")
+          } else {
+            bandsTable(spark, path)
+              .write.mode(SaveMode.Overwrite)
+              .partitionBy("band")
+              .parquet(s"$path/bands_compacted")
+          }
+          // swap via rename so EVERY intermediate state still has a
+          // complete index on disk: move the live dir aside, promote the
+          // compacted one, and only then drop the old bytes + tombstones.
+          // Each rename is CHECKED — a failed rename aborts before any
+          // destructive step (falling through to the tombstone delete
+          // would leave the stale layer serving unmasked).
+          SwapRecovery.renameOrThrow(fs,
+            new org.apache.hadoop.fs.Path(s"$path/bands"),
+            new org.apache.hadoop.fs.Path(s"$path/bands_old"))
+          SwapRecovery.renameOrThrow(fs,
+            new org.apache.hadoop.fs.Path(s"$path/bands_compacted"),
+            new org.apache.hadoop.fs.Path(s"$path/bands"))
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands_old"), true)
         }
-        // swap via rename so EVERY intermediate state still has a
-        // complete index on disk: move the live dir aside, promote the
-        // compacted one, and only then drop the old bytes + tombstones.
-        // Each rename is CHECKED — a failed rename aborts before any
-        // destructive step (falling through to the tombstone delete
-        // would leave the stale layer serving unmasked).
-        SwapRecovery.renameOrThrow(fs,
-          new org.apache.hadoop.fs.Path(s"$path/bands"),
-          new org.apache.hadoop.fs.Path(s"$path/bands_old"))
-        SwapRecovery.renameOrThrow(fs,
-          new org.apache.hadoop.fs.Path(s"$path/bands_compacted"),
-          new org.apache.hadoop.fs.Path(s"$path/bands"))
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands_old"), true)
         // keyed stores RETAIN the tombstone mask (redelivery guard,
-        // see above); flat stores clear it for zero-masking serve
-        if (!keyed) {
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/tombstones"), true)
-          ()
-        }
+        // see above — [[expireTombstones]] bounds it); flat stores
+        // clear it for zero-masking serve (also on the no-op path:
+        // with no masked rows the clear is the only outstanding work)
+        if (!keyed) Tombstones.clear(spark, path)
+      }
+    }
+
+  /** Release the redelivery guard for takedowns whose physical purge
+    * has landed: every tombstoned id with NO row left in the live
+    * `bands/` layer moves to the expired ledger, and the serve mask
+    * ([[bandsTable]]'s broadcast anti-join) shrinks to the OUTSTANDING
+    * takedowns only. Without this, a keyed store's mask grows
+    * monotonically across its whole life (the r14 review finding).
+    *
+    * CALLER CONTRACT: only call once no pre-compact batch can be
+    * redelivered anymore (the maintaining stream's checkpoint has
+    * committed past every batch that existed at the last [[compact]]).
+    * A redelivered batch re-lands retracted rows, and an expired id
+    * would no longer mask them — the same horizon a streaming sink
+    * needs before pruning its own dedup state. Crash-safe by
+    * construction: both ledgers are append-only, so any crash state
+    * under-expires (masks too much), never serves a retracted row.
+    */
+  def expireTombstones(spark: SparkSession, path: String): Unit =
+    IndexLease.withLease(spark, path, "minhash-expire") {
+      if (hasTombstones(spark, path)) {
+        SwapRecovery.recover(spark, path, "bands")
+        val gone = tombstonesTable(spark, path)
+          .join(spark.read.parquet(s"$path/bands").select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+        Tombstones.appendExpired(gone, path, "doc_id")
       }
     }
 

@@ -166,4 +166,100 @@ class IndexRetractionSpec extends SparkSpecBase {
     assert(!rows(p).exists(_._1 % 30 == 0),
       "retained mask must keep masking new batches")
   }
+
+  private def layerFiles(dir: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(dir)
+    val st = java.nio.file.Files.walk(base)
+    try st.iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(_.toString).toSet
+    finally st.close()
+  }
+
+  test("keyed minhash: repeat compact is a no-op; batch redelivery re-arms it") {
+    // the r14 review finding: keyed stores retain the mask, so
+    // hasTombstones is true forever and every later compact paid a
+    // full layer rewrite with zero new retractions. The probe makes
+    // the repeat a no-op — and stays exact under redelivery (a
+    // re-landed pre-compact batch carries retracted rows the probe
+    // must see, which a compacted-through marker would miss).
+    val p = freshPath("mh_noop")
+    val docs = Tables.documents(spark, sfDir)
+    MinhashIndexStore.buildKeyed(docs.filter(col("doc_id") % 10 =!= 0), p)
+    val batch0 = docs.filter(col("doc_id") % 20 === 0)
+    MinhashIndexStore.appendBatch(batch0, p, 0L)
+    MinhashIndexStore.delete(
+      docs.filter(col("doc_id") % 30 === 0).select(col("doc_id")), p)
+    MinhashIndexStore.compact(spark, p)
+    val afterFirst = layerFiles(s"$p/bands")
+    MinhashIndexStore.compact(spark, p) // zero new retractions
+    assert(layerFiles(s"$p/bands") == afterFirst,
+      "repeat compact with nothing to fold must not rewrite the layer")
+    // crash-redelivery re-lands batch 0's retracted rows: the probe
+    // must see them and the next compact must physically purge again
+    MinhashIndexStore.appendBatch(batch0, p, 0L)
+    assert(spark.read.parquet(s"$p/bands")
+      .filter(col("doc_id") % 30 === 0 && col("doc_id") % 20 === 0)
+      .count() > 0L, "redelivery must re-land retracted rows for this gate")
+    MinhashIndexStore.compact(spark, p)
+    assert(spark.read.parquet(s"$p/bands")
+      .filter(col("doc_id") % 30 === 0).count() == 0L,
+      "post-redelivery compact must purge the re-landed rows")
+  }
+
+  test("minhash expireTombstones: mask shrinks to outstanding takedowns; serve set unchanged") {
+    val p = freshPath("mh_expire")
+    val docs = Tables.documents(spark, sfDir)
+    MinhashIndexStore.buildKeyed(docs.filter(col("doc_id") % 10 =!= 0), p)
+    MinhashIndexStore.appendBatch(docs.filter(col("doc_id") % 20 === 0), p, 0L)
+    MinhashIndexStore.delete(
+      docs.filter(col("doc_id") % 30 === 0).select(col("doc_id")), p)
+    MinhashIndexStore.compact(spark, p)
+    def rows() = MinhashIndexStore.bandsTable(spark, p)
+      .select("doc_id", "band", "s0", "s1", "s2", "s3")
+      .as[(Long, Int, Long, Long, Long, Long)].collect().toSet
+    val served = rows()
+    // caller-asserted redelivery horizon: every purged id leaves the
+    // live mask, the serve answer is unchanged (rows already gone)
+    MinhashIndexStore.expireTombstones(spark, p)
+    assert(rows() == served)
+    assert(Tombstones.liveMask(spark, p, "doc_id").isEmpty,
+      "all takedowns were physically purged - the live mask must be empty")
+    // expire is idempotent (append-only ledgers, distinct on read)
+    MinhashIndexStore.expireTombstones(spark, p)
+    assert(rows() == served)
+    // a NEW takedown after expiry still masks - only PURGED ids expire
+    MinhashIndexStore.delete(
+      docs.filter(col("doc_id") % 30 === 15).select(col("doc_id")), p)
+    assert(!rows().exists(_._1 % 30 == 15), "fresh takedown must mask")
+    assert(!Tombstones.liveMask(spark, p, "doc_id").isEmpty)
+    // and an expire BEFORE its compact must not release it (its rows
+    // are still live in bands/ - nothing to expire yet)
+    MinhashIndexStore.expireTombstones(spark, p)
+    assert(!rows().exists(_._1 % 30 == 15),
+      "expire must never release a takedown whose rows are still live")
+  }
+
+  test("framesig: repeat compact no-op + expire, via the shared tombstone layer") {
+    val p = freshPath("fsig_expire")
+    val docs = Tables.documents(spark, sfDir)
+    val media = graft.operators.Multimodal.asMedia(docs)
+    FrameSigIndexStore.buildKeyed(media.filter(col("doc_id") % 10 =!= 0), p)
+    FrameSigIndexStore.appendBatch(media.filter(col("doc_id") % 20 === 0), p, 0L)
+    FrameSigIndexStore.delete(
+      docs.filter(col("doc_id") % 30 === 0).select(col("doc_id")), p)
+    FrameSigIndexStore.compact(spark, p)
+    val afterFirst = layerFiles(s"$p/bands")
+    FrameSigIndexStore.compact(spark, p)
+    assert(layerFiles(s"$p/bands") == afterFirst,
+      "repeat compact with nothing to fold must not rewrite the layer")
+    def rows() = FrameSigIndexStore.bandsTable(spark, p)
+      .select("doc_id", "frame_idx", "band", "bv")
+      .as[(Long, Int, Int, Long)].collect().toSet
+    val served = rows()
+    FrameSigIndexStore.expireTombstones(spark, p)
+    assert(rows() == served)
+    assert(Tombstones.liveMask(spark, p, "doc_id").isEmpty)
+  }
 }
