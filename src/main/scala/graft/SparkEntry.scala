@@ -414,6 +414,19 @@ object SparkEntry {
     Multimodal.nearDupFrames(Multimodal.asMedia(t(s, dir, "documents")))
       .orderBy(col("doc_a"), col("doc_b"), col("frame_idx"))
 
+  /** The BOUNDED rep-grain serving form of `mm_phash`
+    * ([[Multimodal.nearDupFrameReps]]): one row per distinct-asset
+    * pair × shared frame plus twin-group sizes — what a consumer reads
+    * at replica density, where the pair-grain answer is measured
+    * quadratic (7.06G rows at ~sf100). Oracle: the all-pairs replay
+    * collapsed by the member→rep map (min doc_id per identical text —
+    * media bytes are UTF-8 of the text, so content groups ≡ text
+    * groups), with the group sizes joined back on.
+    */
+  private def qMmPhashReps(s: SparkSession, dir: String): DataFrame =
+    Multimodal.nearDupFrameReps(Multimodal.asMedia(t(s, dir, "documents")))
+      .orderBy(col("rep_a"), col("rep_b"), col("frame_idx"))
+
   /** Incremental MULTIMODAL near-dup: a new asset drop's frames signed
     * once and joined against the persisted frame-signature band index
     * ([[graft.sources.FrameSigIndexStore]]) — the corpus media is
@@ -2124,6 +2137,7 @@ object SparkEntry {
     "stream_neardup" -> (qStreamNearDup _),
     "pipeline_corpus" -> (qPipelineCorpus _),
     "mm_phash" -> (qMmPhash _),
+    "mm_phash_reps" -> (qMmPhashReps _),
     "mm_phash_incremental" -> (qMmPhashIncremental _),
     "stream_mm_phash" -> (qStreamMmPhash _),
     "mm_phash_delete" -> (qMmPhashDelete _),
@@ -4482,6 +4496,35 @@ object SparkEntry {
         |    ON a.doc_id < b.doc_id AND a.frame_idx = b.frame_idx)
         |WHERE hamming <= 3
         |ORDER BY doc_a, doc_b, frame_idx""".stripMargin),
+    // mm_phash_reps: the rep-grain serving form — the SAME all-pairs
+    // ground truth as mm_phash, collapsed by the member→rep map
+    // (media bytes are UTF-8 of the text, so content twin groups are
+    // exactly text twin groups; rep = min doc_id per distinct text)
+    // and re-keyed least/greatest at rep grain, with both groups'
+    // sizes joined on. Identical-content pairs collapse to the
+    // rep_a = rep_b self row at hamming 0.
+    "mm_phash_reps" ->
+      (s"WITH $mmBitsCtes,\n" +
+      """ grp AS (SELECT text, min(doc_id) AS rep, count(*)::BIGINT AS n_copies
+        |   FROM documents GROUP BY text),
+        | m AS (SELECT d.doc_id, g.rep
+        |   FROM documents d JOIN grp g ON d.text = g.text),
+        | ap AS (SELECT doc_a, doc_b, frame_idx, hamming FROM (
+        |   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.frame_idx,
+        |    (bit_count(xor(a.sig_lo, b.sig_lo))
+        |     + bit_count(xor(a.sig_hi, b.sig_hi)))::INT AS hamming
+        |   FROM bits a JOIN bits b
+        |     ON a.doc_id < b.doc_id AND a.frame_idx = b.frame_idx)
+        |  WHERE hamming <= 3),
+        | rp AS (SELECT DISTINCT least(ma.rep, mb.rep) AS rep_a,
+        |    greatest(ma.rep, mb.rep) AS rep_b, frame_idx, hamming
+        |   FROM ap JOIN m ma ON ap.doc_a = ma.doc_id
+        |        JOIN m mb ON ap.doc_b = mb.doc_id)
+        |SELECT rep_a, rep_b, frame_idx, hamming,
+        | ga.n_copies AS n_a, gb.n_copies AS n_b
+        |FROM rp JOIN grp ga ON rp.rep_a = ga.rep
+        |     JOIN grp gb ON rp.rep_b = gb.rep
+        |ORDER BY rep_a, rep_b, frame_idx""".stripMargin),
     // mm_phash_incremental: the same all-pairs ground truth filtered
     // to pairs that touch the doc_id % 10 == 0 drop — exactly the
     // delta×stored ∪ delta-internal candidate set the index serves

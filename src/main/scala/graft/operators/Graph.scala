@@ -31,7 +31,14 @@ object Graph {
     * bench/density/). Three shuffles total — basket-build on the
     * order key, the basket distinct (map-side-combined, array-keyed),
     * the pair distinct — with the two distincts carrying collapsed
-    * volume.
+    * volume. On a corpus whose baskets are mostly UNIQUE (replica-free
+    * order data) the basket distinct is a pure extra shuffle carrying
+    * the item arrays with no volume reduction — a bounded overhead
+    * (one pass over basket-grain rows, ≪ the pair fan-out it guards)
+    * accepted as insurance against the replica density the decade
+    * audits measure; hashing the sorted set as the key would not
+    * shrink the exchange, since the array payload must travel to the
+    * fan-out anyway.
     */
   def coPurchaseEdges(lineitem: DataFrame): DataFrame =
     lineitem

@@ -197,8 +197,6 @@ object Multimodal {
   }
 
   def nearDupFrames(media: Dataset[MMRecord], maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"4x16-bit banding is only lossless up to Hamming 3, got $maxHamming")
     // DISTINCT-ASSET collapse (the text rollups' exact-collapse law,
     // applied to the binary family): frame samples, block-hash
     // signatures, band keys, and Hamming distances are all pure
@@ -211,9 +209,46 @@ object Multimodal {
     // 44 s at ~sf10 where the collapsed form pays the band stage at
     // 5k distinct assets. The OUTPUT stays pair-grain and genuinely
     // quadratic at replica density (every twin pair shares every
-    // frame) — that is the gated answer, not overhead; cross pairs
-    // carry the verified rep-pair Hamming, within-group pairs are
-    // Hamming 0 at every frame of the asset.
+    // frame) — that is the gated answer, not overhead (measured
+    // 7.06G answer rows at ~sf100, bench/density/mm_phash_rows_*);
+    // a consumer that cannot take pair grain at that density takes
+    // [[nearDupFrameReps]], the bounded rep-grain serving form. Cross
+    // pairs carry the verified rep-pair Hamming, within-group pairs
+    // are Hamming 0 at every frame of the asset.
+    val (docRep, cross, repFrames, _) = nearDupFrameRepCore(media, maxHamming)
+    // cross-group expansion: every member pair of the two groups
+    // inherits the rep pair's per-frame verdict (groups are disjoint,
+    // so least/greatest restores the doc_a < doc_b orientation)
+    val crossOut = cross
+      .join(docRep.select(col("rep").as("ra"), col("doc_id").as("da")), "ra")
+      .join(docRep.select(col("rep").as("rb"), col("doc_id").as("db")), "rb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("frame_idx"), col("hamming"))
+    // within-group expansion: byte-twins collide in every band of every
+    // frame and verify at Hamming 0 (≤ any allowed maxHamming)
+    val memPairs = docRep.alias("x")
+      .join(docRep.alias("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.rep").as("rep"), col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"))
+    val withinOut = memPairs.join(repFrames, Seq("rep"))
+      .select(col("doc_a"), col("doc_b"), col("frame_idx"),
+        lit(0).cast("int").as("hamming"))
+    crossOut.unionByName(withinOut)
+  }
+
+  /** The shared rep-grain near-dup core: `(docRep, cross, repFrames,
+    * sizes)` — the member→rep map, the verified DISTINCT-ASSET pair
+    * frame (ra < rb, per shared frame_idx, hamming ≤ maxHamming), the
+    * distinct (rep, frame_idx) spine, and the twin-group sizes.
+    * [[nearDupFrames]] expands it to member-pair grain (the all-pairs
+    * gated answer); [[nearDupFrameReps]] serves it as-is.
+    */
+  private def nearDupFrameRepCore(media: Dataset[MMRecord], maxHamming: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit banding is only lossless up to Hamming 3, got $maxHamming")
     val (docRep, sizes) = assetRepElection(media)
     val repMedia = {
       import media.sparkSession.implicits._
@@ -242,28 +277,44 @@ object Multimodal {
         (bit_count(col("alo").bitwiseXOR(col("blo"))) +
           bit_count(col("ahi").bitwiseXOR(col("bhi")))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-    // cross-group expansion: every member pair of the two groups
-    // inherits the rep pair's per-frame verdict (groups are disjoint,
-    // so least/greatest restores the doc_a < doc_b orientation)
-    val crossOut = cross
-      .join(docRep.select(col("rep").as("ra"), col("doc_id").as("da")), "ra")
-      .join(docRep.select(col("rep").as("rb"), col("doc_id").as("db")), "rb")
-      .select(least(col("da"), col("db")).as("doc_a"),
-        greatest(col("da"), col("db")).as("doc_b"),
-        col("frame_idx"), col("hamming"))
-    // within-group expansion: byte-twins collide in every band of every
-    // frame and verify at Hamming 0 (≤ any allowed maxHamming)
     val repFrames = bands.select(col("doc_id").as("rep"), col("frame_idx"))
       .distinct()
-    val memPairs = docRep.alias("x")
-      .join(docRep.alias("y"),
-        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.rep").as("rep"), col("x.doc_id").as("doc_a"),
-        col("y.doc_id").as("doc_b"))
-    val withinOut = memPairs.join(repFrames, Seq("rep"))
-      .select(col("doc_a"), col("doc_b"), col("frame_idx"),
-        lit(0).cast("int").as("hamming"))
-    crossOut.unionByName(withinOut)
+    (docRep, cross, repFrames, sizes)
+  }
+
+  /** The BOUNDED rep-grain serving form of [[nearDupFrames]] — what a
+    * 100 TB consumer actually reads (the `dedup_clusters` spanning-
+    * edges device applied to the multimodal family): the pair-grain
+    * answer is genuinely quadratic at replica density (measured 7.06G
+    * rows at ~sf100, every twin pair × every shared frame), while this
+    * form is one row per DISTINCT-ASSET pair × frame plus the group
+    * sizes needed to reconstruct it arithmetically. Schema:
+    * `(rep_a ≤ rep_b, frame_idx, hamming, n_a, n_b)` —
+    * cross rows (`rep_a < rep_b`) expand to n_a·n_b member pairs at
+    * the carried hamming; self rows (`rep_a = rep_b`, hamming 0,
+    * emitted for every frame of any twin group with n ≥ 2) expand to
+    * n·(n−1)/2 within-group pairs. The expansion law is exactly
+    * [[nearDupFrames]]'s member rollup, so the all-pairs replay
+    * collapsed by the member→rep map IS the value oracle.
+    *
+    * Scale shape: identical core to the pair-grain form (the collapse,
+    * band join, and Hamming verify all at distinct-content grain) but
+    * the OUTPUT stays rep-grain — rows ∝ distinct-asset pairs, proven
+    * constant across replica decades, never ∝ corpus².
+    */
+  def nearDupFrameReps(media: Dataset[MMRecord], maxHamming: Int = 3): DataFrame = {
+    val (_, cross, repFrames, sizes) = nearDupFrameRepCore(media, maxHamming)
+    val crossOut = cross
+      .join(sizes.select(col("rep").as("ra"), col("n_copies").as("n_a")), "ra")
+      .join(sizes.select(col("rep").as("rb"), col("n_copies").as("n_b")), "rb")
+      .select(col("ra").as("rep_a"), col("rb").as("rep_b"),
+        col("frame_idx"), col("hamming"), col("n_a"), col("n_b"))
+    val selfOut = sizes.filter(col("n_copies") >= 2)
+      .join(repFrames, Seq("rep"))
+      .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
+        col("frame_idx"), lit(0).cast("int").as("hamming"),
+        col("n_copies").as("n_a"), col("n_copies").as("n_b"))
+    crossOut.unionByName(selfOut)
   }
 
   /** Scene segmentation WITHIN each asset — the boundary detector every

@@ -463,33 +463,62 @@ object Relational {
       .filter(col("dau") > 0)
       .select(col("target_day").as("day"), col("dau"), col("wau_7d"))
 
-  /** Market-basket co-occurrence: the top part PAIRS appearing in the
-    * same order — the "customers also bought" primitive. The basket is
-    * deduped to distinct (order, part) first so a part ordered twice
-    * in one basket can't inflate its pairs; the self-join keys on the
-    * order with `part_a < part_b` emitting each unordered pair once.
+  /** THE support-law decomposition shared by [[coPurchasePairs]] and
+    * [[assocRules]]: one row per DISTINCT item set with its order
+    * multiplicity — `(items = sorted distinct parts of the basket,
+    * mult = number of orders holding exactly that set)`. Every basket
+    * support count decomposes exactly over it: the orders containing a
+    * pair (or an item) = Σ mult over the distinct baskets holding it.
+    * This is the exact-collapse law applied at basket grain (the
+    * [[Graph.coPurchaseEdges]] / q_triangles fix, extended to COUNTS):
+    * the quadratic pair fan-out and the pair aggregation run once per
+    * DISTINCT basket, not once per order — on a replica-dense corpus
+    * (the ScaleSmoke geometry, mirrored order feeds at 100 TB) the
+    * pair stream is constant in the replica factor instead of linear.
+    * Two shuffles: the basket-build groupBy on the order key (in-
+    * basket dedup happens IN the partial aggregate via collect_set),
+    * then the multiplicity groupBy on the canonicalized set. The
+    * second shuffle keys on the item ARRAY — the payload must travel
+    * anyway (the fan-out consumes it), so hashing the key would not
+    * shrink the exchange.
     *
-    * Scale shape: the pair fan-out is bounded by the basket size
-    * (orders carry ≲10 items → ≤45 pairs per order, a constant), so
-    * the join output is O(orders), not quadratic in the catalog. Both
-    * self-join sides are the IDENTICAL deduped subtree shuffled on the
-    * same key, which Spark collapses into one exchange + a
-    * ReusedExchange; the pair count then aggregates with map-side
-    * partials and the top-20 cut is a TakeOrdered on a total order.
+    * Explicit non-null filters: a NULL order key must not form a
+    * basket (the per-order self-join it replaces never matched NULL
+    * keys), NULL parts never pair — and the explicit form keeps every
+    * consumer's scan specialization identical so the basket subtree
+    * canonicalizes to ONE exchange (the assocRules reuse note).
     */
-  def coPurchasePairs(lineitem: DataFrame, topN: Int = 20): DataFrame = {
-    val basket = lineitem
-      .select(col("l_orderkey"), col("l_partkey"))
-      .distinct()
-    basket.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      .join(basket.select(col("l_orderkey"), col("l_partkey").as("part_b")),
-        Seq("l_orderkey"))
+  private def distinctBaskets(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+      .groupBy(col("items"))
+      .agg(count(lit(1)).as("mult"))
+
+  /** Market-basket co-occurrence: the top part PAIRS appearing in the
+    * same order — the "customers also bought" primitive. In-basket
+    * repeats can't inflate a pair (the basket collapses to its
+    * distinct item set first); `part_a < part_b` counts each unordered
+    * pair once per ORDER via the [[distinctBaskets]] multiplicity law.
+    *
+    * Scale shape: the pair fan-out is bounded by basket size (orders
+    * carry ≲10 items → ≤45 pairs per basket, a constant) AND runs at
+    * distinct-basket grain — the replica-quadratic class q_triangles
+    * hit at ~sf100 (101 s from a per-order fan-out over a provably
+    * constant graph) never starts. The pair count aggregates map-side
+    * partials of the mult weights; the top-20 cut is a TakeOrdered on
+    * a total order.
+    */
+  def coPurchasePairs(lineitem: DataFrame, topN: Int = 20): DataFrame =
+    distinctBaskets(lineitem)
+      .select(explode(col("items")).as("part_a"), col("items"), col("mult"))
+      .select(col("part_a"), explode(col("items")).as("part_b"), col("mult"))
       .filter(col("part_a") < col("part_b"))
       .groupBy(col("part_a"), col("part_b"))
-      .agg(count(lit(1)).as("n_orders"))
+      .agg(sum(col("mult")).as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(topN)
-  }
 
   /** 2-D skyline (Pareto frontier): the parts no other part beats on
     * BOTH price (lower-better) and size (higher-better), with at least
@@ -542,37 +571,33 @@ object Relational {
     * "Customers who bought a also bought b" with the base-rate
     * correction co-occurrence counts alone lack.
     *
-    * Scale shape: the deduped basket feeds BOTH the pair fan-out
-    * (bounded per order by basket size, same reused-exchange self-join
-    * as [[coPurchasePairs]]) and the per-item counts (one map-side
-    * partial agg); the basket total N is a broadcast 1-row aggregate.
-    * Item counts join the pair table on the item key — part-grain,
-    * never order-grain. Ratios round to 4dp in the same operation
-    * order as the oracle, and the final cut is a TakeOrdered on the
-    * (lift, a, b) total order.
+    * Scale shape: ONE [[distinctBaskets]] subtree feeds the pair
+    * fan-out, the per-item counts AND the basket total (its two
+    * exchanges canonicalize identically across the three consumers →
+    * ReusedExchange), and every consumer runs at distinct-basket
+    * grain — support counts reconstruct exactly from the mult weights,
+    * so a replica-dense corpus pays the quadratic fan-out once per
+    * DISTINCT basket (the q_triangles fix applied to counts). Item
+    * counts join the pair table on the item key — part-grain, never
+    * order-grain; the basket total is a broadcast 1-row aggregate.
+    * Ratios round to 4dp in the same operation order as the oracle,
+    * and the final cut is a TakeOrdered on the (lift, a, b) total
+    * order.
     */
   def assocRules(lineitem: DataFrame, minOrders: Long = 2,
       topN: Int = 20): DataFrame = {
-    // explicit non-null filters: the pair join's null-filter INFERENCE
-    // would otherwise specialize each branch's scan differently
-    // (orderkey-only for the total, partkey-only for item counts),
-    // breaking subtree canonicalization — with the filters explicit,
-    // the item-count and total branches reuse the basket's distinct
-    // exchange instead of rescanning the fact table
-    val basket = lineitem
-      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
-      .select(col("l_orderkey"), col("l_partkey"))
-      .distinct()
-    val total = basket.agg(
-      countDistinct(col("l_orderkey")).cast("double").as("n_total"))
-    val items = basket.groupBy(col("l_partkey"))
-      .agg(count(lit(1)).as("n_item"))
-    val pairs = basket.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      .join(basket.select(col("l_orderkey"), col("l_partkey").as("part_b")),
-        Seq("l_orderkey"))
+    val baskets = distinctBaskets(lineitem)
+    val total = baskets.agg(sum(col("mult")).cast("double").as("n_total"))
+    val items = baskets
+      .select(explode(col("items")).as("l_partkey"), col("mult"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("mult")).as("n_item"))
+    val pairs = baskets
+      .select(explode(col("items")).as("part_a"), col("items"), col("mult"))
+      .select(col("part_a"), explode(col("items")).as("part_b"), col("mult"))
       .filter(col("part_a") =!= col("part_b"))
       .groupBy(col("part_a"), col("part_b"))
-      .agg(count(lit(1)).as("n_ab"))
+      .agg(sum(col("mult")).as("n_ab"))
       .filter(col("n_ab") >= minOrders)
     pairs
       .join(items.select(col("l_partkey").as("part_a"),

@@ -79,6 +79,58 @@ class MmPhashSpec extends SparkSpecBase {
     assert(bs.exists { case (x, y, _, h) => h == 0 && y - x >= 1000 })
   }
 
+  test("rep-grain serving form expands exactly to the pair-grain answer") {
+    // the bounded mm_phash_reps law: cross rows expand to n_a·n_b
+    // member pairs at the carried hamming, self rows (rep_a = rep_b,
+    // hamming 0) to the n·(n−1)/2 within-group pairs — replayed here
+    // on the replica-heavy corpus and compared row-for-row against
+    // nearDupFrames
+    import spark.implicits._
+    val base = Tables.documents(spark, sfDir).filter(col("doc_id") < 20)
+    val corpus = base
+      .unionByName(base.filter(col("doc_id") < 15)
+        .withColumn("doc_id", col("doc_id") + 1000L))
+      .unionByName(base.filter(col("doc_id") < 10)
+        .withColumn("doc_id", col("doc_id") + 2000L))
+    val m = Multimodal.asMedia(corpus)
+    val reps = Multimodal.nearDupFrameReps(m)
+    // independent member→rep map for the expansion (content grouping)
+    val members = m.toDF().select(col("doc_id"),
+      md5(col("content")).as("kh"),
+      octet_length(col("content")).as("klen"))
+    val grp = members.groupBy("kh", "klen").agg(min("doc_id").as("rep"))
+    val dm = members.join(grp, Seq("kh", "klen"))
+      .select(col("rep"), col("doc_id"))
+    val crossExp = reps.filter(col("rep_a") =!= col("rep_b"))
+      .join(dm.select(col("rep").as("rep_a"), col("doc_id").as("da")), "rep_a")
+      .join(dm.select(col("rep").as("rep_b"), col("doc_id").as("db")), "rep_b")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("frame_idx"), col("hamming"))
+    val selfExp = reps.filter(col("rep_a") === col("rep_b"))
+      .join(dm.alias("x"), col("rep_a") === col("x.rep"))
+      .join(dm.alias("y"),
+        col("rep_a") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("frame_idx"), col("hamming"))
+    val expanded = crossExp.unionByName(selfExp)
+      .as[(Long, Long, Int, Int)].collect().toSet
+    val pairGrain = Multimodal.nearDupFrames(m)
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(expanded == pairGrain)
+    // the serving form must be BOUNDED on this corpus: strictly fewer
+    // rows than the pair-grain answer it reconstructs, and the
+    // within-group connectivity must actually be exercised
+    val repRows = reps.collect()
+    assert(repRows.length < pairGrain.size)
+    assert(repRows.exists(r => r.getLong(0) == r.getLong(1)))
+    // group sizes carried on the row are the true twin-group sizes
+    val sizes = dm.groupBy("rep").count().as[(Long, Long)].collect().toMap
+    assert(repRows.forall(r =>
+      r.getAs[Long]("n_a") == sizes(r.getLong(0)) &&
+        r.getAs[Long]("n_b") == sizes(r.getLong(1))))
+  }
+
   test("sceneSegments: identical frames group, a hard cut opens a scene") {
     import spark.implicits._
     // frames are 256-byte windows: two identical ramp frames (Hamming

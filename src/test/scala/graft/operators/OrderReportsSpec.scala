@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpecBase
+import graft.sources.Tables
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
@@ -72,6 +73,67 @@ class OrderReportsSpec extends SparkSpecBase {
     assert(out.size == 2)
     assert(out((10L, 20L)) == ((3L, 0.75, 0.75, 1.0)))
     assert(out((20L, 10L)) == ((3L, 0.75, 1.0, 1.0)))
+  }
+
+  test("basket collapse parity: co-purchase + assoc rules equal the raw per-order forms on a replicated corpus") {
+    // the distinctBaskets support law (counts = Σ basket multiplicity
+    // over distinct baskets holding the pair), pinned value-identical
+    // against the pre-collapse per-ORDER forms on the ScaleSmoke
+    // geometry: every order mirrored once under fresh keys — byte-equal
+    // baskets, the exact shape where the raw form's pair stream doubles
+    // while the collapsed form's is constant
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val replicated = li.unionByName(
+      li.withColumn("l_orderkey", col("l_orderkey") + 100000000L))
+
+    // raw per-order reference: deduped (order, part) self-join
+    val basket = replicated
+      .filter(col("l_orderkey").isNotNull && col("l_partkey").isNotNull)
+      .distinct()
+    val rawPairs = basket.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(basket.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(20)
+      .as[(Long, Long, Long)].collect().toSeq
+    val collapsed = Relational.coPurchasePairs(replicated)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(collapsed == rawPairs)
+
+    // raw assoc-rules reference, same arithmetic and rounding order
+    val total = basket.agg(
+      countDistinct(col("l_orderkey")).cast("double").as("n_total"))
+    val items = basket.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_item"))
+    val rawRulePairs = basket
+      .select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(basket.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        Seq("l_orderkey"))
+      .filter(col("part_a") =!= col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    val rawRules = rawRulePairs
+      .join(items.select(col("l_partkey").as("part_a"),
+        col("n_item").as("n_a")), Seq("part_a"))
+      .join(items.select(col("l_partkey").as("part_b"),
+        col("n_item").as("n_b")), Seq("part_b"))
+      .crossJoin(broadcast(total))
+      .select(col("part_a"), col("part_b"), col("n_ab"),
+        round(col("n_ab") / col("n_total"), 4).as("support"),
+        round(col("n_ab") / col("n_a"), 4).as("confidence"),
+        round((col("n_ab") / col("n_a"))
+          / (col("n_b") / col("n_total")), 4).as("lift"))
+      .orderBy(col("lift").desc, col("part_a"), col("part_b"))
+      .limit(20)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    val collapsedRules = Relational.assocRules(replicated)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(collapsedRules == rawRules)
   }
 
   test("skyline keeps exactly the undominated parts; twins both survive") {
