@@ -1177,6 +1177,24 @@ object SparkEntry {
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exact(t(s, dir, "documents")).orderBy(col("keep_id"))
 
+  /** `dedup_exact` through the SQL FRONT DOOR — proves the front door
+    * is not view-shaped only (the relational views have `spark.sql`
+    * twins; this is the LLM-tier slice): the corpus registers as a
+    * temp view and the exact-dedup law is the literal SQL a warehouse
+    * user would port — the SAME 24-byte hash-keyed shuffle
+    * ([[Dedup.textGroupKeys]]: two independent xxhash64 + length, the
+    * document body never enters the exchange) reached from SQL, pinned
+    * to the same oracle as the DataFrame twin.
+    */
+  private def qSqlDedupExact(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents").createOrReplaceTempView("graft_documents")
+    s.sql(
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM graft_documents
+        |GROUP BY xxhash64(text), length(text), xxhash64(1, text)
+        |ORDER BY keep_id""".stripMargin)
+  }
+
   private def qDedupKeep(s: SparkSession, dir: String): DataFrame =
     Dedup.exactKeep(t(s, dir, "documents"))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
@@ -2073,6 +2091,7 @@ object SparkEntry {
     "q_skew_join" -> (qSkewJoin _),
     "q_quality_checks" -> (qQualityChecks _),
     "dedup_exact" -> (qDedupExact _),
+    "sql_dedup_exact" -> (qSqlDedupExact _),
     "dedup_keep" -> (qDedupKeep _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_incremental" -> (qDedupIncremental _),
@@ -3902,6 +3921,11 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    // sql_dedup_exact: the SQL-front-door twin — same law, same oracle
+    // (one definition, two gated doors: DataFrame and spark.sql)
+    "sql_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "dedup_keep" ->

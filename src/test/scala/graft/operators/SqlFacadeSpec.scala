@@ -51,4 +51,24 @@ class SqlFacadeSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"the dim join must broadcast from the SQL front door too:\n$plan")
   }
+
+  test("the LLM-tier front-door slice: SQL exact dedup equals the DataFrame twin") {
+    // the door is not view-shaped only: the exact-dedup law as literal
+    // SQL over a temp view must return EXACTLY Dedup.exact's rows, and
+    // the SQL plan must keep the hash-keyed shuffle (group keys are the
+    // two hashes + length — the document body never enters an exchange)
+    val docs = Tables.documents(spark, sfDir)
+    docs.createOrReplaceTempView("graft_documents")
+    val sql = spark.sql(
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM graft_documents
+        |GROUP BY xxhash64(text), length(text), xxhash64(1, text)
+        |ORDER BY keep_id""".stripMargin)
+    val sqlRows = sql.collect().toSeq
+    val dfRows = Dedup.exact(docs).orderBy(col("keep_id")).collect().toSeq
+    assert(sqlRows.nonEmpty && sqlRows == dfRows)
+    val plan = sql.queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"),
+      s"the SQL door must key the shuffle on the hash convention:\n$plan")
+  }
 }
