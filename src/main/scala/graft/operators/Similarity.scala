@@ -248,17 +248,26 @@ object Similarity {
         .otherwise(m.getField("mn") +
           floor((x.cast("double") - m.getField("mn")) / step + 0.5d) * step)
     })
+    // decode norm at CANDIDATE grain + codegen dot per probe pair (the
+    // servedPqTopK r15 restructure): the interpreted fold per
+    // (probe × candidate) dominated the ADC cut at replica decades.
+    // Separate selects so CollapseProject keeps the non-cheap decode
+    // out of its consumers; graft_dot_dd accumulates the identical
+    // double product sequence — values (and the oracle) unchanged.
     val coded = corpus.crossJoin(broadcast(grid))
       .select(col("vec_id"), col("cell"), recon.as("rvec"))
+      .select(col("vec_id"), col("cell"), col("rvec"),
+        sqrt(call_function("graft_dot_dd", col("rvec"), col("rvec"))).as("rnrm"))
     val probed = probeCells(cellCentroids(emb, labelCol),
       emb.filter(probeFilter), nprobe)
+      .withColumn("probe_xd", VF.asDouble(col("probe_emb")))
     // ADC scan: exact probe × dequantized candidates of the probed
-    // cells only — the double fold keeps values oracle-identical
+    // cells only — the double math keeps values oracle-identical
     val adc = coded.join(broadcast(probed), Seq("cell"))
       .filter(col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id").as("cand_id"),
-        round(VF.dot(col("probe_emb"), col("rvec"))
-          / (col("probe_dnrm") * VF.norm(col("rvec"))), 4).as("adc_cosine"))
+        round(call_function("graft_dot_dd", col("probe_xd"), col("rvec"))
+          / (col("probe_dnrm") * col("rnrm")), 4).as("adc_cosine"))
       .filter(col("adc_cosine").isNotNull)
     val topm = graft.plans.TopKPlanner
       .perGroup(adc, "probe_id", "adc_cosine", "cand_id", rerank)
@@ -347,16 +356,39 @@ object Similarity {
     * round is one corpus projection (assign) plus one per-dim
     * partial-agg (means). The corpus never shuffles whole vectors:
     * the mean aggregation moves (cluster, dim, value) partials only.
+    *
+    * DISTINCT-VECTOR COLLAPSE (the embeddingRepPairs law, applied to
+    * TRAINING — the r15 fix for the trained path's 4.2× third decade):
+    * the per-round score, argmin, and d2 are pure functions of the
+    * vector VALUE, and the mean update decomposes as a count-weighted
+    * sum over distinct vectors — so all `iters` rounds run at
+    * DISTINCT-vector grain (the dot work and the per-round exchanges
+    * divide by the replica rate, squared corpus-wide at mirror
+    * density) and members inherit their twin's (cluster, d2) through
+    * one final expansion join. Value-identical: seeds are still the
+    * raw k lowest vec_ids (twin seeds keep their separate cluster
+    * labels and lose every tie exactly as before), and the weighted
+    * mean Σ w·x / Σ w equals the member-grain mean — the FP sum-order
+    * difference is the same ~1e-15 class the 6-dp centroid rounding
+    * already absorbs cross-engine (§5 rulebook).
     */
   def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
     require(k >= 1, s"kmeansAssign needs k >= 1, got $k")
     require(iters >= 1, s"kmeansAssign needs iters >= 1, got $iters")
+    val raw = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), VF.asDouble(col("embedding")).as("x"))
+    // distinct-vector grain with multiplicity: the map-side partial
+    // aggregate collapses replicas before the exchange, so the shuffle
+    // carries distinct-per-partition vectors only
     // persist, not localCheckpoint: checkpoint would re-execute the
     // projection in a second job; the seed collect below materializes
     // the cache
-    val pts = emb.filter(col("embedding").isNotNull)
-      .select(col("vec_id"), VF.asDouble(col("embedding")).as("x"),
-        VF.dot(col("embedding"), col("embedding")).as("xx"))
+    val pts = raw
+      .groupBy(col("x"))
+      .agg(min(col("vec_id")).as("vec_id"),
+        count(lit(1)).cast("double").as("w"))
+      .select(col("vec_id"), col("x"), col("w"),
+        VF.dot(col("x"), col("x")).as("xx"))
       .persist()
     // centroids are k tiny rows by construction — pin each round's
     // table as a driver-side LOCAL relation (collect + literal
@@ -367,24 +399,32 @@ object Similarity {
     def pin(df: DataFrame): DataFrame =
       sess.createDataFrame(
         java.util.Arrays.asList(df.collect(): _*), df.schema)
-    var cents = pin(pts.orderBy(col("vec_id")).limit(k)
+    // seeds stay at RAW grain — the k lowest vec_ids, including twin
+    // seeds (a twin seed's cluster loses every tie, but its FROZEN
+    // centroid still competes in later rounds exactly as before; a
+    // collapsed seed table would silently drop it)
+    var cents = pin(raw.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cluster"), col("x").as("cvec")))
     var assign: DataFrame = null
     for (_ <- 1 to iters) {
       val scored = pts.crossJoin(broadcast(
           cents.withColumn("cc", VF.dot(col("cvec"), col("cvec")))))
-        .select(col("vec_id"),
+        .select(col("vec_id"), col("w"),
           round(col("xx") - lit(2.0) * VF.dot(col("x"), col("cvec"))
             + col("cc"), 4).as("d2"),
           col("cluster"))
       assign = scored.groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cluster"))).as("m"))
+        .agg(min(struct(col("d2"), col("cluster"))).as("m"),
+          first(col("w")).as("w"))
         .select(col("vec_id"), col("m.cluster").as("cluster"),
-          col("m.d2").as("d2"))
-      val dimMeans = assign.join(pts, Seq("vec_id"))
-        .select(col("cluster"), posexplode(col("x")).as(Seq("pos", "v")))
+          col("m.d2").as("d2"), col("w"))
+      // count-weighted mean over distinct vectors ≡ member-grain mean
+      val dimMeans = assign.join(pts.select(col("vec_id"), col("x")),
+          Seq("vec_id"))
+        .select(col("cluster"), col("w"),
+          posexplode(col("x")).as(Seq("pos", "v")))
         .groupBy(col("cluster"), col("pos"))
-        .agg(round(sum(col("v")) / count(lit(1)), 6).as("cv"))
+        .agg(round(sum(col("v") * col("w")) / sum(col("w")), 6).as("cv"))
         .groupBy(col("cluster"))
         .agg(sort_array(collect_list(struct(col("pos"), col("cv")))).as("ms"))
         .select(col("cluster"),
@@ -392,7 +432,14 @@ object Similarity {
       cents = pin(cents.join(dimMeans, Seq("cluster"), "left")
         .select(col("cluster"), coalesce(col("newvec"), col("cvec")).as("cvec")))
     }
-    assign
+    // member expansion: every raw vector inherits its distinct twin's
+    // (cluster, d2) — assignment and distance are functions of the
+    // vector value alone
+    val distinctAssign = assign
+      .join(pts.select(col("vec_id"), col("x")), Seq("vec_id"))
+      .select(col("x"), col("cluster"), col("d2"))
+    raw.join(distinctAssign, Seq("x"))
+      .select(col("vec_id"), col("cluster"), col("d2"))
   }
 
   /** Embedding-space OUTLIER filter — the vector-side curation gate

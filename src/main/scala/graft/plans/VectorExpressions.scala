@@ -111,6 +111,53 @@ case class DotProductFloatNullAware(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[DotProductFloat]] for two `array<double>` columns — the variant
+  * the PQ/ADC serve path needs: the decoded candidate vector and the
+  * double-converted probe are both double arrays, and the interpreted
+  * `aggregate(zip_with(...))` fold per (probe × candidate) dominated
+  * the ADC cut at the ~sf100 decade. Same left-to-right double
+  * accumulation — bit-identical to the fold (and to
+  * [[DotProductFloat]] after its exact float→double promotion).
+  */
+case class DotProductDouble(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot_dd"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      s += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("dotN")
+      val s = ctx.freshName("dotSum")
+      val i = ctx.freshName("dotI")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductDouble =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration of graft's native expressions.
   *
   * Preferred path: `spark.sql.extensions=graft.plans.GraftExtensions`.
@@ -120,6 +167,7 @@ case class DotProductFloatNullAware(left: Expression, right: Expression)
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.dotDescriptor)
+    e.injectFunction(GraftFunctions.dotDoubleDescriptor)
     e.injectFunction(SimHashFunctions.descriptor)
     e.injectFunction(ShingleHashFunctions.descriptor)
     e.injectFunction(MinhashSigFunctions.descriptor)
@@ -135,10 +183,19 @@ object GraftFunctions {
     new ExpressionInfo(classOf[DotProductFloat].getName, "graft_dot"),
     (children: Seq[Expression]) => DotProductFloat(children(0), children(1)))
 
+  val dotDoubleDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot_dd"),
+    new ExpressionInfo(classOf[DotProductDouble].getName, "graft_dot_dd"),
+    (children: Seq[Expression]) => DotProductDouble(children(0), children(1)))
+
   def ensureRegistered(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(FunctionIdentifier("graft_dot"))) {
       reg.registerFunction(dotDescriptor._1, dotDescriptor._2, dotDescriptor._3)
+    }
+    if (!reg.functionExists(FunctionIdentifier("graft_dot_dd"))) {
+      reg.registerFunction(dotDoubleDescriptor._1, dotDoubleDescriptor._2,
+        dotDoubleDescriptor._3)
     }
     if (!reg.functionExists(FunctionIdentifier("graft_simhash64"))) {
       val d = SimHashFunctions.descriptor

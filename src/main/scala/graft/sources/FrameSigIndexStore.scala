@@ -244,17 +244,39 @@ object FrameSigIndexStore {
     * filtered to pairs touching the drop). The corpus media is never
     * re-decoded or re-signed.
     *
-    * 100 TB shape: the drop's band rows broadcast (a daily drop ≪ the
-    * corpus), so the stored index scans without ANY exchange; the
-    * Hamming verify is pure arithmetic on the band rows' sig halves —
-    * no media bytes move at any stage.
+    * 100 TB shape: the DROP COLLAPSES TO DISTINCT ASSETS first (the
+    * r15 fix — the same asset collapse `nearDupFrames` got in r14;
+    * the raw-grain delta pushed every twin copy of every drop band
+    * row through the broadcast band join and a pair-grain distinct,
+    * quadratic in the drop's twin-group sizes at replica density),
+    * so only the distinct drop's band rows broadcast (a daily drop ≪
+    * the corpus, its distinct assets ≪ the drop on mirrored feeds)
+    * and the stored index scans without ANY exchange. The verified
+    * rep-grain pairs re-expand by twin-group membership — value-
+    * identical because signatures, band keys, and Hamming are pure
+    * functions of the content bytes. The Hamming verify is pure
+    * arithmetic on the band rows' sig halves — no media bytes move at
+    * any stage. The OUTPUT stays pair-grain (the oracle's shape) and
+    * genuinely quadratic at replica density — consumers that cannot
+    * take that density take the rep-grain serving form
+    * ([[Multimodal.nearDupFrameReps]]'s law).
     */
   def deltaPairs(drop: Dataset[MMRecord], storedBands: DataFrame,
       maxHamming: Int = MaxHamming): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= MaxHamming,
       s"4x16-bit banding is only lossless up to Hamming $MaxHamming, " +
         s"got $maxHamming")
-    val dBands = bandRows(drop)
+    val (docRep, sizes) = Multimodal.assetRepElection(drop)
+    val repDrop = {
+      import drop.sparkSession.implicits._
+      drop.toDF()
+        .join(sizes.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+        .as[MMRecord]
+    }
+    // rep-grain and multiply consumed (stored join + internal join's
+    // two sides + the within-group frame spine) — materialize once
+    val dBands = org.apache.spark.sql.GraftInternal.pinRecomputable(
+      bandRows(repDrop))
     val dSide = broadcast(dBands)
     def ham(a: String, b: String) =
       (bit_count(col(s"$a.sig_lo").bitwiseXOR(col(s"$b.sig_lo"))) +
@@ -263,22 +285,49 @@ object FrameSigIndexStore {
     val onCols = (a: String, b: String) =>
       col(s"$a.frame_idx") === col(s"$b.frame_idx") &&
         col(s"$a.band") === col(s"$b.band") && col(s"$a.bv") === col(s"$b.bv")
-    // drop × stored (either orientation — hamming is symmetric, the
-    // pair key normalizes); reuses the one broadcast of the drop side
-    val cross = storedBands.alias("s")
-      .join(dSide.alias("d"),
-        onCols("s", "d") && col("s.doc_id") =!= col("d.doc_id"))
-      .select(least(col("s.doc_id"), col("d.doc_id")).as("doc_a"),
-        greatest(col("s.doc_id"), col("d.doc_id")).as("doc_b"),
+    // stored × distinct-drop candidates, verified at rep grain, then
+    // expanded: a stored id pairs with EVERY member of the rep's twin
+    // group at the rep's per-frame verdict (stored and drop ids are
+    // disjoint by the caller contract, so least/greatest restores the
+    // orientation after expansion)
+    val crossRep = storedBands.alias("s")
+      .join(dSide.alias("d"), onCols("s", "d"))
+      .select(col("s.doc_id").as("sid"), col("d.doc_id").as("rep"),
         col("s.frame_idx").as("frame_idx"), ham("s", "d"))
-    // drop-internal: the drop also near-dups against itself
-    val internal = dBands.alias("a")
-      .join(dSide.alias("b"),
-        onCols("a", "b") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.frame_idx").as("frame_idx"), ham("a", "b"))
-    cross.unionByName(internal)
       .distinct() // several agreeing bands -> one candidate
       .filter(col("hamming") <= maxHamming)
+    val cross = crossRep
+      .join(docRep.select(col("rep"), col("doc_id").as("mid")), Seq("rep"))
+      .filter(col("sid") =!= col("mid")) // defensive (disjoint contract)
+      .select(least(col("sid"), col("mid")).as("doc_a"),
+        greatest(col("sid"), col("mid")).as("doc_b"),
+        col("frame_idx"), col("hamming"))
+    // drop-internal, rep grain: cross-group rep pairs expand to every
+    // member pair of the two (disjoint) groups; within-group twins
+    // pair at Hamming 0 on every frame of the asset
+    val internalRep = dBands.alias("a")
+      .join(dSide.alias("b"),
+        onCols("a", "b") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ra"), col("b.doc_id").as("rb"),
+        col("a.frame_idx").as("frame_idx"), ham("a", "b"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    val internalCross = internalRep
+      .join(docRep.select(col("rep").as("ra"), col("doc_id").as("da")), "ra")
+      .join(docRep.select(col("rep").as("rb"), col("doc_id").as("db")), "rb")
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"),
+        col("frame_idx"), col("hamming"))
+    val repFrames = dBands.select(col("doc_id").as("rep"), col("frame_idx"))
+      .distinct()
+    val memPairs = docRep.alias("x")
+      .join(docRep.alias("y"),
+        col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.rep").as("rep"), col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"))
+    val internalWithin = memPairs.join(repFrames, Seq("rep"))
+      .select(col("doc_a"), col("doc_b"), col("frame_idx"),
+        lit(0).cast("int").as("hamming"))
+    cross.unionByName(internalCross).unionByName(internalWithin)
   }
 }

@@ -371,12 +371,30 @@ object IvfIndexStore {
       when(m.getField("mx") === m.getField("mn"), m.getField("mn"))
         .otherwise(m.getField("mn") + c.cast("double") * step)
     })
-    val adc = codes.join(broadcast(probed), Seq("cell"))
+    // decode at CANDIDATE grain, not per (probe × candidate): the
+    // reconstruction and its norm are pure functions of (codes, grid),
+    // so each lands once per code row — the pre-r15 form evaluated the
+    // interpreted zip_with decode TWICE per probe pair (dot + norm),
+    // which dominated the ADC cut at the ~sf100 decade (22 s; the
+    // probe-pair work is now one codegen graft_dot_dd per pair).
+    // Separate selects on purpose: CollapseProject would otherwise
+    // inline the non-cheap decode back into its two consumers.
+    val decoded = codes
       .crossJoin(broadcast(gridRow))
+      .select(col("cell"), col("vec_id"), recon.as("rv"))
+      .select(col("cell"), col("vec_id"), col("rv"),
+        sqrt(call_function("graft_dot_dd", col("rv"), col("rv"))).as("rnrm"))
+    // the probe side converts to double ONCE (broadcast, bounded):
+    // graft_dot_dd(probe_xd, rv) accumulates the identical product
+    // sequence as the interpreted fold over (float probe, double rv)
+    // after the exact float→double promotion — bit-identical, oracle
+    // untouched
+    val probedX = probed.withColumn("probe_xd", VF.asDouble(col("probe_emb")))
+    val adc = decoded.join(broadcast(probedX), Seq("cell"))
       .filter(col("probe_id") =!= col("vec_id"))
       .select(col("probe_id"), col("vec_id").as("cand_id"),
-        round(VF.dot(col("probe_emb"), recon)
-          / (col("probe_dnrm") * VF.norm(recon)), 4).as("adc_cosine"))
+        round(call_function("graft_dot_dd", col("probe_xd"), col("rv"))
+          / (col("probe_dnrm") * col("rnrm")), 4).as("adc_cosine"))
       .filter(col("adc_cosine").isNotNull)
     val topm = graft.plans.TopKPlanner
       .perGroup(adc, "probe_id", "adc_cosine", "cand_id", rerank)
