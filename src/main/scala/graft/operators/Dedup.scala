@@ -533,14 +533,15 @@ object Dedup {
     val deltaBands = MinhashIndexStore.bandRows(reps)
     val deltaSide =
       if (broadcastDelta) broadcast(deltaBands) else deltaBands
-    // delta × stored-corpus candidates: the stored side is a SCAN of
-    // the index, the delta side the only signature computation in the
-    // plan (defensive self-pair filter — caller contract is disjoint)
+    // delta × stored-corpus candidates, kept ORIENTED (delta_id,
+    // stored_id) so the stored side can collapse below: the stored
+    // side is a SCAN of the index, the delta side the only signature
+    // computation in the plan (defensive self-pair filter — caller
+    // contract is disjoint)
     val candCorpus = storedBands
       .join(deltaSide.withColumnRenamed("doc_id", "delta_id"), keyCols)
       .filter(col("doc_id") =!= col("delta_id"))
-      .select(least(col("doc_id"), col("delta_id")).as("id_a"),
-        greatest(col("doc_id"), col("delta_id")).as("id_b"))
+      .select(col("delta_id"), col("doc_id").as("stored_id"))
     // delta-internal candidates: the drop against itself. The b side
     // reuses the SAME broadcast as the stored-index join (one
     // broadcast exchange, one signing pass for both candidate sources)
@@ -549,29 +550,63 @@ object Dedup {
         .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
       deltaBands.alias("a").join(deltaSide.alias("b"), cond)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
     }
-    val pairs = candCorpus.unionByName(candDelta).distinct()
-    // exact-Jaccard verify: corpus text fetched by candidate id only.
-    // The id set comes straight from the delta×stored band join (the
+    // candidate stored ids, raw grain. Delta ids never enter (the
     // non-delta side of every candidate pair is by construction a
-    // stored-index id), NOT from re-deriving the full pair frame — one
-    // index-scan subtree instead of two — and delta ids never enter
-    // it, so callers may pass the FULL docs table as `corpus` without
-    // a corpus-wide anti-join (a streaming micro-batch doesn't know
-    // its complement's predicate)
+    // stored-index id), so callers may pass the FULL docs table as
+    // `corpus` without a corpus-wide anti-join (a streaming
+    // micro-batch doesn't know its complement's predicate)
     val candIds = storedBands
       .join(deltaSide.select(keyCols.map(col): _*), keyCols)
       .select(col("doc_id")).distinct()
       .join(dropIds, Seq("doc_id"), "left_anti")
-    val corpusSh = corpus.join(candIds, Seq("doc_id"), "left_semi")
+    // CORPUS-SIDE DISTINCT-TEXT COLLAPSE (the r15 fix — profiled at
+    // ~sf100: re-shingling ~1M candidate stored COPIES was 28.6 s of a
+    // ~52 s serve, plus a copy-grain Jaccard verify on top): stored
+    // copies of one text hold identical band rows, so EVERY candidate
+    // copy of a text pairs with exactly the delta reps its text's
+    // bands collide with — the verify is a pure function of
+    // (delta text, stored text) and runs at (delta rep × DISTINCT
+    // candidate text) grain; the raw-id pair frame re-expands through
+    // the copy→crep map, value-identical. The election is the
+    // hash-keyed [[textGroupKeys]] shuffle (text never in the
+    // exchange); only the ~|distinct texts| crep docs are shingled.
+    val candDocs = corpus.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id") +: textGroupKeys(col("text")): _*)
+    val candGrp = candDocs.groupBy(TextGroupKeyNames.map(col): _*)
+      .agg(min(col("doc_id")).as("crep"))
+    val candMap = candDocs.join(candGrp, TextGroupKeyNames)
+      .select(col("doc_id").as("stored_id"), col("crep"))
+    val crepSh = corpus
+      .join(candGrp.select(col("crep").as("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), TF.words(col("text")).as("w"))
-      .select(col("doc_id"), TF.shinglesFromWords(col("w"), 3).as("shingles"))
-    val allSh = repSh.unionByName(corpusSh)
-    pairs
-      .join(allSh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(allSh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .select(col("doc_id").as("crep"),
+        TF.shinglesFromWords(col("w"), 3).as("shingles"))
+    // cross verify at (delta rep × distinct stored text) grain …
+    val crossRep = candCorpus.join(candMap, Seq("stored_id"))
+      .select(col("delta_id"), col("crep")).distinct()
+      .join(repSh.select(col("doc_id").as("delta_id"),
+        col("shingles").as("sh_a")), "delta_id")
+      .join(crepSh.select(col("crep"), col("shingles").as("sh_b")), "crep")
+      .select(col("delta_id"), col("crep"),
+        TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    // … expanded back to raw id pairs: copies of one text share their
+    // band rows, so a (delta, text) collision pairs the delta rep with
+    // every candidate copy of that text — exactly the raw band join's
+    // pair set
+    val crossOut = crossRep.join(candMap, Seq("crep"))
+      .select(least(col("delta_id"), col("stored_id")).as("id_a"),
+        greatest(col("delta_id"), col("stored_id")).as("id_b"),
+        col("jaccard"))
+    // delta-internal verify stays at rep grain (the caller already
+    // collapsed the drop)
+    val internalOut = candDelta
+      .join(repSh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(repSh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    crossOut.unionByName(internalOut)
   }
 
   /** SimHash near-dup: 64-bit signature, pigeonhole 16-bit chunk

@@ -31,6 +31,9 @@ object Profile {
     }
 
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    if (sys.env.get("SPARK_GRAFT_PROFILE").contains("delta")) {
+      deltaAnatomy(spark, dir); spark.stop(); return
+    }
     time("warmup/floor: docs scan+hash")(docs)
     time("floor rep 2: docs scan+hash")(docs)
     time("ids only: doc_id scan+hash")(docs.select(col("doc_id")))
@@ -58,5 +61,89 @@ object Profile {
         l.contains("Window"))
       .foreach(l => println("[prof]   " + l.trim.take(150)))
     spark.stop()
+  }
+
+  /** `SPARK_GRAFT_PROFILE=delta`: stage anatomy of the
+    * `dedup_incremental` serve (minhashNearDupsDelta against the
+    * persisted band index) at the replica decades — where do its
+    * ~50 s at ~sf100 go? Stages mirror the operator's plan in order.
+    */
+  private def deltaAnatomy(spark: SparkSession, dir: String): Unit = {
+    import graft.sources.MinhashIndexStore
+    def time(label: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.select(xxhash64(struct(col("*"))).as("h"))
+        .agg(expr("bit_xor(h)")).collect()
+      println(f"[prof] $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    val docs = Tables.documents(spark, dir)
+    val path = MinhashIndexStore.defaultPath(dir)
+    MinhashIndexStore.ensure(docs.filter(col("doc_id") % 10 =!= 0), path)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    time("floor: docs scan+hash")(docs.select(col("doc_id"), col("text")))
+    time("floor rep 2")(docs.select(col("doc_id"), col("text")))
+    time("drop scan")(delta.select(col("doc_id"), col("text")))
+    // the drop's member→rep window (one delta-sized exchange w/ text)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Dedup.TextGroupKeyNames.map(col): _*)
+    val members = delta.filter(col("text").isNotNull)
+      .select(Seq(col("doc_id"), col("text")) ++
+        Dedup.textGroupKeys(col("text")): _*)
+      .select(col("doc_id"), col("text"),
+        min(col("doc_id")).over(w).as("rep_id"),
+        count(lit(1)).over(w).as("m"))
+    time("drop election window (members)")(members
+      .select(col("doc_id"), col("rep_id"), col("m")))
+    val reps = members.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("text"))
+    time("rep rows")(reps.select(col("doc_id")))
+    time("rep band rows")(MinhashIndexStore.bandRows(reps))
+    time("stored bands scan")(MinhashIndexStore.bandsTable(spark, path)
+      .select(col("doc_id")))
+    // replicate the minhashDeltaVerified internals stage by stage
+    val keyCols = MinhashIndexStore.BandKeyCols
+    val storedBands = MinhashIndexStore.bandsTable(spark, path)
+    val deltaBands = MinhashIndexStore.bandRows(reps)
+    val deltaSide = broadcast(deltaBands)
+    val candCorpus = storedBands
+      .join(deltaSide.withColumnRenamed("doc_id", "delta_id"), keyCols)
+      .filter(col("doc_id") =!= col("delta_id"))
+      .select(least(col("doc_id"), col("delta_id")).as("id_a"),
+        greatest(col("doc_id"), col("delta_id")).as("id_b"))
+    time("cand stored join")(candCorpus)
+    time("cand pairs distinct")(candCorpus.distinct())
+    val candIds = storedBands
+      .join(deltaSide.select(keyCols.map(col): _*), keyCols)
+      .select(col("doc_id")).distinct()
+      .join(delta.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    time("cand ids")(candIds)
+    import graft.functions.{TextFunctions => TF}
+    val corpusSh = docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), TF.words(col("text")).as("w"))
+      .select(col("doc_id"), TF.shinglesFromWords(col("w"), 3).as("shingles"))
+    time("corpus shingles (size only)")(corpusSh
+      .select(col("doc_id"), size(col("shingles")).as("n")))
+    val repSh = reps
+      .select(col("doc_id"), TF.words(col("text")).as("w"))
+      .select(col("doc_id"), TF.shinglesFromWords(col("w"), 3).as("shingles"))
+    val allSh = repSh.unionByName(corpusSh)
+    val pairs = candCorpus.unionByName(
+      deltaBands.alias("a").join(deltaSide.alias("b"),
+          keyCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")))
+      .distinct()
+    val verified = pairs
+      .join(allSh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(allSh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    time("verified pairs (jaccard)")(verified)
+    time("FULL minhashNearDupsDelta")(
+      Dedup.minhashNearDupsDelta(delta, docs,
+        MinhashIndexStore.bandsTable(spark, path)))
+    time("FULL rep 2")(
+      Dedup.minhashNearDupsDelta(delta, docs,
+        MinhashIndexStore.bandsTable(spark, path)))
   }
 }
