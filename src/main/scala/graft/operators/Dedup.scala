@@ -520,7 +520,11 @@ object Dedup {
     * the caller contract that the drop is disjoint from the index).
     * Emits (id_a, id_b, jaccard) once per unordered candidate pair,
     * unthresholded — [[minhashNearDupsDelta]] rolls it up per member,
-    * [[minhashDeltaPairs]] filters it into an edge feed.
+    * [[minhashDeltaPairs]] filters it into an edge feed. Construction
+    * EAGERLY runs Spark jobs (the candidate copy→crep map is pinned —
+    * [[textRepElection]]'s materialization contract applied to the
+    * delta path; both callers execute immediately inside a micro-batch
+    * or a gated serve, so plan-assembly laziness buys nothing here).
     */
   private def minhashDeltaVerified(reps: DataFrame, dropIds: DataFrame,
       corpus: DataFrame, storedBands: DataFrame,
@@ -569,17 +573,24 @@ object Dedup {
     // bands collide with — the verify is a pure function of
     // (delta text, stored text) and runs at (delta rep × DISTINCT
     // candidate text) grain; the raw-id pair frame re-expands through
-    // the copy→crep map, value-identical. The election is the
-    // hash-keyed [[textGroupKeys]] shuffle (text never in the
-    // exchange); only the ~|distinct texts| crep docs are shingled.
-    val candDocs = corpus.join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id") +: textGroupKeys(col("text")): _*)
-    val candGrp = candDocs.groupBy(TextGroupKeyNames.map(col): _*)
-      .agg(min(col("doc_id")).as("crep"))
-    val candMap = candDocs.join(candGrp, TextGroupKeyNames)
-      .select(col("doc_id").as("stored_id"), col("crep"))
+    // the copy→crep map, value-identical. The election is ONE
+    // hash-keyed window shuffle over [[textGroupKeys]] (text never in
+    // the exchange — the micro-batch election form, at candidate
+    // grain), PINNED once: the map is consumed by the rep-grain
+    // distinct, the crep shingle fetch, and the pair expansion — left
+    // lazy, each consumer replayed the corpus semi-scan (measured: the
+    // unpinned form was SLOWER than the copy-grain verify it
+    // replaced). Only the ~|distinct candidate texts| crep docs are
+    // shingled.
+    val candMap = org.apache.spark.sql.GraftInternal.pinRecomputable(
+      corpus.join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id") +: textGroupKeys(col("text")): _*)
+        .select(col("doc_id").as("stored_id"),
+          min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(TextGroupKeyNames.map(col): _*)).as("crep")))
     val crepSh = corpus
-      .join(candGrp.select(col("crep").as("doc_id")), Seq("doc_id"), "left_semi")
+      .join(candMap.select(col("crep").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
       .select(col("doc_id"), TF.words(col("text")).as("w"))
       .select(col("doc_id").as("crep"),
         TF.shinglesFromWords(col("w"), 3).as("shingles"))
