@@ -436,17 +436,24 @@ object Dedup {
     // this cuts the delta-internal band join ~100× and the delta×
     // stored join ~10× — the difference between candidate cost
     // ∝ |distinct drop| and ∝ |drop|².
-    // one text-hash-keyed window shuffle produces the member→rep map,
-    // the group sizes, AND the rep rows (text rides the delta-sized
-    // exchange) — no groupBy-then-join round trip per micro-batch
+    // one text-hash-keyed window shuffle produces the member→rep map
+    // and the group sizes — no groupBy-then-join round trip per
+    // micro-batch. The map is SLIM (ids + size, no text) and PINNED:
+    // five consumers (rep rows, both rollup orientations, the member
+    // expansion, the verify's shingle fetch) would otherwise each
+    // replay the drop-sized window; rep TEXT re-fetches from the
+    // delta by id (a pushed semi scan of the drop, rep-bounded).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(TextGroupKeyNames.map(col): _*)
-    val members = delta.filter(col("text").isNotNull)
-      .select(Seq(col("doc_id"), col("text")) ++ textGroupKeys(col("text")): _*)
-      .select(col("doc_id"), col("text"),
-        min(col("doc_id")).over(w).as("rep_id"),
-        count(lit(1)).over(w).as("m"))
-    val reps = members.filter(col("doc_id") === col("rep_id"))
+    val members = org.apache.spark.sql.GraftInternal.pinRecomputable(
+      delta.filter(col("text").isNotNull)
+        .select(col("doc_id") +: textGroupKeys(col("text")): _*)
+        .select(col("doc_id"),
+          min(col("doc_id")).over(w).as("rep_id"),
+          count(lit(1)).over(w).as("m")))
+    val reps = delta
+      .join(members.filter(col("doc_id") === col("rep_id"))
+        .select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("text"))
     val verified = minhashDeltaVerified(reps, delta.select(col("doc_id")),
       corpus, storedBands, broadcastDelta)
@@ -531,9 +538,12 @@ object Dedup {
       broadcastDelta: Boolean): DataFrame = {
     import graft.sources.MinhashIndexStore
     val keyCols = MinhashIndexStore.BandKeyCols
-    val repSh = reps
+    // rep-grain (distinct drop texts) and consumed three times (cross
+    // verify + both internal sides) — pinned, or each consumer replays
+    // the caller's drop election and the shingle kernel
+    val repSh = org.apache.spark.sql.GraftInternal.pinRecomputable(reps
       .select(col("doc_id"), TF.words(col("text")).as("w"))
-      .select(col("doc_id"), TF.shinglesFromWords(col("w"), 3).as("shingles"))
+      .select(col("doc_id"), TF.shinglesFromWords(col("w"), 3).as("shingles")))
     val deltaBands = MinhashIndexStore.bandRows(reps)
     val deltaSide =
       if (broadcastDelta) broadcast(deltaBands) else deltaBands
@@ -594,14 +604,20 @@ object Dedup {
       .select(col("doc_id"), TF.words(col("text")).as("w"))
       .select(col("doc_id").as("crep"),
         TF.shinglesFromWords(col("w"), 3).as("shingles"))
-    // cross verify at (delta rep × distinct stored text) grain …
-    val crossRep = candCorpus.join(candMap, Seq("stored_id"))
-      .select(col("delta_id"), col("crep")).distinct()
-      .join(repSh.select(col("doc_id").as("delta_id"),
-        col("shingles").as("sh_a")), "delta_id")
-      .join(crepSh.select(col("crep"), col("shingles").as("sh_b")), "crep")
-      .select(col("delta_id"), col("crep"),
-        TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    // cross verify at (delta rep × distinct stored text) grain —
+    // PINNED so the verify provably stays at rep grain: left lazy,
+    // the optimizer reorders the expansion join below the jaccard
+    // projection and re-evaluates the shingle verify once per
+    // EXPANDED row (measured: 16.5 s vs 1.6 s for the pair expansion
+    // alone at ~sf10)
+    val crossRep = org.apache.spark.sql.GraftInternal.pinRecomputable(
+      candCorpus.join(candMap, Seq("stored_id"))
+        .select(col("delta_id"), col("crep")).distinct()
+        .join(repSh.select(col("doc_id").as("delta_id"),
+          col("shingles").as("sh_a")), "delta_id")
+        .join(crepSh.select(col("crep"), col("shingles").as("sh_b")), "crep")
+        .select(col("delta_id"), col("crep"),
+          TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard")))
     // … expanded back to raw id pairs: copies of one text share their
     // band rows, so a (delta, text) collision pairs the delta rep with
     // every candidate copy of that text — exactly the raw band join's

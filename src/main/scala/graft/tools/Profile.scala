@@ -100,7 +100,7 @@ object Profile {
     time("rep band rows")(MinhashIndexStore.bandRows(reps))
     time("stored bands scan")(MinhashIndexStore.bandsTable(spark, path)
       .select(col("doc_id")))
-    // replicate the minhashDeltaVerified internals stage by stage
+    // replicate the (r15, collapsed) minhashDeltaVerified internals
     val keyCols = MinhashIndexStore.BandKeyCols
     val storedBands = MinhashIndexStore.bandsTable(spark, path)
     val deltaBands = MinhashIndexStore.bandRows(reps)
@@ -108,37 +108,61 @@ object Profile {
     val candCorpus = storedBands
       .join(deltaSide.withColumnRenamed("doc_id", "delta_id"), keyCols)
       .filter(col("doc_id") =!= col("delta_id"))
-      .select(least(col("doc_id"), col("delta_id")).as("id_a"),
-        greatest(col("doc_id"), col("delta_id")).as("id_b"))
+      .select(col("delta_id"), col("doc_id").as("stored_id"))
     time("cand stored join")(candCorpus)
-    time("cand pairs distinct")(candCorpus.distinct())
     val candIds = storedBands
       .join(deltaSide.select(keyCols.map(col): _*), keyCols)
       .select(col("doc_id")).distinct()
       .join(delta.select(col("doc_id")), Seq("doc_id"), "left_anti")
     time("cand ids")(candIds)
     import graft.functions.{TextFunctions => TF}
-    val corpusSh = docs.join(candIds, Seq("doc_id"), "left_semi")
+    val t0 = System.nanoTime()
+    val candMap = org.apache.spark.sql.GraftInternal.pinRecomputable(
+      docs.join(candIds, Seq("doc_id"), "left_semi")
+        .select(col("doc_id") +: Dedup.textGroupKeys(col("text")): _*)
+        .select(col("doc_id").as("stored_id"),
+          min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(Dedup.TextGroupKeyNames.map(col): _*)).as("crep")))
+    println(f"[prof] candMap PIN                              ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    val crepSh = docs
+      .join(candMap.select(col("crep").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
       .select(col("doc_id"), TF.words(col("text")).as("w"))
-      .select(col("doc_id"), TF.shinglesFromWords(col("w"), 3).as("shingles"))
-    time("corpus shingles (size only)")(corpusSh
-      .select(col("doc_id"), size(col("shingles")).as("n")))
+      .select(col("doc_id").as("crep"),
+        TF.shinglesFromWords(col("w"), 3).as("shingles"))
+    time("crep shingles")(crepSh.select(col("crep"),
+      size(col("shingles")).as("n")))
     val repSh = reps
       .select(col("doc_id"), TF.words(col("text")).as("w"))
       .select(col("doc_id"), TF.shinglesFromWords(col("w"), 3).as("shingles"))
-    val allSh = repSh.unionByName(corpusSh)
-    val pairs = candCorpus.unionByName(
-      deltaBands.alias("a").join(deltaSide.alias("b"),
-          keyCols.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")))
-      .distinct()
-    val verified = pairs
-      .join(allSh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(allSh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
+    val crossRep = candCorpus.join(candMap, Seq("stored_id"))
+      .select(col("delta_id"), col("crep")).distinct()
+      .join(repSh.select(col("doc_id").as("delta_id"),
+        col("shingles").as("sh_a")), "delta_id")
+      .join(crepSh.select(col("crep"), col("shingles").as("sh_b")), "crep")
+      .select(col("delta_id"), col("crep"),
         TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-    time("verified pairs (jaccard)")(verified)
+    time("crossRep verify")(crossRep)
+    val crossOut = crossRep.join(candMap, Seq("crep"))
+      .select(least(col("delta_id"), col("stored_id")).as("id_a"),
+        greatest(col("delta_id"), col("stored_id")).as("id_b"),
+        col("jaccard"))
+    time("crossOut expansion")(crossOut)
+    time("cross pairs only (no jaccard)")(crossRep
+      .select(col("delta_id"), col("crep"))
+      .join(candMap, Seq("crep"))
+      .select(col("delta_id"), col("stored_id")))
+    time("crossRep pairs only (pre-shingle)")(candCorpus
+      .join(candMap, Seq("stored_id"))
+      .select(col("delta_id"), col("crep")).distinct())
+    crossOut.select(xxhash64(struct(col("*"))).as("h"))
+      .agg(expr("bit_xor(h)")).collect()
+    println("[prof] crossOut final plan:")
+    crossOut.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head.linesIterator
+      .filter(l => l.contains("Exchange") || l.contains("Join") ||
+        l.contains("Scan") || l.contains("Window") || l.contains("Project"))
+      .foreach(l => println("[prof]   " + l.trim.take(160)))
     time("FULL minhashNearDupsDelta")(
       Dedup.minhashNearDupsDelta(delta, docs,
         MinhashIndexStore.bandsTable(spark, path)))

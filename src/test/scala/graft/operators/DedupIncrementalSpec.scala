@@ -149,8 +149,16 @@ class DedupIncrementalSpec extends SparkSpecBase {
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     val finalSection = p.split("== Initial Plan ==").head
-    // the stored corpus side is a parquet scan of the index path
-    assert(finalSection.contains("graft_mh_plan"), p)
+    // the stored corpus side is a parquet scan of the index path.
+    // Since r15 the candidate verify materializes eagerly (the pinned
+    // copy→crep map and rep-grain verify frames), so the index scan
+    // may sit inside the pinned stage's jobs instead of the final
+    // plan — the pinned LogicalRDD leaves are its evidence there, and
+    // the tamper test below pins the functional contract (the STORED
+    // bytes drive the serve).
+    // (presence checked over the whole executed-plan string — AQE's
+    // stage-reuse formatting moves leaf rendering between sections)
+    assert(p.contains("graft_mh_plan") || p.contains("Scan ExistingRDD"), p)
     // no corpus-only signing branch: every minhash computation in the
     // plan sits on a delta-filtered scan, so each signing Project's
     // source filter must include the POSITIVE delta predicate (the
