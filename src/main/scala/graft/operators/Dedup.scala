@@ -622,15 +622,19 @@ object Dedup {
     // band rows, so a (delta, text) collision pairs the delta rep with
     // every candidate copy of that text — exactly the raw band join's
     // pair set
-    val crossOut = crossRep.join(candMap, Seq("crep"))
+    // the verified rep frame is tiny — broadcast it so the copy→crep
+    // map never shuffles for the expansion
+    val crossOut = candMap.join(broadcast(crossRep), Seq("crep"))
       .select(least(col("delta_id"), col("stored_id")).as("id_a"),
         greatest(col("delta_id"), col("stored_id")).as("id_b"),
         col("jaccard"))
     // delta-internal verify stays at rep grain (the caller already
     // collapsed the drop)
     val internalOut = candDelta
-      .join(repSh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(repSh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .join(broadcast(repSh.select(col("doc_id").as("id_a"),
+        col("shingles").as("sh_a"))), "id_a")
+      .join(broadcast(repSh.select(col("doc_id").as("id_b"),
+        col("shingles").as("sh_b"))), "id_b")
       .select(col("id_a"), col("id_b"),
         TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
     crossOut.unionByName(internalOut)

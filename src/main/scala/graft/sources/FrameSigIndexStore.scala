@@ -296,8 +296,12 @@ object FrameSigIndexStore {
         col("s.frame_idx").as("frame_idx"), ham("s", "d"))
       .distinct() // several agreeing bands -> one candidate
       .filter(col("hamming") <= maxHamming)
+    // expansion maps are drop-bounded — broadcast them explicitly so
+    // the stored-side candidate stream never shuffles for the
+    // expansion (the audit contract: no sort-merge join in the serve)
     val cross = crossRep
-      .join(docRep.select(col("rep"), col("doc_id").as("mid")), Seq("rep"))
+      .join(broadcast(docRep.select(col("rep"), col("doc_id").as("mid"))),
+        Seq("rep"))
       .filter(col("sid") =!= col("mid")) // defensive (disjoint contract)
       .select(least(col("sid"), col("mid")).as("doc_a"),
         greatest(col("sid"), col("mid")).as("doc_b"),
@@ -313,19 +317,21 @@ object FrameSigIndexStore {
       .distinct()
       .filter(col("hamming") <= maxHamming)
     val internalCross = internalRep
-      .join(docRep.select(col("rep").as("ra"), col("doc_id").as("da")), "ra")
-      .join(docRep.select(col("rep").as("rb"), col("doc_id").as("db")), "rb")
+      .join(broadcast(docRep.select(col("rep").as("ra"),
+        col("doc_id").as("da"))), "ra")
+      .join(broadcast(docRep.select(col("rep").as("rb"),
+        col("doc_id").as("db"))), "rb")
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"),
         col("frame_idx"), col("hamming"))
     val repFrames = dBands.select(col("doc_id").as("rep"), col("frame_idx"))
       .distinct()
     val memPairs = docRep.alias("x")
-      .join(docRep.alias("y"),
+      .join(broadcast(docRep.alias("y")),
         col("x.rep") === col("y.rep") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.rep").as("rep"), col("x.doc_id").as("doc_a"),
         col("y.doc_id").as("doc_b"))
-    val internalWithin = memPairs.join(repFrames, Seq("rep"))
+    val internalWithin = memPairs.join(broadcast(repFrames), Seq("rep"))
       .select(col("doc_a"), col("doc_b"), col("frame_idx"),
         lit(0).cast("int").as("hamming"))
     cross.unionByName(internalCross).unionByName(internalWithin)
