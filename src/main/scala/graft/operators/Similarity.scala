@@ -381,8 +381,8 @@ object Similarity {
     // aggregate collapses replicas before the exchange, so the shuffle
     // carries distinct-per-partition vectors only
     // persist, not localCheckpoint: checkpoint would re-execute the
-    // projection in a second job; the seed collect below materializes
-    // the cache
+    // projection in a second job; round 1's centroid pin is the first
+    // action over pts and materializes the cache (seeds come from raw)
     val pts = raw
       .groupBy(col("x"))
       .agg(min(col("vec_id")).as("vec_id"),

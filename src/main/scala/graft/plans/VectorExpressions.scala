@@ -116,22 +116,29 @@ case class DotProductFloatNullAware(left: Expression, right: Expression)
   * double-converted probe are both double arrays, and the interpreted
   * `aggregate(zip_with(...))` fold per (probe × candidate) dominated
   * the ADC cut at the ~sf100 decade. Same left-to-right double
-  * accumulation — bit-identical to the fold (and to
-  * [[DotProductFloat]] after its exact float→double promotion).
+  * accumulation, and the SAME null/shape semantics as the fold it
+  * replaces: a NULL element in either array — or a length mismatch,
+  * which `zip_with` pads with NULLs — makes the whole result NULL
+  * (the serve paths' `isNotNull` filters then drop the pair, exactly
+  * as the interpreted form did). Never reads a null slot as 0.0 and
+  * never silently truncates to the shorter array.
   */
 case class DotProductDouble(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_dot_dd"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       s += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -143,10 +150,14 @@ case class DotProductDouble(left: Expression, right: Expression)
       val n = ctx.freshName("dotN")
       val s = ctx.freshName("dotSum")
       val i = ctx.freshName("dotI")
+      // ev.isNull is declared (nullable=true); a NULL slot or a
+      // length mismatch flips it on and abandons the loop
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $s += $a.getDouble($i) * $b.getDouble($i);
          |}
          |${ev.value} = $s;

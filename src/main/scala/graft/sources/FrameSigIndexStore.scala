@@ -176,19 +176,27 @@ object FrameSigIndexStore {
           .join(broadcast(purgeSet), Seq("doc_id"), "left_semi")
           .isEmpty
         if (anyMasked) {
-          if (keyed) {
-            spark.read.parquet(s"$path/bands")
-              .withColumn("band", col("band").cast("int"))
-              .join(broadcast(purgeSet), Seq("doc_id"), "left_anti")
-              .write.mode(SaveMode.Overwrite)
+          // purged ledger before the swap (the expiry gate — see
+          // MinhashIndexStore.compact): only ids with live rows NOW
+          // are expirable later; pre-emptive takedowns never enter
+          Tombstones.appendPurged(
+            purgeSet.join(
+              spark.read.parquet(s"$path/bands").select(col("doc_id")),
+              Seq("doc_id"), "left_semi"),
+            path, "doc_id")
+          // both layouts fold the FULL ledger (not the live serve
+          // mask) — the flat and keyed rewrites can never drift
+          val raw = spark.read.parquet(s"$path/bands")
+            .withColumn("band", col("band").cast("int"))
+            .join(broadcast(purgeSet), Seq("doc_id"), "left_anti")
+          if (keyed)
+            raw.write.mode(SaveMode.Overwrite)
               .partitionBy("batch", "band")
               .parquet(s"$path/bands_compacted")
-          } else {
-            bandsTable(spark, path)
-              .write.mode(SaveMode.Overwrite)
+          else
+            raw.write.mode(SaveMode.Overwrite)
               .partitionBy("band")
               .parquet(s"$path/bands_compacted")
-          }
           SwapRecovery.renameOrThrow(fs,
             new org.apache.hadoop.fs.Path(s"$path/bands"),
             new org.apache.hadoop.fs.Path(s"$path/bands_old"))
@@ -204,15 +212,19 @@ object FrameSigIndexStore {
   /** Release the redelivery guard for physically-purged takedowns —
     * the [[MinhashIndexStore.expireTombstones]] contract applied to
     * the frame-sig store: caller asserts no pre-compact batch can be
-    * redelivered anymore; every tombstoned id with no live band row
-    * moves to the expired ledger and leaves the serve-side broadcast
-    * mask. Append-only ledgers, so any crash state under-expires.
+    * redelivered anymore; every COMPACT-PURGED tombstoned id
+    * ([[Tombstones.purged]]) with no live band row moves to the
+    * expired ledger and leaves the serve-side broadcast mask —
+    * pre-emptive (delete-before-ingest) takedowns are never eligible.
+    * Append-only ledgers, so any crash state under-expires.
     */
   def expireTombstones(spark: SparkSession, path: String): Unit =
     IndexLease.withLease(spark, path, "framesig-expire") {
       if (hasTombstones(spark, path)) {
         SwapRecovery.recover(spark, path, "bands")
         val gone = tombstonesTable(spark, path)
+          .join(Tombstones.purged(spark, path, "doc_id"),
+            Seq("doc_id"), "left_semi")
           .join(spark.read.parquet(s"$path/bands").select(col("doc_id")),
             Seq("doc_id"), "left_anti")
         Tombstones.appendExpired(gone, path, "doc_id")
@@ -335,5 +347,146 @@ object FrameSigIndexStore {
       .select(col("doc_a"), col("doc_b"), col("frame_idx"),
         lit(0).cast("int").as("hamming"))
     cross.unionByName(internalCross).unionByName(internalWithin)
+  }
+
+  // ------------------- REP-GRAIN lifecycle (bounded streamed serving)
+
+  /** [[buildKeyed]] at REP grain — the starting point for a stream
+    * maintained by [[appendRepBatch]] folds. The store keeps TWO
+    * layers, both batch-keyed: `bands/` holds band rows for each
+    * layer's elected distinct-asset reps only, `sizes/` holds each
+    * rep's twin-group size (`doc_id`, `n_copies`). At replica density
+    * the whole store is ∝ distinct content, never ∝ corpus — the
+    * index-side half of keeping the STREAMED serving form rep-grain
+    * ([[deltaReps]]); the r15 close measured the raw-grain streamed
+    * sink at 1.45G pair rows at ~sf100 for exactly this reason.
+    */
+  def buildRepKeyed(corpus: Dataset[MMRecord], path: String): Unit =
+    appendRepBatch(corpus, path, -1L)
+
+  /** Fold a drop's DISTINCT assets + group sizes into the rep-grain
+    * store, batch-id-keyed (crash-redelivery re-lands both layers —
+    * the [[appendBatch]] law, applied to bands and sizes atomically
+    * enough: each layer is its own `batch=<id>` overwrite, and a
+    * torn crash between them is healed by the redelivery itself).
+    */
+  def appendRepBatch(drop: Dataset[MMRecord], path: String,
+      batchId: Long): Unit =
+    IndexLease.withLease(drop.sparkSession, path, "framesig-append-rep") {
+      StoreLayout.assertWritable(drop.sparkSession, path, "bands",
+        keyed = true)
+      import drop.sparkSession.implicits._
+      val (_, sizes) = Multimodal.assetRepElection(drop)
+      val repDrop = drop.toDF()
+        .join(sizes.select(col("rep").as("doc_id")), Seq("doc_id"),
+          "left_semi")
+        .as[MMRecord]
+      bandRows(repDrop)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("band")
+        .parquet(StoreLayout.batchDir(path, "bands", batchId))
+      sizes.select(col("rep").as("doc_id"),
+          col("n_copies").cast("long").as("n_copies"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(StoreLayout.batchDir(path, "sizes", batchId))
+    }
+
+  /** The stored rep sizes (tombstone-masked like [[bandsTable]]). */
+  def sizesTable(spark: SparkSession, path: String): DataFrame = {
+    val sizes = spark.read.parquet(s"$path/sizes").drop("batch")
+    if (hasTombstones(spark, path))
+      sizes.join(broadcast(tombstonesTable(spark, path)),
+        Seq("doc_id"), "left_anti")
+    else sizes
+  }
+
+  /** Incremental near-dup frames at REP grain — [[deltaPairs]] with
+    * the pair-grain expansion NEVER materialized (the
+    * [[Multimodal.nearDupFrameReps]] serving law, applied to the
+    * streamed delta): one row per (stored rep × drop rep) and
+    * (drop rep × drop rep) candidate × frame, `(rep_a ≤ rep_b,
+    * frame_idx, hamming, n_a, n_b)`, plus the hamming-0 self row for
+    * every frame of any drop twin group with n ≥ 2. Cross rows expand
+    * to n_a·n_b member pairs, self rows to n·(n−1)/2 — over the batch
+    * sequence the expansion law reconstructs EXACTLY the pair-grain
+    * arrival-order answer ([[deltaPairs]]' union), because group
+    * membership never splits across a rep (content-keyed election)
+    * and stored/drop id spaces are disjoint by the caller contract.
+    *
+    * 100 TB shape: both join sides are distinct-content grain (the
+    * stored layer is rep-grain BY CONSTRUCTION — [[appendRepBatch]]),
+    * the drop side broadcasts, and the OUTPUT is rep-grain — sink
+    * rows ∝ distinct-asset pairs, constant across replica decades,
+    * where the raw-grain streamed sink measured 1.45G rows at ~sf100.
+    */
+  def deltaReps(drop: Dataset[MMRecord], storedBands: DataFrame,
+      storedSizes: DataFrame, maxHamming: Int = MaxHamming): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= MaxHamming,
+      s"4x16-bit banding is only lossless up to Hamming $MaxHamming, " +
+        s"got $maxHamming")
+    import drop.sparkSession.implicits._
+    val (_, sizes) = Multimodal.assetRepElection(drop)
+    val repDrop = drop.toDF()
+      .join(sizes.select(col("rep").as("doc_id")), Seq("doc_id"), "left_semi")
+      .as[MMRecord]
+    val dBands = org.apache.spark.sql.GraftInternal.pinRecomputable(
+      bandRows(repDrop))
+    val dSide = broadcast(dBands)
+    def ham(a: String, b: String) =
+      (bit_count(col(s"$a.sig_lo").bitwiseXOR(col(s"$b.sig_lo"))) +
+        bit_count(col(s"$a.sig_hi").bitwiseXOR(col(s"$b.sig_hi"))))
+        .cast("int").as("hamming")
+    val onCols = (a: String, b: String) =>
+      col(s"$a.frame_idx") === col(s"$b.frame_idx") &&
+        col(s"$a.band") === col(s"$b.band") && col(s"$a.bv") === col(s"$b.bv")
+    // stored-rep × drop-rep candidates; sizes follow their ids through
+    // the least/greatest re-orientation (both expansion maps are
+    // bounded: drop sizes by the drop, stored sizes by distinct
+    // stored content — broadcast, the stored band stream never
+    // shuffles)
+    val dropN = sizes.select(col("rep").as("drep"),
+      col("n_copies").cast("long").as("dn"))
+    val storedN = storedSizes.select(col("doc_id").as("srep"),
+      col("n_copies").cast("long").as("sn"))
+    val cross = storedBands.alias("s")
+      .join(dSide.alias("d"), onCols("s", "d"))
+      .select(col("s.doc_id").as("srep"), col("d.doc_id").as("drep"),
+        col("s.frame_idx").as("frame_idx"), ham("s", "d"))
+      .distinct() // several agreeing bands -> one candidate
+      .filter(col("hamming") <= maxHamming)
+      .join(broadcast(dropN), Seq("drep"))
+      .join(broadcast(storedN), Seq("srep"))
+      .select(least(col("srep"), col("drep")).as("rep_a"),
+        greatest(col("srep"), col("drep")).as("rep_b"),
+        col("frame_idx"), col("hamming"),
+        when(col("srep") < col("drep"), col("sn")).otherwise(col("dn"))
+          .as("n_a"),
+        when(col("srep") < col("drep"), col("dn")).otherwise(col("sn"))
+          .as("n_b"))
+    // drop-internal rep pairs (already oriented: a < b on the join)
+    val internal = dBands.alias("a")
+      .join(dSide.alias("b"),
+        onCols("a", "b") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ra"), col("b.doc_id").as("rb"),
+        col("a.frame_idx").as("frame_idx"), ham("a", "b"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .join(broadcast(dropN.select(col("drep").as("ra"),
+        col("dn").as("n_a"))), Seq("ra"))
+      .join(broadcast(dropN.select(col("drep").as("rb"),
+        col("dn").as("n_b"))), Seq("rb"))
+      .select(col("ra").as("rep_a"), col("rb").as("rep_b"),
+        col("frame_idx"), col("hamming"), col("n_a"), col("n_b"))
+    // hamming-0 self rows: every frame of any drop twin group with
+    // n >= 2 (within-group pairs expand as n·(n−1)/2)
+    val repFrames = dBands.select(col("doc_id").as("rep"), col("frame_idx"))
+      .distinct()
+    val selfRows = sizes.filter(col("n_copies") >= 2)
+      .join(repFrames, Seq("rep"))
+      .select(col("rep").as("rep_a"), col("rep").as("rep_b"),
+        col("frame_idx"), lit(0).cast("int").as("hamming"),
+        col("n_copies").cast("long").as("n_a"),
+        col("n_copies").cast("long").as("n_b"))
+    cross.unionByName(internal).unionByName(selfRows)
   }
 }

@@ -184,23 +184,34 @@ object MinhashIndexStore {
           .join(broadcast(purgeSet), Seq("doc_id"), "left_semi")
           .isEmpty
         if (anyMasked) {
-          if (keyed) {
-            // physical purge folds EVERY id ever tombstoned (the full
-            // list, not the live serve mask — an expired id should
-            // never have live rows, but if one does the purge is the
-            // self-heal, not a resurrection)
-            val raw = spark.read.parquet(s"$path/bands")
-              .withColumn("band", col("band").cast("int"))
-              .join(broadcast(purgeSet), Seq("doc_id"), "left_anti")
+          // ledger the ids this rewrite ACTUALLY purges (they have
+          // live rows right now) BEFORE the swap — the expiry gate
+          // that keeps pre-emptive takedowns masked forever. Written
+          // pre-swap because it reads the pre-swap layer; a crash
+          // between this append and the swap only over-records, and
+          // expire's rows-absent conjunct refuses ids with live rows.
+          Tombstones.appendPurged(
+            purgeSet.join(
+              spark.read.parquet(s"$path/bands").select(col("doc_id")),
+              Seq("doc_id"), "left_semi"),
+            path, "doc_id")
+          // physical purge folds EVERY id ever tombstoned (the full
+          // list, not the live serve mask — an expired id should
+          // never have live rows, but if one does the purge is the
+          // self-heal, not a resurrection). Flat stores fold the SAME
+          // full set (not bandsTable's live mask): the rewrite and the
+          // keyed path can never drift on which rows survive.
+          val raw = spark.read.parquet(s"$path/bands")
+            .withColumn("band", col("band").cast("int"))
+            .join(broadcast(purgeSet), Seq("doc_id"), "left_anti")
+          if (keyed)
             raw.write.mode(SaveMode.Overwrite)
               .partitionBy("batch", "band")
               .parquet(s"$path/bands_compacted")
-          } else {
-            bandsTable(spark, path)
-              .write.mode(SaveMode.Overwrite)
+          else
+            raw.write.mode(SaveMode.Overwrite)
               .partitionBy("band")
               .parquet(s"$path/bands_compacted")
-          }
           // swap via rename so EVERY intermediate state still has a
           // complete index on disk: move the live dir aside, promote the
           // compacted one, and only then drop the old bytes + tombstones.
@@ -236,14 +247,23 @@ object MinhashIndexStore {
     * A redelivered batch re-lands retracted rows, and an expired id
     * would no longer mask them — the same horizon a streaming sink
     * needs before pruning its own dedup state. Crash-safe by
-    * construction: both ledgers are append-only, so any crash state
+    * construction: all ledgers are append-only, so any crash state
     * under-expires (masks too much), never serves a retracted row.
+    *
+    * Only ids a compact ACTUALLY purged ([[Tombstones.purged]]) are
+    * eligible: a PRE-EMPTIVE takedown (delete issued before the id
+    * was ever appended) has no rows for any compact to fold, so the
+    * rows-absent test alone would expire it and a later first-time
+    * append would serve unmasked — it stays in the serve mask until
+    * its content arrives and a compact purges it.
     */
   def expireTombstones(spark: SparkSession, path: String): Unit =
     IndexLease.withLease(spark, path, "minhash-expire") {
       if (hasTombstones(spark, path)) {
         SwapRecovery.recover(spark, path, "bands")
         val gone = tombstonesTable(spark, path)
+          .join(Tombstones.purged(spark, path, "doc_id"),
+            Seq("doc_id"), "left_semi")
           .join(spark.read.parquet(s"$path/bands").select(col("doc_id")),
             Seq("doc_id"), "left_anti")
         Tombstones.appendExpired(gone, path, "doc_id")

@@ -32,6 +32,10 @@ import org.apache.spark.sql.functions._
   *    ledgers, every crash state under-expires (masks too much), never
   *    under-masks. Both ledgers are O(total takedowns) id lists — at
   *    100 TB a vanishing fraction of any layer they mask.
+  *  - `tombstones_purged/` — append-only ledger of ids a compact has
+  *    ACTUALLY physically purged ([[appendPurged]]/[[purged]]); the
+  *    expiry gate, so pre-emptive (delete-before-ingest) takedowns can
+  *    never be released by expiry.
   */
 private[sources] object Tombstones {
 
@@ -69,6 +73,37 @@ private[sources] object Tombstones {
     ids.select(col(idCol))
       .write.mode(SaveMode.Append).parquet(s"$path/tombstones_expired")
 
+  private def existsPurged(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(s"$path/tombstones_purged")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Ids a compact has ACTUALLY physically purged (they had live rows
+    * when the rewrite ran). Expiry is gated on membership here: a
+    * PRE-EMPTIVE takedown — delete issued before the content was ever
+    * appended — has no rows for any compact to purge, so it never
+    * enters this ledger and never leaves the serve mask; a later
+    * first-time append of that id stays masked (the r15 review
+    * finding: the rows-absent test alone expired pre-ingest takedowns
+    * and a subsequent first append served unmasked).
+    */
+  def purged(spark: SparkSession, path: String, idCol: String): DataFrame =
+    if (existsPurged(spark, path))
+      spark.read.parquet(s"$path/tombstones_purged")
+        .select(col(idCol)).distinct()
+    else
+      all(spark, path, idCol).limit(0)
+
+  /** Record ids as physically purged by a compact rewrite (append-only,
+    * written BEFORE the swap lands: if the swap then crashes and rolls
+    * back, the over-recorded id still has live rows, and the expire
+    * path's rows-absent conjunct refuses to release it — every crash
+    * state under-expires, never unmasks).
+    */
+  def appendPurged(ids: DataFrame, path: String, idCol: String): Unit =
+    ids.select(col(idCol))
+      .write.mode(SaveMode.Append).parquet(s"$path/tombstones_purged")
+
   /** Drop both ledgers — the FLAT-store compact epilogue (its rewrite
     * physically purged everything and flat stores need no redelivery
     * guard, so the zero-masking serve contract clears the mask).
@@ -77,6 +112,7 @@ private[sources] object Tombstones {
     val fs = SwapRecovery.fsOf(spark, path)
     fs.delete(new Path(s"$path/tombstones"), true)
     fs.delete(new Path(s"$path/tombstones_expired"), true)
+    fs.delete(new Path(s"$path/tombstones_purged"), true)
     ()
   }
 }

@@ -53,7 +53,17 @@ object GraftInternal {
     * overwritten source, and iterative loops cut lineage depth on
     * purpose.
     */
+  /** Test-only observation hook: [[pinRecomputable]] materializes via
+    * a raw RDD action (no SQL execution id), so QueryExecutionListener
+    * never sees a pinned stage's plan — plan-audit specs register a
+    * callback here to assert on it (e.g. that the delta serve's stored
+    * index scan sits inside a pinned stage). Never set in production.
+    */
+  @volatile var pinObserver: DataFrame => Unit = null
+
   def pinRecomputable(df: DataFrame): DataFrame = {
+    val obs = pinObserver
+    if (obs != null) obs(df)
     val rdd = df.queryExecution.toRdd.map(_.copy())
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     rdd.count()

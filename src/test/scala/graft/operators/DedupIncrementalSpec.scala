@@ -145,20 +145,27 @@ class DedupIncrementalSpec extends SparkSpecBase {
   test("serve plan scans the stored index; text never enters an exchange") {
     val docs = Tables.documents(spark, sfDir)
     val path = freshPath("plan")
-    val df = run(docs, path)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    val finalSection = p.split("== Initial Plan ==").head
     // the stored corpus side is a parquet scan of the index path.
     // Since r15 the candidate verify materializes eagerly (the pinned
     // copy→crep map and rep-grain verify frames), so the index scan
-    // may sit inside the pinned stage's jobs instead of the final
-    // plan — the pinned LogicalRDD leaves are its evidence there, and
-    // the tamper test below pins the functional contract (the STORED
-    // bytes drive the serve).
-    // (presence checked over the whole executed-plan string — AQE's
-    // stage-reuse formatting moves leaf rendering between sections)
-    assert(p.contains("graft_mh_plan") || p.contains("Scan ExistingRDD"), p)
+    // sits inside a pinned stage's job rather than the final plan —
+    // capture every pinned stage's plan via the pin hook and assert
+    // the index-path FileScan there (the r15 review found the old
+    // final-plan disjunct `contains("Scan ExistingRDD")` vacuous once
+    // pins exist in every plan).
+    val pinnedPlans = scala.collection.mutable.ArrayBuffer.empty[String]
+    org.apache.spark.sql.GraftInternal.pinObserver =
+      d => pinnedPlans.synchronized {
+        pinnedPlans += d.queryExecution.executedPlan.toString; ()
+      }
+    val df = try {
+      val d = run(docs, path); d.collect(); d
+    } finally org.apache.spark.sql.GraftInternal.pinObserver = null
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    val everywhere = (p +: pinnedPlans.toSeq).mkString("\n")
+    assert(everywhere.contains("graft_mh_plan"),
+      s"no index-path scan in the final plan or any pinned stage\n$everywhere")
     // no corpus-only signing branch: every minhash computation in the
     // plan sits on a delta-filtered scan, so each signing Project's
     // source filter must include the POSITIVE delta predicate (the

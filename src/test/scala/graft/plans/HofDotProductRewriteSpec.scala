@@ -57,6 +57,34 @@ class HofDotProductRewriteSpec extends SparkSpecBase {
       Seq((1L, None), (2L, Some(11.0))))
   }
 
+  test("graft_dot_dd keeps the fold's null/shape semantics on double arrays") {
+    registered
+    // the r15 review finding: the double kernel read NULL slots as raw
+    // memory and silently truncated ragged pairs — the fold it claims
+    // bit-identity with NULL-propagates both. Parquet round trip so
+    // containsNull=true and nothing constant-folds.
+    val p = java.nio.file.Files.createTempDirectory("dd_nulls").toString
+    Seq(
+      (1L, Array[java.lang.Double](1d, 2d, 3d), Array[java.lang.Double](4d, 5d, 6d)),
+      (2L, Array[java.lang.Double](1d, null, 3d), Array[java.lang.Double](4d, 5d, 6d)),
+      (3L, Array[java.lang.Double](1d, 2d, 3d), Array[java.lang.Double](1d, 1d)),
+      (4L, null.asInstanceOf[Array[java.lang.Double]], Array[java.lang.Double](1d)))
+      .toDF("id", "a", "b").write.mode("overwrite").parquet(p)
+    val df = spark.read.parquet(p)
+    val out = df.select($"id", call_function("graft_dot_dd", $"a", $"b").as("dot"))
+      .orderBy("id").as[(Long, Option[Double])].collect().toSeq
+    val fold = df.select($"id",
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (acc, v) -> acc + v)")
+        .as("dot"))
+      .orderBy("id").as[(Long, Option[Double])].collect().toSeq
+    assert(out == Seq(
+      (1L, Some(32.0)),
+      (2L, None),    // NULL slot propagates
+      (3L, None),    // ragged arrays propagate NULL, never truncate
+      (4L, None)))   // NULL array stays NULL
+    assert(out == fold, "kernel must match the fold it replaces, row for row")
+  }
+
   test("float-precision product (x * y without casts) is NOT rewritten") {
     registered
     val q = vecs.select(

@@ -213,27 +213,51 @@ class IndexRetractionSpec extends SparkSpecBase {
     val docs = Tables.documents(spark, sfDir)
     MinhashIndexStore.buildKeyed(docs.filter(col("doc_id") % 10 =!= 0), p)
     MinhashIndexStore.appendBatch(docs.filter(col("doc_id") % 20 === 0), p, 0L)
+    // takedowns split into two classes on this layout: ids %60==0 have
+    // live rows (batch 0) — compact PURGES those; odd multiples of 30
+    // were never ingested (%30==0 implies %10==0, absent from the
+    // keyed build) — PRE-EMPTIVE takedowns, nothing to purge
     MinhashIndexStore.delete(
       docs.filter(col("doc_id") % 30 === 0).select(col("doc_id")), p)
     MinhashIndexStore.compact(spark, p)
     def rows() = MinhashIndexStore.bandsTable(spark, p)
       .select("doc_id", "band", "s0", "s1", "s2", "s3")
       .as[(Long, Int, Long, Long, Long, Long)].collect().toSet
+    def mask() = Tombstones.liveMask(spark, p, "doc_id")
+      .as[Long].collect().toSet
     val served = rows()
-    // caller-asserted redelivery horizon: every purged id leaves the
-    // live mask, the serve answer is unchanged (rows already gone)
+    val preEmptive = docs
+      .filter(col("doc_id") % 30 === 0 && col("doc_id") % 60 =!= 0)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(preEmptive.nonEmpty, "layout must produce pre-emptive takedowns")
+    // caller-asserted redelivery horizon: every COMPACT-PURGED id
+    // leaves the live mask; pre-emptive takedowns STAY (the r15 review
+    // finding: rows-absent alone expired them and a later first-time
+    // append served unmasked); the serve answer is unchanged
     MinhashIndexStore.expireTombstones(spark, p)
     assert(rows() == served)
-    assert(Tombstones.liveMask(spark, p, "doc_id").isEmpty,
-      "all takedowns were physically purged - the live mask must be empty")
+    assert(mask() == preEmptive,
+      "mask must shrink to exactly the never-purged pre-emptive takedowns")
     // expire is idempotent (append-only ledgers, distinct on read)
     MinhashIndexStore.expireTombstones(spark, p)
     assert(rows() == served)
+    assert(mask() == preEmptive)
+    // the pre-emptive guarantee: the content arrives LATER as a new
+    // batch — it must still serve masked (its takedown never expired)
+    MinhashIndexStore.appendBatch(
+      docs.filter(col("doc_id") % 60 === 30), p, 1L)
+    assert(!rows().exists(_._1 % 30 == 0),
+      "first-time append of a pre-emptively taken-down id must stay masked")
+    // and once a compact physically purges it, expire releases it
+    MinhashIndexStore.compact(spark, p)
+    MinhashIndexStore.expireTombstones(spark, p)
+    assert(mask().forall(id => id % 60 != 30),
+      "after its purge the pre-emptive takedown becomes expirable")
     // a NEW takedown after expiry still masks - only PURGED ids expire
     MinhashIndexStore.delete(
       docs.filter(col("doc_id") % 30 === 15).select(col("doc_id")), p)
     assert(!rows().exists(_._1 % 30 == 15), "fresh takedown must mask")
-    assert(!Tombstones.liveMask(spark, p, "doc_id").isEmpty)
+    assert(mask().nonEmpty)
     // and an expire BEFORE its compact must not release it (its rows
     // are still live in bands/ - nothing to expire yet)
     MinhashIndexStore.expireTombstones(spark, p)
@@ -260,6 +284,15 @@ class IndexRetractionSpec extends SparkSpecBase {
     val served = rows()
     FrameSigIndexStore.expireTombstones(spark, p)
     assert(rows() == served)
-    assert(Tombstones.liveMask(spark, p, "doc_id").isEmpty)
+    // same purged-gated expiry as minhash: only the ids compact
+    // actually purged (%60==0 — present in batch 0) leave the mask;
+    // pre-emptive takedowns (odd multiples of 30, never ingested) stay
+    val mask = Tombstones.liveMask(spark, p, "doc_id")
+      .as[Long].collect().toSet
+    val preEmptive = docs
+      .filter(col("doc_id") % 30 === 0 && col("doc_id") % 60 =!= 0)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(mask == preEmptive,
+      "mask must shrink to exactly the never-purged pre-emptive takedowns")
   }
 }
