@@ -462,6 +462,23 @@ object SparkEntry {
     graft.streaming.StreamReplay.replayMmPhashDrops(s, dir)
       .orderBy(col("doc_a"), col("doc_b"), col("frame_idx"))
 
+  /** The REP-GRAIN streamed frame-sig ingest
+    * ([[graft.streaming.StreamReplay.replayMmPhashRepDrops]]) — the
+    * bounded serving form of `stream_mm_phash`, closing the last
+    * pair-grain-at-replica-density answer in the family (the r15
+    * close measured its sink at 1.45G rows at ~sf100): both the
+    * stored index and every micro-batch sink row stay at
+    * distinct-asset grain, `(rep_a, rep_b, frame_idx, hamming, n_a,
+    * n_b)`, under the same arrival-order law. Oracle: the
+    * `mm_phash_reps` expansion law widened to the cross-drop classes
+    * — per-class rep election (base / drop0 / drop1), every rep pair
+    * except stored-internal, plus the hamming-0 self rows of each
+    * drop's twin groups.
+    */
+  private def qStreamMmPhashReps(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.replayMmPhashRepDrops(s, dir)
+      .orderBy(col("rep_a"), col("rep_b"), col("frame_idx"))
+
   /** Frame-sig index RETRACTION under the gate (the
     * `dedup_incremental_delete` twin for the multimodal family):
     * takedown ids land as an O(|retraction|) tombstone append, the
@@ -2159,6 +2176,7 @@ object SparkEntry {
     "mm_phash_reps" -> (qMmPhashReps _),
     "mm_phash_incremental" -> (qMmPhashIncremental _),
     "stream_mm_phash" -> (qStreamMmPhash _),
+    "stream_mm_phash_reps" -> (qStreamMmPhashReps _),
     "mm_phash_delete" -> (qMmPhashDelete _),
     "mm_scenes" -> (qMmScenes _),
     "text_dup_spans" -> (qDupSpans _),
@@ -4577,6 +4595,41 @@ object SparkEntry {
         |WHERE hamming <= 3 AND (doc_a % 10 = 0 OR doc_b % 10 = 0
         |  OR doc_a % 10 = 5 OR doc_b % 10 = 5)
         |ORDER BY doc_a, doc_b, frame_idx""".stripMargin),
+    // stream_mm_phash_reps: the rep-grain streamed ingest — per-class
+    // rep election (cls 0 = stored base %10 NOT IN (0,5); cls 1 =
+    // drop 0 (%10=5); cls 2 = drop 1 (%10=0); the residue id spaces
+    // are disjoint, so each doc has exactly one class and each rep id
+    // one size). The union of micro-batch sinks = every rep-pair row
+    // EXCEPT stored-internal (cls 0 × cls 0 never touches a drop),
+    // plus each drop's hamming-0 self rows (twin groups n >= 2, one
+    // row per frame). Banding is pigeonhole-lossless at Hamming <= 3,
+    // so the band join equals this all-rep-pairs replay exactly.
+    "stream_mm_phash_reps" ->
+      (s"WITH $mmBitsCtes,\n" +
+      """ cls AS (SELECT doc_id, text,
+        |   CASE WHEN doc_id % 10 = 5 THEN 1
+        |        WHEN doc_id % 10 = 0 THEN 2 ELSE 0 END AS c
+        |  FROM documents),
+        | reps AS (SELECT c, min(doc_id) AS rep, count(*)::BIGINT AS n
+        |  FROM cls GROUP BY c, text),
+        | rbits AS (SELECT b.doc_id, b.frame_idx, b.sig_lo, b.sig_hi,
+        |   r.c, r.n
+        |  FROM bits b JOIN reps r ON b.doc_id = r.rep),
+        | hp AS (SELECT x.doc_id AS rep_a, y.doc_id AS rep_b,
+        |   x.frame_idx,
+        |   (bit_count(xor(x.sig_lo, y.sig_lo))
+        |    + bit_count(xor(x.sig_hi, y.sig_hi)))::INT AS hamming,
+        |   x.n AS n_a, y.n AS n_b, x.c AS ca, y.c AS cb
+        |  FROM rbits x JOIN rbits y
+        |    ON x.frame_idx = y.frame_idx AND x.doc_id < y.doc_id)
+        |SELECT rep_a, rep_b, frame_idx, hamming, n_a, n_b FROM (
+        |  SELECT rep_a, rep_b, frame_idx, hamming, n_a, n_b
+        |  FROM hp WHERE hamming <= 3 AND NOT (ca = 0 AND cb = 0)
+        |  UNION ALL
+        |  SELECT r.rep, r.rep, b.frame_idx, 0::INT, r.n, r.n
+        |  FROM reps r JOIN bits b ON b.doc_id = r.rep
+        |  WHERE r.c IN (1, 2) AND r.n >= 2)
+        |ORDER BY rep_a, rep_b, frame_idx""".stripMargin),
     // mm_phash_delete: the same drop-restricted ground truth minus
     // every pair touching a retracted (doc_id % 10 == 2) asset — the
     // tombstone mask replayed by value (residue 2 intersects the gate

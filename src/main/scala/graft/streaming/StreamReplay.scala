@@ -649,6 +649,98 @@ object StreamReplay {
       spark.read.option("recursiveFileLookup", "true").parquet(sink))
   }
 
+  private val mmPhashRepStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The REP-GRAIN streamed frame-sig ingest — [[replayMmPhashDrops]]
+    * with the pair-grain sink (measured 1.45G rows at ~sf100, the one
+    * answer in the family still quadratic at replica density) replaced
+    * by the bounded serving form: each micro-batch emits rep-grain
+    * `(rep_a, rep_b, frame_idx, hamming, n_a, n_b)` DELTAS against the
+    * rep-grain stored index ([[graft.sources.FrameSigIndexStore
+    * .deltaReps]]) and folds its own distinct assets + group sizes in
+    * ([[graft.sources.FrameSigIndexStore.appendRepBatch]]), batch-id-
+    * keyed on both layers — retry-safe BY LAYOUT like every stream
+    * sink here. Sink rows ∝ distinct-asset pairs: CONSTANT across
+    * replica decades.
+    *
+    * Same arrival-order law as the pair form: a cross-drop rep pair
+    * lands exactly once, on the LATER drop's batch; expanding every
+    * row by the carried sizes (cross → n_a·n_b member pairs, self →
+    * n·(n−1)/2) reconstructs the pair-grain `stream_mm_phash` ground
+    * truth exactly — group membership never splits across a rep
+    * (content-keyed election) and the residue id spaces are disjoint.
+    */
+  def replayMmPhashRepDrops(spark: SparkSession, dir: String): DataFrame =
+    replayMmPhashRepDropsWithSink(spark, dir)._2
+
+  /** [[replayMmPhashRepDrops]] plus the per-batch sink dir, so the
+    * spec can assert the arrival-order law batch by batch.
+    */
+  private[graft] def replayMmPhashRepDropsWithSink(spark: SparkSession,
+      dir: String): (String, DataFrame) = {
+    import graft.operators.Multimodal
+    import graft.sources.{FrameSigIndexStore, Tables}
+    val docs = Tables.documents(spark, dir)
+    val staged = mmPhashRepStaged.computeIfAbsent(dir, _ => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_mmphrep")
+      stageFile(docs.filter(col("doc_id") % 10 === 5), stage,
+        "drops/drop_", 0)
+      stageFile(docs.filter(col("doc_id") % 10 === 0), stage,
+        "drops/drop_", 1)
+      // rep-grain keyed base: distinct corpus assets + group sizes
+      FrameSigIndexStore.buildRepKeyed(
+        Multimodal.asMedia(
+          docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5)),
+        s"$stage/fsrep_base")
+      stage.toString
+    })
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_mmphrep_sink").toString
+    val chk = java.nio.file.Files
+      .createTempDirectory("graft_mmphrep_chk").toString
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_mmphrep_idx").toString + "/fs"
+    copyTree(java.nio.file.Paths.get(s"$staged/fsrep_base"),
+      java.nio.file.Paths.get(idxPath))
+    val schema = spark.read.parquet(s"$staged/drops/drop_0.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/drops")
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(partsKey)
+    spark.conf.set(partsKey, "8")
+    try {
+      val q = src.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          val b = batch.toDF().persist()
+          try {
+            val media = Multimodal.asMedia(b)
+            // RETRY-SAFE BY LAYOUT: rep delta sink, band fold, and
+            // size fold all land in batch-id-keyed dirs with Overwrite
+            FrameSigIndexStore.deltaReps(media,
+                FrameSigIndexStore.bandsTable(spark, idxPath),
+                FrameSigIndexStore.sizesTable(spark, idxPath))
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$sink/batch_$id")
+            // fold the drop's reps in: the next drop serves against it
+            FrameSigIndexStore.appendRepBatch(media, idxPath, id)
+          } finally { b.unpersist(); () }
+      }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(partsKey, v)
+      case None => spark.conf.unset(partsKey)
+    }
+    (sink,
+      spark.read.option("recursiveFileLookup", "true").parquet(sink))
+  }
+
   /** STREAMING multimodal ingest over an at-least-once channel — the
     * binary-asset twin of the events `stream_dedup` gate: the media
     * catalog is delivered TWICE as a file stream, each asset's payload
