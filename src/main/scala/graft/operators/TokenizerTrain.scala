@@ -35,8 +35,19 @@ import org.apache.spark.sql.functions._
   */
 object TokenizerTrain {
 
-  private val mergeUdf = udf { (syms: Seq[String], a: String, b: String) =>
-    BpeTokenizer.mergePass(syms.toList, a, b)
+  /** The per-round merge pass as a CODEGEN expression
+    * ([[graft.plans.BpeMergePassExpr]]) — value-identical to
+    * [[BpeTokenizer.mergePass]] (spec-pinned) without the interpreted
+    * Scala-UDF Seq[String] encode/decode per word-type per round (the
+    * last per-row UDF in the engine's hot paths, r15 verdict item 6).
+    */
+  private def mergeExpr(syms: org.apache.spark.sql.Column, a: String,
+      b: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftInternal
+    GraftInternal.columnOf(graft.plans.BpeMergePassExpr(
+      GraftInternal.expressionOf(syms),
+      GraftInternal.expressionOf(lit(a)),
+      GraftInternal.expressionOf(lit(b))))
   }
 
   /** The learned merge table: one row per merge rank —
@@ -75,7 +86,7 @@ object TokenizerTrain {
         learned += ((rank, a, b, n))
         val prev = cur
         cur = cur
-          .select(mergeUdf(col("syms"), lit(a), lit(b)).as("syms"), col("cnt"))
+          .select(mergeExpr(col("syms"), a, b).as("syms"), col("cnt"))
           .localCheckpoint()
         prev.unpersist()
         rank += 1

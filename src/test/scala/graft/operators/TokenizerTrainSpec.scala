@@ -116,6 +116,39 @@ class TokenizerTrainSpec extends SparkSpecBase {
     assert(got == frozen)
   }
 
+  test("codegen merge kernel is value-identical to BpeTokenizer.mergePass") {
+    import graft.functions.BpeTokenizer
+    import org.apache.spark.sql.GraftInternal
+    // adversarial shapes: overlap runs ("aaa" merges once then skips),
+    // merge at both ends, merged-token adjacency (ab,a,b must not
+    // re-merge the fresh ab), no-op rows, empty and 1-symbol arrays
+    val cases: Seq[(Seq[String], String, String)] = Seq(
+      (Seq("a", "a", "a"), "a", "a"),
+      (Seq("a", "a", "a", "a"), "a", "a"),
+      (Seq("a", "b", "a", "b"), "a", "b"),
+      (Seq("x", "a", "b"), "a", "b"),
+      (Seq("a", "b", "x"), "a", "b"),
+      (Seq("a", "b"), "a", "b"),
+      (Seq("b", "a"), "a", "b"),
+      (Seq("a"), "a", "a"),
+      (Seq.empty[String], "a", "b"),
+      (Seq("q", "r", "s"), "a", "b"),
+      (Seq("ab", "a", "b", "ab"), "a", "b"))
+    val df = cases.zipWithIndex
+      .map { case ((syms, a, b), i) => (i, syms, a, b) }
+      .toDF("id", "syms", "a", "b")
+    val got = df.select(col("id"),
+        GraftInternal.columnOf(graft.plans.BpeMergePassExpr(
+          GraftInternal.expressionOf(col("syms")),
+          GraftInternal.expressionOf(col("a")),
+          GraftInternal.expressionOf(col("b")))).as("merged"))
+      .orderBy("id").as[(Int, Seq[String])].collect().toSeq
+    val want = cases.zipWithIndex.map { case ((syms, a, b), i) =>
+      (i, BpeTokenizer.mergePass(syms.toList, a, b): Seq[String])
+    }
+    assert(got == want)
+  }
+
   test("word-TYPE weighting: duplicate docs multiply counts, not merges") {
     val one = Seq((1L, "hello world")).toDF("doc_id", "text")
     val ten = (1L to 10L).map(i => (i, "hello world")).toDF("doc_id", "text")
