@@ -85,6 +85,38 @@ class IndexRetractionSpec extends SparkSpecBase {
       .filter(col("vec_id") % 10 === 5).count() == 0L)
   }
 
+  test("flat stores: the serve mask returns to zero after each compact, across takedown epochs") {
+    // the r15 verdict's mask-lifecycle check applied to the two FLAT
+    // stores (EmbLsh, IVF — keyed stores are covered by the
+    // purged-gated expiry tests): the serve-side broadcast anti-join
+    // must not grow monotonically — each compact physically purges
+    // and CLEARS all ledgers, so mask cardinality returns to 0
+    val emb = Tables.embeddings(spark, sfDir)
+    def mask(p: String): Long =
+      if (!new java.io.File(s"$p/tombstones").exists()) 0L
+      else Tombstones.liveMask(spark, p, "vec_id").count()
+    val ep = freshPath("elsh_epochs")
+    val bits = Dedup.adaptiveBits(emb.filter(col("embedding").isNotNull).count())
+    EmbLshIndexStore.build(emb, ep, bits)
+    val ip = freshPath("ivf_epochs")
+    IvfIndexStore.build(emb, ip)
+    Seq(5, 7).foreach { res => // two takedown epochs
+      val removed = emb.filter(col("vec_id") % 10 === res)
+        .select(col("vec_id"))
+      EmbLshIndexStore.delete(removed, ep)
+      IvfIndexStore.delete(removed, ip)
+      assert(mask(ep) > 0L && mask(ip) > 0L, "takedown must mask")
+      EmbLshIndexStore.compact(spark, ep)
+      IvfIndexStore.compact(spark, ip)
+      assert(mask(ep) == 0L, s"elsh mask must clear after epoch $res")
+      assert(mask(ip) == 0L, s"ivf mask must clear after epoch $res")
+      assert(spark.read.parquet(s"$ep/sigs")
+        .filter(col("vec_id") % 10 === res).count() == 0L)
+      assert(spark.read.parquet(s"$ip/cells")
+        .filter(col("vec_id") % 10 === res).count() == 0L)
+    }
+  }
+
   test("IVF takedown redelivery is a no-op (the streamed-feed retry contract)") {
     // the streamed takedown gate (stream_index_delete) relies on
     // delete being idempotent by construction: the serve view reads
