@@ -1212,6 +1212,32 @@ object SparkEntry {
         |ORDER BY keep_id""".stripMargin)
   }
 
+  /** The windowed-analytics slice of the SQL front door (r15 verdict
+    * item 8's breadth proof beyond `sql_dedup_exact` and the four
+    * `sql_view_*` twins): `q_window_running` ported verbatim to
+    * `spark.sql` over a registered temp view — running sum +
+    * row_number windows — and gated against the SAME oracle as the
+    * DataFrame twin (one ground truth, two front doors).
+    */
+  private def qSqlWindowRunning(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders")
+    // exact-DECIMAL money through the cumulative window, double only
+    // at the edge — the same §5 rulebook as the DataFrame twin
+    s.sql(
+      """WITH o AS (SELECT o_custkey, o_orderkey,
+        |    CAST(o_orderdate AS DATE) AS o_orderdate,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS price_d
+        |  FROM graft_orders)
+        |SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(price_d AS DOUBLE) AS o_totalprice,
+        |  CAST(sum(price_d) OVER w AS DOUBLE) AS running_total,
+        |  row_number() OVER w AS order_seq
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, order_seq""".stripMargin)
+  }
+
   private def qDedupKeep(s: SparkSession, dir: String): DataFrame =
     Dedup.exactKeep(t(s, dir, "documents"))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
@@ -2109,6 +2135,7 @@ object SparkEntry {
     "q_quality_checks" -> (qQualityChecks _),
     "dedup_exact" -> (qDedupExact _),
     "sql_dedup_exact" -> (qSqlDedupExact _),
+    "sql_q_window_running" -> (qSqlWindowRunning _),
     "dedup_keep" -> (qDedupKeep _),
     "dedup_minhash" -> (qDedupMinhash _),
     "dedup_incremental" -> (qDedupIncremental _),
@@ -3293,6 +3320,14 @@ object SparkEntry {
         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+        | CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS DOUBLE) AS running_total,
+        | CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS INT) AS order_seq
+        |FROM orders ORDER BY o_custkey, order_seq""".stripMargin,
+    // sql_q_window_running: the SQL-front-door twin — same ground
+    // truth as the DataFrame windowed entry (one oracle, two doors)
+    "sql_q_window_running" ->
       """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
         | CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS DOUBLE) AS running_total,
