@@ -34,6 +34,9 @@ object Profile {
     if (sys.env.get("SPARK_GRAFT_PROFILE").contains("delta")) {
       deltaAnatomy(spark, dir); spark.stop(); return
     }
+    if (sys.env.get("SPARK_GRAFT_PROFILE").contains("keepbest")) {
+      keepBestAnatomy(spark, dir); spark.stop(); return
+    }
     time("warmup/floor: docs scan+hash")(docs)
     time("floor rep 2: docs scan+hash")(docs)
     time("ids only: doc_id scan+hash")(docs.select(col("doc_id")))
@@ -61,6 +64,44 @@ object Profile {
         l.contains("Window"))
       .foreach(l => println("[prof]   " + l.trim.take(150)))
     spark.stop()
+  }
+
+  /** `SPARK_GRAFT_PROFILE=keepbest`: stage anatomy of the
+    * `dedup_keep_best` ACTION form at the replica decades (r15 verdict
+    * item 5 — 232 s at ~sf100 with no committed floor split): where
+    * does the wall go between the corpus read, the exact collapse,
+    * the banded pair pass over canonicals, the cluster solve, and the
+    * corpus-grain anti-join materialization? Stages mirror
+    * [[Dedup.minhashKeepBest]]'s plan in order; each is hash-forced.
+    */
+  private def keepBestAnatomy(spark: SparkSession, dir: String): Unit = {
+    def time(label: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      df.select(xxhash64(struct(col("*"))).as("h"))
+        .agg(expr("bit_xor(h)")).collect()
+      println(f"[prof] $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    val docs = Tables.documents(spark, dir)
+    val quality = docs.select(col("doc_id"),
+      CorpusStats.qualityScore(col("text")).as("quality_score"))
+    time("floor: full docs scan+hash")(docs)
+    time("floor rep 2")(docs)
+    val hashable = docs.filter(col("text").isNotNull)
+    val canonIds = Dedup.exact(hashable).select(col("keep_id").as("doc_id"))
+    time("exact collapse: canonical ids")(canonIds)
+    val canonDocs = hashable.join(canonIds, Seq("doc_id"), "left_semi")
+    time("canonical semi-join (ids only)")(canonDocs.select(col("doc_id")))
+    val nd = Dedup.minhashNearDupPairs(canonDocs)
+      .filter(col("jaccard") >= 0.5)
+    time("banded pair pass over canonicals")(nd)
+    val comps = Dedup.connectedComponents(nd, "id_a", "id_b")
+    time("component solve")(comps)
+    time("full dedup_keep_best (action)")(
+      Dedup.minhashKeepBest(docs, quality)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
+    time("full rep 2")(
+      Dedup.minhashKeepBest(docs, quality)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
   }
 
   /** `SPARK_GRAFT_PROFILE=delta`: stage anatomy of the
