@@ -89,9 +89,10 @@ object CorpusPipeline {
       }),
       "corpus_clean" -> (() => {
         val canon = read("corpus_canonical")
-        val quality = canon.select(col("doc_id"),
-          CorpusStats.qualityScore(col("text")).as("quality_score"))
-        overwrite(Dedup.minhashKeepBest(canon, quality),
+        // scored form: quality runs at clustered-node grain (the
+        // frame form re-scored the whole canonical table, r16 anatomy)
+        overwrite(
+          Dedup.minhashKeepBestScored(canon, CorpusStats.qualityScore),
           s"$w/corpus_clean")
       }),
       "corpus_split" -> (() =>

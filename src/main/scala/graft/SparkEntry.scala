@@ -1421,14 +1421,13 @@ object SparkEntry {
     * ties to lowest id) survives — the canonicalization rule curation
     * pipelines use when a mirror copy is cleaner than the original.
     */
-  private def qDedupKeepBest(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val quality = docs.select(
-      col("doc_id"), qualityScoreCol(col("text")).as("quality_score"))
-    Dedup.minhashKeepBest(docs, quality)
+  private def qDedupKeepBest(s: SparkSession, dir: String): DataFrame =
+    // scored form: the quality law runs at CLUSTERED-NODE grain by
+    // construction (the frame form scored the whole corpus — 164 of
+    // 185 s at ~sf100, r16 anatomy); value-identical, same oracle
+    Dedup.minhashKeepBestScored(t(s, dir, "documents"), qualityScoreCol)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
-  }
 
   /** Near-dup cluster-size DATASHEET: how many duplicate clusters of
     * each size the corpus holds — the audit number a curation run

@@ -300,6 +300,37 @@ object Dedup {
     keepBestOverEdges(docs, quality, nd, twinDropped)
   }
 
+  /** [[minhashKeepBest]] with the quality LAW passed as a column
+    * function instead of a pre-scored frame — the form that keeps the
+    * scoring work at CLUSTERED-NODE grain at any scale. With the frame
+    * API the caller has already attached the scoring projection to the
+    * corpus scan, and Catalyst does NOT move the solve's semi join
+    * below it (measured, r16 anatomy: `PushDownLeftSemiAntiJoin`
+    * refused the shape and the regex stack scored all 50M docs —
+    * 164 s of the action's 185 s at ~sf100). Here the function is
+    * applied to the PRUNED cluster-node doc rows by construction, so
+    * the scoring cost is ∝ clustered nodes regardless of what the
+    * optimizer proves. Value-identical to the frame form when `score`
+    * is the same law (only cluster nodes' scores are ever consumed) —
+    * spec-pinned.
+    */
+  def minhashKeepBestScored(docs: DataFrame,
+      score: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      jaccardThreshold: Double = 0.5): DataFrame = {
+    val hashable = docs.filter(col("text").isNotNull)
+    val canonIds = exact(hashable).select(col("keep_id").as("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val canonDocs = hashable.join(canonIds, Seq("doc_id"), "left_semi")
+    val nd = minhashNearDupPairs(canonDocs)
+      .filter(col("jaccard") >= jaccardThreshold)
+    val twinDropped = hashable.select(col("doc_id"))
+      .join(canonIds, Seq("doc_id"), "left_anti")
+    keepBestOverEdgesScored(docs,
+      pruned => pruned.select(col("doc_id"),
+        score(col("text")).as("quality_score")),
+      nd, twinDropped)
+  }
+
   /** The keep-best SOLVE step, factored so the streamed maintenance
     * ([[graft.streaming.StreamReplay.replayKeepBestDrops]]) applies
     * the identical law over its ACCUMULATED edge store: components
@@ -307,20 +338,35 @@ object Dedup {
     * per component, and one anti-join of the drop set (cluster losers
     * ∪ `preDropped` — the exact-twin members that never enter the
     * graph) against the corpus.
+    *
+    * Quality-frame form: kept for table-backed quality (a stored
+    * score column is cheap to scan). For IN-PLAN scoring expressions
+    * use [[keepBestOverEdgesScored]] — the semi-join pruning here
+    * does NOT move below the caller's projection (r16 anatomy), so a
+    * regex-stack quality frame pays corpus-grain scoring in this form.
     */
   private[graft] def keepBestOverEdges(docs: DataFrame, quality: DataFrame,
+      edges: DataFrame, preDropped: DataFrame): DataFrame =
+    keepBestOverEdgesScored(docs,
+      pruned => quality.join(pruned.select(col("doc_id")),
+        Seq("doc_id"), "left_semi"),
+      edges, preDropped)
+
+  /** [[keepBestOverEdges]] with quality produced FROM the pruned
+    * cluster-node doc rows — `qualityOf` receives exactly the doc rows
+    * whose scores the argmax will consume, so an in-plan scoring
+    * expression runs at clustered-node grain by construction.
+    */
+  private[graft] def keepBestOverEdgesScored(docs: DataFrame,
+      qualityOf: DataFrame => DataFrame,
       edges: DataFrame, preDropped: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val comps = connectedComponents(edges, "id_a", "id_b")
-    // prune the quality frame to cluster nodes with a LEFT-SEMI join
-    // before consuming it: PushDownLeftSemiAntiJoin moves the semi
-    // join below the caller's quality projection (its condition only
-    // needs doc_id), so the scoring expressions — typically a stack of
-    // regex/token ops — run over clustered nodes only, never the
-    // corpus grain. An inner join alone would not be pushed below the
-    // projection and would score every document.
-    val prunedQuality = quality
+    // cluster nodes are a sliver of the corpus — prune the DOC rows
+    // first (one semi join on ids), then score the survivors only
+    val prunedDocs = docs
       .join(comps.select(col("node").as("doc_id")), Seq("doc_id"), "left_semi")
+    val prunedQuality = qualityOf(prunedDocs)
     // argmax per cluster: quality desc, id asc — the window's grain is
     // clustered nodes (≪ corpus), its partition key the component id
     val ranked = comps

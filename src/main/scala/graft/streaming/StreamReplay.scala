@@ -1345,9 +1345,12 @@ object StreamReplay {
       val baseEdges = spark.read.parquet(s"$stage/edges_base")
       Dedup.connectedComponents(baseEdges, "id_a", "id_b")
         .write.parquet(s"$stage/labels_base")
-      val baseQuality = base.select(col("doc_id"),
-        CorpusStats.qualityScore(col("text")).as("quality_score"))
-      Dedup.keepBestOverEdges(baseFull, baseQuality, baseEdges, baseDropped)
+      // scored form: quality at clustered-node grain (r16 anatomy —
+      // the frame form scored the whole base corpus)
+      Dedup.keepBestOverEdgesScored(baseFull,
+        pruned => pruned.select(col("doc_id"),
+          CorpusStats.qualityScore(col("text")).as("quality_score")),
+        baseEdges, baseDropped)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .write.parquet(s"$stage/canon_base")
       stage.toString

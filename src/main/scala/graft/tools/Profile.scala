@@ -96,11 +96,41 @@ object Profile {
     time("banded pair pass over canonicals")(nd)
     val comps = Dedup.connectedComponents(nd, "id_a", "id_b")
     time("component solve")(comps)
-    time("full dedup_keep_best (action)")(
+    // keepBestOverEdges internals, staged (the action's residue)
+    val prunedQuality = quality
+      .join(comps.select(col("node").as("doc_id")), Seq("doc_id"), "left_semi")
+    if (sys.env.get("SPARK_GRAFT_PROFILE_PLAN").nonEmpty) {
+      prunedQuality.collect()
+      println("[prof] prunedQuality OPTIMIZED plan:")
+      prunedQuality.queryExecution.optimizedPlan.toString.linesIterator
+        .take(25).foreach(l => println("[prof]   " + l.take(150)))
+    }
+    time("pruned quality (semi-pushdown check)")(prunedQuality)
+    val ranked = comps
+      .join(prunedQuality.select(col("doc_id").as("node"), col("quality_score")),
+        Seq("node"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("component"))
+          .orderBy(col("quality_score").desc, col("node"))))
+    val clusterDropped = ranked.filter(col("rn") > 1)
+      .select(col("node").as("doc_id"))
+    time("cluster losers")(clusterDropped)
+    val twinDropped = hashable.select(col("doc_id"))
+      .join(canonIds, Seq("doc_id"), "left_anti")
+    time("twin drop ids (corpus-grain)")(twinDropped)
+    val dropSet = twinDropped.unionByName(clusterDropped).distinct()
+    time("drop set distinct")(dropSet)
+    time("final anti-join materialize")(
+      docs.join(dropSet, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
+    time("full keep_best FRAME form (pre-fix)")(
       Dedup.minhashKeepBest(docs, quality)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
-    time("full rep 2")(
-      Dedup.minhashKeepBest(docs, quality)
+    time("full keep_best SCORED form (action)")(
+      Dedup.minhashKeepBestScored(docs, CorpusStats.qualityScore)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
+    time("scored form rep 2")(
+      Dedup.minhashKeepBestScored(docs, CorpusStats.qualityScore)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars")))
   }
 

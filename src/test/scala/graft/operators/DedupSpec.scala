@@ -241,6 +241,23 @@ class DedupSpec extends SparkSpecBase {
     assert(keptFlat == Set(1L, 4L, 5L))
   }
 
+  test("minhashKeepBestScored equals the frame form under the same text-pure law") {
+    // the r16 restructure: the scored form applies the quality law to
+    // the PRUNED cluster-node rows only (the frame form scored the
+    // whole corpus — Catalyst never pushed the solve's semi join below
+    // the caller's scoring projection). Same law => identical answer.
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .limit(300)
+    val law = graft.operators.CorpusStats.qualityScore _
+    val frame = docs.select(col("doc_id"), law(col("text")).as("quality_score"))
+    val a = Dedup.minhashKeepBest(docs, frame)
+      .select("doc_id").as[Long].collect().sorted
+    val b = Dedup.minhashKeepBestScored(docs, law)
+      .select("doc_id").as[Long].collect().sorted
+    assert(a.nonEmpty)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("embedding keep-lowest action leaves no verified pair intact") {
     // the b-side drop law: any surviving pair (a, b) would mean b kept
     // a lower verified partner — impossible. Checked on the real
