@@ -295,9 +295,10 @@ object Dedup {
     val canonDocs = hashable.join(canonIds, Seq("doc_id"), "left_semi")
     val nd = minhashNearDupPairs(canonDocs)
       .filter(col("jaccard") >= jaccardThreshold)
-    val twinDropped = hashable.select(col("doc_id"))
-      .join(canonIds, Seq("doc_id"), "left_anti")
-    keepBestOverEdges(docs, quality, nd, twinDropped)
+    keepBestAction(docs, canonIds,
+      pruned => quality.join(pruned.select(col("doc_id")),
+        Seq("doc_id"), "left_semi"),
+      nd)
   }
 
   /** [[minhashKeepBest]] with the quality LAW passed as a column
@@ -323,12 +324,34 @@ object Dedup {
     val canonDocs = hashable.join(canonIds, Seq("doc_id"), "left_semi")
     val nd = minhashNearDupPairs(canonDocs)
       .filter(col("jaccard") >= jaccardThreshold)
-    val twinDropped = hashable.select(col("doc_id"))
-      .join(canonIds, Seq("doc_id"), "left_anti")
-    keepBestOverEdgesScored(docs,
+    keepBestAction(docs, canonIds,
       pruned => pruned.select(col("doc_id"),
         score(col("text")).as("quality_score")),
-      nd, twinDropped)
+      nd)
+  }
+
+  /** The keep-best ACTION with the KEEP-oriented materialization — the
+    * exact-collapse paths ([[minhashKeepBest]]/[[minhashKeepBestScored]])
+    * know the canonical id set, so the kept corpus is (NULL-text
+    * pass-throughs) ∪ (docs ∩ canonical winners) — two pruned corpus
+    * scans and one semi join whose right side is bounded by DISTINCT
+    * CONTENT. The drop-oriented anti join ([[keepBestOverEdgesScored]]'s
+    * generic form, kept for the streamed accumulate path where the
+    * complement set is what's known) shuffles the WHOLE corpus on
+    * doc_id exactly when the drop set is corpus-sized — which is the
+    * replica-dense regime this operator's collapse discipline exists
+    * for (at ~sf100 the drop set is 49.95M of 50M ids; the winner set
+    * is ≤ 50k and broadcasts, so the corpus never enters an exchange).
+    * Value-identical: docs = nulls ⊎ hashable; hashable survivors are
+    * exactly canonical non-losers (every non-canonical twin is a
+    * guaranteed drop — see [[minhashKeepBest]]'s collapse law).
+    */
+  private def keepBestAction(docs: DataFrame, canonIds: DataFrame,
+      qualityOf: DataFrame => DataFrame, edges: DataFrame): DataFrame = {
+    val losers = keepBestClusterLosers(docs, qualityOf, edges)
+    val winners = canonIds.join(losers, Seq("doc_id"), "left_anti")
+    docs.filter(col("text").isNull)
+      .unionByName(docs.join(winners, Seq("doc_id"), "left_semi"))
   }
 
   /** The keep-best SOLVE step, factored so the streamed maintenance
@@ -360,6 +383,18 @@ object Dedup {
   private[graft] def keepBestOverEdgesScored(docs: DataFrame,
       qualityOf: DataFrame => DataFrame,
       edges: DataFrame, preDropped: DataFrame): DataFrame = {
+    val clusterDropped = keepBestClusterLosers(docs, qualityOf, edges)
+    docs.join(preDropped.unionByName(clusterDropped).distinct(),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** The cluster-loser half of the keep-best solve: components over
+    * the verified pair graph, quality scored on the PRUNED node rows
+    * only, (quality DESC, id ASC) argmax per component — everything
+    * below the final materialization, at clustered-node grain.
+    */
+  private def keepBestClusterLosers(docs: DataFrame,
+      qualityOf: DataFrame => DataFrame, edges: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val comps = connectedComponents(edges, "id_a", "id_b")
     // cluster nodes are a sliver of the corpus — prune the DOC rows
@@ -375,10 +410,8 @@ object Dedup {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("component"))
           .orderBy(col("quality_score").desc, col("node"))))
-    val clusterDropped = ranked.filter(col("rn") > 1)
+    ranked.filter(col("rn") > 1)
       .select(col("node").as("doc_id"))
-    docs.join(preDropped.unionByName(clusterDropped).distinct(),
-      Seq("doc_id"), "left_anti")
   }
 
   /** Candidate near-dup pairs via MinHash + LSH banding over word

@@ -409,6 +409,33 @@ class PlanAuditSpec extends SparkSpecBase {
     assert(!finalSection.contains("content"), p)
   }
 
+  test("stream_mm_phash_reps serve: rep-grain deltaReps broadcasts the drop; no media bytes in exchanges") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir)
+    val base = graft.operators.Multimodal.asMedia(docs.filter(col("doc_id") % 10 =!= 0))
+    val drop = graft.operators.Multimodal.asMedia(docs.filter(col("doc_id") % 10 === 0))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_fsrep_audit").toString + "/fs"
+    graft.sources.FrameSigIndexStore.buildRepKeyed(base, path)
+    val df = graft.sources.FrameSigIndexStore.deltaReps(drop,
+      graft.sources.FrameSigIndexStore.bandsTable(spark, path),
+      graft.sources.FrameSigIndexStore.sizesTable(spark, path))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val finalSection = p.split("== Initial Plan ==").head
+    // same contract as the pair form's serve: the drop's band rows and
+    // BOTH size maps broadcast, the stored rep index never
+    // hash-shuffles, media bytes never appear in any exchange
+    assert(finalSection.contains("BroadcastHashJoin"), p)
+    assert(!finalSection.contains("SortMergeJoin"), p)
+    assert(!finalSection.contains("CartesianProduct"), p)
+    val hashExchanges = finalSection.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashExchanges.forall(l => !l.contains("sig_") && !l.contains("bv")),
+      p)
+    assert(!finalSection.contains("content"), p)
+  }
+
   test("text_dup_spans: exchanges carry the 60-bit key, never the shingle string") {
     val df = graft.operators.CorpusStats.dupSpans(Tables.documents(spark, sfDir))
     df.collect()
