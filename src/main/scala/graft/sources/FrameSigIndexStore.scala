@@ -360,6 +360,15 @@ object FrameSigIndexStore {
     * index-side half of keeping the STREAMED serving form rep-grain
     * ([[deltaReps]]); the r15 close measured the raw-grain streamed
     * sink at 1.45G pair rows at ~sf100 for exactly this reason.
+    *
+    * BOUNDARY (deliberate): takedowns on this layout are REP-grain —
+    * tombstoning a rep masks its band rows AND its size row, so the
+    * whole twin group leaves the serve. A MEMBER-grain takedown
+    * (retract one copy of a group of n) would need an n_copies
+    * decrement this layout does not express; route member-grain
+    * retractions through the pair-grain store ([[delete]] on a
+    * [[buildKeyed]] index) or re-append the affected group's layer
+    * with the corrected size.
     */
   def buildRepKeyed(corpus: Dataset[MMRecord], path: String): Unit =
     appendRepBatch(corpus, path, -1L)
