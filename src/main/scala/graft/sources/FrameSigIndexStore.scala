@@ -449,10 +449,12 @@ object FrameSigIndexStore {
       col(s"$a.frame_idx") === col(s"$b.frame_idx") &&
         col(s"$a.band") === col(s"$b.band") && col(s"$a.bv") === col(s"$b.bv")
     // stored-rep × drop-rep candidates; sizes follow their ids through
-    // the least/greatest re-orientation (both expansion maps are
-    // bounded: drop sizes by the drop, stored sizes by distinct
-    // stored content — broadcast, the stored band stream never
-    // shuffles)
+    // the least/greatest re-orientation. The DROP size map is
+    // drop-bounded — broadcast explicitly, the stored band stream
+    // never shuffles for it. The STORED size map is distinct-content
+    // grain (could be huge at 100 TB) — NO hint: it joins the already-
+    // verified candidate frame (≪ either input), and AQE broadcasts
+    // whichever side is actually small at runtime.
     val dropN = sizes.select(col("rep").as("drep"),
       col("n_copies").cast("long").as("dn"))
     val storedN = storedSizes.select(col("doc_id").as("srep"),
@@ -461,10 +463,11 @@ object FrameSigIndexStore {
       .join(dSide.alias("d"), onCols("s", "d"))
       .select(col("s.doc_id").as("srep"), col("d.doc_id").as("drep"),
         col("s.frame_idx").as("frame_idx"), ham("s", "d"))
+      .filter(col("srep") =!= col("drep")) // defensive (disjoint contract)
       .distinct() // several agreeing bands -> one candidate
       .filter(col("hamming") <= maxHamming)
       .join(broadcast(dropN), Seq("drep"))
-      .join(broadcast(storedN), Seq("srep"))
+      .join(storedN, Seq("srep"))
       .select(least(col("srep"), col("drep")).as("rep_a"),
         greatest(col("srep"), col("drep")).as("rep_b"),
         col("frame_idx"), col("hamming"),
