@@ -103,8 +103,7 @@ object EmbLshIndexStore {
     */
   def delete(vecIds: DataFrame, path: String): Unit =
     IndexLease.withLease(vecIds.sparkSession, path, "elsh-delete") {
-      vecIds.select(col("vec_id"))
-        .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+      Tombstones.append(vecIds, path, "vec_id")
     }
 
   /** Fold outstanding tombstones into the files: rewrite `sigs/`
@@ -152,6 +151,7 @@ object EmbLshIndexStore {
     require(!built.containsKey(path),
       s"$path was built by ensure; use a distinct path per lifecycle")
     built.computeIfAbsent(s"deleted:$path", _ => {
+      StorePaths.wipe(corpus.sparkSession, path) // first caller OWNS the path
       build(corpus, path, bits)
       delete(removed, path)
       java.lang.Boolean.TRUE

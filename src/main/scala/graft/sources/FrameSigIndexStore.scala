@@ -146,19 +146,47 @@ object FrameSigIndexStore {
     */
   def delete(docIds: DataFrame, path: String): Unit =
     IndexLease.withLease(docIds.sparkSession, path, "framesig-delete") {
-      docIds.select(col("doc_id"))
-        .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+      Tombstones.append(docIds, path, "doc_id")
     }
 
+  /** Every layer this store may hold rows for a doc id in — the
+    * purge/expiry universe. `bands/` always; a REP-GRAIN store
+    * ([[buildRepKeyed]]) adds `sizes/`, and [[deleteMembers]] adds
+    * `sizes_deltas/`. Compact and expiry walk THIS list, so a
+    * tombstoned rep's size and delta rows are physically purged with
+    * its band rows and an id only expires once absent from ALL of
+    * them (the r16 ADVICE finding: a compact that rewrote only
+    * `bands/` left a stale size row that resurrected in [[sizesTable]]
+    * after compact+expire shrank the mask).
+    */
+  private def liveLayers(spark: SparkSession, path: String): Seq[String] =
+    Seq("bands") ++
+      Seq("sizes", "sizes_deltas").filter(layerExists(spark, path, _))
+
+  private def layerExists(spark: SparkSession, path: String,
+      layer: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/$layer")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def liveIds(spark: SparkSession, path: String): DataFrame =
+    liveLayers(spark, path)
+      .map(l => spark.read.parquet(s"$path/$l").select(col("doc_id")))
+      .reduce(_ unionByName _)
+
   /** Fold outstanding tombstones into the files — same lease + entry-
-    * recover + checked-rename swap as [[MinhashIndexStore.compact]].
+    * recover + checked-rename swap as [[MinhashIndexStore.compact]],
+    * over EVERY layer of the layout ([[liveLayers]]): a rep-grain
+    * store's `sizes/` (and any `sizes_deltas/`) rewrite with the same
+    * purge anti-join, each behind its own recoverable swap.
     */
   def compact(spark: SparkSession, path: String): Unit =
     IndexLease.withLease(spark, path, "framesig-compact") {
       // tombstones are deleted LAST, so every strandable crash layout
       // still has them — no tombstones means nothing to repair or fold
       if (hasTombstones(spark, path)) {
-        SwapRecovery.recover(spark, path, "bands")
+        val layers = liveLayers(spark, path)
+        layers.foreach(SwapRecovery.recover(spark, path, _))
         val fs = SwapRecovery.fsOf(spark, path)
         // keyed layers stay keyed across compaction WITH BATCH VALUES
         // PRESERVED, and keep the tombstone mask — the redelivery
@@ -168,42 +196,48 @@ object FrameSigIndexStore {
         // would let a redelivered batch resurrect a takedown
         val keyed = StoreLayout.isKeyed(spark, path, "bands")
         // repeat-compact no-op probe (see MinhashIndexStore.compact):
-        // skip the full rewrite+swap when no live band row carries a
-        // tombstoned id — exact even under batch redelivery
+        // skip the full rewrite+swap when no live row IN ANY LAYER
+        // carries a tombstoned id — exact even under batch redelivery
         val purgeSet = Tombstones.all(spark, path, "doc_id")
-        val anyMasked = !spark.read.parquet(s"$path/bands")
-          .select(col("doc_id"))
+        val anyMasked = !liveIds(spark, path)
           .join(broadcast(purgeSet), Seq("doc_id"), "left_semi")
           .isEmpty
         if (anyMasked) {
-          // purged ledger before the swap (the expiry gate — see
-          // MinhashIndexStore.compact): only ids with live rows NOW
-          // are expirable later; pre-emptive takedowns never enter
+          // purged ledger before the swaps (the expiry gate — see
+          // Tombstones.purged): only ids with live rows NOW, at their
+          // CURRENT tombstone epoch, are expirable later; pre-emptive
+          // takedowns never enter
           Tombstones.appendPurged(
-            purgeSet.join(
-              spark.read.parquet(s"$path/bands").select(col("doc_id")),
-              Seq("doc_id"), "left_semi"),
+            Tombstones.allWithSeq(spark, path, "doc_id")
+              .join(liveIds(spark, path), Seq("doc_id"), "left_semi"),
             path, "doc_id")
-          // both layouts fold the FULL ledger (not the live serve
+          // all layouts fold the FULL ledger (not the live serve
           // mask) — the flat and keyed rewrites can never drift
-          val raw = spark.read.parquet(s"$path/bands")
-            .withColumn("band", col("band").cast("int"))
-            .join(broadcast(purgeSet), Seq("doc_id"), "left_anti")
-          if (keyed)
-            raw.write.mode(SaveMode.Overwrite)
-              .partitionBy("batch", "band")
-              .parquet(s"$path/bands_compacted")
-          else
-            raw.write.mode(SaveMode.Overwrite)
-              .partitionBy("band")
-              .parquet(s"$path/bands_compacted")
-          SwapRecovery.renameOrThrow(fs,
-            new org.apache.hadoop.fs.Path(s"$path/bands"),
-            new org.apache.hadoop.fs.Path(s"$path/bands_old"))
-          SwapRecovery.renameOrThrow(fs,
-            new org.apache.hadoop.fs.Path(s"$path/bands_compacted"),
-            new org.apache.hadoop.fs.Path(s"$path/bands"))
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/bands_old"), true)
+          def swapLayer(layer: String, partCols: Seq[String]): Unit = {
+            val read0 = spark.read.parquet(s"$path/$layer")
+            val read1 =
+              if (layer == "bands")
+                read0.withColumn("band", col("band").cast("int"))
+              else read0
+            read1.join(broadcast(purgeSet), Seq("doc_id"), "left_anti")
+              .write.mode(SaveMode.Overwrite)
+              .partitionBy(partCols: _*)
+              .parquet(s"$path/${layer}_compacted")
+            SwapRecovery.renameOrThrow(fs,
+              new org.apache.hadoop.fs.Path(s"$path/$layer"),
+              new org.apache.hadoop.fs.Path(s"$path/${layer}_old"))
+            SwapRecovery.renameOrThrow(fs,
+              new org.apache.hadoop.fs.Path(s"$path/${layer}_compacted"),
+              new org.apache.hadoop.fs.Path(s"$path/$layer"))
+            fs.delete(
+              new org.apache.hadoop.fs.Path(s"$path/${layer}_old"), true)
+            ()
+          }
+          swapLayer("bands",
+            if (keyed) Seq("batch", "band") else Seq("band"))
+          if (layers.contains("sizes")) swapLayer("sizes", Seq("batch"))
+          if (layers.contains("sizes_deltas"))
+            swapLayer("sizes_deltas", Seq("takedown"))
         }
         if (!keyed) Tombstones.clear(spark, path)
       }
@@ -212,21 +246,19 @@ object FrameSigIndexStore {
   /** Release the redelivery guard for physically-purged takedowns —
     * the [[MinhashIndexStore.expireTombstones]] contract applied to
     * the frame-sig store: caller asserts no pre-compact batch can be
-    * redelivered anymore; every COMPACT-PURGED tombstoned id
-    * ([[Tombstones.purged]]) with no live band row moves to the
-    * expired ledger and leaves the serve-side broadcast mask —
-    * pre-emptive (delete-before-ingest) takedowns are never eligible.
-    * Append-only ledgers, so any crash state under-expires.
+    * redelivered anymore; every tombstone a compact has purged AT ITS
+    * CURRENT EPOCH ([[Tombstones.expirable]]) with no live row in ANY
+    * layer — band, size, or size-delta — moves to the expired ledger
+    * and leaves the serve-side broadcast mask. Pre-emptive
+    * (delete-before-ingest) takedowns are never eligible, in any
+    * epoch. Append-only ledgers, so any crash state under-expires.
     */
   def expireTombstones(spark: SparkSession, path: String): Unit =
     IndexLease.withLease(spark, path, "framesig-expire") {
       if (hasTombstones(spark, path)) {
-        SwapRecovery.recover(spark, path, "bands")
-        val gone = tombstonesTable(spark, path)
-          .join(Tombstones.purged(spark, path, "doc_id"),
-            Seq("doc_id"), "left_semi")
-          .join(spark.read.parquet(s"$path/bands").select(col("doc_id")),
-            Seq("doc_id"), "left_anti")
+        liveLayers(spark, path).foreach(SwapRecovery.recover(spark, path, _))
+        val gone = Tombstones.expirable(spark, path, "doc_id")
+          .join(liveIds(spark, path), Seq("doc_id"), "left_anti")
         Tombstones.appendExpired(gone, path, "doc_id")
       }
     }
@@ -241,6 +273,7 @@ object FrameSigIndexStore {
     require(!built.containsKey(s"plain:$path"),
       s"$path was built by ensure; use a distinct path per lifecycle")
     built.computeIfAbsent(s"deleted:$path", _ => {
+      StorePaths.wipe(corpus.sparkSession, path) // first caller OWNS the path
       build(corpus, path)
       delete(removed, path)
       java.lang.Boolean.TRUE
@@ -361,14 +394,17 @@ object FrameSigIndexStore {
     * ([[deltaReps]]); the r15 close measured the raw-grain streamed
     * sink at 1.45G pair rows at ~sf100 for exactly this reason.
     *
-    * BOUNDARY (deliberate): takedowns on this layout are REP-grain —
-    * tombstoning a rep masks its band rows AND its size row, so the
-    * whole twin group leaves the serve. A MEMBER-grain takedown
-    * (retract one copy of a group of n) would need an n_copies
-    * decrement this layout does not express; route member-grain
-    * retractions through the pair-grain store ([[delete]] on a
-    * [[buildKeyed]] index) or re-append the affected group's layer
-    * with the corrected size.
+    * Takedowns on this layout: a REP-grain takedown ([[delete]])
+    * tombstones the rep — its band rows, size row, and any size-delta
+    * rows all leave the serve (masked on read, physically purged by
+    * [[compact]], which rewrites EVERY layer). A MEMBER-grain takedown
+    * (retract one copy of a group of n) is [[deleteMembers]]: an
+    * n_copies decrement law over a signed `sizes_deltas/` layer —
+    * applies exactly when the takedown names a stored rep, FAILS
+    * LOUDLY when it does not (the layout stores no member ids, so an
+    * unresolvable member id must be routed by the caller through the
+    * content-keyed rep election or the pair-grain store, never
+    * silently dropped).
     */
   def buildRepKeyed(corpus: Dataset[MMRecord], path: String): Unit =
     appendRepBatch(corpus, path, -1L)
@@ -376,8 +412,14 @@ object FrameSigIndexStore {
   /** Fold a drop's DISTINCT assets + group sizes into the rep-grain
     * store, batch-id-keyed (crash-redelivery re-lands both layers —
     * the [[appendBatch]] law, applied to bands and sizes atomically
-    * enough: each layer is its own `batch=<id>` overwrite, and a
-    * torn crash between them is healed by the redelivery itself).
+    * enough: each layer is its own `batch=<id>` overwrite, and a torn
+    * crash between them is healed by the redelivery itself). WRITE
+    * ORDER MATTERS (r16 ADVICE): `sizes/` lands BEFORE `bands/` — in
+    * the torn-crash window an orphan size row is inert (no band rows,
+    * so no candidate ever consults it), whereas a band row without a
+    * size row would reach [[deltaReps]]' size join, which FAILS LOUDLY
+    * on the missing row rather than silently dropping the pair; with
+    * this order that failure is unreachable from a crash alone.
     */
   def appendRepBatch(drop: Dataset[MMRecord], path: String,
       batchId: Long): Unit =
@@ -390,24 +432,170 @@ object FrameSigIndexStore {
         .join(sizes.select(col("rep").as("doc_id")), Seq("doc_id"),
           "left_semi")
         .as[MMRecord]
-      bandRows(repDrop)
-        .write.mode(SaveMode.Overwrite)
-        .partitionBy("band")
-        .parquet(StoreLayout.batchDir(path, "bands", batchId))
       sizes.select(col("rep").as("doc_id"),
           col("n_copies").cast("long").as("n_copies"))
         .write.mode(SaveMode.Overwrite)
         .parquet(StoreLayout.batchDir(path, "sizes", batchId))
+      bandRows(repDrop)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("band")
+        .parquet(StoreLayout.batchDir(path, "bands", batchId))
     }
 
-  /** The stored rep sizes (tombstone-masked like [[bandsTable]]). */
-  def sizesTable(spark: SparkSession, path: String): DataFrame = {
-    val sizes = spark.read.parquet(s"$path/sizes").drop("batch")
+  /** The stored rep sizes (tombstone-masked like [[bandsTable]]):
+    * base `sizes/` rows with any [[deleteMembers]] signed deltas
+    * folded in (exact integer group-sum — the abelian count-store
+    * law). A group decremented to 0 keeps its row (n_copies = 0): the
+    * expansion law multiplies it out to zero member pairs, so the
+    * crash window between a final decrement and its tombstone append
+    * stays value-correct; the tombstone then removes it entirely.
+    */
+  def sizesTable(spark: SparkSession, path: String): DataFrame =
+    foldedSizes(spark, path, excludeBatch = None)
+
+  private def foldedSizes(spark: SparkSession, path: String,
+      excludeBatch: Option[Long]): DataFrame = {
+    val raw = spark.read.parquet(s"$path/sizes")
+    val base = excludeBatch.fold(raw)(b => raw.filter(col("batch") =!= b))
+      .drop("batch")
+      .select(col("doc_id"), col("n_copies").cast("long").as("n_copies"))
+    val folded =
+      if (layerExists(spark, path, "sizes_deltas"))
+        base.unionByName(
+            spark.read.parquet(s"$path/sizes_deltas")
+              .select(col("doc_id"),
+                col("n_copies").cast("long").as("n_copies")))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("n_copies")).as("n_copies"))
+      else base
     if (hasTombstones(spark, path))
-      sizes.join(broadcast(tombstonesTable(spark, path)),
+      folded.join(broadcast(tombstonesTable(spark, path)),
         Seq("doc_id"), "left_anti")
-    else sizes
+    else folded
   }
+
+  /** [[bandsTable]] minus one batch layer — what a streamed maintainer
+    * serves its OWN micro-batch against (r16 ADVICE; see
+    * [[MinhashIndexStore.bandsTableExcluding]] for the recompute-
+    * identity argument): a redelivered batch whose [[appendRepBatch]]
+    * fold landed before the checkpoint commit must not see its own
+    * reps on the stored side, or every drop-internal rep pair would
+    * re-emit through the stored×drop cross in both orientations. The
+    * exclusion filter lands on the `batch` partition column (pruned,
+    * never scanned) and is a no-op on first delivery.
+    */
+  def bandsTableExcluding(spark: SparkSession, path: String,
+      batchId: Long): DataFrame = {
+    val bands = spark.read.parquet(s"$path/bands")
+      .filter(col("batch") =!= batchId)
+      .drop("batch")
+      .withColumn("band", col("band").cast("int"))
+    if (hasTombstones(spark, path))
+      bands.join(broadcast(tombstonesTable(spark, path)),
+        Seq("doc_id"), "left_anti")
+    else bands
+  }
+
+  /** [[sizesTable]] minus one batch layer — the size-map side of the
+    * redelivery recompute-identity fix ([[bandsTableExcluding]]).
+    * `sizes_deltas/` rows are takedown-keyed, not stream-batch-keyed,
+    * so they are never excluded.
+    */
+  def sizesTableExcluding(spark: SparkSession, path: String,
+      batchId: Long): DataFrame =
+    foldedSizes(spark, path, excludeBatch = Some(batchId))
+
+  /** MEMBER-grain takedown on the rep-grain layout — the n_copies
+    * decrement law (r16 verdict item: the scaladoc boundary, made
+    * enforced). `memberIds` carries one `doc_id` row PER COPY to
+    * retract, each naming the STORED REP of the twin group the copy
+    * belongs to (byte-twins share all content-derived state, so
+    * "which copy" has no observable meaning below the count — the
+    * caller resolves a raw member id to its rep with the same
+    * content-keyed election that built the store, or routes through
+    * the pair-grain layout).
+    *
+    * APPLIES EXACTLY OR FAILS LOUDLY:
+    *
+    *  - every named id must be a LIVE stored rep (present in the size
+    *    layers, not tombstoned) with at least the requested copies
+    *    remaining — otherwise [[IllegalArgumentException]] naming the
+    *    offenders, and NOTHING is written;
+    *  - the decrement lands as a signed `sizes_deltas/takedown=<id>`
+    *    layer (Overwrite — a crash-redelivered takedown re-lands its
+    *    own layer, the [[appendRepBatch]] idempotency law; validation
+    *    excludes the takedown's own layer so the retry re-validates
+    *    against the same pre-takedown state);
+    *  - a group decremented to ZERO is tombstoned in the same call —
+    *    the exhausted group leaves the serve entirely ([[delete]]'s
+    *    rep-grain semantics); the crash window between the two writes
+    *    serves n_copies = 0, which the expansion law multiplies out to
+    *    zero member pairs (value-correct), and the redelivery heals.
+    *
+    * The validation probe collects (id, remaining) for the REQUESTED
+    * ids only — takedown-bounded driver work, the store-metadata
+    * class, never corpus-proportional.
+    */
+  def deleteMembers(memberIds: DataFrame, path: String,
+      takedownId: Long): Unit =
+    IndexLease.withLease(memberIds.sparkSession, path,
+      "framesig-delete-members") {
+      val spark = memberIds.sparkSession
+      require(layerExists(spark, path, "sizes"),
+        s"$path has no sizes/ layer — member-grain takedowns only " +
+          "apply to the rep-grain layout (buildRepKeyed); use delete() " +
+          "on a pair-grain store")
+      val req = memberIds.select(col("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("k"))
+      // remaining copies per rep, EXCLUDING this takedown's own layer
+      // (retry-exact) and any tombstoned rep (reads as unknown)
+      val base = spark.read.parquet(s"$path/sizes").drop("batch")
+        .select(col("doc_id"), col("n_copies").cast("long").as("n_copies"))
+      val other =
+        if (layerExists(spark, path, "sizes_deltas"))
+          base.unionByName(
+            spark.read.parquet(s"$path/sizes_deltas")
+              .filter(col("takedown") =!= takedownId)
+              .select(col("doc_id"),
+                col("n_copies").cast("long").as("n_copies")))
+        else base
+      val totals = other.groupBy(col("doc_id"))
+        .agg(sum(col("n_copies")).as("n"))
+      val masked =
+        if (hasTombstones(spark, path))
+          totals.join(broadcast(tombstonesTable(spark, path)),
+            Seq("doc_id"), "left_anti")
+        else totals
+      val checked = req.join(masked, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("k"), col("n"))
+        .collect()
+      val offenders = checked.filter(r => r.isNullAt(2) || r.getLong(2) < r.getLong(1))
+      if (offenders.nonEmpty) {
+        val msgs = offenders.take(10).map { r =>
+          if (r.isNullAt(2))
+            s"doc_id=${r.get(0)} is not a live stored rep (member-grain " +
+              "ids must be resolved to their rep via the content-keyed " +
+              "election, or routed through the pair-grain store)"
+          else
+            s"doc_id=${r.get(0)}: ${r.getLong(1)} copies requested, " +
+              s"only ${r.getLong(2)} remain"
+        }
+        throw new IllegalArgumentException(
+          s"framesig member takedown $takedownId rejected " +
+            s"(${offenders.length} offender(s)): ${msgs.mkString("; ")}")
+      }
+      req.select(col("doc_id"), (-col("k")).cast("long").as("n_copies"))
+        .write.mode(SaveMode.Overwrite)
+        .parquet(s"$path/sizes_deltas/takedown=$takedownId")
+      val exhausted = checked.filter(r => r.getLong(2) == r.getLong(1))
+        .map(_.get(0))
+      if (exhausted.nonEmpty) {
+        import spark.implicits._
+        Tombstones.append(
+          exhausted.map(_.asInstanceOf[Long]).toSeq.toDF("doc_id"),
+          path, "doc_id")
+      }
+    }
 
   /** Incremental near-dup frames at REP grain — [[deltaPairs]] with
     * the pair-grain expansion NEVER materialized (the
@@ -467,7 +655,17 @@ object FrameSigIndexStore {
       .distinct() // several agreeing bands -> one candidate
       .filter(col("hamming") <= maxHamming)
       .join(broadcast(dropN), Seq("drep"))
-      .join(storedN, Seq("srep"))
+      // LEFT join + loud failure on a missing size row (r16 ADVICE): a
+      // stored rep with band rows but no size row is a torn
+      // appendRepBatch layer (unreachable from a crash alone — sizes
+      // are written first — so it means out-of-band damage); an inner
+      // join would silently drop the candidate pair instead
+      .join(storedN, Seq("srep"), "left_outer")
+      .withColumn("sn", coalesce(col("sn"),
+        raise_error(concat(lit("framesig store: rep "),
+          col("srep").cast("string"),
+          lit(" has band rows but no size row (torn sizes layer)")))
+          .cast("long")))
       .select(least(col("srep"), col("drep")).as("rep_a"),
         greatest(col("srep"), col("drep")).as("rep_b"),
         col("frame_idx"), col("hamming"),

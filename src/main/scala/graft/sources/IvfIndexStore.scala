@@ -273,8 +273,7 @@ object IvfIndexStore {
     */
   def delete(vecIds: DataFrame, path: String): Unit =
     IndexLease.withLease(vecIds.sparkSession, path, "ivf-delete") {
-      vecIds.select(col("vec_id"))
-        .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+      Tombstones.append(vecIds, path, "vec_id")
     }
 
   /** Fold outstanding tombstones into the files: rewrite `cells/` and
@@ -326,6 +325,7 @@ object IvfIndexStore {
       !built.containsKey(s"rolled:$path"),
       s"$path was built by another lifecycle; use a distinct path")
     built.computeIfAbsent(s"deleted:$path", _ => {
+      StorePaths.wipe(corpus.sparkSession, path) // first caller OWNS the path
       build(corpus, path, cells, iters)
       delete(removed, path)
       java.lang.Boolean.TRUE

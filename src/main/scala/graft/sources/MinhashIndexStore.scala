@@ -112,6 +112,31 @@ object MinhashIndexStore {
     else bands
   }
 
+  /** [[bandsTable]] minus one batch layer — what a streamed maintainer
+    * serves its OWN micro-batch against (r16 ADVICE): if the batch's
+    * fold landed but the checkpoint commit did not, redelivery
+    * recomputes the delta against an index that already contains the
+    * batch's own rows, and every drop-internal pair would re-emit
+    * through the stored×drop join — the overwritten sink batch would
+    * not be value-identical. Excluding the batch's own layer restores
+    * recompute identity: on FIRST delivery the layer does not exist
+    * yet and the exclusion is a no-op (batch ids are checkpoint-unique,
+    * the base layer is `batch=-1`, stream ids are >= 0). The filter
+    * lands on the `batch` partition column, so the excluded layer's
+    * files are pruned, never scanned.
+    */
+  def bandsTableExcluding(spark: SparkSession, path: String,
+      batchId: Long): DataFrame = {
+    val bands = spark.read.parquet(s"$path/bands")
+      .filter(col("batch") =!= batchId)
+      .drop("batch")
+      .withColumn("band", col("band").cast("int"))
+    if (hasTombstones(spark, path))
+      bands.join(broadcast(tombstonesTable(spark, path)),
+        Seq("doc_id"), "left_anti")
+    else bands
+  }
+
   private def hasTombstones(spark: SparkSession, path: String): Boolean =
     Tombstones.exists(spark, path)
 
@@ -134,8 +159,7 @@ object MinhashIndexStore {
     */
   def delete(docIds: DataFrame, path: String): Unit =
     IndexLease.withLease(docIds.sparkSession, path, "minhash-delete") {
-      docIds.select(col("doc_id"))
-        .write.mode(SaveMode.Append).parquet(s"$path/tombstones")
+      Tombstones.append(docIds, path, "doc_id")
     }
 
   /** Fold outstanding tombstones into the files: rewrite `bands/`
@@ -191,7 +215,7 @@ object MinhashIndexStore {
           // between this append and the swap only over-records, and
           // expire's rows-absent conjunct refuses ids with live rows.
           Tombstones.appendPurged(
-            purgeSet.join(
+            Tombstones.allWithSeq(spark, path, "doc_id").join(
               spark.read.parquet(s"$path/bands").select(col("doc_id")),
               Seq("doc_id"), "left_semi"),
             path, "doc_id")
@@ -250,20 +274,19 @@ object MinhashIndexStore {
     * construction: all ledgers are append-only, so any crash state
     * under-expires (masks too much), never serves a retracted row.
     *
-    * Only ids a compact ACTUALLY purged ([[Tombstones.purged]]) are
-    * eligible: a PRE-EMPTIVE takedown (delete issued before the id
-    * was ever appended) has no rows for any compact to fold, so the
-    * rows-absent test alone would expire it and a later first-time
-    * append would serve unmasked — it stays in the serve mask until
-    * its content arrives and a compact purges it.
+    * Only ids a compact ACTUALLY purged AT THE TOMBSTONE'S EPOCH
+    * ([[Tombstones.expirable]]) are eligible: a PRE-EMPTIVE takedown
+    * (delete issued before the id was ever appended) has no rows for
+    * any compact to fold, so the rows-absent test alone would expire
+    * it and a later first-time append would serve unmasked — it stays
+    * in the serve mask until its content arrives and a compact purges
+    * it, in the first epoch and every re-delete epoch after.
     */
   def expireTombstones(spark: SparkSession, path: String): Unit =
     IndexLease.withLease(spark, path, "minhash-expire") {
       if (hasTombstones(spark, path)) {
         SwapRecovery.recover(spark, path, "bands")
-        val gone = tombstonesTable(spark, path)
-          .join(Tombstones.purged(spark, path, "doc_id"),
-            Seq("doc_id"), "left_semi")
+        val gone = Tombstones.expirable(spark, path, "doc_id")
           .join(spark.read.parquet(s"$path/bands").select(col("doc_id")),
             Seq("doc_id"), "left_anti")
         Tombstones.appendExpired(gone, path, "doc_id")
@@ -281,6 +304,7 @@ object MinhashIndexStore {
       !built.containsKey(s"rolled:$path"),
       s"$path was built by another lifecycle; use a distinct path")
     built.computeIfAbsent(s"deleted:$path", _ => {
+      StorePaths.wipe(corpus.sparkSession, path) // first caller OWNS the path
       build(corpus, path)
       delete(removed, path)
       java.lang.Boolean.TRUE

@@ -18,4 +18,20 @@ object StorePaths {
 
   def keyedTmp(name: String, datasetDir: String, suffix: String = ""): String =
     s"${sys.props("java.io.tmpdir")}/graft_${name}_${datasetKey(datasetDir)}$suffix"
+
+  /** Recursively remove a store path — the first-caller prologue of
+    * every memoized build-then-mutate lifecycle (`ensureDeleted` and
+    * kin): the keyed temp paths are deterministic ACROSS processes, so
+    * a dir left by an earlier JVM (bench litter, or ledger layers from
+    * before a schema change) would otherwise leak into a lifecycle
+    * that believes it starts from nothing — measured in r17 as stale
+    * seq-less tombstone ledgers failing every delete-family gate
+    * entry. The build that follows rewrites every layer it owns;
+    * this makes the ownership actually total.
+    */
+  def wipe(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) { fs.delete(p, true); () }
+  }
 }

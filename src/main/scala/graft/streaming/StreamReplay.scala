@@ -531,14 +531,18 @@ object StreamReplay {
           try {
             // the FULL docs table serves the verify text fetch —
             // minhashNearDupsDelta derives its candidate-id set from
-            // the stored band join (never containing this drop's ids),
-            // so the batch needs no complement predicate.
+            // the stored band join, which excludes THIS batch's own
+            // layer (bandsTableExcluding): if the fold below landed
+            // but the checkpoint commit did not, a redelivered batch
+            // would otherwise see its own ids stored and re-emit every
+            // drop-internal pair through the stored×drop join — the
+            // overwritten sink batch must be value-identical.
             // RETRY-SAFE BY LAYOUT: the per-batch rollup AND the index
             // fold both land in batch-id-keyed dirs with Overwrite, so
             // a crash-redelivered batch re-lands its own layers — no
             // marker file, no append→marker window.
             graft.operators.Dedup.minhashNearDupsDelta(b, docs,
-                MinhashIndexStore.bandsTable(spark, idxPath))
+                MinhashIndexStore.bandsTableExcluding(spark, idxPath, id))
               .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
               .parquet(s"$sink/batch_$id")
             // fold the drop in: the next micro-batch near-dups against it
@@ -627,9 +631,12 @@ object StreamReplay {
           try {
             val media = Multimodal.asMedia(b)
             // RETRY-SAFE BY LAYOUT: pair sink and index fold both land
-            // in batch-id-keyed dirs with Overwrite
+            // in batch-id-keyed dirs with Overwrite; the stored side
+            // excludes this batch's own layer so a post-fold
+            // redelivery recomputes the ORIGINAL delta (recompute
+            // identity, not just write idempotency)
             FrameSigIndexStore.deltaPairs(media,
-                FrameSigIndexStore.bandsTable(spark, idxPath))
+                FrameSigIndexStore.bandsTableExcluding(spark, idxPath, id))
               .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
               .parquet(s"$sink/batch_$id")
             // fold the drop in: the next drop near-dups against it
@@ -718,10 +725,14 @@ object StreamReplay {
           try {
             val media = Multimodal.asMedia(b)
             // RETRY-SAFE BY LAYOUT: rep delta sink, band fold, and
-            // size fold all land in batch-id-keyed dirs with Overwrite
+            // size fold all land in batch-id-keyed dirs with
+            // Overwrite; BOTH stored maps exclude this batch's own
+            // layer (r16 ADVICE) — a post-fold redelivery must
+            // recompute the ORIGINAL sink rows, not see its own reps
+            // stored and triple-emit every drop-internal pair
             FrameSigIndexStore.deltaReps(media,
-                FrameSigIndexStore.bandsTable(spark, idxPath),
-                FrameSigIndexStore.sizesTable(spark, idxPath))
+                FrameSigIndexStore.bandsTableExcluding(spark, idxPath, id),
+                FrameSigIndexStore.sizesTableExcluding(spark, idxPath, id))
               .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
               .parquet(s"$sink/batch_$id")
             // fold the drop's reps in: the next drop serves against it
@@ -1417,9 +1428,12 @@ object StreamReplay {
             // no separate dropped/ store is maintained
             val twinDropped = hash.select(col("doc_id"))
               .join(repIds, Seq("doc_id"), "left_anti")
+            // stored side horizon-bounded like every other read here:
+            // exclude this batch's own band layer so a post-fold
+            // redelivery recomputes the original edge set
             val nEdges = observedWrite(
               Dedup.minhashDeltaPairs(repDocs, slim,
-                  MinhashIndexStore.bandsTable(spark, idxPath))
+                  MinhashIndexStore.bandsTableExcluding(spark, idxPath, id))
                 .select(col("id_a"), col("id_b")),
               s"$work/edges/batch_$id")
             kbWriteFault(id, 1)

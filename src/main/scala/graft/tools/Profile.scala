@@ -37,6 +37,9 @@ object Profile {
     if (sys.env.get("SPARK_GRAFT_PROFILE").contains("keepbest")) {
       keepBestAnatomy(spark, dir); spark.stop(); return
     }
+    if (sys.env.get("SPARK_GRAFT_PROFILE").contains("lateevents")) {
+      lateEventsAnatomy(spark, dir); spark.stop(); return
+    }
     time("warmup/floor: docs scan+hash")(docs)
     time("floor rep 2: docs scan+hash")(docs)
     time("ids only: doc_id scan+hash")(docs.select(col("doc_id")))
@@ -64,6 +67,103 @@ object Profile {
         l.contains("Window"))
       .foreach(l => println("[prof]   " + l.trim.take(150)))
     spark.stop()
+  }
+
+  /** `SPARK_GRAFT_PROFILE=lateevents`: per-micro-batch anatomy of the
+    * `stream_late_events` gate (r16 verdict item 5 — suite-slowest
+    * single entry at sf1, 45.0 s, with no committed split of chain
+    * work vs streaming overhead). Three measurements over the SAME
+    * drop split the replay uses (on-time 80% / late 20%):
+    *
+    *  1. the BATCH floor: `Pipeline.runDailyLoad` run directly on each
+    *     drop against one warehouse — the pure chain cost, with the
+    *     per-stage walls the chain already reports;
+    *  2. the STREAMED replay: the same two drops through
+    *     foreachBatch + checkpoint, with each batch's in-closure chain
+    *     wall captured;
+    *  3. the split: stream total − Σ in-closure walls = source
+    *     planning + checkpoint/commit overhead; in-closure − batch
+    *     floor = what arriving via the stream costs the chain itself.
+    */
+  private def lateEventsAnatomy(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = Tables.events(spark, dir)
+    val part = Tables.part(spark, dir)
+    val stage = java.nio.file.Files.createTempDirectory("graft_late_prof")
+    def stageDrop(df: DataFrame, i: Int): Unit = {
+      val p = s"$stage/drops/drop_$i.parquet"
+      df.coalesce(1).write.mode("overwrite").parquet(s"$stage/tmp_$i")
+      val f = new java.io.File(s"$stage/tmp_$i").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$stage/drops"))
+      java.nio.file.Files.move(f.toPath, java.nio.file.Paths.get(p))
+      val _ = new java.io.File(p).setLastModified(1000L * (i + 1))
+    }
+    stageDrop(ev.filter(col("event_id") % 5 =!= 0), 0)
+    stageDrop(ev.filter(col("event_id") % 5 === 0), 1)
+    // 1. batch floor: the chain alone, per drop, per stage
+    val whB = java.nio.file.Files.createTempDirectory("graft_late_whb")
+      .toString + "/wh"
+    var batchFloor = 0.0
+    Seq(0, 1).foreach { i =>
+      val drop = spark.read.parquet(s"$stage/drops/drop_$i.parquet")
+      val t0 = System.nanoTime()
+      val stages = graft.Pipeline.runDailyLoad(spark, drop, part, whB)
+      val wall = (System.nanoTime() - t0) / 1e9
+      batchFloor += wall
+      println(f"[prof] batch drop_$i chain total${""}%-18s $wall%8.2f s")
+      stages.foreach(s =>
+        println(f"[prof]   stage ${s.name}%-28s ${s.seconds}%8.2f s (${s.rows} rows)"))
+    }
+    // 2. streamed replay over the same drops, in-closure walls captured
+    val wh = java.nio.file.Files.createTempDirectory("graft_late_whs")
+      .toString + "/wh"
+    val chk = java.nio.file.Files.createTempDirectory("graft_late_chk")
+    val schema = spark.read.parquet(s"$stage/drops/drop_0.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$stage/drops")
+    val closureWalls =
+      new java.util.concurrent.ConcurrentHashMap[Long, Double]()
+    val stageWalls = new java.util.concurrent.ConcurrentHashMap[Long,
+      Seq[graft.Pipeline.StageResult]]()
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = spark.conf.getOption(partsKey)
+    spark.conf.set(partsKey, "8")
+    val tStream = System.nanoTime()
+    try {
+      val q = src.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          val t0 = System.nanoTime()
+          val st = graft.Pipeline.runDailyLoad(spark, batch.toDF(), part, wh)
+          closureWalls.put(id, (System.nanoTime() - t0) / 1e9)
+          stageWalls.put(id, st)
+          ()
+      }
+        .option("checkpointLocation", chk.toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally prevParts match {
+      case Some(v) => spark.conf.set(partsKey, v)
+      case None => spark.conf.unset(partsKey)
+    }
+    val streamTotal = (System.nanoTime() - tStream) / 1e9
+    import scala.jdk.CollectionConverters._
+    val inClosure = closureWalls.values.asScala.sum
+    closureWalls.asScala.toSeq.sortBy(_._1).foreach { case (id, w) =>
+      println(f"[prof] stream batch_$id in-closure chain    $w%8.2f s")
+      stageWalls.get(id).foreach(s =>
+        println(f"[prof]   stage ${s.name}%-28s ${s.seconds}%8.2f s (${s.rows} rows)"))
+    }
+    println(f"[prof] batch floor (2 chains, no stream)  $batchFloor%8.2f s")
+    println(f"[prof] stream in-closure total            $inClosure%8.2f s")
+    println(f"[prof] stream total wall                  $streamTotal%8.2f s")
+    println(f"[prof] stream overhead (total - closure)  ${streamTotal - inClosure}%8.2f s")
+    println(f"[prof] closure premium (closure - floor)  ${inClosure - batchFloor}%8.2f s")
   }
 
   /** `SPARK_GRAFT_PROFILE=keepbest`: stage anatomy of the

@@ -297,6 +297,58 @@ class IndexRetractionSpec extends SparkSpecBase {
       "expire must never release a takedown whose rows are still live")
   }
 
+  test("epoched tombstones: re-delete after purge+expire re-masks; stale purge entries never release a later epoch") {
+    // the r16 ADVICE finding: with unepoched id sets, liveMask =
+    // tombstones ∖ expired could never re-mask an id whose first
+    // takedown was purged + expired — a re-delete was silently
+    // swallowed, and a second-epoch PRE-EMPTIVE takedown of
+    // re-appended content served unmasked (the exact bug class the
+    // purged gate closed for the first epoch, resurfacing across
+    // epochs).
+    val p = freshPath("mh_epoch")
+    val docs = Tables.documents(spark, sfDir)
+    val corpus = docs.filter(col("doc_id") % 10 === 1)
+    MinhashIndexStore.buildKeyed(corpus, p)
+    val ids = corpus.select(col("doc_id")).as[Long].collect().sorted
+    val (vic, pre) = (ids(0), ids(1)) // re-delete victim / pre-emptive victim
+    def mask() = Tombstones.liveMask(spark, p, "doc_id")
+      .as[Long].collect().toSet
+    def liveRows(id: Long) = MinhashIndexStore.bandsTable(spark, p)
+      .filter(col("doc_id") === id).count()
+    // epoch 1: delete both, purge, expire — mask empty
+    MinhashIndexStore.delete(Seq(vic, pre).toDF("doc_id"), p)
+    MinhashIndexStore.compact(spark, p)
+    MinhashIndexStore.expireTombstones(spark, p)
+    assert(mask().isEmpty, "epoch-1 purged takedowns must expire")
+    // epoch 2a: the victim's content is re-ingested (a legitimate
+    // re-append under the same id), then a FRESH takedown arrives
+    MinhashIndexStore.appendBatch(corpus.filter(col("doc_id") === vic), p, 7L)
+    assert(liveRows(vic) > 0L, "re-appended content must serve (no takedown outstanding)")
+    MinhashIndexStore.delete(Seq(vic).toDF("doc_id"), p)
+    assert(mask() == Set(vic), "a re-delete must re-enter the serve mask")
+    assert(liveRows(vic) == 0L, "the second-epoch takedown must mask the re-appended rows")
+    // and it is NOT expirable against the stale epoch-1 purge entry
+    MinhashIndexStore.expireTombstones(spark, p)
+    assert(mask() == Set(vic),
+      "expire must not release a takedown epoch no compact has purged")
+    // epoch 2b: a PRE-EMPTIVE re-delete (content not yet returned)
+    MinhashIndexStore.delete(Seq(pre).toDF("doc_id"), p)
+    MinhashIndexStore.expireTombstones(spark, p)
+    assert(mask() == Set(vic, pre),
+      "a second-epoch pre-emptive takedown must survive expiry " +
+        "despite the stale first-epoch purge entry")
+    // when the content returns, it must serve MASKED
+    MinhashIndexStore.appendBatch(corpus.filter(col("doc_id") === pre), p, 8L)
+    assert(liveRows(pre) == 0L,
+      "re-appended content behind a second-epoch pre-emptive takedown " +
+        "must stay masked")
+    // and the normal lifecycle then releases both epochs cleanly
+    MinhashIndexStore.compact(spark, p)
+    MinhashIndexStore.expireTombstones(spark, p)
+    assert(mask().isEmpty)
+    assert(liveRows(vic) == 0L && liveRows(pre) == 0L)
+  }
+
   test("framesig: repeat compact no-op + expire, via the shared tombstone layer") {
     val p = freshPath("fsig_expire")
     val docs = Tables.documents(spark, sfDir)
