@@ -502,6 +502,43 @@ object SparkEntry {
       .orderBy(col("doc_a"), col("doc_b"), col("frame_idx"))
   }
 
+  /** MEMBER-grain frame-sig takedown under the gate (r17 — the r16
+    * verdict's enforced-boundary item, promoted from spec to gate):
+    * the rep-grain store retracts ONE COPY of every stored twin group
+    * with n ≥ 2 via [[graft.sources.FrameSigIndexStore.deleteMembers]]
+    * — an exact n_copies decrement through the signed `sizes_deltas/`
+    * layer (unknown member ids fail loudly; exhausted groups would
+    * tombstone) — and the rep-grain delta serve carries the
+    * DECREMENTED sizes. Oracle = the rep-grain replay with every
+    * stored n ≥ 2 group's count lowered by one; the drop side keeps
+    * full counts (the takedown names stored content only).
+    */
+  private def qMmPhashMemberDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.FrameSigIndexStore
+    val docs = t(s, dir, "documents")
+    // the testdata corpus is singleton-grain at the oracle SFs
+    // (measured: zero duplicate texts at sf0.01), so the stored corpus
+    // synthesizes its twin groups DETERMINISTICALLY: every stored doc
+    // gains one byte-twin (+1e7 — residues mod 20 preserved) and every
+    // %20==1 doc a second (+2e7) — groups of 2 and 3 whose elected rep
+    // stays the ORIGINAL id. The takedown then bites on every group
+    // (n 2→1, 3→2), so each emitted cross row carries a decremented
+    // stored count the oracle must replay.
+    val baseDocs = docs.filter(col("doc_id") % 10 =!= 0).toDF()
+    val twinned = baseDocs
+      .unionByName(baseDocs.withColumn("doc_id", col("doc_id") + 10000000L))
+      .unionByName(baseDocs.filter(col("doc_id") % 20 === 1)
+        .withColumn("doc_id", col("doc_id") + 20000000L))
+    val base = Multimodal.asMedia(twinned)
+    val drop = Multimodal.asMedia(docs.filter(col("doc_id") % 10 === 0))
+    val path = FrameSigIndexStore.defaultPath(dir) + "_mdel"
+    FrameSigIndexStore.ensureMemberDeleted(base, path)
+    FrameSigIndexStore.deltaReps(drop,
+        FrameSigIndexStore.bandsTable(s, path),
+        FrameSigIndexStore.sizesTable(s, path))
+      .orderBy(col("rep_a"), col("rep_b"), col("frame_idx"))
+  }
+
   /** Cross-corpus duplicated-span audit: per-doc share of word 4-gram
     * shingles that occur in at least one other document.
     */
@@ -2204,6 +2241,7 @@ object SparkEntry {
     "stream_mm_phash" -> (qStreamMmPhash _),
     "stream_mm_phash_reps" -> (qStreamMmPhashReps _),
     "mm_phash_delete" -> (qMmPhashDelete _),
+    "mm_phash_member_delete" -> (qMmPhashMemberDelete _),
     "mm_scenes" -> (qMmScenes _),
     "text_dup_spans" -> (qDupSpans _),
     "stream_incr_agg" -> (qStreamIncrAgg _),
@@ -4679,6 +4717,44 @@ object SparkEntry {
         |WHERE hamming <= 3 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)
         |  AND doc_a % 10 <> 2 AND doc_b % 10 <> 2
         |ORDER BY doc_a, doc_b, frame_idx""".stripMargin),
+    // mm_phash_member_delete: the rep-grain delta replay with every
+    // STORED twin group's count lowered by one (the member-takedown
+    // decrement law replayed by value — drop-side counts stay full,
+    // the takedown names stored content only; no stored group is
+    // exhausted because only n >= 2 groups lose a single copy)
+    "mm_phash_member_delete" ->
+      (s"WITH $mmBitsCtes,\n" +
+      """ cls AS (
+        |  SELECT doc_id, text,
+        |   CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS c
+        |  FROM documents
+        |  UNION ALL SELECT doc_id + 10000000, text, 0
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL SELECT doc_id + 20000000, text, 0
+        |  FROM documents WHERE doc_id % 20 = 1),
+        | reps0 AS (SELECT c, min(doc_id) AS rep, count(*)::BIGINT AS n
+        |  FROM cls GROUP BY c, text),
+        | reps AS (SELECT c, rep,
+        |   CASE WHEN c = 0 AND n >= 2 THEN n - 1 ELSE n END AS n
+        |  FROM reps0),
+        | rbits AS (SELECT b.doc_id, b.frame_idx, b.sig_lo, b.sig_hi,
+        |   r.c, r.n
+        |  FROM bits b JOIN reps r ON b.doc_id = r.rep),
+        | hp AS (SELECT x.doc_id AS rep_a, y.doc_id AS rep_b,
+        |   x.frame_idx,
+        |   (bit_count(xor(x.sig_lo, y.sig_lo))
+        |    + bit_count(xor(x.sig_hi, y.sig_hi)))::INT AS hamming,
+        |   x.n AS n_a, y.n AS n_b, x.c AS ca, y.c AS cb
+        |  FROM rbits x JOIN rbits y
+        |    ON x.frame_idx = y.frame_idx AND x.doc_id < y.doc_id)
+        |SELECT rep_a, rep_b, frame_idx, hamming, n_a, n_b FROM (
+        |  SELECT rep_a, rep_b, frame_idx, hamming, n_a, n_b
+        |  FROM hp WHERE hamming <= 3 AND NOT (ca = 0 AND cb = 0)
+        |  UNION ALL
+        |  SELECT r.rep, r.rep, b.frame_idx, 0::INT, r.n, r.n
+        |  FROM reps r JOIN bits b ON b.doc_id = r.rep
+        |  WHERE r.c = 1 AND r.n >= 2)
+        |ORDER BY rep_a, rep_b, frame_idx""".stripMargin),
     // scene boundaries: same frame-signature replay, then the lag +
     // islands grouping with the 24-bit cut law
     "mm_scenes" ->

@@ -545,8 +545,6 @@ object FrameSigIndexStore {
         s"$path has no sizes/ layer — member-grain takedowns only " +
           "apply to the rep-grain layout (buildRepKeyed); use delete() " +
           "on a pair-grain store")
-      val req = memberIds.select(col("doc_id"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("k"))
       // remaining copies per rep, EXCLUDING this takedown's own layer
       // (retry-exact) and any tombstoned rep (reads as unknown)
       val base = spark.read.parquet(s"$path/sizes").drop("batch")
@@ -566,36 +564,66 @@ object FrameSigIndexStore {
           totals.join(broadcast(tombstonesTable(spark, path)),
             Seq("doc_id"), "left_anti")
         else totals
+      val req = memberIds.select(col("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("k"))
       val checked = req.join(masked, Seq("doc_id"), "left_outer")
         .select(col("doc_id"), col("k"), col("n"))
         .collect()
-      val offenders = checked.filter(r => r.isNullAt(2) || r.getLong(2) < r.getLong(1))
-      if (offenders.nonEmpty) {
-        val msgs = offenders.take(10).map { r =>
-          if (r.isNullAt(2))
-            s"doc_id=${r.get(0)} is not a live stored rep (member-grain " +
-              "ids must be resolved to their rep via the content-keyed " +
-              "election, or routed through the pair-grain store)"
-          else
-            s"doc_id=${r.get(0)}: ${r.getLong(1)} copies requested, " +
-              s"only ${r.getLong(2)} remain"
+      // an EMPTY takedown is a no-op: never write an empty delta layer
+      // (an all-_SUCCESS parquet dir would break later layer reads)
+      if (checked.nonEmpty) {
+        val offenders = checked.filter(r => r.isNullAt(2) || r.getLong(2) < r.getLong(1))
+        if (offenders.nonEmpty) {
+          val msgs = offenders.take(10).map { r =>
+            if (r.isNullAt(2))
+              s"doc_id=${r.get(0)} is not a live stored rep (member-grain " +
+                "ids must be resolved to their rep via the content-keyed " +
+                "election, or routed through the pair-grain store)"
+            else
+              s"doc_id=${r.get(0)}: ${r.getLong(1)} copies requested, " +
+                s"only ${r.getLong(2)} remain"
+          }
+          throw new IllegalArgumentException(
+            s"framesig member takedown $takedownId rejected " +
+              s"(${offenders.length} offender(s)): ${msgs.mkString("; ")}")
         }
-        throw new IllegalArgumentException(
-          s"framesig member takedown $takedownId rejected " +
-            s"(${offenders.length} offender(s)): ${msgs.mkString("; ")}")
-      }
-      req.select(col("doc_id"), (-col("k")).cast("long").as("n_copies"))
-        .write.mode(SaveMode.Overwrite)
-        .parquet(s"$path/sizes_deltas/takedown=$takedownId")
-      val exhausted = checked.filter(r => r.getLong(2) == r.getLong(1))
-        .map(_.get(0))
-      if (exhausted.nonEmpty) {
-        import spark.implicits._
-        Tombstones.append(
-          exhausted.map(_.asInstanceOf[Long]).toSeq.toDF("doc_id"),
-          path, "doc_id")
+        req.select(col("doc_id"), (-col("k")).cast("long").as("n_copies"))
+          .write.mode(SaveMode.Overwrite)
+          .parquet(s"$path/sizes_deltas/takedown=$takedownId")
+        val exhausted = checked.filter(r => r.getLong(2) == r.getLong(1))
+          .map(_.get(0))
+        if (exhausted.nonEmpty) {
+          import spark.implicits._
+          Tombstones.append(
+            exhausted.map(_.asInstanceOf[Long]).toSeq.toDF("doc_id"),
+            path, "doc_id")
+        }
       }
     }
+
+  /** Memoized build-then-MEMBER-takedown lifecycle for the gate (the
+    * [[ensureDeleted]] contract at member grain): the first caller per
+    * JVM per path builds the REP-GRAIN store over the corpus and then
+    * retracts ONE COPY of every stored twin group with n ≥ 2 via
+    * [[deleteMembers]] — the deterministic takedown set that exercises
+    * the decrement law wherever the corpus has twins. Later callers
+    * serve from the decremented store.
+    */
+  def ensureMemberDeleted(corpus: Dataset[MMRecord], path: String): Unit = {
+    require(!built.containsKey(s"plain:$path") &&
+      !built.containsKey(s"deleted:$path"),
+      s"$path was built by another lifecycle; use a distinct path")
+    built.computeIfAbsent(s"memberdel:$path", _ => {
+      val spark = corpus.sparkSession
+      StorePaths.wipe(spark, path) // first caller OWNS the path
+      buildRepKeyed(corpus, path)
+      val twins = sizesTable(spark, path)
+        .filter(col("n_copies") >= 2).select(col("doc_id"))
+      deleteMembers(twins, path, takedownId = 1L)
+      java.lang.Boolean.TRUE
+    })
+    ()
+  }
 
   /** Incremental near-dup frames at REP grain — [[deltaPairs]] with
     * the pair-grain expansion NEVER materialized (the
