@@ -206,6 +206,18 @@ class FrameSigIndexStoreSpec extends SparkSpecBase {
       FrameSigIndexStore.bandsTable(spark, p),
       FrameSigIndexStore.sizesTable(spark, p)))
     assert(firstDelivery == firstDeliveryFull)
+    // the exclusion is a PARTITION filter, not a scan-then-drop: the
+    // excluded layer's files must leave the plan at listing time (the
+    // scaladoc's 100 TB claim — a redelivered batch must not re-read
+    // the whole stored index to skip its own layer)
+    val excl = FrameSigIndexStore.bandsTableExcluding(spark, p, 3L)
+    excl.collect()
+    val scan = excl.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("Scan parquet"))
+      .getOrElse(fail("expected a parquet scan leaf"))
+    assert(scan.contains("PartitionFilters") && scan.contains("batch"),
+      s"the batch exclusion must land in PartitionFilters, plan leaf: " +
+        scan.take(400))
   }
 
   test("member-grain takedown: the n_copies decrement law applies exactly or fails loudly") {
