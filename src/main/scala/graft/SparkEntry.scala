@@ -699,6 +699,28 @@ object SparkEntry {
     Relational.promoShare(t(s, dir, "part"), t(s, dir, "lineitem"))
       .orderBy(col("ship_month"))
 
+  private def qDisjunctiveRev(s: SparkSession, dir: String): DataFrame =
+    Relational.disjunctiveRevenue(t(s, dir, "part"), t(s, dir, "lineitem"))
+      .orderBy(col("p_brand"))
+
+  private def qExcessSupply(s: SparkSession, dir: String): DataFrame =
+    Relational.excessSupply(t(s, dir, "supplier"), t(s, dir, "lineitem"))
+      .orderBy(col("s_suppkey"))
+
+  private def qMinCostSupp(s: SparkSession, dir: String): DataFrame =
+    Relational.minCostSupplier(t(s, dir, "part"), t(s, dir, "supplier"),
+      t(s, dir, "lineitem"))
+      .orderBy(col("p_partkey"), col("s_suppkey"))
+
+  private def qLateAlone(s: SparkSession, dir: String): DataFrame =
+    Relational.lateAloneSuppliers(t(s, dir, "supplier"), t(s, dir, "orders"),
+      t(s, dir, "lineitem"))
+      .orderBy(col("s_suppkey"))
+
+  private def qWindowRankFuncs(s: SparkSession, dir: String): DataFrame =
+    Relational.windowRankFuncs(t(s, dir, "events"))
+      .orderBy(col("user_id"), col("event_id"))
+
   private def qNationFlow(s: SparkSession, dir: String): DataFrame =
     Relational.nationFlow(t(s, dir, "nation"), t(s, dir, "customer"),
       t(s, dir, "supplier"), t(s, dir, "orders"), t(s, dir, "lineitem"))
@@ -1025,6 +1047,10 @@ object SparkEntry {
   private def qLmScore(s: SparkSession, dir: String): DataFrame =
     CorpusStats.lmScore(t(s, dir, "documents"))
       .orderBy(col("doc_id"))
+
+  private def qCcnetBuckets(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.ccnetBuckets(t(s, dir, "documents"))
+      .orderBy(col("lang"), col("bucket"))
 
   /** Feature-hashed document embeddings ([[CorpusStats.docEmbed]]):
     * signed hashed bag-of-words into 16 dims, integer-exact raw votes
@@ -1650,6 +1676,10 @@ object SparkEntry {
     Dedup.embeddingNearDupsAuto(t(s, dir, "embeddings"))
       .orderBy(col("a_id"), col("b_id"))
 
+  private def qDedupSemantic(s: SparkSession, dir: String): DataFrame =
+    Dedup.semanticDedup(t(s, dir, "embeddings"))
+      .orderBy(col("vec_id"))
+
   private def qKnnBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(t(s, dir, "embeddings"), col("vec_id") < 8)
       .withColumn("rnk", col("rnk").cast("bigint"))
@@ -2059,6 +2089,7 @@ object SparkEntry {
     "text_gopher" -> (qGopher _),
     "text_tfidf" -> (qTfidf _),
     "text_lm_score" -> (qLmScore _),
+    "text_ccnet_buckets" -> (qCcnetBuckets _),
     "text_clf_train" -> (qClfTrain _),
     "text_clf_score" -> (qClfScore _),
     "text_clf_eval" -> (qClfEval _),
@@ -2122,6 +2153,11 @@ object SparkEntry {
     "q_new_vs_returning" -> (qNewVsReturning _),
     "q6_forecast_revenue" -> (qForecastRevenue _),
     "q14_promo_share" -> (qPromoShare _),
+    "q19_disjunctive_rev" -> (qDisjunctiveRev _),
+    "q20_excess_supply" -> (qExcessSupply _),
+    "q2_min_cost_supp" -> (qMinCostSupp _),
+    "q21_late_alone" -> (qLateAlone _),
+    "q_window_rank_funcs" -> (qWindowRankFuncs _),
     "q_rfm" -> (qRfm _),
     "q_event_paths" -> (qEventPaths _),
     "text_mixture" -> (qMixture _),
@@ -2185,6 +2221,7 @@ object SparkEntry {
     "dedup_embedding_all" -> (qDedupEmbeddingAll _),
     "dedup_embedding_keep" -> (qDedupEmbeddingKeep _),
     "dedup_embedding_auto" -> (qDedupEmbeddingAuto _),
+    "dedup_semantic" -> (qDedupSemantic _),
     "dedup_minhash_keep" -> (qDedupMinhashKeep _),
     "dedup_keep_best" -> (qDedupKeepBest _),
     "stream_keep_best" -> (qStreamKeepBest _),
@@ -3163,6 +3200,35 @@ object SparkEntry {
         | round(sum(CASE WHEN v.c IS NULL THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS oov_ratio
         |FROM tk LEFT JOIN vocab v USING (token) CROSS JOIN tot t
         |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin,
+    // CCNet tercile bucketing: lmScore replay + per-lang interpolated
+    // terciles (quantile_cont ↔ Spark `percentile`, the q_rfm pairing;
+    // strict > against a cut between ADJACENT order statistics is
+    // classification-stable under last-ulp interpolation error) +
+    // integer 1e4-scaled score mass (association-order-free sums)
+    "text_ccnet_buckets" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(text,'\s+')) AS token FROM documents),
+        | tk AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+        | cnt AS (SELECT token, count(*)::BIGINT AS c FROM tk GROUP BY 1),
+        | vocab AS (SELECT token, c FROM cnt ORDER BY c DESC, token LIMIT 16),
+        | tot AS (SELECT (SELECT sum(c)::BIGINT FROM cnt) AS t_total, (SELECT count(*)::BIGINT FROM vocab) AS v_n),
+        | sc AS (SELECT tk.doc_id, count(*)::BIGINT AS n_tokens,
+        |   round(avg(ln((coalesce(v.c,0)+1)::DOUBLE / (t.t_total + t.v_n + 1))), 4) AS lm_score
+        |  FROM tk LEFT JOIN vocab v USING (token) CROSS JOIN tot t
+        |  GROUP BY tk.doc_id),
+        | sl AS (SELECT sc.*, d.lang FROM sc JOIN documents d USING (doc_id)),
+        | th AS (SELECT lang, quantile_cont(lm_score, [1.0/3, 2.0/3]) AS t
+        |        FROM sl GROUP BY lang),
+        | b AS (SELECT sl.lang,
+        |   CASE WHEN sl.lm_score > th.t[2] THEN 'head'
+        |        WHEN sl.lm_score > th.t[1] THEN 'middle'
+        |        ELSE 'tail' END AS bucket,
+        |   sl.n_tokens, sl.lm_score
+        |  FROM sl JOIN th USING (lang))
+        |SELECT lang, bucket, count(*)::BIGINT AS n_docs,
+        | sum(n_tokens)::BIGINT AS n_tokens,
+        | sum(round(lm_score * 10000)::BIGINT)::BIGINT AS score_e4_sum,
+        | min(lm_score) AS min_score, max(lm_score) AS max_score
+        |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
     // Naive Bayes distilled from the Gopher gate: top-256 vocab by total
     // count (token tie-break), Laplace smoothing over the vocab event
     // space, llr as a 1e-4-scaled BIGINT (integer score sums are
@@ -3676,6 +3742,75 @@ object SparkEntry {
         |   / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(10,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS promo_share
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY 1 ORDER BY ship_month""".stripMargin,
+    "q19_disjunctive_rev" ->
+      """SELECT p.p_brand,
+        | CAST(sum(CAST(l.l_extendedprice AS DECIMAL(10,2)) * CAST(1 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        | count(*)::BIGINT AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10
+        |        AND l.l_quantity BETWEEN 1 AND 20)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+        |        AND l.l_quantity BETWEEN 10 AND 30)
+        |   OR (p.p_brand = 'Brand#5' AND p.p_size BETWEEN 1 AND 30
+        |        AND l.l_quantity BETWEEN 20 AND 40)
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin,
+    "q20_excess_supply" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         sum(CAST(l_quantity AS DECIMAL(12,2))) AS supp_qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1998-01-01'
+        |  GROUP BY 1, 2),
+        | pt AS (SELECT l_partkey, sum(supp_qty) AS part_qty FROM ps GROUP BY 1),
+        | dom AS (SELECT ps.* FROM ps JOIN pt USING (l_partkey)
+        |         WHERE ps.supp_qty * 2 > pt.part_qty)
+        |SELECT s.s_suppkey, s.s_name, count(*)::BIGINT AS n_dominant_parts,
+        | CAST(sum(dom.supp_qty) AS DOUBLE) AS dominated_qty
+        |FROM dom JOIN supplier s ON dom.l_suppkey = s.s_suppkey
+        |GROUP BY 1, 2 ORDER BY s.s_suppkey""".stripMargin,
+    "q2_min_cost_supp" ->
+      """WITH sl AS (SELECT p_partkey, p_name FROM part
+        |   WHERE p_type = 'PROMO' AND p_size <= 5),
+        | li AS (SELECT l.l_partkey, l.l_suppkey,
+        |   CAST(l.l_extendedprice AS DECIMAL(10,2)) AS price
+        |  FROM lineitem l JOIN sl ON l.l_partkey = sl.p_partkey),
+        | mn AS (SELECT l_partkey, min(price) AS min_price FROM li GROUP BY 1),
+        | win AS (SELECT DISTINCT li.l_partkey, li.l_suppkey, mn.min_price
+        |  FROM li JOIN mn ON li.l_partkey = mn.l_partkey
+        |   AND li.price = mn.min_price)
+        |SELECT sl.p_partkey, sl.p_name, s.s_suppkey, s.s_name, s.s_acctbal,
+        | CAST(w.min_price AS DOUBLE) AS min_price
+        |FROM win w JOIN sl ON w.l_partkey = sl.p_partkey
+        |JOIN supplier s ON w.l_suppkey = s.s_suppkey
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    "q21_late_alone" ->
+      """WITH pairs AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |   max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+        |       THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        | ord AS (SELECT l_orderkey, count(*)::BIGINT AS n_suppliers,
+        |         sum(late)::BIGINT AS n_late
+        |  FROM pairs GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, count(*)::BIGINT AS n_waiting_orders
+        |FROM pairs p JOIN ord USING (l_orderkey)
+        |JOIN supplier s ON p.l_suppkey = s.s_suppkey
+        |WHERE p.late = 1 AND ord.n_suppliers > 1 AND ord.n_late = 1
+        |GROUP BY 1, 2 ORDER BY s.s_suppkey""".stripMargin,
+    "q_window_rank_funcs" ->
+      """SELECT user_id, event_id, value,
+        | row_number() OVER bytime::INT AS rn,
+        | ntile(4) OVER byval::INT AS quartile,
+        | percent_rank() OVER byval AS val_pct,
+        | cume_dist() OVER byval AS val_cume,
+        | first_value(value) OVER bytime AS first_val
+        |FROM events
+        |WINDOW
+        | bytime AS (PARTITION BY user_id ORDER BY ts, event_id),
+        | byval AS (PARTITION BY user_id ORDER BY value, event_id)
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_event_paths" ->
       """WITH j AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,
@@ -4280,6 +4415,27 @@ object SparkEntry {
     "emb_kmeans" ->
       (s"WITH ${kmeansCtes(8, 3)}\n" +
         """SELECT vec_id, cluster, d2 FROM a3 ORDER BY vec_id""".stripMargin),
+    // SemDeDup replay at RAW grain: the kmeans CTE chain, within-cluster
+    // pairs at 4dp cosine ≥ 0.35, keep-lowest-id over the neighbor set —
+    // the Spark side computes the identical answer at rep grain (twins
+    // fold in as group sizes) and expands
+    "dedup_semantic" ->
+      (s"WITH ${kmeansCtes(8, 3)},\n" +
+        """ asg AS (SELECT vec_id, cluster FROM a3),
+          | pr AS (
+          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+          |  FROM asg a JOIN asg b ON a.cluster = b.cluster
+          |   AND a.vec_id < b.vec_id
+          |  JOIN pts pa ON pa.vec_id = a.vec_id
+          |  JOIN pts pb ON pb.vec_id = b.vec_id
+          |  WHERE round(list_cosine_similarity(pa.x, pb.x), 4) >= 0.35),
+          | nb AS (SELECT a_id AS vec_id, b_id AS nbr FROM pr
+          |  UNION ALL SELECT b_id, a_id FROM pr),
+          | st AS (SELECT vec_id, count(*)::BIGINT AS n_dups, min(nbr) AS min_nbr
+          |  FROM nb GROUP BY 1)
+          |SELECT a.vec_id, a.cluster, coalesce(st.n_dups, 0)::BIGINT AS n_dups,
+          | (st.min_nbr IS NULL OR st.min_nbr > a.vec_id) AS kept
+          |FROM asg a LEFT JOIN st USING (vec_id) ORDER BY vec_id""".stripMargin),
     // trained IVF = the kmeans replay composed with the IVF search
     // CTEs, cells re-centroided from the final assignment exactly as
     // ivfTopK's CentroidAggregator does (sum/count, 6dp)

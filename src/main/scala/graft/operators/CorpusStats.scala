@@ -722,6 +722,53 @@ object CorpusStats {
           count(lit(1)), 4).as("oov_ratio"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet:
+    * Extracting high quality monolingual datasets from web crawl
+    * data", LREC 2020): per language, documents split into
+    * head / middle / tail terciles by their LM fluency score
+    * ([[lmScore]]'s smoothed mean log-prob — higher = more corpus-like,
+    * the inverse orientation of CCNet's perplexity), emitted as the
+    * per-(lang, bucket) datasheet a curation run keeps: doc/token
+    * counts, the exact score mass, and the bucket's score range.
+    *
+    * Determinism: the tercile thresholds are exact interpolated
+    * percentiles over the 4 dp-rounded scores (the `q_rfm` device —
+    * strict `>` comparisons against an interpolated cut between
+    * ADJACENT order statistics classify every data point identically
+    * in both engines regardless of last-ulp interpolation error), and
+    * the score mass is summed as a 1e4-scaled BIGINT
+    * (association-order-free — the classifier family's integer-score
+    * discipline), never a float sum.
+    *
+    * Scale shape: scoring is [[lmScore]]'s broadcast-vocabulary pass;
+    * the per-lang percentile aggregates over scores that are ALREADY
+    * 4 dp-rounded, so its state is bounded by the distinct rounded
+    * score values (≈ thousands), not by document count; thresholds are
+    * a ~|langs|-row frame broadcast back; the final rollup is a
+    * (lang × 3)-cardinality aggregate. No window over the corpus.
+    */
+  def ccnetBuckets(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
+    val scored = lmScore(docs, textCol, idCol)
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    val th = scored.groupBy(col(langCol))
+      .agg(expr("percentile(lm_score, array(CAST(1 AS DOUBLE)/3, " +
+        "CAST(2 AS DOUBLE)/3))").as("t"))
+      .select(col(langCol), col("t").getItem(0).as("t_lo"),
+        col("t").getItem(1).as("t_hi"))
+    scored.join(broadcast(th), Seq(langCol))
+      .withColumn("bucket",
+        when(col("lm_score") > col("t_hi"), "head")
+          .when(col("lm_score") > col("t_lo"), "middle")
+          .otherwise("tail"))
+      .groupBy(col(langCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(round(col("lm_score") * 10000).cast("long")).as("score_e4_sum"),
+        min(col("lm_score")).as("min_score"),
+        max(col("lm_score")).as("max_score"))
+  }
+
   /** Per-group distinct-document estimate via the bounded-state KMV
     * sketch ([[graft.functions.KmvAggregator]]) — and, as its recall
     * eval, the exact distinct count it approximates. The sketch path

@@ -1412,6 +1412,92 @@ object Dedup {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SEMANTIC dedup — the SemDeDup shape (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): cluster the embedding space
+    * with k-means, compute pairwise similarity ONLY within clusters,
+    * and keep one representative per near-dup neighborhood. Candidate
+    * generation here is the trained partition itself (the paper's
+    * core trick), not hashing — the complement of the LSH-bucketed
+    * [[embeddingNearDupsAll]] family. Emits the full per-vector audit:
+    * `(vec_id, cluster, n_dups, kept)` where `n_dups` counts
+    * within-cluster neighbors at `cosine ≥ threshold` (4 dp, the §5
+    * device) and `kept` is the keep-lowest-id action
+    * ([[exactDedup]]'s law lifted to the semantic neighborhood).
+    *
+    * 100 TB shape: k scales with the corpus (the paper's recipe —
+    * cells stay ~constant size, so within-cell pair work is linear in
+    * N at fixed cell width, never all-pairs), and BOTH stages run at
+    * DISTINCT-VECTOR grain: assignment is a pure function of the
+    * vector value ([[Similarity.kmeansAssign]] already collapses), and
+    * the within-cell self-join here pairs only group REPS — replica
+    * twins contribute `cosine == 1.0` self pairs analytically (twin
+    * counts fold in as group sizes), so the quadratic divides by the
+    * replica rate squared exactly as [[embeddingNearDups]]' rep-pair
+    * law. The final member expansion is one join by rep id; vectors
+    * never enter the pair exchange (ids + 4 dp cosines only).
+    */
+  def semanticDedup(emb: DataFrame, k: Int = 8, iters: Int = 3,
+      threshold: Double = 0.35): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(emb.sparkSession)
+    val vecs = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    // distinct-vector groups: rep = min member id, size = twin count
+    val reps = vecs.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("rep"), count(lit(1)).as("n_members"))
+    val members = vecs.join(reps.select(col("embedding"), col("rep")),
+      Seq("embedding")).select(col("vec_id"), col("rep"))
+    // cluster of a group = cluster of its rep (assignment is a pure
+    // function of the vector value, so twins share it by construction)
+    val assign = Similarity.kmeansAssign(emb, k, iters)
+      .select(col("vec_id").as("rep"), col("cluster"))
+      .join(reps.select(col("rep"), col("embedding"), col("n_members")),
+        Seq("rep"))
+      .select(col("rep"), col("cluster"), col("n_members"),
+        col("embedding"), VF.normNative(col("embedding")).as("nrm"))
+    // within-cluster rep pairs ≥ threshold — the SemDeDup candidate set
+    val a = assign.select(col("cluster"), col("rep").as("a_rep"),
+      col("embedding").as("a_emb"), col("nrm").as("a_nrm"),
+      col("n_members").as("a_n"))
+    val b = assign.select(col("cluster"), col("rep").as("b_rep"),
+      col("embedding").as("b_emb"), col("nrm").as("b_nrm"),
+      col("n_members").as("b_n"))
+    val repPairs = a.join(b, Seq("cluster"))
+      .filter(col("a_rep") < col("b_rep"))
+      .select(col("a_rep"), col("b_rep"), col("a_n"), col("b_n"),
+        round(VF.dotNative(col("a_emb"), col("b_emb"))
+          / (col("a_nrm") * col("b_nrm")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    // rep-grain adjacency: for each group, total twin mass of adjacent
+    // groups and the minimum adjacent rep id (the keep-min law needs
+    // only the MIN over neighbor ids, and every group's min id IS its
+    // rep)
+    val adj = repPairs
+      .select(col("a_rep").as("rep"), col("b_n").as("nbr_n"),
+        col("b_rep").as("nbr_rep"))
+      .unionByName(repPairs.select(col("b_rep").as("rep"),
+        col("a_n").as("nbr_n"), col("a_rep").as("nbr_rep")))
+      .groupBy(col("rep"))
+      .agg(sum(col("nbr_n")).as("adj_members"),
+        min(col("nbr_rep")).as("min_adj_rep"))
+    val groupStats = assign.select(col("rep"), col("cluster"),
+        col("n_members"))
+      .join(adj, Seq("rep"), "left")
+      .select(col("rep"), col("cluster"), col("n_members"),
+        coalesce(col("adj_members"), lit(0L)).as("adj_members"),
+        col("min_adj_rep"))
+    // member expansion: twins are mutual near-dups (cosine exactly
+    // 1.0 ≥ threshold), so n_dups = (own group size − 1) + adjacent
+    // twin mass; kept ⇔ the member IS its group's min id AND no
+    // adjacent group starts lower
+    members.join(groupStats, Seq("rep"))
+      .select(col("vec_id"), col("cluster"),
+        (col("n_members") - 1 + col("adj_members")).as("n_dups"),
+        (col("vec_id") === col("rep") &&
+          (col("min_adj_rep").isNull || col("min_adj_rep") > col("vec_id")))
+          .as("kept"))
+  }
+
   /** Shared banded-LSH near-dup pipeline: per-table sign signatures,
     * ids-only bucket self-join, exact-cosine verify on candidates.
     * Shuffle discipline: the bucket self-join moves (vec_id, table_id,

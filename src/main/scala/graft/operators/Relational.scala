@@ -1134,4 +1134,185 @@ object Relational {
       .agg(count(lit(1)).as("n_custs"),
         sum(col("bal")).cast("double").as("total_bal"))
   }
+
+  /** TPC-H Q19-shaped disjunctive-predicate revenue: an OR of
+    * per-brand (size band × quantity band) conjunctions that SPANS the
+    * lineitem ⋈ part join — the canonical "disjunction across a join"
+    * plan test. Per qualifying brand: exact-decimal revenue + item
+    * count.
+    *
+    * Scale shape: the disjunction itself cannot be pushed through the
+    * join, but its per-side WEAKENINGS can and are pushed explicitly —
+    * part prunes to the union-of-brands sliver with the loosest size
+    * bound (a broadcast build side), and the fact scan keeps only the
+    * union quantity envelope (`[minQty, maxQty]` over all arms, a
+    * parquet range pushdown), so the full OR is evaluated on the few
+    * rows surviving both prefilters, not on the raw fact.
+    */
+  def disjunctiveRevenue(part: DataFrame, lineitem: DataFrame): DataFrame = {
+    val arms: Seq[(String, Int, Int, Int)] = Seq(
+      ("Brand#12", 10, 1, 20),  // (brand, maxSize, loQty, hiQty)
+      ("Brand#23", 20, 10, 30),
+      ("Brand#5", 30, 20, 40))
+    val maxSize = arms.map(_._2).max
+    val loQty = arms.map(_._3).min
+    val hiQty = arms.map(_._4).max
+    val p = part
+      .filter(col("p_brand").isin(arms.map(_._1): _*)
+        && col("p_size") >= 1 && col("p_size") <= maxSize)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val li = lineitem
+      .filter(col("l_quantity") >= loQty && col("l_quantity") <= hiQty)
+      .select(col("l_partkey"), col("l_quantity"),
+        dec(col("l_extendedprice"), 10, 2).as("price"),
+        dec(lit(1) - col("l_discount"), 4, 2).as("disc"))
+    val orPred = arms
+      .map { case (brand, size, lo, hi) =>
+        col("p_brand") === brand && col("p_size") <= size &&
+          col("l_quantity") >= lo && col("l_quantity") <= hi
+      }
+      .reduce(_ || _)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(orPred)
+      .groupBy(col("p_brand"))
+      .agg(sum(col("price") * col("disc")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q20-shaped excess-supply audit: suppliers who shipped MORE
+    * THAN HALF of some part's total shipped quantity inside a year
+    * window — the "one supplier dominates this part" concentration
+    * signal (Q20's correlated `> 0.5 * sum(...)` subquery, join-form).
+    *
+    * Scale shape: ONE fact scan. The (part, supplier) quantities are a
+    * map-side-combined aggregate, and the per-part totals RE-AGGREGATE
+    * those partials (never a second pass over lineitem); the dominance
+    * test runs in cross-multiplied DECIMAL (2·q > total — exact, no
+    * division) after a part-keyed join of two frames that share the
+    * (part, supplier) exchange's partitioning prefix. Supplier names
+    * resolve by broadcast at the dominant-pair sliver, dim ≪ fact.
+    */
+  def excessSupply(supplier: DataFrame, lineitem: DataFrame,
+      from: String = "1997-01-01", until: String = "1998-01-01"): DataFrame = {
+    val ps = lineitem
+      .filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(dec(col("l_quantity"))).as("supp_qty"))
+    val pt = ps.groupBy(col("l_partkey"))
+      .agg(sum(col("supp_qty")).as("part_qty"))
+    val dominant = ps.join(pt, Seq("l_partkey"))
+      .filter(col("supp_qty") * 2 > col("part_qty"))
+    dominant.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominant_parts"),
+        sum(col("supp_qty")).cast("double").as("dominated_qty"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_dominant_parts"),
+        col("dominated_qty"))
+  }
+
+  /** TPC-H Q2-shaped minimum-cost supplier: within a part slice (type ×
+    * size bound), every supplier whose sale price for the part equals
+    * that part's global minimum — the classic correlated-scalar-MIN
+    * subquery, expressed as a per-group argmin join-back. Ties all
+    * surface (same semantics as Q2's `= (SELECT min(...))`).
+    *
+    * Scale shape: the part slice is a broadcast sliver that prunes the
+    * fact scan; the per-part MIN is a map-side-combined aggregate over
+    * the surviving rows, joined back by (part, exact-DECIMAL price
+    * equality) — never a global sort, never a window over the raw
+    * fact. The winner set is distinct (part, supplier) pairs — a
+    * sliver — and supplier context resolves by broadcast against it.
+    */
+  def minCostSupplier(part: DataFrame, supplier: DataFrame,
+      lineitem: DataFrame, ptype: String = "PROMO",
+      maxSize: Int = 5): DataFrame = {
+    val sl = part
+      .filter(col("p_type") === ptype && col("p_size") <= maxSize)
+      .select(col("p_partkey"), col("p_name"))
+    val li = lineitem
+      .join(broadcast(sl.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        dec(col("l_extendedprice"), 10, 2).as("price"))
+    val mn = li.groupBy(col("l_partkey")).agg(min(col("price")).as("min_price"))
+      .withColumnRenamed("l_partkey", "mn_partkey")
+    val winners = li
+      .join(mn, col("l_partkey") === col("mn_partkey")
+        && col("price") === col("min_price"))
+      .select(col("l_partkey"), col("l_suppkey"), col("min_price"))
+      .distinct()
+    winners
+      .join(broadcast(sl), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"),
+        col("s_acctbal"))), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+        col("s_name"), col("s_acctbal"),
+        col("min_price").cast("double").as("min_price"))
+  }
+
+  /** TPC-H Q21-shaped sole-late-supplier audit: per supplier, how many
+    * MULTI-supplier orders that supplier alone shipped late (past
+    * `graceDays` from the order date) — Q21's
+    * EXISTS(other supplier) ∧ NOT EXISTS(other LATE supplier) pair.
+    *
+    * Scale shape: the double correlated EXISTS is re-expressed as ONE
+    * pass of grouped counting — (order, supplier) pairs with a late
+    * flag (map-side combined off the single orders⋈lineitem spine),
+    * an order-grain re-aggregation of those partials (supplier count +
+    * late count per order; the exchange key is a PREFIX of the pair
+    * key, so AQE keeps it co-partitioned), and a join-back on the same
+    * order key. The classic anti-join-per-EXISTS form rescans the
+    * spine twice; this runs it once and never moves more than
+    * (order, supplier, flag) rows. Names resolve by broadcast at the
+    * supplier-grain result.
+    */
+  def lateAloneSuppliers(supplier: DataFrame, orders: DataFrame,
+      lineitem: DataFrame, graceDays: Int = 60): DataFrame = {
+    val pairs = lineitem
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max((col("l_shipdate") > col("o_orderdate") +
+        expr(s"INTERVAL $graceDays DAYS")).cast("int")).as("late"))
+    val ord = pairs.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_suppliers"), sum(col("late")).as("n_late"))
+    pairs.filter(col("late") === 1)
+      .join(ord, Seq("l_orderkey"))
+      .filter(col("n_suppliers") > 1 && col("n_late") === 1)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_waiting_orders"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_waiting_orders"))
+  }
+
+  /** Ranking-window breadth over per-user event history: ROW_NUMBER in
+    * time order plus PERCENT_RANK / CUME_DIST / NTILE(4) / FIRST_VALUE
+    * over the user's value distribution — the full ranking-function
+    * family `q_window_running` (sum/row_number) deliberately left out.
+    *
+    * Scale shape: every window partitions by `user_id` — per-user
+    * history is bounded (activity-grain, not corpus-grain), so this is
+    * the canonical partitioned-window exchange: ONE shuffle on the
+    * user key serves all five functions (two sort orders inside the
+    * partition, no second exchange). Determinism: both sort orders
+    * carry the `event_id` tiebreak, so rank/ntile boundaries are
+    * total-ordered; percent_rank/cume_dist are single small-integer
+    * divisions (IEEE-identical cross-engine).
+    */
+  def windowRankFuncs(events: DataFrame): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val byValue = Window.partitionBy(col("user_id"))
+      .orderBy(col("value"), col("event_id"))
+    events.select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("rn", row_number().over(byTime))
+      .withColumn("quartile", ntile(4).over(byValue))
+      .withColumn("val_pct", percent_rank().over(byValue))
+      .withColumn("val_cume", cume_dist().over(byValue))
+      .withColumn("first_val", first(col("value")).over(byTime))
+      .drop("ts")
+  }
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpecBase
+
+/** Laws of [[Dedup.semanticDedup]] (the SemDeDup shape): candidates
+  * come ONLY from within the k-means cell, twins fold in as group
+  * sizes with cosine 1.0, and the keep-lowest-id action drops every
+  * member with a lower-id semantic neighbor.
+  */
+class SemanticDedupSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  // k=2, iters=1 ⇒ assignment = nearest of the two lowest-id seeds
+  // (vec 1 and vec 2). Geometry: 3 and its twin 4 sit by seed 1;
+  // 5 sits by seed 2 but is cosine-similar (0.6 ≥ 0.5) to vec 1 —
+  // the cross-cluster pair SemDeDup deliberately never scores.
+  private val emb = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Seq(0.99f, 0.01f, 0.0f, 0.0f)),
+    (4L, Seq(0.99f, 0.01f, 0.0f, 0.0f)), // exact twin of 3
+    (5L, Seq(0.6f, 0.8f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  private lazy val out = Dedup
+    .semanticDedup(emb, k = 2, iters = 1, threshold = 0.5)
+    .collect()
+    .map(r => r.getAs[Long]("vec_id") ->
+      ((r.getAs[Long]("cluster"), r.getAs[Long]("n_dups"),
+        r.getAs[Boolean]("kept"))))
+    .toMap
+
+  test("within-cluster neighborhoods count twins and near-dups, not cross-cluster pairs") {
+    // vec 1: neighbors 3 and 4 (cosine ≈ 0.99995); vec 5 is similar
+    // (0.6) but lives in the OTHER cell → excluded by construction
+    assert(out(1L)._2 == 2L)
+    // vec 3: its twin 4 (cosine 1.0) + group {1}
+    assert(out(3L)._2 == 2L)
+    assert(out(4L)._2 == 2L)
+    // cell B: 2 ↔ 5 at cosine 0.8
+    assert(out(2L)._2 == 1L)
+    assert(out(5L)._2 == 1L)
+  }
+
+  test("keep-lowest-id action: the minimum id of each neighborhood survives") {
+    assert(out(1L)._3)       // lowest id of {1,3,4}
+    assert(!out(3L)._3)      // 1 < 3 in its neighborhood
+    assert(!out(4L)._3)      // twin of 3, and 3 < 4
+    assert(out(2L)._3)       // lowest id of {2,5}
+    assert(!out(5L)._3)
+  }
+
+  test("cells follow the seed geometry") {
+    assert(out(1L)._1 == out(3L)._1 && out(3L)._1 == out(4L)._1)
+    assert(out(2L)._1 == out(5L)._1)
+    assert(out(1L)._1 != out(2L)._1)
+  }
+
+  test("an isolated vector keeps with zero dups") {
+    val lonely = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(-1.0f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val r = Dedup.semanticDedup(lonely, k = 2, iters = 1, threshold = 0.5)
+      .collect().map(x => x.getAs[Long]("vec_id") ->
+        ((x.getAs[Long]("n_dups"), x.getAs[Boolean]("kept")))).toMap
+    assert(r(1L) == ((0L, true)) && r(2L) == ((0L, true)))
+  }
+}
