@@ -1185,12 +1185,15 @@ object Relational {
     * signal (Q20's correlated `> 0.5 * sum(...)` subquery, join-form).
     *
     * Scale shape: ONE fact scan. The (part, supplier) quantities are a
-    * map-side-combined aggregate, and the per-part totals RE-AGGREGATE
-    * those partials (never a second pass over lineitem); the dominance
-    * test runs in cross-multiplied DECIMAL (2·q > total — exact, no
-    * division) after a part-keyed join of two frames that share the
-    * (part, supplier) exchange's partitioning prefix. Supplier names
-    * resolve by broadcast at the dominant-pair sliver, dim ≪ fact.
+    * map-side-combined aggregate, and the per-part totals are a
+    * whole-partition WINDOW over those partials — the
+    * [[smallQtyRevenue]] pattern: the agg-and-join-back alternative
+    * reads cleaner but Catalyst plans the shared subtree TWICE
+    * (measured — two full fact scans), while the window costs one
+    * part-keyed exchange of the already-collapsed partials. The
+    * dominance test runs in cross-multiplied DECIMAL (2·q > total —
+    * exact, no division). Supplier names resolve by broadcast at the
+    * dominant-pair sliver, dim ≪ fact.
     */
   def excessSupply(supplier: DataFrame, lineitem: DataFrame,
       from: String = "1997-01-01", until: String = "1998-01-01"): DataFrame = {
@@ -1198,9 +1201,9 @@ object Relational {
       .filter(col("l_shipdate") >= lit(from) && col("l_shipdate") < lit(until))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(dec(col("l_quantity"))).as("supp_qty"))
-    val pt = ps.groupBy(col("l_partkey"))
-      .agg(sum(col("supp_qty")).as("part_qty"))
-    val dominant = ps.join(pt, Seq("l_partkey"))
+    val byPart = Window.partitionBy(col("l_partkey"))
+    val dominant = ps
+      .withColumn("part_qty", sum(col("supp_qty")).over(byPart))
       .filter(col("supp_qty") * 2 > col("part_qty"))
     dominant.groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("n_dominant_parts"),
@@ -1259,13 +1262,13 @@ object Relational {
     * Scale shape: the double correlated EXISTS is re-expressed as ONE
     * pass of grouped counting — (order, supplier) pairs with a late
     * flag (map-side combined off the single orders⋈lineitem spine),
-    * an order-grain re-aggregation of those partials (supplier count +
-    * late count per order; the exchange key is a PREFIX of the pair
-    * key, so AQE keeps it co-partitioned), and a join-back on the same
-    * order key. The classic anti-join-per-EXISTS form rescans the
-    * spine twice; this runs it once and never moves more than
-    * (order, supplier, flag) rows. Names resolve by broadcast at the
-    * supplier-grain result.
+    * then the per-order supplier/late counts as whole-partition
+    * WINDOWS over those partials (the [[smallQtyRevenue]] device; an
+    * order-grain re-agg joined back reads cleaner but Catalyst plans
+    * the shared subtree twice — two spine scans, measured). The
+    * classic anti-join-per-EXISTS form also rescans the spine; this
+    * runs it once and never moves more than (order, supplier, flag)
+    * rows. Names resolve by broadcast at the supplier-grain result.
     */
   def lateAloneSuppliers(supplier: DataFrame, orders: DataFrame,
       lineitem: DataFrame, graceDays: Int = 60): DataFrame = {
@@ -1276,11 +1279,12 @@ object Relational {
       .groupBy(col("l_orderkey"), col("l_suppkey"))
       .agg(max((col("l_shipdate") > col("o_orderdate") +
         expr(s"INTERVAL $graceDays DAYS")).cast("int")).as("late"))
-    val ord = pairs.groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("n_suppliers"), sum(col("late")).as("n_late"))
-    pairs.filter(col("late") === 1)
-      .join(ord, Seq("l_orderkey"))
-      .filter(col("n_suppliers") > 1 && col("n_late") === 1)
+    val byOrder = Window.partitionBy(col("l_orderkey"))
+    pairs
+      .withColumn("n_suppliers", count(lit(1)).over(byOrder))
+      .withColumn("n_late", sum(col("late")).over(byOrder))
+      .filter(col("late") === 1 &&
+        col("n_suppliers") > 1 && col("n_late") === 1)
       .groupBy(col("l_suppkey"))
       .agg(count(lit(1)).as("n_waiting_orders"))
       .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),

@@ -77,12 +77,30 @@ object ScaleSmoke {
       s""""distinct_vecs":${chk.getLong(1)},"n":$n,"out":"$outDir"}""")
   }
 
+  /** Embeddings-only REPLICA decade: the plain `generate` layout for
+    * the vector family alone (byte-identical copies, offset vec_ids) —
+    * cheap to write when the query under test reads nothing but
+    * embeddings.parquet (the whole dedup_embedding/knn/semantic
+    * family).
+    */
+  def generateReplicaVectors(spark: SparkSession, srcDir: String,
+      outDir: String, n: Int): Unit = {
+    val off = 100000000L
+    val base = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    (0 until n).map(i => base.withColumn("vec_id", col("vec_id") + lit(i * off)))
+      .reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toInt).getOrElse(10)
     val outDir = args.lift(1).getOrElse("/tmp/sfbig")
     val spark = graft.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt)
-    if (args.lift(2).contains("vectors-unique")) {
+    if (args.lift(2).contains("vectors-replica")) {
+      generateReplicaVectors(spark, "/root/testdata/sf0.1", outDir, n)
+      println(s"[scale] wrote ${n}x REPLICA sf0.1 vectors to $outDir")
+    } else if (args.lift(2).contains("vectors-unique")) {
       generateUniqueVectors(spark, "/root/testdata/sf0.1", outDir, n)
       println(s"[scale] wrote ${n}x TWIN-FREE sf0.1 vectors to $outDir")
     } else {

@@ -573,6 +573,74 @@ class PlanAuditSpec extends SparkSpecBase {
     }
   }
 
+  test("q19: the quantity envelope reaches the fact scan, the brand sliver broadcasts") {
+    val p = plan(Relational.disjunctiveRevenue(
+      Tables.part(spark, sfDir), Tables.lineitem(spark, sfDir)))
+    assert(p.split("\n").exists(l =>
+      l.contains("PushedFilters") && l.contains("l_quantity")), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the fact scan reads no supplier/order keys for this report
+    val li = p.split("\n").filter(l =>
+      l.contains("ReadSchema") && l.contains("l_quantity")).mkString
+    assert(!li.contains("l_suppkey"), li)
+  }
+
+  test("q20 runs ONE pass over lineitem — part totals re-aggregate the partials") {
+    val p = plan(Relational.excessSupply(
+      Tables.supplier(spark, sfDir), Tables.lineitem(spark, sfDir)))
+    val factScans = p.split("\n").count(l =>
+      l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(factScans == 1, s"expected 1 lineitem scan, saw $factScans\n$p")
+    assert(p.split("\n").exists(l =>
+      l.contains("PushedFilters") && l.contains("l_shipdate")), p)
+  }
+
+  test("q2 pushes the slice predicate into the part scan and broadcasts the sliver") {
+    val p = plan(Relational.minCostSupplier(Tables.part(spark, sfDir),
+      Tables.supplier(spark, sfDir), Tables.lineitem(spark, sfDir)))
+    assert(p.split("\n").exists(l =>
+      l.contains("PushedFilters") && l.contains("p_type")), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q21 collapses the EXISTS pair into one lineitem pass — no anti joins, no rescan") {
+    val p = plan(Relational.lateAloneSuppliers(Tables.supplier(spark, sfDir),
+      Tables.orders(spark, sfDir), Tables.lineitem(spark, sfDir)))
+    val factScans = p.split("\n").count(l =>
+      l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(factScans == 1, s"expected 1 lineitem scan, saw $factScans\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("ranking windows share ONE user-key exchange for all five functions") {
+    val df = Relational.windowRankFuncs(Tables.events(spark, sfDir))
+    val p = plan(df)
+    val exchanges = p.split("\n").count(_.trim.matches("""[+\-:\s*]*\(\d+\) Exchange.*"""))
+    assert(exchanges == 1, s"expected 1 exchange, saw $exchanges\n$p")
+  }
+
+  test("ccnet buckets broadcast the thresholds and window nothing") {
+    val p = plan(graft.operators.CorpusStats.ccnetBuckets(
+      Tables.documents(spark, sfDir)))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains(") Window"), p) // no window over the corpus
+  }
+
+  test("semantic dedup pairs at rep grain with the codegen dot — the corpus collapses first") {
+    val df = graft.operators.Dedup.semanticDedup(
+      Tables.embeddings(spark, sfDir))
+    df.collect()
+    val opt = df.queryExecution.optimizedPlan
+    val p = opt.toString
+    assert(p.contains("graft_dot"), p)
+    // the distinct-vector collapse: an aggregate keyed on the embedding
+    // VALUE sits below the pair join
+    val aggs = opt.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+    assert(aggs.exists(_.groupingExpressions.exists(
+      _.references.exists(_.name == "embedding"))), p)
+  }
+
   test("whole-stage codegen covers the pricing aggregation") {
     // under AQE the final plan (with codegen stages) exists only after
     // execution — run it, then inspect the adaptive executed plan
