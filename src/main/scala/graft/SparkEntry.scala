@@ -1680,6 +1680,28 @@ object SparkEntry {
     Dedup.semanticDedup(t(s, dir, "embeddings"))
       .orderBy(col("vec_id"))
 
+  /** Incremental SemDeDup: the 90% corpus trains a PERSISTED IVF index
+    * (its own path — the knn family's full-corpus index must not
+    * satisfy this lifecycle), the 10% drop routes against the FROZEN
+    * cells and near-dups against the stored lists + itself. The oracle
+    * retrains the corpus kmeans in SQL, re-derives the stored
+    * centroids (sum/count 6dp), replays the drop's frozen-quantizer
+    * assignment (4dp d2 argmin, ties cell asc) and the same-cell
+    * candidate → cosine-verify chain.
+    */
+  private def qDedupSemanticIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val path = graft.sources.StorePaths.keyedTmp("ivfsem", dir)
+    graft.sources.IvfIndexStore.ensure(corpus, path)
+    Dedup.semanticNearDupsDelta(emb,
+      graft.sources.IvfIndexStore.cellsTable(s, path)
+        .select(col("vec_id"), col("cell")),
+      graft.sources.IvfIndexStore.assignCells(s, delta, path))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   private def qKnnBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(t(s, dir, "embeddings"), col("vec_id") < 8)
       .withColumn("rnk", col("rnk").cast("bigint"))
@@ -2222,6 +2244,7 @@ object SparkEntry {
     "dedup_embedding_keep" -> (qDedupEmbeddingKeep _),
     "dedup_embedding_auto" -> (qDedupEmbeddingAuto _),
     "dedup_semantic" -> (qDedupSemantic _),
+    "dedup_semantic_incremental" -> (qDedupSemanticIncremental _),
     "dedup_minhash_keep" -> (qDedupMinhashKeep _),
     "dedup_keep_best" -> (qDedupKeepBest _),
     "stream_keep_best" -> (qStreamKeepBest _),
@@ -4436,6 +4459,42 @@ object SparkEntry {
           |SELECT a.vec_id, a.cluster, coalesce(st.n_dups, 0)::BIGINT AS n_dups,
           | (st.min_nbr IS NULL OR st.min_nbr > a.vec_id) AS kept
           |FROM asg a LEFT JOIN st USING (vec_id) ORDER BY vec_id""".stripMargin),
+    // incremental SemDeDup: corpus kmeans retrained in SQL, stored
+    // centroids re-derived (sum/count 6dp — what build persists), the
+    // drop assigned against those FROZEN centroids by the append law
+    // (4dp d2 argmin, ties cell asc), same-cell candidates verified
+    "dedup_semantic_incremental" ->
+      (s"WITH ${kmeansCtes(8, 3, " AND vec_id % 10 <> 0")},\n" +
+        """ lab AS (SELECT e.vec_id, e.embedding, a3.cluster AS cell
+          |  FROM embeddings e JOIN a3 USING (vec_id)),
+          | tc0 AS (
+          |  SELECT cell, i, round(sum(v::DOUBLE) / count(*), 6) AS cv
+          |  FROM (SELECT cell, generate_subscripts(embedding, 1) AS i,
+          |        unnest(embedding) AS v FROM lab)
+          |  GROUP BY cell, i),
+          | tcents AS (SELECT cell, list(cv ORDER BY i) AS cvec FROM tc0 GROUP BY cell),
+          | dpts AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS x,
+          |   list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS xx
+          |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 10 = 0),
+          | dlab AS (SELECT vec_id, cell FROM (
+          |   SELECT d.vec_id, c.cell,
+          |    row_number() OVER (PARTITION BY d.vec_id ORDER BY
+          |      round(d.xx - 2.0 * list_dot_product(d.x, c.cvec)
+          |        + list_dot_product(c.cvec, c.cvec), 4), c.cell) AS rn
+          |   FROM dpts d, tcents c) WHERE rn = 1),
+          | cand AS (
+          |  SELECT least(l.vec_id, d.vec_id) AS a_id,
+          |         greatest(l.vec_id, d.vec_id) AS b_id
+          |  FROM dlab d JOIN lab l ON l.cell = d.cell AND l.vec_id <> d.vec_id
+          |  UNION
+          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+          |  FROM dlab a JOIN dlab b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+          |SELECT c.a_id, c.b_id,
+          | round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cosine
+          |FROM cand c JOIN embeddings ea ON ea.vec_id = c.a_id
+          |JOIN embeddings eb ON eb.vec_id = c.b_id
+          |WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= 0.35
+          |ORDER BY a_id, b_id""".stripMargin),
     // trained IVF = the kmeans replay composed with the IVF search
     // CTEs, cells re-centroided from the final assignment exactly as
     // ivfTopK's CentroidAggregator does (sum/count, 6dp)

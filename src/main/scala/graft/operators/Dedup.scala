@@ -1498,6 +1498,54 @@ object Dedup {
           .as("kept"))
   }
 
+  /** Incremental SEMANTIC dedup — [[semanticDedup]]'s lifecycle form,
+    * completing the incremental symmetry across all four near-dup
+    * families (text minhash, embedding LSH, multimodal frame-sig, and
+    * now the trained-partition family): a NEW drop routes against a
+    * PERSISTED IVF index's frozen cells
+    * ([[graft.sources.IvfIndexStore.assignCells]] — the append law,
+    * read-only), candidates are the stored members of the drop's cells
+    * plus the drop-internal same-cell pairs, and only candidates pay
+    * an exact cosine.
+    *
+    * 100 TB shape: the drop's (vec_id, cell) routing frame broadcasts
+    * into the stored cell lists — the corpus-sized side never
+    * re-clusters, never re-signs, and moves nothing (the cell join is
+    * a partition-pruned scan of the cell-partitioned store layout in
+    * the served form); vectors re-join by id only for the candidate
+    * verify, exactly [[embeddingNearDupsDelta]]'s discipline. Emits
+    * (a_id, b_id, cosine ≥ threshold) with `a_id < b_id`.
+    */
+  def semanticNearDupsDelta(all: DataFrame, storedCells: DataFrame,
+      deltaCells: DataFrame, threshold: Double = 0.35): DataFrame = {
+    graft.plans.GraftFunctions.ensureRegistered(all.sparkSession)
+    val d = broadcast(deltaCells
+      .select(col("vec_id").as("delta_id"), col("cell")))
+    val candStored = storedCells.select(col("vec_id"), col("cell"))
+      .join(d, Seq("cell"))
+      .filter(col("vec_id") =!= col("delta_id"))
+      .select(least(col("vec_id"), col("delta_id")).as("a_id"),
+        greatest(col("vec_id"), col("delta_id")).as("b_id"))
+    val candDelta = deltaCells.select(col("vec_id").as("a_id"), col("cell"))
+      .join(d, Seq("cell"))
+      .filter(col("a_id") < col("delta_id"))
+      .select(col("a_id"), col("delta_id").as("b_id"))
+    val pairs = candStored.unionByName(candDelta)
+      .dropDuplicates("a_id", "b_id")
+    val scored = all.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"),
+        VF.normNative(col("embedding")).as("nrm"))
+    pairs
+      .join(scored.select(col("vec_id").as("a_id"),
+        col("embedding").as("a_emb"), col("nrm").as("a_nrm")), Seq("a_id"))
+      .join(scored.select(col("vec_id").as("b_id"),
+        col("embedding").as("b_emb"), col("nrm").as("b_nrm")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(VF.dotNative(col("a_emb"), col("b_emb"))
+          / (col("a_nrm") * col("b_nrm")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Shared banded-LSH near-dup pipeline: per-table sign signatures,
     * ids-only bucket self-join, exact-cosine verify on candidates.
     * Shuffle discipline: the bucket self-join moves (vec_id, table_id,

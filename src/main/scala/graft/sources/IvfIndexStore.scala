@@ -125,6 +125,18 @@ object IvfIndexStore {
     * recall) are a fresh [[build]]; the recall eval loop
     * (`knn_recall`) is the drift detector.
     */
+  /** Frozen-quantizer cell assignment for a delta — [[append]]'s
+    * assignment law WITHOUT the fold (read-only): each row lands in
+    * its nearest STORED centroid's cell (4dp-rounded d2 argmin, ties
+    * to the lowest cell id). What an incremental consumer
+    * ([[graft.operators.Dedup.semanticNearDupsDelta]]) uses to route a
+    * drop against the stored cell lists before deciding anything.
+    */
+  def assignCells(spark: SparkSession, rows: DataFrame,
+      path: String): DataFrame =
+    assignStored(rows, centroidsTable(spark, path))
+      .select(col("vec_id"), col("cell"))
+
   def append(spark: SparkSession, delta: DataFrame, path: String): Unit =
     IndexLease.withLease(spark, path, "ivf-append") {
       val labeled = assignStored(delta, centroidsTable(spark, path))

@@ -56,6 +56,36 @@ class SemanticDedupSpec extends SparkSpecBase {
     assert(out(1L)._1 != out(2L)._1)
   }
 
+  test("incremental: the drop routes to frozen cells and pairs only within them") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.99f, 0.01f))
+    ).toDF("vec_id", "embedding")
+    val delta = Seq(
+      (10L, Seq(0.95f, 0.05f)), // nearest stored centroid: vec 3's cell
+      (11L, Seq(0.9f, 0.1f)),   // same cell as 10 → drop-internal pair
+      (20L, Seq(0.6f, 0.8f))    // vec 2's cell; similar to vec 1 (0.6)
+                                // but CROSS-cell → never paired with it
+    ).toDF("vec_id", "embedding")
+    val path = graft.sources.StorePaths.keyedTmp("ivfsemtest",
+      java.util.UUID.randomUUID().toString)
+    graft.sources.StorePaths.wipe(spark, path)
+    graft.sources.IvfIndexStore.ensure(corpus, path)
+    val pairs = graft.operators.Dedup.semanticNearDupsDelta(
+      corpus.unionByName(delta),
+      graft.sources.IvfIndexStore.cellsTable(spark, path)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("cell")),
+      graft.sources.IvfIndexStore.assignCells(spark, delta, path),
+      threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .toSet
+    assert(pairs == Set((3L, 10L), (3L, 11L), (10L, 11L), (2L, 20L)),
+      pairs.toString)
+  }
+
   test("an isolated vector keeps with zero dups") {
     val lonely = Seq(
       (1L, Seq(1.0f, 0.0f)),
