@@ -345,6 +345,10 @@ object SparkEntry {
     graft.streaming.StreamReplay.replayNearDupDrops(s, dir)
       .orderBy(col("doc_id"))
 
+  private def qStreamSemantic(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.replaySemanticDrops(s, dir)
+      .orderBy(col("a_id"), col("b_id"))
+
   /** Dominant principal component of the embedding corpus: 3 unrolled
     * power-iteration rounds on the exact-rounded centered Gram matrix,
     * per-vector component scores + the eigenvalue-scale estimate.
@@ -2294,6 +2298,7 @@ object SparkEntry {
     "stream_dedup" -> (qStreamDedup _),
     "stream_dedup_amortized" -> (qStreamDedupAmortized _),
     "stream_neardup" -> (qStreamNearDup _),
+    "stream_semantic" -> (qStreamSemantic _),
     "pipeline_corpus" -> (qPipelineCorpus _),
     "mm_phash" -> (qMmPhash _),
     "mm_phash_reps" -> (qMmPhashReps _),
@@ -4459,6 +4464,43 @@ object SparkEntry {
           |SELECT a.vec_id, a.cluster, coalesce(st.n_dups, 0)::BIGINT AS n_dups,
           | (st.min_nbr IS NULL OR st.min_nbr > a.vec_id) AS kept
           |FROM asg a LEFT JOIN st USING (vec_id) ORDER BY vec_id""".stripMargin),
+    // STREAMED semantic ingest: by the arrival-order law the union of
+    // per-batch sinks equals the batch delta answer over BOTH drops —
+    // same replay as dedup_semantic_incremental with the corpus
+    // shrunk to the non-drop residues and the drop set widened
+    "stream_semantic" ->
+      (s"WITH ${kmeansCtes(8, 3, " AND vec_id % 10 <> 0 AND vec_id % 10 <> 5")},\n" +
+        """ lab AS (SELECT e.vec_id, e.embedding, a3.cluster AS cell
+          |  FROM embeddings e JOIN a3 USING (vec_id)),
+          | tc0 AS (
+          |  SELECT cell, i, round(sum(v::DOUBLE) / count(*), 6) AS cv
+          |  FROM (SELECT cell, generate_subscripts(embedding, 1) AS i,
+          |        unnest(embedding) AS v FROM lab)
+          |  GROUP BY cell, i),
+          | tcents AS (SELECT cell, list(cv ORDER BY i) AS cvec FROM tc0 GROUP BY cell),
+          | dpts AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS x,
+          |   list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS xx
+          |  FROM embeddings WHERE embedding IS NOT NULL
+          |   AND (vec_id % 10 = 0 OR vec_id % 10 = 5)),
+          | dlab AS (SELECT vec_id, cell FROM (
+          |   SELECT d.vec_id, c.cell,
+          |    row_number() OVER (PARTITION BY d.vec_id ORDER BY
+          |      round(d.xx - 2.0 * list_dot_product(d.x, c.cvec)
+          |        + list_dot_product(c.cvec, c.cvec), 4), c.cell) AS rn
+          |   FROM dpts d, tcents c) WHERE rn = 1),
+          | cand AS (
+          |  SELECT least(l.vec_id, d.vec_id) AS a_id,
+          |         greatest(l.vec_id, d.vec_id) AS b_id
+          |  FROM dlab d JOIN lab l ON l.cell = d.cell AND l.vec_id <> d.vec_id
+          |  UNION
+          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+          |  FROM dlab a JOIN dlab b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+          |SELECT c.a_id, c.b_id,
+          | round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cosine
+          |FROM cand c JOIN embeddings ea ON ea.vec_id = c.a_id
+          |JOIN embeddings eb ON eb.vec_id = c.b_id
+          |WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= 0.35
+          |ORDER BY a_id, b_id""".stripMargin),
     // incremental SemDeDup: corpus kmeans retrained in SQL, stored
     // centroids re-derived (sum/count 6dp — what build persists), the
     // drop assigned against those FROZEN centroids by the append law

@@ -259,7 +259,66 @@ object IvfIndexStore {
   def cellsTable(spark: SparkSession, path: String): DataFrame =
     maskTombstones(spark, path,
       spark.read.parquet(s"$path/cells")
+        // a batch-keyed store ([[appendCellsBatch]]) exposes its layer
+        // key as a `batch` partition column — serve-side consumers
+        // never need it (no-op on a flat store)
+        .drop("batch")
         .withColumn("cell", col("cell").cast("long")))
+
+  /** [[cellsTable]] minus one batch layer — what a streamed maintainer
+    * serves its OWN micro-batch against (the `bandsTableExcluding`
+    * recompute-identity law, applied to the cell lists): if the
+    * batch's fold landed but the checkpoint commit did not, a
+    * redelivered batch would see its own vectors stored and re-emit
+    * every drop-internal pair through the stored×drop join. On first
+    * delivery the layer does not exist and the exclusion is a no-op
+    * (base layer is `batch=-1`, stream ids are ≥ 0); the filter lands
+    * on the `batch` partition column, so the excluded layer's files
+    * are pruned, never scanned.
+    */
+  def cellsTableExcluding(spark: SparkSession, path: String,
+      batchId: Long): DataFrame =
+    maskTombstones(spark, path,
+      spark.read.parquet(s"$path/cells")
+        .filter(col("batch") =!= batchId)
+        .drop("batch")
+        .withColumn("cell", col("cell").cast("long")))
+
+  /** [[build]] in the batch-keyed layout (cell lists under
+    * `cells/batch=-1/`, centroids flat) — the starting point for a
+    * store maintained by a stream of [[appendCellsBatch]] folds. The
+    * PQ layers (`grid/`, `codes/`) belong to the plain serve
+    * lifecycle and are not written here: the streamed near-dup
+    * maintainer reads cells + centroids only.
+    */
+  def buildKeyed(emb: DataFrame, path: String, cells: Int = 8,
+      iters: Int = 3): Unit = {
+    val assign = Similarity.kmeansAssign(emb, cells, iters)
+      .select(col("vec_id"), col("cluster").as("cell"))
+    val labeled = emb.join(assign, Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    StoreLayout.assertWritable(emb.sparkSession, path, "cells", keyed = true)
+    labeled.write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(StoreLayout.batchDir(path, "cells", -1L))
+    Similarity.cellCentroids(labeled, "cell")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+  }
+
+  /** Fold one micro-batch's vectors into the keyed cell lists —
+    * frozen-quantizer assignment ([[assignCells]]' law), landed with
+    * Overwrite in the batch's OWN `cells/batch=<id>/` subdir so a
+    * crash-redelivered batch re-lands its layer instead of
+    * double-appending (the StoreLayout discipline).
+    */
+  def appendCellsBatch(spark: SparkSession, delta: DataFrame, path: String,
+      batchId: Long): Unit =
+    IndexLease.withLease(spark, path, "ivf-append-batch") {
+      StoreLayout.assertWritable(spark, path, "cells", keyed = true)
+      assignStored(delta, centroidsTable(spark, path))
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .write.mode(SaveMode.Overwrite).partitionBy("cell")
+        .parquet(StoreLayout.batchDir(path, "cells", batchId))
+    }
 
   private def maskTombstones(spark: SparkSession, path: String,
       rows: DataFrame): DataFrame =

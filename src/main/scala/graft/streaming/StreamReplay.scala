@@ -561,6 +561,88 @@ object StreamReplay {
     spark.read.option("recursiveFileLookup", "true").parquet(sink)
   }
 
+  private val semStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** STREAMING semantic near-dup ingest — the trained-partition twin
+    * of [[replayNearDupDrops]], closing the streamed-ingest symmetry
+    * for the vector family: vector drops arrive as a file stream
+    * (mtime-ordered, one file per trigger), each micro-batch routes
+    * against the stored IVF index's FROZEN cells
+    * ([[graft.sources.IvfIndexStore.assignCells]] — the quantizer
+    * never retrains mid-stream, the production semantics of an index
+    * maintainer), near-dups against the stored cell lists EXCLUDING
+    * its own layer ([[graft.sources.IvfIndexStore.cellsTableExcluding]]
+    * — recompute identity under crash-redelivery), lands its pairs in
+    * a batch-id-keyed sink, and folds itself in via the keyed
+    * [[graft.sources.IvfIndexStore.appendCellsBatch]] so the NEXT drop
+    * pairs against it. Retry-safe BY LAYOUT (no marker window).
+    *
+    * Arrival-order law (the `stream_neardup` law): a cross-drop pair
+    * lands exactly once, on the LATER drop's batch — the union of
+    * per-batch sinks equals the batch
+    * [[graft.operators.Dedup.semanticNearDupsDelta]] answer over the
+    * combined drop set, which is what the oracle replays.
+    */
+  def replaySemanticDrops(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.{IvfIndexStore, Tables}
+    val emb = Tables.embeddings(spark, dir)
+    val staged = semStaged.computeIfAbsent(dir, _ => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_semstream")
+      stageFile(emb.filter(col("vec_id") % 10 === 5), stage, "drops/drop_", 0)
+      stageFile(emb.filter(col("vec_id") % 10 === 0), stage, "drops/drop_", 1)
+      IvfIndexStore.buildKeyed(
+        emb.filter(col("vec_id") % 10 =!= 0 && col("vec_id") % 10 =!= 5),
+        s"$stage/ivf_base")
+      stage.toString
+    })
+    val sink = java.nio.file.Files
+      .createTempDirectory("graft_semstream_sink").toString
+    val chk = java.nio.file.Files
+      .createTempDirectory("graft_semstream_chk").toString
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_semstream_idx").toString + "/ivf"
+    copyTree(java.nio.file.Paths.get(s"$staged/ivf_base"),
+      java.nio.file.Paths.get(idxPath))
+    val schema = spark.read.parquet(s"$staged/drops/drop_0.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$staged/drops")
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(partsKey)
+    spark.conf.set(partsKey, "8")
+    try {
+      val q = src.writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          val b = batch.toDF().persist()
+          try {
+            // the full embeddings table serves the cosine verify; the
+            // candidate set comes from the store EXCLUDING this
+            // batch's own layer, so a post-fold redelivery recomputes
+            // the ORIGINAL sink rows
+            graft.operators.Dedup.semanticNearDupsDelta(emb,
+                IvfIndexStore.cellsTableExcluding(spark, idxPath, id)
+                  .select(col("vec_id"), col("cell")),
+                IvfIndexStore.assignCells(spark, b, idxPath))
+              .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$sink/batch_$id")
+            // fold the drop in: the next micro-batch pairs against it
+            IvfIndexStore.appendCellsBatch(spark, b, idxPath, id)
+          } finally { b.unpersist(); () }
+      }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(partsKey, v)
+      case None => spark.conf.unset(partsKey)
+    }
+    spark.read.option("recursiveFileLookup", "true").parquet(sink)
+  }
+
   private val mmPhashStaged =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
