@@ -1706,6 +1706,29 @@ object SparkEntry {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Semantic-index RETRACTION: vec_id % 10 == 5 members of the stored
+    * corpus are taken down (`IvfIndexStore.delete` — tombstone append,
+    * masked serve, never a rewrite) and the drop must then near-dup
+    * exactly as against a fresh index over the survivors — with the
+    * QUANTIZER frozen at the full build corpus (a takedown masks rows,
+    * it never re-derives cells; the documented IVF takedown law). The
+    * oracle trains on the full corpus, re-derives the stored centroids
+    * from it, and restricts only the candidate lists to survivors.
+    */
+  private def qDedupSemanticDelete(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val removed = corpus.filter(col("vec_id") % 10 === 5).select(col("vec_id"))
+    val path = graft.sources.StorePaths.keyedTmp("ivfsemdel", dir)
+    graft.sources.IvfIndexStore.ensureDeleted(corpus, removed, path)
+    Dedup.semanticNearDupsDelta(emb,
+      graft.sources.IvfIndexStore.cellsTable(s, path)
+        .select(col("vec_id"), col("cell")),
+      graft.sources.IvfIndexStore.assignCells(s, delta, path))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   private def qKnnBrute(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(t(s, dir, "embeddings"), col("vec_id") < 8)
       .withColumn("rnk", col("rnk").cast("bigint"))
@@ -2249,6 +2272,7 @@ object SparkEntry {
     "dedup_embedding_auto" -> (qDedupEmbeddingAuto _),
     "dedup_semantic" -> (qDedupSemantic _),
     "dedup_semantic_incremental" -> (qDedupSemanticIncremental _),
+    "dedup_semantic_delete" -> (qDedupSemanticDelete _),
     "dedup_minhash_keep" -> (qDedupMinhashKeep _),
     "dedup_keep_best" -> (qDedupKeepBest _),
     "stream_keep_best" -> (qStreamKeepBest _),
@@ -4482,6 +4506,43 @@ object SparkEntry {
           |   list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS xx
           |  FROM embeddings WHERE embedding IS NOT NULL
           |   AND (vec_id % 10 = 0 OR vec_id % 10 = 5)),
+          | dlab AS (SELECT vec_id, cell FROM (
+          |   SELECT d.vec_id, c.cell,
+          |    row_number() OVER (PARTITION BY d.vec_id ORDER BY
+          |      round(d.xx - 2.0 * list_dot_product(d.x, c.cvec)
+          |        + list_dot_product(c.cvec, c.cvec), 4), c.cell) AS rn
+          |   FROM dpts d, tcents c) WHERE rn = 1),
+          | cand AS (
+          |  SELECT least(l.vec_id, d.vec_id) AS a_id,
+          |         greatest(l.vec_id, d.vec_id) AS b_id
+          |  FROM dlab d JOIN lab l ON l.cell = d.cell AND l.vec_id <> d.vec_id
+          |  UNION
+          |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+          |  FROM dlab a JOIN dlab b ON a.cell = b.cell AND a.vec_id < b.vec_id)
+          |SELECT c.a_id, c.b_id,
+          | round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) AS cosine
+          |FROM cand c JOIN embeddings ea ON ea.vec_id = c.a_id
+          |JOIN embeddings eb ON eb.vec_id = c.b_id
+          |WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= 0.35
+          |ORDER BY a_id, b_id""".stripMargin),
+    // semantic-index takedown: quantizer frozen at the FULL build
+    // corpus (centroids from the unmasked assignment), candidate
+    // lists restricted to survivors — what a tombstone-masked serve
+    // reads
+    "dedup_semantic_delete" ->
+      (s"WITH ${kmeansCtes(8, 3, " AND vec_id % 10 <> 0")},\n" +
+        """ lab0 AS (SELECT e.vec_id, e.embedding, a3.cluster AS cell
+          |  FROM embeddings e JOIN a3 USING (vec_id)),
+          | lab AS (SELECT * FROM lab0 WHERE vec_id % 10 <> 5),
+          | tc0 AS (
+          |  SELECT cell, i, round(sum(v::DOUBLE) / count(*), 6) AS cv
+          |  FROM (SELECT cell, generate_subscripts(embedding, 1) AS i,
+          |        unnest(embedding) AS v FROM lab0)
+          |  GROUP BY cell, i),
+          | tcents AS (SELECT cell, list(cv ORDER BY i) AS cvec FROM tc0 GROUP BY cell),
+          | dpts AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS x,
+          |   list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS xx
+          |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 10 = 0),
           | dlab AS (SELECT vec_id, cell FROM (
           |   SELECT d.vec_id, c.cell,
           |    row_number() OVER (PARTITION BY d.vec_id ORDER BY

@@ -86,6 +86,37 @@ class SemanticDedupSpec extends SparkSpecBase {
       pairs.toString)
   }
 
+  test("takedown bites: tombstoned members leave the candidate lists, cells stay frozen") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.99f, 0.01f))
+    ).toDF("vec_id", "embedding")
+    val delta = Seq(
+      (10L, Seq(0.95f, 0.05f)), // routes to vec 3's cell
+      (11L, Seq(0.9f, 0.1f))    // same cell → drop-internal pair survives
+    ).toDF("vec_id", "embedding")
+    val removed = Seq(Tuple1(3L)).toDF("vec_id")
+    val path = graft.sources.StorePaths.keyedTmp("ivfsemdeltest",
+      java.util.UUID.randomUUID().toString)
+    graft.sources.IvfIndexStore.ensureDeleted(corpus, removed, path)
+    val pairs = graft.operators.Dedup.semanticNearDupsDelta(
+      corpus.unionByName(delta),
+      graft.sources.IvfIndexStore.cellsTable(spark, path)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("cell")),
+      graft.sources.IvfIndexStore.assignCells(spark, delta, path),
+      threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .toSet
+    // (3,10)/(3,11) are gone WITH the cell routing intact: the drop
+    // still lands in the tombstoned member's cell (frozen quantizer —
+    // vec 1 stays cross-cell and never pairs), only the drop-internal
+    // pair remains
+    assert(pairs == Set((10L, 11L)), pairs.toString)
+  }
+
   test("an isolated vector keeps with zero dups") {
     val lonely = Seq(
       (1L, Seq(1.0f, 0.0f)),
