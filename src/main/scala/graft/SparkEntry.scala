@@ -1706,6 +1706,26 @@ object SparkEntry {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** The BOUNDED rep-grain serving form of the incremental semantic
+    * delta (the `mm_phash_reps` device): one row per twin-group pair
+    * with the exact member-pair multiplicity — answer cardinality
+    * replica-INVARIANT where the pair expansion grows ~R² (measured:
+    * the pair form read 66 s at the 1000× replica decade on output
+    * mass alone; this form stays at the distinct-value grain).
+    */
+  private def qDedupSemanticIncrementalReps(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val path = graft.sources.StorePaths.keyedTmp("ivfsem", dir)
+    graft.sources.IvfIndexStore.ensure(corpus, path)
+    Dedup.semanticNearDupsDeltaReps(emb,
+      graft.sources.IvfIndexStore.cellsTable(s, path)
+        .select(col("vec_id"), col("cell")),
+      graft.sources.IvfIndexStore.assignCells(s, delta, path))
+      .orderBy(col("a_rep"), col("b_rep"))
+  }
+
   /** Semantic-index RETRACTION: vec_id % 10 == 5 members of the stored
     * corpus are taken down (`IvfIndexStore.delete` — tombstone append,
     * masked serve, never a rewrite) and the drop must then near-dup
@@ -2272,6 +2292,7 @@ object SparkEntry {
     "dedup_embedding_auto" -> (qDedupEmbeddingAuto _),
     "dedup_semantic" -> (qDedupSemantic _),
     "dedup_semantic_incremental" -> (qDedupSemanticIncremental _),
+    "dedup_semantic_incremental_reps" -> (qDedupSemanticIncrementalReps _),
     "dedup_semantic_delete" -> (qDedupSemanticDelete _),
     "dedup_minhash_keep" -> (qDedupMinhashKeep _),
     "dedup_keep_best" -> (qDedupKeepBest _),
@@ -4562,6 +4583,46 @@ object SparkEntry {
           |JOIN embeddings eb ON eb.vec_id = c.b_id
           |WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) >= 0.35
           |ORDER BY a_id, b_id""".stripMargin),
+    // the rep-grain serving form: same chain, answer at twin-group
+    // grain with exact member-pair multiplicities (lists group
+    // directly in DuckDB; `//` keeps the C(n,2) mass integral)
+    "dedup_semantic_incremental_reps" ->
+      (s"WITH ${kmeansCtes(8, 3, " AND vec_id % 10 <> 0")},\n" +
+        """ lab AS (SELECT e.vec_id, e.embedding, a3.cluster AS cell
+          |  FROM embeddings e JOIN a3 USING (vec_id)),
+          | tc0 AS (
+          |  SELECT cell, i, round(sum(v::DOUBLE) / count(*), 6) AS cv
+          |  FROM (SELECT cell, generate_subscripts(embedding, 1) AS i,
+          |        unnest(embedding) AS v FROM lab)
+          |  GROUP BY cell, i),
+          | tcents AS (SELECT cell, list(cv ORDER BY i) AS cvec FROM tc0 GROUP BY cell),
+          | dpts AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS x,
+          |   list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS xx
+          |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id % 10 = 0),
+          | dlab AS (SELECT vec_id, embedding, cell FROM (
+          |   SELECT d.vec_id, d.embedding, c.cell,
+          |    row_number() OVER (PARTITION BY d.vec_id ORDER BY
+          |      round(d.xx - 2.0 * list_dot_product(d.x, c.cvec)
+          |        + list_dot_product(c.cvec, c.cvec), 4), c.cell) AS rn
+          |   FROM dpts d, tcents c) WHERE rn = 1),
+          | sreps AS (SELECT cell, embedding, min(vec_id) AS rep,
+          |   count(*)::BIGINT AS n FROM lab GROUP BY cell, embedding),
+          | dreps AS (SELECT cell, embedding, min(vec_id) AS rep,
+          |   count(*)::BIGINT AS n FROM dlab GROUP BY cell, embedding),
+          | crossp AS (SELECT least(s.rep, d.rep) AS a_rep,
+          |   greatest(s.rep, d.rep) AS b_rep,
+          |   round(list_cosine_similarity(s.embedding::DOUBLE[], d.embedding::DOUBLE[]), 4) AS cosine,
+          |   (s.n * d.n)::BIGINT AS n_pairs
+          |  FROM sreps s JOIN dreps d ON s.cell = d.cell
+          |  WHERE round(list_cosine_similarity(s.embedding::DOUBLE[], d.embedding::DOUBLE[]), 4) >= 0.35),
+          | internp AS (SELECT a.rep AS a_rep, b.rep AS b_rep,
+          |   round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine,
+          |   (CASE WHEN a.rep = b.rep THEN (a.n * (a.n - 1)) // 2
+          |    ELSE a.n * b.n END)::BIGINT AS n_pairs
+          |  FROM dreps a JOIN dreps b ON a.cell = b.cell AND a.rep <= b.rep
+          |  WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.35)
+          |SELECT * FROM (SELECT * FROM crossp UNION ALL SELECT * FROM internp)
+          |WHERE n_pairs > 0 ORDER BY a_rep, b_rep""".stripMargin),
     // incremental SemDeDup: corpus kmeans retrained in SQL, stored
     // centroids re-derived (sum/count 6dp — what build persists), the
     // drop assigned against those FROZEN centroids by the append law

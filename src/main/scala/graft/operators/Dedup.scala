@@ -1508,42 +1508,122 @@ object Dedup {
     * plus the drop-internal same-cell pairs, and only candidates pay
     * an exact cosine.
     *
-    * 100 TB shape: the drop's (vec_id, cell) routing frame broadcasts
-    * into the stored cell lists — the corpus-sized side never
-    * re-clusters, never re-signs, and moves nothing (the cell join is
-    * a partition-pruned scan of the cell-partitioned store layout in
-    * the served form); vectors re-join by id only for the candidate
-    * verify, exactly [[embeddingNearDupsDelta]]'s discipline. Emits
-    * (a_id, b_id, cosine ≥ threshold) with `a_id < b_id`.
+    * 100 TB shape — DISTINCT-VECTOR grain on BOTH sides (the
+    * [[embeddingRepPairs]] law applied to the delta serve; the
+    * raw-grain form was measured FILLING THE DISK at the 100× replica
+    * decade — the stored×drop cell join spilled ~|drop∩cell| ×
+    * |stored∩cell| candidate rows per cell, quadratic in the replica
+    * rate): each side collapses to (cell, distinct embedding) reps,
+    * only rep pairs pay a dot (work divides by the replica rate
+    * SQUARED), and member pairs materialize by twin-group expansion —
+    * bounded by the OUTPUT cardinality, which for a pair-grain answer
+    * is an output fact, not a plan defect (the `mm_phash` boundary).
+    * The drop's rep frame broadcasts; the stored side never
+    * re-clusters. PRECONDITION: stored and delta id sets are disjoint
+    * (every caller's split guarantees it) — overlap would double-emit
+    * a pair in both orientations. Emits (a_id, b_id, cosine ≥
+    * threshold) with `a_id < b_id`.
     */
   def semanticNearDupsDelta(all: DataFrame, storedCells: DataFrame,
       deltaCells: DataFrame, threshold: Double = 0.35): DataFrame = {
+    val (cross, internal, sMembers, dMembers) =
+      semanticDeltaRepPairs(all, storedCells, deltaCells, threshold)
+    val crossPairs = cross
+      .join(sMembers, Seq("s_rep"))
+      .join(broadcast(dMembers.select(col("d_rep"), col("d_id"))),
+        Seq("d_rep"))
+      .select(least(col("s_id"), col("d_id")).as("a_id"),
+        greatest(col("s_id"), col("d_id")).as("b_id"), col("cosine"))
+    val internalPairs = internal
+      .join(broadcast(dMembers.select(col("d_rep").as("a_rep"),
+        col("d_id").as("a_mid"))), Seq("a_rep"))
+      .join(broadcast(dMembers.select(col("d_rep").as("b_rep"),
+        col("d_id").as("b_mid"))), Seq("b_rep"))
+      .filter(col("a_rep") =!= col("b_rep") || col("a_mid") < col("b_mid"))
+      .select(least(col("a_mid"), col("b_mid")).as("a_id"),
+        greatest(col("a_mid"), col("b_mid")).as("b_id"), col("cosine"))
+    crossPairs.unionByName(internalPairs)
+  }
+
+  /** The BOUNDED rep-grain serving form of [[semanticNearDupsDelta]] —
+    * the `mm_phash_reps` device applied to the semantic delta: one row
+    * per (twin-group, twin-group) near-dup with the exact member-pair
+    * MULTIPLICITY instead of the expanded pair list, so the answer
+    * cardinality is replica-INVARIANT (the pair expansion at the 1000×
+    * replica decade is ~R² rows — an output fact the consumer opts
+    * into, not a default). `Σ n_pairs` equals the pair-grain row count
+    * exactly (spec-pinned). Emits (a_rep, b_rep, cosine, n_pairs) with
+    * `a_rep <= b_rep`; a self row (`a_rep == b_rep`) is a delta twin
+    * group's internal C(n,2) mass at cosine 1.0.
+    */
+  def semanticNearDupsDeltaReps(all: DataFrame, storedCells: DataFrame,
+      deltaCells: DataFrame, threshold: Double = 0.35): DataFrame = {
+    val (cross, internal, _, _) =
+      semanticDeltaRepPairs(all, storedCells, deltaCells, threshold)
+    val crossReps = cross
+      .select(least(col("s_rep"), col("d_rep")).as("a_rep"),
+        greatest(col("s_rep"), col("d_rep")).as("b_rep"), col("cosine"),
+        (col("s_n") * col("d_n")).as("n_pairs"))
+    val internalReps = internal
+      .select(col("a_rep"), col("b_rep"), col("cosine"),
+        when(col("a_rep") === col("b_rep"),
+          (col("a_n") * (col("a_n") - 1) / 2).cast("long"))
+          .otherwise(col("a_n") * col("b_n")).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
+    crossReps.unionByName(internalReps)
+  }
+
+  /** Shared rep-grain core of the semantic delta family: both sides
+    * collapse to (cell, distinct embedding) twin groups with
+    * multiplicities, only rep pairs pay a dot. Returns (cross rep
+    * pairs with s_n/d_n, delta-internal rep pairs with a_n/b_n
+    * INCLUDING self pairs, stored members, delta members).
+    */
+  private def semanticDeltaRepPairs(all: DataFrame, storedCells: DataFrame,
+      deltaCells: DataFrame, threshold: Double)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     graft.plans.GraftFunctions.ensureRegistered(all.sparkSession)
-    val d = broadcast(deltaCells
-      .select(col("vec_id").as("delta_id"), col("cell")))
-    val candStored = storedCells.select(col("vec_id"), col("cell"))
-      .join(d, Seq("cell"))
-      .filter(col("vec_id") =!= col("delta_id"))
-      .select(least(col("vec_id"), col("delta_id")).as("a_id"),
-        greatest(col("vec_id"), col("delta_id")).as("b_id"))
-    val candDelta = deltaCells.select(col("vec_id").as("a_id"), col("cell"))
-      .join(d, Seq("cell"))
-      .filter(col("a_id") < col("delta_id"))
-      .select(col("a_id"), col("delta_id").as("b_id"))
-    val pairs = candStored.unionByName(candDelta)
-      .dropDuplicates("a_id", "b_id")
     val scored = all.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"),
         VF.normNative(col("embedding")).as("nrm"))
-    pairs
-      .join(scored.select(col("vec_id").as("a_id"),
-        col("embedding").as("a_emb"), col("nrm").as("a_nrm")), Seq("a_id"))
-      .join(scored.select(col("vec_id").as("b_id"),
-        col("embedding").as("b_emb"), col("nrm").as("b_nrm")), Seq("b_id"))
-      .select(col("a_id"), col("b_id"),
+    def repGrain(cells: DataFrame, side: String): (DataFrame, DataFrame) = {
+      val rows = cells.select(col("vec_id"), col("cell"))
+        .join(scored, Seq("vec_id"))
+      val reps = rows.groupBy(col("cell"), col("embedding"))
+        .agg(min(col("vec_id")).as(s"${side}_rep"),
+          first(col("nrm")).as(s"${side}_nrm"),
+          count(lit(1)).as(s"${side}_n"))
+      val members = rows
+        .join(reps.select(col("cell"), col("embedding"),
+          col(s"${side}_rep")), Seq("cell", "embedding"))
+        .select(col(s"${side}_rep"), col("vec_id").as(s"${side}_id"))
+      (reps.select(col("cell"), col("embedding").as(s"${side}_emb"),
+        col(s"${side}_rep"), col(s"${side}_nrm"), col(s"${side}_n")),
+        members)
+    }
+    val (sReps, sMembers) = repGrain(storedCells, "s")
+    val (dReps, dMembers) = repGrain(deltaCells, "d")
+    val cross = sReps.join(broadcast(dReps), Seq("cell"))
+      .select(col("s_rep"), col("d_rep"), col("s_n"), col("d_n"),
+        round(VF.dotNative(col("s_emb"), col("d_emb"))
+          / (col("s_nrm") * col("d_nrm")), 4).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    // delta-internal rep pairs INCLUDE the self pair (a twin group's
+    // members are mutual near-dups at cosine exactly 1.0); each
+    // unordered group pair appears once (a_rep <= b_rep)
+    val dA = dReps.select(col("cell"), col("d_emb").as("a_emb"),
+      col("d_rep").as("a_rep"), col("d_nrm").as("a_nrm"),
+      col("d_n").as("a_n"))
+    val dB = dReps.select(col("cell"), col("d_emb").as("b_emb"),
+      col("d_rep").as("b_rep"), col("d_nrm").as("b_nrm"),
+      col("d_n").as("b_n"))
+    val internal = dA.join(broadcast(dB), Seq("cell"))
+      .filter(col("a_rep") <= col("b_rep"))
+      .select(col("a_rep"), col("b_rep"), col("a_n"), col("b_n"),
         round(VF.dotNative(col("a_emb"), col("b_emb"))
           / (col("a_nrm") * col("b_nrm")), 4).as("cosine"))
       .filter(col("cosine") >= threshold)
+    (cross, internal, sMembers, dMembers)
   }
 
   /** Shared banded-LSH near-dup pipeline: per-table sign signatures,

@@ -86,6 +86,41 @@ class SemanticDedupSpec extends SparkSpecBase {
       pairs.toString)
   }
 
+  test("rep-grain delta conserves the pair mass: sum(n_pairs) == pair-grain rows") {
+    // replica-heavy corpus: stored value A × 3 twins, delta near-A
+    // value × 2 twins plus a delta twin of a second cell's value
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)), (4L, Seq(1.0f, 0.0f)), (6L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.99f, 0.01f))
+    ).toDF("vec_id", "embedding")
+    val delta = Seq(
+      (10L, Seq(0.95f, 0.05f)), (20L, Seq(0.95f, 0.05f)), // twins → cell of 3
+      (30L, Seq(0.6f, 0.8f))                              // cell of 2
+    ).toDF("vec_id", "embedding")
+    val path = graft.sources.StorePaths.keyedTmp("ivfsemreps",
+      java.util.UUID.randomUUID().toString)
+    graft.sources.StorePaths.wipe(spark, path)
+    graft.sources.IvfIndexStore.ensure(corpus, path)
+    val stored = graft.sources.IvfIndexStore.cellsTable(spark, path)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("cell"))
+    val assigned = graft.sources.IvfIndexStore.assignCells(spark, delta, path)
+    val all = corpus.unionByName(delta)
+    val pairRows = graft.operators.Dedup
+      .semanticNearDupsDelta(all, stored, assigned, threshold = 0.5).count()
+    val reps = graft.operators.Dedup
+      .semanticNearDupsDeltaReps(all, stored, assigned, threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("a_rep"), r.getAs[Long]("b_rep"),
+        r.getAs[Long]("n_pairs")))
+    assert(reps.map(_._3).sum == pairRows)
+    // the delta twin group contributes a SELF row with C(2,2)=1 mass
+    assert(reps.exists(r => r._1 == r._2 && r._3 == 1L), reps.mkString(","))
+    // rep-grain cardinality is bounded by distinct values, not members
+    assert(reps.length < pairRows)
+  }
+
   test("takedown bites: tombstoned members leave the candidate lists, cells stay frozen") {
     val corpus = Seq(
       (1L, Seq(1.0f, 0.0f)),
