@@ -641,6 +641,30 @@ class PlanAuditSpec extends SparkSpecBase {
       _.references.exists(_.name == "embedding"))), p)
   }
 
+  test("semantic delta serve collapses BOTH sides to distinct-vector grain") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sfDir)
+    val delta = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val path = graft.sources.StorePaths.keyedTmp("ivfsemaudit",
+      java.util.UUID.randomUUID().toString)
+    graft.sources.IvfIndexStore.ensure(corpus, path)
+    val df = graft.operators.Dedup.semanticNearDupsDelta(emb,
+      graft.sources.IvfIndexStore.cellsTable(spark, path)
+        .select(col("vec_id"), col("cell")),
+      graft.sources.IvfIndexStore.assignCells(spark, delta, path))
+    df.collect()
+    val opt = df.queryExecution.optimizedPlan
+    // the raw-grain form filled the disk at the 100x replica decade:
+    // the twin-group collapse (an aggregate keyed on the embedding
+    // VALUE) must sit below the pair join on BOTH sides
+    val aggs = opt.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }
+    val valueKeyed = aggs.count(_.groupingExpressions.exists(
+      _.references.exists(_.name == "embedding")))
+    assert(valueKeyed >= 2, s"saw $valueKeyed value-keyed aggregates\n$opt")
+  }
+
   test("whole-stage codegen covers the pricing aggregation") {
     // under AQE the final plan (with codegen stages) exists only after
     // execution — run it, then inspect the adaptive executed plan
