@@ -1056,6 +1056,9 @@ object SparkEntry {
     CorpusStats.ccnetBuckets(t(s, dir, "documents"))
       .orderBy(col("lang"), col("bucket"))
 
+  private def qDsirSample(s: SparkSession, dir: String): DataFrame =
+    CorpusStats.dsirSample(t(s, dir, "documents"))
+
   /** Feature-hashed document embeddings ([[CorpusStats.docEmbed]]):
     * signed hashed bag-of-words into 16 dims, integer-exact raw votes
     * + 6-dp L2-normalized values — the model-free text→embedding
@@ -2159,6 +2162,7 @@ object SparkEntry {
     "text_tfidf" -> (qTfidf _),
     "text_lm_score" -> (qLmScore _),
     "text_ccnet_buckets" -> (qCcnetBuckets _),
+    "text_dsir_sample" -> (qDsirSample _),
     "text_clf_train" -> (qClfTrain _),
     "text_clf_score" -> (qClfScore _),
     "text_clf_eval" -> (qClfEval _),
@@ -3302,6 +3306,30 @@ object SparkEntry {
         | sum(round(lm_score * 10000)::BIGINT)::BIGINT AS score_e4_sum,
         | min(lm_score) AS min_score, max(lm_score) AS max_score
         |FROM b GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+    // DSIR importance resampling: shared top-16 feature space, the
+    // two unigram LMs as one conditional count pass, 1e4-scaled llr,
+    // Gumbel-top-k key (score + standard Gumbel noise — exp-free)
+    "text_dsir_sample" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split_regex(text,'\s+')) AS token FROM documents),
+        | tk AS (SELECT doc_id, lang, token FROM tok WHERE token <> ''),
+        | cnt AS (SELECT token, count(*)::BIGINT AS c_raw,
+        |   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS c_tgt
+        |  FROM tk GROUP BY 1),
+        | vocab AS (SELECT * FROM cnt ORDER BY c_raw DESC, token LIMIT 16),
+        | tot AS (SELECT (SELECT count(*)::BIGINT FROM vocab) AS v_n,
+        |   (SELECT sum(c_raw)::BIGINT FROM cnt) AS t_raw,
+        |   (SELECT sum(c_tgt)::BIGINT FROM cnt) AS t_tgt),
+        | model AS (SELECT v.token,
+        |   round((ln((v.c_tgt + 1)::DOUBLE / (t.t_tgt + t.v_n + 1))
+        |        - ln((v.c_raw + 1)::DOUBLE / (t.t_raw + t.v_n + 1))) * 10000)::BIGINT AS llr_e4
+        |  FROM vocab v, tot t),
+        | sc AS (SELECT tk.doc_id, sum(m.llr_e4)::BIGINT AS score_e4
+        |  FROM tk JOIN model m USING (token) GROUP BY 1)
+        |SELECT d.doc_id, d.lang, coalesce(sc.score_e4, 0)::BIGINT AS score_e4,
+        | round(coalesce(sc.score_e4, 0)::DOUBLE / 10000.0
+        |   - ln(-ln((('0x' || substr(md5(d.text), 1, 8))::BIGINT + 0.5) / 4294967296.0)), 9) AS sample_key
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY sample_key DESC, doc_id LIMIT 50""".stripMargin,
     // Naive Bayes distilled from the Gopher gate: top-256 vocab by total
     // count (token tie-break), Laplace smoothing over the vocab event
     // space, llr as a 1e-4-scaled BIGINT (integer score sums are

@@ -663,6 +663,61 @@ object CorpusStats {
       .limit(n)
   }
 
+  /** DSIR-style importance resampling (Xie et al., "Data Selection
+    * for Language Models via Importance Resampling", NeurIPS 2023):
+    * documents resampled toward a TARGET slice's distribution by the
+    * unigram importance log-ratio `Σ_t ln p_target(t) − ln p_raw(t)`
+    * over a SHARED top-V feature space, selected by Gumbel-top-k
+    * (score + standard Gumbel noise ≡ weighted sampling without
+    * replacement by exp(score) — the exp never needs computing, which
+    * keeps the key cross-engine exact where an explicit weight would
+    * ride libm's `exp`). OOV tokens contribute 0 by inner-join
+    * omission (the [[Classifier]] llr discipline); the log-ratio is a
+    * 1e-4-scaled BIGINT so per-doc sums are association-order-free.
+    *
+    * Scale shape: both LMs are |V|-row broadcasts distilled from ONE
+    * token-count pass (target counts are a conditional aggregate of
+    * the same scan); per-doc scores collapse map-side before the
+    * doc-grain exchange; the top-n cut is a TakeOrdered over
+    * (9dp-rounded key desc, doc_id) — a total order, no global sort
+    * materialization.
+    */
+  def dsirSample(docs: DataFrame, targetLang: String = "en", n: Int = 50,
+      textCol: String = "text", idCol: String = "doc_id",
+      langCol: String = "lang", vocabSize: Int = 16): DataFrame = {
+    val toks = graft.functions.TextFunctions
+      .explodedTokens(docs, textCol, Seq(idCol, langCol))
+    val counts = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("c_raw"),
+        sum(when(col(langCol) === targetLang, 1L).otherwise(0L))
+          .as("c_tgt"))
+    val vocab = counts.orderBy(col("c_raw").desc, col("token"))
+      .limit(vocabSize)
+    val totals = vocab.agg(count(lit(1)).as("v_n"))
+      .crossJoin(counts.agg(sum(col("c_raw")).as("t_raw"),
+        sum(col("c_tgt")).as("t_tgt")))
+    val model = vocab.crossJoin(broadcast(totals))
+      .select(col("token"),
+        round((log((col("c_tgt") + 1).cast("double") /
+            (col("t_tgt") + col("v_n") + 1).cast("double"))
+          - log((col("c_raw") + 1).cast("double") /
+            (col("t_raw") + col("v_n") + 1).cast("double"))) * 10000)
+          .cast("long").as("llr_e4"))
+    val scores = toks
+      .join(broadcast(model), Seq("token"))
+      .groupBy(col(idCol))
+      .agg(sum(col("llr_e4")).as("score_e4"))
+    val u = (contentHash32(col(textCol)).cast("double") + 0.5) / 4294967296.0
+    docs.select(col(idCol), col(langCol), u.as("u"))
+      .join(scores, Seq(idCol), "left")
+      .select(col(idCol), col(langCol),
+        coalesce(col("score_e4"), lit(0L)).as("score_e4"),
+        round(coalesce(col("score_e4"), lit(0L)).cast("double") / 10000.0
+          - log(-log(col("u"))), 9).as("sample_key"))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(n)
+  }
+
   def mixtureSample(docs: DataFrame, temperature: Double = 2.0,
       targetFrac: Double = 0.25, textCol: String = "text",
       idCol: String = "doc_id", langCol: String = "lang",

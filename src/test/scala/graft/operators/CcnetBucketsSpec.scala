@@ -58,4 +58,20 @@ class CcnetBucketsSpec extends SparkSpecBase {
       .select(sum(col("n_tokens"))).collect()(0).getLong(0)
     assert(out.values.map(_._2).sum == total)
   }
+
+  test("DSIR resampling pulls toward the target slice") {
+    // en docs speak "the", de docs speak "das": the importance
+    // log-ratio is strongly positive for target-favored tokens and
+    // strongly negative otherwise — far beyond the Gumbel noise band,
+    // so the top-5 must be all-target with positive scores
+    val mix = (0 until 10).map(i => (i.toLong, ("the " * 30).trim, "en")) ++
+      (10 until 20).map(i => (i.toLong, (s"das w$i " * 15).trim, "de"))
+    val sample = CorpusStats.dsirSample(mix.toDF("doc_id", "text", "lang"),
+      targetLang = "en", n = 5)
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("score_e4")))
+    assert(sample.length == 5)
+    assert(sample.forall(_._1 == "en"), sample.mkString(","))
+    assert(sample.forall(_._2 > 0), sample.mkString(","))
+  }
 }
