@@ -349,6 +349,10 @@ object SparkEntry {
     graft.streaming.StreamReplay.replaySemanticDrops(s, dir)
       .orderBy(col("a_id"), col("b_id"))
 
+  private def qStreamWatermarkAudit(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamReplay.replayWatermarkAudit(s, dir)
+      .orderBy(col("window_start"))
+
   /** Dominant principal component of the embedding corpus: 3 unrolled
     * power-iteration rounds on the exact-rounded centered Gram matrix,
     * per-vector component scores + the eigenvalue-scale estimate.
@@ -2348,6 +2352,7 @@ object SparkEntry {
     "stream_dedup_amortized" -> (qStreamDedupAmortized _),
     "stream_neardup" -> (qStreamNearDup _),
     "stream_semantic" -> (qStreamSemantic _),
+    "stream_watermark_audit" -> (qStreamWatermarkAudit _),
     "pipeline_corpus" -> (qPipelineCorpus _),
     "mm_phash" -> (qMmPhash _),
     "mm_phash_reps" -> (qMmPhashReps _),
@@ -3542,6 +3547,23 @@ object SparkEntry {
     // the stream_* twins are the SAME transforms fed by a file stream:
     // batch-equivalence means the batch oracle checks them unchanged
     "stream_event_hourly" -> eventHourlyOracle,
+    // watermark drop accounting: batch-0 rows always survive; a
+    // straggler (batch-1) row survives iff its hour's END is still
+    // ahead of the watermark the on-time bulk established
+    // (max(batch-0 ts) − 1 h) — the exact Append-mode finalization law
+    "stream_watermark_audit" ->
+      """WITH b AS (SELECT ts, value,
+        |   CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS b
+        |  FROM events),
+        | wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm1 FROM b WHERE b = 0),
+        | keep AS (SELECT ts, value FROM b, wm
+        |  WHERE b = 0
+        |   OR time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR > wm.wm1)
+        |SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+        | time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+        | count(*)::BIGINT AS n_events,
+        | CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        |FROM keep GROUP BY 1, 2 ORDER BY window_start""".stripMargin,
     "stream_event_sessionize" -> eventSessionizeOracle,
     // stream-stream interval join ≡ the batch interval self-join
     "stream_attribution" ->

@@ -202,6 +202,82 @@ object StreamReplay {
     spark.table(name).filter(col("user_id") =!= -1L)
   }
 
+  /** WATERMARK DROP-ACCOUNTING gate — the data-LOSS face of late data
+    * (the complement of `stream_late_events`, where the MERGE chain
+    * keeps every late row): an hourly windowed aggregation in APPEND
+    * mode under `withWatermark(ts, delay)`, fed two mtime-ordered
+    * drops — the on-time bulk, then a straggler drop whose rows
+    * target hours the watermark has already closed. Spark finalizes a
+    * window once the watermark passes its end, so a straggler into a
+    * finalized hour is DROPPED — the documented loss semantics this
+    * gate makes exact: the sink must equal the batch aggregation over
+    * precisely the rows the watermark law keeps (on-time rows always;
+    * straggler rows iff their window's end is still ahead of
+    * `max(on-time ts) − delay`). Deterministic because files stream
+    * one per trigger (mtime-ordered), so the filtering watermark is a
+    * pure function of the split.
+    *
+    * ONE-BATCH LAG (measured — the load ordering depends on it):
+    * Spark's late-record FILTER for batch i uses the watermark
+    * computed from batches ≤ i−2, while state EVICTION uses the
+    * current one (the progress log shows `dropped=0` when stragglers
+    * arrive in the batch right after the bulk, and the expected drops
+    * once a batch separates them). A mid-stream marker row (epoch
+    * 2050, filtered from the result) therefore sits BETWEEN the bulk
+    * and the stragglers: it costs one batch, which promotes the
+    * bulk-derived watermark into the stragglers' filtering watermark.
+    * The final far-future flush (2099) advances the watermark past
+    * every live window and provides the trigger on which they emit
+    * (the [[replaySessionizeStateful]] discipline); neither marker's
+    * own window ever finalizes into the gated result.
+    */
+  def replayWatermarkAudit(spark: SparkSession, dir: String,
+      delay: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    val stage = java.nio.file.Files.createTempDirectory("graft_wmaudit")
+    def stageOne(df: DataFrame, idx: Int): Unit =
+      stageFile(df, stage, "load_", idx)
+    val ev = graft.sources.Tables.events(spark, dir)
+    stageOne(ev.filter(col("event_id") % 3 =!= 0)
+      .select(col("ts"), col("value")), 0)
+    stageOne(Seq((java.sql.Timestamp.valueOf("2050-01-01 00:00:00"), 0.0))
+      .toDF("ts", "value"), 1)
+    stageOne(ev.filter(col("event_id") % 3 === 0)
+      .select(col("ts"), col("value")), 2)
+    stageOne(Seq((java.sql.Timestamp.valueOf("2099-01-01 00:00:00"), 0.0))
+      .toDF("ts", "value"), 3)
+    val schema = spark.read.parquet(s"$stage/load_0.parquet").schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+    val out = src.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).as("sum_d"))
+    val name = s"graft_replay_${runId.incrementAndGet()}"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(partsKey)
+    spark.conf.set(partsKey, "8")
+    try {
+      val q = out.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination()
+      finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(partsKey, v)
+      case None => spark.conf.unset(partsKey)
+    }
+    spark.table(name)
+      .filter(col("window.start") < lit("2050-01-01"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("n_events"),
+        col("sum_d").cast("double").as("sum_value"))
+  }
+
   /** KILL-AND-RESUME gate for the custom-state sessionizer: the same
     * fold as [[replaySessionizeStateful]], but split across TWO
     * AvailableNow runs sharing ONE checkpoint and ONE file sink. Run 1
