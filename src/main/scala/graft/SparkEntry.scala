@@ -1238,6 +1238,10 @@ object SparkEntry {
   private def qAttribution(s: SparkSession, dir: String): DataFrame =
     AsOfJoin.attribution(t(s, dir, "events")).orderBy(col("purchase_id"))
 
+  private def qAsofForward(s: SparkSession, dir: String): DataFrame =
+    AsOfJoin.attributionForward(t(s, dir, "events"))
+      .orderBy(col("purchase_id"))
+
   private def qIntervalCounts(s: SparkSession, dir: String): DataFrame =
     RangeJoin.nearbyCounts(t(s, dir, "events")).orderBy(col("probe_id"))
 
@@ -2279,6 +2283,7 @@ object SparkEntry {
     "q_sketch_stats" -> (qSketchStats _),
     "q_semi_anti" -> (qSemiAnti _),
     "q_asof_attribution" -> (qAttribution _),
+    "q_asof_forward" -> (qAsofForward _),
     "q_range_interval" -> (qIntervalCounts _),
     "q_skew_join" -> (qSkewJoin _),
     "q_quality_checks" -> (qQualityChecks _),
@@ -4221,6 +4226,23 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'part_price_range', count(*) FILTER (WHERE p_retailprice < 0.01 OR p_retailprice > 1000000.0) FROM part
         |ORDER BY rule""".stripMargin,
+    // forward as-of with tolerance: explicit first-later-view replay
+    // (row_number over (v.ts, v.event_id)) — unambiguous where ASOF
+    // syntax support for forward comparators varies
+    "q_asof_forward" ->
+      """WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+        | v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+        | j AS (SELECT p.event_id AS purchase_id, v.event_id AS next_view_id,
+        |   v.ts AS vts, p.ts AS pts,
+        |   row_number() OVER (PARTITION BY p.event_id ORDER BY v.ts, v.event_id) AS rn
+        |  FROM p JOIN v ON v.user_id = p.user_id AND v.ts > p.ts
+        |   AND v.ts <= p.ts + INTERVAL 60 MINUTE)
+        |SELECT p.event_id AS purchase_id, j.next_view_id,
+        | CASE WHEN j.next_view_id IS NOT NULL
+        |  THEN date_diff('second', p.ts, j.vts) END AS gap_seconds
+        |FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+        |  ON j.purchase_id = p.event_id
+        |ORDER BY purchase_id""".stripMargin,
     "q_asof_attribution" ->
       """WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
         | p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase')

@@ -45,6 +45,46 @@ object AsOfJoin {
           .as("gap_seconds"))
   }
 
+  /** FORWARD as-of with tolerance — the `merge_asof
+    * direction='forward'` face (the backward [[attribution]]'s dual):
+    * for every purchase, the EARLIEST strictly-later view by the same
+    * user within `toleranceMin` (the "did they come back and look
+    * again" follow-up read). Same scalable composition, reversed: one
+    * shuffle on the key, the per-key sort runs ts DESC with purchases
+    * ordered BEFORE equal-ts views (strict `>` exactly), and
+    * `last(..., ignoreNulls)` carries the nearest later view backward.
+    * The tolerance compares RAW timestamps (micro-exact — a
+    * seconds-truncated gap comparison would misclassify sub-second
+    * boundary straddles); the published gap is whole seconds.
+    */
+  def attributionForward(events: DataFrame,
+      toleranceMin: Int = 60): DataFrame = {
+    val base = events
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(
+        col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "view", 1).otherwise(0).as("is_view"))
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("is_view"), col("event_id").desc)
+    base
+      .withColumn("nv_id",
+        last(when(col("is_view") === 1, col("event_id")), ignoreNulls = true)
+          .over(w))
+      .withColumn("nv_ts",
+        last(when(col("is_view") === 1, col("ts")), ignoreNulls = true)
+          .over(w))
+      .filter(col("is_view") === 0)
+      .withColumn("ok", col("nv_ts").isNotNull &&
+        col("nv_ts") <= col("ts") + expr(s"INTERVAL $toleranceMin MINUTES"))
+      .select(
+        col("event_id").as("purchase_id"),
+        when(col("ok"), col("nv_id")).as("next_view_id"),
+        when(col("ok"),
+          unix_timestamp(col("nv_ts")) - unix_timestamp(col("ts")))
+          .as("gap_seconds"))
+  }
+
   /** MULTI-touch attribution — the standard marketing-analytics step
     * past last-touch ([[attribution]]): every view in the `lookbackMin`
     * window before a purchase shares credit, under two models at once:

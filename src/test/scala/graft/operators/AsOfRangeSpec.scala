@@ -26,6 +26,23 @@ class AsOfRangeSpec extends SparkSpecBase {
     assert(out == Seq((102L, 101L, 300L), (104L, 103L, 600L), (200L, -1L, -1L)))
   }
 
+  test("forward as-of picks the earliest strictly-later view inside the tolerance") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, "purchase"), // → view 102 (10:10)
+      (1L, ts("2024-01-01 10:00:00"), 101L, "view"),     // same-ts: excluded
+      (1L, ts("2024-01-01 10:10:00"), 102L, "view"),
+      (1L, ts("2024-01-01 10:20:00"), 103L, "view"),     // later than 102: not picked
+      (2L, ts("2024-01-01 09:00:00"), 200L, "purchase"), // only view 90min out → tolerance null
+      (2L, ts("2024-01-01 10:30:00"), 201L, "view"),
+      (3L, ts("2024-01-01 09:00:00"), 300L, "purchase")  // no later view at all
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = AsOfJoin.attributionForward(events).orderBy("purchase_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(out == Seq((100L, 102L, 600L), (200L, -1L, -1L), (300L, -1L, -1L)))
+  }
+
   test("interval counts match a brute-force filter join") {
     val events = graft.sources.Tables.events(spark, sfDir)
     val viaBuckets = RangeJoin.nearbyCounts(events, "error", 60L)
