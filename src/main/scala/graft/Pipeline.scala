@@ -121,12 +121,20 @@ object Pipeline {
         val dEvent = spark.read.parquet(s"$w/d_event")
         val withGuid = StarSchema.fEventsFlat(events)
           .join(dEvent, Seq("event_id"))
-        Sinks.mergeDim(spark, s"$w/f_events", withGuid,
+          // partition date derives from the immutable event time, so a
+          // drop only ever touches its own dates — the precondition
+          // that makes the partition-scoped MERGE exact
+          .withColumn("event_date",
+            org.apache.spark.sql.functions.to_date(
+              org.apache.spark.sql.functions.col("event_time")))
+        // PARTITION-SCOPED merge: only the drop's event dates are
+        // read or rewritten; at 100 TB the stage cost scales with the
+        // DROP, not the warehouse (a full-table stage-and-swap here
+        // rewrote the entire fact per daily load)
+        Sinks.mergeFactByDate(spark, s"$w/f_events", withGuid,
           Seq("event_id", "event_parameter_name", "event_parameter_value"),
-          Seq("event_time", "event_user_id", "event_name", "event_value", "guid_event"),
-          Sinks.Update,
-          broadcastDelta = false, // fact-sized delta: shuffle merge
-          pinResult = false).count() // fact-sized result: no block-manager pin
+          Seq("event_time", "event_user_id", "event_name", "event_value", "guid_event"))
+          .count()
       }),
       // the four analytic views, rebuilt per load
       "view_yearly_counts" -> (() => 

@@ -1385,6 +1385,53 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** TOMBSTONE EPOCH gate (r18 — promotes the r17 epoch-aware
+    * tombstone fix into the oracle the way `mm_phash_member_delete`
+    * promoted the r16 boundary): the full delete → compact(purge) →
+    * expire → RE-APPEND → RE-DELETE cycle on the KEYED minhash band
+    * index, BOTH serve points gated in one answer.
+    *
+    * Phase `reappended`: after the first takedown's rows are
+    * physically purged AND its tombstones expired, the same content
+    * re-ingests as a new batch layer and must SERVE — an unepoched
+    * mask (`tombstones ∖ expired` as plain id sets) could never
+    * re-admit a once-deleted id. Phase `redeleted`: a FRESH takedown
+    * of the re-appended content (tombstone seq 2 > expired seq 1)
+    * must re-enter the serve mask immediately — with set semantics
+    * the second takedown is already "expired" and the retracted
+    * content keeps serving (the r16 ADVICE bug class, now pinned by
+    * the oracle forever). Oracles: fresh re-signs over the full
+    * corpus / over the survivors.
+    */
+  private def qDedupDeleteReappend(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val takedown = docs.filter(col("doc_id") % 10 === 5)
+    val ids = takedown.select(col("doc_id"))
+    val MS = graft.sources.MinhashIndexStore
+    val path = MS.defaultPath(dir) + "_reapp"
+    // the lifecycle IS the gate — run it fresh every call (keyed
+    // layout: compact purges physically but RETAINS the mask; expiry
+    // is the explicit release step)
+    graft.sources.StorePaths.wipe(s, path)
+    MS.buildKeyed(corpus, path)
+    MS.delete(ids, path)              // epoch 1
+    MS.compact(s, path)               // physical purge, mask retained
+    MS.expireTombstones(s, path)      // purged + rows-absent → released
+    MS.appendBatch(takedown, path, 1L) // the content returns (epoch 2)
+    val reappended = Dedup.minhashNearDupsDelta(delta, docs,
+      MS.bandsTable(s, path))
+      .withColumn("phase", lit("reappended"))
+      .localCheckpoint() // pin BEFORE the state mutates under it
+    MS.delete(ids, path)              // fresh takedown, seq 2 — re-masks
+    val redeleted = Dedup.minhashNearDupsDelta(delta, docs,
+      MS.bandsTable(s, path))
+      .withColumn("phase", lit("redeleted"))
+    reappended.unionByName(redeleted)
+      .orderBy(col("phase"), col("doc_id"))
+  }
+
   /** DECREMENTAL clustering ([[Dedup.connectedComponentsDecremental]]):
     * vec_id % 10 == 4 nodes are retracted from the stored labeling —
     * only their components re-solve on the surviving edges (a removed
@@ -2295,6 +2342,7 @@ object SparkEntry {
     "dedup_incremental" -> (qDedupIncremental _),
     "dedup_incremental_rollover" -> (qDedupIncrementalRollover _),
     "dedup_incremental_delete" -> (qDedupIncrementalDelete _),
+    "dedup_delete_reappend" -> (qDedupDeleteReappend _),
     "dedup_embedding_incremental" -> (qDedupEmbeddingIncremental _),
     "dedup_embedding_delete" -> (qDedupEmbeddingDelete _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -3306,8 +3354,8 @@ object SparkEntry {
         | th AS (SELECT lang, quantile_cont(lm_score, [1.0/3, 2.0/3]) AS t
         |        FROM sl GROUP BY lang),
         | b AS (SELECT sl.lang,
-        |   CASE WHEN sl.lm_score > th.t[2] THEN 'head'
-        |        WHEN sl.lm_score > th.t[1] THEN 'middle'
+        |   CASE WHEN sl.lm_score > round(th.t[2], 4) THEN 'head'
+        |        WHEN sl.lm_score > round(th.t[1], 4) THEN 'middle'
         |        ELSE 'tail' END AS bucket,
         |   sl.n_tokens, sl.lm_score
         |  FROM sl JOIN th USING (lang))
@@ -4325,6 +4373,9 @@ object SparkEntry {
     // survivors only
     "dedup_incremental_delete" ->
       deltaMinhashOracleFrom(wordShingleCteWhere("doc_id % 10 <> 5")),
+    // the tombstone EPOCH cycle: purged+expired content re-appends and
+    // serves; a fresh re-delete (seq 2 > expired seq 1) re-masks
+    "dedup_delete_reappend" -> reappendMinhashOracle,
     // the rollover twin serves the same answer THROUGH an append:
     // build(80%) + append(10%) must be indistinguishable from a fresh
     // index over the unioned corpus
@@ -5388,19 +5439,37 @@ object SparkEntry {
   // incremental gate and its rollover (build + append) twin; the
   // retraction gate passes a shingle CTE whose corpus excludes the
   // tombstoned docs (the index's masked serve view)
+  private val deltaMinhashRollup: String =
+    """SELECT d.doc_id,
+      | coalesce(p.n_candidates, 0)::BIGINT AS n_candidates,
+      | coalesce(p.best_jaccard, 0.0) AS best_jaccard,
+      | coalesce(p.is_near_dup, false) AS is_near_dup
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d LEFT JOIN (
+      | SELECT doc_id, count(*)::BIGINT AS n_candidates,
+      |  max(j) AS best_jaccard, bool_or(j >= 0.5) AS is_near_dup
+      | FROM (SELECT id_a AS doc_id, j FROM ver
+      |       UNION ALL SELECT id_b AS doc_id, j FROM ver)
+      | GROUP BY doc_id) p USING (doc_id)""".stripMargin
+
   private def deltaMinhashOracleFrom(shingleCte: String): String =
     s"WITH ${minhashCtes(shingleCte, 32, 8, 4)}\n" +
-      """SELECT d.doc_id,
-        | coalesce(p.n_candidates, 0)::BIGINT AS n_candidates,
-        | coalesce(p.best_jaccard, 0.0) AS best_jaccard,
-        | coalesce(p.is_near_dup, false) AS is_near_dup
-        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d LEFT JOIN (
-        | SELECT doc_id, count(*)::BIGINT AS n_candidates,
-        |  max(j) AS best_jaccard, bool_or(j >= 0.5) AS is_near_dup
-        | FROM (SELECT id_a AS doc_id, j FROM ver
-        |       UNION ALL SELECT id_b AS doc_id, j FROM ver)
-        | GROUP BY doc_id) p USING (doc_id)
-        |ORDER BY doc_id""".stripMargin
+      deltaMinhashRollup + "\nORDER BY doc_id"
+
+  /** The two-phase epoch-cycle oracle: phase `reappended` re-signs the
+    * FULL corpus (the expired takedown's content is back and serves),
+    * phase `redeleted` re-signs the survivors (the fresh second-epoch
+    * takedown masks again). Nested WITH per phase — the minhash CTE
+    * chain instantiates twice with colliding names otherwise.
+    */
+  private def reappendMinhashOracle: String =
+    s"""SELECT 'reappended' AS phase, p1.* FROM (
+       |WITH ${minhashCtes(wordShingleCte, 32, 8, 4)}
+       |$deltaMinhashRollup) p1
+       |UNION ALL
+       |SELECT 'redeleted' AS phase, p2.* FROM (
+       |WITH ${minhashCtes(wordShingleCteWhere("doc_id % 10 <> 5"), 32, 8, 4)}
+       |$deltaMinhashRollup) p2
+       |ORDER BY phase, doc_id""".stripMargin
 
   private lazy val deltaMinhashOracle: String =
     deltaMinhashOracleFrom(wordShingleCte)

@@ -787,10 +787,11 @@ object CorpusStats {
     * counts, the exact score mass, and the bucket's score range.
     *
     * Determinism: the tercile thresholds are exact interpolated
-    * percentiles over the 4 dp-rounded scores (the `q_rfm` device —
-    * strict `>` comparisons against an interpolated cut between
-    * ADJACENT order statistics classify every data point identically
-    * in both engines regardless of last-ulp interpolation error), and
+    * percentiles over the 4 dp-rounded scores, themselves ROUNDED BACK
+    * to the same 4 dp grid (the `q_rfm` device hardened: when a cut
+    * coincides with an order statistic, a doc scoring exactly the cut
+    * value classifies identically in both engines — the threshold
+    * comparison is grid-exact, never ulp-sensitive), and
     * the score mass is summed as a 1e4-scaled BIGINT
     * (association-order-free — the classifier family's integer-score
     * discipline), never a float sum.
@@ -806,11 +807,16 @@ object CorpusStats {
       idCol: String = "doc_id", langCol: String = "lang"): DataFrame = {
     val scored = lmScore(docs, textCol, idCol)
       .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+    // cuts land on the SAME 4 dp grid as lm_score (both engines round
+    // identically): when (n−1) divides by 3 the interpolated cut
+    // coincides with an order statistic, and a doc scoring exactly the
+    // cut value must not flip buckets on a last-ulp interpolation
+    // difference between Spark `percentile` and DuckDB `quantile_cont`
     val th = scored.groupBy(col(langCol))
       .agg(expr("percentile(lm_score, array(CAST(1 AS DOUBLE)/3, " +
         "CAST(2 AS DOUBLE)/3))").as("t"))
-      .select(col(langCol), col("t").getItem(0).as("t_lo"),
-        col("t").getItem(1).as("t_hi"))
+      .select(col(langCol), round(col("t").getItem(0), 4).as("t_lo"),
+        round(col("t").getItem(1), 4).as("t_hi"))
     scored.join(broadcast(th), Seq(langCol))
       .withColumn("bucket",
         when(col("lm_score") > col("t_hi"), "head")

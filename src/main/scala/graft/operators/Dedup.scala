@@ -157,7 +157,7 @@ object Dedup {
     * share the one candidate computation instead of re-deriving it.
     */
   def minhashNearDupPairs(docs: DataFrame, numHashes: Int = 32,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8, maxBandFreq: Option[Long] = None): DataFrame = {
     graft.plans.GraftFunctions.ensureRegistered(docs.sparkSession)
     val rows = numHashes / bands
     // ONE signature pass: the codegen minhash kernel folds shingle
@@ -176,8 +176,29 @@ object Dedup {
         TF.minhashSigWords(col("w"), 3, numHashes).as("sig"))
     val banded = sigs.select(
       col("doc_id"), explode(TF.bandTuples(col("sig"), bands, rows)).as("bk"))
-    val pairs = banded.alias("a")
-      .join(banded.alias("b"),
+    // HOT-BAND CAP (opt-in, standard LSH practice): a corpus-frequent
+    // shingle set — boilerplate headers/footers shared by MILLIONS of
+    // DISTINCT documents — lands them all in the same band tuple, and
+    // that one band's candidate list grows as C(n,2): quadratic in the
+    // boilerplate rate, unbounded by the exact-collapse that absorbs
+    // byte-identical twins. Dropping bands with more than `maxBandFreq`
+    // members bounds every band's pair contribution at C(F,2); genuine
+    // near-dups still collide in their CONTENT bands (8 bands = 8
+    // independent chances), so only pairs similar SOLELY through
+    // boilerplate are lost — the recall trade HotBandCapSpec pins.
+    // Shape: the frequency aggregate sits BELOW the self-join on the
+    // band key (48-byte rows), and the hot set — boilerplate bands
+    // only — is a tiny broadcast anti-join, never a corpus shuffle.
+    val joinable = maxBandFreq match {
+      case Some(f) =>
+        val hot = banded.groupBy(col("bk"))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > f)
+          .select(col("bk"))
+        banded.join(broadcast(hot), Seq("bk"), "left_anti")
+      case None => banded
+    }
+    val pairs = joinable.alias("a")
+      .join(joinable.alias("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
@@ -1261,6 +1282,18 @@ object Dedup {
     k
   }
 
+  /** Hot-band cap law from the same count probe as [[adaptiveBits]]:
+    * the bucket-width law holds EXPECTED band occupancy near its
+    * target, so any band whose actual occupancy exceeds a large
+    * multiple of that target is boilerplate, not signal. F =
+    * max(128, n/1024) — at least 2× the 64-row bucket target, growing
+    * sublinearly so a legitimate heavy cluster on a mega-corpus is
+    * not clipped while a band shared by >0.1% of the corpus (a
+    * C(n,2) ≥ ~half-million-pair bomb per band) is.
+    */
+  private[graft] def bandCapFromCount(n: Long): Long =
+    math.max(128L, n / 1024L)
+
   /** Maximum per-table bits the auto planner will ever use; fixes the
     * (table, bit) → plane-index layout (`table·MaxAutoBits + bit`) so
     * the weight matrix is one static object regardless of how many
@@ -1520,9 +1553,11 @@ object Dedup {
     * is an output fact, not a plan defect (the `mm_phash` boundary).
     * The drop's rep frame broadcasts; the stored side never
     * re-clusters. PRECONDITION: stored and delta id sets are disjoint
-    * (every caller's split guarantees it) — overlap would double-emit
-    * a pair in both orientations. Emits (a_id, b_id, cosine ≥
-    * threshold) with `a_id < b_id`.
+    * — overlap would double-emit a pair in both orientations. The
+    * precondition is ENFORCED in-plan (an ids-only marker join raises
+    * on the first overlapping vec_id), so a caller composing the split
+    * wrongly fails loudly instead of corrupting pair counts. Emits
+    * (a_id, b_id, cosine ≥ threshold) with `a_id < b_id`.
     */
   def semanticNearDupsDelta(all: DataFrame, storedCells: DataFrame,
       deltaCells: DataFrame, threshold: Double = 0.35): DataFrame = {
@@ -1583,6 +1618,19 @@ object Dedup {
       deltaCells: DataFrame, threshold: Double)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     graft.plans.GraftFunctions.ensureRegistered(all.sparkSession)
+    // disjointness guard, IN-PLAN (ids-only, lazy): the documented
+    // precondition — stored and delta id sets must not overlap — was
+    // previously unchecked, and an overlapping vec_id would silently
+    // double-emit pairs (and over-count n_pairs in the reps form).
+    // The marker left-join reads only the two vec_id columns and
+    // raises inside the plan on the first overlapping id.
+    val deltaChecked = deltaCells
+      .join(storedCells.select(col("vec_id"),
+        lit(true).as("__stored_hit")), Seq("vec_id"), "left")
+      .filter(when(col("__stored_hit"),
+        raise_error(lit("semanticNearDupsDelta: stored and delta vec_id " +
+          "sets overlap — pairs would double-emit"))).otherwise(lit(true)))
+      .drop("__stored_hit")
     val scored = all.filter(col("embedding").isNotNull)
       .select(col("vec_id"), col("embedding"),
         VF.normNative(col("embedding")).as("nrm"))
@@ -1602,7 +1650,7 @@ object Dedup {
         members)
     }
     val (sReps, sMembers) = repGrain(storedCells, "s")
-    val (dReps, dMembers) = repGrain(deltaCells, "d")
+    val (dReps, dMembers) = repGrain(deltaChecked, "d")
     val cross = sReps.join(broadcast(dReps), Seq("cell"))
       .select(col("s_rep"), col("d_rep"), col("s_n"), col("d_n"),
         round(VF.dotNative(col("s_emb"), col("d_emb"))

@@ -9,8 +9,10 @@ import org.apache.spark.sql.functions.col
   * The reference lands every table in Snowflake with daily MERGE loads
   * (reference: astro-sdk-tutorial/dags/etl_s3_snowflake_f_events.py:
   * 87-96). On immutable storage the equivalents are:
-  *  - append-only date-partitioned parquet for facts (partition pruning
-  *    turns daily/backfill reads into file skips),
+  *  - date-partitioned parquet for facts, loaded by the
+  *    PARTITION-SCOPED merge ([[mergeFactByDate]] — only the drop's
+  *    dates are read or rewritten; partition pruning also turns
+  *    daily/backfill reads into file skips),
   *  - read-merge-overwrite for SCD-1 dims (the dim is ≪ the fact, so
   *    rewriting it per load is the cheap, atomic-enough option — a table
   *    format's row-level MERGE slots in here unchanged at 100 TB),
@@ -114,6 +116,138 @@ object Sinks {
       swapInto(spark, path + ".staging", path)
       spark.read.parquet(path)
     }
+
+  /** Partition-scoped fact MERGE — the 100 TB load path: rewrite ONLY
+    * the date partitions the delta touches, leaving every other date's
+    * files unread and unmoved.
+    *
+    * The reference reloads its fact daily with a full-table MERGE
+    * (etl_s3_snowflake_f_events.py:87-96 — Snowflake hides the rewrite
+    * cost); on immutable parquet the equivalent full-table
+    * stage-and-swap rewrites the WHOLE warehouse per load, which at
+    * 100 TB is the one genuine scale-killer. Its daily semantics make
+    * the partition-scoped form exact: an event's time — hence its date
+    * — is immutable, so a drop (on-time or late) can only create or
+    * update rows WITHIN its own event dates. Mechanics per load:
+    *
+    *  1. the delta's touched date set (a distinct-collect bounded by
+    *     the drop's calendar span — single-digit rows for a daily
+    *     feed, never data-sized),
+    *  2. a pruned read of the stored fact: `date ∈ touched` is a
+    *     PARTITION filter, so untouched dates are eliminated in the
+    *     file manifest and never scanned,
+    *  3. [[graft.operators.MergeInto.upsert]] of the drop into that
+    *     slice (shuffle merge — both sides are drop/day-sized),
+    *  4. stage-and-swap of ONLY the touched `date=...` directories,
+    *     each through a crash-safe backup parked OUTSIDE the table
+    *     root (`<path>.pbackup/` — a backup inside the root would be
+    *     picked up by partition discovery during the crash window).
+    *
+    * PRECONDITION (holds for the fact by construction): the merge key
+    * determines the partition date — a key's stored row lives in the
+    * same date partition its re-delivery routes to. A key that MOVED
+    * dates would leave its old row in an untouched partition; that
+    * cannot happen when the date derives from an immutable event time.
+    * NULL dates are rejected in-plan (they would silently land in a
+    * default partition).
+    *
+    * Returns a lazy read of the live table (the fact-sized
+    * `pinResult = false` contract — valid until the next load's swap).
+    */
+  def mergeFactByDate(spark: SparkSession, path: String, delta: DataFrame,
+      keys: Seq[String], updateCols: Seq[String],
+      dateCol: String = "event_date"): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, raise_error, when}
+    recoverPartitionSwaps(spark, path)
+    val d = delta.filter(
+      when(col(dateCol).isNull,
+        raise_error(lit(s"mergeFactByDate: NULL $dateCol in delta — " +
+          "rows would land in a default partition"))).otherwise(lit(true)))
+    if (!tableExists(spark, path)) {
+      d.write.partitionBy(dateCol).parquet(path + ".staging")
+      swapInto(spark, path + ".staging", path)
+    } else {
+      val (merged, touched) = factMergeFrames(spark, path, d, keys,
+        updateCols, dateCol)
+      val staging = path + ".staging_parts"
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      merged.write.mode(SaveMode.Overwrite).partitionBy(dateCol)
+        .parquet(staging)
+      touched.foreach { v =>
+        val dirName = s"$dateCol=$v"
+        swapPartition(spark, s"$staging/$dirName", path, dirName)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      // all swaps landed → the backup root is empty scaffolding
+      val backupRoot = new org.apache.hadoop.fs.Path(path + ".pbackup")
+      if (fs.exists(backupRoot) && fs.listStatus(backupRoot).isEmpty)
+        fs.delete(backupRoot, true)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** The pruned-merge plan [[mergeFactByDate]] executes, exposed for
+    * the plan audit: (merged frame over ONLY the touched partitions,
+    * touched date values). The fact scan inside `merged` must carry
+    * `dateCol IN touched` as a partition filter — the audit asserts
+    * untouched partitions are pruned from the file manifest.
+    */
+  private[graft] def factMergeFrames(spark: SparkSession, path: String,
+      delta: DataFrame, keys: Seq[String], updateCols: Seq[String],
+      dateCol: String): (DataFrame, Seq[Any]) = {
+    val touched = delta.select(col(dateCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val storedTouched = spark.read.parquet(path)
+      .filter(col(dateCol).isin(touched: _*))
+    (MergeInto.upsert(storedTouched, delta, keys, updateCols,
+      broadcastDelta = false), touched)
+  }
+
+  /** Crash-safe swap of ONE partition directory, with the backup
+    * parked under `<tablePath>.pbackup/` — outside the table root, so
+    * a reader during the crash window never sees a `date=X.backup`
+    * pseudo-partition. Rename failures raise, mirroring [[swapInto]].
+    */
+  private def swapPartition(spark: SparkSession, stagingDir: String,
+      tablePath: String, dirName: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(s"$tablePath/$dirName")
+    val backupRoot = new org.apache.hadoop.fs.Path(tablePath + ".pbackup")
+    val backup = new org.apache.hadoop.fs.Path(backupRoot, dirName)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(backupRoot)
+    if (fs.exists(backup)) fs.delete(backup, true)
+    val had = fs.exists(target)
+    if (had)
+      require(fs.rename(target, backup), s"could not back up $target")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(stagingDir), target)) {
+      if (had) fs.rename(backup, target)
+      throw new java.io.IOException(
+        s"could not swap $stagingDir into $target")
+    }
+    if (had) fs.delete(backup, true)
+  }
+
+  /** If a previous partition swap crashed between its renames, the
+    * backup under `<path>.pbackup/` holds the only copy of that
+    * partition — restore any such directory (or drop the backup when
+    * the partition made it into place) before anything reads or
+    * merges. The per-partition analogue of [[recoverIfNeeded]].
+    */
+  private def recoverPartitionSwaps(spark: SparkSession, path: String): Unit = {
+    val backupRoot = new org.apache.hadoop.fs.Path(path + ".pbackup")
+    val fs = backupRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(backupRoot)) return
+    fs.listStatus(backupRoot).foreach { st =>
+      val target = new org.apache.hadoop.fs.Path(path, st.getPath.getName)
+      if (!fs.exists(target))
+        require(fs.rename(st.getPath, target),
+          s"could not recover $target from partition backup")
+      else fs.delete(st.getPath, true)
+    }
+    fs.delete(backupRoot, true)
+  }
 
   /** Key-dim refresh with STABLE dense surrogate keys across loads:
     * only genuinely new natural keys get ids, continuing after the

@@ -230,27 +230,52 @@ object StreamReplay {
     * every live window and provides the trigger on which they emit
     * (the [[replaySessionizeStateful]] discipline); neither marker's
     * own window ever finalizes into the gated result.
+    *
+    * The delay is a CONSTANT, not a parameter: the oracle SQL
+    * hard-codes `INTERVAL 1 HOUR`, so a configurable delay would let a
+    * caller silently desync the gate from the oracle. The run also
+    * asserts the engine's reported `numRowsDroppedByWatermark` equals
+    * the drop count the oracle's keep-law predicts — the measured law,
+    * pinned in-process.
     */
-  def replayWatermarkAudit(spark: SparkSession, dir: String,
-      delay: String = "1 hour"): DataFrame = {
+  private val WatermarkDelay = "1 hour" // pinned to the oracle's INTERVAL 1 HOUR
+  private val WatermarkDelayMs = 3600L * 1000
+
+  def replayWatermarkAudit(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val stage = java.nio.file.Files.createTempDirectory("graft_wmaudit")
     def stageOne(df: DataFrame, idx: Int): Unit =
       stageFile(df, stage, "load_", idx)
     val ev = graft.sources.Tables.events(spark, dir)
-    stageOne(ev.filter(col("event_id") % 3 =!= 0)
-      .select(col("ts"), col("value")), 0)
+    val onTime = ev.filter(col("event_id") % 3 =!= 0)
+      .select(col("ts"), col("value"))
+    val stragglers = ev.filter(col("event_id") % 3 === 0)
+      .select(col("ts"), col("value"))
+    stageOne(onTime, 0)
     stageOne(Seq((java.sql.Timestamp.valueOf("2050-01-01 00:00:00"), 0.0))
       .toDF("ts", "value"), 1)
-    stageOne(ev.filter(col("event_id") % 3 === 0)
-      .select(col("ts"), col("value")), 2)
+    stageOne(stragglers, 2)
     stageOne(Seq((java.sql.Timestamp.valueOf("2099-01-01 00:00:00"), 0.0))
       .toDF("ts", "value"), 3)
+    // the drop count the oracle's law predicts. The engine's
+    // numRowsDroppedByWatermark counts rows entering the STATEFUL
+    // operator — post-shuffle, merge-aggregated rows, ONE PER HOUR
+    // WINDOW — so the expected figure is the count of DISTINCT
+    // straggler windows whose END has fallen at-or-behind the
+    // bulk-derived watermark `max(on-time ts) − WatermarkDelay`
+    // (1-row agg + one distinct-count over the straggler slice;
+    // measured: 334 straggler rows in 315 windows report 314 drops,
+    // matching the 314 closed windows exactly)
+    val bulkMax = onTime.agg(max(col("ts"))).head().getTimestamp(0)
+    val wmTs = new java.sql.Timestamp(bulkMax.getTime - WatermarkDelayMs)
+    val expectedDrops = stragglers
+      .filter(date_trunc("hour", col("ts")) + expr("INTERVAL 1 HOUR") <= lit(wmTs))
+      .select(date_trunc("hour", col("ts"))).distinct().count()
     val schema = spark.read.parquet(s"$stage/load_0.parquet").schema
     val src = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage.toString)
-    val out = src.withWatermark("ts", delay)
+    val out = src.withWatermark("ts", WatermarkDelay)
       .groupBy(window(col("ts"), "1 hour"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(12,2)")).as("sum_d"))
@@ -267,6 +292,17 @@ object StreamReplay {
         .start()
       try q.awaitTermination()
       finally q.stop()
+      // pin the measured law IN-PROCESS: the engine must report exactly
+      // the drops the oracle's keep-law implies. If a Spark version ever
+      // moves watermark propagation (the one-batch filter lag the
+      // marker-row choreography relies on), this fails loudly here
+      // instead of silently desyncing from the oracle.
+      val observedDrops = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .map(_.numRowsDroppedByWatermark).sum
+      require(observedDrops == expectedDrops,
+        s"watermark audit desync: engine dropped $observedDrops rows, " +
+          s"the oracle law predicts $expectedDrops")
     } finally prev match {
       case Some(v) => spark.conf.set(partsKey, v)
       case None => spark.conf.unset(partsKey)
@@ -377,7 +413,10 @@ object StreamReplay {
     */
   def replayRedelivered(spark: SparkSession, dir: String,
       keys: Seq[String], watermark: String = null,
-      copies: Int = 2, maxFilesPerTrigger: Int = 1): DataFrame = {
+      copies: Int = 2, maxFilesPerTrigger: Int = 1,
+      progressOut: Option[scala.collection.mutable.Buffer[
+        org.apache.spark.sql.streaming.StreamingQueryProgress]] = None)
+      : DataFrame = {
     require(copies >= 2, "a redelivery replay needs at least 2 deliveries")
     val stage = java.nio.file.Files.createTempDirectory("graft_redeliver")
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
@@ -437,6 +476,7 @@ object StreamReplay {
         .start()
       try q.awaitTermination()
       finally q.stop()
+      progressOut.foreach(_ ++= q.recentProgress)
     } finally prev match {
       case Some(v) => spark.conf.set(partsKey, v)
       case None => spark.conf.unset(partsKey)

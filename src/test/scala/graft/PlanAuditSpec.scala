@@ -673,4 +673,40 @@ class PlanAuditSpec extends SparkSpecBase {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*("), p) // "*(n)" = whole-stage-codegen stage n
   }
+
+  test("partition-scoped fact merge: untouched dates pruned at the MANIFEST, never scanned") {
+    // the 100 TB daily-load contract: the merge's fact scan must carry
+    // the touched-date set as a PARTITION filter, so untouched dates
+    // are eliminated in the file manifest — a filter past the scan
+    // would still list and read the whole warehouse
+    import spark.implicits._
+    def day(s: String) = java.sql.Date.valueOf(s)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_factaudit").toString + "/fact"
+    val warehouse = (1 to 10).map(i =>
+      (i.toLong, "p", day(f"2024-01-$i%02d"), i.toDouble))
+      .toDF("event_id", "pname", "event_date", "v")
+    graft.sources.Sinks.mergeFactByDate(spark, path, warehouse,
+      Seq("event_id", "pname"), Seq("v"))
+    val delta = Seq((3L, "p", day("2024-01-03"), 99.0),
+      (42L, "q", day("2024-01-03"), 42.0))
+      .toDF("event_id", "pname", "event_date", "v")
+    val (merged, touched) = graft.sources.Sinks.factMergeFrames(
+      spark, path, delta, Seq("event_id", "pname"), Seq("v"), "event_date")
+    assert(touched == Seq(day("2024-01-03")))
+    // sparkPlan, not executedPlan: AQE wraps the final plan and hides
+    // the scan from a collect over the wrapper
+    val scans = merged.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("fact")) => f
+    }
+    assert(scans.nonEmpty, merged.queryExecution.executedPlan.toString)
+    // of the 10 stored date partitions, exactly the ONE touched date
+    // survives the manifest
+    scans.foreach { f =>
+      assert(f.selectedPartitions.partitionCount == 1,
+        s"expected 1 selected partition, saw ${f.selectedPartitions.partitionCount}")
+      assert(f.metadata("PartitionFilters").contains("event_date"), f.metadata)
+    }
+  }
 }

@@ -162,4 +162,24 @@ class SemanticDedupSpec extends SparkSpecBase {
         ((x.getAs[Long]("n_dups"), x.getAs[Boolean]("kept")))).toMap
     assert(r(1L) == ((0L, true)) && r(2L) == ((0L, true)))
   }
+
+  test("overlapping stored/delta vec_ids fail loudly, not by double-emitting") {
+    // the documented disjointness precondition, now ENFORCED in-plan:
+    // id 3 appears on both sides — pairs would double-emit silently
+    val all = Seq(
+      (1L, Seq(1.0f, 0.0f)),
+      (3L, Seq(0.99f, 0.01f)),
+      (10L, Seq(0.95f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val stored = Seq((1L, 0L), (3L, 0L)).toDF("vec_id", "cell")
+    val delta = Seq((3L, 0L), (10L, 0L)).toDF("vec_id", "cell")
+    val ex = intercept[Exception] {
+      Dedup.semanticNearDupsDelta(all, stored, delta, threshold = 0.5)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("overlap")), ex.toString)
+  }
 }

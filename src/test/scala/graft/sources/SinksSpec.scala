@@ -21,6 +21,90 @@ class SinksSpec extends SparkSpecBase {
     assert(oneDay.count() > 0)
   }
 
+  test("mergeFactByDate: only touched date partitions are rewritten, the rest stay byte-identical") {
+    val path = Files.createTempDirectory("graft_factpart").toString + "/fact"
+    def day(s: String) = java.sql.Date.valueOf(s)
+    val load1 = Seq(
+      (1L, "p", 1L, day("2024-01-01"), 10.0),
+      (2L, "p", 1L, day("2024-01-02"), 20.0),
+      (3L, "q", 2L, day("2024-01-03"), 30.0)
+    ).toDF("event_id", "pname", "pval", "event_date", "v")
+    Sinks.mergeFactByDate(spark, path, load1,
+      Seq("event_id", "pname", "pval"), Seq("v"))
+    def files(d: String): Map[String, Long] = {
+      val dir = new java.io.File(s"$path/event_date=$d")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before01 = files("2024-01-01")
+    val before03 = files("2024-01-03")
+    assert(before01.nonEmpty && before03.nonEmpty)
+    Thread.sleep(1100) // mtime granularity guard
+    // the drop touches ONLY 2024-01-02: one update + one insert there
+    val delta = Seq(
+      (2L, "p", 1L, day("2024-01-02"), 99.0),
+      (4L, "r", 3L, day("2024-01-02"), 40.0)
+    ).toDF("event_id", "pname", "pval", "event_date", "v")
+    val merged = Sinks.mergeFactByDate(spark, path, delta,
+      Seq("event_id", "pname", "pval"), Seq("v"))
+    assert(merged.count() == 4)
+    val got = merged.select("event_id", "v").orderBy("event_id")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0), (4L, 40.0)))
+    // untouched dates: same files, same mtimes — never rewritten
+    assert(files("2024-01-01") == before01)
+    assert(files("2024-01-03") == before03)
+    // idempotent re-merge of the same drop
+    val again = Sinks.mergeFactByDate(spark, path, delta,
+      Seq("event_id", "pname", "pval"), Seq("v"))
+    assert(again.select("event_id", "v").orderBy("event_id")
+      .as[(Long, Double)].collect().toSeq == got)
+  }
+
+  test("mergeFactByDate: a crashed partition swap recovers from the external backup") {
+    val path = Files.createTempDirectory("graft_factcrash").toString + "/fact"
+    def day(s: String) = java.sql.Date.valueOf(s)
+    val load1 = Seq(
+      (1L, "p", day("2024-01-01"), 1.0),
+      (2L, "p", day("2024-01-02"), 2.0)
+    ).toDF("event_id", "pname", "event_date", "v")
+    Sinks.mergeFactByDate(spark, path, load1,
+      Seq("event_id", "pname"), Seq("v"))
+    // simulate a crash window: partition dir renamed to the backup,
+    // replacement never landed (the backup root is OUTSIDE the table
+    // root, so partition discovery on the half-swapped table stays
+    // valid — no `date=X.backup` pseudo-partition)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = new org.apache.hadoop.fs.Path(s"$path/event_date=2024-01-02")
+    val backupRoot = new org.apache.hadoop.fs.Path(path + ".pbackup")
+    fs.mkdirs(backupRoot)
+    assert(fs.rename(part,
+      new org.apache.hadoop.fs.Path(backupRoot, "event_date=2024-01-02")))
+    assert(spark.read.parquet(path).count() == 1) // crash-window view
+    // the next load recovers the partition BEFORE merging
+    val delta = Seq((3L, "q", day("2024-01-03"), 3.0))
+      .toDF("event_id", "pname", "event_date", "v")
+    val merged = Sinks.mergeFactByDate(spark, path, delta,
+      Seq("event_id", "pname"), Seq("v"))
+    assert(merged.count() == 3)
+    assert(!fs.exists(backupRoot))
+  }
+
+  test("mergeFactByDate rejects NULL partition dates in-plan") {
+    val path = Files.createTempDirectory("graft_factnull").toString + "/fact"
+    val bad = Seq((1L, Option(java.sql.Date.valueOf("2024-01-01")), 1.0),
+      (2L, Option.empty[java.sql.Date], 2.0))
+      .toDF("event_id", "event_date", "v")
+    val ex = intercept[Exception] {
+      Sinks.mergeFactByDate(spark, path, bad, Seq("event_id"), Seq("v"))
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("NULL event_date")), ex.toString)
+  }
+
   test("mergeDim update vs ignore semantics across loads") {
     val path = Files.createTempDirectory("graft_dim").toString + "/dim"
     val v1 = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "name", "price")
