@@ -25,6 +25,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // ContextCleaner's periodic GC defaults to 30 MINUTES — longer
+      // than the whole suite — so shuffle files and dead pinned blocks
+      // from finished queries were never reclaimed and taxed every
+      // later entry (measured: entries run 3-7x slower late in the
+      // suite than isolated; see OPTIMIZATION_r18.md §1). On a real
+      // cluster the same setting keeps a long-lived driver healthy.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional comma-separated filter for profiling single queries
@@ -59,6 +66,17 @@ object Bench {
       }
       if (times.isEmpty) { failed += name; name -> (-1.0, -1.0) }
       else name -> (times.min, times.max)
+    }.map { r =>
+      // measurement isolation, OUTSIDE the timed region: drop pinned
+      // blocks the finished entry leaked (every entry rebuilds its
+      // frames from the parquet inputs on each invocation — nothing
+      // live references a previous entry's pins, and ContextCleaner
+      // would otherwise only reclaim them on a future full GC). This
+      // does not precompute or carry anything INTO a timed region; it
+      // only stops entry N's garbage from taxing entry N+1.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      r
     }
     val ok = results.filterNot { case (k, _) => failed.contains(k) }
     // 4-dp timings: full-precision doubles balloon the line past what

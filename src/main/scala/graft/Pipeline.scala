@@ -64,9 +64,26 @@ object Pipeline {
     * (the reference's latest-drop-wins layer).
     */
   def runDailyLoad(spark: SparkSession, eventsRaw: DataFrame,
-      part: DataFrame, warehouseDir: String): Seq[StageResult] =
-    stages(spark, eventsRaw, part, warehouseDir)
-      .map { case (n, f) => timed(n)(f()) }
+      part: DataFrame, warehouseDir: String): Seq[StageResult] = {
+    // ONE parse, ONE view join per load: the chain's stages all derive
+    // from the prepped drop (StarSchema.prep — JSON parsed once) and
+    // the four views from one shared fact⋈dim frame. Both frames are
+    // DROP-sized (never warehouse-sized), so pinning them for the
+    // duration of the load is safe at any scale; without the pins the
+    // chain re-scanned and re-parsed the raw drop in 9 of its 10
+    // stages (guide §1.2 step 1: don't compute things twice).
+    val (prepped, jf) = prepFrames(spark, eventsRaw, part)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    prepped.persist(lvl)
+    jf.persist(lvl)
+    try
+      stagesPrepped(spark, prepped, jf, part, warehouseDir)
+        .map { case (n, f) => timed(n)(f()) }
+    finally {
+      jf.unpersist(false)
+      prepped.unpersist(false)
+    }
+  }
 
   /** Run ONE stage by name — the spark-submit unit an external
     * orchestrator (Airflow, cron, anything) schedules; stage ordering
@@ -74,26 +91,40 @@ object Pipeline {
     */
   def runStage(spark: SparkSession, srcDir: String, warehouseDir: String,
       stage: String): StageResult = {
-    val all = stages(spark, Tables.events(spark, srcDir),
+    // single-stage path: the shared frames stay LAZY (no persist — a
+    // lone stage has no reuse to amortize, and an orchestrator-driven
+    // per-stage run must not leak pinned blocks past its stage)
+    val (prepped, jf) = prepFrames(spark,
+      Tables.events(spark, srcDir), Tables.part(spark, srcDir))
+    val all = stagesPrepped(spark, prepped, jf,
       Tables.part(spark, srcDir), warehouseDir).toMap
     require(all.contains(stage),
       s"unknown stage '$stage' (expected one of ${StageNames.mkString(", ")})")
     timed(stage)(all(stage)())
   }
 
-  private def stages(spark: SparkSession, eventsRaw: DataFrame,
-      part: DataFrame, warehouseDir: String): Seq[(String, () => Long)] = {
+  /** The two frames every stage derives from: the one-parse prepped
+    * drop and the shared view-layer fact⋈dim join.
+    */
+  private def prepFrames(spark: SparkSession, eventsRaw: DataFrame,
+      part: DataFrame): (DataFrame, DataFrame) = {
     // NULL natural keys can't join the star schema (null-unsafe merge
     // and fact↔dim joins would silently drop them) — exclude up front;
     // Quality.notNull is the check that surfaces them to operators
     val events = eventsRaw
       .filter(org.apache.spark.sql.functions.col("event_id").isNotNull)
+    val prepped = StarSchema.prep(events)
+    (prepped, Views.viewJoinedPrepped(prepped, part))
+  }
+
+  private def stagesPrepped(spark: SparkSession, prepped: DataFrame,
+      jf: DataFrame, part: DataFrame, warehouseDir: String): Seq[(String, () => Long)] = {
     val w = warehouseDir.stripSuffix("/")
 
     Seq(
       // raw layer: full overwrite, latest drop wins (reference:
       // etl_s3_snowflake_raw_event_ingest.py "overwrite mode")
-      "event_raw" -> (() => overwrite(StarSchema.rawIngest(events), s"$w/event_raw")),
+      "event_raw" -> (() => overwrite(StarSchema.rawIngestPrepped(prepped), s"$w/event_raw")),
       // dims keyed on their natural key, insert-if-absent with
       // surrogate ids that stay stable across incremental drops (new
       // keys continue after the stored max — never renumbered)
@@ -101,12 +132,12 @@ object Pipeline {
       // returned frame in the block manager (pinResult = false); the
       // count below is its only consumer before the next load
       "d_event" -> (() => Sinks.mergeDimSurrogate(spark, s"$w/d_event",
-        events.select("event_id"), "event_id", "guid_event",
+        prepped.select("event_id"), "event_id", "guid_event",
         pinResult = false).count()),
       "d_user" -> (() => Sinks.mergeDimSurrogate(spark, s"$w/d_user",
-        events.select("user_id"), "user_id", "guid_user").count()),
+        prepped.select("user_id"), "user_id", "guid_user").count()),
       "d_parameter" -> (() => Sinks.mergeDimSurrogate(spark, s"$w/d_parameter",
-        StarSchema.parameterNames(events), "parameter_name", "guid_parameter").count()),
+        StarSchema.parameterNamesPrepped(prepped), "parameter_name", "guid_parameter").count()),
       // item dim: SCD-1 update on item_id
       "d_item" -> (() => Sinks.mergeDim(spark, s"$w/d_item",
         StarSchema.dItem(part), Seq("item_id"),
@@ -119,7 +150,7 @@ object Pipeline {
         // d_event is one row per event — fact-sized, so this is a
         // shuffle join on the key, NOT a broadcast
         val dEvent = spark.read.parquet(s"$w/d_event")
-        val withGuid = StarSchema.fEventsFlat(events)
+        val withGuid = StarSchema.fEventsFlatPrepped(prepped)
           .join(dEvent, Seq("event_id"))
           // partition date derives from the immutable event time, so a
           // drop only ever touches its own dates — the precondition
@@ -136,15 +167,16 @@ object Pipeline {
           Seq("event_time", "event_user_id", "event_name", "event_value", "guid_event"))
           .count()
       }),
-      // the four analytic views, rebuilt per load
-      "view_yearly_counts" -> (() => 
-        overwrite(Views.yearlyCounts(events, part), s"$w/view_yearly_counts")),
-      "view_item_rank" -> (() => 
-        overwrite(Views.itemRankByPeriod(events, part), s"$w/view_item_rank")),
-      "view_top_item" -> (() => 
-        overwrite(Views.topItemRecentPeriod(events, part), s"$w/view_top_item")),
-      "view_top_platform" -> (() => 
-        overwrite(Views.topPlatformByPeriod(events, part), s"$w/view_top_platform"))
+      // the four analytic views, rebuilt per load — all derived from
+      // the ONE shared fact⋈dim frame (jf)
+      "view_yearly_counts" -> (() =>
+        overwrite(Views.yearlyCountsFrom(jf), s"$w/view_yearly_counts")),
+      "view_item_rank" -> (() =>
+        overwrite(Views.itemRankFrom(jf), s"$w/view_item_rank")),
+      "view_top_item" -> (() =>
+        overwrite(Views.topItemFrom(jf), s"$w/view_top_item")),
+      "view_top_platform" -> (() =>
+        overwrite(Views.topPlatformFrom(jf), s"$w/view_top_platform"))
     )
   }
 

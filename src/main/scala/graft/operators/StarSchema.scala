@@ -24,16 +24,42 @@ import org.apache.spark.sql.functions._
   */
 object StarSchema {
 
-  /** event_raw: parse payload, type columns, surrogate index.
-    * Reference: etl_s3_snowflake_raw_event_ingest.py:26-34. */
-  def rawIngest(events: DataFrame): DataFrame = {
-    val parsed = events.select(
+  /** ONE-PARSE projection of the raw events — the frame the daily
+    * chain caches per load and every stage derives from
+    * ([[graft.Pipeline]]): the JSON payload is parsed exactly once
+    * (`from_json` into a string map; `$.k` lookups and key listings
+    * both read the map), the timestamp is second-truncated once, and
+    * the frame is narrow enough to pin for the duration of a load (it
+    * is DROP-sized, never warehouse-sized). Without this the chain
+    * re-scanned and re-parsed the raw drop once per stage — 9× per
+    * load. Values are identical to the per-stage parses: the payload
+    * is a flat unique-key JSON object, so `map[key]` ==
+    * `get_json_object($.key)` string-for-string.
+    */
+  def prep(events: DataFrame): DataFrame =
+    events.select(
       col("event_id"),
       date_trunc("second", col("ts")).as("event_time"),
       col("user_id"),
       col("event_type"),
       col("value"),
-      get_json_object(col("props"), "$.k").cast("bigint").as("param_k"))
+      from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,string>"))
+        .as("props_map"))
+
+  private def paramK: org.apache.spark.sql.Column =
+    element_at(col("props_map"), "k").cast("bigint")
+
+  /** event_raw: parse payload, type columns, surrogate index.
+    * Reference: etl_s3_snowflake_raw_event_ingest.py:26-34. */
+  def rawIngest(events: DataFrame): DataFrame =
+    rawIngestPrepped(prep(events))
+
+  /** [[rawIngest]] over an already-[[prep]]ped frame (no re-parse). */
+  def rawIngestPrepped(p: DataFrame): DataFrame = {
+    val parsed = p.select(
+      col("event_id"), col("event_time"), col("user_id"),
+      col("event_type"), col("value"), paramK.as("param_k"))
     SurrogateKey.withDenseId(parsed, Seq("event_id"), "guid_event_raw")
   }
 
@@ -64,6 +90,11 @@ object StarSchema {
   def parameterNames(events: DataFrame): DataFrame =
     events.select(explode(payloadKeys).as("parameter_name")).distinct()
 
+  /** [[parameterNames]] over an already-[[prep]]ped frame. */
+  def parameterNamesPrepped(p: DataFrame): DataFrame =
+    p.select(explode(map_keys(col("props_map"))).as("parameter_name"))
+      .distinct()
+
   /** d_parameter: distinct JSON payload keys + dense surrogate.
     * Reference: etl_s3_snowflake_d_parameter.py:24-37. */
   def dParameter(events: DataFrame): DataFrame =
@@ -90,13 +121,17 @@ object StarSchema {
     * ([[graft.Pipeline]] joins `d_event`), not a per-drop numbering.
     */
   def fEventsFlat(events: DataFrame): DataFrame =
-    events.select(
+    fEventsFlatPrepped(prep(events))
+
+  /** [[fEventsFlat]] over an already-[[prep]]ped frame. */
+  def fEventsFlatPrepped(p: DataFrame): DataFrame =
+    p.select(
       col("event_id"),
-      date_trunc("second", col("ts")).as("event_time"),
+      col("event_time"),
       col("user_id").as("event_user_id"),
       col("event_type").as("event_name"),
-      element_at(payloadKeys, 1).as("event_parameter_name"),
-      get_json_object(col("props"), "$.k").cast("bigint").as("event_parameter_value"),
+      element_at(map_keys(col("props_map")), 1).as("event_parameter_name"),
+      paramK.as("event_parameter_value"),
       col("value").as("event_value"))
 
   /** f_events: fact — flatten payload into typed columns, surrogate key.
@@ -106,16 +141,7 @@ object StarSchema {
     * 'event_time', ascending=False)` then guid = 1..N), so guid 1 is
     * the newest event; event_id breaks second-precision ties to keep
     * the numbering a total order across engines. */
-  def fEvents(events: DataFrame): DataFrame = {
-    val flat = events.select(
-      col("event_id"),
-      date_trunc("second", col("ts")).as("event_time"),
-      col("user_id").as("event_user_id"),
-      col("event_type").as("event_name"),
-      element_at(payloadKeys, 1).as("event_parameter_name"),
-      get_json_object(col("props"), "$.k").cast("bigint").as("event_parameter_value"),
-      col("value").as("event_value"))
-    SurrogateKey.withDenseIdOrdered(flat,
+  def fEvents(events: DataFrame): DataFrame =
+    SurrogateKey.withDenseIdOrdered(fEventsFlat(events),
       Seq(col("event_time").desc, col("event_id")), "guid_event")
-  }
 }

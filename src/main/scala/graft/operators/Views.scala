@@ -28,36 +28,70 @@ object Views {
       .filter(col("event_type") === "view")
       .select(
         col("ts").cast("date").as("period_day"),
+        col("event_type").as("platform"),
         get_json_object(col("props"), "$.k").cast("bigint").as("item_key"))
 
-  private def joined(events: DataFrame, items: DataFrame): DataFrame =
+  /** The shared view-layer fact: VIEW events joined to the item dim,
+    * carrying every column any of the four views groups on. The daily
+    * chain materializes THIS once per load and derives all four views
+    * from it ([[graft.Pipeline]]) — one fact scan + one broadcast join
+    * instead of four of each; each view is then a small aggregate over
+    * the shared frame. Row multiset per view is unchanged: `p_partkey`
+    * is unique in the dim, so joining the wider dim projection cannot
+    * change join cardinality, and each view selects exactly the
+    * columns it grouped on before.
+    */
+  def viewJoined(events: DataFrame, items: DataFrame): DataFrame =
     viewFact(events).join(
       broadcast(items.select(col("p_partkey"), col("p_name"))),
       col("item_key") === col("p_partkey"))
 
+  /** [[viewJoined]] over an already-[[StarSchema.prep]]ped frame: no
+    * JSON re-parse (`item_key` reads the parsed map), the day bucket
+    * derives from the second-truncated event time (same date value).
+    */
+  def viewJoinedPrepped(p: DataFrame, items: DataFrame): DataFrame =
+    p.filter(col("event_type") === "view")
+      .select(
+        col("event_time").cast("date").as("period_day"),
+        col("event_type").as("platform"),
+        element_at(col("props_map"), "k").cast("bigint").as("item_key"))
+      .join(
+        broadcast(items.select(col("p_partkey"), col("p_name"))),
+        col("item_key") === col("p_partkey"))
+
   /** View 1 — total item views per period. */
   def yearlyCounts(events: DataFrame, items: DataFrame): DataFrame =
-    joined(events, items)
+    yearlyCountsFrom(viewJoined(events, items))
+
+  def yearlyCountsFrom(joined: DataFrame): DataFrame =
+    joined
       .groupBy(col("period_day"))
       .agg(count(lit(1)).as("item_views"))
 
-  private def itemCounts(events: DataFrame, items: DataFrame): DataFrame =
-    joined(events, items)
+  private def itemCountsFrom(joined: DataFrame): DataFrame =
+    joined
       .groupBy(col("period_day"), col("p_name").as("item_name"))
       .agg(count(lit(1)).as("item_views"))
 
   /** View 2 — per-period per-item view counts + DENSE_RANK. */
-  def itemRankByPeriod(events: DataFrame, items: DataFrame): DataFrame = {
+  def itemRankByPeriod(events: DataFrame, items: DataFrame): DataFrame =
+    itemRankFrom(viewJoined(events, items))
+
+  def itemRankFrom(joined: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("period_day")).orderBy(col("item_views").desc)
-    itemCounts(events, items)
+    itemCountsFrom(joined)
       .withColumn("item_view_rank", dense_rank().over(w).cast("bigint"))
   }
 
   /** View 3 — the single most-viewed item of the latest period (total
     * order: views desc, then name — the reference's LIMIT 1 made total).
     */
-  def topItemRecentPeriod(events: DataFrame, items: DataFrame): DataFrame = {
-    val counts = itemCounts(events, items)
+  def topItemRecentPeriod(events: DataFrame, items: DataFrame): DataFrame =
+    topItemFrom(viewJoined(events, items))
+
+  def topItemFrom(joined: DataFrame): DataFrame = {
+    val counts = itemCountsFrom(joined)
     val latest = counts.groupBy().agg(max(col("period_day")).as("latest_day"))
     counts
       .join(broadcast(latest), col("period_day") === col("latest_day"))
@@ -76,15 +110,11 @@ object Views {
     * shape (filter → join dim → count → dense_rank → rank=1) mirrors
     * the reference exactly.
     */
-  def topPlatformByPeriod(events: DataFrame, items: DataFrame): DataFrame = {
-    val fact = events
-      .filter(col("event_type") === "view")
-      .select(
-        col("ts").cast("date").as("period_day"),
-        col("event_type").as("platform"),
-        get_json_object(col("props"), "$.k").cast("bigint").as("item_key"))
-    val counts = fact
-      .join(broadcast(items.select(col("p_partkey"))), col("item_key") === col("p_partkey"))
+  def topPlatformByPeriod(events: DataFrame, items: DataFrame): DataFrame =
+    topPlatformFrom(viewJoined(events, items))
+
+  def topPlatformFrom(joined: DataFrame): DataFrame = {
+    val counts = joined
       .groupBy(col("period_day"), col("platform"))
       .agg(count(lit(1)).as("platform_views"))
     val w = Window.partitionBy(col("period_day")).orderBy(col("platform_views").desc)

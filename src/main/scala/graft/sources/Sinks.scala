@@ -164,7 +164,9 @@ object Sinks {
         raise_error(lit(s"mergeFactByDate: NULL $dateCol in delta — " +
           "rows would land in a default partition"))).otherwise(lit(true)))
     if (!tableExists(spark, path)) {
-      d.write.partitionBy(dateCol).parquet(path + ".staging")
+      val nDates = d.select(col(dateCol)).distinct().count()
+      clusterByDate(d, dateCol, nDates)
+        .write.partitionBy(dateCol).parquet(path + ".staging")
       swapInto(spark, path + ".staging", path)
     } else {
       val (merged, touched) = factMergeFrames(spark, path, d, keys,
@@ -173,7 +175,8 @@ object Sinks {
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-      merged.write.mode(SaveMode.Overwrite).partitionBy(dateCol)
+      clusterByDate(merged, dateCol, touched.size.toLong)
+        .write.mode(SaveMode.Overwrite).partitionBy(dateCol)
         .parquet(staging)
       touched.foreach { v =>
         val dirName = s"$dateCol=$v"
@@ -186,6 +189,34 @@ object Sinks {
         fs.delete(backupRoot, true)
     }
     spark.read.parquet(path)
+  }
+
+  /** Cluster rows by their date partition (plus a hash salt that
+    * spreads each date over the session's parallelism) before a
+    * `partitionBy(dateCol)` write. Without this every write task holds
+    * rows of EVERY date and opens a file per (task × date) — the merge
+    * measured 6 files per date per load at bench scale (180 tiny files
+    * after one load; guide §6's small-files trap), and every later
+    * merge, swap and scan paid the per-file overhead. One extra
+    * shuffle of the DROP (never the warehouse) bounds the layout at
+    * `salt` files per date while keeping ~`spark.sql.shuffle.partitions`
+    * write tasks in flight; at 100 TB the salt is what lets a single
+    * hot date still write in parallel with sane file sizes.
+    */
+  private def clusterByDate(df: DataFrame, dateCol: String,
+      nDates: Long): DataFrame = {
+    val parallelism = df.sparkSession.sessionState.conf.numShufflePartitions
+    // files-per-date scales with the session's parallelism over the
+    // drop's date span: a month-span gate drop (≈30 dates, 32 slots)
+    // gets 1 file per date; a single-date daily feed on a 200-core
+    // cluster still writes 200-way parallel. The salt is deterministic
+    // (hash of the row, never rand()), so task retries re-land
+    // identical rows (SPARK-38388).
+    val filesPerDate = math.max(1L, parallelism / math.max(1L, nDates))
+    val salt = org.apache.spark.sql.functions.pmod(
+      org.apache.spark.sql.functions.xxhash64(df.columns.map(col).toIndexedSeq: _*),
+      org.apache.spark.sql.functions.lit(filesPerDate))
+    df.repartition(parallelism, col(dateCol), salt)
   }
 
   /** The pruned-merge plan [[mergeFactByDate]] executes, exposed for
@@ -268,13 +299,20 @@ object Sinks {
         .join(stored.select(col(keyCol)).alias("st"),
           col(s"f.$keyCol") <=> col(s"st.$keyCol"), "left_anti")
         .select(col(s"f.$keyCol"))
-      // coalesce: an existing-but-empty dim has max(guid) = NULL
-      val offset = stored
-        .agg(org.apache.spark.sql.functions.coalesce(max(col(guidCol)), lit(0L)))
-        .head().getLong(0)
+      // coalesce: an existing-but-empty dim has max(guid) = NULL.
+      // The offset rides the plan as a broadcast 1-row aggregate
+      // (crossJoin(broadcast(<1-row agg>)) — the repo's scalar-join
+      // convention) instead of a driver head() action: one fewer job
+      // per dim merge, and the stored table is only read inside the
+      // one plan.
+      val offset = org.apache.spark.sql.functions.broadcast(stored
+        .agg(org.apache.spark.sql.functions.coalesce(max(col(guidCol)), lit(0L))
+          .as("__guid_offset")))
       stored.unionByName(
         graft.operators.SurrogateKey.withDenseId(newKeys, Seq(keyCol), guidCol)
-          .withColumn(guidCol, col(guidCol) + lit(offset)))
+          .crossJoin(offset)
+          .withColumn(guidCol, col(guidCol) + col("__guid_offset"))
+          .drop("__guid_offset"))
     } else graft.operators.SurrogateKey.withDenseId(fresh, Seq(keyCol), guidCol)
     persistAndSwap(spark, merged, path, pinResult)
   }
