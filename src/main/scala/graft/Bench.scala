@@ -74,6 +74,14 @@ object Bench {
       // would otherwise only reclaim them on a future full GC). This
       // does not precompute or carry anything INTO a timed region; it
       // only stops entry N's garbage from taxing entry N+1.
+      // clearCache additionally DEREGISTERS Dataset-level persists from
+      // the shared CacheManager: every registered cache is a plan
+      // fragment that EVERY later action's planning must sameResult-
+      // compare against, so a suite that leaks a few caches per entry
+      // makes planning itself quadratic across 220 entries (measured:
+      // late-suite entries ran ~2.5x their isolated time with tight
+      // spreads — planning tax, not data).
+      spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       r

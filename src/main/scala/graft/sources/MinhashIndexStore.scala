@@ -203,10 +203,17 @@ object MinhashIndexStore {
         // them and the rewrite runs). A high-water marker could not:
         // it would no-op on re-landed rows it never saw.
         val purgeSet = Tombstones.all(spark, path, "doc_id")
-        val anyMasked = !spark.read.parquet(s"$path/bands")
-          .select(col("doc_id"))
-          .join(broadcast(purgeSet), Seq("doc_id"), "left_semi")
-          .isEmpty
+        // ONE bands pass for both the no-op probe and the purge
+        // ledger (r18: the probe and the ledger each scanned the full
+        // band table): the tombstoned ids that hold live rows RIGHT
+        // NOW, pinned — a tombstone-bounded frame, so the isEmpty
+        // probe and the ledger's semi join below are both broadcast-
+        // tiny reads of it.
+        val maskedLive = org.apache.spark.sql.GraftInternal.pinRecomputable(
+          spark.read.parquet(s"$path/bands")
+            .join(broadcast(purgeSet), Seq("doc_id"), "left_semi")
+            .select(col("doc_id")).distinct())
+        val anyMasked = !maskedLive.isEmpty
         if (anyMasked) {
           // ledger the ids this rewrite ACTUALLY purges (they have
           // live rows right now) BEFORE the swap — the expiry gate
@@ -216,8 +223,7 @@ object MinhashIndexStore {
           // expire's rows-absent conjunct refuses ids with live rows.
           Tombstones.appendPurged(
             Tombstones.allWithSeq(spark, path, "doc_id").join(
-              spark.read.parquet(s"$path/bands").select(col("doc_id")),
-              Seq("doc_id"), "left_semi"),
+              broadcast(maskedLive), Seq("doc_id"), "left_semi"),
             path, "doc_id")
           // physical purge folds EVERY id ever tombstoned (the full
           // list, not the live serve mask — an expired id should

@@ -37,6 +37,9 @@ object Profile {
     if (sys.env.get("SPARK_GRAFT_PROFILE").contains("chain")) {
       chainAnatomy(spark, dir); spark.stop(); return
     }
+    if (sys.env.get("SPARK_GRAFT_PROFILE").contains("reappend")) {
+      reappendAnatomy(spark, dir); spark.stop(); return
+    }
     if (sys.env.get("SPARK_GRAFT_PROFILE").contains("keepbest")) {
       keepBestAnatomy(spark, dir); spark.stop(); return
     }
@@ -70,6 +73,46 @@ object Profile {
         l.contains("Window"))
       .foreach(l => println("[prof]   " + l.trim.take(150)))
     spark.stop()
+  }
+
+  /** `SPARK_GRAFT_PROFILE=reappend`: step anatomy of the
+    * `dedup_delete_reappend` lifecycle gate (r18 — 12.7 s isolated,
+    * the suite's 4th-costliest entry; the lifecycle runs fresh every
+    * call by design, so nothing memoizes away). Splits the wall
+    * between the keyed build, the tombstone ops, the compact rewrite,
+    * the append, and the two masked serves.
+    */
+  private def reappendAnatomy(spark: SparkSession, dir: String): Unit = {
+    import graft.sources.MinhashIndexStore
+    def timeA(label: String)(f: => Any): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"[prof] $label%-44s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    }
+    val docs = Tables.documents(spark, dir)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val takedown = docs.filter(col("doc_id") % 10 === 5)
+    val ids = takedown.select(col("doc_id"))
+    val MS = MinhashIndexStore
+    val path = MS.defaultPath(dir) + "_reapp_prof"
+    graft.sources.StorePaths.wipe(spark, path)
+    timeA("buildKeyed(corpus)")(MS.buildKeyed(corpus, path))
+    timeA("delete(ids) epoch 1")(MS.delete(ids, path))
+    timeA("compact (purge)")(MS.compact(spark, path))
+    timeA("expireTombstones")(MS.expireTombstones(spark, path))
+    timeA("appendBatch(takedown)")(MS.appendBatch(takedown, path, 1L))
+    timeA("serve 1 (reappended) + pin") {
+      Dedup.minhashNearDupsDelta(delta, docs, MS.bandsTable(spark, path))
+        .localCheckpoint()
+    }
+    timeA("delete(ids) epoch 2")(MS.delete(ids, path))
+    timeA("serve 2 (redeleted) hash-force") {
+      val df = Dedup.minhashNearDupsDelta(delta, docs,
+        MS.bandsTable(spark, path))
+      df.select(xxhash64(struct(col("*"))).as("h"))
+        .agg(expr("bit_xor(h)")).collect()
+    }
   }
 
   /** `SPARK_GRAFT_PROFILE=chain`: stage anatomy of ONE daily-chain
