@@ -76,10 +76,41 @@ object Pipeline {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     prepped.persist(lvl)
     jf.persist(lvl)
-    try
-      stagesPrepped(spark, prepped, jf, part, warehouseDir)
-        .map { case (n, f) => timed(n)(f()) }
-    finally {
+    try {
+      val stageMap = stagesPrepped(spark, prepped, jf, part, warehouseDir).toMap
+      // run each phase's INDEPENDENT stages concurrently (guide §2.6:
+      // actions are only sequential because driver code calls them
+      // sequentially) — exactly the fan-out the orchestration contract
+      // declares (dags/graft_daily_dag.py: event_raw >> the four dims;
+      // d_event >> f_events; f_events >> the four views). Stages write
+      // disjoint tables, so phase-internal order cannot change content;
+      // the result list keeps StageNames order.
+      val phases = Seq(
+        Seq("event_raw"),
+        Seq("d_event", "d_user", "d_parameter", "d_item"),
+        Seq("f_events"),
+        Seq("view_yearly_counts", "view_item_rank", "view_top_item",
+          "view_top_platform"))
+      phases.flatMap { names =>
+        if (names.size == 1) Seq(timed(names.head)(stageMap(names.head)()))
+        else {
+          // materialize the shared view join once before the view fan-
+          // out, so four concurrent first-readers don't race to fill
+          // the same cache partitions with duplicate work
+          if (names.head.startsWith("view")) { jf.count(); () }
+          val pool = java.util.concurrent.Executors
+            .newFixedThreadPool(names.size)
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          try {
+            val fs = names.map(n =>
+              scala.concurrent.Future(timed(n)(stageMap(n)())))
+            fs.map(f => scala.concurrent.Await.result(f,
+              scala.concurrent.duration.Duration.Inf))
+          } finally pool.shutdown()
+        }
+      }
+    } finally {
       jf.unpersist(false)
       prepped.unpersist(false)
     }
