@@ -1420,12 +1420,16 @@ object SparkEntry {
     MS.compact(s, path)               // physical purge, mask retained
     MS.expireTombstones(s, path)      // purged + rows-absent → released
     MS.appendBatch(takedown, path, 1L) // the content returns (epoch 2)
-    val reappended = Dedup.minhashNearDupsDelta(delta, docs,
+    // the delta side of the serve (election, signatures, internal
+    // verify) is mask-INDEPENDENT — build it once, shared by both
+    // phase serves (r18: the two serves each re-ran it)
+    val side = Dedup.prepareDeltaSide(delta, shared = true)
+    val reappended = Dedup.minhashNearDupsDeltaWith(side, delta, docs,
       MS.bandsTable(s, path))
       .withColumn("phase", lit("reappended"))
       .localCheckpoint() // pin BEFORE the state mutates under it
     MS.delete(ids, path)              // fresh takedown, seq 2 — re-masks
-    val redeleted = Dedup.minhashNearDupsDelta(delta, docs,
+    val redeleted = Dedup.minhashNearDupsDeltaWith(side, delta, docs,
       MS.bandsTable(s, path))
       .withColumn("phase", lit("redeleted"))
     reappended.unionByName(redeleted)

@@ -521,28 +521,57 @@ object Dedup {
     */
   def minhashNearDupsDelta(delta: DataFrame, corpus: DataFrame,
       storedBands: DataFrame, jaccardThreshold: Double = 0.5,
-      broadcastDelta: Boolean = true): DataFrame = {
-    // exact-collapse the drop FIRST (the minhashKeep device, applied to
-    // the micro-batch): redelivered / mirrored corpora carry heavy
-    // exact-dup rates, identical texts hold identical signatures AND
-    // identical shingle sets, so the band query and the Jaccard verify
-    // run at DISTINCT-TEXT grain and the per-member rollup is
-    // reconstructed arithmetically — value-identical, because a member
-    // x of group g pairs with (a) every candidate of g's rep at the
-    // rep's jaccard (candidacy and the verdict depend only on text;
-    // for a candidate that is itself a delta group, once per member:
-    // m_other pairs), and (b) its m−1 within-group twins at exactly
-    // Jaccard 1.0 (identical shingle sets). On a 10× replicated drop
-    // this cuts the delta-internal band join ~100× and the delta×
-    // stored join ~10× — the difference between candidate cost
-    // ∝ |distinct drop| and ∝ |drop|².
-    // one text-hash-keyed window shuffle produces the member→rep map
-    // and the group sizes — no groupBy-then-join round trip per
-    // micro-batch. The map is SLIM (ids + size, no text) and PINNED:
-    // five consumers (rep rows, both rollup orientations, the member
-    // expansion, the verify's shingle fetch) would otherwise each
-    // replay the drop-sized window; rep TEXT re-fetches from the
-    // delta by id (a pushed semi scan of the drop, rep-bounded).
+      broadcastDelta: Boolean = true): DataFrame =
+    minhashNearDupsDeltaWith(prepareDeltaSide(delta, broadcastDelta), delta,
+      corpus, storedBands, jaccardThreshold, broadcastDelta)
+
+  /** The MASK-INDEPENDENT delta-side state of an incremental serve:
+    * the drop's member→rep election, its rep rows, the pinned rep
+    * shingles, the rep band rows, and the verified DELTA-INTERNAL
+    * pairs — everything a serve computes that does not depend on the
+    * STORED side. A caller that serves the SAME drop against several
+    * index states (the `dedup_delete_reappend` gate serves its delta
+    * twice, either side of a re-delete) builds this once with
+    * `shared = true` (which pins the band rows and internal pairs too)
+    * and pays the election window, the signature kernel and the
+    * internal verify once instead of per serve.
+    */
+  private[graft] final class DeltaServeSide(
+      val members: DataFrame, val reps: DataFrame, val repSh: DataFrame,
+      val deltaBands: DataFrame, val internalOut: DataFrame)
+
+  /** Build the delta side of an incremental serve. With the default
+    * `shared = false` the band rows and internal verify stay LAZY
+    * exactly as the single-serve plan always had them (no extra eager
+    * jobs on the common path); `shared = true` pins them for reuse
+    * across serves.
+    *
+    * The election: exact-collapse the drop FIRST (the minhashKeep
+    * device, applied to the micro-batch): redelivered / mirrored
+    * corpora carry heavy exact-dup rates, identical texts hold
+    * identical signatures AND identical shingle sets, so the band
+    * query and the Jaccard verify run at DISTINCT-TEXT grain and the
+    * per-member rollup is reconstructed arithmetically —
+    * value-identical, because a member x of group g pairs with (a)
+    * every candidate of g's rep at the rep's jaccard (candidacy and
+    * the verdict depend only on text; for a candidate that is itself
+    * a delta group, once per member: m_other pairs), and (b) its m−1
+    * within-group twins at exactly Jaccard 1.0 (identical shingle
+    * sets). On a 10× replicated drop this cuts the delta-internal
+    * band join ~100× and the delta×stored join ~10× — the difference
+    * between candidate cost ∝ |distinct drop| and ∝ |drop|².
+    * One text-hash-keyed window shuffle produces the member→rep map
+    * and the group sizes — no groupBy-then-join round trip per
+    * micro-batch. The map is SLIM (ids + size, no text) and PINNED:
+    * five consumers (rep rows, both rollup orientations, the member
+    * expansion, the verify's shingle fetch) would otherwise each
+    * replay the drop-sized window; rep TEXT re-fetches from the
+    * delta by id (a pushed semi scan of the drop, rep-bounded).
+    */
+  private[graft] def prepareDeltaSide(delta: DataFrame,
+      broadcastDelta: Boolean = true,
+      shared: Boolean = false): DeltaServeSide = {
+    import graft.sources.MinhashIndexStore
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(TextGroupKeyNames.map(col): _*)
     val members = org.apache.spark.sql.GraftInternal.pinRecomputable(
@@ -555,7 +584,63 @@ object Dedup {
       .join(members.filter(col("doc_id") === col("rep_id"))
         .select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("text"))
-    val verified = minhashDeltaVerified(reps, delta.select(col("doc_id")),
+    sideFromReps(reps, members, broadcastDelta, shared)
+  }
+
+  /** [[prepareDeltaSide]] for a drop the CALLER already collapsed to
+    * distinct-text reps (the keep-best stream's per-batch edge feed) —
+    * no election window; `members` stays null and only the pair-grain
+    * consumers may use the result.
+    */
+  private def sideFromReps(reps: DataFrame, members: DataFrame,
+      broadcastDelta: Boolean, shared: Boolean): DeltaServeSide = {
+    import graft.sources.MinhashIndexStore
+    // rep-grain (distinct drop texts) and consumed three times (cross
+    // verify + both internal sides) — pinned, or each consumer replays
+    // the caller's drop election and the shingle kernel
+    val repSh = org.apache.spark.sql.GraftInternal.pinRecomputable(reps
+      .select(col("doc_id"), TF.words(col("text")).as("w"))
+      .select(col("doc_id"), TF.shinglesFromWords(col("w"), 3).as("shingles")))
+    val bandsRaw = MinhashIndexStore.bandRows(reps)
+    val deltaBands =
+      if (shared) org.apache.spark.sql.GraftInternal.pinRecomputable(bandsRaw)
+      else bandsRaw
+    val deltaSide =
+      if (broadcastDelta) broadcast(deltaBands) else deltaBands
+    // delta-internal candidates: the drop against itself. The b side
+    // reuses the SAME broadcast as the stored-index join (one
+    // broadcast exchange, one signing pass for both candidate sources)
+    val keyCols = MinhashIndexStore.BandKeyCols
+    val candDelta = {
+      val cond = keyCols.map(c => col(s"a.$c") === col(s"b.$c"))
+        .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
+      deltaBands.alias("a").join(deltaSide.alias("b"), cond)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+    }
+    // delta-internal verify stays at rep grain (the drop is collapsed)
+    val internalRaw = candDelta
+      .join(broadcast(repSh.select(col("doc_id").as("id_a"),
+        col("shingles").as("sh_a"))), "id_a")
+      .join(broadcast(repSh.select(col("doc_id").as("id_b"),
+        col("shingles").as("sh_b"))), "id_b")
+      .select(col("id_a"), col("id_b"),
+        TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    val internalOut =
+      if (shared) org.apache.spark.sql.GraftInternal.pinRecomputable(internalRaw)
+      else internalRaw
+    new DeltaServeSide(members, reps, repSh, deltaBands, internalOut)
+  }
+
+  /** [[minhashNearDupsDelta]] over a prebuilt [[DeltaServeSide]] — the
+    * multi-serve entry point (same drop, several index states).
+    */
+  private[graft] def minhashNearDupsDeltaWith(side: DeltaServeSide,
+      delta: DataFrame, corpus: DataFrame, storedBands: DataFrame,
+      jaccardThreshold: Double = 0.5,
+      broadcastDelta: Boolean = true): DataFrame = {
+    val members = side.members
+    val verified = minhashDeltaVerified(side, delta.select(col("doc_id")),
       corpus, storedBands, broadcastDelta)
     // EXPAND the rep-grain pairs back to member grain, arithmetically:
     // a pair contributes (other side's group size, or 1 for a stored
@@ -615,7 +700,9 @@ object Dedup {
     */
   private[graft] def minhashDeltaPairs(reps: DataFrame, corpus: DataFrame,
       storedBands: DataFrame, jaccardThreshold: Double = 0.5): DataFrame =
-    minhashDeltaVerified(reps, reps.select(col("doc_id")), corpus,
+    minhashDeltaVerified(
+      sideFromReps(reps, null, broadcastDelta = true, shared = false),
+      reps.select(col("doc_id")), corpus,
       storedBands, broadcastDelta = true)
       .filter(col("jaccard") >= jaccardThreshold)
 
@@ -633,18 +720,13 @@ object Dedup {
     * delta path; both callers execute immediately inside a micro-batch
     * or a gated serve, so plan-assembly laziness buys nothing here).
     */
-  private def minhashDeltaVerified(reps: DataFrame, dropIds: DataFrame,
+  private def minhashDeltaVerified(side: DeltaServeSide, dropIds: DataFrame,
       corpus: DataFrame, storedBands: DataFrame,
       broadcastDelta: Boolean): DataFrame = {
     import graft.sources.MinhashIndexStore
     val keyCols = MinhashIndexStore.BandKeyCols
-    // rep-grain (distinct drop texts) and consumed three times (cross
-    // verify + both internal sides) — pinned, or each consumer replays
-    // the caller's drop election and the shingle kernel
-    val repSh = org.apache.spark.sql.GraftInternal.pinRecomputable(reps
-      .select(col("doc_id"), TF.words(col("text")).as("w"))
-      .select(col("doc_id"), TF.shinglesFromWords(col("w"), 3).as("shingles")))
-    val deltaBands = MinhashIndexStore.bandRows(reps)
+    val repSh = side.repSh
+    val deltaBands = side.deltaBands
     val deltaSide =
       if (broadcastDelta) broadcast(deltaBands) else deltaBands
     // delta × stored-corpus candidates, kept ORIENTED (delta_id,
@@ -656,16 +738,6 @@ object Dedup {
       .join(deltaSide.withColumnRenamed("doc_id", "delta_id"), keyCols)
       .filter(col("doc_id") =!= col("delta_id"))
       .select(col("delta_id"), col("doc_id").as("stored_id"))
-    // delta-internal candidates: the drop against itself. The b side
-    // reuses the SAME broadcast as the stored-index join (one
-    // broadcast exchange, one signing pass for both candidate sources)
-    val candDelta = {
-      val cond = keyCols.map(c => col(s"a.$c") === col(s"b.$c"))
-        .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
-      deltaBands.alias("a").join(deltaSide.alias("b"), cond)
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
-    }
     // candidate stored ids, raw grain. Delta ids never enter (the
     // non-delta side of every candidate pair is by construction a
     // stored-index id), so callers may pass the FULL docs table as
@@ -728,16 +800,9 @@ object Dedup {
       .select(least(col("delta_id"), col("stored_id")).as("id_a"),
         greatest(col("delta_id"), col("stored_id")).as("id_b"),
         col("jaccard"))
-    // delta-internal verify stays at rep grain (the caller already
-    // collapsed the drop)
-    val internalOut = candDelta
-      .join(broadcast(repSh.select(col("doc_id").as("id_a"),
-        col("shingles").as("sh_a"))), "id_a")
-      .join(broadcast(repSh.select(col("doc_id").as("id_b"),
-        col("shingles").as("sh_b"))), "id_b")
-      .select(col("id_a"), col("id_b"),
-        TF.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-    crossOut.unionByName(internalOut)
+    // delta-internal verified pairs come from the side bundle (built
+    // alongside the election — mask-independent, shared across serves)
+    crossOut.unionByName(side.internalOut)
   }
 
   /** SimHash near-dup: 64-bit signature, pigeonhole 16-bit chunk

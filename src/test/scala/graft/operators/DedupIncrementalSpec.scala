@@ -132,6 +132,33 @@ class DedupIncrementalSpec extends SparkSpecBase {
     assert(twinRow._3 == 1.0, twinRow)
   }
 
+  test("shared delta side: multi-serve equals per-serve across index states") {
+    // the r18 reuse path (dedup_delete_reappend serves one drop against
+    // TWO index states): a side built once with shared = true must give
+    // each serve exactly what a fresh minhashNearDupsDelta gives it —
+    // against the full index AND against the masked (post-delete) index
+    val docs = Tables.documents(spark, sfDir)
+    val delta = docs.filter(col("doc_id") % 10 === 0)
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val removed = docs.filter(col("doc_id") % 10 === 5).select(col("doc_id"))
+    val path = freshPath("sharedside")
+    MinhashIndexStore.build(corpus, path)
+    val side = Dedup.prepareDeltaSide(delta, shared = true)
+    def rows(df: DataFrame) = df.orderBy("doc_id")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    val full = MinhashIndexStore.bandsTable(spark, path)
+    assert(rows(Dedup.minhashNearDupsDeltaWith(side, delta, docs, full))
+      == rows(Dedup.minhashNearDupsDelta(delta, docs, full)))
+    MinhashIndexStore.delete(removed, path)
+    val masked = MinhashIndexStore.bandsTable(spark, path)
+    val sharedMasked =
+      rows(Dedup.minhashNearDupsDeltaWith(side, delta, docs, masked))
+    assert(sharedMasked == rows(Dedup.minhashNearDupsDelta(delta, docs, masked)))
+    // the two states must actually differ, or the test proves nothing
+    assert(sharedMasked != rows(Dedup.minhashNearDupsDeltaWith(side, delta,
+      docs, full)))
+  }
+
   test("empty delta returns an empty frame with the contract schema") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (3L, "one two three four five six")).toDF("doc_id", "text")
